@@ -1,0 +1,160 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Generic relational operators from the reference's inventory
+  * (SURVEY.md §2), as key-parameterized `DataFrame => DataFrame`
+  * functions so the same primitives run on any schema.
+  *
+  * Scale notes are given per operator: every function here is a pure
+  * declarative plan — Catalyst handles pushdown/pruning, AQE handles
+  * skew and partition coalescing.
+  */
+object Relational {
+
+  /** R1 `explode_df` (reference: cosmo/monitor_helpers.py:35–49): expand N
+    * equal-length array columns to one row per element, repeating scalar
+    * columns; ragged input is an ERROR, not silent nulls (reference raises,
+    * monitor_helpers.py:46–47).
+    *
+    * Implemented as ONE native op: `posexplode(arrays_zip(...))` — the
+    * reference's index-join reconstruction (J8) is unnecessary on Spark.
+    * `strict=true` adds a pre-check that fails the job on ragged rows
+    * (raise_error is codegen'd; zero cost on the happy path).
+    */
+  def explodeArrays(df: DataFrame, arrayCols: Seq[String],
+                    posCol: String = "pos", strict: Boolean = true): DataFrame = {
+    require(arrayCols.nonEmpty, "explodeArrays needs at least one array column")
+    val scalarCols = df.columns.filterNot(arrayCols.contains).map(col)
+    val sameLen = arrayCols.tail
+      .map(c => size(col(c)) === size(col(arrayCols.head)))
+      .foldLeft(lit(true))(_ && _)
+    val checked =
+      if (strict && arrayCols.size > 1)
+        df.withColumn("__len_ok", when(sameLen, lit(true)).otherwise(
+          raise_error(concat(lit(s"ragged arrays in explodeArrays(${arrayCols.mkString(",")})")))))
+      else df.withColumn("__len_ok", lit(true))
+    val zipped = checked
+      .withColumn("__z", arrays_zip(arrayCols.map(col): _*))
+      .select(scalarCols :+ posexplode(col("__z")): _*)
+    arrayCols.foldLeft(zipped) { (d, c) => d.withColumn(c, col("col")(c)) }
+      .withColumnRenamed("pos", posCol)
+      .drop("col")
+  }
+
+  /** P9/U2 incremental discovery (reference: cosmo/data_models.py:62–77):
+    * candidates not yet ingested, tolerant of suffix variants
+    * (`.fits` vs `.fits.gz`). Left-anti join on a normalized key.
+    * Scale: the ingested-keys side is a single projected column — at 100 TB
+    * it's still tiny relative to the fact side and broadcastable. */
+  def antiJoinIngested(candidates: DataFrame, ingested: DataFrame,
+                       candKey: Column, ingKey: Column): DataFrame = {
+    val ing = ingested.select(ingKey.as("__k")).distinct()
+    candidates.join(broadcast(ing), candKey === col("__k"), "left_anti")
+  }
+
+  /** P10 `match_dfs` semi-join (reference: cosmo/monitors/osm_shift_monitors.py:50–52). */
+  def semiJoin(df: DataFrame, other: DataFrame, key: String): DataFrame =
+    df.join(other.select(key).distinct(), Seq(key), "left_semi")
+
+  /** J2 derived-key equi join (reference: cosmo/data_models.py:157–180 —
+    * `sms.ROOTNAME + 'q' == data.ROOTNAME`). Both sides get the key as a
+    * column expression so Catalyst still sees a plain equi join
+    * (sort-merge or broadcast by size). */
+  def derivedKeyJoin(left: DataFrame, right: DataFrame,
+                     leftKey: Column, rightKey: Column,
+                     joinType: String = "inner"): DataFrame =
+    left.withColumn("__jk", leftKey)
+      .join(right.withColumn("__jk", rightKey), Seq("__jk"), joinType)
+      .drop("__jk")
+
+  /** J6/J7 `compute_segment_diff` (reference:
+    * cosmo/monitors/osm_shift_monitors.py:55–86): within each `key` group,
+    * pair the `segA` and `segB` rows and emit `valA − valB`.
+    * One shuffle (the pivot's groupBy) replaces the reference's per-group
+    * Python loop; at scale this is a plain hash aggregate on the group key.
+    */
+  def segmentDiff(df: DataFrame, key: Seq[String], segCol: String,
+                  valCol: String, segA: String, segB: String,
+                  outCol: String = "seg_diff"): DataFrame =
+    df.groupBy(key.map(col): _*)
+      .pivot(segCol, Seq(segA, segB))
+      .agg(first(col(valCol)))
+      .filter(col(segA).isNotNull && col(segB).isNotNull)
+      .withColumn(outCol, col(segA) - col(segB))
+
+  /** J11/W8 as-of (step-function) lookup (reference:
+    * cosmo/monitors/telemetry_monitors.py:428–457 `step_wise`): for each
+    * probe row, the most recent quote value with quote.time <= probe.time,
+    * per key. Union-tag + `last(_, ignoreNulls)` window — a single
+    * sort-per-key, no nested loop, no driver collect. At 100 TB both sides
+    * shuffle once on the key; skewed keys are handled by AQE. */
+  def asOfLookup(probes: DataFrame, quotes: DataFrame, keys: Seq[String],
+                 timeCol: String, quoteVal: String, outCol: String): DataFrame = {
+    val probeCols = probes.columns
+    val pTagged = probes
+      .withColumn("__qv", lit(null).cast(quotes.schema(quoteVal).dataType))
+      .withColumn("__isProbe", lit(1))
+      .select((probeCols.map(col) ++ Seq(col("__qv"), col("__isProbe"))): _*)
+    val qTagged = quotes
+      .withColumn("__qv", col(quoteVal))
+      .withColumn("__isProbe", lit(0))
+      .select((probeCols.map(c => if (quotes.columns.contains(c)) col(c) else lit(null).as(c))
+        ++ Seq(col("__qv"), col("__isProbe"))): _*)
+    // quotes sort before probes at equal time => quote at t counts for probe at t
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(timeCol).asc, col("__isProbe").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pTagged.unionByName(qTagged)
+      .withColumn(outCol, last(col("__qv"), ignoreNulls = true).over(w))
+      .filter(col("__isProbe") === 1)
+      .drop("__qv", "__isProbe")
+  }
+
+  /** P14 breakpoint/interval containment join (reference:
+    * cosmo/monitors/acq_monitors.py:347–361): tag facts with the dimension
+    * interval containing them. The dim side is small (breakpoint tables are
+    * O(10) rows) => broadcast nested-loop on the range predicate, which is
+    * exactly right at any fact-side scale. Open ends via null lo/hi. */
+  def intervalJoin(facts: DataFrame, dims: DataFrame, factTime: Column,
+                   lo: String, hi: String, joinType: String = "inner"): DataFrame = {
+    val cond = (col(lo).isNull || factTime >= col(lo)) &&
+      (col(hi).isNull || factTime < col(hi))
+    facts.join(broadcast(dims), cond, joinType)
+  }
+
+  /** A3/S9 keep-latest-version (reference: cosmo/sms/ingest_sms.py:274–280):
+    * one row per `key`, the one with the greatest (orderBys). Window
+    * row_number=1 — single shuffle on the key. */
+  def latestByKey(df: DataFrame, keys: Seq[String], orderBys: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderBys.map(_.desc): _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** P13 recency filter (reference: cosmo/monitors/acq_monitors.py:94–99):
+    * rows within `days` of the dataset max time. The global max is a
+    * one-row aggregate broadcast against the fact side — no driver collect,
+    * no second scan ordering problem. */
+  def recentWindow(df: DataFrame, timeCol: String, days: Int): DataFrame = {
+    val mx = df.agg(max(col(timeCol)).as("__mx"))
+    df.crossJoin(broadcast(mx))
+      .filter(col(timeCol) >= col("__mx") - expr(s"INTERVAL $days DAYS"))
+      .drop("__mx")
+  }
+
+  /** X4 global-sigma outliers (reference:
+    * cosmo/monitors/osm_shift_monitors.py:634–638): |x| beyond k·σ where σ
+    * is computed over the WHOLE result set. Broadcast the 1-row aggregate —
+    * the reference's whole-frame `.std()` without materializing anything
+    * on the driver. */
+  def globalSigmaOutliers(df: DataFrame, valueCol: String, k: Double): DataFrame = {
+    val stats = df.agg(
+      avg(col(valueCol)).as("__mu"),
+      stddev_samp(col(valueCol)).as("__sigma"))
+    df.crossJoin(broadcast(stats))
+      .filter(abs(col(valueCol) - col("__mu")) > lit(k) * col("__sigma"))
+      .drop("__mu", "__sigma")
+  }
+}

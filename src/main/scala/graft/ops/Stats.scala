@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Statistical operators from the reference's inventory (SURVEY.md §2.4,
+  * §2.5, §2.10). All are declarative aggregations/windows: partial
+  * (map-side) aggregation and whole-stage codegen apply throughout.
+  */
+object Stats {
+
+  /** A1 grouped `describe()` (reference: cosmo/monitors/acq_monitors.py:68;
+    * osm_drift_monitors.py:69–77): count/mean/std/min/25%/50%/75%/max per
+    * group. Exact percentiles (the reference's numpy percentiles are
+    * exact); swap `percentile` for `percentile_approx` at extreme scale. */
+  def describeBy(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(
+      count(col(valueCol)).as("n"),
+      avg(col(valueCol)).as("mean"),
+      stddev_samp(col(valueCol)).as("std"),
+      min(col(valueCol)).as("min"),
+      expr(s"percentile($valueCol, 0.25)").as("q25"),
+      expr(s"percentile($valueCol, 0.5)").as("median"),
+      expr(s"percentile($valueCol, 0.75)").as("q75"),
+      max(col(valueCol)).as("max"))
+
+  /** A11 per-group linear fit (reference: cosmo/monitor_helpers.py:28–32
+    * `fit_line` = np.polyfit deg 1). Closed-form OLS as a declarative
+    * aggregation — no per-group sub-DataFrames, no collect. */
+  def linFit(df: DataFrame, keys: Seq[String], x: String, y: String): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      expr(s"regr_slope($y, $x)").as("slope"),
+      expr(s"regr_intercept($y, $x)").as("intercept"))
+
+  /** A6 fixed-bin histogram (reference: cosmo/monitors/dark_monitors.py:402,
+    * np.histogram(bins=100)). Bucket index by arithmetic, then one
+    * hash-aggregate; empty buckets are absent (join a bucket spine if you
+    * need them). */
+  def histogram(df: DataFrame, valueCol: String, lo: Double, hi: Double,
+                nBins: Int): DataFrame = {
+    val step = (hi - lo) / nBins
+    df.filter(col(valueCol) >= lo && col(valueCol) <= hi)
+      .withColumn("bucket",
+        least(floor((col(valueCol) - lit(lo)) / lit(step)), lit(nBins - 1)).cast("int"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+  }
+
+  /** A7 CDF thresholds from a histogram (reference:
+    * cosmo/monitors/dark_monitors.py:402–418): smallest bucket whose
+    * cumulative fraction reaches each quantile. Running sum over the
+    * (tiny) histogram — the window over nBins rows is negligible. */
+  def cdfThresholds(hist: DataFrame, quantiles: Seq[Double]): DataFrame = {
+    val w = Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy()
+    val withCdf = hist
+      .withColumn("cdf", sum(col("n")).over(w) / sum(col("n")).over(tot))
+    quantiles.map { q =>
+      withCdf.filter(col("cdf") >= q)
+        .agg(lit(q).as("quantile"), min(col("bucket")).as("bucket"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** W1 rolling time-window mean (reference:
+    * cosmo/monitors/osm_shift_monitors.py:444–452, 180-day rolling).
+    * RANGE frame over epoch seconds: one sort per key partition, streaming
+    * frame evaluation — no self-join, no explode of the window. */
+  def rollingMeanDays(df: DataFrame, keys: Seq[String], timeCol: String,
+                      valueCol: String, days: Int,
+                      outCol: String = "rolling_mean"): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(timeCol).cast("long"))
+      .rangeBetween(-days.toLong * 86400L, 0L)
+    df.withColumn(outCol, avg(col(valueCol)).over(w))
+  }
+
+  /** W6 boxcar smoothing (reference: cosmo/monitors/dark_monitors.py:125–127,
+    * astropy Box1DKernel(4) ≡ centered width-4 moving average). */
+  def boxcar(df: DataFrame, keys: Seq[String], orderCols: Seq[Column],
+             valueCol: String, width: Int, outCol: String = "smoothed"): DataFrame = {
+    val lead = (width - 1) / 2
+    val lag = width - 1 - lead
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCols: _*)
+      .rowsBetween(-lag, lead)
+    df.withColumn(outCol, avg(col(valueCol)).over(w))
+  }
+
+  /** A9 per-row array reduction (reference: cosmo/filesystem.py:255–278
+    * `reduce_to_stat`): mean/std/max/min of an in-cell array. Pure array
+    * HOFs — evaluated element-wise inside codegen, no explode. The array is
+    * cast to double first so accumulation is double-precision. */
+  def arrayStat(arr: Column, stat: String): Column = {
+    val a = arr.cast("array<double>")
+    stat match {
+      case "mean" => aggregate(a, lit(0.0d), (acc, x) => acc + x) / size(a)
+      case "sum"  => aggregate(a, lit(0.0d), (acc, x) => acc + x)
+      case "max"  => array_max(a)
+      case "min"  => array_min(a)
+      case "std"  =>
+        // sample std via sum of squares (matches np.ndarray.std(ddof=1))
+        val n = size(a).cast("double")
+        val s = aggregate(a, lit(0.0d), (acc, x) => acc + x)
+        val s2 = aggregate(a, lit(0.0d), (acc, x) => acc + x * x)
+        sqrt((s2 - s * s / n) / (n - lit(1.0d)))
+      case other => throw new IllegalArgumentException(
+        s"arrayStat: unsupported stat '$other' (reference allows mean/std/max; cosmo/filesystem.py:262)")
+    }
+  }
+}

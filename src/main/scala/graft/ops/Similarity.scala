@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector-similarity operators over an `ArrayType(FloatType)` embedding
+  * column: exact cosine / dot via array HOFs (codegen, no UDF), brute-force
+  * top-k as the correctness baseline, and random-hyperplane LSH bucketing
+  * as the 100 TB scale path (candidates meet only within a bucket —
+  * a hash-partitioned equi-join instead of an all-pairs cross join).
+  */
+object Similarity {
+
+  /** Dot product of two numeric arrays (double accumulation). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a.cast("array<double>"), b.cast("array<double>"), _ * _),
+      lit(0.0d), _ + _)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; 0 for zero-norm inputs instead of NaN/error. */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = l2norm(a) * l2norm(b)
+    when(denom === 0.0d, lit(0.0d)).otherwise(dot(a, b) / denom)
+  }
+
+  /** Brute-force top-k cosine neighbors of one probe vector (as a literal
+    * array) over `cands(idCol, vecCol)`. One scan, one global top-k —
+    * the correctness baseline ANN variants are measured against. */
+  def topKByCosine(cands: DataFrame, idCol: String, vecCol: String,
+                   probe: Seq[Float], k: Int,
+                   simCol: String = "sim"): DataFrame = {
+    val probeLit = array(probe.map(v => lit(v.toDouble)): _*)
+    cands
+      .withColumn(simCol, cosine(col(vecCol), probeLit))
+      .orderBy(round(col(simCol), 3).desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Brute-force k-NN join: for every probe row, the top-k candidates by
+    * cosine. Cross join + per-probe window — O(|P|·|C|), the baseline.
+    * At scale, broadcast the smaller side or switch to [[lshBuckets]].
+    * Ordering uses the rounded similarity with id tiebreak so results are
+    * deterministic under floating-point jitter. */
+  def knnJoin(probes: DataFrame, cands: DataFrame, probeId: String,
+              candId: String, vecCol: String, k: Int): DataFrame = {
+    val p = probes.select(col(probeId), col(vecCol).as("__pv"))
+    val c = cands.select(col(candId), col(vecCol).as("__cv"))
+    val joined = p.crossJoin(c)
+      .filter(col(probeId) =!= col(candId))
+      .withColumn("sim", round(cosine(col("__pv"), col("__cv")), 3))
+    val w = Window.partitionBy(probeId).orderBy(col("sim").desc, col(candId))
+    joined.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col(probeId), col(candId), col("sim"))
+  }
+
+  /** Deterministic random hyperplanes: `nBits` planes of dimension `dim`,
+    * fixed seed — every executor computes identical literals. */
+  def hyperplanes(nBits: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nBits)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Random-hyperplane LSH bucket id: bit j = sign of <v, plane_j>.
+    * Vectors with equal bucket ids are near in angle with high
+    * probability; the ANN search becomes a bucket equi-join. */
+  def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (p, j) =>
+      val planeLit = array(p.map(lit): _*)
+      when(dot(vec, planeLit) >= 0.0d, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** LSH-bucketed ANN: probes and candidates bucketed by the same planes,
+    * joined on bucket, top-k within the joined set per probe. Misses
+    * cross-bucket neighbors (recall < 1) — that's the accepted ANN
+    * trade-off; multi-probe = union over several plane sets. */
+  def annLshJoin(probes: DataFrame, cands: DataFrame, probeId: String,
+                 candId: String, vecCol: String, k: Int,
+                 nBits: Int, dim: Int, seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(nBits, dim, seed)
+    val p = probes.select(col(probeId), col(vecCol).as("__pv"),
+      lshBucket(col(vecCol), planes).as("__bkt"))
+    val c = cands.select(col(candId), col(vecCol).as("__cv"),
+      lshBucket(col(vecCol), planes).as("__bkt"))
+    val joined = p.join(c, Seq("__bkt"))
+      .filter(col(probeId) =!= col(candId))
+      .withColumn("sim", round(cosine(col("__pv"), col("__cv")), 3))
+    val w = Window.partitionBy(probeId).orderBy(col("sim").desc, col(candId))
+    joined.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col(probeId), col(candId), col("sim"))
+  }
+}

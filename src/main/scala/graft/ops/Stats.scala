@@ -75,6 +75,18 @@ object Stats {
     df.withColumn(outCol, avg(col(valueCol)).over(w))
   }
 
+  /** W1 variant with an exact microsecond RANGE frame — matches engines
+    * that window on full timestamp precision (a seconds-truncated cast
+    * would admit different boundary rows). */
+  def rollingMeanMicros(df: DataFrame, keys: Seq[String], timeCol: String,
+                        valueCol: String, windowMicros: Long,
+                        outCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(unix_micros(col(timeCol)))
+      .rangeBetween(-windowMicros, 0L)
+    df.withColumn(outCol, avg(col(valueCol)).over(w))
+  }
+
   /** W6 boxcar smoothing (reference: cosmo/monitors/dark_monitors.py:125–127,
     * astropy Box1DKernel(4) ≡ centered width-4 moving average). */
   def boxcar(df: DataFrame, keys: Seq[String], orderCols: Seq[Column],

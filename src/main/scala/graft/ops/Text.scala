@@ -1,0 +1,155 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality metrics, language-ID, fingerprinting, shingling,
+  * MinHash signatures and SimHash — all as pure column expressions / plans.
+  *
+  * Everything here is codegen-friendly (array HOFs, no UDFs) and per-row
+  * (no shuffle) except the candidate-pair joins, which shuffle once on the
+  * bucket/shingle key. At 100 TB the per-row parts scale embarrassingly;
+  * the joins are the documented scale path of MinHash-LSH (bucket join
+  * instead of all-pairs).
+  */
+object Text {
+
+  /** Whitespace tokenizer (reference's analyses split on whitespace, e.g.
+    * cosmo/sms/ingest_sms.py token fields; generalized here). */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  /** Canonical normalization for fingerprinting: lowercase, strip
+    * non-alphanumerics, collapse whitespace. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** Document fingerprint: md5 of the normalized text. Exact-dup detection
+    * = groupBy(fingerprint) — one hash aggregate at any scale. */
+  def fingerprint(text: Column): Column = md5(normalize(text))
+
+  /** Word k-gram shingles (k tokens per shingle, space-joined). Documents
+    * shorter than k yield a single partial shingle. */
+  def wordShingles(toks: Column, k: Int): Column =
+    transform(
+      sequence(lit(1), greatest(size(toks) - (k - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(k))))
+
+  /** MinHash signature of a shingle set: `n` independent hash functions,
+    * each the min over shingles of a salted xxhash64. Salting (rather than
+    * universal hashing ax+b mod p) avoids 64-bit multiply overflow, which
+    * ANSI mode rejects. Per-row compute, no shuffle. */
+  def minhashSignature(shingles: Column, n: Int): Column =
+    array((0 until n).map { i =>
+      aggregate(shingles, lit(Long.MaxValue),
+        (acc, s) => least(acc, xxhash64(s, lit(i))))
+    }: _*)
+
+  /** LSH band hashes for a MinHash signature: `b` bands of `r` rows each.
+    * Two docs sharing any band hash are candidate near-duplicates. */
+  def lshBandHashes(sig: Column, b: Int, r: Int): Column =
+    transform(sequence(lit(0), lit(b - 1)),
+      j => xxhash64(j, slice(sig, j * lit(r) + 1, lit(r))))
+
+  /** MinHash-LSH candidate pairs over `df(idCol, textCol)`: shingle →
+    * signature → band buckets → self-join on bucket. The self-join
+    * shuffles once on the band hash; hot buckets (boilerplate text) are
+    * the known skew risk — AQE skew-join handles moderate cases, and a
+    * `maxBucketSize` guard drops degenerate buckets (standard practice:
+    * a bucket with thousands of docs is boilerplate, not near-dup signal).
+    */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 8, numHashes: Int = 32, bands: Int = 8,
+                        maxBucketSize: Int = 1000): DataFrame = {
+    val r = numHashes / bands
+    // Materialize the shingle array ONCE before the signature: each of the
+    // `numHashes` aggregates references the same column instead of
+    // re-evaluating the whole tokenize→shingle→distinct pipeline per hash
+    // (a 30×+ slowdown at bench scale without this).
+    val sig = df
+      .select(col(idCol),
+        array_distinct(wordShingles(tokens(col(textCol)), k)).as("__sh"))
+      .select(col(idCol), minhashSignature(col("__sh"), numHashes).as("__sig"))
+    val banded = sig.select(col(idCol),
+      posexplode(lshBandHashes(col("__sig"), bands, r)).as(Seq("__band", "__bh")))
+    val sized = banded
+      .withColumn("__bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("__band", "__bh")))
+      .filter(col("__bsz") <= maxBucketSize)
+      .drop("__bsz")
+    val a = sized.select(col("__band"), col("__bh"), col(idCol).as("id_a"))
+    val b = sized.select(col("__band"), col("__bh"), col(idCol).as("id_b"))
+    a.join(b, Seq("__band", "__bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Estimated Jaccard from two MinHash signatures: fraction of agreeing
+    * components. */
+  def minhashJaccardEstimate(sigA: Column, sigB: Column): Column =
+    aggregate(zip_with(sigA, sigB, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), _ + _).cast("double") / size(sigA)
+
+  /** Exact Jaccard similarity of two token arrays (as sets). */
+  def jaccard(a: Column, b: Column): Column = {
+    val da = array_distinct(a)
+    val db = array_distinct(b)
+    size(array_intersect(da, db)).cast("double") /
+      size(array_union(da, db)).cast("double")
+  }
+
+  /** 64-bit SimHash over a token array: bit j of the output is the sign of
+    * the sum over tokens of ±1 according to bit j of the token's hash.
+    * Near-dup docs differ in few bits (compare with [[hammingDistance]]).
+    * Pure per-row expression: O(64·|tokens|) inside codegen. */
+  def simhash64(toks: Column): Column = {
+    val bits = transform(sequence(lit(0), lit(63)), j =>
+      when(
+        aggregate(toks, lit(0L), (acc, t) =>
+          acc + when(call_function("shiftright", xxhash64(t), j.cast("int"))
+            .bitwiseAND(lit(1L)) === lit(1L), lit(1L))
+            .otherwise(lit(-1L))) >= 0,
+        lit(1L)).otherwise(lit(0L)))
+    aggregate(
+      zip_with(bits, sequence(lit(0), lit(63)),
+        (bit, j) => call_function("shiftleft", bit, j.cast("int"))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Hamming distance between two 64-bit hashes. */
+  def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** N-gram-marker language ID: per language, a list of marker substrings;
+    * score = total occurrence count; prediction = argmax (ties broken by
+    * the language list order). Deterministic and SQL-expressible — a
+    * heuristic stand-in for real char-n-gram models. */
+  def langIdScore(text: Column, markers: Seq[(String, Seq[String])]): Column = {
+    def occurrences(m: String): Column =
+      (length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(m), ""))) / lit(m.length)
+    val scored = markers.map { case (lang, ms) =>
+      (lang, ms.map(occurrences).reduce(_ + _))
+    }
+    // argmax with first-listed winning ties
+    scored.tail.foldLeft((scored.head._2, lit(scored.head._1))) {
+      case ((bestScore, bestLang), (lang, score)) =>
+        (greatest(bestScore, score),
+          when(score > bestScore, lit(lang)).otherwise(bestLang))
+    }._2
+  }
+
+  /** Quality metrics bundle (length / stopword / word-shape heuristics in
+    * the spirit of Gopher rules). Returns a struct column. */
+  def qualityMetrics(text: Column, stopwords: Seq[String]): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks)
+    val nChar = length(text)
+    val nStop = size(filter(toks, t => t.isInCollection(stopwords)))
+    val avgTokLen = (nChar - nTok + 1).cast("double") / nTok.cast("double")
+    val stopRatio = nStop.cast("double") / nTok.cast("double")
+    struct(
+      nTok.as("n_tokens"), nChar.as("n_chars"),
+      avgTokLen.as("avg_token_len"), stopRatio.as("stopword_ratio"),
+      (nTok >= 10 && avgTokLen >= 2.0 && avgTokLen <= 12.0 && stopRatio <= 0.5)
+        .as("keep"))
+  }
+}

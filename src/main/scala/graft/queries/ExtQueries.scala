@@ -1,0 +1,151 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.MergeOps
+
+/** Ingest-side semantics (regex field extraction, JSON sources,
+  * version-guarded MERGE) and the extended analytics surface
+  * (rollup, distinct counts, lead/lag) — SURVEY.md §2.1, §2.11, §7.8.
+  */
+object ExtQueries {
+
+  def qs: Seq[Q] = Seq(
+
+    // S8-style regex field extraction from semi-structured text
+    // (reference: cosmo/sms/ingest_sms.py:20–37 field patterns).
+    Q("s8_regex_extract",
+      """SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS k,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "events")
+        .select(regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int").as("k"))
+        .groupBy("k").agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+        .orderBy("k")
+    },
+
+    // S12 — JSON source field access (reference: dark_monitors.py:101–129
+    // NOAA JSON): typed extraction from a JSON string column.
+    Q("s12_json_extract",
+      """SELECT event_type,
+        |  ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(round(avg("k"), 4).as("avg_k"), max("k").as("max_k"))
+        .orderBy("event_type")
+    },
+
+    // S15 — version-guarded upsert (reference: cosmo/sms/ingest_sms.py:
+    // 154–198): source wins only with strictly greater version; ties keep
+    // the target. Simulated over orders with derived versions.
+    Q("s15_merge_upsert",
+      """WITH t AS (SELECT o_orderkey AS k, o_totalprice AS v,
+        |    o_orderkey % 3 AS ver, 0 AS src FROM orders WHERE o_orderkey % 2 = 0),
+        |s AS (SELECT o_orderkey, o_totalprice * 2, o_orderkey % 5, 1
+        |    FROM orders WHERE o_orderkey % 3 = 0),
+        |u AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY k
+        |    ORDER BY ver DESC, src ASC) AS rn FROM (FROM t UNION ALL FROM s))
+        |SELECT COUNT(*) AS n, ROUND(SUM(v), 2) AS sum_v,
+        |  SUM(src)::BIGINT AS n_from_source
+        |FROM u WHERE rn = 1""".stripMargin) { (s, dir) =>
+      val o = Tables(s, dir, "orders")
+      val target = o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("v"),
+          (col("o_orderkey") % 3).as("ver"))
+      val source = o.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey").as("k"),
+          (col("o_totalprice") * 2).as("v"),
+          (col("o_orderkey") % 5).as("ver"))
+      MergeOps.upsertTagged(target, source, Seq("k"), "ver")
+        .agg(count(lit(1)).as("n"), round(sum("v"), 2).as("sum_v"),
+          sum("__src").as("n_from_source"))
+    },
+
+    // Rollup aggregation (extended surface; GROUPING SETS both sides).
+    Q("ext_rollup",
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  ROUND(SUM(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+
+    // Exact distinct counts (extended surface; no distinct-count exists in
+    // the reference — SURVEY.md §2.4 note).
+    Q("ext_count_distinct",
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct("l_partkey").as("n_parts"),
+          countDistinct("l_suppkey").as("n_supps"))
+        .orderBy("l_returnflag")
+    },
+
+    // Approximate distinct via HLL++ (no SQL oracle — sketch
+    // implementations differ between engines; error bound asserted in
+    // StatsSpec against the exact count).
+    Q.noOracle("ext_approx_distinct") { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct("l_partkey").as("approx_parts"),
+          countDistinct("l_partkey").as("exact_parts"))
+        .orderBy("l_returnflag")
+    },
+
+    // lead/lag window (extended surface; §2.5 notes the reference lacks
+    // them — a training pipeline needs sessionized deltas).
+    Q("ext_lead_lag",
+      """SELECT event_id,
+        |  ROUND(value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4) + 0
+        |    AS dv,
+        |  ROUND(epoch_us(ts) / 1e6 - LAG(epoch_us(ts) / 1e6) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id), 4) + 0 AS dt_sec
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables(s, dir, "events")
+        .select(col("event_id"),
+          (round(col("value") - lag(col("value"), 1).over(w), 4) + lit(0)).as("dv"),
+          (round(unix_micros(col("ts")) / 1e6
+            - lag(unix_micros(col("ts")) / 1e6, 1).over(w), 4) + lit(0)).as("dt_sec"))
+        .orderBy("event_id")
+    },
+
+    // Session windows by inactivity gap (extended surface): a new session
+    // starts after > 2h idle per user; emits per-session aggregates.
+    Q("ext_session_windows",
+      """WITH g AS (SELECT user_id, ts, value,
+        |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+        |      (PARTITION BY user_id ORDER BY ts) > 7200 * 1e6
+        |      OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |    THEN 1 ELSE 0 END AS new_s FROM events),
+        |t AS (SELECT user_id, value,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM g)
+        |SELECT user_id, sess::BIGINT AS sess, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_v
+        |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val wo = Window.partitionBy("user_id").orderBy("ts")
+      val wr = Window.partitionBy("user_id").orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "events")
+        .withColumn("new_s",
+          when(lag(col("ts"), 1).over(wo).isNull ||
+            unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(wo))
+              > 7200L * 1000000L, 1).otherwise(0))
+        .withColumn("sess", sum("new_s").over(wr))
+        .groupBy("user_id", "sess")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_v"))
+        .orderBy("user_id", "sess")
+    })
+}

@@ -7,7 +7,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Registry {
 
   def all: Seq[Q] =
-    CoreQueries.qs
+    CoreQueries.qs ++ ArrayTimeQueries.qs ++ TextQueries.qs ++
+      SimilarityQueries.qs ++ ExtQueries.qs
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.Similarity
+
+/** Similarity search over the `embeddings` table: exact cosine math with
+  * a DuckDB oracle, brute-force k-NN join as the correctness baseline,
+  * and LSH-bucketed ANN as the scale path.
+  */
+object SimilarityQueries {
+
+  def qs: Seq[Q] = Seq(
+
+    // Cosine similarity of every vector to vec_id 0, thresholded —
+    // row-deterministic under fp jitter because similarity is rounded.
+    Q("sim_cosine_vs_probe",
+      """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |    CAST(q.embedding AS DOUBLE[])), 3) AS sim
+        |FROM embeddings e, q WHERE
+        |  ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |    CAST(q.embedding AS DOUBLE[])), 3) >= 0.2
+        |ORDER BY e.vec_id""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val probe = e.filter(col("vec_id") === 0).select(col("embedding").as("__q"))
+      e.crossJoin(broadcast(probe))
+        .withColumn("sim", round(Similarity.cosine(col("embedding"), col("__q")), 3))
+        .filter(col("sim") >= 0.2)
+        .select("vec_id", "sim")
+        .orderBy("vec_id")
+    },
+
+    // Brute-force k-NN join: top-3 neighbors for each probe (vec_id < 20)
+    // over all candidates. Oracle uses DuckDB QUALIFY with identical
+    // rounded-sim ordering.
+    Q("sim_knn_join",
+      """SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+        |  ROUND(list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),
+        |    CAST(c.embedding AS DOUBLE[])), 3) + 0 AS sim
+        |FROM embeddings p JOIN embeddings c
+        |  ON p.vec_id < 20 AND c.vec_id != p.vec_id
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY p.vec_id
+        |  ORDER BY sim DESC, c.vec_id) <= 3
+        |ORDER BY probe_id, sim DESC, cand_id""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      Similarity.knnJoin(
+        e.filter(col("vec_id") < 20).select(col("vec_id"), col("embedding")),
+        e.select(col("vec_id").as("cand_id"), col("embedding")),
+        "vec_id", "cand_id", "embedding", k = 3)
+        .withColumnRenamed("vec_id", "probe_id")
+        .orderBy(col("probe_id"), col("sim").desc, col("cand_id"))
+    },
+
+    // Per-label centroid similarity: groupwise mean vector, then cosine of
+    // each label centroid against the global centroid — exercises
+    // element-wise array aggregation (vector avg) in pure SQL/columns.
+    Q("sim_label_centroids",
+      """WITH pos AS (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+        |    generate_subscripts(embedding, 1) AS pos FROM embeddings),
+        |cent AS (SELECT label, pos, AVG(v) AS c FROM pos GROUP BY 1, 2),
+        |gc AS (SELECT pos, AVG(v) AS g FROM pos GROUP BY 1),
+        |j AS (SELECT cent.label, SUM(c * g) AS dotp,
+        |        SQRT(SUM(c * c)) AS nc, SQRT(SUM(g * g)) AS ng
+        |      FROM cent JOIN gc USING (pos) GROUP BY 1)
+        |SELECT label, ROUND(dotp / (nc * ng), 4) + 0 AS centroid_sim
+        |FROM j ORDER BY label""".stripMargin) { (s, dir) =>
+      val exploded = Tables(s, dir, "embeddings")
+        .select(col("label"),
+          posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
+      val cent = exploded.groupBy("label", "pos").agg(avg("v").as("c"))
+      val glob = exploded.groupBy("pos").agg(avg("v").as("g"))
+      cent.join(broadcast(glob), "pos")
+        .groupBy("label")
+        .agg(sum(col("c") * col("g")).as("dotp"),
+          sqrt(sum(col("c") * col("c"))).as("nc"),
+          sqrt(sum(col("g") * col("g"))).as("ng"))
+        .select(col("label"),
+          (round(col("dotp") / (col("nc") * col("ng")), 4) + lit(0)).as("centroid_sim"))
+        .orderBy("label")
+    },
+
+    // LSH-bucketed ANN (no SQL oracle — bucket assignment is seeded;
+    // recall-vs-brute-force is verified in SimilaritySpec). Emits the
+    // bucket occupancy histogram, which is deterministic.
+    Q.noOracle("sim_ann_lsh_buckets") { (s, dir) =>
+      val planes = Similarity.hyperplanes(nBits = 8, dim = 64)
+      Tables(s, dir, "embeddings")
+        .select(Similarity.lshBucket(col("embedding"), planes).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .orderBy("bucket")
+    })
+}

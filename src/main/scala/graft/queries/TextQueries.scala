@@ -1,0 +1,187 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.Text
+
+/** Text analysis + deduplication over the `documents` table: token
+  * counting, quality scoring, language-ID, fingerprinting, exact dedup,
+  * n-gram Jaccard, shingle-join candidates, MinHash-LSH, SimHash.
+  */
+object TextQueries {
+
+  private val stopwords = Seq("the", "a")
+
+  // deterministic marker lists for the n-gram language-ID heuristic
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "dataish" -> Seq("data", "table", "row"),
+    "queryish" -> Seq("query", "filter", "join"),
+    "streamish" -> Seq("stream", "batch", "window"))
+
+  def qs: Seq[Q] = Seq(
+
+    // Token counting per document, aggregated per language.
+    Q("t_token_count",
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  SUM(len(string_split(text, ' ')))::BIGINT AS n_tokens,
+        |  ROUND(AVG(len(string_split(text, ' '))), 4) AS avg_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .withColumn("nt", size(split(col("text"), " ", -1)))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"),
+          round(avg("nt"), 4).as("avg_tokens"))
+        .orderBy("lang")
+    },
+
+    // Quality metrics + keep rule (Gopher-style length/stopword heuristics).
+    Q("t_quality_score",
+      """WITH m AS (SELECT doc_id,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    length(text) AS n_chars,
+        |    CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS avg_token_len,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS stopword_ratio
+        |  FROM documents)
+        |SELECT doc_id, n_tokens, n_chars, ROUND(avg_token_len, 4) AS avg_token_len,
+        |  ROUND(stopword_ratio, 4) AS stopword_ratio,
+        |  CASE WHEN n_tokens >= 10 AND avg_token_len BETWEEN 2.0 AND 12.0
+        |    AND stopword_ratio <= 0.5 THEN true ELSE false END AS keep
+        |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .withColumn("m", Text.qualityMetrics(col("text"), stopwords))
+        .select(col("doc_id"), col("m.n_tokens"), col("m.n_chars"),
+          round(col("m.avg_token_len"), 4).as("avg_token_len"),
+          round(col("m.stopword_ratio"), 4).as("stopword_ratio"),
+          col("m.keep"))
+        .orderBy("doc_id")
+    },
+
+    // Language-ID by n-gram marker counts: argmax of per-"language"
+    // occurrence totals; deterministic, same formula both sides.
+    Q("t_langid",
+      """WITH s AS (SELECT doc_id,
+        |    (length(text) - length(replace(text,'data','')))/4
+        |      + (length(text) - length(replace(text,'table','')))/5
+        |      + (length(text) - length(replace(text,'row','')))/3 AS s1,
+        |    (length(text) - length(replace(text,'query','')))/5
+        |      + (length(text) - length(replace(text,'filter','')))/6
+        |      + (length(text) - length(replace(text,'join','')))/4 AS s2,
+        |    (length(text) - length(replace(text,'stream','')))/6
+        |      + (length(text) - length(replace(text,'batch','')))/5
+        |      + (length(text) - length(replace(text,'window','')))/6 AS s3
+        |  FROM documents)
+        |SELECT CASE WHEN s3 > s1 AND s3 > s2 THEN 'streamish'
+        |  WHEN s2 > s1 THEN 'queryish' ELSE 'dataish' END AS pred_lang,
+        |  COUNT(*) AS n
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(Text.langIdScore(col("text"), langMarkers).as("pred_lang"))
+        .groupBy("pred_lang").agg(count(lit(1)).as("n"))
+        .orderBy("pred_lang")
+    },
+
+    // Document fingerprint (md5 of normalized text) — the exact-dedup key.
+    Q("t_fingerprint",
+      """SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text),
+        |  '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    },
+
+    // Exact deduplication stats via fingerprint groupBy.
+    Q("dedup_exact",
+      """WITH f AS (SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp FROM documents)
+        |SELECT COUNT(*) AS n_docs, COUNT(DISTINCT fp) AS n_distinct,
+        |  COUNT(*) - COUNT(DISTINCT fp) AS n_exact_dups
+        |FROM f""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(Text.fingerprint(col("text")).as("fp"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("fp")).as("n_distinct"),
+          (count(lit(1)) - countDistinct(col("fp"))).as("n_exact_dups"))
+    },
+
+    // N-gram (word-set) Jaccard between adjacent doc pairs — the exact
+    // similarity the MinHash estimate approximates.
+    Q("t_ngram_jaccard",
+      """WITH w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  ROUND(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.ws, b.ws))), 4) AS jac
+        |FROM w a JOIN w b ON b.doc_id = a.doc_id + 1
+        |ORDER BY id_a""".stripMargin) { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ", -1).as("ws"))
+      val a = d.select(col("doc_id").as("id_a"), col("ws").as("wa"))
+      val b = d.select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"),
+        col("ws").as("wb"))
+      a.join(b, "id_a")
+        .select(col("id_a"), col("id_b"),
+          round(Text.jaccard(col("wa"), col("wb")), 4).as("jac"))
+        .orderBy("id_a")
+    },
+
+    // Shingle-join near-dup candidates: docs sharing >= 3 distinct 8-gram
+    // shingles. The inverted-index form of near-dup detection — the
+    // exact counterpart MinHash-LSH approximates with fewer comparisons.
+    Q("dedup_shingle_candidates",
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct([array_to_string(ws[i:i+7], ' ')
+        |    FOR i IN generate_series(1, greatest(len(ws) - 7, 1))])) AS shingle
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+        |FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 3 ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      val sh = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(
+            Text.wordShingles(split(col("text"), " ", -1), 8))).as("shingle"))
+      val a = sh.select(col("doc_id").as("id_a"), col("shingle"))
+      val b = sh.select(col("doc_id").as("id_b"), col("shingle"))
+      a.join(b, Seq("shingle"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 3)
+        .orderBy("id_a", "id_b")
+    },
+
+    // MinHash-LSH candidate pairs (no SQL oracle — hash-seeded; verified
+    // in MinHashSpec against exact Jaccard, and rows-checked by the driver).
+    Q.noOracle("dedup_minhash_lsh") { (s, dir) =>
+      Text.minhashCandidates(
+        Tables(s, dir, "documents"), "doc_id", "text",
+        k = 4, numHashes = 32, bands = 16)
+        .orderBy("id_a", "id_b")
+    },
+
+    // SimHash signatures + bucket histogram (no SQL oracle — hash-based;
+    // Hamming-distance property verified in SimHashSpec).
+    Q.noOracle("dedup_simhash_buckets") { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(Text.simhash64(split(col("text"), " ", -1)).as("sh"))
+        .select(shiftrightunsigned(col("sh"), 48).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .orderBy("bucket")
+    },
+
+    // Multimodal plumbing: opaque binary payload column + metadata derived
+    // without decoding (byte length, md5 digest). The decode itself is
+    // stubbed (no codecs in-container); the schema/partition path is real.
+    Q("mm_binary_metadata",
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS digest
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .filter(col("doc_id") < 100)
+        .withColumn("payload", col("text").cast("binary"))
+        .select(col("doc_id"), octet_length(col("payload")).as("n_bytes"),
+          md5(col("payload")).as("digest"))
+        .orderBy("doc_id")
+    })
+}

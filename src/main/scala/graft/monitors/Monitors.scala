@@ -1,0 +1,94 @@
+package graft.monitors
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.core.TimeFns
+import graft.ops.{Relational, Stats}
+
+/** The reference's monitor pipelines re-expressed as declarative plan
+  * builders (SURVEY.md §3.1 lifecycle: data → track → outliers → sinks).
+  * Schemas are the FITS-product schemas from SURVEY.md §1; inputs arrive
+  * as DataFrames from any source (parquet fixtures in tests).
+  */
+object Monitors {
+
+  /** FUV OSM Shift pipeline (reference:
+    * cosmo/monitors/osm_shift_monitors.py:124–137 data assembly; SURVEY.md
+    * §7.2 minimum slice). Input lampflash rows carry per-flash arrays
+    * TIME/SHIFT_DISP/SHIFT_XDISP/SEGMENT; SMS rows carry OSM move times.
+    *
+    *  1. join SMS on `sms.ROOTNAME || 'q' == lamp.ROOTNAME` (J2);
+    *  2. keep FUV, drop empty-array rows (P2/P5);
+    *  3. explode the per-flash arrays with position (R1);
+    *  4. absolute sample time = EXPSTART(mjd) + TIME sec (W5).
+    */
+  def osmShiftData(lampflash: DataFrame, sms: DataFrame): DataFrame = {
+    val smsKeyed = sms.withColumn("ROOTNAME", concat(col("ROOTNAME"), lit("q")))
+    val joined = lampflash
+      .filter(col("DETECTOR") === "FUV" && size(col("SHIFT_DISP")) > 0)
+      .join(smsKeyed, Seq("ROOTNAME"))
+    Relational.explodeArrays(joined,
+      Seq("TIME", "SHIFT_DISP", "SHIFT_XDISP", "SEGMENT"), posCol = "flash")
+      .withColumn("sample_ts",
+        TimeFns.mjdToTs(col("EXPSTART") + col("TIME") / lit(86400.0d)))
+  }
+
+  /** Per-(ROOTNAME, flash) FUVA−FUVB shift difference (reference:
+    * cosmo/monitors/osm_shift_monitors.py:55–86 compute_segment_diff). */
+  def segmentDiff(exploded: DataFrame, valueCol: String = "SHIFT_DISP"): DataFrame =
+    Relational.segmentDiff(
+      exploded.groupBy("ROOTNAME", "flash", "SEGMENT")
+        .agg(first(col(valueCol)).as("v")),
+      Seq("ROOTNAME", "flash"), "SEGMENT", "v", "FUVA", "FUVB")
+
+  /** X3 outlier rule: |A−B| above threshold (10 px for SHIFT1, 5 for
+    * SHIFT2; reference: osm_shift_monitors.py:354–367). */
+  def segmentDiffOutliers(diffs: DataFrame, threshold: Double): DataFrame =
+    diffs.filter(abs(col("seg_diff")) > threshold)
+
+  /** ACQ/IMAGE monitor (reference: cosmo/monitors/acq_monitors.py:22–77,
+    * 214–250): filter to imaging acquisitions, compute slew distance,
+    * flag outliers, and fit a slew-vs-time line per FGS within breakpoint
+    * epochs (A11 + P14).
+    *
+    * `breakpoints(FGS, lo_mjd, hi_mjd)` — null-open interval ends.
+    */
+  def acqImageTrack(acq: DataFrame, breakpoints: DataFrame): DataFrame = {
+    val prepared = acq
+      .filter(col("EXPTYPE") === "ACQ/IMAGE")
+      .withColumn("distance",
+        sqrt(pow(col("ACQSLEWX"), 2) + pow(col("ACQSLEWY"), 2)))
+      .withColumn("is_outlier",
+        col("distance") >= 2.0 || col("ACQSTAT") === "Failure" ||
+          col("SHUTTER") === "Closed")
+    val bp = breakpoints.withColumnRenamed("FGS", "__bp_fgs")
+    val cond = col("FGS") === col("__bp_fgs") &&
+      (col("lo_mjd").isNull || col("EXPSTART") >= col("lo_mjd")) &&
+      (col("hi_mjd").isNull || col("EXPSTART") < col("hi_mjd"))
+    val inEpoch = prepared.join(broadcast(bp), cond)
+      .drop("__bp_fgs")
+      .withColumn("byear", TimeFns.besselianYear(col("EXPSTART")))
+    Stats.linFit(inEpoch, Seq("FGS", "lo_mjd"), "byear", "distance")
+  }
+
+  /** Grouped slew statistics per FGS (reference: acq_monitors.py:68,
+    * 498–503 — `describe()` + grouped std). */
+  def acqSlewStats(acq: DataFrame, slewCol: String): DataFrame =
+    Stats.describeBy(acq.filter(col("EXPTYPE") === "ACQ/IMAGE"),
+      Seq("FGS"), slewCol)
+
+  /** Dark-rate binning (reference: cosmo/monitors/dark_monitors.py:53–98):
+    * events exploded per exposure, filtered to a detector region and PHA
+    * band, counted into fixed time bins, normalized to a rate. */
+  def darkRate(events: DataFrame, x0: Double, x1: Double, y0: Double,
+               y1: Double, phaLo: Int, phaHi: Int, binSeconds: Double,
+               npix: Double): DataFrame =
+    events
+      .filter(col("XCORR") > x0 && col("XCORR") < x1 &&
+        col("YCORR") > y0 && col("YCORR") < y1 &&
+        col("PHA") > phaLo && col("PHA") < phaHi)
+      .withColumn("tbin", floor(col("TIME") / binSeconds))
+      .groupBy("ROOTNAME", "tbin")
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("dark_rate", col("n_events") / lit(npix) / lit(binSeconds))
+}

@@ -39,9 +39,12 @@ object MergeOps {
   def mergeParquet(spark: SparkSession, tableDir: String, source: DataFrame,
                    keys: Seq[String], versionCol: String): Unit = {
     val path = new java.io.File(tableDir)
+    // Dedupe WITHIN the batch too: one micro-batch can deliver several
+    // versions of the same key (e.g. a streaming AvailableNow catch-up).
+    val deduped = Relational.latestByKey(source, keys, Seq(col(versionCol)))
     val merged =
-      if (path.exists()) upsert(spark.read.parquet(tableDir), source, keys, versionCol)
-      else source
+      if (path.exists()) upsert(spark.read.parquet(tableDir), deduped, keys, versionCol)
+      else deduped
     val tmp = tableDir + ".tmp-" + java.util.UUID.randomUUID().toString
     merged.write.mode(SaveMode.Overwrite).parquet(tmp)
     val bak = new java.io.File(tableDir + ".bak")

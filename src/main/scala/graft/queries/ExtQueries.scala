@@ -101,6 +101,51 @@ object ExtQueries {
         .orderBy("l_returnflag")
     },
 
+    // Full OSM-shift monitor pipeline (SURVEY.md §7.2 minimum slice) on
+    // lampflash-shaped input synthesized from lineitem: derived-key SMS
+    // join, FUV filter, array explode, absolute time, FUVA-FUVB segment
+    // diff, X3 outliers. No SQL oracle (multi-stage pipeline); exact
+    // semantics are pinned by MonitorsSpec.
+    Q.noOracle("monitor_osm_shift") { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+      val lamp = li.filter(col("l_linenumber") <= 2)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(struct(col("l_linenumber"), col("l_quantity"))))
+          .as("z"))
+        .filter(size(col("z")) === 2)
+        .select(
+          concat(lit("r"), col("l_orderkey"), lit("q")).as("ROOTNAME"),
+          (lit(59000.0) + (col("l_orderkey") % 100)).as("EXPSTART"),
+          when(col("l_orderkey") % 10 === 0, "NUV").otherwise("FUV").as("DETECTOR"),
+          lit("G160M").as("OPT_ELEM"),
+          array(lit(0.0), lit(10.0)).as("TIME"),
+          transform(col("z"), x => x("l_quantity")).as("SHIFT_DISP"),
+          transform(col("z"), x => x("l_quantity") / 10).as("SHIFT_XDISP"),
+          array(lit("FUVA"), lit("FUVB")).as("SEGMENT"))
+      val sms = li.select(concat(lit("r"), col("l_orderkey")).as("ROOTNAME"),
+        (col("l_orderkey") % 1000).cast("double").as("TSINCEOSM1")).distinct()
+      val exploded = graft.monitors.Monitors.osmShiftData(lamp, sms)
+      val diffs = graft.ops.Relational.segmentDiff(
+        exploded.groupBy("ROOTNAME", "SEGMENT").agg(first("SHIFT_DISP").as("v")),
+        Seq("ROOTNAME"), "SEGMENT", "v", "FUVA", "FUVB")
+      graft.monitors.Monitors.segmentDiffOutliers(diffs, 10.0)
+        .select(col("ROOTNAME"), round(col("seg_diff"), 2).as("seg_diff"))
+        .orderBy("ROOTNAME")
+    },
+
+    // Multimodal decode-stub pipeline through the per-partition decode
+    // path (schema + batching real, codec stubbed): width histogram of
+    // decoded metadata. Deterministic; exact values pinned in TimeFnsSpec.
+    Q.noOracle("mm_decode_stub") { (s, dir) =>
+      val withPayload = Tables(s, dir, "documents")
+        .withColumn("payload", col("text").cast("binary"))
+      graft.ops.Multimodal.withDecodedMeta(withPayload, "payload")
+        .groupBy(col("media_meta.format").as("format"))
+        .agg(count(lit(1)).as("n"),
+          avg(col("media_meta.width")).cast("long").as("avg_width"))
+        .orderBy("format")
+    },
+
     // lead/lag window (extended surface; §2.5 notes the reference lacks
     // them — a training pipeline needs sessionized deltas).
     Q("ext_lead_lag",

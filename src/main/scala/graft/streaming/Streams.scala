@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.ops.MergeOps
+
+/** Streaming/incremental semantics (SURVEY.md §2.11). The reference has no
+  * streaming runtime — its incrementality is "files on disk minus files in
+  * DB" plus a version-guarded upsert (cosmo/data_models.py:62–77,
+  * cosmo/sms/ingest_sms.py:154–198). Both are expressed here:
+  *
+  *  - batch-incremental: anti-join discovery + MERGE (the faithful core);
+  *  - Structured Streaming: a file source feeding `foreachBatch` that runs
+  *    the same MERGE — upsert-by-greater-version takes the place of
+  *    watermark-based late-data handling.
+  *
+  * At scale the file source tracks processed files in the checkpoint (the
+  * role the reference's DB file-list plays), and each micro-batch MERGE
+  * shuffles only on the upsert key.
+  */
+object Streams {
+
+  /** Batch-incremental discovery: candidate rows whose key is not yet in
+    * the ingested set (reference: cosmo/data_models.py:62–77). */
+  def discoverNew(candidates: DataFrame, ingested: DataFrame,
+                  key: String): DataFrame =
+    candidates.join(ingested.select(key).distinct(), Seq(key), "left_anti")
+
+  /** Continuous ingest: watch `sourceDir` for new parquet files, MERGE
+    * each micro-batch into `tableDir` with version-guarded upsert
+    * semantics. Returns the running query (caller awaits/stops). */
+  def incrementalIngest(spark: SparkSession, sourceDir: String,
+                        tableDir: String, checkpointDir: String,
+                        schema: org.apache.spark.sql.types.StructType,
+                        keys: Seq[String], versionCol: String): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .parquet(sourceDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        MergeOps.mergeParquet(spark, tableDir, batch, keys, versionCol)
+      }
+      .start()
+
+  /** Event-time tumbling-window aggregation with a watermark — the
+    * streaming form of the batch `w_tumbling_window` query; identical
+    * results on bounded input. */
+  def windowedCounts(events: DataFrame, tsCol: String, width: String,
+                     watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_v"))
+      .select(col("w.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_v"))
+}

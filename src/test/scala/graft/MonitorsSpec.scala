@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.TimeFns
+import graft.monitors.Monitors
+
+class MonitorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // lampflash fixture: per-exposure arrays, FUVA/FUVB flash pairs
+  private def lampflash = Seq(
+    ("la1q", 59000.0, "FUV", "G160M",
+      Seq(0.0, 10.0), Seq(1.0, 2.0), Seq(0.1, 0.2), Seq("FUVA", "FUVB")),
+    ("la2q", 59001.0, "FUV", "G130M",
+      Seq(0.0, 5.0), Seq(20.0, 2.0), Seq(0.3, 0.4), Seq("FUVA", "FUVB")),
+    ("la3q", 59002.0, "NUV", "G185M",
+      Seq(0.0), Seq(9.0), Seq(0.5), Seq("NUVA")),
+    ("la4q", 59003.0, "FUV", "G160M",
+      Seq.empty[Double], Seq.empty[Double], Seq.empty[Double], Seq.empty[String]))
+    .toDF("ROOTNAME", "EXPSTART", "DETECTOR", "OPT_ELEM",
+      "TIME", "SHIFT_DISP", "SHIFT_XDISP", "SEGMENT")
+
+  private def sms = Seq(
+    ("la1", 100.0), ("la2", 200.0), ("la3", 300.0), ("la4", 400.0))
+    .toDF("ROOTNAME", "TSINCEOSM1")
+
+  test("osmShiftData joins SMS on derived key, keeps FUV, explodes flashes") {
+    val out = Monitors.osmShiftData(lampflash, sms)
+    val rows = out.select("ROOTNAME", "flash", "SEGMENT", "SHIFT_DISP", "TSINCEOSM1")
+      .as[(String, Int, String, Double, Double)].collect().toSet
+    assert(rows == Set(
+      ("la1q", 0, "FUVA", 1.0, 100.0), ("la1q", 1, "FUVB", 2.0, 100.0),
+      ("la2q", 0, "FUVA", 20.0, 200.0), ("la2q", 1, "FUVB", 2.0, 200.0)))
+    // absolute time: EXPSTART MJD + TIME seconds
+    val ts = out.filter(col("ROOTNAME") === "la1q" && col("flash") === 1)
+      .select(unix_micros(col("sample_ts"))).as[Long].head()
+    val expected = ((59000.0 - 40587.0) * 86400.0 + 10.0) * 1e6
+    assert(math.abs(ts - expected) < 1e3)
+  }
+
+  test("segment diff + X3 outlier threshold reproduce the shift1 rule") {
+    val exploded = Monitors.osmShiftData(lampflash, sms)
+    // flash-level pairing needs one value per (ROOTNAME, SEGMENT); this
+    // fixture has FUVA at flash 0 and FUVB at flash 1, so diff per ROOTNAME
+    val diffs = graft.ops.Relational.segmentDiff(
+      exploded.groupBy("ROOTNAME", "SEGMENT").agg(first("SHIFT_DISP").as("v")),
+      Seq("ROOTNAME"), "SEGMENT", "v", "FUVA", "FUVB")
+    val outliers = Monitors.segmentDiffOutliers(diffs, 10.0)
+      .select("ROOTNAME").as[String].collect().toSeq
+    assert(outliers == Seq("la2q")) // |20-2| = 18 > 10; |1-2| = 1 is fine
+  }
+
+  test("acqImageTrack fits slew distance per FGS within breakpoint epochs") {
+    // distance grows linearly with time: slope recoverable per FGS
+    val acq = (0 until 10).map { i =>
+      ("ACQ/IMAGE", "F1", 58000.0 + i * 100, 3.0 + i * 0.1, 4.0 + i * 0.1,
+        "Success", "Open")
+    }.toDF("EXPTYPE", "FGS", "EXPSTART", "ACQSLEWX", "ACQSLEWY", "ACQSTAT", "SHUTTER")
+    val breaks = Seq(("F1", None: Option[Double], None: Option[Double]))
+      .toDF("FGS", "lo_mjd", "hi_mjd")
+    val fit = Monitors.acqImageTrack(acq, breaks)
+      .select("FGS", "n", "slope").as[(String, Long, Double)].collect()
+    assert(fit.length == 1)
+    val (fgs, n, slope) = fit.head
+    assert(fgs == "F1" && n == 10L)
+    assert(slope > 0, s"slew distance drifts upward, slope=$slope")
+  }
+
+  test("darkRate bins events into time buckets within region and PHA cuts") {
+    val events = Seq(
+      ("d1", 100.0, 100.0, 10, 0.0), ("d1", 110.0, 110.0, 12, 10.0),
+      ("d1", 120.0, 120.0, 13, 30.0),
+      ("d1", 5000.0, 100.0, 10, 1.0),  // outside x region
+      ("d1", 100.0, 100.0, 30, 2.0))   // outside PHA band
+      .toDF("ROOTNAME", "XCORR", "YCORR", "PHA", "TIME")
+    val out = Monitors.darkRate(events, 0, 1000, 0, 1000, 2, 23,
+      binSeconds = 25.0, npix = 100.0)
+      .select("tbin", "n_events").as[(Long, Long)].collect().toSet
+    assert(out == Set((0L, 2L), (1L, 1L)))
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Relational
+
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("explodeArrays expands equal-length arrays with position") {
+    val df = Seq(
+      ("a", Seq(1.0, 2.0, 3.0), Seq(10.0, 20.0, 30.0)),
+      ("b", Seq(4.0), Seq(40.0))
+    ).toDF("id", "x", "y")
+    val out = Relational.explodeArrays(df, Seq("x", "y")).collect()
+    assert(out.length == 4)
+    val row = out.find(r => r.getAs[String]("id") == "a" && r.getAs[Int]("pos") == 1).get
+    assert(row.getAs[Double]("x") == 2.0 && row.getAs[Double]("y") == 20.0)
+  }
+
+  test("explodeArrays raises on ragged arrays (reference contract)") {
+    val df = Seq(("a", Seq(1.0, 2.0), Seq(10.0))).toDF("id", "x", "y")
+    val ex = intercept[Exception] {
+      Relational.explodeArrays(df, Seq("x", "y")).collect()
+    }
+    assert(ex.getMessage.contains("ragged") ||
+      ex.getCause != null && ex.getCause.getMessage.contains("ragged"))
+  }
+
+  test("asOfLookup picks most recent quote at or before probe time") {
+    val quotes = Seq(("u1", 10L, 1.0), ("u1", 20L, 2.0), ("u2", 5L, 5.0))
+      .toDF("k", "t", "v")
+    val probes = Seq(("u1", 15L), ("u1", 20L), ("u1", 5L), ("u2", 100L))
+      .toDF("k", "t")
+    val out = Relational.asOfLookup(probes, quotes, Seq("k"), "t", "v", "last_v")
+      .collect().map(r => (r.getAs[String]("k"), r.getAs[Long]("t"),
+        Option(r.getAs[java.lang.Double]("last_v")))).toSet
+    assert(out == Set(
+      ("u1", 15L, Some(1.0)),   // quote@10
+      ("u1", 20L, Some(2.0)),   // quote at equal time counts
+      ("u1", 5L, None),         // before first quote
+      ("u2", 100L, Some(5.0))))
+  }
+
+  test("segmentDiff pairs A/B per key and subtracts") {
+    val df = Seq(("r1", "A", 12.0), ("r1", "B", 2.0),
+      ("r2", "A", 1.0), ("r3", "B", 9.0)).toDF("k", "seg", "v")
+    val out = Relational.segmentDiff(df, Seq("k"), "seg", "v", "A", "B")
+      .select("k", "seg_diff").as[(String, Double)].collect().toSet
+    assert(out == Set(("r1", 10.0))) // unpaired r2/r3 dropped
+  }
+
+  test("latestByKey keeps the max-version row per key") {
+    val df = Seq(("s1", 1, "old"), ("s1", 3, "new"), ("s2", 2, "only"))
+      .toDF("id", "ver", "val")
+    val out = Relational.latestByKey(df, Seq("id"), Seq(col("ver")))
+      .select("id", "val").as[(String, String)].collect().toSet
+    assert(out == Set(("s1", "new"), ("s2", "only")))
+  }
+
+  test("globalSigmaOutliers keeps |x - mu| > k sigma without collect") {
+    val df = (Seq.fill(98)(10.0) ++ Seq(10.5, 1000.0)).toDF("v")
+    val out = Relational.globalSigmaOutliers(df, "v", 2.0).as[Double].collect()
+    assert(out.toSeq == Seq(1000.0))
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine matches hand computation and handles zero vectors") {
+    val df = Seq(
+      ("parallel", Seq(1.0f, 2.0f, 2.0f), Seq(2.0f, 4.0f, 4.0f)),
+      ("orthogonal", Seq(1.0f, 0.0f, 0.0f), Seq(0.0f, 1.0f, 0.0f)),
+      ("zero", Seq(0.0f, 0.0f, 0.0f), Seq(1.0f, 1.0f, 1.0f)))
+      .toDF("id", "a", "b")
+    val out = df.select(col("id"),
+      round(Similarity.cosine(col("a"), col("b")), 6).as("c"))
+      .as[(String, Double)].collect().toMap
+    assert(out("parallel") == 1.0)
+    assert(out("orthogonal") == 0.0)
+    assert(out("zero") == 0.0) // guarded, not NaN
+  }
+
+  test("knnJoin returns k nearest with deterministic tiebreak") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(0.0f, 1.0f)), (4L, Seq(-1.0f, 0.0f)))
+      .toDF("id", "v")
+    val out = Similarity.knnJoin(
+      vecs.filter(col("id") === 1), vecs.withColumnRenamed("id", "cid"),
+      "id", "cid", "v", k = 2)
+      .select("cid").as[Long].collect().toSeq
+    assert(out == Seq(2L, 3L)) // closest first, then orthogonal; opposite excluded
+  }
+
+  test("LSH-bucketed ANN achieves high recall of exact top-k on clustered data") {
+    // two tight clusters far apart: neighbors stay in-bucket
+    val rnd = new scala.util.Random(1)
+    def jitter(base: Array[Float]): Seq[Float] =
+      base.map(x => x + rnd.nextFloat() * 0.01f).toSeq
+    val c1 = Array.fill(16)(1.0f)
+    val c2 = Array.tabulate(16)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val rows = (0L until 20L).map(i => (i, jitter(if (i < 10) c1 else c2)))
+    val vecs = rows.toDF("id", "v")
+    val exact = Similarity.knnJoin(vecs, vecs.withColumnRenamed("id", "cid"),
+      "id", "cid", "v", k = 3)
+      .select("id", "cid").as[(Long, Long)].collect().toSet
+    val approx = Similarity.annLshJoin(vecs, vecs.withColumnRenamed("id", "cid"),
+      "id", "cid", "v", k = 3, nBits = 4, dim = 16)
+      .select("id", "cid").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall > 0.9, s"recall $recall")
+  }
+}

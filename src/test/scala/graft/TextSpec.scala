@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Text
+
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docA = "the quick brown fox jumps over the lazy dog again and again today"
+  private val docB = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+  private val docC = "completely different words about spark catalyst optimizer plans"
+
+  test("fingerprint is stable under case/punctuation/whitespace noise") {
+    val df = Seq(
+      ("a", "Hello,  World! 42"),
+      ("b", "hello world 42"),
+      ("c", "other text")).toDF("id", "text")
+    val fps = df.select(col("id"), Text.fingerprint(col("text")).as("fp"))
+      .as[(String, String)].collect().toMap
+    assert(fps("a") == fps("b"))
+    assert(fps("a") != fps("c"))
+  }
+
+  test("wordShingles builds k-grams, short docs give one partial shingle") {
+    val df = Seq("a b c d", "x y").toDF("text")
+    val out = df.select(Text.wordShingles(Text.tokens(col("text")), 3).as("sh"))
+      .as[Seq[String]].collect()
+    assert(out(0) == Seq("a b c", "b c d"))
+    assert(out(1) == Seq("x y"))
+  }
+
+  test("minhash jaccard estimate tracks exact jaccard") {
+    val df = Seq(("a", docA), ("b", docB), ("c", docC)).toDF("id", "text")
+    val withSig = df.select(col("id"),
+      array_distinct(Text.wordShingles(Text.tokens(col("text")), 2)).as("sh"))
+      .select(col("id"), col("sh"), Text.minhashSignature(col("sh"), 128).as("sig"))
+    val a = withSig.filter(col("id") === "a").select("sh", "sig")
+      .withColumnRenamed("sh", "sha").withColumnRenamed("sig", "siga")
+    val rest = withSig.filter(col("id") =!= "a")
+    val cmp = rest.crossJoin(a)
+      .select(col("id"),
+        Text.jaccard(col("sh"), col("sha")).as("exact"),
+        Text.minhashJaccardEstimate(col("sig"), col("siga")).as("est"))
+      .as[(String, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val (exactB, estB) = cmp("b")
+    val (exactC, estC) = cmp("c")
+    assert(exactB > 0.7)                      // near-dup pair
+    assert(math.abs(estB - exactB) < 0.15)    // estimate within ~1/sqrt(128)*2
+    assert(exactC == 0.0 && estC < 0.1)       // disjoint pair
+  }
+
+  test("minhashCandidates surfaces the near-dup pair, not the disjoint one") {
+    val df = Seq((1L, docA), (2L, docB), (3L, docC)).toDF("doc_id", "text")
+    val pairs = Text.minhashCandidates(df, "doc_id", "text",
+      k = 2, numHashes = 32, bands = 16)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("simhash: near-dup docs land within small hamming distance") {
+    val df = Seq(("a", docA), ("b", docB), ("c", docC)).toDF("id", "text")
+    val hashes = df.select(col("id"),
+      Text.simhash64(Text.tokens(col("text"))).as("sh"))
+      .as[(String, Long)].collect().toMap
+    val near = java.lang.Long.bitCount(hashes("a") ^ hashes("b"))
+    val far = java.lang.Long.bitCount(hashes("a") ^ hashes("c"))
+    assert(near < 16, s"near-dup hamming $near should be small")
+    assert(far > near, s"disjoint hamming $far should exceed near-dup $near")
+  }
+
+  test("qualityMetrics flags degenerate docs") {
+    val df = Seq(
+      ("good", docA),
+      ("short", "tiny doc"),
+      ("longwords", "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa " * 12))
+      .toDF("id", "text")
+    val keep = df.select(col("id"),
+      Text.qualityMetrics(col("text"), Seq("the", "a")).getField("keep").as("k"))
+      .as[(String, Boolean)].collect().toMap
+    assert(keep("good"))
+    assert(!keep("short"))      // < 10 tokens
+    assert(!keep("longwords"))  // avg token length > 12
+  }
+
+  test("langIdScore argmax picks the dominant marker family") {
+    val df = Seq(
+      ("d1", "data data table row row other"),
+      ("d2", "query filter join join filter words")).toDF("id", "text")
+    val markers = Seq(
+      "dataish" -> Seq("data", "table", "row"),
+      "queryish" -> Seq("query", "filter", "join"))
+    val out = df.select(col("id"), Text.langIdScore(col("text"), markers).as("l"))
+      .as[(String, String)].collect().toMap
+    assert(out == Map("d1" -> "dataish", "d2" -> "queryish"))
+  }
+}

@@ -1,0 +1,127 @@
+package graft.ingest
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SMS exposure-report ingest (reference: cosmo/sms/ingest_sms.py).
+  *
+  * The reference concatenates a report's non-header lines and runs 10
+  * independent `re.findall` passes, assembling columns positionally
+  * (ingest_sms.py:90–152). Here each data line is one row — the same
+  * patterns (ingest_sms.py:20–37) applied per line with
+  * `regexp_extract`, which keeps extraction distributed and avoids the
+  * positional-alignment fragility. Data lines are recognized by the
+  * ROOTNAME anchor `^l[a-z0-9]{7} ` (banner/separator/trailer lines
+  * cannot match it); MEMORY and ALIGN special rows are skipped exactly
+  * as the reference does (ingest_sms.py:105–110).
+  *
+  * Quirk fidelity (ingest_sms.py:124–147):
+  *  - FUVHVSTATE: six spaces (NUV rows) → 'N/A';
+  *  - OSM2POS: `-----` (OSM2 unused) → 'N/A';
+  *  - FPPOS = fpoffset + 3 (offset is relative to the third position);
+  *  - EXPOSURE: the three space-separated groups are concatenated.
+  *
+  * At 100 TB scale: `spark.read.text` splits by file; per-line regex work
+  * is embarrassingly parallel; the version-dedup window shuffles once on
+  * sms_id; the MERGE shuffles once on EXPOSURE.
+  */
+object SmsIngest {
+
+  /** Typed schema of the parsed SMS table (reference: sms_db.py:15–40). */
+  val fieldNames: Seq[String] = Seq(
+    "ROOTNAME", "PROPOSID", "EXPOSURE", "DETECTOR", "OPMODE", "EXPTIME",
+    "EXPSTART", "FUVHVSTATE", "APERTURE", "OSM1POS", "OSM2POS",
+    "CENWAVE", "FPPOS", "TSINCEOSM1", "TSINCEOSM2", "FILEID")
+
+  /** Read one-or-many SMS report files into the typed exposure table. */
+  def parse(spark: SparkSession, paths: Seq[String]): DataFrame =
+    parseLines(spark.read.text(paths: _*)
+      .withColumn("filename", input_file_name()))
+
+  /** Parse pre-loaded report lines: `value` = line text, `filename` =
+    * source path. One output row per exposure line. */
+  def parseLines(lines: DataFrame): DataFrame = {
+    val v = col("value")
+    val fileId = regexp_extract(col("filename"), "([^/]+?)(\\.[^/.]*)?$", 1)
+    lines
+      .filter(v.rlike("^l[a-z0-9]{7} "))
+      .filter(!v.contains("MEMORY") && !v.contains("ALIGN/OSM") &&
+        !v.contains("ALIGN/APER"))
+      .select(
+        regexp_extract(v, "^(l[a-z0-9]{7}) ", 1).as("ROOTNAME"),
+        regexp_extract(v, "(?<=l[a-z0-9]{7} )\\d{5}", 0).cast("int").as("PROPOSID"),
+        regexp_replace(
+          regexp_extract(v, "(?<= )[A-Z0-9]{3} [A-Z0-9]{2} [A-Z0-9]{2}(?= \\d{2} )", 0),
+          " ", "").as("EXPOSURE"),
+        regexp_extract(v, "(?<= )(NUV|FUV)(?= )", 1).as("DETECTOR"),
+        regexp_extract(v, "ACQ/\\S{5,6}|TIME-TAG|ACCUM", 0).as("OPMODE"),
+        regexp_extract(v, "(?<= )\\d+\\.\\d(?= )", 0).cast("double").as("EXPTIME"),
+        regexp_extract(v, "\\d{4}\\.\\d{3}:\\d{2}:\\d{2}:\\d{2}", 0).as("EXPSTART"),
+        naIfBlank(regexp_extract(v,
+          "(?<=\\d{4}\\.\\d{3}:\\d{2}:\\d{2}:\\d{2} )( {6}|HV[a-zA-Z]{3,4}|\\d{3}/\\d{3}(?= ))", 1))
+          .as("FUVHVSTATE"),
+        trim(concat_ws(" ",
+          regexp_extract(v, "(PSA|BOA|WCA|FCA|RELATIVE|REL) (\\w|\\s+)", 1),
+          trim(regexp_extract(v, "(PSA|BOA|WCA|FCA|RELATIVE|REL) (\\w|\\s+)", 2))))
+          .as("APERTURE"),
+        regexp_extract(v, osmPattern, 1).as("OSM1POS"),
+        naIfDashes(regexp_extract(v, osmPattern, 2)).as("OSM2POS"),
+        regexp_extract(v, cenwavePattern, 1).cast("int").as("CENWAVE"),
+        (regexp_extract(v, cenwavePattern, 2).cast("int") + 3).as("FPPOS"),
+        regexp_extract(v, cenwavePattern, 3).cast("double").as("TSINCEOSM1"),
+        regexp_extract(v, cenwavePattern, 4).cast("double").as("TSINCEOSM2"),
+        fileId.as("FILEID"))
+  }
+
+  private val osmPattern =
+    "(NCM1|G130M|G140L|G160M|NCM1FLAT)\\s+(-----|MIRRORA|MIRRORB|G\\d{3}M|G\\d{3}L)"
+  private val cenwavePattern =
+    "(?<= )(0|\\d{4}|\\d{3}) ( 0|-1|-2|-3| 1)\\s+(\\d{1,6})\\s+(\\d{1,6})"
+
+  private def naIfBlank(c: Column): Column =
+    when(trim(c) === "", "N/A").otherwise(c)
+  private def naIfDashes(c: Column): Column =
+    when(regexp_replace(c, "-", "") === "", "N/A").otherwise(c)
+
+  /** S9 file discovery (reference: ingest_sms.py:201–294): filenames must
+    * match `\d{6}[a-z][a-z0-9]+`; `.l-exp` files are dropped when a `.txt`
+    * twin exists; only the highest version per sms_id survives.
+    * `files(path)` rows; sms_id = first 6 chars, version = the rest. */
+  def latestSmsFiles(files: DataFrame): DataFrame = {
+    val base = regexp_extract(col("path"), "([^/]+?)(\\.[^/.]*)?$", 1)
+    val ext = lower(regexp_extract(col("path"), "\\.([^/.]*)$", 1))
+    val named = files
+      .withColumn("file_id", base)
+      .withColumn("ext", ext)
+      .filter(col("file_id").rlike("^\\d{6}[a-z][a-z0-9]"))
+      .withColumn("sms_id", substring(col("file_id"), 1, 6))
+      .withColumn("version", expr("substring(file_id, 7)"))
+    // drop .l-exp twins of .txt files (reference: _filter_l_exp_files)
+    val txt = named.filter(col("ext") === "txt")
+    val lexpOnly = named.filter(col("ext") =!= "txt")
+      .join(txt.select(col("file_id").as("__t")), col("file_id") === col("__t"), "left_anti")
+    val deduped = txt.unionByName(lexpOnly.drop("__t"))
+    graft.ops.Relational.latestByKey(deduped, Seq("sms_id"), Seq(col("version")))
+      .drop("ext")
+  }
+
+  /** End-to-end incremental ingest: discover latest-version files not yet
+    * ingested, parse them, and MERGE into the stored table keyed by
+    * EXPOSURE with FILEID as the version guard (reference:
+    * ingest_sms.py:188–198 — `EXCLUDED.FILEID_id > FILEID_id`). */
+  def ingest(spark: SparkSession, sourceGlob: String, tableDir: String,
+             ingestedFileIds: DataFrame): Unit = {
+    import spark.implicits._
+    val all = spark.read.format("binaryFile").load(sourceGlob)
+      .select(col("path"))
+    // the surviving file LIST is tiny (one path per SMS id) — collecting
+    // it to drive the text read matches the reference's discovery step
+    val todo = latestSmsFiles(all)
+      .join(ingestedFileIds, Seq("file_id"), "left_anti")
+      .select("path").as[String].collect().toSeq
+    if (todo.nonEmpty) {
+      graft.ops.MergeOps.mergeParquet(spark, tableDir, parse(spark, todo),
+        Seq("EXPOSURE"), "FILEID")
+    }
+  }
+}

@@ -101,6 +101,33 @@ object ExtQueries {
         .orderBy("l_returnflag")
     },
 
+    // S8 full SMS-report parse pipeline: exposure-report lines in the
+    // reference's fixed format are built from orders rows, then parsed by
+    // the production regex extractor (all 10 patterns + quirk rules).
+    // No SQL oracle (16-field regex pipeline); semantics pinned byte-level
+    // in SmsIngestSpec.
+    Q.noOracle("s8_sms_report_parse") { (s, dir) =>
+      val lines = Tables(s, dir, "orders")
+        .select(format_string(
+          "l%07d %05d TARGET%04d  AAA %02d 01 01 %s  %s %6.1f 2024.%03d:01:02:03 %s PSA  %s   1105  0     87  20735",
+          col("o_orderkey") % 10000000, col("o_custkey") % 100000,
+          col("o_custkey") % 10000, col("o_orderkey") % 100,
+          when(col("o_orderkey") % 2 === 0, "FUV").otherwise("NUV"),
+          when(col("o_orderkey") % 3 === 0, "TIME-TAG").otherwise("ACCUM   "),
+          (col("o_totalprice") % 1000).cast("int").cast("double"),
+          col("o_orderkey") % 365 + 1,
+          when(col("o_orderkey") % 2 === 0, "HVNom ").otherwise("      "),
+          when(col("o_orderkey") % 2 === 0, "G140L    -----  ")
+            .otherwise("NCM1     MIRRORB")).as("value"))
+        .withColumn("filename", lit("/sms/123456aa.txt"))
+      graft.ingest.SmsIngest.parseLines(lines)
+        .groupBy("DETECTOR", "OPMODE", "FUVHVSTATE", "OSM1POS", "OSM2POS")
+        .agg(count(lit(1)).as("n"),
+          countDistinct("ROOTNAME").as("n_roots"),
+          round(sum("EXPTIME"), 1).as("sum_exptime"))
+        .orderBy("DETECTOR", "OPMODE")
+    },
+
     // Full OSM-shift monitor pipeline (SURVEY.md §7.2 minimum slice) on
     // lampflash-shaped input synthesized from lineitem: derived-key SMS
     // join, FUV filter, array explode, absolute time, FUVA-FUVB segment

@@ -1,0 +1,100 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.{Coords, Tables}
+import graft.ops.Relational
+
+/** Coverage for the remaining SURVEY.md §2 operators: padded-key
+  * reference joins (S4/J3), sibling joins with collision renames (J4/S5),
+  * string-expression filters (P6), coordinate rotation (§2.8 math),
+  * derived rate columns (W4).
+  */
+object GapQueries {
+
+  def qs: Seq[Q] = Seq(
+
+    // S4/J3 — reference-row lookup tolerant of padded string keys
+    // (reference: cosmo/filesystem.py:117–149 compares bytes/str with
+    // trailing-pad tolerance). Keys are rpad-ed on one side and joined
+    // through rtrim normalization; the dimension side broadcasts.
+    Q("j3_padded_key_lookup",
+      """SELECT c.c_mktsegment, COUNT(*) AS n, CAST(SUM(n.n_regionkey) AS BIGINT) AS sum_region
+        |FROM (SELECT *, rpad(c_mktsegment, 12, ' ') AS seg_padded FROM customer) c
+        |JOIN nation n ON rtrim(c.seg_padded) != '' AND n.n_nationkey = c.c_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val c = Tables(s, dir, "customer")
+        .withColumn("seg_padded", rpad(col("c_mktsegment"), 12, " "))
+      val n = Tables(s, dir, "nation")
+      c.filter(rtrim(col("seg_padded")) =!= "")
+        .join(broadcast(n), col("n_nationkey") === col("c_nationkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), sum("n_regionkey").cast("long").as("sum_region"))
+        .orderBy("c_mktsegment")
+    },
+
+    // J4/S5 — sibling-table join with prefix-renamed column collisions
+    // (reference: cosmo/filesystem.py:84–91, 157–193: SPT header keys that
+    // collide with the primary table get an 'spt_' prefix).
+    Q("j4_sibling_prefix_rename",
+      """SELECT o.o_orderkey, o.o_totalprice, spt.o_totalprice AS spt_o_totalprice
+        |FROM orders o JOIN (SELECT o_orderkey, o_totalprice * 0.5 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 100 = 0) spt
+        |ON o.o_orderkey = spt.o_orderkey
+        |ORDER BY o.o_orderkey""".stripMargin) { (s, dir) =>
+      val primary = Tables(s, dir, "orders")
+      val sibling = primary.filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey"), (col("o_totalprice") * 0.5).as("o_totalprice"))
+      val collisions = sibling.columns.toSet.intersect(primary.columns.toSet) - "o_orderkey"
+      val renamed = collisions.foldLeft(sibling)((d, c) =>
+        d.withColumnRenamed(c, s"spt_$c"))
+      primary.join(renamed, "o_orderkey")
+        .select("o_orderkey", "o_totalprice", "spt_o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
+    // P6 — string-expression filters: regex contains / negated contains +
+    // eval-style 0/1 flag (reference: dark_monitors.py:195–198
+    // `np.where(eval(...))`; data_models.py:220 `~str.contains('ACQ|DARK')`).
+    Q("p6_string_expr_filter",
+      """SELECT CASE WHEN value > 150 OR user_id < 10 THEN 1 ELSE 0 END AS flag,
+        |  COUNT(*) AS n
+        |FROM events WHERE NOT regexp_matches(event_type, 'err|view')
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "events")
+        .filter(!col("event_type").rlike("err|view"))
+        .select(when(col("value") > 150 || col("user_id") < 10, 1).otherwise(0).as("flag"))
+        .groupBy("flag").agg(count(lit(1)).as("n"))
+        .orderBy("flag")
+    },
+
+    // §2.8 math — detector→V2/V3 rotation (reference:
+    // cosmo/monitor_helpers.py:92–108; exercised by AcqImageV2V3Monitor).
+    Q("fn_v2v3_rotation",
+      """SELECT event_id,
+        |  ROUND(value * COS(RADIANS(45.0)) + user_id * SIN(RADIANS(45.0)), 4) + 0 AS v2,
+        |  ROUND(value * COS(RADIANS(45.0)) - user_id * SIN(RADIANS(45.0)), 4) + 0 AS v3
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "events")
+        .select(col("event_id"),
+          (round(Coords.v2(col("value"), col("user_id")), 4) + lit(0)).as("v2"),
+          (round(Coords.v3(col("value"), col("user_id")), 4) + lit(0)).as("v3"))
+        .orderBy("event_id")
+    },
+
+    // W4 — derived rate columns (reference: osm_drift_monitors.py:35–40:
+    // SHIFT/TIME drift rate, TIME + TSINCEOSM offset).
+    Q("w4_drift_rates",
+      """SELECT event_id,
+        |  ROUND(value / (epoch_us(ts) / 1e6 - epoch_us(TIMESTAMP '2024-01-01') / 1e6 + 1), 6) + 0
+        |    AS drift_rate,
+        |  epoch_us(ts) + user_id * 1000000 AS t_offset_us
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val tsec = unix_micros(col("ts")) / 1e6
+      val t0 = unix_micros(lit("2024-01-01").cast("timestamp")) / 1e6
+      Tables(s, dir, "events")
+        .select(col("event_id"),
+          (round(col("value") / (tsec - t0 + 1), 6) + lit(0)).as("drift_rate"),
+          (unix_micros(col("ts")) + col("user_id") * 1000000L).as("t_offset_us"))
+        .orderBy("event_id")
+    })
+}

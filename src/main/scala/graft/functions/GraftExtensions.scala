@@ -1,0 +1,46 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graft.{CosineSimilarity, MjdToTimestamp, NativeBridge, TimestampToMjd}
+
+/** Registers the native expressions as SQL functions so every operator is
+  * reachable from `spark.sql` (SURVEY.md §7.1 `sql/` surface). Install
+  * either via `.withExtensions(new GraftExtensions)` at session build or
+  * `GraftExtensions.register(spark)` on a live session. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.descriptors.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("org.apache.spark.sql.graft", null, name, usage, "")
+
+  val descriptors: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("mjd_to_ts",
+      info("mjd_to_ts", "mjd_to_ts(days) - MJD float days (UTC) to timestamp."),
+      (args: Seq[Expression]) => MjdToTimestamp(args.head)),
+    ("ts_to_mjd",
+      info("ts_to_mjd", "ts_to_mjd(ts) - timestamp to MJD float days."),
+      (args: Seq[Expression]) => TimestampToMjd(args.head)),
+    ("cosine_sim",
+      info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two double arrays."),
+      (args: Seq[Expression]) => CosineSimilarity(args.head, args(1))))
+
+  /** Register on an existing session (tests, REPL). */
+  def register(spark: SparkSession): Unit =
+    descriptors.foreach { case (name, inf, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(FunctionIdentifier(name), inf, builder)
+    }
+
+  /** Column-API access to the native expressions. */
+  def mjdToTs(c: Column): Column = NativeBridge.column(MjdToTimestamp(NativeBridge.expression(c)))
+  def tsToMjd(c: Column): Column = NativeBridge.column(TimestampToMjd(NativeBridge.expression(c)))
+  def cosineSim(a: Column, b: Column): Column =
+    NativeBridge.column(CosineSimilarity(NativeBridge.expression(a), NativeBridge.expression(b)))
+}

@@ -43,10 +43,21 @@ object SmsIngest {
   def parseLines(lines: DataFrame): DataFrame = {
     val v = col("value")
     val fileId = regexp_extract(col("filename"), "([^/]+?)(\\.[^/.]*)?$", 1)
+    // Multi-group patterns are scanned ONCE (match-0 extracted, then the
+    // materialized match is split) instead of one full-line regex scan per
+    // group — the groups of one pattern cost one scan, not four.
     lines
       .filter(v.rlike("^l[a-z0-9]{7} "))
       .filter(!v.contains("MEMORY") && !v.contains("ALIGN/OSM") &&
         !v.contains("ALIGN/APER"))
+      .select(v, fileId.as("FILEID"),
+        regexp_extract(v, "(PSA|BOA|WCA|FCA|RELATIVE|REL) (\\w|\\s+)", 0).as("__aper"),
+        regexp_extract(v, osmPattern, 0).as("__osm"),
+        regexp_extract(v, cenwavePattern, 0).as("__cen"))
+      .select(v, col("FILEID"),
+        split(trim(col("__aper")), "\\s+").as("__aperA"),
+        split(trim(col("__osm")), "\\s+").as("__osmA"),
+        split(trim(col("__cen")), "\\s+").as("__cenA"))
       .select(
         regexp_extract(v, "^(l[a-z0-9]{7}) ", 1).as("ROOTNAME"),
         regexp_extract(v, "(?<=l[a-z0-9]{7} )\\d{5}", 0).cast("int").as("PROPOSID"),
@@ -60,17 +71,14 @@ object SmsIngest {
         naIfBlank(regexp_extract(v,
           "(?<=\\d{4}\\.\\d{3}:\\d{2}:\\d{2}:\\d{2} )( {6}|HV[a-zA-Z]{3,4}|\\d{3}/\\d{3}(?= ))", 1))
           .as("FUVHVSTATE"),
-        trim(concat_ws(" ",
-          regexp_extract(v, "(PSA|BOA|WCA|FCA|RELATIVE|REL) (\\w|\\s+)", 1),
-          trim(regexp_extract(v, "(PSA|BOA|WCA|FCA|RELATIVE|REL) (\\w|\\s+)", 2))))
-          .as("APERTURE"),
-        regexp_extract(v, osmPattern, 1).as("OSM1POS"),
-        naIfDashes(regexp_extract(v, osmPattern, 2)).as("OSM2POS"),
-        regexp_extract(v, cenwavePattern, 1).cast("int").as("CENWAVE"),
-        (regexp_extract(v, cenwavePattern, 2).cast("int") + 3).as("FPPOS"),
-        regexp_extract(v, cenwavePattern, 3).cast("double").as("TSINCEOSM1"),
-        regexp_extract(v, cenwavePattern, 4).cast("double").as("TSINCEOSM2"),
-        fileId.as("FILEID"))
+        concat_ws(" ", col("__aperA")).as("APERTURE"),
+        try_element_at(col("__osmA"), lit(1)).as("OSM1POS"),
+        naIfDashes(coalesce(try_element_at(col("__osmA"), lit(2)), lit(""))).as("OSM2POS"),
+        try_element_at(col("__cenA"), lit(1)).cast("int").as("CENWAVE"),
+        (try_element_at(col("__cenA"), lit(2)).cast("int") + 3).as("FPPOS"),
+        try_element_at(col("__cenA"), lit(3)).cast("double").as("TSINCEOSM1"),
+        try_element_at(col("__cenA"), lit(4)).cast("double").as("TSINCEOSM2"),
+        col("FILEID"))
   }
 
   private val osmPattern =

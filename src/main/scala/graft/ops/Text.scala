@@ -72,16 +72,21 @@ object Text {
       .select(col(idCol), minhashSignature(col("__sh"), numHashes).as("__sig"))
     val banded = sig.select(col(idCol),
       posexplode(lshBandHashes(col("__sig"), bands, r)).as(Seq("__band", "__bh")))
-    val sized = banded
-      .withColumn("__bsz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("__band", "__bh")))
-      .filter(col("__bsz") <= maxBucketSize)
-      .drop("__bsz")
-    val a = sized.select(col("__band"), col("__bh"), col(idCol).as("id_a"))
-    val b = sized.select(col("__band"), col("__bh"), col(idCol).as("id_b"))
-    a.join(b, Seq("__band", "__bh"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    // Pairs are generated WITHIN each bucket (collect_set + in-array
+    // combinations) instead of self-joining two copies of the pipeline —
+    // a self-join would recompute the signature stage for both sides.
+    // One shuffle (the bucket groupBy); the size guard drops degenerate
+    // boilerplate buckets and bounds the quadratic pair fan-out.
+    val buckets = banded
+      .groupBy("__band", "__bh")
+      .agg(sort_array(collect_set(col(idCol))).as("__ids"))
+      .filter(size(col("__ids")) > 1 && size(col("__ids")) <= maxBucketSize)
+    val pairs = flatten(transform(col("__ids"), (x, i) =>
+      transform(slice(col("__ids"), i + 2, size(col("__ids"))),
+        y => struct(x.as("id_a"), y.as("id_b")))))
+    buckets.select(explode(pairs).as("__p"))
+      .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"))
+      .distinct()
   }
 
   /** Estimated Jaccard from two MinHash signatures: fraction of agreeing
@@ -98,10 +103,30 @@ object Text {
       size(array_union(da, db)).cast("double")
   }
 
+  /** SimHash from PRE-HASHED tokens (`array<long>`): bit j of the output
+    * is the sign of the sum over hashes of ±1 according to bit j. Hash the
+    * tokens once (`transform(toks, xxhash64)` in a prior select) — doing
+    * it inside each of the 64 bit-aggregates re-hashes every token 64×. */
+  def simhashFromHashes(hashes: Column): Column = {
+    val bits = transform(sequence(lit(0), lit(63)), j =>
+      when(
+        aggregate(hashes, lit(0L), (acc, h) =>
+          acc + when(call_function("shiftright", h, j.cast("int"))
+            .bitwiseAND(lit(1L)) === lit(1L), lit(1L))
+            .otherwise(lit(-1L))) >= 0,
+        lit(1L)).otherwise(lit(0L)))
+    aggregate(
+      zip_with(bits, sequence(lit(0), lit(63)),
+        (bit, j) => call_function("shiftleft", bit, j.cast("int"))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
   /** 64-bit SimHash over a token array: bit j of the output is the sign of
     * the sum over tokens of ±1 according to bit j of the token's hash.
     * Near-dup docs differ in few bits (compare with [[hammingDistance]]).
-    * Pure per-row expression: O(64·|tokens|) inside codegen. */
+    * Pure per-row expression: O(64·|tokens|) inside codegen. Prefer
+    * hashing tokens in a prior select + [[simhashFromHashes]] on hot
+    * paths. */
   def simhash64(toks: Column): Column = {
     val bits = transform(sequence(lit(0), lit(63)), j =>
       when(

@@ -81,6 +81,31 @@ object SimilarityQueries {
         .orderBy("label")
     },
 
+    // Native Catalyst cosine expression through the SQL surface: the
+    // registered cosine_sim function (single-pass codegen loop) against
+    // the same DuckDB oracle as the HOF version — proving the native
+    // expression and the composed builtins agree end-to-end.
+    Q("sim_native_cosine",
+      """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 1)
+        |SELECT e.vec_id,
+        |  ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |    CAST(q.embedding AS DOUBLE[])), 3) + 0 AS sim
+        |FROM embeddings e, q WHERE
+        |  ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |    CAST(q.embedding AS DOUBLE[])), 3) >= 0.25
+        |ORDER BY e.vec_id""".stripMargin) { (s, dir) =>
+      graft.functions.GraftExtensions.register(s)
+      val e = Tables(s, dir, "embeddings")
+      val probe = e.filter(col("vec_id") === 1)
+        .select(col("embedding").cast("array<double>").as("__q"))
+      e.crossJoin(broadcast(probe))
+        .withColumn("sim",
+          (round(expr("cosine_sim(CAST(embedding AS array<double>), __q)"), 3) + lit(0)))
+        .filter(col("sim") >= 0.25)
+        .select("vec_id", "sim")
+        .orderBy("vec_id")
+    },
+
     // LSH-bucketed ANN (no SQL oracle — bucket assignment is seeded;
     // recall-vs-brute-force is verified in SimilaritySpec). Emits the
     // bucket occupancy histogram, which is deterministic.

@@ -165,7 +165,8 @@ object TextQueries {
     // Hamming-distance property verified in SimHashSpec).
     Q.noOracle("dedup_simhash_buckets") { (s, dir) =>
       Tables(s, dir, "documents")
-        .select(Text.simhash64(split(col("text"), " ", -1)).as("sh"))
+        .select(transform(split(col("text"), " ", -1), t => xxhash64(t)).as("th"))
+        .select(Text.simhashFromHashes(col("th")).as("sh"))
         .select(shiftrightunsigned(col("sh"), 48).as("bucket"))
         .groupBy("bucket").agg(count(lit(1)).as("n"))
         .orderBy("bucket")

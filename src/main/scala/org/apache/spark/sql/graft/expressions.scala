@@ -1,0 +1,124 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions (SURVEY.md §4 "custom Catalyst work" /
+  * §7.3 stretch): scalar conversions the monitors use in every plan, as
+  * codegen'd expressions instead of composed built-ins — one fused
+  * arithmetic op in the generated code, no Column-tree overhead, still
+  * inside whole-stage codegen.
+  */
+
+/** MJD (UTC float days) → TimestampType. Semantics identical to
+  * `timestamp_seconds((mjd - 40587) * 86400)` (graft.core.TimeFns.mjdToTs);
+  * this form compiles to a single multiply-add on the unboxed double.
+  * Reference semantics: astropy Time(..., format='mjd') conversions
+  * (cosmo/monitor_helpers.py:52–76). */
+case class MjdToTimestamp(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType)
+  override def dataType: DataType = TimestampType
+  override def prettyName: String = "mjd_to_ts"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val mjd = input.asInstanceOf[Double]
+    ((mjd - 40587.0d) * 86400.0d * 1e6d).toLong
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"(long)((($c) - 40587.0d) * 86400.0d * 1.0e6d)")
+
+  override protected def withNewChildInternal(newChild: Expression): MjdToTimestamp =
+    copy(child = newChild)
+}
+
+/** TimestampType → MJD double (micros-exact); inverse of [[MjdToTimestamp]]. */
+case class TimestampToMjd(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(TimestampType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "ts_to_mjd"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val micros = input.asInstanceOf[Long]
+    micros / 1e6d / 86400.0d + 40587.0d
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"((double)($c)) / 1.0e6d / 86400.0d + 40587.0d")
+
+  override protected def withNewChildInternal(newChild: Expression): TimestampToMjd =
+    copy(child = newChild)
+}
+
+/** Cosine similarity of two numeric arrays in ONE pass: dot product and
+  * both norms accumulate in a single generated loop, vs three separate
+  * array traversals (plus zip_with allocation) for the HOF composition
+  * `dot(a,b)/(norm(a)*norm(b))`. Null or zero-norm input → 0.0 (matching
+  * graft.ops.Similarity.cosine's guard). Arrays must have equal length. */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0d; var nx = 0.0d; var ny = 0.0d
+    var i = 0
+    while (i < n) {
+      val xi = x.getDouble(i); val yi = y.getDouble(i)
+      dot += xi * yi; nx += xi * xi; ny += yi * yi
+      i += 1
+    }
+    val denom = math.sqrt(nx) * math.sqrt(ny)
+    if (denom == 0.0d) 0.0d else dot / denom
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      val denom = ctx.freshName("denom")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0d; double $nx = 0.0d; double $ny = 0.0d;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = $a.getDouble($i);
+         |  double $yi = $b.getDouble($i);
+         |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |}
+         |double $denom = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);
+         |${ev.value} = ($denom == 0.0d) ? 0.0d : $dot / $denom;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Bridge for code outside the spark.sql package tree: Column <-> native
+  * Expression conversions (these constructors are private[sql] in
+  * Spark 4). */
+object NativeBridge {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.classic.ExpressionUtils
+
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

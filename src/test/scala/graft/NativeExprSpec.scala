@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.TimeFns
+import graft.functions.GraftExtensions
+import graft.ops.Similarity
+
+class NativeExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native mjd_to_ts/ts_to_mjd agree with the composed builtins") {
+    val df = Seq(40587.0, 59000.5, 60000.123456).toDF("mjd")
+    val cmp = df.select(
+      unix_micros(GraftExtensions.mjdToTs(col("mjd"))).as("native"),
+      unix_micros(TimeFns.mjdToTs(col("mjd"))).as("composed"),
+      GraftExtensions.tsToMjd(GraftExtensions.mjdToTs(col("mjd"))).as("rt"),
+      col("mjd"))
+      .as[(Long, Long, Double, Double)].collect()
+    cmp.foreach { case (native, composed, rt, mjd) =>
+      assert(math.abs(native - composed) <= 1, s"micros $native vs $composed")
+      assert(math.abs(rt - mjd) < 1e-8)
+    }
+  }
+
+  test("native cosine_sim agrees with the HOF composition") {
+    val df = Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
+      (Seq(1.0, 0.0), Seq(0.0, 1.0)),
+      (Seq(0.0, 0.0), Seq(1.0, 1.0))).toDF("a", "b")
+    val out = df.select(
+      GraftExtensions.cosineSim(col("a"), col("b")).as("native"),
+      Similarity.cosine(col("a"), col("b")).as("hof"))
+      .as[(Double, Double)].collect()
+    out.foreach { case (n, h) => assert(math.abs(n - h) < 1e-12, s"$n vs $h") }
+  }
+
+  test("SQL registration: functions callable from spark.sql") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT ts_to_mjd(mjd_to_ts(59000.0)) AS rt,
+        |  cosine_sim(array(1.0d, 2.0d), array(2.0d, 4.0d)) AS cs""".stripMargin)
+      .as[(Double, Double)].head()
+    assert(math.abs(r._1 - 59000.0) < 1e-8)
+    assert(math.abs(r._2 - 1.0) < 1e-12)
+  }
+
+  test("native expressions stay inside whole-stage codegen") {
+    GraftExtensions.register(spark)
+    val df = spark.range(100).select(
+      GraftExtensions.mjdToTs(col("id").cast("double") + 59000.0).as("ts"))
+      .filter(col("ts").isNotNull)
+    val plan = df.queryExecution.executedPlan.toString
+    // the "*(n)" prefix marks operators inside a WholeStageCodegen stage
+    assert(plan.contains("*(1) Project"), plan)
+    assert(df.count() == 100)
+  }
+}

@@ -144,6 +144,21 @@ object Relational {
       .drop("__mx")
   }
 
+  /** Skew-salted join: replicate the (small-ish) right side `salts` times
+    * and scatter the left side's hot keys across the replicas, so one hot
+    * key occupies `salts` shuffle partitions instead of one straggler.
+    * Use when a handful of keys dominate (AQE skew-join handles moderate
+    * skew; salting is the explicit fix for pathological keys).
+    * Result equals a plain inner equi-join on `key`. */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 salts: Int): DataFrame = {
+    val saltedLeft = left.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salts)).cast("int"))
+    val saltedRight = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedLeft.join(saltedRight, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** X4 global-sigma outliers (reference:
     * cosmo/monitors/osm_shift_monitors.py:634–638): |x| beyond k·σ where σ
     * is computed over the WHOLE result set. Broadcast the 1-row aggregate —

@@ -74,6 +74,42 @@ object Similarity {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** IVF-style ANN: vectors are assigned to their nearest centroid
+    * (inverted file cell); search happens within the probe's cell only —
+    * a bucket equi-join like LSH, but with data-adaptive cells.
+    * `centroids(centroid_id, vecCol)` is a small table (k-means output or,
+    * deterministically, per-label means) and is broadcast to both sides.
+    * `nProbe > 1` searches that many nearest cells for better recall. */
+  def ivfAssign(df: DataFrame, id: String, vecCol: String,
+                centroids: DataFrame, centroidId: String = "centroid_id",
+                nProbe: Int = 1): DataFrame = {
+    val c = centroids.select(col(centroidId), col(vecCol).as("__cent"))
+    val w = Window.partitionBy(id).orderBy(col("__csim").desc, col(centroidId))
+    df.join(broadcast(c))
+      .withColumn("__csim", cosine(col(vecCol), col("__cent")))
+      .withColumn("__crn", row_number().over(w))
+      .filter(col("__crn") <= nProbe)
+      .drop("__cent", "__csim", "__crn")
+  }
+
+  /** IVF ANN join: assign both sides to cells, join on cell, top-k within.
+    * Probes may fan out to `nProbe` cells; candidates live in exactly one. */
+  def annIvfJoin(probes: DataFrame, cands: DataFrame, probeId: String,
+                 candId: String, vecCol: String, k: Int,
+                 centroids: DataFrame, nProbe: Int = 1): DataFrame = {
+    val p = ivfAssign(probes.select(col(probeId), col(vecCol).as("__pv")),
+      probeId, "__pv", centroids.withColumnRenamed(vecCol, "__pv"), nProbe = nProbe)
+    val c = ivfAssign(cands.select(col(candId), col(vecCol).as("__cv")),
+      candId, "__cv", centroids.withColumnRenamed(vecCol, "__cv"))
+    val joined = p.join(c, Seq("centroid_id"))
+      .filter(col(probeId) =!= col(candId))
+      .withColumn("sim", round(cosine(col("__pv"), col("__cv")), 3))
+    val w = Window.partitionBy(probeId).orderBy(col("sim").desc, col(candId))
+    joined.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col(probeId), col(candId), col("sim"))
+  }
+
   /** LSH-bucketed ANN: probes and candidates bucketed by the same planes,
     * joined on bucket, top-k within the joined set per probe. Misses
     * cross-bucket neighbors (recall < 1) — that's the accepted ANN

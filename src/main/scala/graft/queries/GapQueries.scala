@@ -81,6 +81,71 @@ object GapQueries {
         .orderBy("event_id")
     },
 
+    // BPE-ish regex tokenization: word pieces + standalone punctuation
+    // (the token-counting shape an LLM-data pipeline needs beyond
+    // whitespace splitting).
+    Q("t_regex_tokens",
+      """SELECT lang,
+        |  CAST(SUM(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\s]'))) AS BIGINT)
+        |    AS n_pieces,
+        |  CAST(MAX(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\s]'))) AS BIGINT)
+        |    AS max_pieces
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .withColumn("np",
+          size(regexp_extract_all(col("text"), lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0))))
+        .groupBy("lang")
+        .agg(sum("np").as("n_pieces"), max("np").cast("long").as("max_pieces"))
+        .orderBy("lang")
+    },
+
+    // SQL-surface end-to-end: the same aggregation written as spark.sql
+    // over registered views (ad-hoc query path, reference
+    // docs/source/sms.rst:62–95).
+    Q("sql_adhoc_surface",
+      """SELECT l_returnflag, COUNT(*) AS n, ROUND(SUM(l_extendedprice), 2) AS sum_p
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      graft.sql.Views.register(s, dir)
+      s.sql("""SELECT l_returnflag, COUNT(*) AS n,
+               ROUND(SUM(l_extendedprice), 2) AS sum_p
+               FROM lineitem GROUP BY 1 ORDER BY 1""")
+    },
+
+    // Skew-salted join equals the plain join (U-verified): hot-key
+    // scatter with right-side replication.
+    Q("j_salted_join",
+      """SELECT c.c_mktsegment, COUNT(*) AS n, ROUND(SUM(o.o_totalprice), 2) AS sum_p
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      Relational.saltedJoin(
+        Tables(s, dir, "orders").withColumnRenamed("o_custkey", "k"),
+        Tables(s, dir, "customer").withColumnRenamed("c_custkey", "k"),
+        "k", salts = 8)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_p"))
+        .orderBy("c_mktsegment")
+    },
+
+    // IVF ANN (no SQL oracle — cell assignment is data-derived; recall is
+    // verified in SimilaritySpec). Per-label mean vectors serve as
+    // deterministic centroids; emits cell occupancy.
+    Q.noOracle("sim_ann_ivf_cells") { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val centroids = e
+        .select(col("label").as("centroid_id"),
+          posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
+        .groupBy("centroid_id", "pos").agg(avg("v").as("v"))
+        .groupBy("centroid_id")
+        .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("z"))
+        .select(col("centroid_id"), transform(col("z"), x => x("v")).as("embedding"))
+      graft.ops.Similarity.ivfAssign(
+        e.select(col("vec_id"), col("embedding").cast("array<double>")),
+        "vec_id", "embedding",
+        centroids)
+        .groupBy("centroid_id").agg(count(lit(1)).as("n"))
+        .orderBy("centroid_id")
+    },
+
     // W4 — derived rate columns (reference: osm_drift_monitors.py:35–40:
     // SHIFT/TIME drift rate, TIME + TSINCEOSM offset).
     Q("w4_drift_rates",

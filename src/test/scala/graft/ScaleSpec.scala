@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.ops.{Relational, Similarity}
+
+/** Scale-path behaviors: salted-join equivalence, IVF ANN recall,
+  * partition pruning and bucketed joins (the physical-layout levers a
+  * 100 TB deployment depends on). */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin equals the plain equi-join under heavy key skew") {
+    val left = (1 to 1000).map(i => (if (i % 10 == 0) 7L else i.toLong, i))
+      .toDF("k", "v")
+    val right = (1 to 50).map(i => (i.toLong, s"r$i")).toDF("k", "name")
+    val plain = left.join(right, "k").agg(count(lit(1)), sum("v")).head()
+    val salted = Relational.saltedJoin(left, right, "k", salts = 8)
+      .agg(count(lit(1)), sum("v")).head()
+    assert(plain == salted)
+  }
+
+  test("IVF ANN recall on clustered data") {
+    val rnd = new scala.util.Random(3)
+    def jitter(base: Array[Double]): Seq[Double] =
+      base.map(x => x + rnd.nextGaussian() * 0.01).toSeq
+    val c1 = Array.fill(8)(1.0)
+    val c2 = Array.tabulate(8)(i => if (i % 2 == 0) 1.0 else -1.0)
+    val rows = (0L until 40L).map(i => (i, jitter(if (i < 20) c1 else c2)))
+    val vecs = rows.toDF("id", "v")
+    val centroids = Seq((0, c1.toSeq), (1, c2.toSeq)).toDF("centroid_id", "v")
+    val exact = Similarity.knnJoin(vecs, vecs.withColumnRenamed("id", "cid"),
+      "id", "cid", "v", k = 3).select("id", "cid").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.annIvfJoin(vecs, vecs.withColumnRenamed("id", "cid"),
+      "id", "cid", "v", k = 3, centroids).select("id", "cid")
+      .as[(Long, Long)].collect().toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall > 0.95, s"recall $recall")
+  }
+
+  test("date-partitioned writes prune partitions under a date filter") {
+    val dir = Files.createTempDirectory("part").toString + "/t"
+    (1 to 100).map(i => (i, s"2024-01-${i % 4 + 1}"))
+      .toDF("v", "day")
+      .write.partitionBy("day").parquet(dir)
+    val q = spark.read.parquet(dir).filter(col("day") === "2024-01-2")
+    val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
+    // the partition predicate must reach the file index, not a row filter
+    assert(scan.contains("PartitionFilters: [isnotnull(day"), scan)
+    assert(q.count() == 25)
+  }
+
+  test("bucketed tables sort-merge join without an exchange") {
+    // the in-memory catalog forgets tables between JVMs but the warehouse
+    // directories persist — drop both metadata and physical locations
+    spark.sql("DROP TABLE IF EXISTS bkt_a")
+    spark.sql("DROP TABLE IF EXISTS bkt_b")
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    Seq("bkt_a", "bkt_b").foreach { t =>
+      val d = new java.io.File(wh, t)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      if (d.exists()) rm(d)
+    }
+    (1 to 1000).map(i => (i.toLong, i * 2)).toDF("k", "va")
+      .write.bucketBy(4, "k").sortBy("k").saveAsTable("bkt_a")
+    (1 to 1000).map(i => (i.toLong, i * 3)).toDF("k", "vb")
+      .write.bucketBy(4, "k").sortBy("k").saveAsTable("bkt_b")
+    val joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join must not reshuffle:\n$plan")
+    assert(joined.count() == 1000)
+  }
+}

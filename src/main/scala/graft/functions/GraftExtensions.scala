@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{CosineSimilarity, MjdToTimestamp, NativeBridge, TimestampToMjd}
+import org.apache.spark.sql.graft.{CosineSimilarity, MinHashSignature, MjdToTimestamp, NativeBridge, ShingleArray, SimHash64, TimestampToMjd}
 
 /** Registers the native expressions as SQL functions so every operator is
   * reachable from `spark.sql` (SURVEY.md §7.1 `sql/` surface). Install
@@ -29,7 +29,15 @@ object GraftExtensions {
       (args: Seq[Expression]) => TimestampToMjd(args.head)),
     ("cosine_sim",
       info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two double arrays."),
-      (args: Seq[Expression]) => CosineSimilarity(args.head, args(1))))
+      (args: Seq[Expression]) => CosineSimilarity(args.head, args(1))),
+    ("minhash_signature",
+      info("minhash_signature",
+        "minhash_signature(shingles, n) - n-component MinHash signature of a string array."),
+      (args: Seq[Expression]) => MinHashSignature(args.head,
+        args(1).eval().asInstanceOf[Number].intValue())),
+    ("simhash64",
+      info("simhash64", "simhash64(hashes) - 64-bit SimHash of pre-hashed tokens."),
+      (args: Seq[Expression]) => SimHash64(args.head)))
 
   /** Register on an existing session (tests, REPL). */
   def register(spark: SparkSession): Unit =
@@ -43,4 +51,10 @@ object GraftExtensions {
   def tsToMjd(c: Column): Column = NativeBridge.column(TimestampToMjd(NativeBridge.expression(c)))
   def cosineSim(a: Column, b: Column): Column =
     NativeBridge.column(CosineSimilarity(NativeBridge.expression(a), NativeBridge.expression(b)))
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    NativeBridge.column(MinHashSignature(NativeBridge.expression(shingles), numHashes))
+  def simhash64(tokenHashes: Column): Column =
+    NativeBridge.column(SimHash64(NativeBridge.expression(tokenHashes)))
+  def shingles(tokens: Column, k: Int): Column =
+    NativeBridge.column(ShingleArray(NativeBridge.expression(tokens), k))
 }

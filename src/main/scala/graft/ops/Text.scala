@@ -66,10 +66,16 @@ object Text {
     // `numHashes` aggregates references the same column instead of
     // re-evaluating the whole tokenize→shingle→distinct pipeline per hash
     // (a 30×+ slowdown at bench scale without this).
+    // native one-pass signature (see org.apache.spark.sql.graft
+    // .MinHashSignature) — the HOF formulation pays interpreted-lambda
+    // cost per element per hash function
     val sig = df
       .select(col(idCol),
-        array_distinct(wordShingles(tokens(col(textCol)), k)).as("__sh"))
-      .select(col(idCol), minhashSignature(col("__sh"), numHashes).as("__sig"))
+        array_distinct(graft.functions.GraftExtensions
+          .shingles(tokens(col(textCol)), k)).as("__sh"))
+      .select(col(idCol),
+        graft.functions.GraftExtensions.minhashSignature(col("__sh"), numHashes)
+          .as("__sig"))
     val banded = sig.select(col(idCol),
       posexplode(lshBandHashes(col("__sig"), bands, r)).as(Seq("__band", "__bh")))
     // Pairs are generated WITHIN each bucket (collect_set + in-array

@@ -166,7 +166,7 @@ object TextQueries {
     Q.noOracle("dedup_simhash_buckets") { (s, dir) =>
       Tables(s, dir, "documents")
         .select(transform(split(col("text"), " ", -1), t => xxhash64(t)).as("th"))
-        .select(Text.simhashFromHashes(col("th")).as("sh"))
+        .select(graft.functions.GraftExtensions.simhash64(col("th")).as("sh"))
         .select(shiftrightunsigned(col("sh"), 48).as("bucket"))
         .groupBy("bucket").agg(count(lit(1)).as("n"))
         .orderBy("bucket")

@@ -122,3 +122,121 @@ object NativeBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** MinHash signature in ONE pass: for each of `numHashes` salted xxhash64
+  * functions, the minimum over the shingle array — as a native loop
+  * instead of `numHashes` separate aggregate() HOF calls (HOF lambdas are
+  * evaluated interpreted, per element, per hash). Output: array<long> of
+  * length `numHashes`. Salting = xxhash64(shingle, seed=i), identical to
+  * graft.ops.Text.minhashSignature. */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression with ImplicitCastInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        var j = 0
+        while (j < numHashes) {
+          val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(s, StringType, j.toLong)
+          if (h < sig(j)) sig(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash from pre-hashed tokens in ONE pass: per token, all 64
+  * bit-counters update in an unrolled loop — vs 64 interpreted aggregate()
+  * traversals for the HOF formulation. Input array<long>, output long. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val counters = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = arr.getLong(i)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) counters(j) += 1 else counters(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) {
+      if (counters(j) >= 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** Word k-gram shingles in one pass: space-joined k-token windows over a
+  * string array (k > 0); shorter inputs yield one partial shingle.
+  * Semantics identical to graft.ops.Text.wordShingles, without the
+  * per-window interpreted concat_ws lambda. */
+case class ShingleArray(child: Expression, k: Int)
+    extends UnaryExpression with ImplicitCastInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(k > 0, "shingle size must be positive")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingles"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val m = math.max(n - (k - 1), 1)
+    val out = new Array[AnyRef](m)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var j = i
+      val end = math.min(i + k, n)
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        if (!arr.isNullAt(j)) sb.append(arr.getUTF8String(j).toString)
+        j += 1
+      }
+      out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleArray =
+    copy(child = newChild)
+}

@@ -44,6 +44,37 @@ class NativeExprSpec extends SparkSpec {
     assert(math.abs(r._2 - 1.0) < 1e-12)
   }
 
+  test("native simhash64 agrees with the HOF composition on identical hashes") {
+    val df = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "completely different words entirely",
+      "x").toDF("text")
+      .select(transform(split(col("text"), " "), t => xxhash64(t)).as("th"))
+    val out = df.select(
+      GraftExtensions.simhash64(col("th")).as("native"),
+      graft.ops.Text.simhashFromHashes(col("th")).as("hof"))
+      .as[(Long, Long)].collect()
+    out.foreach { case (n, h) => assert(n == h, s"$n vs $h") }
+  }
+
+  test("native minhash signature: component count, determinism, containment") {
+    val df = Seq(
+      ("a", Seq("s1", "s2", "s3", "s4")),
+      ("b", Seq("s1", "s2", "s3", "s4", "s5")),
+      ("c", Seq("z9"))).toDF("id", "sh")
+    val sigs = df.select(col("id"),
+      GraftExtensions.minhashSignature(col("sh"), 64).as("sig"))
+      .as[(String, Seq[Long])].collect().toMap
+    assert(sigs("a").length == 64)
+    // superset's componentwise min is <= subset's (monotone containment)
+    assert(sigs("a").zip(sigs("b")).forall { case (x, y) => y <= x })
+    // identical input -> identical signature
+    val again = df.filter(col("id") === "a").select(
+      GraftExtensions.minhashSignature(col("sh"), 64)).as[Seq[Long]].head()
+    assert(again == sigs("a"))
+    assert(sigs("c") != sigs("a"))
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     GraftExtensions.register(spark)
     val df = spark.range(100).select(

@@ -19,8 +19,17 @@ object Similarity {
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity; 0 for zero-norm inputs instead of NaN/error. */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity; 0 for zero-norm inputs instead of NaN/error.
+    * Backed by the native one-pass expression (dot + both norms in a
+    * single loop) — the HOF composition below traverses three times with
+    * interpreted lambdas, which dominates pairwise-join hot paths. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.GraftExtensions.cosineSim(
+      a.cast("array<double>"), b.cast("array<double>"))
+
+  /** HOF formulation of cosine — kept as the builtin-only reference
+    * implementation (agreement pinned in NativeExprSpec). */
+  def cosineHof(a: Column, b: Column): Column = {
     val denom = l2norm(a) * l2norm(b)
     when(denom === 0.0d, lit(0.0d)).otherwise(dot(a, b) / denom)
   }

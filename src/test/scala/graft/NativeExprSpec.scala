@@ -29,7 +29,7 @@ class NativeExprSpec extends SparkSpec {
       (Seq(0.0, 0.0), Seq(1.0, 1.0))).toDF("a", "b")
     val out = df.select(
       GraftExtensions.cosineSim(col("a"), col("b")).as("native"),
-      Similarity.cosine(col("a"), col("b")).as("hof"))
+      Similarity.cosineHof(col("a"), col("b")).as("hof"))
       .as[(Double, Double)].collect()
     out.foreach { case (n, h) => assert(math.abs(n - h) < 1e-12, s"$n vs $h") }
   }

@@ -54,12 +54,16 @@ object Stats {
   def cdfThresholds(hist: DataFrame, quantiles: Seq[Double]): DataFrame = {
     val w = Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = Window.partitionBy()
-    val withCdf = hist
+    // ONE pass over the histogram: fan the quantile list out as a literal
+    // array-explode instead of unioning a filtered copy per quantile
+    // (which re-scans the histogram — and its source — per quantile).
+    hist
       .withColumn("cdf", sum(col("n")).over(w) / sum(col("n")).over(tot))
-    quantiles.map { q =>
-      withCdf.filter(col("cdf") >= q)
-        .agg(lit(q).as("quantile"), min(col("bucket")).as("bucket"))
-    }.reduce(_ unionByName _)
+      .select(col("bucket"), col("cdf"),
+        explode(array(quantiles.map(lit): _*)).as("quantile"))
+      .filter(col("cdf") >= col("quantile"))
+      .groupBy("quantile")
+      .agg(min(col("bucket")).as("bucket"))
   }
 
   /** W1 rolling time-window mean (reference:

@@ -77,6 +77,18 @@ object ExtQueries {
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     },
 
+    // Cube aggregation (all grouping-set combinations; extended surface).
+    Q("ext_cube",
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  ROUND(SUM(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+
     // Exact distinct counts (extended surface; no distinct-count exists in
     // the reference — SURVEY.md §2.4 note).
     Q("ext_count_distinct",

@@ -139,15 +139,22 @@ object TextQueries {
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
         |FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING COUNT(*) >= 3 ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      // per-shingle doc lists + in-array combinations: one computation of
+      // the shingle explode instead of two join-side copies; identical
+      // result to the self-join formulation in the oracle
       val sh = Tables(s, dir, "documents")
         .select(col("doc_id"),
           explode(array_distinct(
             Text.wordShingles(split(col("text"), " ", -1), 8))).as("shingle"))
-      val a = sh.select(col("doc_id").as("id_a"), col("shingle"))
-      val b = sh.select(col("doc_id").as("id_b"), col("shingle"))
-      a.join(b, Seq("shingle"))
-        .filter(col("id_a") < col("id_b"))
-        .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      val lists = sh.groupBy("shingle")
+        .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) > 1)
+      val pairs = flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+          y => struct(x.as("id_a"), y.as("id_b")))))
+      lists.select(explode(pairs).as("p"))
+        .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+        .agg(count(lit(1)).as("n_shared"))
         .filter(col("n_shared") >= 3)
         .orderBy("id_a", "id_b")
     },

@@ -65,6 +65,27 @@ class MergeStreamSpec extends SparkSpec {
     assert(out == Set(("k1", 2, "a2"), ("k2", 1, "b"), ("k3", 1, "c")))
   }
 
+  test("streaming dedup by key with watermark drops replayed events") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(String, Int)]
+    val deduped = input.toDF().toDF("k", "v")
+      .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:00")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("k")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    input.addData(("a", 1), ("b", 2), ("a", 3))
+    q.processAllAvailable()
+    input.addData(("a", 4), ("c", 5)) // "a" replayed in a later batch
+    q.processAllAvailable()
+    val out = spark.table("dedup_out").select("k", "v")
+      .as[(String, Int)].collect().toSet
+    q.stop()
+    assert(out.map(_._1) == Set("a", "b", "c"))
+    assert(out.count(_._1 == "a") == 1, "replayed key must be dropped across batches")
+  }
+
   test("streaming windowed counts equal the batch tumbling-window result") {
     val events = Seq(
       ("2024-01-01 01:00:00", "click", 1.0),

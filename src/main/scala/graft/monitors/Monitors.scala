@@ -77,6 +77,25 @@ object Monitors {
     Stats.describeBy(acq.filter(col("EXPTYPE") === "ACQ/IMAGE"),
       Seq("FGS"), slewCol)
 
+  /** Telemetry-mnemonic track (reference:
+    * cosmo/monitors/telemetry_monitors.py:104–170): (MJD, value) samples →
+    * absolute time, boxcar smoothing, central-99% band, and the as-of
+    * value at each probe time (step_wise, telemetry_monitors.py:428–457).
+    * Returns (smoothed samples, band bounds, probe values). */
+  def telemetryTrack(samples: DataFrame, probes: DataFrame,
+                     boxWidth: Int = 4): (DataFrame, DataFrame, DataFrame) = {
+    val withTs = samples.withColumn("ts", TimeFns.mjdToTs(col("MJD")))
+    val smoothed = Stats.boxcar(withTs, Seq.empty, Seq(col("MJD")),
+      "Data", boxWidth, "smoothed")
+    val band = withTs.agg(
+      expr("percentile(Data, 0.005)").as("lo"),
+      expr("percentile(Data, 0.995)").as("hi"))
+    val probeVals = Relational.asOfLookup(
+      probes, samples.select(col("MJD"), col("Data")),
+      keys = Seq.empty, timeCol = "MJD", quoteVal = "Data", outCol = "value_at")
+    (smoothed, band, probeVals)
+  }
+
   /** Dark-rate binning (reference: cosmo/monitors/dark_monitors.py:53–98):
     * events exploded per exposure, filtered to a detector region and PHA
     * band, counted into fixed time bins, normalized to a rate. */

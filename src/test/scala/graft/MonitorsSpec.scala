@@ -66,6 +66,23 @@ class MonitorsSpec extends SparkSpec {
     assert(slope > 0, s"slew distance drifts upward, slope=$slope")
   }
 
+  test("telemetryTrack: boxcar, central band, and as-of probe values") {
+    val samples = Seq(
+      (58849.0, 1.0), (58850.0, 2.0), (58851.0, 3.0), (58852.0, 100.0),
+      (58853.0, 4.0), (58854.0, 5.0)).toDF("MJD", "Data")
+    val probes = Seq(58851.5, 58840.0, 58860.0).toDF("MJD")
+    val (smoothed, band, probeVals) =
+      graft.monitors.Monitors.telemetryTrack(samples, probes)
+    assert(smoothed.count() == 6)
+    val (lo, hi) = band.as[(Double, Double)].head()
+    assert(lo >= 1.0 && lo < 2.0 && hi > 5.0 && hi <= 100.0)
+    val pv = probeVals.select("MJD", "value_at")
+      .as[(Double, Option[Double])].collect().toMap
+    assert(pv(58851.5).contains(3.0))  // last sample at or before
+    assert(pv(58840.0).isEmpty)        // before first sample
+    assert(pv(58860.0).contains(5.0))  // after last sample
+  }
+
   test("darkRate bins events into time buckets within region and PHA cuts") {
     val events = Seq(
       ("d1", 100.0, 100.0, 10, 0.0), ("d1", 110.0, 110.0, 12, 10.0),

@@ -55,9 +55,11 @@ object Relational {
     candidates.join(broadcast(ing), candKey === col("__k"), "left_anti")
   }
 
-  /** P10 `match_dfs` semi-join (reference: cosmo/monitors/osm_shift_monitors.py:50–52). */
+  /** P10 `match_dfs` semi-join (reference: cosmo/monitors/osm_shift_monitors.py:50–52).
+    * No distinct on the right side — left_semi already dedupes matches,
+    * and an explicit distinct would cost an extra shuffle. */
   def semiJoin(df: DataFrame, other: DataFrame, key: String): DataFrame =
-    df.join(other.select(key).distinct(), Seq(key), "left_semi")
+    df.join(other.select(key), Seq(key), "left_semi")
 
   /** J2 derived-key equi join (reference: cosmo/data_models.py:157–180 —
     * `sms.ROOTNAME + 'q' == data.ROOTNAME`). Both sides get the key as a

@@ -77,6 +77,44 @@ object Monitors {
     Stats.describeBy(acq.filter(col("EXPTYPE") === "ACQ/IMAGE"),
       Seq("FGS"), slewCol)
 
+  /** J13 — LP-position expected aperture-block lookup (reference:
+    * cosmo/monitors/aper_shift_monitors.py:77–105): the constant
+    * 11×4×2 (LIFE_ADJ × APERTURE × DETECTOR) position array as an 88-row
+    * broadcast dimension, replacing the reference's numpy index-array
+    * gymnastics with one equi-join. Adds `SHIFT_APERY = APERYPOS − std`.
+    * Rows with LIFE_ADJ < 1 are nulled then dropped (reference pd.NA). */
+  def apertureShift(df: DataFrame): DataFrame = {
+    val positions = Array(
+      // LP1..LP8, LP10, LP11, LP12 × (PSA, BOA, FCA, WCA) × (FUV, NUV)
+      Array(Array(126, 126), Array(-153, -153), Array(-153, -153), Array(126, 126)),
+      Array(Array(53, 126), Array(-226, -153), Array(-226, -153), Array(53, 126)),
+      Array(Array(181, 126), Array(-98, -153), Array(-98, -153), Array(181, 126)),
+      Array(Array(234, 126), Array(-45, -153), Array(-45, -153), Array(234, 126)),
+      Array(Array(13, 126), Array(-226, -153), Array(-226, -153), Array(13, 126)),
+      Array(Array(-11, 126), Array(-98, -153), Array(-98, -153), Array(22, 126)),
+      Array(Array(-49, 126), Array(-98, -153), Array(-98, -153), Array(32, 126)),
+      Array(Array(206, 126), Array(-73, -153), Array(-73, -153), Array(206, 126)),
+      Array(Array(206, 126), Array(-73, -153), Array(-73, -153), Array(206, 126)),
+      Array(Array(270, 126), Array(-9, -153), Array(-9, -153), Array(270, 126)),
+      Array(Array(90, 126), Array(-189, -153), Array(-189, -153), Array(90, 126)))
+    val lps = Seq(1, 2, 3, 4, 5, 6, 7, 8, 10, 11, 12)
+    val apertures = Seq("PSA", "BOA", "FCA", "WCA")
+    val detectors = Seq("FUV", "NUV")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dim = (for {
+      (lp, i) <- lps.zipWithIndex
+      (ap, j) <- apertures.zipWithIndex
+      (det, k) <- detectors.zipWithIndex
+    } yield (lp, ap, det, positions(i)(j)(k))).toDF(
+      "LIFE_ADJ", "APERTURE", "DETECTOR", "std_ypos")
+    df.withColumn("LIFE_ADJ",
+        when(col("LIFE_ADJ") < 1, lit(null)).otherwise(col("LIFE_ADJ")))
+      .na.drop(Seq("APERYPOS", "LIFE_ADJ", "APERTURE", "DETECTOR"))
+      .join(broadcast(dim), Seq("LIFE_ADJ", "APERTURE", "DETECTOR"))
+      .withColumn("SHIFT_APERY", col("APERYPOS") - col("std_ypos"))
+  }
+
   /** Telemetry-mnemonic track (reference:
     * cosmo/monitors/telemetry_monitors.py:104–170): (MJD, value) samples →
     * absolute time, boxcar smoothing, central-99% band, and the as-of

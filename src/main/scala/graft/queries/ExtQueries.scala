@@ -185,6 +185,43 @@ object ExtQueries {
         .orderBy("format")
     },
 
+    // Deterministic hash sampling (training-pipeline op): md5-prefix
+    // bucket keeps ~12.5% of docs, stable across engines and runs —
+    // the content-hash split used for held-out/train partitions.
+    Q("ext_hash_sample",
+      """SELECT lang, COUNT(*) AS n FROM documents
+        |WHERE substr(md5(text), 1, 1) IN ('0', '1')
+        |GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .filter(substring(md5(col("text")), 1, 1).isin("0", "1"))
+        .groupBy("lang").agg(count(lit(1)).as("n"))
+        .orderBy("lang")
+    },
+
+    // Systematic (every-Nth-key) sampling with oracle.
+    Q("ext_systematic_sample",
+      """SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 10 = 0
+        |GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .filter(col("doc_id") % 10 === 0)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum("n_chars").cast("long").as("sum_chars"))
+        .orderBy("lang")
+    },
+
+    // Seeded stratified sampling per event_type (no SQL oracle — Spark's
+    // Bernoulli sampler is engine-specific; determinism comes from the
+    // fixed seed, the driver rows-checks).
+    Q.noOracle("ext_stratified_sample") { (s, dir) =>
+      Tables(s, dir, "events")
+        .stat.sampleBy("event_type",
+          Map("click" -> 0.5, "view" -> 0.2, "purchase" -> 1.0, "error" -> 0.1),
+          seed = 42L)
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .orderBy("event_type")
+    },
+
     // lead/lag window (extended surface; §2.5 notes the reference lacks
     // them — a training pipeline needs sessionized deltas).
     Q("ext_lead_lag",

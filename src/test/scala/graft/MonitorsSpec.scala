@@ -66,6 +66,18 @@ class MonitorsSpec extends SparkSpec {
     assert(slope > 0, s"slew distance drifts upward, slope=$slope")
   }
 
+  test("apertureShift: 3-axis LP lookup, LP<1 dropped, SHIFT_APERY computed") {
+    val df = Seq(
+      ("r1", 3, "PSA", "FUV", 200.0),   // LP3/PSA/FUV -> std 181
+      ("r2", 1, "BOA", "NUV", -100.0),  // LP1/BOA/NUV -> std -153
+      ("r3", -1, "PSA", "FUV", 50.0),   // LP<1 -> dropped
+      ("r4", 10, "WCA", "FUV", 210.0))  // LP10/WCA/FUV -> std 206
+      .toDF("ROOTNAME", "LIFE_ADJ", "APERTURE", "DETECTOR", "APERYPOS")
+    val out = graft.monitors.Monitors.apertureShift(df)
+      .select("ROOTNAME", "SHIFT_APERY").as[(String, Double)].collect().toMap
+    assert(out == Map("r1" -> 19.0, "r2" -> 53.0, "r4" -> 4.0))
+  }
+
   test("telemetryTrack: boxcar, central band, and as-of probe values") {
     val samples = Seq(
       (58849.0, 1.0), (58850.0, 2.0), (58851.0, 3.0), (58852.0, 100.0),

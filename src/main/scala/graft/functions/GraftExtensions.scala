@@ -10,10 +10,12 @@ import org.apache.spark.sql.graft.{CosineSimilarity, MinHashSignature, MjdToTime
   * either via `.withExtensions(new GraftExtensions)` at session build or
   * `GraftExtensions.register(spark)` on a live session. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.descriptors.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    ext.injectOptimizerRule(_ => org.apache.spark.sql.graft.MjdPredicatePushdown)
+  }
 }
 
 object GraftExtensions {
@@ -39,12 +41,19 @@ object GraftExtensions {
       info("simhash64", "simhash64(hashes) - 64-bit SimHash of pre-hashed tokens."),
       (args: Seq[Expression]) => SimHash64(args.head)))
 
-  /** Register on an existing session (tests, REPL). */
-  def register(spark: SparkSession): Unit =
+  /** Register on an existing session (tests, REPL). Functions go into the
+    * session registry; the pushdown rule into experimental optimizations
+    * (extensions proper only apply at session build). */
+  def register(spark: SparkSession): Unit = {
     descriptors.foreach { case (name, inf, builder) =>
       spark.sessionState.functionRegistry
         .registerFunction(FunctionIdentifier(name), inf, builder)
     }
+    val rule = org.apache.spark.sql.graft.MjdPredicatePushdown
+    if (!spark.experimental.extraOptimizations.contains(rule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ rule
+  }
 
   /** Column-API access to the native expressions. */
   def mjdToTs(c: Column): Column = NativeBridge.column(MjdToTimestamp(NativeBridge.expression(c)))

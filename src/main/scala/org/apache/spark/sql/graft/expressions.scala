@@ -240,3 +240,58 @@ case class ShingleArray(child: Expression, k: Int)
   override protected def withNewChildInternal(newChild: Expression): ShingleArray =
     copy(child = newChild)
 }
+
+/** Optimizer rule (SURVEY.md §4's optional candidate): filters on
+  * `ts_to_mjd(ts) <cmp> literal` cannot reach the parquet scan — the
+  * conversion hides the timestamp column. This rule AND-injects a
+  * conservative derived predicate directly on `ts` (1 ms slack on the
+  * boundary), which Catalyst then pushes to the scan for row-group
+  * pruning. The original predicate still applies, so semantics are
+  * unchanged; the rule is idempotent because the injected conjunct is
+  * detected on re-application.
+  */
+object MjdPredicatePushdown
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions._
+  import org.apache.spark.sql.catalyst.plans.logical._
+
+  private val slackMicros = 1000L // 1 ms guard against double rounding
+
+  private def lowerTs(mjd: Double): Literal =
+    Literal(((mjd - 40587.0d) * 86400.0d * 1e6d).toLong - slackMicros, TimestampType)
+  private def upperTs(mjd: Double): Literal =
+    Literal(((mjd - 40587.0d) * 86400.0d * 1e6d).toLong + slackMicros, TimestampType)
+
+  private def derived(cond: Expression): Seq[Expression] = cond.collect {
+    case GreaterThan(TimestampToMjd(ts), Literal(d: Double, DoubleType)) =>
+      GreaterThanOrEqual(ts, lowerTs(d))
+    case GreaterThanOrEqual(TimestampToMjd(ts), Literal(d: Double, DoubleType)) =>
+      GreaterThanOrEqual(ts, lowerTs(d))
+    case LessThan(TimestampToMjd(ts), Literal(d: Double, DoubleType)) =>
+      LessThanOrEqual(ts, upperTs(d))
+    case LessThanOrEqual(TimestampToMjd(ts), Literal(d: Double, DoubleType)) =>
+      LessThanOrEqual(ts, upperTs(d))
+    case EqualTo(TimestampToMjd(ts), Literal(d: Double, DoubleType)) =>
+      And(GreaterThanOrEqual(ts, lowerTs(d)), LessThanOrEqual(ts, upperTs(d)))
+    // reversed orientations (literal on the left)
+    case GreaterThan(Literal(d: Double, DoubleType), TimestampToMjd(ts)) =>
+      LessThanOrEqual(ts, upperTs(d))
+    case LessThan(Literal(d: Double, DoubleType), TimestampToMjd(ts)) =>
+      GreaterThanOrEqual(ts, lowerTs(d))
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, child) =>
+      val conjuncts = splitConjuncts(cond)
+      val toAdd = derived(cond).filterNot(d =>
+        conjuncts.exists(_.semanticEquals(d)))
+      if (toAdd.isEmpty) f
+      else Filter(toAdd.foldLeft(cond)(And(_, _)), child)
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+}

@@ -75,6 +75,28 @@ class NativeExprSpec extends SparkSpec {
     assert(sigs("c") != sigs("a"))
   }
 
+  test("MjdPredicatePushdown: filter on ts_to_mjd reaches the parquet scan") {
+    GraftExtensions.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("mjd").toString + "/t"
+    spark.range(1000)
+      .select(col("id"),
+        timestamp_micros(col("id") * 86400L * 1000000L).as("ts"))
+      .write.parquet(dir)
+    val df = spark.read.parquet(dir)
+      .filter(GraftExtensions.tsToMjd(col("ts")) > 40587.0 + 500.0)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // the derived ts predicate must be pushed to the scan
+    assert("PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(ts".r
+      .findFirstIn(plan).isDefined, plan)
+    // and results must equal the unoptimized semantics: mjd > 41087
+    // means id > 500 -> 499 rows
+    assert(df.count() == 499)
+    // boundary row id=500 (exactly mjd 41087.0) excluded by the strict >
+    val ids = df.agg(min("id")).head().getLong(0)
+    assert(ids == 501)
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     GraftExtensions.register(spark)
     val df = spark.range(100).select(

@@ -45,6 +45,41 @@ object Streams {
       }
       .start()
 
+  /** Custom stateful sessionization via flatMapGroupsWithState: events
+    * group into sessions closed after `gapSeconds` of inactivity per key
+    * (processing-time timeout flushes trailing sessions). The custom-state
+    * route for semantics windowed aggregation can't express (SURVEY.md
+    * §2.11 extension). Emits one row per CLOSED session. */
+  def sessionize(events: org.apache.spark.sql.Dataset[(Long, Long, Double)],
+                 gapSeconds: Long): org.apache.spark.sql.Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[(Long, Long, Double)],
+         state: GroupState[SessionState]) => {
+          val sorted = rows.toSeq.sortBy(_._2)
+          var cur = state.getOption
+          val closed = Seq.newBuilder[SessionOut]
+          sorted.foreach { case (_, tSec, v) =>
+            cur match {
+              case Some(s) if tSec - s.lastSec > gapSeconds =>
+                closed += SessionOut(user, s.startSec, s.lastSec, s.n, s.sum)
+                cur = Some(SessionState(tSec, tSec, 1L, v))
+              case Some(s) =>
+                cur = Some(SessionState(s.startSec, tSec, s.n + 1, s.sum + v))
+              case None =>
+                cur = Some(SessionState(tSec, tSec, 1L, v))
+            }
+          }
+          cur match {
+            case Some(s) => state.update(s)
+            case None => ()
+          }
+          closed.result().iterator
+        })
+  }
+
   /** Event-time tumbling-window aggregation with a watermark — the
     * streaming form of the batch `w_tumbling_window` query; identical
     * results on bounded input. */
@@ -57,3 +92,7 @@ object Streams {
       .select(col("w.start").as("win_start"), col("event_type"),
         col("n"), col("sum_v"))
 }
+
+final case class SessionState(startSec: Long, lastSec: Long, n: Long, sum: Double)
+final case class SessionOut(user: Long, startSec: Long, endSec: Long,
+                            n: Long, sum: Double)

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Entities
+import graft.ops.LinFitAggregator
+import graft.streaming.Streams
+
+/** Typed-API surface: Dataset[T] entities, the Aggregator route for
+  * linfit (SURVEY.md §7.3), and flatMapGroupsWithState sessionization. */
+class TypedApiSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("LinFitAggregator recovers a known line and matches regr_slope") {
+    // y = 3x + 7 exactly
+    val pts = (0 until 50).map(i => (i.toDouble, 3.0 * i + 7.0))
+    val ds = pts.toDS()
+    val fit = ds.select(LinFitAggregator.toColumn).head()
+    assert(fit.n == 50)
+    assert(math.abs(fit.slope.get - 3.0) < 1e-9)
+    assert(math.abs(fit.intercept.get - 7.0) < 1e-9)
+    // degenerate: single point -> no fit
+    val one = Seq((1.0, 2.0)).toDS().select(LinFitAggregator.toColumn).head()
+    assert(one.slope.isEmpty)
+    // agreement with the declarative route
+    val declarative = pts.toDF("x", "y")
+      .agg(expr("regr_slope(y, x)"), expr("regr_intercept(y, x)"))
+      .as[(Double, Double)].head()
+    assert(math.abs(declarative._1 - fit.slope.get) < 1e-9)
+    assert(math.abs(declarative._2 - fit.intercept.get) < 1e-9)
+  }
+
+  test("typed Dataset entities: compile-time fields over the real tables") {
+    val docs = Entities.documents(spark, "/root/testdata/sf0.001")
+    val avgChars = docs
+      .groupByKey(_.lang)
+      .mapGroups((lang, ds) => {
+        val xs = ds.map(_.n_chars).toSeq
+        (lang, xs.sum.toDouble / xs.size)
+      })
+      .collect().toMap
+    assert(avgChars.nonEmpty && avgChars.values.forall(_ > 0))
+    val li = Entities.lineitems(spark, "/root/testdata/sf0.001")
+    assert(li.filter(_.l_quantity > 0).count() > 0)
+  }
+
+  test("flatMapGroupsWithState sessionization closes sessions on gaps") {
+    // user 1: events at t=0,10,20 then 4000,4010 -> one closed session
+    // (0..20) once the second burst arrives; user 2: single burst, stays open
+    val events = Seq(
+      (1L, 0L, 1.0), (1L, 10L, 2.0), (1L, 20L, 3.0),
+      (1L, 4000L, 4.0), (1L, 4010L, 5.0),
+      (2L, 100L, 9.0)).toDS()
+    val out = Streams.sessionize(events, gapSeconds = 1800L).collect()
+    assert(out.length == 1)
+    val s = out.head
+    assert(s.user == 1L && s.startSec == 0L && s.endSec == 20L)
+    assert(s.n == 3L && s.sum == 6.0)
+  }
+}

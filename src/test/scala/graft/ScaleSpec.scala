@@ -38,6 +38,18 @@ class ScaleSpec extends SparkSpec {
     assert(recall > 0.95, s"recall $recall")
   }
 
+  test("bloomAntiJoin equals the plain anti-join") {
+    val big = (1L to 5000L).map(i => (i, s"v$i")).toDF("k", "v")
+    val small = (1L to 5000L).filter(_ % 7 == 0).map(i => (i, "x")).toDF("k", "x")
+    val plain = big.join(small.select("k"), Seq("k"), "left_anti")
+      .select("k").as[Long].collect().toSet
+    val bloomed = org.apache.spark.sql.graft.BloomOps
+      .bloomAntiJoin(big, small, "k", "k", estimatedItems = 1000L)
+      .select("k").as[Long].collect().toSet
+    assert(bloomed == plain)
+    assert(plain.size == 5000 - 5000 / 7)
+  }
+
   test("date-partitioned writes prune partitions under a date filter") {
     val dir = Files.createTempDirectory("part").toString + "/t"
     (1 to 100).map(i => (i, s"2024-01-${i % 4 + 1}"))

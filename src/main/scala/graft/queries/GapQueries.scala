@@ -81,6 +81,21 @@ object GapQueries {
         .orderBy("event_id")
     },
 
+    // P9 via bloom pre-filter: same result as the plain anti-join (same
+    // oracle as p9_anti_join) — definite non-members skip the shuffle.
+    Q("p9_bloom_anti_join",
+      """SELECT COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
+        |FROM lineitem l WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders o
+        |  WHERE o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F')""".stripMargin) { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+      val o = Tables(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"))
+      org.apache.spark.sql.graft.BloomOps
+        .bloomAntiJoin(li, o, "l_orderkey", "o_orderkey", estimatedItems = 100000L)
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+    },
+
     // BPE-ish regex tokenization: word pieces + standalone punctuation
     // (the token-counting shape an LLM-data pipeline needs beyond
     // whitespace splitting).

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.core.Entities
 import graft.ops.LinFitAggregator
-import graft.streaming.Streams
+import graft.streaming.{SessionOut, Streams}
 
 /** Typed-API surface: Dataset[T] entities, the Aggregator route for
   * linfit (SURVEY.md §7.3), and flatMapGroupsWithState sessionization. */
@@ -41,6 +41,25 @@ class TypedApiSpec extends SparkSpec {
     assert(avgChars.nonEmpty && avgChars.values.forall(_ > 0))
     val li = Entities.lineitems(spark, "/root/testdata/sf0.001")
     assert(li.filter(_.l_quantity > 0).count() > 0)
+  }
+
+  test("sessionize keeps state across streaming micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Double)]
+    val q = Streams.sessionize(input.toDS(), gapSeconds = 1800L)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    input.addData((1L, 0L, 1.0), (1L, 10L, 2.0))   // batch 1: session opens
+    q.processAllAvailable()
+    assert(spark.table("sess_out").count() == 0)    // still open
+    input.addData((1L, 5000L, 9.0))                 // batch 2: gap closes it
+    q.processAllAvailable()
+    val closed = spark.table("sess_out")
+      .as[SessionOut].collect()
+    q.stop()
+    assert(closed.length == 1)
+    assert(closed.head == SessionOut(1L, 0L, 10L, 2L, 3.0))
   }
 
   test("flatMapGroupsWithState sessionization closes sessions on gaps") {

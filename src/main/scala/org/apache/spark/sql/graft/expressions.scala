@@ -130,13 +130,40 @@ object NativeBridge {
   * length `numHashes`. Salting = xxhash64(shingle, seed=i), identical to
   * graft.ops.Text.minhashSignature. */
 case class MinHashSignature(child: Expression, numHashes: Int)
-    extends UnaryExpression with ImplicitCastInputTypes
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends UnaryExpression with ImplicitCastInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] =
     Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_signature"
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val st = ctx.addReferenceObj("stringType", StringType,
+        "org.apache.spark.sql.types.DataType")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val sig = ctx.freshName("sig")
+      val s = ctx.freshName("s")
+      val h = ctx.freshName("h")
+      s"""
+         |int $n = $arr.numElements();
+         |long[] $sig = new long[$numHashes];
+         |java.util.Arrays.fill($sig, Long.MAX_VALUE);
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$arr.isNullAt($i)) {
+         |    org.apache.spark.unsafe.types.UTF8String $s = $arr.getUTF8String($i);
+         |    for (int $j = 0; $j < $numHashes; $j++) {
+         |      long $h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+         |        .hash($s, $st, (long) $j);
+         |      if ($h < $sig[$j]) $sig[$j] = $h;
+         |    }
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+       """.stripMargin
+    })
 
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -166,12 +193,38 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   * bit-counters update in an unrolled loop — vs 64 interpreted aggregate()
   * traversals for the HOF formulation. Input array<long>, output long. */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with ImplicitCastInputTypes
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends UnaryExpression with ImplicitCastInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val counters = ctx.freshName("counters")
+      val h = ctx.freshName("h")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $arr.numElements();
+         |int[] $counters = new int[64];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$arr.isNullAt($i)) {
+         |    long $h = $arr.getLong($i);
+         |    for (int $j = 0; $j < 64; $j++) {
+         |      if ((($h >>> $j) & 1L) == 1L) $counters[$j]++; else $counters[$j]--;
+         |    }
+         |  }
+         |}
+         |long $out = 0L;
+         |for (int $j = 0; $j < 64; $j++) {
+         |  if ($counters[$j] >= 0) $out |= (1L << $j);
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
 
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]

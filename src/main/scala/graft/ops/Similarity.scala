@@ -121,19 +121,32 @@ object Similarity {
 
   /** LSH-bucketed ANN: probes and candidates bucketed by the same planes,
     * joined on bucket, top-k within the joined set per probe. Misses
-    * cross-bucket neighbors (recall < 1) — that's the accepted ANN
-    * trade-off; multi-probe = union over several plane sets. */
+    * cross-bucket neighbors (recall < 1) — the accepted ANN trade-off.
+    *
+    * `multiProbe` raises recall without more planes: each probe also
+    * searches the buckets at Hamming distance 1 whose sign-margin was
+    * smallest (the classic multi-probe heuristic, approximated here by
+    * flipping each of the first `multiProbe` bits) — probe-side fan-out
+    * is `1 + multiProbe` rows, candidate side stays single-bucket. */
   def annLshJoin(probes: DataFrame, cands: DataFrame, probeId: String,
                  candId: String, vecCol: String, k: Int,
-                 nBits: Int, dim: Int, seed: Long = 42L): DataFrame = {
+                 nBits: Int, dim: Int, seed: Long = 42L,
+                 multiProbe: Int = 0): DataFrame = {
     val planes = hyperplanes(nBits, dim, seed)
+    val bkt = lshBucket(col(vecCol), planes)
+    val probeBuckets =
+      if (multiProbe <= 0) array(bkt)
+      else array(bkt +: (0 until math.min(multiProbe, nBits)).map(j =>
+        bkt.bitwiseXOR(lit(1L << j))): _*)
     val p = probes.select(col(probeId), col(vecCol).as("__pv"),
-      lshBucket(col(vecCol), planes).as("__bkt"))
+      explode(probeBuckets).as("__bkt"))
     val c = cands.select(col(candId), col(vecCol).as("__cv"),
       lshBucket(col(vecCol), planes).as("__bkt"))
     val joined = p.join(c, Seq("__bkt"))
       .filter(col(probeId) =!= col(candId))
       .withColumn("sim", round(cosine(col("__pv"), col("__cv")), 3))
+      // a candidate can match through several probe buckets — dedupe pairs
+      .select(col(probeId), col(candId), col("sim")).distinct()
     val w = Window.partitionBy(probeId).orderBy(col("sim").desc, col(candId))
     joined.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)

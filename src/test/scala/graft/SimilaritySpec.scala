@@ -50,4 +50,26 @@ class SimilaritySpec extends SparkSpec {
     val recall = (exact intersect approx).size.toDouble / exact.size
     assert(recall > 0.9, s"recall $recall")
   }
+
+  test("multi-probe LSH recall >= single-bucket recall on spread data") {
+    val rnd = new scala.util.Random(9)
+    // looser clusters: single-bucket LSH will split some neighborhoods
+    val rows = (0L until 60L).map { i =>
+      val base = if (i % 3 == 0) 1.0f else if (i % 3 == 1) -1.0f else 0.3f
+      (i, Seq.fill(16)(base + rnd.nextFloat() * 0.8f))
+    }
+    val vecs = rows.toDF("id", "v")
+    val exact = Similarity.knnJoin(vecs, vecs.withColumnRenamed("id", "cid"),
+      "id", "cid", "v", k = 3).select("id", "cid").as[(Long, Long)].collect().toSet
+    def recallOf(mp: Int): Double = {
+      val approx = Similarity.annLshJoin(vecs, vecs.withColumnRenamed("id", "cid"),
+        "id", "cid", "v", k = 3, nBits = 6, dim = 16, multiProbe = mp)
+        .select("id", "cid").as[(Long, Long)].collect().toSet
+      (exact intersect approx).size.toDouble / exact.size
+    }
+    val single = recallOf(0)
+    val multi = recallOf(3)
+    assert(multi >= single, s"multi-probe $multi < single $single")
+    assert(multi > 0.5, s"multi-probe recall $multi")
+  }
 }

@@ -142,6 +142,50 @@ object Fits {
     case 'L' => BooleanType
   }
 
+  /** S6 jitter-style reader (reference: cosmo/filesystem.py:196–227): one
+    * output row per (file, extension) whose EXTNAME matches, carrying the
+    * file path, requested PRIMARY header keys, requested per-extension
+    * header keys, and requested table columns as arrays. */
+  def perExtensionTable(spark: SparkSession, glob: String, extName: String,
+                        primaryKeys: Seq[String], extKeys: Seq[String],
+                        tableColumns: Seq[String]): DataFrame = {
+    val files = spark.read.format("binaryFile").load(glob)
+      .select("path", "content")
+    val first = files.limit(1).collect()
+    require(first.nonEmpty, s"no files match $glob")
+    val probeBytes = gunzipIfNeeded(first.head.getAs[Array[Byte]]("content"))
+    val probeHdus = parseHdus(probeBytes)
+    val probeExt = probeHdus.find(_.header.get("EXTNAME").contains(extName))
+      .getOrElse(throw new IllegalArgumentException(s"no $extName extension in first file"))
+    val specByName = tableCols(probeExt).map(s => s.name -> s).toMap
+    val schema = StructType(
+      StructField("path", StringType) +: StructField("ext_index", IntegerType) +:
+        (primaryKeys ++ extKeys).map(k => StructField(k, StringType)) ++:
+        tableColumns.map { n =>
+          val spec = specByName.getOrElse(n, throw new IllegalArgumentException(
+            s"column $n not in $extName extension"))
+          StructField(n, ArrayType(elemType(spec.code), containsNull = false))
+        })
+    val rows = files.rdd.flatMap { r =>
+      val bytes = gunzipIfNeeded(r.getAs[Array[Byte]]("content"))
+      val all = parseHdus(bytes)
+      val primary = all.head
+      all.zipWithIndex
+        .filter(_._1.header.get("EXTNAME").contains(extName))
+        .map { case (h, idx) =>
+          val prim = primaryKeys.map(k => primary.header.get(k).orNull)
+          val ext = extKeys.map(k => h.header.get(k).orNull)
+          val cols = tableColumns.map { n =>
+            val spec = tableCols(h).find(_.name == n).get
+            columnValues(bytes, h, spec)
+          }
+          Row.fromSeq(r.getAs[String]("path") +: idx.asInstanceOf[Any] +:
+            (prim ++ ext ++ cols))
+        }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
   /** One row per FITS file: requested header keys (per extension, as
     * strings) + requested BINTABLE columns (per extension, as arrays).
     * Name collisions across extensions get a `_<ext>` suffix, mirroring

@@ -20,7 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
   private def info(name: String, usage: String) =
-    new ExpressionInfo("org.apache.spark.sql.graft", null, name, usage, "")
+    new ExpressionInfo("org.apache.spark.sql.graft", null, name, usage, "", "", "", "", "", "", "scala_udf")
 
   val descriptors: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("mjd_to_ts",

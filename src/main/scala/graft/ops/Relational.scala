@@ -27,7 +27,7 @@ object Relational {
   def explodeArrays(df: DataFrame, arrayCols: Seq[String],
                     posCol: String = "pos", strict: Boolean = true): DataFrame = {
     require(arrayCols.nonEmpty, "explodeArrays needs at least one array column")
-    val scalarCols = df.columns.filterNot(arrayCols.contains).map(col)
+    val scalarCols = df.columns.filterNot(arrayCols.contains).toIndexedSeq.map(col)
     val sameLen = arrayCols.tail
       .map(c => size(col(c)) === size(col(arrayCols.head)))
       .foldLeft(lit(true))(_ && _)
@@ -95,7 +95,7 @@ object Relational {
     * shuffle once on the key; skewed keys are handled by AQE. */
   def asOfLookup(probes: DataFrame, quotes: DataFrame, keys: Seq[String],
                  timeCol: String, quoteVal: String, outCol: String): DataFrame = {
-    val probeCols = probes.columns
+    val probeCols = probes.columns.toIndexedSeq
     val pTagged = probes
       .withColumn("__qv", lit(null).cast(quotes.schema(quoteVal).dataType))
       .withColumn("__isProbe", lit(1))

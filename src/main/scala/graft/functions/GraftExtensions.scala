@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{CosineSimilarity, MinHashSignature, MjdToTimestamp, NativeBridge, ShingleArray, SimHash64, TimestampToMjd}
+import org.apache.spark.sql.graft.{CosineSimilarity, EvalBarrier, MinHashSignature, MjdToTimestamp, NativeBridge, ShingleArray, SimHash64, TimestampToMjd}
 
 /** Registers the native expressions as SQL functions so every operator is
   * reachable from `spark.sql` (SURVEY.md §7.1 `sql/` surface). Install
@@ -66,4 +66,8 @@ object GraftExtensions {
     NativeBridge.column(SimHash64(NativeBridge.expression(tokenHashes)))
   def shingles(tokens: Column, k: Int): Column =
     NativeBridge.column(ShingleArray(NativeBridge.expression(tokens), k))
+  /** Pins evaluation order of side-effecting expressions (see
+    * org.apache.spark.sql.graft.EvalBarrier). */
+  def evalBarrier(c: Column): Column =
+    NativeBridge.column(EvalBarrier(NativeBridge.expression(c)))
 }

@@ -128,7 +128,16 @@ object SmsIngest {
       .join(ingestedFileIds, Seq("file_id"), "left_anti")
       .select("path").as[String].collect().toSeq
     if (todo.nonEmpty) {
-      graft.ops.MergeOps.mergeParquet(spark, tableDir, parse(spark, todo),
+      val parsed = parse(spark, todo)
+      // a discovered file yielding ZERO exposure rows is malformed — the
+      // reference rejects such files rather than silently skipping them
+      // (tests/test_sms_ingest.py:50–55)
+      val yielded = parsed.select("FILEID").distinct().as[String].collect().toSet
+      val expected = todo.map(p => p.split('/').last.split('.').head).toSet
+      val empty = expected -- yielded
+      require(empty.isEmpty,
+        s"malformed SMS file(s) produced no exposure rows: ${empty.mkString(", ")}")
+      graft.ops.MergeOps.mergeParquet(spark, tableDir, parsed,
         Seq("EXPOSURE"), "FILEID")
     }
   }

@@ -31,13 +31,20 @@ object Relational {
     val sameLen = arrayCols.tail
       .map(c => size(col(c)) === size(col(arrayCols.head)))
       .foldLeft(lit(true))(_ && _)
-    val checked =
+    // The ragged check guards the zip expression ITSELF (not a separate
+    // unused column, which column pruning could legally remove), and the
+    // guard sits behind an evaluation barrier: optimizer rules (inferred
+    // generator filters + predicate pushdown) would otherwise evaluate
+    // the raise_error on rows that upstream filters already removed.
+    val zipExpr = arrays_zip(arrayCols.map(col): _*)
+    val guardedZip =
       if (strict && arrayCols.size > 1)
-        df.withColumn("__len_ok", when(sameLen, lit(true)).otherwise(
-          raise_error(concat(lit(s"ragged arrays in explodeArrays(${arrayCols.mkString(",")})")))))
-      else df.withColumn("__len_ok", lit(true))
-    val zipped = checked
-      .withColumn("__z", arrays_zip(arrayCols.map(col): _*))
+        graft.functions.GraftExtensions.evalBarrier(
+          when(sameLen, zipExpr).otherwise(raise_error(
+            lit(s"ragged arrays in explodeArrays(${arrayCols.mkString(",")})"))))
+      else zipExpr
+    val zipped = df
+      .withColumn("__z", guardedZip)
       .select(scalarCols :+ posexplode(col("__z")): _*)
     arrayCols.foldLeft(zipped) { (d, c) => d.withColumn(c, col("col")(c)) }
       .withColumnRenamed("pos", posCol)

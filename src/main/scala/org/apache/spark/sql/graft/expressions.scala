@@ -396,3 +396,24 @@ object BloomOps {
     }
   }
 }
+
+/** Identity wrapper marked non-deterministic: filters cannot be pushed
+  * below a Project containing it and projects do not collapse through it,
+  * pinning the child's evaluation to its position in the plan. Needed for
+  * expressions with side effects (raise_error guards): optimizer rules
+  * like InferFiltersFromGenerate + predicate pushdown otherwise evaluate
+  * them on rows that upstream filters were meant to remove. */
+case class EvalBarrier(child: Expression) extends UnaryExpression {
+  override lazy val deterministic: Boolean = false
+  override def dataType: DataType = child.dataType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "eval_barrier"
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    child.eval(input)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = c.code, isNull = c.isNull, value = c.value)
+  }
+  override protected def withNewChildInternal(newChild: Expression): EvalBarrier =
+    copy(child = newChild)
+}

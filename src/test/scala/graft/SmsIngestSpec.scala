@@ -73,6 +73,19 @@ class SmsIngestSpec extends SparkSpec {
     assert(out == Set("/d/100001ab.txt", "/d/100002b1.txt", "/d/100003c2.l-exp"))
   }
 
+  test("malformed SMS file (no parseable exposure rows) is rejected") {
+    val base = Files.createTempDirectory("sms-bad").toString
+    val srcDir = s"$base/src"
+    new java.io.File(srcDir).mkdirs()
+    Files.writeString(java.nio.file.Paths.get(srcDir, "100009zz.txt"),
+      "this file has headers\nbut no valid exposure lines at all\n")
+    val ex = intercept[IllegalArgumentException] {
+      SmsIngest.ingest(spark, s"$srcDir/*", s"$base/table",
+        spark.emptyDataset[String].toDF("file_id"))
+    }
+    assert(ex.getMessage.contains("100009zz"))
+  }
+
   test("ingest end-to-end: version-guarded re-ingest and FILEID supersession") {
     val base = Files.createTempDirectory("sms-ing").toString
     val srcDir = s"$base/src"

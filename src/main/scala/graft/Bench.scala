@@ -20,19 +20,30 @@ object Bench {
     // session warm-up: JVM/codegen init is not a query cost
     spark.range(1000000).selectExpr("sum(id)").collect()
     // per-query time = min of two runs (JIT/GC noise is ~10% on a warm
-    // single-JVM session; min-of-2 reports steady-state cost)
+    // single-JVM session; min-of-2 reports steady-state cost). A query
+    // that throws is reported as null (never a near-zero elapsed time
+    // that would silently deflate the total) and logged to stderr.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable =>
+            System.err.println(s"BENCH FAILURE $name: ${e.getMessage}")
+            false
+        }
+        (ok, (System.nanoTime() - t0) / 1e9)
       }
-      name -> times.min
+      name -> (if (times.forall(_._1)) Some(times.map(_._2).min) else None)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map { case (k, v) =>
+      "\"" + k + "\":" + v.map(_.toString).getOrElse("null")
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, None) => k }
+    val total = results.flatMap(_._2).sum
+    val errs =
+      if (failed.isEmpty) ""
+      else failed.map("\"" + _ + "\"").mkString(""","errors":[""", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

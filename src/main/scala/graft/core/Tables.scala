@@ -28,4 +28,20 @@ object Tables {
       .foldLeft(df)((d, f) =>
         d.withColumn(f.name, timestamp_micros(expr(s"${f.name} div 1000"))))
   }
+
+  /** Number of scan splits a table yields: parquet files under the path
+    * (each test table is one single-row-group file → 1). Feeds
+    * `Relational.fanOut` so CPU-dense stages repartition only when the
+    * source genuinely under-splits. Filesystem metadata only — no Spark
+    * planning. */
+  def splitCount(dir: String, name: String): Int = {
+    val p = new java.io.File(s"$dir/$name.parquet")
+    if (p.isDirectory)
+      Option(p.listFiles()).map(_.count(_.getName.endsWith(".parquet"))).getOrElse(1).max(1)
+    else 1
+  }
+
+  /** Load + fan out in one call for CPU-dense pipelines. */
+  def fannedOut(spark: SparkSession, dir: String, name: String): DataFrame =
+    graft.ops.Relational.fanOut(apply(spark, dir, name), splitCount(dir, name))
 }

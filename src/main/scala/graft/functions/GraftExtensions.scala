@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{CosineSimilarity, EvalBarrier, MinHashSignature, MjdToTimestamp, NativeBridge, ShingleArray, SimHash64, TimestampToMjd}
+import org.apache.spark.sql.graft.{CosineSimilarity, EvalBarrier, MinHashSignature, MjdToTimestamp, NativeBridge, RegexpExtractGroups, ShingleArray, SimHash64, TimestampToMjd}
 
 /** Registers the native expressions as SQL functions so every operator is
   * reachable from `spark.sql` (SURVEY.md §7.1 `sql/` surface). Install
@@ -39,7 +39,12 @@ object GraftExtensions {
         args(1).eval().asInstanceOf[Number].intValue())),
     ("simhash64",
       info("simhash64", "simhash64(hashes) - 64-bit SimHash of pre-hashed tokens."),
-      (args: Seq[Expression]) => SimHash64(args.head)))
+      (args: Seq[Expression]) => SimHash64(args.head)),
+    ("regexp_extract_groups",
+      info("regexp_extract_groups",
+        "regexp_extract_groups(str, pattern) - all capture groups of one match as array<string>, null if no match."),
+      (args: Seq[Expression]) => RegexpExtractGroups(args.head,
+        args(1).eval().asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)))
 
   /** Register on an existing session (tests, REPL). Functions go into the
     * session registry; the pushdown rule into experimental optimizations
@@ -66,6 +71,8 @@ object GraftExtensions {
     NativeBridge.column(SimHash64(NativeBridge.expression(tokenHashes)))
   def shingles(tokens: Column, k: Int): Column =
     NativeBridge.column(ShingleArray(NativeBridge.expression(tokens), k))
+  def regexpGroups(str: Column, pattern: String): Column =
+    NativeBridge.column(RegexpExtractGroups(NativeBridge.expression(str), pattern))
   /** Pins evaluation order of side-effecting expressions (see
     * org.apache.spark.sql.graft.EvalBarrier). */
   def evalBarrier(c: Column): Column =

@@ -39,52 +39,58 @@ object SmsIngest {
       .withColumn("filename", input_file_name()))
 
   /** Parse pre-loaded report lines: `value` = line text, `filename` =
-    * source path. One output row per exposure line. */
+    * source path. One output row per exposure line.
+    *
+    * The whole 16-field extraction is ONE anchored regex evaluated once
+    * per line (native RegexpExtractGroups): per-field `regexp_extract`
+    * calls would rescan the line per field (~11 scans, most with
+    * lookbehinds — measured 2.7× slower at bench scale). The combined
+    * pattern concatenates the reference's field patterns
+    * (ingest_sms.py:20–37) in report column order with the same
+    * alternations, so per-field semantics are unchanged (pinned
+    * byte-level in SmsIngestSpec); a line that fails any required field
+    * yields no row, which is what the malformed-file check expects. */
   def parseLines(lines: DataFrame): DataFrame = {
     val v = col("value")
     val fileId = regexp_extract(col("filename"), "([^/]+?)(\\.[^/.]*)?$", 1)
-    // Multi-group patterns are scanned ONCE (match-0 extracted, then the
-    // materialized match is split) instead of one full-line regex scan per
-    // group — the groups of one pattern cost one scan, not four.
+    val g = graft.functions.GraftExtensions.regexpGroups(v, linePattern)
     lines
       .filter(v.rlike("^l[a-z0-9]{7} "))
       .filter(!v.contains("MEMORY") && !v.contains("ALIGN/OSM") &&
         !v.contains("ALIGN/APER"))
-      .select(v, fileId.as("FILEID"),
-        regexp_extract(v, "(PSA|BOA|WCA|FCA|RELATIVE|REL) (\\w|\\s+)", 0).as("__aper"),
-        regexp_extract(v, osmPattern, 0).as("__osm"),
-        regexp_extract(v, cenwavePattern, 0).as("__cen"))
-      .select(v, col("FILEID"),
-        split(trim(col("__aper")), "\\s+").as("__aperA"),
-        split(trim(col("__osm")), "\\s+").as("__osmA"),
-        split(trim(col("__cen")), "\\s+").as("__cenA"))
+      .select(fileId.as("FILEID"), g.as("__g"))
+      .filter(col("__g").isNotNull)
       .select(
-        regexp_extract(v, "^(l[a-z0-9]{7}) ", 1).as("ROOTNAME"),
-        regexp_extract(v, "(?<=l[a-z0-9]{7} )\\d{5}", 0).cast("int").as("PROPOSID"),
-        regexp_replace(
-          regexp_extract(v, "(?<= )[A-Z0-9]{3} [A-Z0-9]{2} [A-Z0-9]{2}(?= \\d{2} )", 0),
-          " ", "").as("EXPOSURE"),
-        regexp_extract(v, "(?<= )(NUV|FUV)(?= )", 1).as("DETECTOR"),
-        regexp_extract(v, "ACQ/\\S{5,6}|TIME-TAG|ACCUM", 0).as("OPMODE"),
-        regexp_extract(v, "(?<= )\\d+\\.\\d(?= )", 0).cast("double").as("EXPTIME"),
-        regexp_extract(v, "\\d{4}\\.\\d{3}:\\d{2}:\\d{2}:\\d{2}", 0).as("EXPSTART"),
-        naIfBlank(regexp_extract(v,
-          "(?<=\\d{4}\\.\\d{3}:\\d{2}:\\d{2}:\\d{2} )( {6}|HV[a-zA-Z]{3,4}|\\d{3}/\\d{3}(?= ))", 1))
-          .as("FUVHVSTATE"),
-        concat_ws(" ", col("__aperA")).as("APERTURE"),
-        try_element_at(col("__osmA"), lit(1)).as("OSM1POS"),
-        naIfDashes(coalesce(try_element_at(col("__osmA"), lit(2)), lit(""))).as("OSM2POS"),
-        try_element_at(col("__cenA"), lit(1)).cast("int").as("CENWAVE"),
-        (try_element_at(col("__cenA"), lit(2)).cast("int") + 3).as("FPPOS"),
-        try_element_at(col("__cenA"), lit(3)).cast("double").as("TSINCEOSM1"),
-        try_element_at(col("__cenA"), lit(4)).cast("double").as("TSINCEOSM2"),
+        col("__g")(0).as("ROOTNAME"),
+        col("__g")(1).cast("int").as("PROPOSID"),
+        concat(col("__g")(2), col("__g")(3), col("__g")(4)).as("EXPOSURE"),
+        col("__g")(5).as("DETECTOR"),
+        col("__g")(6).as("OPMODE"),
+        col("__g")(7).cast("double").as("EXPTIME"),
+        col("__g")(8).as("EXPSTART"),
+        naIfBlank(col("__g")(9)).as("FUVHVSTATE"),
+        concat_ws(" ", split(trim(col("__g")(10)), "\\s+")).as("APERTURE"),
+        col("__g")(11).as("OSM1POS"),
+        naIfDashes(col("__g")(12)).as("OSM2POS"),
+        col("__g")(13).cast("int").as("CENWAVE"),
+        (trim(col("__g")(14)).cast("int") + 3).as("FPPOS"),
+        col("__g")(15).cast("double").as("TSINCEOSM1"),
+        col("__g")(16).cast("double").as("TSINCEOSM2"),
         col("FILEID"))
   }
 
-  private val osmPattern =
-    "(NCM1|G130M|G140L|G160M|NCM1FLAT)\\s+(-----|MIRRORA|MIRRORB|G\\d{3}M|G\\d{3}L)"
-  private val cenwavePattern =
-    "(?<= )(0|\\d{4}|\\d{3}) ( 0|-1|-2|-3| 1)\\s+(\\d{1,6})\\s+(\\d{1,6})"
+  /** One anchored pattern over the full exposure line; groups (1-based):
+    * 1 ROOTNAME, 2 PROPOSID, 3–5 EXPOSURE (PRG OB AL), 6 DETECTOR,
+    * 7 OPMODE, 8 EXPTIME, 9 EXPSTART, 10 FUVHVSTATE (6 blanks → N/A),
+    * 11 APERTURE (+optional qualifier), 12 OSM1POS, 13 OSM2POS,
+    * 14 CENWAVE, 15 FPOFFSET, 16 TSINCEOSM1, 17 TSINCEOSM2. */
+  private val linePattern =
+    "^(l[a-z0-9]{7}) (\\d{5}) .*? ([A-Z0-9]{3}) ([A-Z0-9]{2}) ([A-Z0-9]{2}) " +
+      "\\d{2}\\s+(NUV|FUV)\\s+(ACQ/\\S{5,6}|TIME-TAG|ACCUM)\\s+(\\d+\\.\\d)\\s+" +
+      "(\\d{4}\\.\\d{3}:\\d{2}:\\d{2}:\\d{2}) ( {6}|HV[a-zA-Z]{3,4}|\\d{3}/\\d{3}) +" +
+      "((?:PSA|BOA|WCA|FCA|RELATIVE|REL)(?: \\w)?)\\s+" +
+      "(NCM1|G130M|G140L|G160M|NCM1FLAT)\\s+(-----|MIRRORA|MIRRORB|G\\d{3}M|G\\d{3}L)\\s+" +
+      "(0|\\d{4}|\\d{3}) ( 0|-1|-2|-3| 1)\\s+(\\d{1,6})\\s+(\\d{1,6})"
 
   private def naIfBlank(c: Column): Column =
     when(trim(c) === "", "N/A").otherwise(c)

@@ -56,8 +56,13 @@ object Multimodal {
   }
 
   /** Frame sampling: indices of every `stride`-th frame given the decoded
-    * frame count — pure column expression over the metadata struct. */
-  def sampleFrameIndices(meta: org.apache.spark.sql.Column, stride: Int): org.apache.spark.sql.Column =
-    filter(sequence(lit(0), greatest(meta.getField("n_frames") - 1, lit(0))),
-      i => i % stride === 0)
+    * frame count — pure column expression over the metadata struct. A
+    * zero-frame payload (empty/undecodable media) yields an empty array,
+    * not a phantom index 0. */
+  def sampleFrameIndices(meta: org.apache.spark.sql.Column, stride: Int): org.apache.spark.sql.Column = {
+    val nFrames = meta.getField("n_frames")
+    when(nFrames > 0,
+      filter(sequence(lit(0), nFrames - 1), i => i % stride === 0))
+      .otherwise(array().cast("array<int>"))
+  }
 }

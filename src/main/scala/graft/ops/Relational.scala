@@ -14,6 +14,25 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
+  /** Decouple CPU-dense per-row stages from the source's split
+    * granularity: if the source can open with fewer partitions than the
+    * cluster has cores (e.g. one small single-row-group parquet file —
+    * parquet can't split below a row group), repartition up to
+    * defaultParallelism so regex/shingling/hash stages use every core.
+    *
+    * `sourceSplits` is the caller's knowledge of how many splits the scan
+    * yields (file count × row groups; `Tables.splitCount` for the star
+    * schema). When the scan already has enough splits — the normal case
+    * on a real dataset — no shuffle is added: at 100 TB, rebalancing the
+    * raw bytes would be the wrong trade. The decision deliberately comes
+    * from the filesystem, not from planning the DataFrame (`df.rdd`
+    * forces a second physical-planning pass per call — measured as a
+    * visible per-query tax at bench scale). */
+  def fanOut(df: DataFrame, sourceSplits: Int): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (sourceSplits < p) df.repartition(p) else df
+  }
+
   /** R1 `explode_df` (reference: cosmo/monitor_helpers.py:35–49): expand N
     * equal-length array columns to one row per element, repeating scalar
     * columns; ragged input is an ERROR, not silent nulls (reference raises,

@@ -119,8 +119,17 @@ object ExtQueries {
     // No SQL oracle (16-field regex pipeline); semantics pinned byte-level
     // in SmsIngestSpec.
     Q.noOracle("s8_sms_report_parse") { (s, dir) =>
-      val lines = Tables(s, dir, "orders")
-        .select(format_string(
+      // fanOut BEFORE the report-line synthesis: the source is one small
+      // parquet split, and both format_string and the 16-field regex are
+      // CPU-dense — without it the whole parse runs on one core. The
+      // EvalBarrier is load-bearing: predicate pushdown would otherwise
+      // substitute `value` into parseLines' three line filters and sink
+      // them below the repartition — re-evaluating format_string once per
+      // predicate, all on the single pre-shuffle core (measured 3.5 s vs
+      // 0.9 s). The barrier pins synthesis above the exchange, computed
+      // once.
+      val lines = Tables.fannedOut(s, dir, "orders")
+        .select(graft.functions.GraftExtensions.evalBarrier(format_string(
           "l%07d %05d TARGET%04d  AAA %02d 01 01 %s  %s %6.1f 2024.%03d:01:02:03 %s PSA  %s   1105  0     87  20735",
           col("o_orderkey") % 10000000, col("o_custkey") % 100000,
           col("o_custkey") % 10000, col("o_orderkey") % 100,
@@ -130,7 +139,7 @@ object ExtQueries {
           col("o_orderkey") % 365 + 1,
           when(col("o_orderkey") % 2 === 0, "HVNom ").otherwise("      "),
           when(col("o_orderkey") % 2 === 0, "G140L    -----  ")
-            .otherwise("NCM1     MIRRORB")).as("value"))
+            .otherwise("NCM1     MIRRORB"))).as("value"))
         .withColumn("filename", lit("/sms/123456aa.txt"))
       graft.ingest.SmsIngest.parseLines(lines)
         .groupBy("DETECTOR", "OPMODE", "FUVHVSTATE", "OSM1POS", "OSM2POS")
@@ -146,7 +155,7 @@ object ExtQueries {
     // diff, X3 outliers. No SQL oracle (multi-stage pipeline); exact
     // semantics are pinned by MonitorsSpec.
     Q.noOracle("monitor_osm_shift") { (s, dir) =>
-      val li = Tables(s, dir, "lineitem")
+      val li = Tables.fannedOut(s, dir, "lineitem")
       val lamp = li.filter(col("l_linenumber") <= 2)
         .groupBy(col("l_orderkey"))
         .agg(sort_array(collect_list(struct(col("l_linenumber"), col("l_quantity"))))

@@ -76,7 +76,7 @@ object TextQueries {
         |  WHEN s2 > s1 THEN 'queryish' ELSE 'dataish' END AS pred_lang,
         |  COUNT(*) AS n
         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
-      Tables(s, dir, "documents")
+      Tables.fannedOut(s, dir, "documents")
         .select(Text.langIdScore(col("text"), langMarkers).as("pred_lang"))
         .groupBy("pred_lang").agg(count(lit(1)).as("n"))
         .orderBy("pred_lang")
@@ -142,7 +142,7 @@ object TextQueries {
       // per-shingle doc lists + in-array combinations: one computation of
       // the shingle explode instead of two join-side copies; identical
       // result to the self-join formulation in the oracle
-      val sh = Tables(s, dir, "documents")
+      val sh = Tables.fannedOut(s, dir, "documents")
         .select(col("doc_id"),
           explode(array_distinct(
             Text.wordShingles(split(col("text"), " ", -1), 8))).as("shingle"))
@@ -163,7 +163,7 @@ object TextQueries {
     // in MinHashSpec against exact Jaccard, and rows-checked by the driver).
     Q.noOracle("dedup_minhash_lsh") { (s, dir) =>
       Text.minhashCandidates(
-        Tables(s, dir, "documents"), "doc_id", "text",
+        Tables.fannedOut(s, dir, "documents"), "doc_id", "text",
         k = 4, numHashes = 32, bands = 16)
         .orderBy("id_a", "id_b")
     },
@@ -171,7 +171,7 @@ object TextQueries {
     // SimHash signatures + bucket histogram (no SQL oracle — hash-based;
     // Hamming-distance property verified in SimHashSpec).
     Q.noOracle("dedup_simhash_buckets") { (s, dir) =>
-      Tables(s, dir, "documents")
+      Tables.fannedOut(s, dir, "documents")
         .select(transform(split(col("text"), " ", -1), t => xxhash64(t)).as("th"))
         .select(graft.functions.GraftExtensions.simhash64(col("th")).as("sh"))
         .select(shiftrightunsigned(col("sh"), 48).as("bucket"))

@@ -46,37 +46,62 @@ object Streams {
       .start()
 
   /** Custom stateful sessionization via flatMapGroupsWithState: events
-    * group into sessions closed after `gapSeconds` of inactivity per key
-    * (processing-time timeout flushes trailing sessions). The custom-state
-    * route for semantics windowed aggregation can't express (SURVEY.md
-    * §2.11 extension). Emits one row per CLOSED session. */
+    * group into sessions closed after `gapSeconds` of event-time
+    * inactivity per key. Emits one row per CLOSED session; the custom-
+    * state route for semantics windowed aggregation can't express
+    * (SURVEY.md §2.11 extension).
+    *
+    * Trailing sessions: by default an open session stays in state until a
+    * later event closes it (and in batch execution is never emitted —
+    * pinned by TypedApiSpec). With `flushAfterGap = true` a processing-
+    * time timeout of `gapSeconds` is registered per key, so a streaming
+    * query flushes a trailing session once the key sees no data for that
+    * long. The trade-off is structural: ProcessingTimeTimeout makes the
+    * micro-batch engine run batches continuously to check timers (so
+    * `processAllAvailable()` never returns and idle cost is nonzero) —
+    * which is why it is opt-in rather than the default. */
   def sessionize(events: org.apache.spark.sql.Dataset[(Long, Long, Double)],
-                 gapSeconds: Long): org.apache.spark.sql.Dataset[SessionOut] = {
+                 gapSeconds: Long,
+                 flushAfterGap: Boolean = false): org.apache.spark.sql.Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val timeoutConf =
+      if (flushAfterGap) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events.groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
         (user: Long, rows: Iterator[(Long, Long, Double)],
          state: GroupState[SessionState]) => {
-          val sorted = rows.toSeq.sortBy(_._2)
-          var cur = state.getOption
-          val closed = Seq.newBuilder[SessionOut]
-          sorted.foreach { case (_, tSec, v) =>
-            cur match {
-              case Some(s) if tSec - s.lastSec > gapSeconds =>
-                closed += SessionOut(user, s.startSec, s.lastSec, s.n, s.sum)
-                cur = Some(SessionState(tSec, tSec, 1L, v))
-              case Some(s) =>
-                cur = Some(SessionState(s.startSec, tSec, s.n + 1, s.sum + v))
-              case None =>
-                cur = Some(SessionState(tSec, tSec, 1L, v))
+          if (state.hasTimedOut) {
+            // no data for gapSeconds of wall-clock time: flush the open
+            // trailing session and drop the state
+            val flushed = state.getOption.map(s =>
+              SessionOut(user, s.startSec, s.lastSec, s.n, s.sum))
+            state.remove()
+            flushed.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(_._2)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { case (_, tSec, v) =>
+              cur match {
+                case Some(s) if tSec - s.lastSec > gapSeconds =>
+                  closed += SessionOut(user, s.startSec, s.lastSec, s.n, s.sum)
+                  cur = Some(SessionState(tSec, tSec, 1L, v))
+                case Some(s) =>
+                  cur = Some(SessionState(s.startSec, tSec, s.n + 1, s.sum + v))
+                case None =>
+                  cur = Some(SessionState(tSec, tSec, 1L, v))
+              }
             }
+            cur match {
+              case Some(s) =>
+                state.update(s)
+                if (flushAfterGap) state.setTimeoutDuration(gapSeconds * 1000L)
+              case None => ()
+            }
+            closed.result().iterator
           }
-          cur match {
-            case Some(s) => state.update(s)
-            case None => ()
-          }
-          closed.result().iterator
         })
   }
 

@@ -60,7 +60,9 @@ case class TimestampToMjd(child: Expression)
   * both norms accumulate in a single generated loop, vs three separate
   * array traversals (plus zip_with allocation) for the HOF composition
   * `dot(a,b)/(norm(a)*norm(b))`. Null or zero-norm input → 0.0 (matching
-  * graft.ops.Similarity.cosine's guard). Arrays must have equal length. */
+  * graft.ops.Similarity.cosine's guard). Unequal-length arrays → null,
+  * matching the HOF reference (zip_with pads with nulls, which propagate
+  * through the aggregate) — pinned by NativeExprSpec. */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {
 
@@ -68,11 +70,13 @@ case class CosineSimilarity(left: Expression, right: Expression)
     Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
+  override def nullable: Boolean = true
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var dot = 0.0d; var nx = 0.0d; var ny = 0.0d
     var i = 0
     while (i < n) {
@@ -95,15 +99,19 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val yi = ctx.freshName("yi")
       val denom = ctx.freshName("denom")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0d; double $nx = 0.0d; double $ny = 0.0d;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = $a.getDouble($i);
-         |  double $yi = $b.getDouble($i);
-         |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $dot = 0.0d; double $nx = 0.0d; double $ny = 0.0d;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xi = $a.getDouble($i);
+         |    double $yi = $b.getDouble($i);
+         |    $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |  }
+         |  double $denom = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);
+         |  ${ev.value} = ($denom == 0.0d) ? 0.0d : $dot / $denom;
          |}
-         |double $denom = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);
-         |${ev.value} = ($denom == 0.0d) ? 0.0d : $dot / $denom;
        """.stripMargin
     })
 
@@ -127,8 +135,15 @@ object NativeBridge {
   * functions, the minimum over the shingle array — as a native loop
   * instead of `numHashes` separate aggregate() HOF calls (HOF lambdas are
   * evaluated interpreted, per element, per hash). Output: array<long> of
-  * length `numHashes`. Salting = xxhash64(shingle, seed=i), identical to
-  * graft.ops.Text.minhashSignature. */
+  * length `numHashes`.
+  *
+  * Hash family contract: component j equals Spark's `xxhash64(s, lit(j))`
+  * — i.e. base = xxhash64(s) with the default seed 42, then the salt int
+  * j hashed with base as the seed (XXH64.hashInt(j, base)). This keeps
+  * signatures bit-identical to graft.ops.Text.minhashSignature's HOF
+  * formulation (pinned by NativeExprSpec), so signatures persisted via
+  * either path stay comparable. It is also cheaper: one string hash per
+  * shingle, then `numHashes` int hashes — not `numHashes` string hashes. */
 case class MinHashSignature(child: Expression, numHashes: Int)
     extends UnaryExpression with ImplicitCastInputTypes {
 
@@ -146,6 +161,7 @@ case class MinHashSignature(child: Expression, numHashes: Int)
       val n = ctx.freshName("n")
       val sig = ctx.freshName("sig")
       val s = ctx.freshName("s")
+      val base = ctx.freshName("base")
       val h = ctx.freshName("h")
       s"""
          |int $n = $arr.numElements();
@@ -154,9 +170,11 @@ case class MinHashSignature(child: Expression, numHashes: Int)
          |for (int $i = 0; $i < $n; $i++) {
          |  if (!$arr.isNullAt($i)) {
          |    org.apache.spark.unsafe.types.UTF8String $s = $arr.getUTF8String($i);
+         |    long $base = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+         |      .hash($s, $st, 42L);
          |    for (int $j = 0; $j < $numHashes; $j++) {
-         |      long $h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
-         |        .hash($s, $st, (long) $j);
+         |      long $h = org.apache.spark.sql.catalyst.expressions.XXH64
+         |        .hashInt($j, $base);
          |      if ($h < $sig[$j]) $sig[$j] = $h;
          |    }
          |  }
@@ -173,9 +191,11 @@ case class MinHashSignature(child: Expression, numHashes: Int)
     while (i < n) {
       if (!arr.isNullAt(i)) {
         val s = arr.getUTF8String(i)
+        val base = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(s, StringType, 42L)
         var j = 0
         while (j < numHashes) {
-          val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(s, StringType, j.toLong)
+          val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(j, base)
           if (h < sig(j)) sig(j) = h
           j += 1
         }
@@ -291,6 +311,72 @@ case class ShingleArray(child: Expression, k: Int)
   }
 
   override protected def withNewChildInternal(newChild: Expression): ShingleArray =
+    copy(child = newChild)
+}
+
+/** All capture groups of ONE regex match as `array<string>`: the pattern
+  * (a foldable literal) compiles once per operator, `find()` runs once per
+  * row, and every group is read from the same Matcher. The composed
+  * alternative — one `regexp_extract` per field — rescans the line per
+  * field; for the 16-field SMS report parse that is ~11 full scans of
+  * every line, most with lookbehinds. No match → null; an unmatched
+  * optional group → null element. */
+case class RegexpExtractGroups(child: Expression, pattern: String)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def nullable: Boolean = true
+  override def prettyName: String = "regexp_extract_groups"
+
+  @transient private lazy val compiled: java.util.regex.Pattern =
+    java.util.regex.Pattern.compile(pattern)
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else {
+      val m = compiled.matcher(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+      if (!m.find()) null
+      else {
+        val out = new Array[AnyRef](m.groupCount())
+        var i = 0
+        while (i < out.length) {
+          val g = m.group(i + 1)
+          out(i) = if (g == null) null
+            else org.apache.spark.unsafe.types.UTF8String.fromString(g)
+          i += 1
+        }
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+      }
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val patRef = ctx.addReferenceObj("pattern", compiled, "java.util.regex.Pattern")
+    nullSafeCodeGen(ctx, ev, c => {
+      val m = ctx.freshName("m")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val g = ctx.freshName("g")
+      s"""
+         |java.util.regex.Matcher $m = $patRef.matcher($c.toString());
+         |if (!$m.find()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  Object[] $out = new Object[$m.groupCount()];
+         |  for (int $i = 0; $i < $out.length; $i++) {
+         |    String $g = $m.group($i + 1);
+         |    $out[$i] = ($g == null) ? null
+         |      : org.apache.spark.unsafe.types.UTF8String.fromString($g);
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RegexpExtractGroups =
     copy(child = newChild)
 }
 

@@ -34,6 +34,27 @@ class NativeExprSpec extends SparkSpec {
     out.foreach { case (n, h) => assert(math.abs(n - h) < 1e-12, s"$n vs $h") }
   }
 
+  test("cosine_sim on unequal-length arrays is null, matching the HOF") {
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0))).toDF("a", "b")
+    val row = df.select(
+      GraftExtensions.cosineSim(col("a"), col("b")).as("native"),
+      Similarity.cosineHof(col("a"), col("b")).as("hof")).head()
+    assert(row.isNullAt(0), "native must be null on length mismatch")
+    assert(row.isNullAt(1), "HOF reference is null on length mismatch")
+  }
+
+  test("native minhash signature is bit-identical to the HOF formulation") {
+    val df = Seq(
+      Seq("the quick", "quick brown", "brown fox", "fox jumps"),
+      Seq("single"),
+      Seq("a", "b", "c", "d", "e", "f", "g", "h")).toDF("sh")
+    val out = df.select(
+      GraftExtensions.minhashSignature(col("sh"), 16).as("native"),
+      graft.ops.Text.minhashSignature(col("sh"), 16).as("hof"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    out.foreach { case (n, h) => assert(n == h, s"$n vs $h") }
+  }
+
   test("SQL registration: functions callable from spark.sql") {
     GraftExtensions.register(spark)
     val r = spark.sql(

@@ -63,5 +63,10 @@ class TimeFnsSpec extends SparkSpec {
       .select(Multimodal.sampleFrameIndices(col("media_meta"), 2))
       .as[Seq[Int]].head()
     assert(frames.forall(_ % 2 == 0) && frames.nonEmpty)
+    // zero-frame payload (empty bytes) samples NO frames, not [0]
+    val empty = out.filter(col("id") === "b")
+      .select(Multimodal.sampleFrameIndices(col("media_meta"), 2))
+      .as[Seq[Int]].head()
+    assert(empty.isEmpty)
   }
 }

@@ -62,6 +62,27 @@ class TypedApiSpec extends SparkSpec {
     assert(closed.head == SessionOut(1L, 0L, 10L, 2L, 3.0))
   }
 
+  test("flushAfterGap: processing-time timeout flushes the trailing open session") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Double)]
+    val q = Streams.sessionize(input.toDS(), gapSeconds = 1L, flushAfterGap = true)
+      .writeStream.format("memory").queryName("sess_flush")
+      .outputMode("append").start()
+    // NOTE: with ProcessingTimeTimeout the engine runs batches
+    // continuously, so processAllAvailable() would never return — poll
+    // the sink with a deadline instead.
+    input.addData((1L, 0L, 1.0), (1L, 1L, 2.0))    // opens a session for key 1
+    val deadline = System.currentTimeMillis() + 60000L
+    def flushed() = spark.table("sess_flush").as[SessionOut].collect()
+    while (flushed().isEmpty && System.currentTimeMillis() < deadline)
+      Thread.sleep(200L)
+    val out = flushed()
+    q.stop()
+    assert(out.contains(SessionOut(1L, 0L, 1L, 2L, 3.0)),
+      s"expected key 1's open session flushed by timeout, got ${out.toSeq}")
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions on gaps") {
     // user 1: events at t=0,10,20 then 4000,4010 -> one closed session
     // (0..20) once the second burst arrives; user 2: single burst, stays open

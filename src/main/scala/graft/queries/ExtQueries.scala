@@ -156,22 +156,29 @@ object ExtQueries {
     // semantics are pinned by MonitorsSpec.
     Q.noOracle("monitor_osm_shift") { (s, dir) =>
       val li = Tables.fannedOut(s, dir, "lineitem")
+      // conditional aggregation (map-side combinable) instead of
+      // sort_array(collect_list(struct)) — same 2-element ordered arrays,
+      // a fraction of the shuffle bytes and no per-group array sort
       val lamp = li.filter(col("l_linenumber") <= 2)
         .groupBy(col("l_orderkey"))
-        .agg(sort_array(collect_list(struct(col("l_linenumber"), col("l_quantity"))))
-          .as("z"))
-        .filter(size(col("z")) === 2)
+        .agg(max(when(col("l_linenumber") === 1, col("l_quantity"))).as("q1"),
+          max(when(col("l_linenumber") === 2, col("l_quantity"))).as("q2"))
+        .filter(col("q1").isNotNull && col("q2").isNotNull)
         .select(
           concat(lit("r"), col("l_orderkey"), lit("q")).as("ROOTNAME"),
           (lit(59000.0) + (col("l_orderkey") % 100)).as("EXPSTART"),
           when(col("l_orderkey") % 10 === 0, "NUV").otherwise("FUV").as("DETECTOR"),
           lit("G160M").as("OPT_ELEM"),
           array(lit(0.0), lit(10.0)).as("TIME"),
-          transform(col("z"), x => x("l_quantity")).as("SHIFT_DISP"),
-          transform(col("z"), x => x("l_quantity") / 10).as("SHIFT_XDISP"),
+          array(col("q1"), col("q2")).as("SHIFT_DISP"),
+          array(col("q1") / 10, col("q2") / 10).as("SHIFT_XDISP"),
           array(lit("FUVA"), lit("FUVB")).as("SEGMENT"))
-      val sms = li.select(concat(lit("r"), col("l_orderkey")).as("ROOTNAME"),
-        (col("l_orderkey") % 1000).cast("double").as("TSINCEOSM1")).distinct()
+      // SMS rows come from orders, whose key is already unique — the
+      // lineitem-derived formulation paid a full distinct shuffle for the
+      // same key set (every lamp ROOTNAME joins; inner join drops extras)
+      val sms = Tables(s, dir, "orders")
+        .select(concat(lit("r"), col("o_orderkey")).as("ROOTNAME"),
+          (col("o_orderkey") % 1000).cast("double").as("TSINCEOSM1"))
       val exploded = graft.monitors.Monitors.osmShiftData(lamp, sms)
       val diffs = graft.ops.Relational.segmentDiff(
         exploded.groupBy("ROOTNAME", "SEGMENT").agg(first("SHIFT_DISP").as("v")),
@@ -219,14 +226,28 @@ object ExtQueries {
         .orderBy("lang")
     },
 
-    // Seeded stratified sampling per event_type (no SQL oracle — Spark's
-    // Bernoulli sampler is engine-specific; determinism comes from the
-    // fixed seed, the driver rows-checks).
-    Q.noOracle("ext_stratified_sample") { (s, dir) =>
+    // Stratified sampling with per-stratum rates via content hash: keep a
+    // row when its md5 bucket falls under the stratum's threshold. Fully
+    // deterministic and engine-portable (hex strings compare identically
+    // in Spark and DuckDB), unlike seeded Bernoulli samplers — so this
+    // one oracles exactly. Rates: click 0x80/256=50%, view 0x33/256≈20%,
+    // purchase all, error 0x1a/256≈10%. The seeded `df.stat.sampleBy`
+    // variant stays available (exercised in ScaleSpec); the hash split is
+    // what a reproducible train/held-out partition actually uses.
+    Q("ext_stratified_sample",
+      """SELECT event_type, COUNT(*) AS n
+        |FROM events
+        |WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 2) <
+        |  CASE event_type WHEN 'click' THEN '80' WHEN 'view' THEN '33'
+        |    WHEN 'purchase' THEN 'g' WHEN 'error' THEN '1a' ELSE '' END
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
       Tables(s, dir, "events")
-        .stat.sampleBy("event_type",
-          Map("click" -> 0.5, "view" -> 0.2, "purchase" -> 1.0, "error" -> 0.1),
-          seed = 42L)
+        .filter(substring(md5(col("event_id").cast("string")), 1, 2) <
+          when(col("event_type") === "click", "80")
+            .when(col("event_type") === "view", "33")
+            .when(col("event_type") === "purchase", "g")
+            .when(col("event_type") === "error", "1a")
+            .otherwise(""))
         .groupBy("event_type").agg(count(lit(1)).as("n"))
         .orderBy("event_type")
     },

@@ -106,6 +106,33 @@ object SimilarityQueries {
         .orderBy("vec_id")
     },
 
+    // Embedding-cosine near-duplicate pairs — the vector-space member of
+    // the dedup family (exact, MinHash, SimHash, n-gram Jaccard live in
+    // TextQueries). Label-blocked self-join: candidates meet only within
+    // a block, the exact-form counterpart of the LSH/IVF bucket joins
+    // that replace it at 100 TB. Oracled exactly via DuckDB
+    // list_cosine_similarity on the same rounded values.
+    Q("dedup_embedding",
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |    CAST(b.embedding AS DOUBLE[])), 3) + 0 AS sim
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |    CAST(b.embedding AS DOUBLE[])), 3) >= 0.35
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+        .select(col("label"), col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val a = e.select(col("label"), col("vec_id").as("id_a"), col("v").as("va"))
+      val b = e.select(col("label"), col("vec_id").as("id_b"), col("v").as("vb"))
+      a.join(b, Seq("label"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("sim", round(Similarity.cosine(col("va"), col("vb")), 3) + lit(0))
+        .filter(col("sim") >= 0.35)
+        .select("id_a", "id_b", "sim")
+        .orderBy("id_a", "id_b")
+    },
+
     // LSH-bucketed ANN (no SQL oracle — bucket assignment is seeded;
     // recall-vs-brute-force is verified in SimilaritySpec). Emits the
     // bucket occupancy histogram, which is deterministic.

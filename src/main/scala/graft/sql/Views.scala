@@ -9,11 +9,17 @@ import graft.functions.GraftExtensions
   * from `spark.sql(...)` — the ad-hoc query path of the reference
   * (docs/source/sms.rst:62–95: users query tables directly). */
 object Views {
+  // one registration per (session, dir): re-registering re-reads every
+  // table's parquet footer, a visible per-query tax on the ad-hoc path
+  private val registered = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   def register(spark: SparkSession, dir: String): Unit = {
-    Tables.names.foreach { name =>
-      try Tables(spark, dir, name).createOrReplaceTempView(name)
-      catch { case _: Throwable => () } // missing optional table
+    if (registered.add(System.identityHashCode(spark) + "@" + dir)) {
+      Tables.names.foreach { name =>
+        try Tables(spark, dir, name).createOrReplaceTempView(name)
+        catch { case _: Throwable => () } // missing optional table
+      }
+      GraftExtensions.register(spark)
     }
-    GraftExtensions.register(spark)
   }
 }

@@ -50,6 +50,17 @@ class ScaleSpec extends SparkSpec {
     assert(plain.size == 5000 - 5000 / 7)
   }
 
+  test("seeded stratified sampleBy hits per-stratum rates") {
+    val df = (1 to 20000).map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("id", "s")
+    val sampled = df.stat.sampleBy("s", Map("a" -> 0.5, "b" -> 0.1), seed = 42L)
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(math.abs(sampled("a") / 10000.0 - 0.5) < 0.05)
+    assert(math.abs(sampled("b") / 10000.0 - 0.1) < 0.05)
+    // same seed -> identical sample (reproducible split)
+    val again = df.stat.sampleBy("s", Map("a" -> 0.5, "b" -> 0.1), seed = 42L).count()
+    assert(again == sampled.values.sum)
+  }
+
   test("date-partitioned writes prune partitions under a date filter") {
     val dir = Files.createTempDirectory("part").toString + "/t"
     (1 to 100).map(i => (i, s"2024-01-${i % 4 + 1}"))

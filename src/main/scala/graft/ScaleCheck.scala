@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 10× scale diagnostic (BACKLOG: catch the next cliff before the driver
+  * does): unions 10 key-shifted copies of the sf tables — no synthetic
+  * data generation — and times the scale-sensitive pipelines. Run
+  * per-round after bench; results go to PERF.md's scale table.
+  * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 runMain graft.ScaleCheck
+  */
+object ScaleCheck {
+  private def time(label: String)(f: => Long): Unit = {
+    val t0 = System.nanoTime(); val n = f
+    println(f"[scale10x] $label%-34s ${(System.nanoTime() - t0) / 1e9}%6.2f s  ($n rows)")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+
+    def x10(df: DataFrame)(shift: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until 10).map(i => shift(df, i)).reduce(_.unionByName(_))
+
+    val orders10 = x10(core.Tables.fannedOut(spark, sfDir, "orders")) { (d, i) =>
+      d.withColumn("o_orderkey", col("o_orderkey") + lit(i * 100000000L))
+    }
+    val lineitem10 = x10(core.Tables.fannedOut(spark, sfDir, "lineitem")) { (d, i) =>
+      d.withColumn("l_orderkey", col("l_orderkey") + lit(i * 100000000L))
+    }
+    val docs10 = x10(core.Tables.fannedOut(spark, sfDir, "documents")) { (d, i) =>
+      d.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
+    }
+    val emb10 = x10(core.Tables(spark, sfDir, "embeddings")) { (d, i) =>
+      d.withColumn("vec_id", col("vec_id") + lit(i * 1000000L))
+        .withColumn("label", col("label") + lit(i * 1000))
+    }
+
+    // 1. SMS report parse: 10× the synthesized exposure lines
+    time("s8 parse+agg (1.5M lines)") {
+      val lines = orders10
+        .select(functions.GraftExtensions.evalBarrier(format_string(
+          "l%07d %05d TARGET%04d  AAA %02d 01 01 %s  %s %6.1f 2024.%03d:01:02:03 %s PSA  %s   1105  0     87  20735",
+          col("o_orderkey") % 10000000, col("o_custkey") % 100000,
+          col("o_custkey") % 10000, col("o_orderkey") % 100,
+          when(col("o_orderkey") % 2 === 0, "FUV").otherwise("NUV"),
+          when(col("o_orderkey") % 3 === 0, "TIME-TAG").otherwise("ACCUM   "),
+          (col("o_totalprice") % 1000).cast("int").cast("double"),
+          col("o_orderkey") % 365 + 1,
+          when(col("o_orderkey") % 2 === 0, "HVNom ").otherwise("      "),
+          when(col("o_orderkey") % 2 === 0, "G140L    -----  ")
+            .otherwise("NCM1     MIRRORB"))).as("value"))
+        .withColumn("filename", lit("/sms/123456aa.txt"))
+      ingest.SmsIngest.parseLines(lines)
+        .groupBy("DETECTOR", "OPMODE").agg(count(lit(1)).as("n")).count()
+    }
+
+    // 2. embedding near-dup: label-blocked self-join, 20k vectors / 100 blocks
+    time("dedup_embedding (20k vecs)") {
+      val e = emb10.select(col("label"), col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val a = e.select(col("label"), col("vec_id").as("id_a"), col("v").as("va"))
+      val b = e.select(col("label"), col("vec_id").as("id_b"), col("v").as("vb"))
+      a.join(b, Seq("label")).filter(col("id_a") < col("id_b"))
+        .withColumn("sim", round(ops.Similarity.cosine(col("va"), col("vb")), 3))
+        .filter(col("sim") >= 0.35).count()
+    }
+
+    // 3. full OSM-shift monitor pipeline at 6M lineitem rows
+    time("monitor_osm_shift (6M rows)") {
+      val lamp = lineitem10.filter(col("l_linenumber") <= 2)
+        .groupBy(col("l_orderkey"))
+        .agg(max(when(col("l_linenumber") === 1, col("l_quantity"))).as("q1"),
+          max(when(col("l_linenumber") === 2, col("l_quantity"))).as("q2"))
+        .filter(col("q1").isNotNull && col("q2").isNotNull)
+        .select(
+          concat(lit("r"), col("l_orderkey"), lit("q")).as("ROOTNAME"),
+          (lit(59000.0) + (col("l_orderkey") % 100)).as("EXPSTART"),
+          when(col("l_orderkey") % 10 === 0, "NUV").otherwise("FUV").as("DETECTOR"),
+          lit("G160M").as("OPT_ELEM"),
+          array(lit(0.0), lit(10.0)).as("TIME"),
+          array(col("q1"), col("q2")).as("SHIFT_DISP"),
+          array(col("q1") / 10, col("q2") / 10).as("SHIFT_XDISP"),
+          array(lit("FUVA"), lit("FUVB")).as("SEGMENT"))
+      val sms = orders10.select(concat(lit("r"), col("o_orderkey")).as("ROOTNAME"),
+        (col("o_orderkey") % 1000).cast("double").as("TSINCEOSM1"))
+      val exploded = monitors.Monitors.osmShiftData(lamp, sms)
+      val diffs = ops.Relational.segmentDiff(
+        exploded.groupBy("ROOTNAME", "SEGMENT").agg(first("SHIFT_DISP").as("v")),
+        Seq("ROOTNAME"), "SEGMENT", "v", "FUVA", "FUVB")
+      monitors.Monitors.segmentDiffOutliers(diffs, 10.0).count()
+    }
+
+    // 4. MinHash-LSH candidates at 50k docs
+    time("minhash_lsh (50k docs)") {
+      ops.Text.minhashCandidates(docs10, "doc_id", "text",
+        k = 4, numHashes = 32, bands = 16).count()
+    }
+
+    spark.stop()
+  }
+}

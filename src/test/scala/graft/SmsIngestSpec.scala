@@ -86,6 +86,21 @@ class SmsIngestSpec extends SparkSpec {
     assert(ex.getMessage.contains("100009zz"))
   }
 
+  test("bloom-filtered discovery path skips ingested files exactly like left_anti") {
+    val base = Files.createTempDirectory("sms-bloom").toString
+    val srcDir = s"$base/src"
+    new java.io.File(srcDir).mkdirs()
+    val tableDir = s"$base/table"
+    writeReport(srcDir, "100001aa.txt", Seq(fuvLine))
+    writeReport(srcDir, "100002bb.txt", Seq(nuvLine))
+    // bloomThreshold = 0 forces the bloom route even for a tiny list
+    SmsIngest.ingest(spark, s"$srcDir/*", tableDir,
+      Seq("100001aa").toDF("file_id"), bloomThreshold = 0L)
+    val rows = spark.read.parquet(tableDir)
+      .select("ROOTNAME").as[String].collect().toSet
+    assert(rows == Set("laaa02ab"), "only the not-yet-ingested file parses")
+  }
+
   test("ingest end-to-end: version-guarded re-ingest and FILEID supersession") {
     val base = Files.createTempDirectory("sms-ing").toString
     val srcDir = s"$base/src"

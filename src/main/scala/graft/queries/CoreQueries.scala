@@ -222,7 +222,13 @@ object CoreQueries {
         |HAVING SUM(CASE WHEN l_returnflag = 'A' THEN l_quantity END) IS NOT NULL
         |   AND SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity END) IS NOT NULL
         |ORDER BY l_orderkey""".stripMargin) { (s, dir) =>
+      // one keyed repartition feeds BOTH aggregations exchange-free:
+      // HashPartitioning(l_orderkey) satisfies the (l_orderkey,
+      // l_returnflag) clustering, so the per-segment agg and the pivot
+      // reuse it (2 exchanges total instead of 3, and the first agg no
+      // longer runs on the scan's single split)
       val perSeg = Tables(s, dir, "lineitem")
+        .repartition(col("l_orderkey"))
         .groupBy("l_orderkey", "l_returnflag")
         .agg(sum("l_quantity").as("q"))
       Relational.segmentDiff(perSeg, Seq("l_orderkey"), "l_returnflag", "q", "A", "R")

@@ -155,7 +155,11 @@ object ExtQueries {
     // diff, X3 outliers. No SQL oracle (multi-stage pipeline); exact
     // semantics are pinned by MonitorsSpec.
     Q.noOracle("monitor_osm_shift") { (s, dir) =>
-      val li = Tables.fannedOut(s, dir, "lineitem")
+      // keyed repartition instead of round-robin fan-out: one exchange
+      // both spreads the single-split scan across all cores AND
+      // satisfies the groupBy(l_orderkey) clustering — the round-robin
+      // variant paid a second exchange for the aggregation
+      val li = Tables(s, dir, "lineitem").repartition(col("l_orderkey"))
       // conditional aggregation (map-side combinable) instead of
       // sort_array(collect_list(struct)) — same 2-element ordered arrays,
       // a fraction of the shuffle bytes and no per-group array sort
@@ -180,8 +184,11 @@ object ExtQueries {
         .select(concat(lit("r"), col("o_orderkey")).as("ROOTNAME"),
           (col("o_orderkey") % 1000).cast("double").as("TSINCEOSM1"))
       val exploded = graft.monitors.Monitors.osmShiftData(lamp, sms)
+      // repartition by the pivot key once: the (ROOTNAME, SEGMENT) agg
+      // and segmentDiff's ROOTNAME pivot both reuse the partitioning
       val diffs = graft.ops.Relational.segmentDiff(
-        exploded.groupBy("ROOTNAME", "SEGMENT").agg(first("SHIFT_DISP").as("v")),
+        exploded.repartition(col("ROOTNAME"))
+          .groupBy("ROOTNAME", "SEGMENT").agg(first("SHIFT_DISP").as("v")),
         Seq("ROOTNAME"), "SEGMENT", "v", "FUVA", "FUVB")
       graft.monitors.Monitors.segmentDiffOutliers(diffs, 10.0)
         .select(col("ROOTNAME"), round(col("seg_diff"), 2).as("seg_diff"))

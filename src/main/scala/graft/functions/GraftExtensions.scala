@@ -15,6 +15,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
     ext.injectOptimizerRule(_ => org.apache.spark.sql.graft.MjdPredicatePushdown)
+    ext.injectPlannerStrategy(_ => org.apache.spark.sql.graft.AsOfJoinStrategy)
   }
 }
 
@@ -58,6 +59,10 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(rule))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ rule
+    val strategy = org.apache.spark.sql.graft.AsOfJoinStrategy
+    if (!spark.experimental.extraStrategies.contains(strategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ strategy
   }
 
   /** Column-API access to the native expressions. */

@@ -268,6 +268,29 @@ object CoreQueries {
         .orderBy("event_id")
     },
 
+    // J11 again through the CUSTOM physical operator (AsOfJoinPlan →
+    // AsOfJoinStrategy → AsOfJoinExec, SparkSessionExtensions-injected):
+    // one hash exchange + one sort per side, then a linear per-partition
+    // merge — vs the union+window formulation's combined sort over both
+    // streams. Same DuckDB ASOF JOIN oracle proves the operator
+    // end-to-end.
+    Q("j11_asof_native",
+      """SELECT p.event_id, p.user_id, q.value AS last_view_value
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'view') q
+        |  ON p.user_id = q.user_id AND p.ts >= q.ts
+        |ORDER BY p.event_id""".stripMargin) { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      val probes = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val quotes = ev.filter(col("event_type") === "view")
+        .select("user_id", "ts", "value")
+      org.apache.spark.sql.graft.AsOfJoinApi
+        .asOf(probes, quotes, Seq("user_id"), "ts", "value", "last_view_value")
+        .select("event_id", "user_id", "last_view_value")
+        .orderBy("event_id")
+    },
+
     // A1 — grouped describe() (reference: acq_monitors.py:68).
     Q("a1_describe",
       """SELECT l_returnflag, COUNT(l_quantity) AS n,

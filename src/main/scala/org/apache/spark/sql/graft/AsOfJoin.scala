@@ -1,0 +1,200 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, BinaryNode => LogicalBinaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** Whole-operator custom plan for the as-of (step-function) lookup —
+  * SURVEY.md §2.3 J11 / §2.5 W8 (reference:
+  * cosmo/monitors/telemetry_monitors.py:428–457 `step_wise`).
+  *
+  * Semantics (left as-of join): for every probe row, the value of the
+  * most recent quote with `quote.time <= probe.time` within the same
+  * key group; probes with no such quote get null. Identical to
+  * `Relational.asOfLookup`'s union+window formulation (equivalence
+  * pinned in AsOfJoinSpec; both certified against DuckDB's ASOF JOIN).
+  *
+  * Why a custom operator: the window formulation unions probes and
+  * quotes and sorts the COMBINED stream once per key — 2× the rows
+  * through the sort, plus the union's column-padding. This node declares
+  * the join's true requirements (hash-cluster each side on the key, sort
+  * each side by (key, time)) and then does a linear per-partition merge:
+  * Spark's existing Exchange/Sort machinery provides the heavy lifting,
+  * the operator itself is O(n) with no buffering beyond one lookahead
+  * quote. At 100 TB each side shuffles once on the key — the minimum —
+  * and skew is AQE's problem, same as any shuffled join.
+  *
+  * The stack: [[AsOfJoinPlan]] (logical) → [[AsOfJoinStrategy]]
+  * (planner) → [[AsOfJoinExec]] (physical), registered through
+  * `SparkSessionExtensions.injectPlannerStrategy` (GraftExtensions).
+  */
+case class AsOfJoinPlan(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTime: Expression, rightTime: Expression,
+    rightValue: Expression, outAttr: AttributeReference)
+  extends LogicalBinaryNode {
+
+  override def output: Seq[Attribute] = left.output :+ outAttr
+
+  // outAttr is produced BY this node — without this it would count as a
+  // reference and CheckAnalysis would flag it missing from the children
+  override def producedAttributes: AttributeSet = AttributeSet(outAttr)
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, rv, out) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, rv, out) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(
+    left: SparkPlan, right: SparkPlan,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTime: Expression, rightTime: Expression,
+    rightValue: Expression, outAttr: AttributeReference)
+  extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output :+ outAttr
+  override def producedAttributes: AttributeSet = AttributeSet(outAttr)
+
+  // hash-cluster both sides on the key (EnsureRequirements inserts the
+  // exchanges and makes the partition counts compatible, exactly as for
+  // a sort-merge join)
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  // sort each side by (key, time); EnsureRequirements inserts the sorts
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
+    (rightKeys :+ rightTime).map(SortOrder(_, Ascending)))
+
+  // probes pass through in order, so downstream can reuse both
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] =
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending))
+
+  /** Retain a value across iterator steps (unsafe buffers are reused). */
+  private def retained(v: Any): Any = v match {
+    case u: org.apache.spark.unsafe.types.UTF8String => u.clone()
+    case a: org.apache.spark.sql.catalyst.util.ArrayData => a.copy()
+    case m: org.apache.spark.sql.catalyst.util.MapData => m.copy()
+    case r: InternalRow => r.copy()
+    case x => x
+  }
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val keyTypes = leftKeys.map(_.dataType)
+    require(keyTypes == rightKeys.map(_.dataType),
+      "as-of join key types must match on both sides")
+    val lk = leftKeys; val rk = rightKeys
+    val lt = leftTime; val rt = rightTime; val rv = rightValue
+    val timeType = leftTime.dataType
+    val out = output
+
+    left.execute().zipPartitions(right.execute()) { (pIter, qIter) =>
+      val lKeyProj = UnsafeProjection.create(lk, lOut)
+      val rKeyProj = UnsafeProjection.create(rk, rOut)
+      val lTimeBound = BindReferences.bindReference(lt, AttributeSeq(lOut))
+      val rTimeBound = BindReferences.bindReference(rt, AttributeSeq(rOut))
+      val valBound = BindReferences.bindReference(rv, AttributeSeq(rOut))
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val timeOrd = TypeUtils.getInterpretedOrdering(timeType)
+      val resultProj = UnsafeProjection.create(out, lOut :+ outAttr)
+      val valRow = new GenericInternalRow(1)
+      val joined = new JoinedRow
+
+      // lookahead quote: (key copy, time copy, value copy); null = drained
+      var qKey: InternalRow = null
+      var qTime: Any = null
+      var qVal: Any = null
+      var qHas = false
+      def advance(): Unit =
+        if (qIter.hasNext) {
+          val q = qIter.next()
+          qKey = rKeyProj(q).copy()
+          qTime = retained(rTimeBound.eval(q))
+          qVal = retained(valBound.eval(q))
+          qHas = true
+        } else qHas = false
+      advance()
+
+      // most recently consumed quote (the as-of candidate)
+      var lastKey: InternalRow = null
+      var lastVal: Any = null
+      var hasLast = false
+
+      pIter.map { p =>
+        val pKey = lKeyProj(p)
+        val pTime = lTimeBound.eval(p)
+        // consume quotes at earlier keys, or same key with time <= probe
+        // time (a quote AT the probe time counts — reference step_wise)
+        var continue = qHas
+        while (continue) {
+          val c = keyOrd.compare(qKey, pKey)
+          if (c < 0 || (c == 0 && pTime != null && qTime != null &&
+              timeOrd.lteq(qTime, pTime))) {
+            lastKey = qKey; lastVal = qVal; hasLast = true
+            advance()
+            continue = qHas
+          } else continue = false
+        }
+        val v =
+          if (hasLast && keyOrd.compare(lastKey, pKey) == 0) lastVal else null
+        valRow.update(0, v)
+        resultProj(joined(p, valRow))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Dataset-API entry for the custom as-of join. */
+object AsOfJoinApi {
+  def asOf(probes: DataFrame, quotes: DataFrame, keys: Seq[String],
+           timeCol: String, quoteVal: String, outCol: String): DataFrame = {
+    val spark = probes.sparkSession
+    // the planner must know the strategy in THIS session, however it was
+    // built (withExtensions sessions already have it; this is idempotent)
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    val l = probes.queryExecution.analyzed
+    // fresh exprIds on the right side: probes and quotes often derive
+    // from the same relation, and duplicate attribute ids across the two
+    // children would be ambiguous
+    val r0 = quotes.queryExecution.analyzed
+    val r = org.apache.spark.sql.catalyst.plans.logical.Project(
+      r0.output.map(a => Alias(a, a.name)()), r0)
+    def att(output: Seq[Attribute], n: String): Attribute =
+      output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $n not found in ${output.map(_.name).mkString(", ")}"))
+    val rOut = r.output.asInstanceOf[Seq[Attribute]]
+    val valueAttr = att(rOut, quoteVal)
+    val plan = AsOfJoinPlan(
+      l, r,
+      keys.map(att(l.output, _)), keys.map(att(rOut, _)),
+      att(l.output, timeCol), att(rOut, timeCol),
+      valueAttr,
+      AttributeReference(outCol, valueAttr.dataType, nullable = true)())
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+  }
+}

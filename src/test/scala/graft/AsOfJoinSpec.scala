@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{AsOfJoinApi, AsOfJoinExec}
+import graft.ops.Relational
+
+/** Custom as-of join operator (AsOfJoinPlan/Strategy/Exec): semantics
+  * equivalence with the union+window formulation, tie/missing-key edge
+  * cases, and the physical-plan shape. */
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def quotes = Seq(
+    (1L, 10L, 1.0), (1L, 20L, 2.0), (1L, 30L, 3.0),
+    (2L, 15L, 9.0),
+    (4L, 100L, 7.0)).toDF("k", "t", "v")
+
+  private def probes = Seq(
+    (1L, 5L), (1L, 10L), (1L, 25L), (1L, 99L),
+    (2L, 14L), (2L, 16L),
+    (3L, 50L)).toDF("k", "t").withColumn("pid", monotonically_increasing_id())
+
+  test("native as-of join: boundary, tie, and missing-key semantics") {
+    val out = AsOfJoinApi.asOf(probes, quotes, Seq("k"), "t", "v", "qv")
+      .select("k", "t", "qv").as[(Long, Long, Option[Double])]
+      .collect().toSet
+    assert(out == Set(
+      (1L, 5L, None),        // before first quote
+      (1L, 10L, Some(1.0)),  // tie: quote AT probe time counts
+      (1L, 25L, Some(2.0)),  // step function between quotes
+      (1L, 99L, Some(3.0)),  // after last quote
+      (2L, 14L, None),
+      (2L, 16L, Some(9.0)),
+      (3L, 50L, None)))      // key with no quotes at all
+  }
+
+  test("native as-of join equals the union+window formulation on dense data") {
+    val n = 5000
+    val qs = spark.range(n).select(
+      (col("id") % 37).as("k"),
+      ((col("id") * 7919) % 10000).as("t"),
+      (col("id") % 1000).cast("double").as("v"))
+      // as-of value at duplicate (k, t) is order-dependent; dedupe to the
+      // max v per (k, t) so both formulations see one quote per instant
+      .groupBy("k", "t").agg(max("v").as("v"))
+    val ps = spark.range(n).select(
+      (col("id") % 41).as("k"),
+      ((col("id") * 104729) % 10000).as("t"))
+      .distinct()
+    val native = AsOfJoinApi.asOf(ps, qs, Seq("k"), "t", "v", "qv")
+      .select("k", "t", "qv").as[(Long, Long, Option[Double])].collect().toSet
+    val window = Relational.asOfLookup(ps, qs, Seq("k"), "t", "v", "qv")
+      .select("k", "t", "qv").as[(Long, Long, Option[Double])].collect().toSet
+    assert(native == window)
+    assert(native.nonEmpty)
+  }
+
+  test("physical plan is the custom exec with one exchange+sort per side") {
+    val df = AsOfJoinApi.asOf(probes, quotes, Seq("k"), "t", "v", "qv")
+    df.collect() // force final AQE plan
+    // AQE prints final + initial plans; count operators in the final only
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("AsOfJoin"), plan)
+    val nEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(nEx == 2, s"expected one hash exchange per side, got $nEx:\n$plan")
+    // no Window/Union machinery — that is the formulation this replaces
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("empty quotes side yields all-null values, preserving probes") {
+    val out = AsOfJoinApi.asOf(probes, quotes.filter(col("k") < 0),
+      Seq("k"), "t", "v", "qv")
+    assert(out.count() == probes.count())
+    assert(out.filter(col("qv").isNotNull).count() == 0)
+  }
+}

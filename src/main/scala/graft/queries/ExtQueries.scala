@@ -104,7 +104,8 @@ object ExtQueries {
 
     // Approximate distinct via HLL++ (no SQL oracle — sketch
     // implementations differ between engines; error bound asserted in
-    // StatsSpec against the exact count).
+    // ScaleSpec against the exact count, and the query itself emits the
+    // exact count alongside for the driver's rows check).
     Q.noOracle("ext_approx_distinct") { (s, dir) =>
       Tables(s, dir, "lineitem")
         .groupBy("l_returnflag")

@@ -50,6 +50,18 @@ class ScaleSpec extends SparkSpec {
     assert(plain.size == 5000 - 5000 / 7)
   }
 
+  test("approx_count_distinct stays within HLL++ error of the exact count") {
+    val df = spark.range(100000)
+      .select((col("id") % 7919).as("k"))
+    // rsd is a ~1-sigma bound; assert at 3 sigma of an explicit 1% rsd
+    val (approx, exact) = df
+      .agg(approx_count_distinct(col("k"), 0.01), countDistinct("k"))
+      .as[(Long, Long)].head()
+    assert(exact == 7919L)
+    assert(math.abs(approx - exact).toDouble / exact < 0.03,
+      s"approx $approx vs exact $exact drifted past 3%")
+  }
+
   test("seeded stratified sampleBy hits per-stratum rates") {
     val df = (1 to 20000).map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("id", "s")
     val sampled = df.stat.sampleBy("s", Map("a" -> 0.5, "b" -> 0.1), seed = 42L)

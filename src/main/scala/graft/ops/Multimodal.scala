@@ -55,6 +55,71 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Deterministic fake feature extractor: a `dim`-component float vector
+    * derived from payload bytes (strided byte reads, centered/scaled).
+    * A real model keeps the signature and batch shape; only the body
+    * changes. Empty payload → zero vector (valid input downstream). */
+  private[graft] def fakeFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    if (payload != null && payload.nonEmpty) {
+      var i = 0
+      while (i < dim) {
+        out(i) = ((payload((i * 31) % payload.length) & 0xff) - 128) / 128.0f
+        i += 1
+      }
+    }
+    out
+  }
+
+  /** Attach a feature vector extracted from the binary payload — the
+    * embed step of a multimodal pipeline. Per-partition so a real model
+    * loads once per partition and infers over a batch of rows (the Scala
+    * analogue of `mapInPandas` batching); output feeds the Similarity
+    * ops directly (`ArrayType(FloatType)`). */
+  def withFeatures(df: DataFrame, payloadCol: String, dim: Int = 64,
+                   outCol: String = "features"): DataFrame = {
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+
+      StructField(outCol, ArrayType(FloatType, containsNull = false)))
+    val payloadIdx = inSchema.fieldIndex(payloadCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      // real model: load weights HERE, once per partition, infer batched
+      rows.map { r =>
+        Row.fromSeq(r.toSeq :+ fakeFeatures(r.getAs[Array[Byte]](payloadIdx), dim).toSeq)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Resize step: rewrite the payload to the target dimensions and patch
+    * the metadata struct to match — fake body (byte truncate/pad keyed to
+    * the target size), real contract: payload column AND metadata stay
+    * consistent, per-partition batching, all other columns preserved. */
+  def resized(df: DataFrame, payloadCol: String, metaCol: String,
+              targetW: Int, targetH: Int): DataFrame = {
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val payloadIdx = inSchema.fieldIndex(payloadCol)
+    val metaIdx = inSchema.fieldIndex(metaCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        val meta = r.getAs[Row](metaIdx)
+        val targetLen = math.max(1, (targetW * targetH) / 256)
+        val newPayload =
+          if (payload == null || payload.isEmpty) Array.emptyByteArray
+          else java.util.Arrays.copyOf(payload, targetLen)
+        val newMeta = Row(targetW, targetH, meta.getInt(2), meta.getString(3))
+        val vals = r.toSeq.toArray
+        vals(payloadIdx) = newPayload
+        vals(metaIdx) = newMeta
+        Row.fromSeq(vals.toIndexedSeq)
+      }
+    }
+    spark.createDataFrame(rdd, inSchema)
+  }
+
   /** Frame sampling: indices of every `stride`-th frame given the decoded
     * frame count — pure column expression over the metadata struct. A
     * zero-frame payload (empty/undecodable media) yields an empty array,

@@ -28,6 +28,19 @@ object Text {
     * = groupBy(fingerprint) — one hash aggregate at any scale. */
   def fingerprint(text: Column): Column = md5(normalize(text))
 
+  /** Polynomial rolling hash (Rabin–Karp family) over the text's code
+    * points: H = fold(acc * 31 + c) mod 1e9+7. Unlike md5 this is
+    * incrementally updatable (append a char = one multiply-add), the
+    * property rolling-fingerprint schemes build on. The modulus keeps
+    * every intermediate below 2^35, so ANSI-mode overflow cannot trigger
+    * and the identical fold is expressible in DuckDB SQL (oracled by
+    * `t_rolling_hash`). */
+  def rollingHash(text: Column): Column =
+    aggregate(
+      transform(split(text, ""), ch => ascii(ch).cast("long")),
+      lit(0L),
+      (acc, c) => (acc * 31L + c) % 1000000007L)
+
   /** Word k-gram shingles (k tokens per shingle, space-joined). Documents
     * shorter than k yield a single partial shingle. */
   def wordShingles(toks: Column, k: Int): Column =

@@ -209,6 +209,26 @@ object ExtQueries {
         .orderBy("format")
     },
 
+    // Multimodal embed step: binary payload → feature vector (stubbed
+    // model, real per-partition batching) → cosine ranking against a
+    // probe vector — the decode→embed→search composition end-to-end.
+    // Deterministic; no SQL oracle (Scala-side extractor).
+    Q.noOracle("mm_feature_knn") { (s, dir) =>
+      val withPayload = Tables(s, dir, "documents")
+        .filter(col("doc_id") < 500)
+        .withColumn("payload", col("text").cast("binary"))
+      val feats = graft.ops.Multimodal.withFeatures(withPayload, "payload", dim = 16)
+      val probe = feats.filter(col("doc_id") === 0)
+        .select(col("features").as("__probe"))
+      feats.crossJoin(broadcast(probe))
+        .withColumn("sim", round(graft.ops.Similarity.cosine(
+          col("features"), col("__probe")), 3))
+        .filter(col("doc_id") =!= 0)
+        .orderBy(col("sim").desc, col("doc_id"))
+        .select("doc_id", "sim")
+        .limit(10)
+    },
+
     // Deterministic hash sampling (training-pipeline op): md5-prefix
     // bucket keeps ~12.5% of docs, stable across engines and runs —
     // the content-hash split used for held-out/train partitions.

@@ -93,6 +93,22 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Rolling-hash fingerprint (Rabin–Karp polynomial fold) — the
+    // incrementally-updatable fingerprint family; exact same fold runs
+    // in DuckDB via list_reduce.
+    Q("t_rolling_hash",
+      """SELECT doc_id, list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split_regex(text, ''),
+        |        x -> CAST(ascii(x) AS BIGINT))),
+        |    (acc, c) -> (acc * 31 + c) % 1000000007) AS rh
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"), Text.rollingHash(col("text")).as("rh"))
+        .orderBy("doc_id")
+    },
+
     // Exact deduplication stats via fingerprint groupBy.
     Q("dedup_exact",
       """WITH f AS (SELECT md5(trim(regexp_replace(regexp_replace(lower(text),

@@ -69,4 +69,28 @@ class TimeFnsSpec extends SparkSpec {
       .as[Seq[Int]].head()
     assert(empty.isEmpty)
   }
+
+  test("multimodal feature extraction + resize keep schema and metadata consistent") {
+    val df = Seq(("a", "payload-bytes-1"), ("b", ""), ("c", "xyzw"))
+      .toDF("id", "s")
+      .withColumn("payload", col("s").cast("binary"))
+    // features: fixed dim, deterministic, empty payload -> zero vector
+    val feats = Multimodal.withFeatures(df, "payload", dim = 16)
+      .select(col("id"), col("features")).as[(String, Seq[Float])]
+      .collect().toMap
+    assert(feats.values.forall(_.length == 16))
+    assert(feats("b").forall(_ == 0.0f))
+    assert(feats("a") == feats("a") && feats("a") != feats("c"))
+    // values bounded to the documented [-1, 1) scaling
+    assert(feats.values.flatten.forall(v => v >= -1.0f && v < 1.0f))
+    // resize: payload length and metadata both reflect the target dims
+    val resizedDf = Multimodal.resized(
+      Multimodal.withDecodedMeta(df, "payload"), "payload", "media_meta",
+      targetW = 64, targetH = 32)
+    val r = resizedDf.filter(col("id") === "a")
+      .select(col("media_meta.width"), col("media_meta.height"),
+        octet_length(col("payload"))).as[(Int, Int, Int)].head()
+    assert(r == ((64, 32, 64 * 32 / 256)))
+    assert(resizedDf.schema == Multimodal.withDecodedMeta(df, "payload").schema)
+  }
 }

@@ -1,0 +1,114 @@
+package graft.ops
+
+import java.io.File
+import java.nio.file.{Files, Paths, FileAlreadyExistsException}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Transactional commit log for parquet tables — the multi-writer upgrade
+  * of [[MergeOps.mergeParquet]]'s single-writer swap (BACKLOG round-2
+  * item; same protocol family as Delta Lake's `_delta_log`).
+  *
+  * Layout: `tableDir/_graft_log/NNNNNNNNNN.commit` files, one per
+  * committed version, whose CONTENT is the snapshot directory holding
+  * that version's data (`tableDir/snap-N-<uuid>`). The commit claim is a
+  * POSIX hard link (`Files.createLink`): link creation is atomic and
+  * fails if the name exists, so exactly one writer wins each version and
+  * the winning commit file carries its full content from birth — no
+  * torn reads. Losers delete their snapshot and RETRY the merge on top
+  * of the winner's state (optimistic concurrency).
+  *
+  * Readers resolve max committed version → snapshot dir → parquet; they
+  * never see uncommitted data. Old snapshots are GC'd after commit,
+  * keeping a small tail for readers in flight.
+  *
+  * Scope: correct on any filesystem with atomic link/create (local,
+  * NFS, HDFS). Object stores need a CAS/locking service for the claim —
+  * the same caveat Delta documents for S3 single-writer mode.
+  */
+object TxLog {
+  private val keepSnapshots = 3
+
+  private def logDir(tableDir: String) = new File(tableDir, "_graft_log")
+
+  private def commits(tableDir: String): Seq[(Long, File)] = {
+    val d = logDir(tableDir)
+    if (!d.exists()) Seq.empty
+    else d.listFiles((_, n) => n.endsWith(".commit")).toSeq
+      .map(f => (f.getName.stripSuffix(".commit").toLong, f))
+      .sortBy(_._1)
+  }
+
+  /** Highest committed (version, snapshotDir), if any. */
+  def currentVersion(tableDir: String): Option[(Long, String)] =
+    commits(tableDir).lastOption.map { case (v, f) =>
+      (v, new String(Files.readAllBytes(f.toPath), "UTF-8").trim)
+    }
+
+  /** Committed view of the table; None before the first commit. */
+  def read(spark: SparkSession, tableDir: String): Option[DataFrame] =
+    currentVersion(tableDir).map { case (_, snap) => spark.read.parquet(snap) }
+
+  /** Version-guarded MERGE with optimistic concurrency: merge `source`
+    * into the latest committed snapshot, write a new snapshot, claim the
+    * next version; on a lost race, retry against the winner's state.
+    * Returns the committed version number. */
+  def commitMerge(spark: SparkSession, tableDir: String, source: DataFrame,
+                  keys: Seq[String], versionCol: String,
+                  maxAttempts: Int = 20): Long = {
+    val deduped = Relational.latestByKey(source, keys, Seq(col(versionCol)))
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val cur = currentVersion(tableDir)
+      val merged = cur match {
+        case Some((_, snap)) =>
+          MergeOps.upsert(spark.read.parquet(snap), deduped, keys, versionCol)
+        case None => deduped
+      }
+      val next = cur.map(_._1 + 1).getOrElse(0L)
+      val snapDir = s"$tableDir/snap-$next-${java.util.UUID.randomUUID()}"
+      merged.write.mode(SaveMode.Overwrite).parquet(snapDir)
+      val d = logDir(tableDir)
+      d.mkdirs()
+      val tmp = new File(d, s".tmp-${java.util.UUID.randomUUID()}")
+      Files.write(tmp.toPath, snapDir.getBytes("UTF-8"))
+      val commitFile = new File(d, f"$next%010d.commit")
+      try {
+        Files.createLink(commitFile.toPath, tmp.toPath) // atomic claim
+        Files.delete(tmp.toPath)
+        gc(tableDir)
+        return next
+      } catch {
+        case _: FileAlreadyExistsException =>
+          // another writer committed this version first: drop our
+          // snapshot and re-merge on top of theirs
+          Files.delete(tmp.toPath)
+          deleteRecursively(new File(snapDir))
+      }
+    }
+    throw new IllegalStateException(
+      s"merge into $tableDir lost $maxAttempts optimistic-concurrency races")
+  }
+
+  /** Drop snapshots no longer referenced by the trailing commits. */
+  private def gc(tableDir: String): Unit = {
+    val all = commits(tableDir)
+    if (all.size > keepSnapshots) {
+      val (old, keep) = all.splitAt(all.size - keepSnapshots)
+      val live = keep.map { case (_, f) =>
+        new String(Files.readAllBytes(f.toPath), "UTF-8").trim
+      }.toSet
+      old.foreach { case (_, f) =>
+        val snap = new String(Files.readAllBytes(f.toPath), "UTF-8").trim
+        if (!live.contains(snap)) deleteRecursively(new File(snap))
+        Files.deleteIfExists(f.toPath): Unit
+      }
+    }
+  }
+
+  private def deleteRecursively(f: File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
+}

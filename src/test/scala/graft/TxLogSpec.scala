@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.ops.{MergeOps, TxLog}
+
+/** Transactional commit-log MERGE: versioning, version-guard semantics,
+  * optimistic-concurrency races, and GC. */
+class TxLogSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sequential commits: version-guarded upsert, monotone versions, GC") {
+    val dir = Files.createTempDirectory("txlog").toString + "/t"
+    val v0 = TxLog.commitMerge(spark,
+      dir, Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("k", "v", "ver"),
+      Seq("k"), "ver")
+    assert(v0 == 0L)
+    // newer version wins, tie keeps target, new key appends
+    val v1 = TxLog.commitMerge(spark,
+      dir, Seq((1L, "a2", 2L), (2L, "IGNORED", 1L), (3L, "c", 1L)).toDF("k", "v", "ver"),
+      Seq("k"), "ver")
+    assert(v1 == 1L)
+    val rows = TxLog.read(spark, dir).get
+      .select("k", "v", "ver").as[(Long, String, Long)].collect().toSet
+    assert(rows == Set((1L, "a2", 2L), (2L, "b", 1L), (3L, "c", 1L)))
+    // result equals the pure upsert applied serially
+    val serial = MergeOps.upsert(
+      Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("k", "v", "ver"),
+      Seq((1L, "a2", 2L), (2L, "IGNORED", 1L), (3L, "c", 1L)).toDF("k", "v", "ver"),
+      Seq("k"), "ver").as[(Long, String, Long)].collect().toSet
+    assert(rows == serial)
+    // GC: after many commits only a small snapshot tail remains
+    (2 to 8).foreach { i =>
+      TxLog.commitMerge(spark, dir,
+        Seq((1L, s"a$i", i.toLong)).toDF("k", "v", "ver"), Seq("k"), "ver")
+    }
+    val snaps = new java.io.File(dir).listFiles((_, n) => n.startsWith("snap-"))
+    assert(snaps.length <= 3, s"GC left ${snaps.length} snapshots")
+    assert(TxLog.read(spark, dir).get.filter(col("k") === 1L)
+      .select("v").as[String].head() == "a8")
+  }
+
+  test("concurrent writers: every commit survives, result equals serial merge") {
+    val dir = Files.createTempDirectory("txlog-conc").toString + "/t"
+    val writers = 4
+    val perWriter = 3
+    val threads = (0 until writers).map { w =>
+      new Thread(() => {
+        (0 until perWriter).foreach { i =>
+          // each writer upserts its own key range plus the shared key 999
+          val batch = Seq(
+            (w * 100L + i, s"w$w-$i", 1L),
+            (999L, s"shared-w$w-$i", (w * perWriter + i).toLong))
+            .toDF("k", "v", "ver")
+          TxLog.commitMerge(spark, dir, batch, Seq("k"), "ver")
+        }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    val rows = TxLog.read(spark, dir).get
+      .select("k", "v", "ver").as[(Long, String, Long)].collect()
+    val byKey = rows.map(r => r._1 -> r).toMap
+    // no lost updates: every writer's private keys are present
+    assert(rows.length == writers * perWriter + 1)
+    for (w <- 0 until writers; i <- 0 until perWriter)
+      assert(byKey(w * 100L + i)._2 == s"w$w-$i")
+    // the shared key holds the globally max version
+    assert(byKey(999L)._3 == (writers * perWriter - 1).toLong)
+    // version numbers are a contiguous sequence: one commit per merge
+    assert(TxLog.currentVersion(dir).get._1 == (writers * perWriter - 1).toLong)
+  }
+}

@@ -22,10 +22,11 @@ object Monitors {
     *  3. explode the per-flash arrays with position (R1);
     *  4. absolute sample time = EXPSTART(mjd) + TIME sec (W5).
     */
-  def osmShiftData(lampflash: DataFrame, sms: DataFrame): DataFrame = {
+  def osmShiftData(lampflash: DataFrame, sms: DataFrame,
+                   detector: String = "FUV"): DataFrame = {
     val smsKeyed = sms.withColumn("ROOTNAME", concat(col("ROOTNAME"), lit("q")))
     val joined = lampflash
-      .filter(col("DETECTOR") === "FUV" && size(col("SHIFT_DISP")) > 0)
+      .filter(col("DETECTOR") === detector && size(col("SHIFT_DISP")) > 0)
       .join(smsKeyed, Seq("ROOTNAME"))
     Relational.explodeArrays(joined,
       Seq("TIME", "SHIFT_DISP", "SHIFT_XDISP", "SEGMENT"), posCol = "flash")
@@ -45,6 +46,80 @@ object Monitors {
     * SHIFT2; reference: osm_shift_monitors.py:354–367). */
   def segmentDiffOutliers(diffs: DataFrame, threshold: Double): DataFrame =
     diffs.filter(abs(col("seg_diff")) > threshold)
+
+  /** NUV stripe differences B−C and C−A (reference:
+    * osm_shift_monitors.py:388–393, J7): segmentDiff per stripe pair,
+    * unioned with a `pair` label. */
+  def nuvStripeDiffs(exploded: DataFrame, valueCol: String): DataFrame = {
+    val grouped = exploded.groupBy("ROOTNAME", "SEGMENT")
+      .agg(first(col(valueCol)).as("v"))
+    val bc = Relational.segmentDiff(grouped, Seq("ROOTNAME"), "SEGMENT", "v",
+        "NUVB", "NUVC").withColumn("pair", lit("B-C"))
+      .select("ROOTNAME", "pair", "seg_diff")
+    val ca = Relational.segmentDiff(grouped, Seq("ROOTNAME"), "SEGMENT", "v",
+        "NUVC", "NUVA").withColumn("pair", lit("C-A"))
+      .select("ROOTNAME", "pair", "seg_diff")
+    bc.unionByName(ca)
+  }
+
+  /** OSM drift data (reference: cosmo/monitors/osm_drift_monitors.py:
+    * 14–45): shifts relative to each exposure's FIRST flash (W2), first
+    * element dropped from every array (W3), exploded, with drift-rate and
+    * time-since-OSM-move columns (W4). */
+  def osmDriftData(lampflash: DataFrame, sms: DataFrame,
+                   detector: String): DataFrame = {
+    val smsKeyed = sms.withColumn("ROOTNAME", concat(col("ROOTNAME"), lit("q")))
+    def relToFirst(c: String) =
+      transform(slice(col(c), lit(2), size(col(c)) - 1),
+        x => x - element_at(col(c), 1))
+    def dropFirst(c: String) = slice(col(c), lit(2), size(col(c)) - 1)
+    val joined = lampflash
+      .filter(col("DETECTOR") === detector && size(col("SHIFT_DISP")) > 1)
+      .join(smsKeyed, Seq("ROOTNAME"))
+      .withColumn("REL_SHIFT_DISP", relToFirst("SHIFT_DISP"))
+      .withColumn("REL_SHIFT_XDISP", relToFirst("SHIFT_XDISP"))
+      .withColumn("TIME", dropFirst("TIME"))
+      .withColumn("SHIFT_DISP", dropFirst("SHIFT_DISP"))
+      .withColumn("SHIFT_XDISP", dropFirst("SHIFT_XDISP"))
+      .withColumn("SEGMENT", dropFirst("SEGMENT"))
+    Relational.explodeArrays(joined,
+      Seq("TIME", "SHIFT_DISP", "SHIFT_XDISP", "SEGMENT",
+        "REL_SHIFT_DISP", "REL_SHIFT_XDISP"), posCol = "flash")
+      .withColumn("SHIFT1_DRIFT", col("REL_SHIFT_DISP") / col("TIME"))
+      .withColumn("SHIFT2_DRIFT", col("REL_SHIFT_XDISP") / col("TIME"))
+      .withColumn("REL_TSINCEOSM1", col("TIME") + col("TSINCEOSM1"))
+      .withColumn("REL_TSINCEOSM2", col("TIME") + col("TSINCEOSM2"))
+  }
+
+  /** Spectroscopic-acquisition slew monitor (reference:
+    * acq_monitors.py:480–507 SpecAcqBaseMonitor): filter to the exptype,
+    * flag |slew| >= 1 arcsec outliers (X2); per-FGS std comes from
+    * [[acqSlewStats]]/describeBy. PEAKD tracks ACQSLEWX, PEAKXD
+    * ACQSLEWY. */
+  def specAcqSlews(acq: DataFrame, exptype: String, slewCol: String): DataFrame =
+    acq.filter(col("EXPTYPE") === exptype)
+      .withColumn("is_outlier", abs(col(slewCol)) >= 1.0)
+
+  /** ACQ/IMAGE V2V3 monitor data (reference: acq_monitors.py:207–250):
+    * the documented quality cuts (P3), detector-plane rotation to
+    * V2/V3 slews, and a per-(FGS, axis) linear fit over Besselian year.
+    * Returns fit rows with an `axis` label. */
+  def acqImageV2V3Track(acq: DataFrame): DataFrame = {
+    val cut = acq.filter(
+      col("OBSTYPE") === "IMAGING" && col("NEVENTS") >= 2000 &&
+        sqrt(pow(col("ACQSLEWX"), 2) + pow(col("ACQSLEWY"), 2)) < 2 &&
+        col("SHUTTER") === "Open" && col("LAMPEVNT") >= 500 &&
+        col("ACQSTAT") === "Success" && col("EXTENDED") === "NO" &&
+        col("LINENUM").endsWith("1"))
+      .withColumn("V2SLEW", graft.core.Coords.v2(col("ACQSLEWX"), col("ACQSLEWY")))
+      .withColumn("V3SLEW", graft.core.Coords.v3(col("ACQSLEWX"), col("ACQSLEWY")))
+      .withColumn("byear", TimeFns.besselianYear(col("EXPSTART")))
+    val v2 = Stats.linFit(cut, Seq("FGS"), "byear", "V2SLEW")
+      .withColumn("axis", lit("V2"))
+    val v3 = Stats.linFit(cut, Seq("FGS"), "byear", "V3SLEW")
+      .withColumn("axis", lit("V3"))
+    v2.unionByName(v3)
+  }
 
   /** ACQ/IMAGE monitor (reference: cosmo/monitors/acq_monitors.py:22–77,
     * 214–250): filter to imaging acquisitions, compute slew distance,

@@ -278,18 +278,21 @@ case class SimHash64(child: Expression)
 /** Word k-gram shingles in one pass: space-joined k-token windows over a
   * string array (k > 0); shorter inputs yield one partial shingle.
   * Semantics identical to graft.ops.Text.wordShingles, without the
-  * per-window interpreted concat_ws lambda. */
+  * per-window interpreted concat_ws lambda. Codegen emits one call to
+  * [[compute]] via a reference object — the string assembly gains
+  * nothing from inlined Java, but staying OUT of CodegenFallback keeps
+  * the surrounding stage fused (fallback switches the whole projection
+  * to the interpreted row path; see PERF.md round-1 fix 4). */
 case class ShingleArray(child: Expression, k: Int)
-    extends UnaryExpression with ImplicitCastInputTypes
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends UnaryExpression with ImplicitCastInputTypes {
   require(k > 0, "shingle size must be positive")
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "shingles"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  def compute(input: ArrayData): ArrayData = {
+    val arr = input
     val n = arr.numElements()
     val m = math.max(n - (k - 1), 1)
     val out = new Array[AnyRef](m)
@@ -308,6 +311,16 @@ case class ShingleArray(child: Expression, k: Int)
       i += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingler", this,
+      "org.apache.spark.sql.graft.ShingleArray")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $ref.compute($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): ShingleArray =

@@ -127,5 +127,11 @@ class NativeExprSpec extends SparkSpec {
     // the "*(n)" prefix marks operators inside a WholeStageCodegen stage
     assert(plan.contains("*(1) Project"), plan)
     assert(df.count() == 100)
+    // ShingleArray must not fall back (fallback would de-fuse the stage)
+    val sh = spark.range(100).select(
+      GraftExtensions.shingles(split(lit("a b c d e"), " "), 2).as("sh"))
+    val shPlan = sh.queryExecution.executedPlan.toString
+    assert(shPlan.contains("*(1) Project"), shPlan)
+    assert(sh.selectExpr("size(sh)").as[Int].head() == 4)
   }
 }

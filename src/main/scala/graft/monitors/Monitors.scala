@@ -223,4 +223,69 @@ object Monitors {
       .groupBy("ROOTNAME", "tbin")
       .agg(count(lit(1)).as("n_events"))
       .withColumn("dark_rate", col("n_events") / lit(npix) / lit(binSeconds))
+
+  /** The reference's dark-monitor detector regions, verbatim
+    * (dark_monitors.py:474–575): per segment, named (x0, x1, y0, y1)
+    * boxes. FUV segments filter PHA to the (2, 23) good band
+    * (dark_monitors.py:58); NUV has no PHA column. */
+  object DarkRegions {
+    val fuva: Seq[(String, (Double, Double, Double, Double))] = Seq(
+      "bottom" -> ((1060d, 15250d, 296d, 375d)),
+      "left" -> ((1060d, 1260d, 296d, 734d)),
+      "top" -> ((1060d, 15250d, 660d, 734d)),
+      "right" -> ((15119d, 15250d, 296d, 734d)),
+      "inner" -> ((1260d, 15119d, 375d, 660d)))
+    val fuvb: Seq[(String, (Double, Double, Double, Double))] = Seq(
+      "bottom" -> ((809d, 15182d, 360d, 405d)),
+      "left" -> ((809d, 1000d, 360d, 785d)),
+      "top" -> ((809d, 15182d, 740d, 785d)),
+      "right" -> ((14990d, 15182d, 360d, 785d)),
+      "inner" -> ((1000d, 14990d, 405d, 740d)))
+    val nuv: Seq[(String, (Double, Double, Double, Double))] = Seq(
+      "full" -> ((0d, 1024d, 0d, 1024d)))
+  }
+
+  /** Multi-region dark monitor (R5 region tagging + A12 binned rates):
+    * the union of per-region dark rates with a `region` label — the
+    * reference's `multi = True` FUVA/FUVB monitors (dark_monitors.py:
+    * 474–497), with per-region npix derived from the box. `filterPha =
+    * false` reproduces the NUV path (no PHA column,
+    * dark_monitors.py:66–72). */
+  def darkRateRegions(events: DataFrame,
+                      regions: Seq[(String, (Double, Double, Double, Double))],
+                      binSeconds: Double = 25.0,
+                      filterPha: Boolean = true): DataFrame =
+    regions.map { case (name, (x0, x1, y0, y1)) =>
+      val base = events
+        .filter(col("XCORR") > x0 && col("XCORR") < x1 &&
+          col("YCORR") > y0 && col("YCORR") < y1)
+      val phaed = if (filterPha) base.filter(col("PHA") > 2 && col("PHA") < 23)
+        else base
+      val npix = (x1 - x0) * (y1 - y0)
+      phaed
+        .withColumn("tbin", floor(col("TIME") / binSeconds))
+        .groupBy("ROOTNAME", "tbin")
+        .agg(count(lit(1)).as("n_events"))
+        .withColumn("dark_rate", col("n_events") / lit(npix) / lit(binSeconds))
+        .withColumn("region", lit(name))
+    }.reduce(_.unionByName(_))
+
+  /** Plot-ready jitter traces (reference: cosmo/monitors/
+    * jitter_monitors.py:15–75 view_jitter): per (EXPNAME, axis), the
+    * absolute sample time with the avg ± rms band — the tidy table the
+    * reference's figure consumes (S18's contract: the engine emits the
+    * trace table, rendering is presentation-layer). */
+  def jitterTraces(jitter: DataFrame): DataFrame =
+    Seq("V2", "V3").map { d =>
+      Relational.explodeArrays(
+        jitter.select(col("EXPNAME"), col("EXPSTART"), col("Seconds"),
+          col(s"SI_${d}_AVG").as("avg_arr"), col(s"SI_${d}_RMS").as("rms_arr")),
+        Seq("Seconds", "avg_arr", "rms_arr"), posCol = "sample")
+        .select(col("EXPNAME"), lit(d).as("axis"),
+          TimeFns.mjdToTs(col("EXPSTART") + col("Seconds") / lit(86400.0d))
+            .as("sample_ts"),
+          (col("avg_arr") - col("rms_arr")).as("lo"),
+          col("avg_arr").as("avg"),
+          (col("avg_arr") + col("rms_arr")).as("hi"))
+    }.reduce(_.unionByName(_))
 }

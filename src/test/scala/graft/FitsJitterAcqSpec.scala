@@ -26,6 +26,24 @@ class FitsJitterAcqSpec extends SparkSpec {
     assert(row.getSeq[Float](row.fieldIndex("Seconds")).length == 268)
   }
 
+  test("jitter traces: avg +/- rms band per axis over the real jit files") {
+    val jit = Fits.perExtensionTable(spark, s"$data/*jit*",
+      extName = "jit",
+      primaryKeys = Seq("EXPSTART"),
+      extKeys = Seq("EXPNAME"),
+      tableColumns = Seq("Seconds", "SI_V2_AVG", "SI_V2_RMS",
+        "SI_V3_AVG", "SI_V3_RMS"))
+      .withColumn("EXPSTART", col("EXPSTART").cast("double"))
+    val traces = graft.monitors.Monitors.jitterTraces(jit)
+    val perAxis = traces.groupBy("axis").count()
+      .as[(String, Long)].collect().toMap
+    assert(perAxis.keySet == Set("V2", "V3"))
+    assert(perAxis("V2") == perAxis("V3") && perAxis("V2") > 0)
+    // band envelope is consistent: lo <= avg <= hi everywhere
+    assert(traces.filter(col("lo") > col("avg") || col("avg") > col("hi"))
+      .count() == 0)
+  }
+
   test("S5: SPT sibling join on ROOTNAME; FGS derived from DGESTAR tail") {
     val acq = Fits.exposures(spark, s"$data/*rawacq*",
       headerReq = Map(0 -> Seq("ROOTNAME", "EXPTYPE", "ACQSLEWX", "ACQSLEWY",

@@ -107,4 +107,26 @@ class MonitorsSpec extends SparkSpec {
       .select("tbin", "n_events").as[(Long, Long)].collect().toSet
     assert(out == Set((0L, 2L), (1L, 1L)))
   }
+
+  test("darkRateRegions: per-region tagging with the reference's FUVA boxes") {
+    val events = Seq(
+      ("d1", 2000.0, 500.0, 10, 0.0),   // inner (1260-15119, 375-660)
+      ("d1", 2000.0, 300.0, 10, 0.0),   // bottom (1060-15250, 296-375)
+      ("d1", 1100.0, 400.0, 10, 0.0),   // left AND bottom? y=400 -> left only
+      ("d1", 2000.0, 500.0, 30, 0.0))   // PHA outside band -> dropped
+      .toDF("ROOTNAME", "XCORR", "YCORR", "PHA", "TIME")
+    val out = Monitors.darkRateRegions(events, Monitors.DarkRegions.fuva)
+      .select("region", "n_events").as[(String, Long)].collect().toSet
+    assert(out == Set(("inner", 1L), ("bottom", 1L), ("left", 1L)))
+    // npix normalization: inner box is (15119-1260)x(660-375)
+    val rate = Monitors.darkRateRegions(events, Monitors.DarkRegions.fuva)
+      .filter(col("region") === "inner").select("dark_rate").as[Double].head()
+    assert(math.abs(rate - 1.0 / ((15119.0 - 1260) * (660.0 - 375)) / 25.0) < 1e-15)
+    // NUV path has no PHA column at all
+    val nuvEvents = Seq(("n1", 100.0, 100.0, 0.0))
+      .toDF("ROOTNAME", "XCORR", "YCORR", "TIME")
+    val nuv = Monitors.darkRateRegions(nuvEvents, Monitors.DarkRegions.nuv,
+      filterPha = false)
+    assert(nuv.select("n_events").as[Long].head() == 1L)
+  }
 }

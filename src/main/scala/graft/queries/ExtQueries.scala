@@ -196,6 +196,42 @@ object ExtQueries {
         .orderBy("ROOTNAME")
     },
 
+    // Multi-region dark monitor through the production darkRateRegions
+    // (R5 region tagging + A12 binned rates, the reference's FUVA
+    // multi-region monitor) on detector events synthesized from the
+    // events table. Oracle models the same semantics as an interval
+    // join; rate scaled 1e9 and rounded so the doubles hash identically.
+    Q("monitor_dark_regions",
+      """WITH ev AS (SELECT 'r' || (event_id % 5) AS rootname,
+        |    (event_id * 37) % 16000 AS x, (event_id * 91) % 1024 AS y,
+        |    event_id % 32 AS pha, CAST(event_id % 500 AS DOUBLE) AS t
+        |  FROM events),
+        |reg(region, x0, x1, y0, y1) AS (VALUES
+        |  ('bottom', 1060, 15250, 296, 375), ('left', 1060, 1260, 296, 734),
+        |  ('top', 1060, 15250, 660, 734), ('right', 15119, 15250, 296, 734),
+        |  ('inner', 1260, 15119, 375, 660)),
+        |j AS (SELECT region, rootname,
+        |    CAST(FLOOR(t / 25.0) AS BIGINT) AS tbin, COUNT(*) AS n,
+        |    (x1 - x0) * (y1 - y0) AS npix
+        |  FROM ev JOIN reg ON x > x0 AND x < x1 AND y > y0 AND y < y1
+        |  WHERE pha > 2 AND pha < 23
+        |  GROUP BY region, rootname, tbin, x0, x1, y0, y1)
+        |SELECT region, rootname AS ROOTNAME, tbin, n AS n_events,
+        |  ROUND(n / npix / 25.0 * 1e9, 4) + 0 AS rate_e9
+        |FROM j ORDER BY region, ROOTNAME, tbin""".stripMargin) { (s, dir) =>
+      val synth = Tables(s, dir, "events").select(
+        concat(lit("r"), col("event_id") % 5).as("ROOTNAME"),
+        ((col("event_id") * 37) % 16000).as("XCORR"),
+        ((col("event_id") * 91) % 1024).as("YCORR"),
+        (col("event_id") % 32).as("PHA"),
+        (col("event_id") % 500).cast("double").as("TIME"))
+      graft.monitors.Monitors
+        .darkRateRegions(synth, graft.monitors.Monitors.DarkRegions.fuva)
+        .select(col("region"), col("ROOTNAME"), col("tbin"), col("n_events"),
+          (round(col("dark_rate") * 1e9, 4) + lit(0)).as("rate_e9"))
+        .orderBy("region", "ROOTNAME", "tbin")
+    },
+
     // Multimodal decode-stub pipeline through the per-partition decode
     // path (schema + batching real, codec stubbed): width histogram of
     // decoded metadata. Deterministic; exact values pinned in TimeFnsSpec.

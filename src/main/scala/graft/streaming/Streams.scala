@@ -105,6 +105,31 @@ object Streams {
         })
   }
 
+  /** Sessionization on the transformWithState API (Spark 4 arbitrary
+    * stateful processing v2, RocksDB-backed): same gap semantics as
+    * [[sessionize]], but trailing sessions flush via EVENT-TIME timers —
+    * when the watermark passes `last event + gap`, the timer fires and
+    * the open session is emitted. Unlike the ProcessingTimeTimeout
+    * variant this needs no wall-clock polling (batches run only when
+    * data or watermark movement demands), and the flush is
+    * deterministic in event time — the architecturally right answer to
+    * the trailing-session problem.
+    *
+    * Input: (user, tSec, value) with `tSec` the event time in seconds.
+    * Requires the RocksDB state-store provider (bundled with Spark). */
+  def sessionizeTws(events: org.apache.spark.sql.Dataset[(Long, Long, Double)],
+                    gapSeconds: Long): org.apache.spark.sql.Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.toDF("user", "tsec", "v")
+      .withColumn("ts", timestamp_seconds(col("tsec")))
+      .withWatermark("ts", "0 seconds")
+      .as[(Long, Long, Double, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionProcessor(gapSeconds),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Event-time tumbling-window aggregation with a watermark — the
     * streaming form of the batch `w_tumbling_window` query; identical
     * results on bounded input. */
@@ -121,3 +146,59 @@ object Streams {
 final case class SessionState(startSec: Long, lastSec: Long, n: Long, sum: Double)
 final case class SessionOut(user: Long, startSec: Long, endSec: Long,
                             n: Long, sum: Double)
+
+/** StatefulProcessor for [[Streams.sessionizeTws]]: ValueState holds the
+  * open session; each batch re-registers one event-time timer at
+  * `last event + gap`, whose expiry (watermark passage) flushes the
+  * trailing session. */
+class SessionProcessor(gapSeconds: Long)
+  extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, (Long, Long, Double, java.sql.Timestamp), SessionOut] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues,
+    ExpiredTimerInfo, ValueState, TTLConfig}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var state: ValueState[SessionState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[SessionState]("session",
+      Encoders.product[SessionState], TTLConfig.NONE)
+
+  override def handleInputRows(
+      user: Long,
+      rows: Iterator[(Long, Long, Double, java.sql.Timestamp)],
+      timerValues: TimerValues): Iterator[SessionOut] = {
+    val sorted = rows.toSeq.sortBy(_._2)
+    var cur = Option(state.get())
+    val closed = Seq.newBuilder[SessionOut]
+    sorted.foreach { case (_, tSec, v, _) =>
+      cur match {
+        case Some(s) if tSec - s.lastSec > gapSeconds =>
+          closed += SessionOut(user, s.startSec, s.lastSec, s.n, s.sum)
+          cur = Some(SessionState(tSec, tSec, 1L, v))
+        case Some(s) =>
+          cur = Some(SessionState(s.startSec, tSec, s.n + 1, s.sum + v))
+        case None =>
+          cur = Some(SessionState(tSec, tSec, 1L, v))
+      }
+    }
+    cur.foreach { s =>
+      state.update(s)
+      // one live timer per key: the flush deadline moves with new data
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer((s.lastSec + gapSeconds + 1) * 1000L)
+    }
+    closed.result().iterator
+  }
+
+  override def handleExpiredTimer(
+      user: Long, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionOut] = {
+    val s = state.get()
+    if (s == null) Iterator.empty
+    else {
+      state.clear()
+      Iterator.single(SessionOut(user, s.startSec, s.lastSec, s.n, s.sum))
+    }
+  }
+}

@@ -83,6 +83,34 @@ class TypedApiSpec extends SparkSpec {
       s"expected key 1's open session flushed by timeout, got ${out.toSeq}")
   }
 
+  test("transformWithState: event-time timer flushes the trailing session") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(Long, Long, Double)]
+      val q = Streams.sessionizeTws(input.toDS(), gapSeconds = 1800L)
+        .writeStream.format("memory").queryName("sess_tws")
+        .outputMode("append").start()
+      // times start past 0: a t=0 event would sit AT the initial
+      // watermark and be dropped as late
+      input.addData((1L, 100L, 1.0), (1L, 110L, 2.0)) // opens key 1's session
+      q.processAllAvailable()
+      assert(spark.table("sess_tws").count() == 0)     // watermark at 110s
+      // key 2 far in the future: watermark jumps past 110 + 1800 + 1,
+      // firing key 1's event-time timer -> trailing session flushes
+      input.addData((2L, 50000L, 9.0))
+      q.processAllAvailable()
+      val out = spark.table("sess_tws").as[SessionOut].collect()
+      q.stop()
+      assert(out.toSet == Set(SessionOut(1L, 100L, 110L, 2L, 3.0)),
+        s"expected key 1 flushed by event-time timer, got ${out.toSeq}")
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions on gaps") {
     // user 1: events at t=0,10,20 then 4000,4010 -> one closed session
     // (0..20) once the second burst arrives; user 2: single burst, stays open

@@ -184,8 +184,9 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     },
 
-    // SimHash signatures + bucket histogram (no SQL oracle — hash-based;
-    // Hamming-distance property verified in SimHashSpec).
+    // SimHash signatures + bucket histogram (no SQL oracle for the
+    // xxhash64 fast path; the BIT LOGIC is oracled exactly by
+    // dedup_simhash_md5 below, and Hamming properties in TextSpec).
     Q.noOracle("dedup_simhash_buckets") { (s, dir) =>
       Tables.fannedOut(s, dir, "documents")
         .select(transform(split(col("text"), " ", -1), t => xxhash64(t)).as("th"))
@@ -193,6 +194,62 @@ object TextQueries {
         .select(shiftrightunsigned(col("sh"), 48).as("bucket"))
         .groupBy("bucket").agg(count(lit(1)).as("n"))
         .orderBy("bucket")
+    },
+
+    // SimHash with a PORTABLE hash family (60-bit md5 prefix): the exact
+    // native SimHash64 bit logic — per-bit ±1 majority vote over token
+    // hashes — reproduced in DuckDB SQL and hash-checked. Certifies the
+    // sketch semantics; xxhash64 stays the fast path above. (Hash bits
+    // 60–63 are always 0: the majority of an all-zero bit is negative
+    // on both sides.)
+    Q("dedup_simhash_md5",
+      """WITH tok AS (SELECT doc_id,
+        |    ('0x' || substr(md5(t), 1, 15))::BIGINT AS h
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |        FROM documents WHERE doc_id < 300)),
+        |bits AS (SELECT doc_id, j,
+        |    CASE WHEN SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) >= 0
+        |      THEN (1::BIGINT << j) ELSE 0 END AS b
+        |  FROM tok CROSS JOIN generate_series(0, 59) AS g(j)
+        |  GROUP BY doc_id, j)
+        |SELECT doc_id, SUM(b)::BIGINT AS sh
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .filter(col("doc_id") < 300)
+        .select(col("doc_id"),
+          transform(split(col("text"), " ", -1),
+            t => conv(substring(md5(t), 1, 15), 16, 10).cast("long")).as("th"))
+        .select(col("doc_id"),
+          graft.functions.GraftExtensions.simhash64(col("th")).as("sh"))
+        .orderBy("doc_id")
+    },
+
+    // MinHash with the portable md5 family: component j = min over
+    // distinct 4-gram shingles of hash(j, shingle) — the operator's full
+    // signature semantics (shingling included) hash-checked against SQL.
+    Q("dedup_minhash_md5",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents WHERE doc_id < 100),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |    [array_to_string(ws[i:i+3], ' ')
+        |     FOR i IN generate_series(1, greatest(len(ws) - 3, 1))])) AS s
+        |  FROM w)
+        |SELECT doc_id, j,
+        |  MIN(('0x' || substr(md5(j::VARCHAR || ' ' || s), 1, 15))::BIGINT) AS comp
+        |FROM sh CROSS JOIN generate_series(0, 15) AS g(j)
+        |GROUP BY doc_id, j ORDER BY doc_id, j""".stripMargin) { (s, dir) =>
+      val comps = (0 until 16).map { j =>
+        aggregate(col("sh"), lit(Long.MaxValue), (acc, sgl) =>
+          least(acc, conv(substring(md5(concat(lit(s"$j "), sgl)), 1, 15), 16, 10)
+            .cast("long")))
+      }
+      Tables(s, dir, "documents")
+        .filter(col("doc_id") < 100)
+        // materialize the shingle array BEFORE the 16 aggregates (CSE rule)
+        .select(col("doc_id"), array_distinct(graft.functions.GraftExtensions
+          .shingles(split(col("text"), " ", -1), 4)).as("sh"))
+        .select(col("doc_id"), posexplode(array(comps: _*)).as(Seq("j", "comp")))
+        .orderBy("doc_id", "j")
     },
 
     // Multimodal plumbing: opaque binary payload column + metadata derived

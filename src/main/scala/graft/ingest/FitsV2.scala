@@ -1,0 +1,203 @@
+package graft.ingest
+
+import java.util
+import scala.jdk.CollectionConverters._
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSourceV2 FITS source: `spark.read.format("fits").option("hdu", 1)
+  * .load(glob)` exposes one BINTABLE extension as a RELATIONAL table —
+  * one Spark row per FITS table row, scalar cells typed, repeat>1
+  * numeric cells as arrays. Builds on the same pure-Scala parser as
+  * [[Fits]] (S2/S3; reference: cosmo/filesystem.py:34–92) but plugs into
+  * the planner properly:
+  *
+  *  - one InputPartition per file — the reference's dask per-file
+  *    fan-out (filesystem.py:355–373) as genuine scan parallelism;
+  *  - COLUMN PRUNING pushed into the scan (SupportsPushDownRequiredColumns):
+  *    only requested columns are byte-decoded, so `select(two cols)`
+  *    never pays for the other twenty — the property SURVEY.md §4 calls
+  *    out as "a scan that reads all columns for a 2-column projection is
+  *    wrong";
+  *  - gzip containers handled per file, schema inferred from the first
+  *    file (all files of one product type share a layout, as the
+  *    reference's per-model requests assume).
+  *
+  * Options: `hdu` (extension index, default 1), `headers`
+  * (comma-separated PRIMARY-header keys to attach as string columns).
+  * A `_file` column always carries the source path.
+  */
+class FitsDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "fits"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    FitsV2.schemaFor(FitsV2.resolvePaths(options), FitsV2.hduIndex(options),
+      FitsV2.headerKeys(options))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    FitsV2Table(schema, new CaseInsensitiveStringMap(properties))
+
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+object FitsV2 {
+  def hduIndex(options: CaseInsensitiveStringMap): Int =
+    Option(options.get("hdu")).map(_.toInt).getOrElse(1)
+
+  def headerKeys(options: CaseInsensitiveStringMap): Seq[String] =
+    Option(options.get("headers")).map(_.split(",").map(_.trim).toSeq)
+      .getOrElse(Seq.empty)
+
+  /** Expand the load path/glob into concrete file paths (driver-side). */
+  def resolvePaths(options: CaseInsensitiveStringMap): Seq[String] = {
+    val raw = Option(options.get("path")).orElse(Option(options.get("paths")))
+      .getOrElse(throw new IllegalArgumentException("fits source needs a path"))
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val p = new Path(raw)
+    val fs = FileSystem.get(p.toUri, conf)
+    val matches = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+    require(matches.nonEmpty, s"no files match $raw")
+    matches.map(_.getPath.toString)
+  }
+
+  private[ingest] def readFile(path: String): Array[Byte] = {
+    // executor-safe Hadoop conf (local-fs paths in our fixtures; a real
+    // cluster conf rides in via the serialized task context)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val p = new Path(path)
+    val fs = FileSystem.get(p.toUri, conf)
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream(1 << 20)
+      val buf = new Array[Byte](65536)
+      var n = in.read(buf)
+      while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+      Fits.gunzipIfNeeded(out.toByteArray)
+    } finally in.close()
+  }
+
+  private def sparkType(spec: Fits.ColSpec): DataType = {
+    val elem = spec.code match {
+      case 'A' => StringType
+      case 'D' => DoubleType
+      case 'E' => FloatType
+      case 'J' | 'I' | 'B' => IntegerType
+      case 'K' => LongType
+      case 'L' => BooleanType
+    }
+    if (spec.code == 'A' || spec.repeat == 1) elem
+    else ArrayType(elem, containsNull = false)
+  }
+
+  def schemaFor(paths: Seq[String], hdu: Int, headers: Seq[String]): StructType = {
+    val bytes = readFile(paths.head)
+    val hdus = Fits.parseHdus(bytes)
+    val cols = Fits.tableCols(hdus(hdu))
+    StructType(
+      StructField("_file", StringType, nullable = false) +:
+        headers.map(k => StructField(k, StringType)) ++:
+        cols.map(s => StructField(s.name, sparkType(s))))
+  }
+
+  /** Decode one cell (scalar, string, or fixed-repeat array). */
+  private[ingest] def cellValue(bytes: Array[Byte], base: Int,
+                                spec: Fits.ColSpec): Any = {
+    import java.nio.ByteBuffer
+    def scalar(code: Char, at: Int): Any = code match {
+      case 'D' => ByteBuffer.wrap(bytes, at, 8).getDouble
+      case 'E' => ByteBuffer.wrap(bytes, at, 4).getFloat
+      case 'J' => ByteBuffer.wrap(bytes, at, 4).getInt
+      case 'I' => ByteBuffer.wrap(bytes, at, 2).getShort.toInt
+      case 'K' => ByteBuffer.wrap(bytes, at, 8).getLong
+      case 'B' => bytes(at) & 0xff
+      case 'L' => bytes(at) == 'T'.toByte
+    }
+    if (spec.code == 'A')
+      UTF8String.fromString(new String(bytes, base, spec.repeat, "US-ASCII").trim)
+    else if (spec.repeat == 1) scalar(spec.code, base)
+    else {
+      val unit = spec.cellBytes / spec.repeat
+      new GenericArrayData(
+        (0 until spec.repeat).map(i => scalar(spec.code, base + i * unit)).toArray)
+    }
+  }
+}
+
+case class FitsV2Table(tableSchema: StructType, options: CaseInsensitiveStringMap)
+  extends Table with SupportsRead {
+  override def name(): String = "fits"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    new FitsScanBuilder(tableSchema,
+      FitsV2.resolvePaths(options), FitsV2.hduIndex(options))
+}
+
+class FitsScanBuilder(fullSchema: StructType, paths: Seq[String], hdu: Int)
+  extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = fullSchema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = FitsScan(required, paths, hdu)
+}
+
+case class FitsScan(readSchemaV: StructType, paths: Seq[String], hdu: Int)
+  extends Scan with Batch {
+  override def readSchema(): StructType = readSchemaV
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"FITS hdu=$hdu columns=[${readSchemaV.fieldNames.mkString(",")}]"
+  override def planInputPartitions(): Array[InputPartition] =
+    paths.map(p => FitsFilePartition(p): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    FitsReaderFactory(readSchemaV, hdu)
+}
+
+case class FitsFilePartition(path: String) extends InputPartition
+
+case class FitsReaderFactory(schema: StructType, hdu: Int)
+  extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val path = partition.asInstanceOf[FitsFilePartition].path
+    new PartitionReader[InternalRow] {
+      private val bytes = FitsV2.readFile(path)
+      private val hdus = Fits.parseHdus(bytes)
+      private val ext = hdus(hdu)
+      private val primary = hdus.head
+      private val specByName = Fits.tableCols(ext).map(s => s.name -> s).toMap
+      private val rowLen = ext.header("NAXIS1").toInt
+      private val nRows = ext.header("NAXIS2").toInt
+      // per required field: decode plan — only PRUNED columns touch bytes
+      private val pathValue = UTF8String.fromString(path)
+      private val decoders: Array[Int => Any] = schema.fields.map { f =>
+        if (f.name == "_file") (_: Int) => pathValue
+        else specByName.get(f.name) match {
+          case Some(spec) =>
+            (r: Int) => FitsV2.cellValue(bytes,
+              ext.dataStart + r * rowLen + spec.offset, spec)
+          case None => // a primary-header key column
+            val v = primary.header.get(f.name)
+              .map(UTF8String.fromString).orNull
+            (_: Int) => v
+        }
+      }
+      private var row = -1
+      override def next(): Boolean = { row += 1; row < nRows }
+      override def get(): InternalRow =
+        new GenericInternalRow(decoders.map(d => d(row)).asInstanceOf[Array[Any]])
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -13,7 +13,7 @@ class FitsV2Spec extends SparkSpec {
   private val lampGlob = s"$data/*lampflash*"
 
   test("fits source reads one row per BINTABLE row across gzipped files") {
-    val df = spark.read.format("graft.ingest.FitsDataSource")
+    val df = spark.read.format("fits")
       .option("hdu", 1).load(lampGlob)
     // 11 lampflash files (the reference's pinned count)
     assert(df.select("_file").distinct().count() == 11)
@@ -26,7 +26,7 @@ class FitsV2Spec extends SparkSpec {
   }
 
   test("values agree with the per-file array reader") {
-    val df = spark.read.format("graft.ingest.FitsDataSource")
+    val df = spark.read.format("fits")
       .option("hdu", 1).load(s"$data/lb4c10niq_lampflash.fits.gz")
     val v2 = df.select("SEGMENT", "SHIFT_DISP")
       .as[(String, Double)].collect()
@@ -40,7 +40,7 @@ class FitsV2Spec extends SparkSpec {
   }
 
   test("column pruning reaches the scan; primary headers attach as columns") {
-    val df = spark.read.format("graft.ingest.FitsDataSource")
+    val df = spark.read.format("fits")
       .option("hdu", 1).option("headers", "ROOTNAME,DETECTOR")
       .load(lampGlob)
       .select("SEGMENT", "SHIFT_DISP")
@@ -49,7 +49,7 @@ class FitsV2Spec extends SparkSpec {
     assert(plan.contains("columns=[SEGMENT,SHIFT_DISP]"), plan)
     assert(!plan.contains("TIME"), plan)
     // header columns come back typed as strings per file
-    val hdr = spark.read.format("graft.ingest.FitsDataSource")
+    val hdr = spark.read.format("fits")
       .option("hdu", 1).option("headers", "ROOTNAME,DETECTOR")
       .load(s"$data/lb4c10niq_lampflash.fits.gz")
       .select("ROOTNAME", "DETECTOR").distinct()
@@ -58,13 +58,13 @@ class FitsV2Spec extends SparkSpec {
   }
 
   test("one input partition per file: scan parallelism matches file count") {
-    val df = spark.read.format("graft.ingest.FitsDataSource")
+    val df = spark.read.format("fits")
       .option("hdu", 1).load(lampGlob)
     assert(df.rdd.getNumPartitions == 11)
   }
 
   test("the v2 scan feeds the OSM shift pipeline end-to-end") {
-    val perRow = spark.read.format("graft.ingest.FitsDataSource")
+    val perRow = spark.read.format("fits")
       .option("hdu", 1).option("headers", "ROOTNAME,DETECTOR,EXPSTART,OPT_ELEM")
       .load(lampGlob)
     // rebuild the per-exposure arrays relationally, then segment-diff

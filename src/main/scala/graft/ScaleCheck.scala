@@ -104,6 +104,20 @@ object ScaleCheck {
         k = 4, numHashes = 32, bands = 16).count()
     }
 
+    // 5. custom as-of join: 1M probes x 1M quotes over 10k keys
+    time("asof_native (1M x 1M)") {
+      val events10 = x10(core.Tables(spark, sfDir, "events")) { (d, i) =>
+        d.withColumn("event_id", col("event_id") + lit(i * 10000000L))
+          .withColumn("user_id", col("user_id") + lit(i * 1000L))
+      }
+      val probes = events10.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val quotes = events10.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("value"))
+      org.apache.spark.sql.graft.AsOfJoinApi
+        .asOf(probes, quotes, Seq("user_id"), "ts", "value", "qv").count()
+    }
+
     spark.stop()
   }
 }

@@ -50,6 +50,26 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("as-of join: native equals a reference scan on random (key, time) data") {
+    val pairGen = Gen.zip(Gen.chooseNum(0L, 6L), Gen.chooseNum(0L, 100L))
+    (0 until 5).foreach { round =>
+      val quotes = samples(pairGen, 60, seed = 1000L + round).distinct
+        .map { case (k, t) => (k, t, k * 1000.0 + t) }
+      val probes = samples(pairGen, 40, seed = 2000L + round).distinct
+      val native = org.apache.spark.sql.graft.AsOfJoinApi.asOf(
+        probes.toDF("k", "t"), quotes.toDF("k", "t", "v"),
+        Seq("k"), "t", "v", "qv")
+        .as[(Long, Long, Option[Double])].collect().toSet
+      // reference semantics computed directly: max-time quote <= probe time
+      val expected = probes.map { case (k, t) =>
+        val q = quotes.filter(q => q._1 == k && q._2 <= t)
+          .sortBy(_._2).lastOption.map(_._3)
+        (k, t, q)
+      }.toSet
+      assert(native == expected, s"round $round")
+    }
+  }
+
   test("minhash estimate: 1 on identical sets, 0 on disjoint sets") {
     val df = Seq(
       (Seq("a b", "b c", "c d"), Seq("a b", "b c", "c d")),

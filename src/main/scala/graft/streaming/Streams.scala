@@ -29,11 +29,20 @@ object Streams {
 
   /** Continuous ingest: watch `sourceDir` for new parquet files, MERGE
     * each micro-batch into `tableDir` with version-guarded upsert
-    * semantics. Returns the running query (caller awaits/stops). */
+    * semantics. Returns the running query (caller awaits/stops).
+    *
+    * `transactional = true` routes each micro-batch through the
+    * [[graft.ops.TxLog]] commit log instead of the single-writer swap:
+    * batches become numbered commits, concurrent writers (another stream,
+    * a batch backfill) serialize via optimistic concurrency, and readers
+    * only ever see committed snapshots (`TxLog.read`). Version-guarded
+    * MERGE makes replayed micro-batches idempotent, so restart after a
+    * mid-batch failure converges to the same table. */
   def incrementalIngest(spark: SparkSession, sourceDir: String,
                         tableDir: String, checkpointDir: String,
                         schema: org.apache.spark.sql.types.StructType,
-                        keys: Seq[String], versionCol: String): StreamingQuery =
+                        keys: Seq[String], versionCol: String,
+                        transactional: Boolean = false): StreamingQuery =
     spark.readStream
       .schema(schema)
       .parquet(sourceDir)
@@ -41,7 +50,10 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        MergeOps.mergeParquet(spark, tableDir, batch, keys, versionCol)
+        if (transactional)
+          graft.ops.TxLog.commitMerge(spark, tableDir, batch, keys, versionCol): Unit
+        else
+          MergeOps.mergeParquet(spark, tableDir, batch, keys, versionCol)
       }
       .start()
 

@@ -65,6 +65,29 @@ class MergeStreamSpec extends SparkSpec {
     assert(out == Set(("k1", 2, "a2"), ("k2", 1, "b"), ("k3", 1, "c")))
   }
 
+  test("transactional streaming ingest commits each micro-batch to the TxLog") {
+    val base = Files.createTempDirectory("graft-stream-tx").toString
+    val srcDir = s"$base/src"
+    val tableDir = s"$base/table"
+    new java.io.File(srcDir).mkdirs()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ver", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType)))
+    Seq(("k1", 1, "a"), ("k2", 1, "b")).toDF("k", "ver", "v")
+      .write.parquet(s"$srcDir/batch1")
+    Seq(("k1", 2, "a2"), ("k3", 1, "c")).toDF("k", "ver", "v")
+      .write.parquet(s"$srcDir/batch2")
+    val q = Streams.incrementalIngest(spark, s"$srcDir/*/", tableDir,
+      s"$base/ckpt", schema, Seq("k"), "ver", transactional = true)
+    q.awaitTermination(60000)
+    // reads resolve through the commit log, not raw parquet
+    val out = graft.ops.TxLog.read(spark, tableDir).get
+      .as[(String, Int, String)].collect().toSet
+    assert(out == Set(("k1", 2, "a2"), ("k2", 1, "b"), ("k3", 1, "c")))
+    assert(graft.ops.TxLog.currentVersion(tableDir).isDefined)
+  }
+
   test("streaming dedup by key with watermark drops replayed events") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -14,7 +14,7 @@ object Views {
   private val registered = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   def register(spark: SparkSession, dir: String): Unit = {
-    if (registered.add(System.identityHashCode(spark) + "@" + dir)) {
+    if (registered.add(s"${System.identityHashCode(spark)}@$dir")) {
       Tables.names.foreach { name =>
         try Tables(spark, dir, name).createOrReplaceTempView(name)
         catch { case _: Throwable => () } // missing optional table

@@ -161,9 +161,11 @@ object ExtQueries {
       // satisfies the groupBy(l_orderkey) clustering — the round-robin
       // variant paid a second exchange for the aggregation
       val li = Tables(s, dir, "lineitem").repartition(col("l_orderkey"))
-      // conditional aggregation (map-side combinable) instead of
-      // sort_array(collect_list(struct)) — same 2-element ordered arrays,
-      // a fraction of the shuffle bytes and no per-group array sort
+      // conditional aggregation (map-side combinable) builds the
+      // 2-flash arrays: one value per line-number slot (max on the rare
+      // duplicate (orderkey, linenumber) pairs in the synthetic data),
+      // kept when both slots fill — a deterministic lampflash feed at a
+      // fraction of collect_list's shuffle bytes, with no per-group sort
       val lamp = li.filter(col("l_linenumber") <= 2)
         .groupBy(col("l_orderkey"))
         .agg(max(when(col("l_linenumber") === 1, col("l_quantity"))).as("q1"),

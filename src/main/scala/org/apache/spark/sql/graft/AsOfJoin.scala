@@ -18,6 +18,10 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * key group; probes with no such quote get null. Identical to
   * `Relational.asOfLookup`'s union+window formulation (equivalence
   * pinned in AsOfJoinSpec; both certified against DuckDB's ASOF JOIN).
+  * Duplicate quotes at the same (key, time) make the chosen value
+  * order-dependent — in this operator AND in the window/DuckDB
+  * formulations alike; dedupe quotes per (key, time) first when the
+  * source allows duplicates.
   *
   * Why a custom operator: the window formulation unions probes and
   * quotes and sorts the COMBINED stream once per key — 2× the rows

@@ -67,7 +67,10 @@ object SmsIngest {
         col("__g")(5).as("DETECTOR"),
         col("__g")(6).as("OPMODE"),
         col("__g")(7).cast("double").as("EXPTIME"),
-        col("__g")(8).as("EXPSTART"),
+        // the reference coerces EXPSTART to datetime on ingest
+        // (ingest_sms.py:75,161; dtype pinned by tests/test_sms_ingest.py:
+        // 57–83) — TimestampType here, parsed from yyyy.DDD:HH:mm:ss
+        graft.core.TimeFns.doyToTs(col("__g")(8)).as("EXPSTART"),
         naIfBlank(col("__g")(9)).as("FUVHVSTATE"),
         concat_ws(" ", split(trim(col("__g")(10)), "\\s+")).as("APERTURE"),
         col("__g")(11).as("OSM1POS"),

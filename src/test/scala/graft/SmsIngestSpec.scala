@@ -43,7 +43,10 @@ class SmsIngestSpec extends SparkSpec {
     assert(fuv.getAs[String]("DETECTOR") == "FUV")
     assert(fuv.getAs[String]("OPMODE") == "TIME-TAG")
     assert(fuv.getAs[Double]("EXPTIME") == 200.0)
-    assert(fuv.getAs[String]("EXPSTART") == "2024.032:05:45:35")
+    // EXPSTART is a TIMESTAMP (reference coerces to datetime on ingest):
+    // 2024 day-032 = Feb 1
+    assert(fuv.getAs[java.sql.Timestamp]("EXPSTART").toInstant.toString
+      == "2024-02-01T05:45:35Z")
     assert(fuv.getAs[String]("FUVHVSTATE") == "HVNom")
     assert(fuv.getAs[String]("APERTURE") == "PSA")
     assert(fuv.getAs[String]("OSM1POS") == "G140L")

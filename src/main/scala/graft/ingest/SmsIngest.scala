@@ -27,11 +27,13 @@ import org.apache.spark.sql.functions._
   */
 object SmsIngest {
 
-  /** Typed schema of the parsed SMS table (reference: sms_db.py:15–40). */
+  /** Typed schema of the parsed SMS table (reference: sms_db.py:15–40;
+    * dtype table tests/test_sms_ingest.py:57–83 — FILENAME is the source
+    * path, FILEID its version-bearing stem). */
   val fieldNames: Seq[String] = Seq(
     "ROOTNAME", "PROPOSID", "EXPOSURE", "DETECTOR", "OPMODE", "EXPTIME",
     "EXPSTART", "FUVHVSTATE", "APERTURE", "OSM1POS", "OSM2POS",
-    "CENWAVE", "FPPOS", "TSINCEOSM1", "TSINCEOSM2", "FILEID")
+    "CENWAVE", "FPPOS", "TSINCEOSM1", "TSINCEOSM2", "FILEID", "FILENAME")
 
   /** Read one-or-many SMS report files into the typed exposure table. */
   def parse(spark: SparkSession, paths: Seq[String]): DataFrame =
@@ -58,7 +60,7 @@ object SmsIngest {
       .filter(v.rlike("^l[a-z0-9]{7} "))
       .filter(!v.contains("MEMORY") && !v.contains("ALIGN/OSM") &&
         !v.contains("ALIGN/APER"))
-      .select(fileId.as("FILEID"), g.as("__g"))
+      .select(fileId.as("FILEID"), col("filename").as("FILENAME"), g.as("__g"))
       .filter(col("__g").isNotNull)
       .select(
         col("__g")(0).as("ROOTNAME"),
@@ -79,7 +81,7 @@ object SmsIngest {
         (trim(col("__g")(14)).cast("int") + 3).as("FPPOS"),
         col("__g")(15).cast("double").as("TSINCEOSM1"),
         col("__g")(16).cast("double").as("TSINCEOSM2"),
-        col("FILEID"))
+        col("FILEID"), col("FILENAME"))
   }
 
   /** One anchored pattern over the full exposure line; groups (1-based):

@@ -56,6 +56,7 @@ class SmsIngestSpec extends SparkSpec {
     assert(fuv.getAs[Double]("TSINCEOSM1") == 87.0)
     assert(fuv.getAs[Double]("TSINCEOSM2") == 20735.0)
     assert(fuv.getAs[String]("FILEID") == "100001aa")
+    assert(fuv.getAs[String]("FILENAME").endsWith("100001aa.txt"))
 
     val nuv = rows("laaa02ab")
     assert(nuv.getAs[String]("FUVHVSTATE") == "N/A")  // six spaces -> N/A

@@ -105,6 +105,40 @@ class SmsIngestSpec extends SparkSpec {
     assert(rows == Set("laaa02ab"), "only the not-yet-ingested file parses")
   }
 
+  test("REAL SMS reports: discovery keeps the reference's 13, parse joins real lampflash") {
+    // the reference's own SMS fixtures: 16 candidates; bad_111078a6.txt
+    // fails the filename rule, versions b3/b4/c2 of 181137 dedupe to one
+    // -> 13 ingested files (tests/test_sms_ingest.py:96 pins this count)
+    val dataDir = new java.io.File("/root/reference/tests/data")
+    val candidates = dataDir.listFiles((_, n) => n.endsWith(".txt"))
+      .map(_.getPath).toSeq.toDF("path")
+    val kept = SmsIngest.latestSmsFiles(candidates)
+    assert(kept.count() == 13)
+    // parse them all with the production extractor
+    val sms = SmsIngest.parse(spark,
+      kept.select("path").as[String].collect().toSeq)
+    assert(sms.count() > 1000)
+    assert(sms.filter(col("CENWAVE").isNull || col("EXPSTART").isNull).count() == 0)
+    // the reference's OSM data-model join (data_models.py:157-180): real
+    // SMS rows join real lampflash exposures on ROOTNAME + 'q'
+    val lamp = graft.ingest.Fits.exposures(spark,
+      "/root/reference/tests/data/*lampflash*",
+      headerReq = Map(0 -> Seq("ROOTNAME", "DETECTOR", "OPT_ELEM"),
+        1 -> Seq("EXPSTART")),
+      tableReq = Map(1 -> Seq("TIME", "SHIFT_DISP", "SHIFT_XDISP", "SEGMENT")))
+      .withColumn("EXPSTART", col("EXPSTART").cast("double"))
+    val joined = graft.monitors.Monitors.osmShiftData(
+      lamp, sms.select(col("ROOTNAME"), col("TSINCEOSM1")))
+    assert(joined.count() > 0)
+    // EVERY FUV lampflash exposure finds its SMS row (7 of 11; 4 are NUV)
+    assert(joined.select("ROOTNAME").distinct().count() == 7)
+    assert(joined.filter(col("TSINCEOSM1").isNull).count() == 0)
+    // and the NUV side joins completely too
+    val nuv = graft.monitors.Monitors.osmShiftData(
+      lamp, sms.select(col("ROOTNAME"), col("TSINCEOSM1")), detector = "NUV")
+    assert(nuv.select("ROOTNAME").distinct().count() == 4)
+  }
+
   test("ingest end-to-end: version-guarded re-ingest and FILEID supersession") {
     val base = Files.createTempDirectory("sms-ing").toString
     val srcDir = s"$base/src"

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{CosineSimilarity, EvalBarrier, MinHashSignature, MjdToTimestamp, NativeBridge, RegexpExtractGroups, ShingleArray, SimHash64, TimestampToMjd}
+import org.apache.spark.sql.graft.{CosineSimilarity, DotProduct, EvalBarrier, MinHashSignature, MjdToTimestamp, NativeBridge, RegexpExtractGroups, ShingleArray, SimHash64, TimestampToMjd}
 
 /** Registers the native expressions as SQL functions so every operator is
   * reachable from `spark.sql` (SURVEY.md §7.1 `sql/` surface). Install
@@ -33,6 +33,9 @@ object GraftExtensions {
     ("cosine_sim",
       info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two double arrays."),
       (args: Seq[Expression]) => CosineSimilarity(args.head, args(1))),
+    ("dot_product",
+      info("dot_product", "dot_product(a, b) - dot product of two double arrays."),
+      (args: Seq[Expression]) => DotProduct(args.head, args(1))),
     ("minhash_signature",
       info("minhash_signature",
         "minhash_signature(shingles, n) - n-component MinHash signature of a string array."),
@@ -70,6 +73,8 @@ object GraftExtensions {
   def tsToMjd(c: Column): Column = NativeBridge.column(TimestampToMjd(NativeBridge.expression(c)))
   def cosineSim(a: Column, b: Column): Column =
     NativeBridge.column(CosineSimilarity(NativeBridge.expression(a), NativeBridge.expression(b)))
+  def dotProduct(a: Column, b: Column): Column =
+    NativeBridge.column(DotProduct(NativeBridge.expression(a), NativeBridge.expression(b)))
   def minhashSignature(shingles: Column, numHashes: Int): Column =
     NativeBridge.column(MinHashSignature(NativeBridge.expression(shingles), numHashes))
   def simhash64(tokenHashes: Column): Column =

@@ -12,8 +12,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two numeric arrays (double accumulation). */
+  /** Dot product of two numeric arrays — native one-pass expression
+    * (codegen loop; the HOF form below pays a zip allocation plus
+    * interpreted lambdas per element). */
   def dot(a: Column, b: Column): Column =
+    graft.functions.GraftExtensions.dotProduct(
+      a.cast("array<double>"), b.cast("array<double>"))
+
+  /** HOF formulation — kept as the builtin-only reference (agreement
+    * pinned in NativeExprSpec). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a.cast("array<double>"), b.cast("array<double>"), _ * _),
       lit(0.0d), _ + _)
 
@@ -30,8 +38,9 @@ object Similarity {
   /** HOF formulation of cosine — kept as the builtin-only reference
     * implementation (agreement pinned in NativeExprSpec). */
   def cosineHof(a: Column, b: Column): Column = {
-    val denom = l2norm(a) * l2norm(b)
-    when(denom === 0.0d, lit(0.0d)).otherwise(dot(a, b) / denom)
+    def l2 (x: Column) = sqrt(dotHof(x, x))
+    val denom = l2(a) * l2(b)
+    when(denom === 0.0d, lit(0.0d)).otherwise(dotHof(a, b) / denom)
   }
 
   /** Brute-force top-k cosine neighbors of one probe vector (as a literal

@@ -131,6 +131,52 @@ object NativeBridge {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
 
+/** Dot product of two double arrays in one generated loop (the HOF form
+  * `aggregate(zip_with(a, b, _*_), 0d, _+_)` allocates the zipped array
+  * and evaluates interpreted lambdas per element). Null/length rules
+  * match [[CosineSimilarity]]: null input → null, unequal lengths →
+  * null (zip_with's null-padding propagates in the HOF reference). */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
+    var dot = 0.0d
+    var i = 0
+    while (i < x.numElements()) { dot += x.getDouble(i) * y.getDouble(i); i += 1 }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0d;
+         |  for (int $i = 0; $i < $a.numElements(); $i++) {
+         |    $dot += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  ${ev.value} = $dot;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
 /** MinHash signature in ONE pass: for each of `numHashes` salted xxhash64
   * functions, the minimum over the shingle array — as a native loop
   * instead of `numHashes` separate aggregate() HOF calls (HOF lambdas are

@@ -34,6 +34,21 @@ class NativeExprSpec extends SparkSpec {
     out.foreach { case (n, h) => assert(math.abs(n - h) < 1e-12, s"$n vs $h") }
   }
 
+  test("native dot_product agrees with the HOF composition") {
+    val df = Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
+      (Seq(0.5, -0.5), Seq(2.0, 2.0))).toDF("a", "b")
+    val out = df.select(
+      GraftExtensions.dotProduct(col("a"), col("b")).as("native"),
+      Similarity.dotHof(col("a"), col("b")).as("hof"))
+      .as[(Double, Double)].collect()
+    out.foreach { case (n, h) => assert(n == h, s"$n vs $h") }
+    // length mismatch -> null, same as the null-padded HOF
+    val mm = Seq((Seq(1.0), Seq(1.0, 2.0))).toDF("a", "b")
+      .select(GraftExtensions.dotProduct(col("a"), col("b"))).head()
+    assert(mm.isNullAt(0))
+  }
+
   test("cosine_sim on unequal-length arrays is null, matching the HOF") {
     val df = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0))).toDF("a", "b")
     val row = df.select(

@@ -19,12 +19,12 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // session warm-up: JVM/codegen init is not a query cost
     spark.range(1000000).selectExpr("sum(id)").collect()
-    // per-query time = min of two runs (JIT/GC noise is ~10% on a warm
-    // single-JVM session; min-of-2 reports steady-state cost). A query
-    // that throws is reported as null (never a near-zero elapsed time
-    // that would silently deflate the total) and logged to stderr.
+    // per-query time = min of three runs (host-level noise on this VM is
+    // ±30-100% between runs; the min approximates the uncontended cost).
+    // A query that throws is reported as null (never a near-zero elapsed
+    // time that would silently deflate the total) and logged to stderr.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch {
           case e: Throwable =>

@@ -121,19 +121,27 @@ case class AsOfJoinExec(
       val valRow = new GenericInternalRow(1)
       val joined = new JoinedRow
 
-      // lookahead quote: (key copy, time copy, value copy); null = drained
+      // lookahead quote: (key copy, time copy, value copy); null = drained.
+      // Quotes with a null key component are skipped outright — SQL
+      // equi-join semantics: null keys match nothing (they sort first
+      // under the required ordering, so skipping upfront is consistent).
       var qKey: InternalRow = null
       var qTime: Any = null
       var qVal: Any = null
       var qHas = false
-      def advance(): Unit =
-        if (qIter.hasNext) {
+      def advance(): Unit = {
+        qHas = false
+        while (!qHas && qIter.hasNext) {
           val q = qIter.next()
-          qKey = rKeyProj(q).copy()
-          qTime = retained(rTimeBound.eval(q))
-          qVal = retained(valBound.eval(q))
-          qHas = true
-        } else qHas = false
+          val k = rKeyProj(q)
+          if (!k.anyNull) {
+            qKey = k.copy()
+            qTime = retained(rTimeBound.eval(q))
+            qVal = retained(valBound.eval(q))
+            qHas = true
+          }
+        }
+      }
       advance()
 
       // most recently consumed quote (the as-of candidate)
@@ -144,6 +152,11 @@ case class AsOfJoinExec(
       pIter.map { p =>
         val pKey = lKeyProj(p)
         val pTime = lTimeBound.eval(p)
+        if (pKey.anyNull) {
+          // null probe key matches no quote (SQL equi-join semantics)
+          valRow.update(0, null)
+          resultProj(joined(p, valRow))
+        } else {
         // consume quotes at earlier keys, or same key with time <= probe
         // time (a quote AT the probe time counts — reference step_wise)
         var continue = qHas
@@ -160,6 +173,7 @@ case class AsOfJoinExec(
           if (hasLast && keyOrd.compare(lastKey, pKey) == 0) lastVal else null
         valRow.update(0, v)
         resultProj(joined(p, valRow))
+        }
       }
     }
   }

@@ -67,6 +67,19 @@ class AsOfJoinSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("null keys match nothing on either side (SQL equi-join semantics)") {
+    val q = Seq((Some(1L), 10L, 1.0), (None, 5L, 99.0), (None, 50L, 98.0))
+      .toDF("k", "t", "v")
+    val p = Seq((Some(1L), 20L), (None, 20L), (Some(2L), 20L))
+      .toDF("k", "t")
+    val out = AsOfJoinApi.asOf(p, q, Seq("k"), "t", "v", "qv")
+      .as[(Option[Long], Long, Option[Double])].collect().toSet
+    assert(out == Set(
+      (Some(1L), 20L, Some(1.0)),  // real key matches its quote
+      (None, 20L, None),           // null probe key -> no match
+      (Some(2L), 20L, None)))      // key with only null-key quotes nearby
+  }
+
   test("empty quotes side yields all-null values, preserving probes") {
     val out = AsOfJoinApi.asOf(probes, quotes.filter(col("k") < 0),
       Seq("k"), "t", "v", "qv")

@@ -118,7 +118,10 @@ object Relational {
     * probe row, the most recent quote value with quote.time <= probe.time,
     * per key. Union-tag + `last(_, ignoreNulls)` window — a single
     * sort-per-key, no nested loop, no driver collect. At 100 TB both sides
-    * shuffle once on the key; skewed keys are handled by AQE. */
+    * shuffle once on the key; skewed keys are handled by AQE.
+    * Null-key quotes are dropped (SQL equi-join semantics: null matches
+    * nothing — window partitioning would otherwise group them with
+    * null-key probes), matching the native AsOfJoinExec. */
   def asOfLookup(probes: DataFrame, quotes: DataFrame, keys: Seq[String],
                  timeCol: String, quoteVal: String, outCol: String): DataFrame = {
     val probeCols = probes.columns.toIndexedSeq
@@ -126,7 +129,7 @@ object Relational {
       .withColumn("__qv", lit(null).cast(quotes.schema(quoteVal).dataType))
       .withColumn("__isProbe", lit(1))
       .select((probeCols.map(col) ++ Seq(col("__qv"), col("__isProbe"))): _*)
-    val qTagged = quotes
+    val qTagged = keys.foldLeft(quotes)((d, k) => d.filter(col(k).isNotNull))
       .withColumn("__qv", col(quoteVal))
       .withColumn("__isProbe", lit(0))
       .select((probeCols.map(c => if (quotes.columns.contains(c)) col(c) else lit(null).as(c))

@@ -72,12 +72,17 @@ class AsOfJoinSpec extends SparkSpec {
       .toDF("k", "t", "v")
     val p = Seq((Some(1L), 20L), (None, 20L), (Some(2L), 20L))
       .toDF("k", "t")
-    val out = AsOfJoinApi.asOf(p, q, Seq("k"), "t", "v", "qv")
-      .as[(Option[Long], Long, Option[Double])].collect().toSet
-    assert(out == Set(
+    val expected = Set(
       (Some(1L), 20L, Some(1.0)),  // real key matches its quote
       (None, 20L, None),           // null probe key -> no match
-      (Some(2L), 20L, None)))      // key with only null-key quotes nearby
+      (Some(2L), 20L, None))       // key with only null-key quotes nearby
+    val native = AsOfJoinApi.asOf(p, q, Seq("k"), "t", "v", "qv")
+      .as[(Option[Long], Long, Option[Double])].collect().toSet
+    assert(native == expected)
+    // the window formulation agrees
+    val window = Relational.asOfLookup(p, q, Seq("k"), "t", "v", "qv")
+      .as[(Option[Long], Long, Option[Double])].collect().toSet
+    assert(window == expected)
   }
 
   test("empty quotes side yields all-null values, preserving probes") {

@@ -161,6 +161,42 @@ object GapQueries {
         .orderBy("centroid_id")
     },
 
+    // The IVF cell-assignment MECHANISM oracled exactly: per-label mean
+    // centroids, argmax-cosine assignment (ranking on the 6-decimal
+    // rounded similarity so double ulp noise between engines can't flip
+    // the argmax; ties break to the lower cell on both sides), cell
+    // occupancy. The production-path variant above keeps the raw-double
+    // ranking.
+    Q("sim_ivf_assign",
+      """WITH pos AS (SELECT vec_id, label,
+        |    unnest(CAST(embedding AS DOUBLE[])) AS v,
+        |    generate_subscripts(embedding, 1) AS pos FROM embeddings),
+        |cent AS (SELECT label AS cl, pos, AVG(v) AS c FROM pos GROUP BY 1, 2),
+        |sim AS (SELECT p.vec_id, c.cl,
+        |    SUM(p.v * c.c) / (SQRT(SUM(p.v * p.v)) * SQRT(SUM(c.c * c.c))) AS s
+        |  FROM pos p JOIN cent c USING (pos) GROUP BY 1, 2),
+        |best AS (SELECT vec_id, cl FROM sim
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+        |    ORDER BY ROUND(s, 6) DESC, cl) = 1)
+        |SELECT cl AS centroid_id, COUNT(*) AS n
+        |FROM best GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables(s, dir, "embeddings")
+      val pos = e.select(col("vec_id"), col("label"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
+      val cent = pos.groupBy(col("label").as("cl"), col("pos"))
+        .agg(avg("v").as("c"))
+      val sim = pos.join(broadcast(cent), Seq("pos"))
+        .groupBy("vec_id", "cl")
+        .agg((sum(col("v") * col("c")) /
+          (sqrt(sum(col("v") * col("v"))) * sqrt(sum(col("c") * col("c"))))).as("s"))
+      val w = Window.partitionBy("vec_id").orderBy(round(col("s"), 6).desc, col("cl"))
+      sim.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .groupBy(col("cl").as("centroid_id")).agg(count(lit(1)).as("n"))
+        .orderBy("centroid_id")
+    },
+
     // W4 — derived rate columns (reference: osm_drift_monitors.py:35–40:
     // SHIFT/TIME drift rate, TIME + TSINCEOSM offset).
     Q("w4_drift_rates",

@@ -49,6 +49,22 @@ object TxLog {
   def read(spark: SparkSession, tableDir: String): Option[DataFrame] =
     currentVersion(tableDir).map { case (_, snap) => spark.read.parquet(snap) }
 
+  /** Time travel: the table AS OF a committed version, if that version's
+    * snapshot is still retained (GC keeps the trailing `keepSnapshots`
+    * commits). None for unknown or GC'd versions. */
+  def readVersion(spark: SparkSession, tableDir: String,
+                  version: Long): Option[DataFrame] =
+    commits(tableDir).find(_._1 == version).map { case (_, f) =>
+      spark.read.parquet(
+        new String(Files.readAllBytes(f.toPath), "UTF-8").trim)
+    }
+
+  /** Retained (version, snapshotDir) history, oldest first. */
+  def history(tableDir: String): Seq[(Long, String)] =
+    commits(tableDir).map { case (v, f) =>
+      (v, new String(Files.readAllBytes(f.toPath), "UTF-8").trim)
+    }
+
   /** Version-guarded MERGE with optimistic concurrency: merge `source`
     * into the latest committed snapshot, write a new snapshot, claim the
     * next version; on a lost race, retry against the winner's state.

@@ -38,6 +38,14 @@ class TxLogSpec extends SparkSpec {
     assert(snaps.length <= 3, s"GC left ${snaps.length} snapshots")
     assert(TxLog.read(spark, dir).get.filter(col("k") === 1L)
       .select("v").as[String].head() == "a8")
+    // time travel within the retained tail; GC'd versions are gone
+    val hist = TxLog.history(dir)
+    assert(hist.length <= 3 && hist.map(_._1) == hist.map(_._1).sorted)
+    val (prevV, _) = hist.init.last
+    val prev = TxLog.readVersion(spark, dir, prevV).get
+      .filter(col("k") === 1L).select("v").as[String].head()
+    assert(prev == s"a${prevV}", s"version $prevV held $prev")
+    assert(TxLog.readVersion(spark, dir, 0L).isEmpty, "GC'd version unreadable")
   }
 
   test("concurrent writers: every commit survives, result equals serial merge") {

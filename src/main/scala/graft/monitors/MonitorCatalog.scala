@@ -79,4 +79,32 @@ object MonitorCatalog {
     Runner.register(MonitorJob("nuv_aperture_shift", "monthly", _ =>
       Monitors.apertureShift(src.acq.filter(col("DETECTOR") === "NUV"))))
   }
+
+  /** Inputs for the extended set (modules the reference ships but does
+    * NOT export through its runner: dark_monitors, telemetry_monitors,
+    * jitter_monitors). */
+  final case class ExtendedSources(
+      darkEvents: DataFrame,
+      telemetrySamples: DataFrame,
+      telemetryProbes: DataFrame,
+      jitter: DataFrame)
+
+  /** Register the unexported monitor families under their own cadence so
+    * they never collide with the faithful 12-monitor `monthly` group. */
+  def registerExtended(src: ExtendedSources,
+                       cadence: String = "extended"): Unit = {
+    Runner.register(MonitorJob("dark_fuva_regions", cadence, _ =>
+      Monitors.darkRateRegions(src.darkEvents.filter(col("SEGMENT") === "FUVA"),
+        Monitors.DarkRegions.fuva)))
+    Runner.register(MonitorJob("dark_fuvb_regions", cadence, _ =>
+      Monitors.darkRateRegions(src.darkEvents.filter(col("SEGMENT") === "FUVB"),
+        Monitors.DarkRegions.fuvb)))
+    Runner.register(MonitorJob("dark_nuv", cadence, _ =>
+      Monitors.darkRateRegions(src.darkEvents.filter(col("SEGMENT") === "N/A"),
+        Monitors.DarkRegions.nuv, filterPha = false)))
+    Runner.register(MonitorJob("telemetry", cadence, _ =>
+      Monitors.telemetryTrack(src.telemetrySamples, src.telemetryProbes)._1))
+    Runner.register(MonitorJob("jitter_traces", cadence, _ =>
+      Monitors.jitterTraces(src.jitter)))
+  }
 }

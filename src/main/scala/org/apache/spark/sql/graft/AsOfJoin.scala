@@ -36,6 +36,13 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * The stack: [[AsOfJoinPlan]] (logical) → [[AsOfJoinStrategy]]
   * (planner) → [[AsOfJoinExec]] (physical), registered through
   * `SparkSessionExtensions.injectPlannerStrategy` (GraftExtensions).
+  *
+  * Skew caveat: AQE's skew mitigation (OptimizeSkewedJoin) only rewrites
+  * the built-in join execs, so a pathologically hot key lands in one
+  * partition here — same as any custom shuffled operator. The mitigation
+  * is upstream salting (split the hot key's probes across salt buckets
+  * and replicate its quotes per bucket), exactly as for the salted
+  * equi-join in Relational.saltedJoin.
   */
 case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,

@@ -64,6 +64,33 @@ class MonitorCatalogSpec extends SparkSpec {
     Runner.clear()
   }
 
+  test("extended catalog: dark regions, telemetry, jitter run under their own cadence") {
+    Runner.clear()
+    val dark = Seq(
+      ("FUVA", "d1", 2000.0, 500.0, 10, 0.0),
+      ("FUVB", "d2", 2000.0, 500.0, 10, 0.0),
+      ("N/A", "d3", 100.0, 100.0, 0, 0.0))
+      .toDF("SEGMENT", "ROOTNAME", "XCORR", "YCORR", "PHA", "TIME")
+    val telem = Seq((58800.0, 1.0), (58801.0, 2.0), (58802.0, 3.0), (58803.0, 4.0))
+      .toDF("MJD", "Data")
+    val probes = Seq(Tuple1(58801.5)).toDF("MJD")
+    val jitter = Seq(("e1", 59000.0, Seq(0.0f, 10.0f),
+      Seq(1.0f, 2.0f), Seq(0.1f, 0.2f), Seq(3.0f, 4.0f), Seq(0.3f, 0.4f)))
+      .toDF("EXPNAME", "EXPSTART", "Seconds",
+        "SI_V2_AVG", "SI_V2_RMS", "SI_V3_AVG", "SI_V3_RMS")
+    MonitorCatalog.registerExtended(
+      MonitorCatalog.ExtendedSources(dark, telem, probes, jitter))
+    val results = Runner.runAll(spark, "extended")
+    assert(results.length == 5, results.map(_.name).mkString(", "))
+    assert(results.forall(_.error.isEmpty), results.filter(_.error.isDefined))
+    val byName = results.map(r => r.name -> r.rowCount).toMap
+    assert(byName("dark_fuva_regions") == 1L && byName("dark_nuv") == 1L)
+    assert(byName("jitter_traces") == 4L) // 2 samples x 2 axes
+    // and the faithful monthly group is untouched by the extended cadence
+    assert(Runner.registered("monthly").isEmpty)
+    Runner.clear()
+  }
+
   test("NUV stripe pairs compute B-C and C-A exactly") {
     val out = Monitors.nuvStripeDiffs(
       Monitors.osmShiftData(lampflash, sms, detector = "NUV"), "SHIFT_DISP")

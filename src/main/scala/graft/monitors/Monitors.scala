@@ -246,29 +246,38 @@ object Monitors {
   }
 
   /** Multi-region dark monitor (R5 region tagging + A12 binned rates):
-    * the union of per-region dark rates with a `region` label — the
-    * reference's `multi = True` FUVA/FUVB monitors (dark_monitors.py:
-    * 474–497), with per-region npix derived from the box. `filterPha =
-    * false` reproduces the NUV path (no PHA column,
-    * dark_monitors.py:66–72). */
+    * per-region dark rates with a `region` label — the reference's
+    * `multi = True` FUVA/FUVB monitors (dark_monitors.py:474–497), with
+    * per-region npix derived from the box. `filterPha = false`
+    * reproduces the NUV path (no PHA column, dark_monitors.py:66–72).
+    *
+    * Implemented as ONE scan + a broadcast interval-containment join
+    * against the tiny regions dimension — the union-of-filtered-copies
+    * formulation re-scans the event table once per region (5 scans for
+    * FUVA), which is the difference between one pass and five at 100 TB.
+    * Overlapping boxes replicate the event into each region via the join
+    * fan-out, exactly as the reference's per-region loop counts them. */
   def darkRateRegions(events: DataFrame,
                       regions: Seq[(String, (Double, Double, Double, Double))],
                       binSeconds: Double = 25.0,
-                      filterPha: Boolean = true): DataFrame =
-    regions.map { case (name, (x0, x1, y0, y1)) =>
-      val base = events
-        .filter(col("XCORR") > x0 && col("XCORR") < x1 &&
-          col("YCORR") > y0 && col("YCORR") < y1)
-      val phaed = if (filterPha) base.filter(col("PHA") > 2 && col("PHA") < 23)
-        else base
-      val npix = (x1 - x0) * (y1 - y0)
-      phaed
-        .withColumn("tbin", floor(col("TIME") / binSeconds))
-        .groupBy("ROOTNAME", "tbin")
-        .agg(count(lit(1)).as("n_events"))
-        .withColumn("dark_rate", col("n_events") / lit(npix) / lit(binSeconds))
-        .withColumn("region", lit(name))
-    }.reduce(_.unionByName(_))
+                      filterPha: Boolean = true): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val dim = regions.map { case (n, (x0, x1, y0, y1)) =>
+      (n, x0, x1, y0, y1, (x1 - x0) * (y1 - y0))
+    }.toDF("region", "x0", "x1", "y0", "y1", "npix")
+    val phaed =
+      if (filterPha) events.filter(col("PHA") > 2 && col("PHA") < 23)
+      else events
+    phaed.join(broadcast(dim),
+        col("XCORR") > col("x0") && col("XCORR") < col("x1") &&
+          col("YCORR") > col("y0") && col("YCORR") < col("y1"))
+      .withColumn("tbin", floor(col("TIME") / binSeconds))
+      .groupBy("region", "ROOTNAME", "tbin", "npix")
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("dark_rate", col("n_events") / col("npix") / lit(binSeconds))
+      .select("ROOTNAME", "tbin", "n_events", "dark_rate", "region")
+  }
 
   /** Plot-ready jitter traces (reference: cosmo/monitors/
     * jitter_monitors.py:15–75 view_jitter): per (EXPNAME, axis), the

@@ -118,6 +118,22 @@ object ScaleCheck {
         .asOf(probes, quotes, Seq("user_id"), "ts", "value", "qv").count()
     }
 
+    // 6. GLOBAL (unkeyed) as-of: range-partitioned path with the
+    // cross-partition seed hand-off — the formulation where a window
+    // would collapse to one task
+    time("asof_global (200k x 200k)") {
+      val events10 = x10(core.Tables(spark, sfDir, "events")) { (d, i) =>
+        d.withColumn("event_id", col("event_id") + lit(i * 10000000L))
+          .withColumn("ts", col("ts") + expr(s"INTERVAL ${i * 7} MINUTES"))
+      }
+      val probes = events10.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("ts"))
+      val quotes = events10.filter(col("event_type") === "click")
+        .groupBy("ts").agg(max("value").as("v"))
+      org.apache.spark.sql.graft.AsOfJoinApi
+        .asOf(probes, quotes, Seq.empty, "ts", "v", "qv").count()
+    }
+
     spark.stop()
   }
 }

@@ -129,7 +129,13 @@ object Relational {
       .withColumn("__qv", lit(null).cast(quotes.schema(quoteVal).dataType))
       .withColumn("__isProbe", lit(1))
       .select((probeCols.map(col) ++ Seq(col("__qv"), col("__isProbe"))): _*)
-    val qTagged = keys.foldLeft(quotes)((d, k) => d.filter(col(k).isNotNull))
+    // null-key and null-time quotes match nothing (SQL: an equi-key never
+    // equals null, and `probe.time >= null` is never true); dropping them
+    // here keeps this formulation aligned with AsOfJoinExec and DuckDB's
+    // ASOF JOIN — unfiltered, a null-time quote would sort first and leak
+    // its value into every probe of its key
+    val qTagged = (keys :+ timeCol)
+      .foldLeft(quotes)((d, k) => d.filter(col(k).isNotNull))
       .withColumn("__qv", col(quoteVal))
       .withColumn("__isProbe", lit(0))
       .select((probeCols.map(c => if (quotes.columns.contains(c)) col(c) else lit(null).as(c))

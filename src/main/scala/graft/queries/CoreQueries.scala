@@ -291,6 +291,30 @@ object CoreQueries {
         .orderBy("event_id")
     },
 
+    // J11 GLOBAL (unkeyed) as-of through the custom operator's
+    // range-partitioned path: one step function over ALL quotes, range
+    // partitioning by time shared across both sides + cross-partition
+    // seed hand-off — no single-task window. Quotes deduped to max(value)
+    // per instant first (as-of at a duplicate instant is order-dependent
+    // in every formulation, DuckDB's included). Keyless ASOF JOIN oracle.
+    Q("j11_asof_global",
+      """WITH q AS (SELECT ts, MAX(value) AS v FROM events
+        |  WHERE event_type = 'click' GROUP BY ts)
+        |SELECT p.event_id, q.v AS last_click_value
+        |FROM (SELECT event_id, ts FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN q ON p.ts >= q.ts
+        |ORDER BY p.event_id""".stripMargin) { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      val probes = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "ts")
+      val quotes = ev.filter(col("event_type") === "click")
+        .groupBy("ts").agg(max("value").as("v"))
+      org.apache.spark.sql.graft.AsOfJoinApi
+        .asOf(probes, quotes, Seq.empty, "ts", "v", "last_click_value")
+        .select("event_id", "last_click_value")
+        .orderBy("event_id")
+    },
+
     // A1 — grouped describe() (reference: acq_monitors.py:68).
     Q("a1_describe",
       """SELECT l_returnflag, COUNT(l_quantity) AS n,

@@ -1,11 +1,12 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.rdd.RDD
+import org.apache.spark.{RangePartitioner, TaskContext}
+import org.apache.spark.rdd.{RDD, ShuffledRDD}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, BinaryNode => LogicalBinaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 
@@ -82,17 +83,27 @@ case class AsOfJoinExec(
 
   // hash-cluster both sides on the key (EnsureRequirements inserts the
   // exchanges and makes the partition counts compatible, exactly as for
-  // a sort-merge join)
+  // a sort-merge join). With NO keys (global as-of) hash clustering is
+  // meaningless — the exec range-partitions both sides by time itself
+  // (see executeGlobal), so it requires nothing of its children.
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+    if (leftKeys.isEmpty) UnspecifiedDistribution :: UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
   // sort each side by (key, time); EnsureRequirements inserts the sorts
-  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
-    (rightKeys :+ rightTime).map(SortOrder(_, Ascending)))
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    if (leftKeys.isEmpty) Seq(Nil, Nil)
+    else Seq(
+      (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
+      (rightKeys :+ rightTime).map(SortOrder(_, Ascending)))
 
-  // probes pass through in order, so downstream can reuse both
-  override def outputPartitioning: Partitioning = left.outputPartitioning
+  // probes pass through in order, so downstream can reuse both; the
+  // global path re-partitions internally, so it can only promise the
+  // intra-partition time order, not a recognizable partitioning
+  override def outputPartitioning: Partitioning =
+    if (leftKeys.isEmpty)
+      org.apache.spark.sql.catalyst.plans.physical.UnknownPartitioning(0)
+    else left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] =
     (leftKeys :+ leftTime).map(SortOrder(_, Ascending))
 
@@ -106,6 +117,7 @@ case class AsOfJoinExec(
   }
 
   protected override def doExecute(): RDD[InternalRow] = {
+    if (leftKeys.isEmpty) return executeGlobal()
     val lOut = left.output
     val rOut = right.output
     val keyTypes = leftKeys.map(_.dataType)
@@ -129,9 +141,12 @@ case class AsOfJoinExec(
       val joined = new JoinedRow
 
       // lookahead quote: (key copy, time copy, value copy); null = drained.
-      // Quotes with a null key component are skipped outright — SQL
-      // equi-join semantics: null keys match nothing (they sort first
-      // under the required ordering, so skipping upfront is consistent).
+      // Quotes with a null key component — or a null time — are skipped
+      // outright: SQL semantics, null keys match nothing and
+      // `probe.time >= null` is never true. Both sort first under the
+      // required ordering, so skipping upfront is consistent (a retained
+      // null-time quote would otherwise never be consumed and block every
+      // later quote of its key).
       var qKey: InternalRow = null
       var qTime: Any = null
       var qVal: Any = null
@@ -141,9 +156,10 @@ case class AsOfJoinExec(
         while (!qHas && qIter.hasNext) {
           val q = qIter.next()
           val k = rKeyProj(q)
-          if (!k.anyNull) {
+          val t = rTimeBound.eval(q)
+          if (!k.anyNull && t != null) {
             qKey = k.copy()
-            qTime = retained(rTimeBound.eval(q))
+            qTime = retained(t)
             qVal = retained(valBound.eval(q))
             qHas = true
           }
@@ -185,12 +201,123 @@ case class AsOfJoinExec(
     }
   }
 
+  /** Global (unkeyed) as-of: every probe sees ONE step function over all
+    * quotes. Hash clustering cannot express this — the scalable layout is
+    * a RANGE partitioning by time, shared by both sides:
+    *
+    *   1. sample the probes once to build a `RangePartitioner` on time
+    *      (nulls first), and shuffle+sort BOTH sides with it — same
+    *      boundaries, so each partition holds a contiguous time slice;
+    *   2. one tiny job collects the last quote of each quote partition
+    *      (one `(time, value)` per partition to the driver); a prefix
+    *      scan turns those into the seed each partition starts from — the
+    *      as-of value carried across the boundary;
+    *   3. per partition, the same O(n) merge as the keyed path.
+    *
+    * Work per side is one shuffle + one sort — identical asymptotics to
+    * the keyed path, with no single-partition bottleneck (the window
+    * formulation of an unkeyed as-of degenerates to exactly that). Null
+    * probe times sort first and match nothing; null quote times are
+    * dropped on the map side. */
+  private def executeGlobal(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lt = leftTime; val rt = rightTime; val rv = rightValue
+    val timeType = leftTime.dataType
+    require(rightTime.dataType == timeType,
+      "as-of join time types must match on both sides")
+    val out = output
+    val attr = outAttr
+
+    val base = TypeUtils.getInterpretedOrdering(timeType)
+    implicit val ord: Ordering[Any] = new Ordering[Any] with Serializable {
+      override def compare(a: Any, b: Any): Int =
+        if (a == null) { if (b == null) 0 else -1 }
+        else if (b == null) 1
+        else base.compare(a, b)
+    }
+
+    val lPairs: RDD[(Any, InternalRow)] = left.execute().mapPartitions { it =>
+      val tBound = BindReferences.bindReference(lt, AttributeSeq(lOut))
+      it.map { r => (retained(tBound.eval(r)), r.copy()) }
+    }
+    val qPairs: RDD[(Any, Any)] = right.execute().mapPartitions { it =>
+      val tBound = BindReferences.bindReference(rt, AttributeSeq(rOut))
+      val vBound = BindReferences.bindReference(rv, AttributeSeq(rOut))
+      it.flatMap { r =>
+        val t = tBound.eval(r)
+        if (t == null) Iterator.empty
+        else Iterator.single((retained(t), retained(vBound.eval(r))))
+      }
+    }
+
+    val part = new RangePartitioner[Any, InternalRow](
+      conf.numShufflePartitions, lPairs, ascending = true)
+    val lShuffled = new ShuffledRDD[Any, InternalRow, InternalRow](lPairs, part)
+      .setKeyOrdering(ord)
+    val qShuffled = new ShuffledRDD[Any, Any, Any](qPairs, part)
+      .setKeyOrdering(ord)
+
+    // last quote per quote-partition (≤ one pair per partition to the
+    // driver), prefix-scanned into the seed each partition starts from
+    val lasts: Array[Option[(Any, Any)]] = qShuffled
+      .mapPartitionsWithIndex { (i, it) =>
+        var last: Option[(Any, Any)] = None
+        while (it.hasNext) last = Some(it.next())
+        Iterator.single(i -> last)
+      }.collect().sortBy(_._1).map(_._2)
+    val seeds = new Array[Option[(Any, Any)]](part.numPartitions)
+    var carry: Option[(Any, Any)] = None
+    var i = 0
+    while (i < part.numPartitions) {
+      seeds(i) = carry
+      if (i < lasts.length && lasts(i).isDefined) carry = lasts(i)
+      i += 1
+    }
+    val seedsBc = sparkContext.broadcast(seeds)
+
+    lShuffled.zipPartitions(qShuffled) { (pIter, qIter) =>
+      val resultProj = UnsafeProjection.create(out, lOut :+ attr)
+      val valRow = new GenericInternalRow(1)
+      val joined = new JoinedRow
+      var hasLast = false
+      var lastVal: Any = null
+      seedsBc.value(TaskContext.getPartitionId()).foreach { case (_, v) =>
+        hasLast = true; lastVal = v
+      }
+      var qHas = false
+      var qTime: Any = null
+      var qVal: Any = null
+      def advance(): Unit =
+        if (qIter.hasNext) {
+          val (t, v) = qIter.next(); qTime = t; qVal = v; qHas = true
+        } else qHas = false
+      advance()
+      pIter.map { case (pTime, p) =>
+        if (pTime == null) {
+          valRow.update(0, null)
+          resultProj(joined(p, valRow))
+        } else {
+          while (qHas && ord.lteq(qTime, pTime)) {
+            lastVal = qVal; hasLast = true; advance()
+          }
+          valRow.update(0, if (hasLast) lastVal else null)
+          resultProj(joined(p, valRow))
+        }
+      }
+    }
+  }
+
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
     copy(left = newLeft, right = newRight)
 }
 
-/** Dataset-API entry for the custom as-of join. */
+/** Dataset-API entry for the custom as-of join. `keys = Seq.empty` is the
+  * GLOBAL as-of: one step function over all quotes, executed with a
+  * shared range partitioning by time (see [[AsOfJoinExec.executeGlobal]])
+  * instead of hash clustering — the formulation that survives scale,
+  * where a window over an empty partitionBy would collapse to one task. */
 object AsOfJoinApi {
   def asOf(probes: DataFrame, quotes: DataFrame, keys: Seq[String],
            timeCol: String, quoteVal: String, outCol: String): DataFrame = {

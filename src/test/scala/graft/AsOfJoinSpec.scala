@@ -91,4 +91,74 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.count() == probes.count())
     assert(out.filter(col("qv").isNotNull).count() == 0)
   }
+
+  test("null-time quotes match nothing and do not block later quotes") {
+    // the null-time quote sorts FIRST within its key under the required
+    // ordering: if retained instead of skipped it would (a) never be
+    // consumed, blocking the real quote behind it (native), or (b) leak
+    // its value into every probe (window). SQL says probe.t >= null is
+    // never true, as does DuckDB ASOF JOIN.
+    val q = Seq((1L, Some(10L), 1.0), (1L, None, 99.0), (2L, None, 98.0))
+      .toDF("k", "t", "v")
+    val p = Seq((1L, 15L), (1L, 5L), (2L, 15L)).toDF("k", "t")
+    val expected = Set(
+      (1L, 15L, Some(1.0)),  // real quote still reachable
+      (1L, 5L, None),        // before the real quote
+      (2L, 15L, None))       // key with only a null-time quote
+    val native = AsOfJoinApi.asOf(p, q, Seq("k"), "t", "v", "qv")
+      .as[(Long, Long, Option[Double])].collect().toSet
+    assert(native == expected)
+    val window = Relational.asOfLookup(p, q, Seq("k"), "t", "v", "qv")
+      .as[(Long, Long, Option[Double])].collect().toSet
+    assert(window == expected)
+  }
+
+  test("global (unkeyed) as-of: boundary, tie, and seed-across-partition") {
+    val q = Seq((10L, 1.0), (20L, 2.0), (30L, 3.0)).toDF("t", "v")
+    val p = Seq(5L, 10L, 25L, 99L).toDF("t")
+      .withColumn("pid", monotonically_increasing_id())
+    val out = AsOfJoinApi.asOf(p, q, Seq.empty, "t", "v", "qv")
+      .select("t", "qv").as[(Long, Option[Double])].collect().toSet
+    assert(out == Set(
+      (5L, None), (10L, Some(1.0)), (25L, Some(2.0)), (99L, Some(3.0))))
+  }
+
+  test("global as-of equals a brute-force step function on dense data") {
+    // enough rows that the RangePartitioner produces many partitions, so
+    // the cross-partition seed hand-off is genuinely exercised
+    val n = 20000
+    val qs = spark.range(n).select(
+      ((col("id") * 7919) % 100000).as("t"),
+      col("id").cast("double").as("v"))
+      .groupBy("t").agg(max("v").as("v"))
+    val ps = spark.range(n).select(
+      ((col("id") * 104729) % 100000).as("t")).distinct()
+    val out = AsOfJoinApi.asOf(ps, qs, Seq.empty, "t", "v", "qv")
+      .select("t", "qv").as[(Long, Option[Double])].collect()
+    assert(out.length == ps.count())
+    // brute force: sorted quotes, binary-search the step function
+    val quoteArr = qs.as[(Long, Double)].collect().sortBy(_._1)
+    val times = quoteArr.map(_._1)
+    def stepAt(t: Long): Option[Double] = {
+      var lo = 0; var hi = times.length // first index with time > t
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (times(mid) <= t) lo = mid + 1 else hi = mid
+      }
+      if (lo == 0) None else Some(quoteArr(lo - 1)._2)
+    }
+    out.foreach { case (t, qv) =>
+      assert(qv == stepAt(t), s"probe t=$t: got $qv, want ${stepAt(t)}")
+    }
+  }
+
+  test("global as-of: null probe times match nothing; null quotes dropped") {
+    val q = Seq((Some(10L), 1.0), (None, 99.0)).toDF("t", "v")
+    val p = Seq(Some(15L), None).toDF("t")
+    val out = AsOfJoinApi.asOf(p, q, Seq.empty, "t", "v", "qv")
+      .as[(Option[Long], Option[Double])].collect().toSet
+    assert(out == Set(
+      (Some(15L), Some(1.0)),
+      (None, None)))
+  }
 }

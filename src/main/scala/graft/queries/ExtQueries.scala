@@ -117,9 +117,27 @@ object ExtQueries {
     // S8 full SMS-report parse pipeline: exposure-report lines in the
     // reference's fixed format are built from orders rows, then parsed by
     // the production regex extractor (all 10 patterns + quirk rules).
-    // No SQL oracle (16-field regex pipeline); semantics pinned byte-level
-    // in SmsIngestSpec.
-    Q.noOracle("s8_sms_report_parse") { (s, dir) =>
+    // Oracle derives the expected aggregate INDEPENDENTLY from the
+    // deterministic synthesis (the generator's closed form), so a parse
+    // that mangles any grouped field hash-mismatches — a true round-trip
+    // check on format_string → 16-field regex → typed casts. Byte-level
+    // per-field semantics additionally pinned in SmsIngestSpec.
+    // (DuckDB CAST(x AS INT) rounds where Spark's truncates → TRUNC.)
+    Q("s8_sms_report_parse",
+      """WITH syn AS (
+        |  SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'FUV' ELSE 'NUV' END AS DETECTOR,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN 'TIME-TAG' ELSE 'ACCUM' END AS OPMODE,
+        |    CASE WHEN o_orderkey % 2 = 0 THEN 'HVNom' ELSE 'N/A' END AS FUVHVSTATE,
+        |    CASE WHEN o_orderkey % 2 = 0 THEN 'G140L' ELSE 'NCM1' END AS OSM1POS,
+        |    CASE WHEN o_orderkey % 2 = 0 THEN 'N/A' ELSE 'MIRRORB' END AS OSM2POS,
+        |    printf('l%07d', o_orderkey % 10000000) AS rootname,
+        |    CAST(TRUNC(o_totalprice % 1000) AS DOUBLE) AS exptime
+        |  FROM orders)
+        |SELECT DETECTOR, OPMODE, FUVHVSTATE, OSM1POS, OSM2POS,
+        |  COUNT(*) AS n, COUNT(DISTINCT rootname) AS n_roots,
+        |  ROUND(SUM(exptime), 1) AS sum_exptime
+        |FROM syn GROUP BY 1, 2, 3, 4, 5
+        |ORDER BY DETECTOR, OPMODE""".stripMargin) { (s, dir) =>
       // fanOut BEFORE the report-line synthesis: the source is one small
       // parquet split, and both format_string and the 16-field regex are
       // CPU-dense — without it the whole parse runs on one core. The
@@ -153,9 +171,24 @@ object ExtQueries {
     // Full OSM-shift monitor pipeline (SURVEY.md §7.2 minimum slice) on
     // lampflash-shaped input synthesized from lineitem: derived-key SMS
     // join, FUV filter, array explode, absolute time, FUVA-FUVB segment
-    // diff, X3 outliers. No SQL oracle (multi-stage pipeline); exact
-    // semantics are pinned by MonitorsSpec.
-    Q.noOracle("monitor_osm_shift") { (s, dir) =>
+    // diff, X3 outliers. Oracle derives the expected outliers
+    // independently via the synthesis' closed form (the 2-flash arrays
+    // make FUVA−FUVB = q1−q2 per rootname): every stage — SMS inner
+    // join, FUV filter, explode, pivot diff, X3 threshold — must agree
+    // for the hash to match. Per-stage semantics also in MonitorsSpec.
+    Q("monitor_osm_shift",
+      """WITH lamp AS (
+        |  SELECT l_orderkey AS k,
+        |    MAX(CASE WHEN l_linenumber = 1 THEN l_quantity END) AS q1,
+        |    MAX(CASE WHEN l_linenumber = 2 THEN l_quantity END) AS q2
+        |  FROM lineitem WHERE l_linenumber <= 2 GROUP BY 1)
+        |SELECT 'r' || k || 'q' AS ROOTNAME, ROUND(q1 - q2, 2) + 0 AS seg_diff
+        |FROM lamp
+        |WHERE q1 IS NOT NULL AND q2 IS NOT NULL
+        |  AND k % 10 <> 0
+        |  AND k IN (SELECT o_orderkey FROM orders)
+        |  AND ABS(q1 - q2) > 10
+        |ORDER BY ROOTNAME""".stripMargin) { (s, dir) =>
       // keyed repartition instead of round-robin fan-out: one exchange
       // both spreads the single-split scan across all cores AND
       // satisfies the groupBy(l_orderkey) clustering — the round-robin

@@ -218,7 +218,13 @@ case class AsOfJoinExec(
     * the keyed path, with no single-partition bottleneck (the window
     * formulation of an unkeyed as-of degenerates to exactly that). Null
     * probe times sort first and match nothing; null quote times are
-    * dropped on the map side. */
+    * dropped on the map side.
+    *
+    * Like Spark's own range exchange (global orderBy), the sampling job
+    * evaluates the probe child once before the shuffle re-evaluates it —
+    * persist an expensive probe subplan upstream if that double
+    * evaluation matters. The quote child's map stage runs once; its
+    * shuffle output is reused by the seed job and the merge. */
   private def executeGlobal(): RDD[InternalRow] = {
     val lOut = left.output
     val rOut = right.output

@@ -119,9 +119,9 @@ object Relational {
     * per key. Union-tag + `last(_, ignoreNulls)` window — a single
     * sort-per-key, no nested loop, no driver collect. At 100 TB both sides
     * shuffle once on the key; skewed keys are handled by AQE.
-    * Null-key quotes are dropped (SQL equi-join semantics: null matches
-    * nothing — window partitioning would otherwise group them with
-    * null-key probes), matching the native AsOfJoinExec. */
+    * Null-key and null-time quotes are dropped (SQL semantics: an
+    * equi-key never equals null, `probe.time >= null` is never true),
+    * matching the native AsOfJoinExec. */
   def asOfLookup(probes: DataFrame, quotes: DataFrame, keys: Seq[String],
                  timeCol: String, quoteVal: String, outCol: String): DataFrame = {
     val probeCols = probes.columns.toIndexedSeq
@@ -194,6 +194,30 @@ object Relational {
     val saltedRight = right.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     saltedLeft.join(saltedRight, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Skew-salted as-of join (J11 under pathological key skew): AQE's
+    * skew mitigation only rewrites the built-in join execs, so a hot
+    * key's probes all land in one AsOfJoinExec partition. Scatter each
+    * key's probes across `salts` buckets and replicate its quotes into
+    * every bucket — each bucket holds the key's complete quote step
+    * function, so the result equals the unsalted as-of exactly.
+    * Quote-side cost: ×salts replication of the (usually much smaller)
+    * quote stream. The GLOBAL (keys-empty) path needs no salting: its
+    * RangePartitioner samples the probes, so partition boundaries follow
+    * probe density by construction. */
+  def saltedAsOf(probes: DataFrame, quotes: DataFrame, keys: Seq[String],
+                 timeCol: String, quoteVal: String, outCol: String,
+                 salts: Int): DataFrame = {
+    require(keys.nonEmpty, "global as-of self-balances; salting applies to keyed as-of")
+    val saltedProbes = probes.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salts)).cast("int"))
+    val saltedQuotes = quotes.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    org.apache.spark.sql.graft.AsOfJoinApi
+      .asOf(saltedProbes, saltedQuotes, keys :+ "__salt",
+        timeCol, quoteVal, outCol)
+      .drop("__salt")
   }
 
   /** X4 global-sigma outliers (reference:

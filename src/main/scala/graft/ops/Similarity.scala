@@ -101,13 +101,29 @@ object Similarity {
   def ivfAssign(df: DataFrame, id: String, vecCol: String,
                 centroids: DataFrame, centroidId: String = "centroid_id",
                 nProbe: Int = 1): DataFrame = {
-    val c = centroids.select(col(centroidId), col(vecCol).as("__cent"))
-    val w = Window.partitionBy(id).orderBy(col("__csim").desc, col(centroidId))
-    df.join(broadcast(c))
-      .withColumn("__csim", cosine(col(vecCol), col("__cent")))
-      .withColumn("__crn", row_number().over(w))
-      .filter(col("__crn") <= nProbe)
-      .drop("__cent", "__csim", "__crn")
+    // ZERO shuffles: the centroid table packs into one broadcast array
+    // row and the per-row argmax is a sorted-array HOF — the former
+    // broadcast-join + window formulation fanned every input row out
+    // ×|centroids| and then shuffled that on id just to rank, which is
+    // the dominant exchange of the whole ANN pipeline at scale.
+    // Comparator = (csim desc, cid asc), the window's exact ordering;
+    // the full sort also makes the nondeterministic collect_list order
+    // irrelevant. |centroids| is small (k-means k), so the interpreted
+    // per-row loop is ~k native-cosine calls.
+    val packed = centroids.agg(collect_list(
+      struct(col(centroidId).as("cid"), col(vecCol).as("cv"))).as("__cents"))
+    df.crossJoin(broadcast(packed))
+      .withColumn("__cell", explode(slice(array_sort(
+        transform(col("__cents"), c =>
+          struct(cosine(col(vecCol), c.getField("cv")).as("csim"),
+            c.getField("cid").as("cid"))),
+        (l, r) => when(l.getField("csim") > r.getField("csim"), -1)
+          .when(l.getField("csim") < r.getField("csim"), 1)
+          .when(l.getField("cid") < r.getField("cid"), -1)
+          .when(l.getField("cid") > r.getField("cid"), 1)
+          .otherwise(0)), 1, nProbe)))
+      .withColumn(centroidId, col("__cell").getField("cid"))
+      .drop("__cents", "__cell")
   }
 
   /** IVF ANN join: assign both sides to cells, join on cell, top-k within.

@@ -121,7 +121,13 @@ object Relational {
     * shuffle once on the key; skewed keys are handled by AQE.
     * Null-key and null-time quotes are dropped (SQL semantics: an
     * equi-key never equals null, `probe.time >= null` is never true),
-    * matching the native AsOfJoinExec. */
+    * matching the native AsOfJoinExec.
+    *
+    * With `keys` empty this window formulation degenerates to a single
+    * partition — for a global as-of use
+    * `org.apache.spark.sql.graft.AsOfJoinApi.asOf(..., keys = Seq.empty)`,
+    * whose range-partitioned path scales; for a pathologically hot key
+    * see [[saltedAsOf]]. */
   def asOfLookup(probes: DataFrame, quotes: DataFrame, keys: Seq[String],
                  timeCol: String, quoteVal: String, outCol: String): DataFrame = {
     val probeCols = probes.columns.toIndexedSeq

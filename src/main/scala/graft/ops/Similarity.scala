@@ -98,18 +98,22 @@ object Similarity {
     * `centroids(centroid_id, vecCol)` is a small table (k-means output or,
     * deterministically, per-label means) and is broadcast to both sides.
     * `nProbe > 1` searches that many nearest cells for better recall. */
-  def ivfAssign(df: DataFrame, id: String, vecCol: String,
+  def ivfAssign(df: DataFrame, vecCol: String,
                 centroids: DataFrame, centroidId: String = "centroid_id",
                 nProbe: Int = 1): DataFrame = {
     // ZERO shuffles: the centroid table packs into one broadcast array
     // row and the per-row argmax is a sorted-array HOF — the former
     // broadcast-join + window formulation fanned every input row out
-    // ×|centroids| and then shuffled that on id just to rank, which is
-    // the dominant exchange of the whole ANN pipeline at scale.
-    // Comparator = (csim desc, cid asc), the window's exact ordering;
-    // the full sort also makes the nondeterministic collect_list order
-    // irrelevant. |centroids| is small (k-means k), so the interpreted
-    // per-row loop is ~k native-cosine calls.
+    // ×|centroids| and then shuffled that on the row id just to rank,
+    // which was the dominant exchange of the whole ANN pipeline at scale
+    // (the rewrite also made the id parameter unnecessary: ranking is
+    // per-row now).
+    // Comparator = (csim desc, cid asc), the window's exact ordering,
+    // with null csim sorting last (a null vector matches no cell cleanly;
+    // the window's `desc` NullsLast did the same) — the full sort also
+    // makes the nondeterministic collect_list order irrelevant.
+    // |centroids| is small (k-means k), so the interpreted per-row loop
+    // is ~k native-cosine calls.
     val packed = centroids.agg(collect_list(
       struct(col(centroidId).as("cid"), col(vecCol).as("cv"))).as("__cents"))
     df.crossJoin(broadcast(packed))
@@ -117,11 +121,17 @@ object Similarity {
         transform(col("__cents"), c =>
           struct(cosine(col(vecCol), c.getField("cv")).as("csim"),
             c.getField("cid").as("cid"))),
-        (l, r) => when(l.getField("csim") > r.getField("csim"), -1)
-          .when(l.getField("csim") < r.getField("csim"), 1)
-          .when(l.getField("cid") < r.getField("cid"), -1)
-          .when(l.getField("cid") > r.getField("cid"), 1)
-          .otherwise(0)), 1, nProbe)))
+        (l, r) => {
+          def cidOrd = when(l.getField("cid") < r.getField("cid"), -1)
+            .when(l.getField("cid") > r.getField("cid"), 1)
+            .otherwise(0)
+          when(l.getField("csim").isNull && r.getField("csim").isNull, cidOrd)
+            .when(l.getField("csim").isNull, 1)
+            .when(r.getField("csim").isNull, -1)
+            .when(l.getField("csim") > r.getField("csim"), -1)
+            .when(l.getField("csim") < r.getField("csim"), 1)
+            .otherwise(cidOrd)
+        }), 1, nProbe)))
       .withColumn(centroidId, col("__cell").getField("cid"))
       .drop("__cents", "__cell")
   }
@@ -132,9 +142,9 @@ object Similarity {
                  candId: String, vecCol: String, k: Int,
                  centroids: DataFrame, nProbe: Int = 1): DataFrame = {
     val p = ivfAssign(probes.select(col(probeId), col(vecCol).as("__pv")),
-      probeId, "__pv", centroids.withColumnRenamed(vecCol, "__pv"), nProbe = nProbe)
+      "__pv", centroids.withColumnRenamed(vecCol, "__pv"), nProbe = nProbe)
     val c = ivfAssign(cands.select(col(candId), col(vecCol).as("__cv")),
-      candId, "__cv", centroids.withColumnRenamed(vecCol, "__cv"))
+      "__cv", centroids.withColumnRenamed(vecCol, "__cv"))
     val joined = p.join(c, Seq("centroid_id"))
       .filter(col(probeId) =!= col(candId))
       .withColumn("sim", round(cosine(col("__pv"), col("__cv")), 3))

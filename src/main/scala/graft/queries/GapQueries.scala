@@ -155,7 +155,7 @@ object GapQueries {
         .select(col("centroid_id"), transform(col("z"), x => x("v")).as("embedding"))
       graft.ops.Similarity.ivfAssign(
         e.select(col("vec_id"), col("embedding").cast("array<double>")),
-        "vec_id", "embedding",
+        "embedding",
         centroids)
         .groupBy("centroid_id").agg(count(lit(1)).as("n"))
         .orderBy("centroid_id")

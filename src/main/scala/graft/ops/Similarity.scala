@@ -136,6 +136,42 @@ object Similarity {
       .drop("__cents", "__cell")
   }
 
+  /** Deterministic mini k-means (Lloyd's) to train IVF cells when no
+    * label structure exists: seeds are the `k` vectors with the smallest
+    * `xxhash64(id)` (deterministic, data-independent spread), then
+    * `iters` rounds of assign → per-cell elementwise mean. Assignment is
+    * the shuffle-free [[ivfAssign]]; the mean is posexplode + two
+    * map-side-combinable aggregations, so one round costs one scan of
+    * `df` plus exchanges of only (k · dim)-sized data. Output
+    * `(centroid_id, vecCol)` feeds [[ivfAssign]]/[[annIvfJoin]].
+    *
+    * Lloyd's caveats, standard and deterministic here: a cell that loses
+    * every point disappears (k can shrink); seeds are hash-arbitrary, not
+    * k-means++ (iters=3–5 suffices for IVF bucketing, where cell QUALITY
+    * only moves recall, never correctness). The iteration chain is one
+    * lazy plan — `iters` sequential stages, each scanning `df` once. */
+  def kmeansCentroids(df: DataFrame, id: String, vecCol: String,
+                      k: Int, iters: Int = 3): DataFrame = {
+    // k rows total after the TakeOrdered limit — the single-partition
+    // window only ever ranks those k
+    val seeds = df.select(col(id), col(vecCol))
+      .withColumn("__h", xxhash64(col(id)))
+      .orderBy("__h").limit(k)
+      .withColumn("centroid_id",
+        row_number().over(Window.orderBy("__h")) - 1)
+      .select(col("centroid_id"), col(vecCol))
+    (1 to iters).foldLeft(seeds) { (cents, _) =>
+      ivfAssign(df.select(col(id), col(vecCol)), vecCol, cents)
+        .select(col("centroid_id"),
+          posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "v")))
+        .groupBy("centroid_id", "pos").agg(avg("v").as("v"))
+        .groupBy("centroid_id")
+        .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("__z"))
+        .select(col("centroid_id"),
+          transform(col("__z"), x => x("v")).as(vecCol))
+    }
+  }
+
   /** IVF ANN join: assign both sides to cells, join on cell, top-k within.
     * Probes may fan out to `nProbe` cells; candidates live in exactly one. */
   def annIvfJoin(probes: DataFrame, cands: DataFrame, probeId: String,

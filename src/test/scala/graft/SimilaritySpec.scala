@@ -72,4 +72,33 @@ class SimilaritySpec extends SparkSpec {
     assert(multi >= single, s"multi-probe $multi < single $single")
     assert(multi > 0.5, s"multi-probe recall $multi")
   }
+
+  test("kmeansCentroids converges to pure cells on separated clusters") {
+    // Seeds are the k smallest-hash ids (arbitrary but deterministic), so
+    // derive cluster membership FROM the seed ranking: the three seeds go
+    // to distinct clusters, everyone else round-robins. With each cluster
+    // seeded, spherical k-means (cosine assign + mean update) must
+    // converge to cells that partition the clusters exactly.
+    val ids = (0L until 30L).toDF("id")
+    val seedIds = ids.withColumn("__h", xxhash64(col("id")))
+      .orderBy("__h").limit(3).select("id").as[Long].collect()
+    def clusterOf(id: Long): Int = seedIds.indexOf(id) match {
+      case -1 => (id % 3).toInt
+      case s  => s
+    }
+    val dirs = Seq(Seq(10.0f, 0.0f), Seq(0.0f, 10.0f), Seq(-7.0f, -7.0f))
+    val pts = (0L until 30L).map { id =>
+      val d = dirs(clusterOf(id))
+      (id, Seq(d(0) + (id % 7) * 0.01f, d(1) + (id % 5) * 0.01f))
+    }.toDF("id", "vec")
+    val cents = Similarity.kmeansCentroids(pts, "id", "vec", k = 3, iters = 4)
+    assert(cents.count() == 3)
+    val assigned = Similarity.ivfAssign(pts, "vec", cents)
+      .select("id", "centroid_id").as[(Long, Int)].collect()
+    val cellsByCluster = assigned.groupBy { case (id, _) => clusterOf(id) }
+      .map { case (cl, rows) => cl -> rows.map(_._2).toSet }
+    // every cluster maps to exactly one cell, and no two clusters share one
+    assert(cellsByCluster.values.forall(_.size == 1), s"$cellsByCluster")
+    assert(cellsByCluster.values.flatten.toSet.size == 3, s"$cellsByCluster")
+  }
 }

@@ -161,6 +161,20 @@ object GapQueries {
         .orderBy("centroid_id")
     },
 
+    // IVF with TRAINED cells: deterministic spherical k-means (hash
+    // seeds, 3 Lloyd's rounds) instead of label means — the path for
+    // unlabeled corpora. No SQL oracle (seeds need xxhash64); fully
+    // deterministic, convergence pinned in SimilaritySpec.
+    Q.noOracle("sim_kmeans_cells") { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val cents = graft.ops.Similarity.kmeansCentroids(
+        e, "vec_id", "embedding", k = 8, iters = 3)
+      graft.ops.Similarity.ivfAssign(e, "embedding", cents)
+        .groupBy("centroid_id").agg(count(lit(1)).as("n"))
+        .orderBy("centroid_id")
+    },
+
     // The IVF cell-assignment MECHANISM oracled exactly: per-label mean
     // centroids, argmax-cosine assignment (ranking on the 6-decimal
     // rounded similarity so double ulp noise between engines can't flip

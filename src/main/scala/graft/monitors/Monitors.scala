@@ -50,17 +50,28 @@ object Monitors {
   /** NUV stripe differences B−C and C−A (reference:
     * osm_shift_monitors.py:388–393, J7): segmentDiff per stripe pair,
     * unioned with a `pair` label. */
-  def nuvStripeDiffs(exploded: DataFrame, valueCol: String): DataFrame = {
-    val grouped = exploded.groupBy("ROOTNAME", "SEGMENT")
+  def nuvStripeDiffs(exploded: DataFrame, valueCol: String): DataFrame =
+    // ONE pivot over all three stripes, both pair diffs computed from
+    // the same wide row and fanned out with an inline 2-element explode.
+    // The per-pair segmentDiff formulation unioned two pivots of the
+    // same grouped subplan — aggregating the input once per pair, which
+    // is two shuffles of the full stream instead of one at scale. A
+    // pair's row exists iff both its stripes are present (the diff of
+    // two non-null doubles is non-null; a missing stripe nulls it) —
+    // exactly segmentDiff's isNotNull x2 guard.
+    exploded.groupBy("ROOTNAME", "SEGMENT")
       .agg(first(col(valueCol)).as("v"))
-    val bc = Relational.segmentDiff(grouped, Seq("ROOTNAME"), "SEGMENT", "v",
-        "NUVB", "NUVC").withColumn("pair", lit("B-C"))
-      .select("ROOTNAME", "pair", "seg_diff")
-    val ca = Relational.segmentDiff(grouped, Seq("ROOTNAME"), "SEGMENT", "v",
-        "NUVC", "NUVA").withColumn("pair", lit("C-A"))
-      .select("ROOTNAME", "pair", "seg_diff")
-    bc.unionByName(ca)
-  }
+      .groupBy("ROOTNAME")
+      .pivot("SEGMENT", Seq("NUVA", "NUVB", "NUVC"))
+      .agg(first(col("v")))
+      .select(col("ROOTNAME"), explode(array(
+        struct(lit("B-C").as("pair"),
+          (col("NUVB") - col("NUVC")).as("seg_diff")),
+        struct(lit("C-A").as("pair"),
+          (col("NUVC") - col("NUVA")).as("seg_diff")))).as("p"))
+      .select(col("ROOTNAME"), col("p.pair").as("pair"),
+        col("p.seg_diff").as("seg_diff"))
+      .filter(col("seg_diff").isNotNull)
 
   /** OSM drift data (reference: cosmo/monitors/osm_drift_monitors.py:
     * 14–45): shifts relative to each exposure's FIRST flash (W2), first
@@ -285,16 +296,28 @@ object Monitors {
     * reference's figure consumes (S18's contract: the engine emits the
     * trace table, rendering is presentation-layer). */
   def jitterTraces(jitter: DataFrame): DataFrame =
-    Seq("V2", "V3").map { d =>
-      Relational.explodeArrays(
-        jitter.select(col("EXPNAME"), col("EXPSTART"), col("Seconds"),
-          col(s"SI_${d}_AVG").as("avg_arr"), col(s"SI_${d}_RMS").as("rms_arr")),
-        Seq("Seconds", "avg_arr", "rms_arr"), posCol = "sample")
-        .select(col("EXPNAME"), lit(d).as("axis"),
-          TimeFns.mjdToTs(col("EXPSTART") + col("Seconds") / lit(86400.0d))
-            .as("sample_ts"),
-          (col("avg_arr") - col("rms_arr")).as("lo"),
-          col("avg_arr").as("avg"),
-          (col("avg_arr") + col("rms_arr")).as("hi"))
-    }.reduce(_.unionByName(_))
+    // ONE scan + one explode for both axes (the per-axis union re-read
+    // the jitter source twice): all five per-sample arrays zip in a
+    // single explodeArrays — they come from the same FITS table
+    // extension, so equal lengths are guaranteed (and raggedness is the
+    // error explodeArrays exists to raise) — then each sample fans out
+    // to its V2/V3 rows via an inline 2-element explode.
+    Relational.explodeArrays(
+      jitter.select(col("EXPNAME"), col("EXPSTART"), col("Seconds"),
+        col("SI_V2_AVG"), col("SI_V2_RMS"),
+        col("SI_V3_AVG"), col("SI_V3_RMS")),
+      Seq("Seconds", "SI_V2_AVG", "SI_V2_RMS", "SI_V3_AVG", "SI_V3_RMS"),
+      posCol = "sample")
+      .select(col("EXPNAME"),
+        TimeFns.mjdToTs(col("EXPSTART") + col("Seconds") / lit(86400.0d))
+          .as("sample_ts"),
+        explode(array(
+          struct(lit("V2").as("axis"), col("SI_V2_AVG").as("avg"),
+            col("SI_V2_RMS").as("rms")),
+          struct(lit("V3").as("axis"), col("SI_V3_AVG").as("avg"),
+            col("SI_V3_RMS").as("rms")))).as("t"))
+      .select(col("EXPNAME"), col("t.axis").as("axis"), col("sample_ts"),
+        (col("t.avg") - col("t.rms")).as("lo"),
+        col("t.avg").as("avg"),
+        (col("t.avg") + col("t.rms")).as("hi"))
 }

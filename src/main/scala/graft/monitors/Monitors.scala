@@ -125,11 +125,16 @@ object Monitors {
       .withColumn("V2SLEW", graft.core.Coords.v2(col("ACQSLEWX"), col("ACQSLEWY")))
       .withColumn("V3SLEW", graft.core.Coords.v3(col("ACQSLEWX"), col("ACQSLEWY")))
       .withColumn("byear", TimeFns.besselianYear(col("EXPSTART")))
-    val v2 = Stats.linFit(cut, Seq("FGS"), "byear", "V2SLEW")
-      .withColumn("axis", lit("V2"))
-    val v3 = Stats.linFit(cut, Seq("FGS"), "byear", "V3SLEW")
-      .withColumn("axis", lit("V3"))
-    v2.unionByName(v3)
+    // one pass: fan each row to its (axis, slew) pair and fit per
+    // (FGS, axis) — the per-axis union aggregated the quality-cut
+    // subplan twice (two scans, two shuffles of the same stream)
+    val fanned = cut.select(col("FGS"), col("byear"), explode(array(
+        struct(lit("V2").as("axis"), col("V2SLEW").as("slew")),
+        struct(lit("V3").as("axis"), col("V3SLEW").as("slew")))).as("t"))
+      .select(col("FGS"), col("byear"),
+        col("t.axis").as("axis"), col("t.slew").as("slew"))
+    Stats.linFit(fanned, Seq("FGS", "axis"), "byear", "slew")
+      .select("FGS", "n", "slope", "intercept", "axis")
   }
 
   /** ACQ/IMAGE monitor (reference: cosmo/monitors/acq_monitors.py:22–77,
@@ -214,7 +219,11 @@ object Monitors {
     val band = withTs.agg(
       expr("percentile(Data, 0.005)").as("lo"),
       expr("percentile(Data, 0.995)").as("hi"))
-    val probeVals = Relational.asOfLookup(
+    // global (unkeyed) as-of through the custom range-partitioned
+    // operator — the window formulation with no partition key collapses
+    // to a single task, which is exactly the case AsOfJoinExec's
+    // executeGlobal exists for
+    val probeVals = org.apache.spark.sql.graft.AsOfJoinApi.asOf(
       probes, samples.select(col("MJD"), col("Data")),
       keys = Seq.empty, timeCol = "MJD", quoteVal = "Data", outCol = "value_at")
     (smoothed, band, probeVals)

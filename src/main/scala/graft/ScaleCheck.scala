@@ -134,6 +134,18 @@ object ScaleCheck {
         .asOf(probes, quotes, Seq.empty, "ts", "v", "qv").count()
     }
 
+    // 7. IVF train + assign at 200k vectors: the shuffle-free assignment
+    // (packed-centroid HOF argmax) is the piece that used to shuffle
+    // rows×k — training cost should stay ~linear in rows·iters
+    time("ivf_kmeans_train+assign (200k)") {
+      val e = emb10.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      val cents = ops.Similarity.kmeansCentroids(
+        e, "vec_id", "embedding", k = 16, iters = 2)
+      ops.Similarity.ivfAssign(e, "embedding", cents)
+        .groupBy("centroid_id").count().count()
+    }
+
     spark.stop()
   }
 }

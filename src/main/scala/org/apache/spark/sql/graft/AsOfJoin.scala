@@ -49,14 +49,14 @@ case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
-    rightValue: Expression, outAttr: AttributeReference)
+    rightValues: Seq[Expression], outAttrs: Seq[AttributeReference])
   extends LogicalBinaryNode {
 
-  override def output: Seq[Attribute] = left.output :+ outAttr
+  override def output: Seq[Attribute] = left.output ++ outAttrs
 
-  // outAttr is produced BY this node — without this it would count as a
-  // reference and CheckAnalysis would flag it missing from the children
-  override def producedAttributes: AttributeSet = AttributeSet(outAttr)
+  // outAttrs are produced BY this node — without this they would count as
+  // references and CheckAnalysis would flag them missing from the children
+  override def producedAttributes: AttributeSet = AttributeSet(outAttrs)
 
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
@@ -65,8 +65,8 @@ case class AsOfJoinPlan(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, rv, out) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, rv, out) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, rvs, outs) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, rvs, outs) :: Nil
     case _ => Nil
   }
 }
@@ -75,11 +75,11 @@ case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
-    rightValue: Expression, outAttr: AttributeReference)
+    rightValues: Seq[Expression], outAttrs: Seq[AttributeReference])
   extends BinaryExecNode {
 
-  override def output: Seq[Attribute] = left.output :+ outAttr
-  override def producedAttributes: AttributeSet = AttributeSet(outAttr)
+  override def output: Seq[Attribute] = left.output ++ outAttrs
+  override def producedAttributes: AttributeSet = AttributeSet(outAttrs)
 
   // hash-cluster both sides on the key (EnsureRequirements inserts the
   // exchanges and makes the partition counts compatible, exactly as for
@@ -124,20 +124,22 @@ case class AsOfJoinExec(
     require(keyTypes == rightKeys.map(_.dataType),
       "as-of join key types must match on both sides")
     val lk = leftKeys; val rk = rightKeys
-    val lt = leftTime; val rt = rightTime; val rv = rightValue
+    val lt = leftTime; val rt = rightTime; val rvs = rightValues
     val timeType = leftTime.dataType
     val out = output
+    val outs = outAttrs
+    val nVals = rvs.length
 
     left.execute().zipPartitions(right.execute()) { (pIter, qIter) =>
       val lKeyProj = UnsafeProjection.create(lk, lOut)
       val rKeyProj = UnsafeProjection.create(rk, rOut)
       val lTimeBound = BindReferences.bindReference(lt, AttributeSeq(lOut))
       val rTimeBound = BindReferences.bindReference(rt, AttributeSeq(rOut))
-      val valBound = BindReferences.bindReference(rv, AttributeSeq(rOut))
+      val valBounds = rvs.map(BindReferences.bindReference(_, AttributeSeq(rOut))).toArray
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
       val timeOrd = TypeUtils.getInterpretedOrdering(timeType)
-      val resultProj = UnsafeProjection.create(out, lOut :+ outAttr)
-      val valRow = new GenericInternalRow(1)
+      val resultProj = UnsafeProjection.create(out, lOut ++ outs)
+      val valRow = new GenericInternalRow(nVals)
       val joined = new JoinedRow
 
       // lookahead quote: (key copy, time copy, value copy); null = drained.
@@ -149,7 +151,7 @@ case class AsOfJoinExec(
       // later quote of its key).
       var qKey: InternalRow = null
       var qTime: Any = null
-      var qVal: Any = null
+      var qVals: Array[Any] = null
       var qHas = false
       def advance(): Unit = {
         qHas = false
@@ -160,7 +162,7 @@ case class AsOfJoinExec(
           if (!k.anyNull && t != null) {
             qKey = k.copy()
             qTime = retained(t)
-            qVal = retained(valBound.eval(q))
+            qVals = Array.tabulate(nVals)(i => retained(valBounds(i).eval(q)))
             qHas = true
           }
         }
@@ -169,16 +171,23 @@ case class AsOfJoinExec(
 
       // most recently consumed quote (the as-of candidate)
       var lastKey: InternalRow = null
-      var lastVal: Any = null
+      var lastVals: Array[Any] = null
       var hasLast = false
+
+      def emit(p: InternalRow, vals: Array[Any]): InternalRow = {
+        var i = 0
+        while (i < nVals) {
+          valRow.update(i, if (vals == null) null else vals(i)); i += 1
+        }
+        resultProj(joined(p, valRow))
+      }
 
       pIter.map { p =>
         val pKey = lKeyProj(p)
         val pTime = lTimeBound.eval(p)
         if (pKey.anyNull) {
           // null probe key matches no quote (SQL equi-join semantics)
-          valRow.update(0, null)
-          resultProj(joined(p, valRow))
+          emit(p, null)
         } else {
         // consume quotes at earlier keys, or same key with time <= probe
         // time (a quote AT the probe time counts — reference step_wise)
@@ -187,15 +196,13 @@ case class AsOfJoinExec(
           val c = keyOrd.compare(qKey, pKey)
           if (c < 0 || (c == 0 && pTime != null && qTime != null &&
               timeOrd.lteq(qTime, pTime))) {
-            lastKey = qKey; lastVal = qVal; hasLast = true
+            lastKey = qKey; lastVals = qVals; hasLast = true
             advance()
             continue = qHas
           } else continue = false
         }
-        val v =
-          if (hasLast && keyOrd.compare(lastKey, pKey) == 0) lastVal else null
-        valRow.update(0, v)
-        resultProj(joined(p, valRow))
+        emit(p,
+          if (hasLast && keyOrd.compare(lastKey, pKey) == 0) lastVals else null)
         }
       }
     }
@@ -228,12 +235,13 @@ case class AsOfJoinExec(
   private def executeGlobal(): RDD[InternalRow] = {
     val lOut = left.output
     val rOut = right.output
-    val lt = leftTime; val rt = rightTime; val rv = rightValue
+    val lt = leftTime; val rt = rightTime; val rvs = rightValues
     val timeType = leftTime.dataType
     require(rightTime.dataType == timeType,
       "as-of join time types must match on both sides")
     val out = output
-    val attr = outAttr
+    val outs = outAttrs
+    val nVals = rvs.length
 
     val base = TypeUtils.getInterpretedOrdering(timeType)
     implicit val ord: Ordering[Any] = new Ordering[Any] with Serializable {
@@ -247,13 +255,14 @@ case class AsOfJoinExec(
       val tBound = BindReferences.bindReference(lt, AttributeSeq(lOut))
       it.map { r => (retained(tBound.eval(r)), r.copy()) }
     }
-    val qPairs: RDD[(Any, Any)] = right.execute().mapPartitions { it =>
+    val qPairs: RDD[(Any, Array[Any])] = right.execute().mapPartitions { it =>
       val tBound = BindReferences.bindReference(rt, AttributeSeq(rOut))
-      val vBound = BindReferences.bindReference(rv, AttributeSeq(rOut))
+      val vBounds = rvs.map(BindReferences.bindReference(_, AttributeSeq(rOut))).toArray
       it.flatMap { r =>
         val t = tBound.eval(r)
         if (t == null) Iterator.empty
-        else Iterator.single((retained(t), retained(vBound.eval(r))))
+        else Iterator.single((retained(t),
+          Array.tabulate(nVals)(i => retained(vBounds(i).eval(r)))))
       }
     }
 
@@ -261,19 +270,19 @@ case class AsOfJoinExec(
       conf.numShufflePartitions, lPairs, ascending = true)
     val lShuffled = new ShuffledRDD[Any, InternalRow, InternalRow](lPairs, part)
       .setKeyOrdering(ord)
-    val qShuffled = new ShuffledRDD[Any, Any, Any](qPairs, part)
+    val qShuffled = new ShuffledRDD[Any, Array[Any], Array[Any]](qPairs, part)
       .setKeyOrdering(ord)
 
     // last quote per quote-partition (≤ one pair per partition to the
     // driver), prefix-scanned into the seed each partition starts from
-    val lasts: Array[Option[(Any, Any)]] = qShuffled
+    val lasts: Array[Option[(Any, Array[Any])]] = qShuffled
       .mapPartitionsWithIndex { (i, it) =>
-        var last: Option[(Any, Any)] = None
+        var last: Option[(Any, Array[Any])] = None
         while (it.hasNext) last = Some(it.next())
         Iterator.single(i -> last)
       }.collect().sortBy(_._1).map(_._2)
-    val seeds = new Array[Option[(Any, Any)]](part.numPartitions)
-    var carry: Option[(Any, Any)] = None
+    val seeds = new Array[Option[(Any, Array[Any])]](part.numPartitions)
+    var carry: Option[(Any, Array[Any])] = None
     var i = 0
     while (i < part.numPartitions) {
       seeds(i) = carry
@@ -283,32 +292,37 @@ case class AsOfJoinExec(
     val seedsBc = sparkContext.broadcast(seeds)
 
     lShuffled.zipPartitions(qShuffled) { (pIter, qIter) =>
-      val resultProj = UnsafeProjection.create(out, lOut :+ attr)
-      val valRow = new GenericInternalRow(1)
+      val resultProj = UnsafeProjection.create(out, lOut ++ outs)
+      val valRow = new GenericInternalRow(nVals)
       val joined = new JoinedRow
       var hasLast = false
-      var lastVal: Any = null
+      var lastVals: Array[Any] = null
       seedsBc.value(TaskContext.getPartitionId()).foreach { case (_, v) =>
-        hasLast = true; lastVal = v
+        hasLast = true; lastVals = v
       }
       var qHas = false
       var qTime: Any = null
-      var qVal: Any = null
+      var qVals: Array[Any] = null
       def advance(): Unit =
         if (qIter.hasNext) {
-          val (t, v) = qIter.next(); qTime = t; qVal = v; qHas = true
+          val (t, v) = qIter.next(); qTime = t; qVals = v; qHas = true
         } else qHas = false
       advance()
+      def emit(p: InternalRow, vals: Array[Any]): InternalRow = {
+        var j = 0
+        while (j < nVals) {
+          valRow.update(j, if (vals == null) null else vals(j)); j += 1
+        }
+        resultProj(joined(p, valRow))
+      }
       pIter.map { case (pTime, p) =>
         if (pTime == null) {
-          valRow.update(0, null)
-          resultProj(joined(p, valRow))
+          emit(p, null)
         } else {
           while (qHas && ord.lteq(qTime, pTime)) {
-            lastVal = qVal; hasLast = true; advance()
+            lastVals = qVals; hasLast = true; advance()
           }
-          valRow.update(0, if (hasLast) lastVal else null)
-          resultProj(joined(p, valRow))
+          emit(p, if (hasLast) lastVals else null)
         }
       }
     }
@@ -326,7 +340,17 @@ case class AsOfJoinExec(
   * where a window over an empty partitionBy would collapse to one task. */
 object AsOfJoinApi {
   def asOf(probes: DataFrame, quotes: DataFrame, keys: Seq[String],
-           timeCol: String, quoteVal: String, outCol: String): DataFrame = {
+           timeCol: String, quoteVal: String, outCol: String): DataFrame =
+    asOfMulti(probes, quotes, keys, timeCol, Seq(quoteVal), Seq(outCol))
+
+  /** Multi-value form: carry several quote columns through one merge —
+    * one shuffle+sort per side regardless of how many columns ride
+    * along (vs one whole as-of join per column). */
+  def asOfMulti(probes: DataFrame, quotes: DataFrame, keys: Seq[String],
+                timeCol: String, quoteVals: Seq[String],
+                outCols: Seq[String]): DataFrame = {
+    require(quoteVals.nonEmpty && quoteVals.length == outCols.length,
+      "quoteVals and outCols must be non-empty and the same length")
     val spark = probes.sparkSession
     // the planner must know the strategy in THIS session, however it was
     // built (withExtensions sessions already have it; this is idempotent)
@@ -345,13 +369,15 @@ object AsOfJoinApi {
         throw new IllegalArgumentException(
           s"column $n not found in ${output.map(_.name).mkString(", ")}"))
     val rOut = r.output.asInstanceOf[Seq[Attribute]]
-    val valueAttr = att(rOut, quoteVal)
+    val valueAttrs = quoteVals.map(att(rOut, _))
     val plan = AsOfJoinPlan(
       l, r,
       keys.map(att(l.output, _)), keys.map(att(rOut, _)),
       att(l.output, timeCol), att(rOut, timeCol),
-      valueAttr,
-      AttributeReference(outCol, valueAttr.dataType, nullable = true)())
+      valueAttrs,
+      outCols.zip(valueAttrs).map { case (n, a) =>
+        AttributeReference(n, a.dataType, nullable = true)()
+      })
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
   }

@@ -152,6 +152,33 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("asOfMulti carries several quote columns through one merge") {
+    val q = Seq((1L, 10L, 1.0, "a"), (1L, 20L, 2.0, "b"), (2L, 15L, 9.0, "c"))
+      .toDF("k", "t", "v", "tag")
+    val p = Seq((1L, 15L), (1L, 25L), (2L, 10L), (3L, 99L)).toDF("k", "t")
+    val multi = AsOfJoinApi.asOfMulti(p, q, Seq("k"), "t",
+      Seq("v", "tag"), Seq("qv", "qtag"))
+      .as[(Long, Long, Option[Double], Option[String])].collect().toSet
+    assert(multi == Set(
+      (1L, 15L, Some(1.0), Some("a")),
+      (1L, 25L, Some(2.0), Some("b")),
+      (2L, 10L, None, None),
+      (3L, 99L, None, None)))
+    // equals two single-value joins column-for-column
+    val v1 = AsOfJoinApi.asOf(p, q, Seq("k"), "t", "v", "qv")
+      .as[(Long, Long, Option[Double])].collect().toSet
+    assert(multi.map { case (k, t, qv, _) => (k, t, qv) } == v1)
+    // and through the global path
+    val g = AsOfJoinApi.asOfMulti(p.drop("k"), q.drop("k"), Seq.empty, "t",
+      Seq("v", "tag"), Seq("qv", "qtag"))
+      .as[(Long, Option[Double], Option[String])].collect().toSet
+    // keyless: ALL quotes form one step function, so t=15 sees the
+    // (15, 9.0, "c") quote and the last quote overall is t=20
+    assert(g == Set(
+      (15L, Some(9.0), Some("c")), (25L, Some(2.0), Some("b")),
+      (10L, Some(1.0), Some("a")), (99L, Some(2.0), Some("b"))))
+  }
+
   test("saltedAsOf equals the unsalted as-of on skewed keys") {
     // 90% of probes on one hot key — the scenario salting exists for
     val n = 4000

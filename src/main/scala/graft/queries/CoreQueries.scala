@@ -291,6 +291,31 @@ object CoreQueries {
         .orderBy("event_id")
     },
 
+    // J11 multi-value: several quote columns through ONE merge (one
+    // shuffle+sort per side regardless of width — the alternative is a
+    // whole as-of join per column). Same ASOF oracle, two outputs.
+    Q("j11_asof_multi",
+      """SELECT p.event_id, q.value AS last_view_value,
+        |  q.event_id AS last_view_event
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'view') q
+        |  ON p.user_id = q.user_id AND p.ts >= q.ts
+        |ORDER BY p.event_id""".stripMargin) { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      val probes = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val quotes = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_event"), col("user_id"),
+          col("ts"), col("value"))
+      org.apache.spark.sql.graft.AsOfJoinApi
+        .asOfMulti(probes, quotes, Seq("user_id"), "ts",
+          Seq("value", "view_event"),
+          Seq("last_view_value", "last_view_event"))
+        .select("event_id", "last_view_value", "last_view_event")
+        .orderBy("event_id")
+    },
+
     // J11 GLOBAL (unkeyed) as-of through the custom operator's
     // range-partitioned path: one step function over ALL quotes, range
     // partitioning by time shared across both sides + cross-partition

@@ -23,6 +23,19 @@ object GraftExtensions {
   private def info(name: String, usage: String) =
     new ExpressionInfo("org.apache.spark.sql.graft", null, name, usage, "", "", "", "", "", "", "scala_udf")
 
+  // A literal-only SQL argument must be foldable and non-null — anything
+  // else is an AnalysisException at registration, not a runtime
+  // ClassCastException/NPE deep in the builder.
+  private def literalArg(e: Expression, fn: String, param: String): Any = {
+    if (!e.foldable)
+      org.apache.spark.sql.graft.AnalysisErrors
+        .nonFoldableArgument(fn, param, e.dataType)
+    val v = e.eval()
+    if (v == null)
+      org.apache.spark.sql.graft.AnalysisErrors.nullArgument(fn, param)
+    v
+  }
+
   val descriptors: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("mjd_to_ts",
       info("mjd_to_ts", "mjd_to_ts(days) - MJD float days (UTC) to timestamp."),
@@ -40,7 +53,8 @@ object GraftExtensions {
       info("minhash_signature",
         "minhash_signature(shingles, n) - n-component MinHash signature of a string array."),
       (args: Seq[Expression]) => MinHashSignature(args.head,
-        args(1).eval().asInstanceOf[Number].intValue())),
+        literalArg(args(1), "minhash_signature", "n")
+          .asInstanceOf[Number].intValue())),
     ("simhash64",
       info("simhash64", "simhash64(hashes) - 64-bit SimHash of pre-hashed tokens."),
       (args: Seq[Expression]) => SimHash64(args.head)),
@@ -48,7 +62,7 @@ object GraftExtensions {
       info("regexp_extract_groups",
         "regexp_extract_groups(str, pattern) - all capture groups of one match as array<string>, null if no match."),
       (args: Seq[Expression]) => RegexpExtractGroups(args.head,
-        args(1).eval().asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)))
+        literalArg(args(1), "regexp_extract_groups", "pattern").toString)))
 
   /** Register on an existing session (tests, REPL). Functions go into the
     * session registry; the pushdown rule into experimental optimizations

@@ -51,7 +51,31 @@ class FitsDataSource extends TableProvider with DataSourceRegister {
   override def supportsExternalMetadata(): Boolean = true
 }
 
+/** Serializable carrier for the driver's Hadoop configuration, so
+  * executor-side reads see configured filesystems/credentials (what
+  * Spark's own file sources do via their broadcast conf). Hadoop's
+  * `Configuration` is a `Writable`, not `Serializable` — ship it through
+  * its own wire format. */
+class SerializableHadoopConf(@transient private var conf: org.apache.hadoop.conf.Configuration)
+  extends Serializable {
+  def value: org.apache.hadoop.conf.Configuration = conf
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    conf.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    conf = new org.apache.hadoop.conf.Configuration(false)
+    conf.readFields(in)
+  }
+}
+
 object FitsV2 {
+  /** Driver-side session Hadoop conf, serializably wrapped. */
+  def sessionConf(): SerializableHadoopConf =
+    new SerializableHadoopConf(
+      SparkSession.active.sessionState.newHadoopConf())
+
   def hduIndex(options: CaseInsensitiveStringMap): Int =
     Option(options.get("hdu")).map(_.toInt).getOrElse(1)
 
@@ -71,10 +95,8 @@ object FitsV2 {
     matches.map(_.getPath.toString)
   }
 
-  private[ingest] def readFile(path: String): Array[Byte] = {
-    // executor-safe Hadoop conf (local-fs paths in our fixtures; a real
-    // cluster conf rides in via the serialized task context)
-    val conf = new org.apache.hadoop.conf.Configuration()
+  private[ingest] def readFile(path: String,
+      conf: org.apache.hadoop.conf.Configuration): Array[Byte] = {
     val p = new Path(path)
     val fs = FileSystem.get(p.toUri, conf)
     val in = fs.open(p)
@@ -85,6 +107,45 @@ object FitsV2 {
       while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
       Fits.gunzipIfNeeded(out.toByteArray)
     } finally in.close()
+  }
+
+  /** Read ONLY the primary header of a file: stream 2880-byte blocks
+    * (through a streaming gunzip for .gz) until the END card, never
+    * touching the data sections. This is what makes header-predicate
+    * file pruning cheap — a few KB per file instead of the whole
+    * product, the FITS analog of reading a parquet footer. */
+  private[ingest] def readPrimaryHeader(path: String,
+      conf: org.apache.hadoop.conf.Configuration): Map[String, String] = {
+    val p = new Path(path)
+    val fs = FileSystem.get(p.toUri, conf)
+    val raw = fs.open(p)
+    try {
+      val head = new java.io.BufferedInputStream(raw, 8192)
+      head.mark(2)
+      val b0 = head.read(); val b1 = head.read()
+      head.reset()
+      val in: java.io.InputStream =
+        if (b0 == 0x1f && b1 == 0x8b) new java.util.zip.GZIPInputStream(head)
+        else head
+      val out = new java.io.ByteArrayOutputStream(2880 * 4)
+      val block = new Array[Byte](2880)
+      var done = false
+      while (!done) {
+        var got = 0
+        while (got < 2880) {
+          val n = in.read(block, got, 2880 - got)
+          if (n < 0) throw new java.io.EOFException(s"truncated FITS header: $path")
+          got += n
+        }
+        out.write(block)
+        val text = new String(block, "US-ASCII")
+        done = text.grouped(80).exists(c =>
+          c.startsWith("END     ") || c.trim == "END")
+      }
+      // reuse the full card parser on just the header blocks: a header-only
+      // byte slice parses as one data-less HDU
+      Fits.parseHdus(out.toByteArray).head.header
+    } finally raw.close()
   }
 
   private def sparkType(spec: Fits.ColSpec): DataType = {
@@ -101,7 +162,7 @@ object FitsV2 {
   }
 
   def schemaFor(paths: Seq[String], hdu: Int, headers: Seq[String]): StructType = {
-    val bytes = readFile(paths.head)
+    val bytes = readFile(paths.head, sessionConf().value)
     val hdus = Fits.parseHdus(bytes)
     val cols = Fits.tableCols(hdus(hdu))
     StructType(
@@ -142,37 +203,110 @@ case class FitsV2Table(tableSchema: StructType, options: CaseInsensitiveStringMa
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     new FitsScanBuilder(tableSchema,
-      FitsV2.resolvePaths(options), FitsV2.hduIndex(options))
+      FitsV2.resolvePaths(options), FitsV2.hduIndex(options),
+      FitsV2.headerKeys(options), FitsV2.sessionConf())
 }
 
-class FitsScanBuilder(fullSchema: StructType, paths: Seq[String], hdu: Int)
-  extends ScanBuilder with SupportsPushDownRequiredColumns {
+class FitsScanBuilder(fullSchema: StructType, paths: Seq[String], hdu: Int,
+                      headerKeys: Seq[String], conf: SerializableHadoopConf)
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+  with SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
+
   private var required: StructType = fullSchema
+  private var accepted: Array[Filter] = Array.empty
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = FitsScan(required, paths, hdu)
+
+  // FILE-LEVEL pruning: a predicate over `_file` or a primary-header
+  // column is constant across every row of a file, so satisfying files
+  // can be selected before any table byte is decoded — the custom-source
+  // analog of partition pruning. Accepted filters are fully enforced by
+  // the prune (a file either passes or contributes no rows), so nothing
+  // is returned as residual.
+  private def fileLevel(attr: String): Boolean =
+    attr == "_file" || headerKeys.contains(attr)
+
+  private def prunable(f: Filter): Boolean = f match {
+    case EqualTo(a, _: String) => fileLevel(a)
+    case In(a, vs) if vs.forall(_.isInstanceOf[String]) => fileLevel(a)
+    case StringStartsWith(a, _) => fileLevel(a)
+    case StringEndsWith(a, _) => fileLevel(a)
+    case StringContains(a, _) => fileLevel(a)
+    case IsNotNull(a) => fileLevel(a)
+    case _ => false
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ours, residual) = filters.partition(prunable)
+    accepted = ours
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def build(): Scan =
+    FitsScan(required, paths, hdu, conf, accepted)
 }
 
-case class FitsScan(readSchemaV: StructType, paths: Seq[String], hdu: Int)
+case class FitsScan(readSchemaV: StructType, paths: Seq[String], hdu: Int,
+                    conf: SerializableHadoopConf,
+                    pushed: Array[org.apache.spark.sql.sources.Filter])
   extends Scan with Batch {
+  import org.apache.spark.sql.sources._
+
   override def readSchema(): StructType = readSchemaV
   override def toBatch: Batch = this
   override def description(): String =
-    s"FITS hdu=$hdu columns=[${readSchemaV.fieldNames.mkString(",")}]"
+    s"FITS hdu=$hdu columns=[${readSchemaV.fieldNames.mkString(",")}]" +
+      (if (pushed.nonEmpty) s" PushedFilters: [${pushed.mkString(", ")}]" else "")
+
+  private def matches(f: Filter, lookup: String => Option[String]): Boolean =
+    f match {
+      case EqualTo(a, v) => lookup(a).contains(v.toString)
+      case In(a, vs) => lookup(a).exists(x => vs.exists(v => v != null && v.toString == x))
+      case StringStartsWith(a, p) => lookup(a).exists(_.startsWith(p))
+      case StringEndsWith(a, s) => lookup(a).exists(_.endsWith(s))
+      case StringContains(a, s) => lookup(a).exists(_.contains(s))
+      case IsNotNull(a) => lookup(a).isDefined
+      case _ => true
+    }
+
+  /** Paths surviving the pushed file-level predicates. `_file` filters
+    * cost nothing; header filters read ONLY each candidate's primary
+    * header (KBs, driver-side — the same planning-time cost profile as
+    * parquet footer reads), and only when such a filter exists. */
+  private[graft] lazy val prunedPaths: Seq[String] = {
+    val (pathFs, headerFs) = pushed.partition(_.references.forall(_ == "_file"))
+    val byPath = paths.filter(p => pathFs.forall(matches(_, {
+      case "_file" => Some(p)
+      case _ => None
+    })))
+    if (headerFs.isEmpty) byPath
+    else byPath.filter { p =>
+      val hdr = FitsV2.readPrimaryHeader(p, conf.value)
+      headerFs.forall(matches(_, {
+        case "_file" => Some(p)
+        case k => hdr.get(k)
+      }))
+    }
+  }
+
   override def planInputPartitions(): Array[InputPartition] =
-    paths.map(p => FitsFilePartition(p): InputPartition).toArray
+    prunedPaths.map(p => FitsFilePartition(p): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    FitsReaderFactory(readSchemaV, hdu)
+    FitsReaderFactory(readSchemaV, hdu, conf)
 }
 
 case class FitsFilePartition(path: String) extends InputPartition
 
-case class FitsReaderFactory(schema: StructType, hdu: Int)
+case class FitsReaderFactory(schema: StructType, hdu: Int,
+                             conf: SerializableHadoopConf)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val path = partition.asInstanceOf[FitsFilePartition].path
     new PartitionReader[InternalRow] {
-      private val bytes = FitsV2.readFile(path)
+      private val bytes = FitsV2.readFile(path, conf.value)
       private val hdus = Fits.parseHdus(bytes)
       private val ext = hdus(hdu)
       private val primary = hdus.head

@@ -2,7 +2,6 @@ package graft.monitors
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.ops.{Relational, Stats}
 import Runner.MonitorJob
 
 /** The reference's registered monitor suite as named, runnable jobs —
@@ -34,22 +33,21 @@ object MonitorCatalog {
     Runner.register(MonitorJob("acq_image", "monthly", _ =>
       Monitors.acqImageTrack(src.acq, src.breakpoints)))
     Runner.register(MonitorJob("acq_image_v2v3", "monthly", _ =>
-      Monitors.acqImageV2V3Track(src.acq)))
+      Monitors.acqImageV2V3Track(src.acq, src.breakpoints)))
     Runner.register(MonitorJob("acq_peakd", "monthly", _ =>
       Monitors.specAcqSlews(src.acq, "ACQ/PEAKD", "ACQSLEWX")))
     Runner.register(MonitorJob("acq_peakxd", "monthly", _ =>
       Monitors.specAcqSlews(src.acq, "ACQ/PEAKXD", "ACQSLEWY")))
 
-    // OSM shift family (osm_shift_monitors.py): FUVA−FUVB per rootname
-    // for FUV, stripe pairs B−C / C−A for NUV; SHIFT1 = dispersion
-    // shifts at threshold 10, SHIFT2 = cross-dispersion at 5 (X3).
+    // OSM shift family (osm_shift_monitors.py): FUVA−FUVB paired
+    // flash-for-flash per rootname for FUV (compute_segment_diff,
+    // osm_shift_monitors.py:55–86), stripe pairs B−C / C−A for NUV;
+    // SHIFT1 = dispersion shifts at threshold 10, SHIFT2 =
+    // cross-dispersion at 5 (X3).
     def fuvShift(valueCol: String, threshold: Double): DataFrame = {
       val exploded = Monitors.osmShiftData(src.lampflash, src.sms)
-      val diffs = Relational.segmentDiff(
-        exploded.groupBy("ROOTNAME", "SEGMENT")
-          .agg(first(col(valueCol)).as("v")),
-        Seq("ROOTNAME"), "SEGMENT", "v", "FUVA", "FUVB")
-      diffs.withColumn("is_outlier", abs(col("seg_diff")) > threshold)
+      Monitors.segmentDiff(exploded, valueCol)
+        .withColumn("is_outlier", abs(col("seg_diff")) > threshold)
     }
     def nuvShift(valueCol: String, threshold: Double): DataFrame =
       Monitors.nuvStripeDiffs(

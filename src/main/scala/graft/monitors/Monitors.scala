@@ -34,13 +34,34 @@ object Monitors {
         TimeFns.mjdToTs(col("EXPSTART") + col("TIME") / lit(86400.0d)))
   }
 
-  /** Per-(ROOTNAME, flash) FUVA−FUVB shift difference (reference:
-    * cosmo/monitors/osm_shift_monitors.py:55–86 compute_segment_diff). */
-  def segmentDiff(exploded: DataFrame, valueCol: String = "SHIFT_DISP"): DataFrame =
-    Relational.segmentDiff(
-      exploded.groupBy("ROOTNAME", "flash", "SEGMENT")
-        .agg(first(col(valueCol)).as("v")),
-      Seq("ROOTNAME", "flash"), "SEGMENT", "v", "FUVA", "FUVB")
+  /** FUVA−FUVB shift difference per flash pair (reference:
+    * cosmo/monitors/osm_shift_monitors.py:55–86 compute_segment_diff):
+    * within each ROOTNAME the reference subtracts the two segments'
+    * shift sequences ELEMENTWISE — one seg_diff per flash pair, not one
+    * per rootname — and stamps each diff with segment1's absolute time
+    * (`lamp_time`). The pairing key is the flash's position within its
+    * own (ROOTNAME, SEGMENT) sequence (the exploded arrays concatenate
+    * the segments, so the global flash position is NOT the pair index).
+    *
+    * One exchange: the explicit ROOTNAME repartition satisfies both the
+    * per-segment row_number window and the (ROOTNAME, seg_idx) pivot
+    * clustering, so neither adds a shuffle. */
+  def segmentDiff(exploded: DataFrame, valueCol: String = "SHIFT_DISP",
+                  seg1: String = "FUVA", seg2: String = "FUVB"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val idx = exploded
+      .repartition(col("ROOTNAME"))
+      .withColumn("seg_idx", row_number().over(
+        Window.partitionBy(col("ROOTNAME"), col("SEGMENT"))
+          .orderBy(col("flash"))))
+    idx.groupBy("ROOTNAME", "seg_idx")
+      .pivot("SEGMENT", Seq(seg1, seg2))
+      .agg(first(col(valueCol)).as("v"), first(col("sample_ts")).as("ts"))
+      .filter(col(s"${seg1}_v").isNotNull && col(s"${seg2}_v").isNotNull)
+      .select(col("ROOTNAME"), col("seg_idx"),
+        (col(s"${seg1}_v") - col(s"${seg2}_v")).as("seg_diff"),
+        col(s"${seg1}_ts").as("lamp_time"))
+  }
 
   /** X3 outlier rule: |A−B| above threshold (10 px for SHIFT1, 5 for
     * SHIFT2; reference: osm_shift_monitors.py:354–367). */
@@ -48,30 +69,40 @@ object Monitors {
     diffs.filter(abs(col("seg_diff")) > threshold)
 
   /** NUV stripe differences B−C and C−A (reference:
-    * osm_shift_monitors.py:388–393, J7): segmentDiff per stripe pair,
-    * unioned with a `pair` label. */
-  def nuvStripeDiffs(exploded: DataFrame, valueCol: String): DataFrame =
-    // ONE pivot over all three stripes, both pair diffs computed from
-    // the same wide row and fanned out with an inline 2-element explode.
-    // The per-pair segmentDiff formulation unioned two pivots of the
-    // same grouped subplan — aggregating the input once per pair, which
-    // is two shuffles of the full stream instead of one at scale. A
-    // pair's row exists iff both its stripes are present (the diff of
-    // two non-null doubles is non-null; a missing stripe nulls it) —
-    // exactly segmentDiff's isNotNull x2 guard.
-    exploded.groupBy("ROOTNAME", "SEGMENT")
-      .agg(first(col(valueCol)).as("v"))
-      .groupBy("ROOTNAME")
+    * osm_shift_monitors.py:388–393, J7): compute_segment_diff per stripe
+    * pair, labeled — and, as in [[segmentDiff]], paired FLASH-FOR-FLASH
+    * (one diff per per-stripe flash index, `lamp_time` from the pair's
+    * first stripe), not collapsed to one value per rootname.
+    *
+    * Still ONE pivot over all three stripes: both pair diffs come from
+    * the same wide (ROOTNAME, seg_idx) row and fan out with an inline
+    * 2-element explode — the per-pair formulation would aggregate the
+    * input stream twice. A pair's row exists iff both its stripes have a
+    * flash at that index (the diff of two non-null doubles is non-null;
+    * a missing stripe nulls it) — compute_segment_diff's both-present
+    * guard. One exchange total: the ROOTNAME repartition satisfies the
+    * window and the pivot clustering. */
+  def nuvStripeDiffs(exploded: DataFrame, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    exploded
+      .repartition(col("ROOTNAME"))
+      .withColumn("seg_idx", row_number().over(
+        Window.partitionBy(col("ROOTNAME"), col("SEGMENT"))
+          .orderBy(col("flash"))))
+      .groupBy("ROOTNAME", "seg_idx")
       .pivot("SEGMENT", Seq("NUVA", "NUVB", "NUVC"))
-      .agg(first(col("v")))
-      .select(col("ROOTNAME"), explode(array(
+      .agg(first(col(valueCol)).as("v"), first(col("sample_ts")).as("ts"))
+      .select(col("ROOTNAME"), col("seg_idx"), explode(array(
         struct(lit("B-C").as("pair"),
-          (col("NUVB") - col("NUVC")).as("seg_diff")),
+          (col("NUVB_v") - col("NUVC_v")).as("seg_diff"),
+          col("NUVB_ts").as("lamp_time")),
         struct(lit("C-A").as("pair"),
-          (col("NUVC") - col("NUVA")).as("seg_diff")))).as("p"))
-      .select(col("ROOTNAME"), col("p.pair").as("pair"),
-        col("p.seg_diff").as("seg_diff"))
+          (col("NUVC_v") - col("NUVA_v")).as("seg_diff"),
+          col("NUVC_ts").as("lamp_time")))).as("p"))
+      .select(col("ROOTNAME"), col("seg_idx"), col("p.pair").as("pair"),
+        col("p.seg_diff").as("seg_diff"), col("p.lamp_time").as("lamp_time"))
       .filter(col("seg_diff").isNotNull)
+  }
 
   /** OSM drift data (reference: cosmo/monitors/osm_drift_monitors.py:
     * 14–45): shifts relative to each exposure's FIRST flash (W2), first
@@ -113,24 +144,38 @@ object Monitors {
 
   /** ACQ/IMAGE V2V3 monitor data (reference: acq_monitors.py:207–250):
     * the documented quality cuts (P3), detector-plane rotation to
-    * V2/V3 slews, and a per-(FGS, axis) linear fit over Besselian year.
-    * Returns fit rows with an `axis` label. */
-  def acqImageV2V3Track(acq: DataFrame): DataFrame = {
+    * V2/V3 slews, and — per track() (acq_monitors.py:227–250) — a
+    * per-(FGS, axis) linear fit of the NEGATED slews over Besselian
+    * year, restricted to data since each FGS's LAST breakpoint
+    * (`t_start = break_points[name][-1][0]`). Returns fit rows with an
+    * `axis` label.
+    *
+    * `breakpoints(FGS, lo_mjd, hi_mjd)` is the same epoch table
+    * [[acqImageTrack]] consumes; the last break's start is max(lo_mjd)
+    * per FGS. An FGS with no breakpoint row (or only null-open starts)
+    * fits its full history. The quality cut uses sqrt(X²+Y²) — equal to
+    * the reference's sqrt(V2²+V3²) because the rotation is orthogonal. */
+  def acqImageV2V3Track(acq: DataFrame, breakpoints: DataFrame): DataFrame = {
+    val lastBreak = breakpoints.groupBy("FGS")
+      .agg(max(col("lo_mjd")).as("last_break_mjd"))
     val cut = acq.filter(
       col("OBSTYPE") === "IMAGING" && col("NEVENTS") >= 2000 &&
         sqrt(pow(col("ACQSLEWX"), 2) + pow(col("ACQSLEWY"), 2)) < 2 &&
         col("SHUTTER") === "Open" && col("LAMPEVNT") >= 500 &&
         col("ACQSTAT") === "Success" && col("EXTENDED") === "NO" &&
         col("LINENUM").endsWith("1"))
+      .join(broadcast(lastBreak), Seq("FGS"), "left")
+      .filter(col("last_break_mjd").isNull ||
+        col("EXPSTART") >= col("last_break_mjd"))
       .withColumn("V2SLEW", graft.core.Coords.v2(col("ACQSLEWX"), col("ACQSLEWY")))
       .withColumn("V3SLEW", graft.core.Coords.v3(col("ACQSLEWX"), col("ACQSLEWY")))
       .withColumn("byear", TimeFns.besselianYear(col("EXPSTART")))
-    // one pass: fan each row to its (axis, slew) pair and fit per
+    // one pass: fan each row to its (axis, -slew) pair and fit per
     // (FGS, axis) — the per-axis union aggregated the quality-cut
     // subplan twice (two scans, two shuffles of the same stream)
     val fanned = cut.select(col("FGS"), col("byear"), explode(array(
-        struct(lit("V2").as("axis"), col("V2SLEW").as("slew")),
-        struct(lit("V3").as("axis"), col("V3SLEW").as("slew")))).as("t"))
+        struct(lit("V2").as("axis"), (-col("V2SLEW")).as("slew")),
+        struct(lit("V3").as("axis"), (-col("V3SLEW")).as("slew")))).as("t"))
       .select(col("FGS"), col("byear"),
         col("t.axis").as("axis"), col("t.slew").as("slew"))
     Stats.linFit(fanned, Seq("FGS", "axis"), "byear", "slew")

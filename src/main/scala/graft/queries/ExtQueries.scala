@@ -170,49 +170,65 @@ object ExtQueries {
 
     // Full OSM-shift monitor pipeline (SURVEY.md §7.2 minimum slice) on
     // lampflash-shaped input synthesized from lineitem: derived-key SMS
-    // join, FUV filter, array explode, absolute time, FUVA-FUVB segment
-    // diff, X3 outliers. Oracle derives the expected outliers
-    // independently via the synthesis' closed form (the 2-flash arrays
-    // make FUVA−FUVB = q1−q2 per rootname): every stage — SMS inner
-    // join, FUV filter, explode, pivot diff, X3 threshold — must agree
-    // for the hash to match. Per-stage semantics also in MonitorsSpec.
+    // join, FUV filter, array explode, absolute time, flash-for-flash
+    // FUVA-FUVB segment diff (compute_segment_diff pairs the segments'
+    // flash sequences ELEMENTWISE, osm_shift_monitors.py:55-86), X3
+    // outliers. The 4-flash arrays [q1,q2 | q3,q4] with SEGMENT
+    // [FUVA,FUVA,FUVB,FUVB] make the closed form seg_idx1 = q1-q3,
+    // seg_idx2 = q2-q4 per rootname: every stage — SMS inner join, FUV
+    // filter, explode, per-segment flash numbering, pivot diff, X3
+    // threshold — must agree for the hash to match. Per-stage semantics
+    // also in MonitorsSpec.
     Q("monitor_osm_shift",
       """WITH lamp AS (
         |  SELECT l_orderkey AS k,
         |    MAX(CASE WHEN l_linenumber = 1 THEN l_quantity END) AS q1,
-        |    MAX(CASE WHEN l_linenumber = 2 THEN l_quantity END) AS q2
-        |  FROM lineitem WHERE l_linenumber <= 2 GROUP BY 1)
-        |SELECT 'r' || k || 'q' AS ROOTNAME, ROUND(q1 - q2, 2) + 0 AS seg_diff
-        |FROM lamp
-        |WHERE q1 IS NOT NULL AND q2 IS NOT NULL
-        |  AND k % 10 <> 0
-        |  AND k IN (SELECT o_orderkey FROM orders)
-        |  AND ABS(q1 - q2) > 10
-        |ORDER BY ROOTNAME""".stripMargin) { (s, dir) =>
+        |    MAX(CASE WHEN l_linenumber = 2 THEN l_quantity END) AS q2,
+        |    MAX(CASE WHEN l_linenumber = 3 THEN l_quantity END) AS q3,
+        |    MAX(CASE WHEN l_linenumber = 4 THEN l_quantity END) AS q4
+        |  FROM lineitem WHERE l_linenumber <= 4 GROUP BY 1),
+        |ok AS (
+        |  SELECT * FROM lamp
+        |  WHERE q1 IS NOT NULL AND q2 IS NOT NULL
+        |    AND q3 IS NOT NULL AND q4 IS NOT NULL
+        |    AND k % 10 <> 0
+        |    AND k IN (SELECT o_orderkey FROM orders)),
+        |d AS (
+        |  SELECT k, 1 AS seg_idx, q1 - q3 AS diff FROM ok
+        |  UNION ALL
+        |  SELECT k, 2 AS seg_idx, q2 - q4 AS diff FROM ok)
+        |SELECT 'r' || k || 'q' AS ROOTNAME, seg_idx,
+        |  ROUND(diff, 2) + 0 AS seg_diff
+        |FROM d WHERE ABS(diff) > 10
+        |ORDER BY ROOTNAME, seg_idx""".stripMargin) { (s, dir) =>
       // keyed repartition instead of round-robin fan-out: one exchange
       // both spreads the single-split scan across all cores AND
       // satisfies the groupBy(l_orderkey) clustering — the round-robin
       // variant paid a second exchange for the aggregation
       val li = Tables(s, dir, "lineitem").repartition(col("l_orderkey"))
       // conditional aggregation (map-side combinable) builds the
-      // 2-flash arrays: one value per line-number slot (max on the rare
+      // 4-flash arrays: one value per line-number slot (max on the rare
       // duplicate (orderkey, linenumber) pairs in the synthetic data),
-      // kept when both slots fill — a deterministic lampflash feed at a
+      // kept when all slots fill — a deterministic lampflash feed at a
       // fraction of collect_list's shuffle bytes, with no per-group sort
-      val lamp = li.filter(col("l_linenumber") <= 2)
+      def slot(i: Int) =
+        max(when(col("l_linenumber") === i, col("l_quantity"))).as(s"q$i")
+      val lamp = li.filter(col("l_linenumber") <= 4)
         .groupBy(col("l_orderkey"))
-        .agg(max(when(col("l_linenumber") === 1, col("l_quantity"))).as("q1"),
-          max(when(col("l_linenumber") === 2, col("l_quantity"))).as("q2"))
-        .filter(col("q1").isNotNull && col("q2").isNotNull)
+        .agg(slot(1), slot(2), slot(3), slot(4))
+        .filter(col("q1").isNotNull && col("q2").isNotNull &&
+          col("q3").isNotNull && col("q4").isNotNull)
         .select(
           concat(lit("r"), col("l_orderkey"), lit("q")).as("ROOTNAME"),
           (lit(59000.0) + (col("l_orderkey") % 100)).as("EXPSTART"),
           when(col("l_orderkey") % 10 === 0, "NUV").otherwise("FUV").as("DETECTOR"),
           lit("G160M").as("OPT_ELEM"),
-          array(lit(0.0), lit(10.0)).as("TIME"),
-          array(col("q1"), col("q2")).as("SHIFT_DISP"),
-          array(col("q1") / 10, col("q2") / 10).as("SHIFT_XDISP"),
-          array(lit("FUVA"), lit("FUVB")).as("SEGMENT"))
+          array(lit(0.0), lit(10.0), lit(0.0), lit(10.0)).as("TIME"),
+          array(col("q1"), col("q2"), col("q3"), col("q4")).as("SHIFT_DISP"),
+          array(col("q1") / 10, col("q2") / 10,
+            col("q3") / 10, col("q4") / 10).as("SHIFT_XDISP"),
+          array(lit("FUVA"), lit("FUVA"),
+            lit("FUVB"), lit("FUVB")).as("SEGMENT"))
       // SMS rows come from orders, whose key is already unique — the
       // lineitem-derived formulation paid a full distinct shuffle for the
       // same key set (every lamp ROOTNAME joins; inner join drops extras)
@@ -220,15 +236,11 @@ object ExtQueries {
         .select(concat(lit("r"), col("o_orderkey")).as("ROOTNAME"),
           (col("o_orderkey") % 1000).cast("double").as("TSINCEOSM1"))
       val exploded = graft.monitors.Monitors.osmShiftData(lamp, sms)
-      // repartition by the pivot key once: the (ROOTNAME, SEGMENT) agg
-      // and segmentDiff's ROOTNAME pivot both reuse the partitioning
-      val diffs = graft.ops.Relational.segmentDiff(
-        exploded.repartition(col("ROOTNAME"))
-          .groupBy("ROOTNAME", "SEGMENT").agg(first("SHIFT_DISP").as("v")),
-        Seq("ROOTNAME"), "SEGMENT", "v", "FUVA", "FUVB")
+      val diffs = graft.monitors.Monitors.segmentDiff(exploded, "SHIFT_DISP")
       graft.monitors.Monitors.segmentDiffOutliers(diffs, 10.0)
-        .select(col("ROOTNAME"), round(col("seg_diff"), 2).as("seg_diff"))
-        .orderBy("ROOTNAME")
+        .select(col("ROOTNAME"), col("seg_idx"),
+          round(col("seg_diff"), 2).as("seg_diff"))
+        .orderBy("ROOTNAME", "seg_idx")
     },
 
     // Multi-region dark monitor through the production darkRateRegions

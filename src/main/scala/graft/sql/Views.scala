@@ -10,11 +10,21 @@ import graft.functions.GraftExtensions
   * (docs/source/sms.rst:62–95: users query tables directly). */
 object Views {
   // one registration per (session, dir): re-registering re-reads every
-  // table's parquet footer, a visible per-query tax on the ad-hoc path
-  private val registered = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  // table's parquet footer, a visible per-query tax on the ad-hoc path.
+  // A WeakHashMap keyed on the session itself, not identityHashCode —
+  // identity hashes can be reused after a session is GC'd, which would
+  // silently skip registration for a fresh session at the same dir; weak
+  // keys also let dead sessions drop out instead of leaking entries.
+  private val registered =
+    new java.util.WeakHashMap[SparkSession, java.util.Set[String]]()
 
   def register(spark: SparkSession, dir: String): Unit = {
-    if (registered.add(s"${System.identityHashCode(spark)}@$dir")) {
+    val firstForDir = registered.synchronized {
+      registered
+        .computeIfAbsent(spark, _ => new java.util.HashSet[String]())
+        .add(dir)
+    }
+    if (firstForDir) {
       Tables.names.foreach { name =>
         try Tables(spark, dir, name).createOrReplaceTempView(name)
         catch { case _: Throwable => () } // missing optional table

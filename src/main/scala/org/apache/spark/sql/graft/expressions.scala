@@ -562,3 +562,17 @@ case class EvalBarrier(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): EvalBarrier =
     copy(child = newChild)
 }
+
+/** Proper analysis errors for SQL-builder argument validation — lives in
+  * this package to reach Spark's private[sql] error factories, so a bad
+  * literal argument surfaces as an AnalysisException at registration
+  * instead of a ClassCastException/NPE. */
+object AnalysisErrors {
+  def nonFoldableArgument(fn: String, param: String, dt: DataType): Nothing =
+    throw org.apache.spark.sql.errors.QueryCompilationErrors
+      .nonFoldableArgumentError(fn, param, dt)
+  def nullArgument(fn: String, param: String): Nothing =
+    throw new org.apache.spark.sql.AnalysisException(
+      "INVALID_PARAMETER_VALUE.NULL",
+      Map("parameter" -> s"`$param`", "functionName" -> s"`$fn`"))
+}

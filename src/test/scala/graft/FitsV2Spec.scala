@@ -63,6 +63,33 @@ class FitsV2Spec extends SparkSpec {
     assert(df.rdd.getNumPartitions == 11)
   }
 
+  test("file-level filter pushdown prunes whole files before decode") {
+    def scanOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.asInstanceOf[graft.ingest.FitsScan]
+      }.get
+    val base = spark.read.format("fits")
+      .option("hdu", 1).option("headers", "ROOTNAME,DETECTOR")
+      .load(lampGlob)
+    // _file predicate: only the named file's partition survives
+    val one = base.filter(col("_file").endsWith("lb4c10niq_lampflash.fits.gz"))
+    assert(scanOf(one).prunedPaths.size == 1)
+    assert(one.rdd.getNumPartitions == 1)
+    // header predicate: only FUV files' partitions survive, and results
+    // match the unpruned row-level filter exactly
+    val fuv = base.filter(col("DETECTOR") === "FUV")
+    val scan = scanOf(fuv)
+    assert(scan.pushed.nonEmpty, "header filter should push down")
+    val nFuv = scan.prunedPaths.size
+    assert(nFuv > 0 && nFuv < 11, s"pruned to $nFuv of 11")
+    val viaPrune = fuv.groupBy("ROOTNAME").count().collect().toSet
+    val viaRows = base.collect().filter(_.getAs[String]("DETECTOR") == "FUV")
+      .groupBy(_.getAs[String]("ROOTNAME")).map { case (r, xs) =>
+        org.apache.spark.sql.Row(r, xs.length.toLong) }.toSet
+    assert(viaPrune == viaRows)
+  }
+
   test("the v2 scan feeds the OSM shift pipeline end-to-end") {
     val perRow = spark.read.format("fits")
       .option("hdu", 1).option("headers", "ROOTNAME,DETECTOR,EXPSTART,OPT_ELEM")

@@ -40,14 +40,35 @@ class MonitorsSpec extends SparkSpec {
 
   test("segment diff + X3 outlier threshold reproduce the shift1 rule") {
     val exploded = Monitors.osmShiftData(lampflash, sms)
-    // flash-level pairing needs one value per (ROOTNAME, SEGMENT); this
-    // fixture has FUVA at flash 0 and FUVB at flash 1, so diff per ROOTNAME
-    val diffs = graft.ops.Relational.segmentDiff(
-      exploded.groupBy("ROOTNAME", "SEGMENT").agg(first("SHIFT_DISP").as("v")),
-      Seq("ROOTNAME"), "SEGMENT", "v", "FUVA", "FUVB")
+    val diffs = Monitors.segmentDiff(exploded, "SHIFT_DISP")
     val outliers = Monitors.segmentDiffOutliers(diffs, 10.0)
       .select("ROOTNAME").as[String].collect().toSeq
     assert(outliers == Seq("la2q")) // |20-2| = 18 > 10; |1-2| = 1 is fine
+  }
+
+  test("segment diff pairs multi-flash exposures flash-for-flash") {
+    // two flashes per segment, segments concatenated in the arrays —
+    // the real lampflash layout (compute_segment_diff subtracts the
+    // sequences elementwise: osm_shift_monitors.py:55–86)
+    val multi = Seq(
+      ("mf1q", 59000.0, "FUV", "G160M",
+        Seq(0.0, 10.0, 0.0, 10.0), Seq(5.0, 30.0, 1.0, 2.0),
+        Seq(0.1, 0.2, 0.3, 0.4), Seq("FUVA", "FUVA", "FUVB", "FUVB")))
+      .toDF("ROOTNAME", "EXPSTART", "DETECTOR", "OPT_ELEM",
+        "TIME", "SHIFT_DISP", "SHIFT_XDISP", "SEGMENT")
+    val exploded = Monitors.osmShiftData(multi,
+      Seq(("mf1", 0.0)).toDF("ROOTNAME", "TSINCEOSM1"))
+    val diffs = Monitors.segmentDiff(exploded, "SHIFT_DISP")
+      .select("ROOTNAME", "seg_idx", "seg_diff")
+      .as[(String, Int, Double)].collect().toSet
+    // flash 1: 5-1=4, flash 2: 30-2=28 — one diff PER FLASH PAIR
+    assert(diffs == Set(("mf1q", 1, 4.0), ("mf1q", 2, 28.0)))
+    // lamp_time comes from the FUVA flash (EXPSTART + its TIME offset)
+    val ts = Monitors.segmentDiff(exploded, "SHIFT_DISP")
+      .filter(col("seg_idx") === 2)
+      .select(unix_micros(col("lamp_time"))).as[Long].head()
+    val expected = ((59000.0 - 40587.0) * 86400.0 + 10.0) * 1e6
+    assert(math.abs(ts - expected) < 1e3)
   }
 
   test("acqImageTrack fits slew distance per FGS within breakpoint epochs") {
@@ -64,6 +85,28 @@ class MonitorsSpec extends SparkSpec {
     val (fgs, n, slope) = fit.head
     assert(fgs == "F1" && n == 10L)
     assert(slope > 0, s"slew distance drifts upward, slope=$slope")
+  }
+
+  test("acqImageV2V3Track fits NEGATED slews since each FGS's last breakpoint") {
+    // slews grow with time; the reference fits -slew (acq_monitors.py:
+    // 243-244), so the recovered slope must be NEGATIVE — and only the
+    // 5 rows at or after the last break (58500) enter the fit
+    val acq = (0 until 10).map { i =>
+      ("F1", 58000.0 + i * 100, 0.1 * i, 0.0, "Success", "Open",
+        "IMAGING", 3000L, 600L, "NO", "1.1")
+    }.toDF("FGS", "EXPSTART", "ACQSLEWX", "ACQSLEWY", "ACQSTAT",
+      "SHUTTER", "OBSTYPE", "NEVENTS", "LAMPEVNT", "EXTENDED", "LINENUM")
+    val breaks = Seq(
+      ("F1", None: Option[Double], Some(58500.0)),
+      ("F1", Some(58500.0), None: Option[Double]))
+      .toDF("FGS", "lo_mjd", "hi_mjd")
+    val fits = Monitors.acqImageV2V3Track(acq, breaks)
+      .select("axis", "n", "slope").as[(String, Long, Double)].collect()
+    assert(fits.length == 2)
+    fits.foreach { case (axis, n, slope) =>
+      assert(n == 5L, s"$axis fit over rows since last break, n=$n")
+      assert(slope < 0, s"$axis slope of negated growing slew, slope=$slope")
+    }
   }
 
   test("apertureShift: 3-axis LP lookup, LP<1 dropped, SHIFT_APERY computed") {

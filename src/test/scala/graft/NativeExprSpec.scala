@@ -149,4 +149,29 @@ class NativeExprSpec extends SparkSpec {
     assert(shPlan.contains("*(1) Project"), shPlan)
     assert(sh.selectExpr("size(sh)").as[Int].head() == 4)
   }
+
+  test("literal-only SQL args fail analysis cleanly, not with a CCE/NPE") {
+    graft.functions.GraftExtensions.register(spark)
+    val df = Seq(("abc-1", "(\\w+)-(\\d+)")).toDF("s", "p")
+    // non-foldable pattern column
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      df.selectExpr("regexp_extract_groups(s, p)").collect()
+    }
+    assert(e1.getMessage.contains("pattern"), e1.getMessage)
+    // null literal pattern
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      df.selectExpr("regexp_extract_groups(s, cast(null as string))").collect()
+    }
+    assert(e2.getMessage.toLowerCase.contains("null"), e2.getMessage)
+    // non-foldable minhash n
+    val e3 = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq((Seq("a", "b"), 4)).toDF("sh", "n")
+        .selectExpr("minhash_signature(sh, n)").collect()
+    }
+    assert(e3.getMessage.contains("n"), e3.getMessage)
+    // and the valid literal path still works
+    val ok = df.selectExpr("regexp_extract_groups(s, '(\\\\w+)-(\\\\d+)') AS g")
+      .selectExpr("g[0]", "g[1]").as[(String, String)].head()
+    assert(ok == ("abc", "1"))
+  }
 }

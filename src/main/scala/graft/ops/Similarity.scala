@@ -100,7 +100,7 @@ object Similarity {
     * `nProbe > 1` searches that many nearest cells for better recall. */
   def ivfAssign(df: DataFrame, vecCol: String,
                 centroids: DataFrame, centroidId: String = "centroid_id",
-                nProbe: Int = 1): DataFrame = {
+                nProbe: Int = 1, simRound: Int = -1): DataFrame = {
     // ZERO shuffles: the centroid table packs into one broadcast array
     // row and the per-row argmax is a sorted-array HOF — the former
     // broadcast-join + window formulation fanned every input row out
@@ -114,12 +114,18 @@ object Similarity {
     // makes the nondeterministic collect_list order irrelevant.
     // |centroids| is small (k-means k), so the interpreted per-row loop
     // is ~k native-cosine calls.
+    // simRound >= 0 ranks on the rounded similarity — needed when an
+    // external oracle replays the argmax (double ulp noise between
+    // engines can't flip a 6-decimal-rounded ranking); production paths
+    // keep the raw double.
+    def rank(c: Column) =
+      if (simRound >= 0) round(c, simRound) else c
     val packed = centroids.agg(collect_list(
       struct(col(centroidId).as("cid"), col(vecCol).as("cv"))).as("__cents"))
     df.crossJoin(broadcast(packed))
       .withColumn("__cell", explode(slice(array_sort(
         transform(col("__cents"), c =>
-          struct(cosine(col(vecCol), c.getField("cv")).as("csim"),
+          struct(rank(cosine(col(vecCol), c.getField("cv"))).as("csim"),
             c.getField("cid").as("cid"))),
         (l, r) => {
           def cidOrd = when(l.getField("cid") < r.getField("cid"), -1)
@@ -151,17 +157,22 @@ object Similarity {
     * only moves recall, never correctness). The iteration chain is one
     * lazy plan — `iters` sequential stages, each scanning `df` once. */
   def kmeansCentroids(df: DataFrame, id: String, vecCol: String,
-                      k: Int, iters: Int = 3): DataFrame = {
+                      k: Int, iters: Int = 3,
+                      seedHash: Column => Column = xxhash64(_),
+                      simRound: Int = -1): DataFrame = {
     // k rows total after the TakeOrdered limit — the single-partition
-    // window only ever ranks those k
+    // window only ever ranks those k. `seedHash` defaults to xxhash64;
+    // an md5 hex string gives the same data-independent spread with a
+    // DuckDB-portable ordering (the oracled twin).
     val seeds = df.select(col(id), col(vecCol))
-      .withColumn("__h", xxhash64(col(id)))
+      .withColumn("__h", seedHash(col(id)))
       .orderBy("__h").limit(k)
       .withColumn("centroid_id",
         row_number().over(Window.orderBy("__h")) - 1)
       .select(col("centroid_id"), col(vecCol))
     (1 to iters).foldLeft(seeds) { (cents, _) =>
-      ivfAssign(df.select(col(id), col(vecCol)), vecCol, cents)
+      ivfAssign(df.select(col(id), col(vecCol)), vecCol, cents,
+        simRound = simRound)
         .select(col("centroid_id"),
           posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "v")))
         .groupBy("centroid_id", "pos").agg(avg("v").as("v"))

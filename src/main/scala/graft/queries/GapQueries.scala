@@ -175,6 +175,23 @@ object GapQueries {
         .orderBy("centroid_id")
     },
 
+    // The EXACT k-means semantics above, hash-checked: md5 seeds (the
+    // DuckDB-portable twin of xxhash64, same data-independent spread) and
+    // 6-decimal-rounded argmax ranking on both engines so double ulp
+    // noise can't flip an assignment. The oracle unrolls the 3 Lloyd
+    // rounds as CTE stages — seeds → (assign → mean)×3 → final assign →
+    // cell occupancy.
+    Q("sim_kmeans_md5", kmeansMd5Oracle(k = 8, iters = 3)) { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val cents = graft.ops.Similarity.kmeansCentroids(
+        e, "vec_id", "embedding", k = 8, iters = 3,
+        seedHash = c => md5(c.cast("string")), simRound = 6)
+      graft.ops.Similarity.ivfAssign(e, "embedding", cents, simRound = 6)
+        .groupBy("centroid_id").agg(count(lit(1)).as("n"))
+        .orderBy("centroid_id")
+    },
+
     // The IVF cell-assignment MECHANISM oracled exactly: per-label mean
     // centroids, argmax-cosine assignment (ranking on the 6-decimal
     // rounded similarity so double ulp noise between engines can't flip
@@ -227,4 +244,37 @@ object GapQueries {
           (unix_micros(col("ts")) + col("user_id") * 1000000L).as("t_offset_us"))
         .orderBy("event_id")
     })
+
+  /** DuckDB oracle for [[graft.ops.Similarity.kmeansCentroids]] with md5
+    * seeds: the `iters` Lloyd rounds unroll to CTE stages (assign by
+    * round-6 argmax cosine, then per-cell elementwise AVG), mirroring the
+    * Spark plan stage for stage. */
+  private def kmeansMd5Oracle(k: Int, iters: Int): String = {
+    def round(n: Int, prev: String): String =
+      s"""s$n AS (SELECT v.vec_id, c.cid,
+         |    SUM(v.x*c.c)/(SQRT(SUM(v.x*v.x))*SQRT(SUM(c.c*c.c))) AS s
+         |  FROM v JOIN $prev c USING (pos) GROUP BY 1,2),
+         |a$n AS (SELECT vec_id, cid FROM s$n
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY ROUND(s,6) DESC, cid) = 1),
+         |c$n AS (SELECT a.cid, v.pos, AVG(v.x) AS c
+         |  FROM a$n a JOIN v USING (vec_id) GROUP BY 1,2)""".stripMargin
+    val rounds = (1 to iters).map(i => round(i, s"c${i - 1}")).mkString(",\n")
+    s"""WITH v AS (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+       |    generate_subscripts(embedding, 1) AS pos FROM embeddings),
+       |seeds AS (SELECT vec_id,
+       |    ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid
+       |  FROM embeddings
+       |  QUALIFY ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) <= $k),
+       |c0 AS (SELECT s.cid, v.pos, v.x AS c FROM seeds s JOIN v USING (vec_id)),
+       |$rounds,
+       |sf AS (SELECT v.vec_id, c.cid,
+       |    SUM(v.x*c.c)/(SQRT(SUM(v.x*v.x))*SQRT(SUM(c.c*c.c))) AS s
+       |  FROM v JOIN c$iters c USING (pos) GROUP BY 1,2),
+       |af AS (SELECT vec_id, cid FROM sf
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+       |    ORDER BY ROUND(s,6) DESC, cid) = 1)
+       |SELECT cid AS centroid_id, COUNT(*) AS n FROM af
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 }

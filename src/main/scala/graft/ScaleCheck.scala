@@ -104,6 +104,24 @@ object ScaleCheck {
         k = 4, numHashes = 32, bands = 16).count()
     }
 
+    // 4b. adversarial density: 10% of the corpus is ONE byte-identical
+    // boilerplate doc — every band funnels those 5k docs into a single
+    // bucket, which must hit the maxBucketSize guard and be dropped
+    // instead of exploding into 5000·4999/2 ≈ 12.5M pairs. This is the
+    // load-bearing claim of the 100 TB dedup design; the require() makes
+    // a silent guard regression fail the scale check, not just slow it.
+    time("minhash_lsh hot-bucket (50k docs, 5k dup)") {
+      val adversarial = docs10.withColumn("text",
+        when(col("doc_id") % 10 === 0,
+          lit("boilerplate header terms of service apply to all documents"))
+          .otherwise(col("text")))
+      val n = ops.Text.minhashCandidates(adversarial, "doc_id", "text",
+        k = 4, numHashes = 32, bands = 16).count()
+      require(n < 1000000L,
+        s"saturated-bucket fan-out leaked past the maxBucketSize guard: $n pairs")
+      n
+    }
+
     // 5. custom as-of join: 1M probes x 1M quotes over 10k keys
     time("asof_native (1M x 1M)") {
       val events10 = x10(core.Tables(spark, sfDir, "events")) { (d, i) =>

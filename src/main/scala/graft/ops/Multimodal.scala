@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -41,18 +41,19 @@ object Multimodal {
     * preserves all input columns. */
   def withDecodedMeta(df: DataFrame, payloadCol: String,
                       outCol: String = "media_meta"): DataFrame = {
-    val spark = df.sparkSession
     val inSchema = df.schema
     val outSchema = StructType(inSchema.fields :+ StructField(outCol, mediaMetaSchema))
     val payloadIdx = inSchema.fieldIndex(payloadCol)
-    val rdd = df.rdd.mapPartitions { rows =>
+    // typed Dataset.mapPartitions (not df.rdd): keeps the op inside the
+    // Dataset plan — no ExistingRDD barrier, AQE and reuse still apply —
+    // while preserving the once-per-partition codec-init contract.
+    df.mapPartitions { rows =>
       // real codec: initialize decoder HERE, once per partition
       rows.map { r =>
         val (w, h, f, fmt) = fakeDecode(r.getAs[Array[Byte]](payloadIdx))
         Row.fromSeq(r.toSeq :+ Row(w, h, f, fmt))
       }
-    }
-    spark.createDataFrame(rdd, outSchema)
+    }(Encoders.row(outSchema))
   }
 
   /** Deterministic fake feature extractor: a `dim`-component float vector
@@ -78,18 +79,16 @@ object Multimodal {
     * ops directly (`ArrayType(FloatType)`). */
   def withFeatures(df: DataFrame, payloadCol: String, dim: Int = 64,
                    outCol: String = "features"): DataFrame = {
-    val spark = df.sparkSession
     val inSchema = df.schema
     val outSchema = StructType(inSchema.fields :+
       StructField(outCol, ArrayType(FloatType, containsNull = false)))
     val payloadIdx = inSchema.fieldIndex(payloadCol)
-    val rdd = df.rdd.mapPartitions { rows =>
+    df.mapPartitions { rows =>
       // real model: load weights HERE, once per partition, infer batched
       rows.map { r =>
         Row.fromSeq(r.toSeq :+ fakeFeatures(r.getAs[Array[Byte]](payloadIdx), dim).toSeq)
       }
-    }
-    spark.createDataFrame(rdd, outSchema)
+    }(Encoders.row(outSchema))
   }
 
   /** Resize step: rewrite the payload to the target dimensions and patch
@@ -98,11 +97,10 @@ object Multimodal {
     * consistent, per-partition batching, all other columns preserved. */
   def resized(df: DataFrame, payloadCol: String, metaCol: String,
               targetW: Int, targetH: Int): DataFrame = {
-    val spark = df.sparkSession
     val inSchema = df.schema
     val payloadIdx = inSchema.fieldIndex(payloadCol)
     val metaIdx = inSchema.fieldIndex(metaCol)
-    val rdd = df.rdd.mapPartitions { rows =>
+    df.mapPartitions { rows =>
       rows.map { r =>
         val payload = r.getAs[Array[Byte]](payloadIdx)
         val meta = r.getAs[Row](metaIdx)
@@ -116,8 +114,7 @@ object Multimodal {
         vals(metaIdx) = newMeta
         Row.fromSeq(vals.toIndexedSeq)
       }
-    }
-    spark.createDataFrame(rdd, inSchema)
+    }(Encoders.row(inSchema))
   }
 
   /** Frame sampling: indices of every `stride`-th frame given the decoded

@@ -282,7 +282,17 @@ object ExtQueries {
     // Multimodal decode-stub pipeline through the per-partition decode
     // path (schema + batching real, codec stubbed): width histogram of
     // decoded metadata. Deterministic; exact values pinned in TimeFnsSpec.
-    Q.noOracle("mm_decode_stub") { (s, dir) =>
+    // Oracle: fakeDecode is pure byte arithmetic over the payload and the
+    // generator's text is ASCII-only, so byte i of the UTF-8 payload is
+    // ascii(substr(text, i+1, 1)) and `& 0x7f` is the identity; Spark's
+    // double->long cast truncates, hence TRUNC before the DuckDB cast.
+    Q("mm_decode_stub",
+      """WITH m AS (
+        |  SELECT CASE WHEN length(text) % 2 = 0 THEN 'rgb' ELSE 'gray' END AS format,
+        |         16 + ascii(substr(text, 1, 1)) AS width
+        |  FROM documents)
+        |SELECT format, COUNT(*) AS n, CAST(TRUNC(AVG(width)) AS BIGINT) AS avg_width
+        |FROM m GROUP BY format ORDER BY format""".stripMargin) { (s, dir) =>
       val withPayload = Tables(s, dir, "documents")
         .withColumn("payload", col("text").cast("binary"))
       graft.ops.Multimodal.withDecodedMeta(withPayload, "payload")
@@ -295,8 +305,24 @@ object ExtQueries {
     // Multimodal embed step: binary payload → feature vector (stubbed
     // model, real per-partition batching) → cosine ranking against a
     // probe vector — the decode→embed→search composition end-to-end.
-    // Deterministic; no SQL oracle (Scala-side extractor).
-    Q.noOracle("mm_feature_knn") { (s, dir) =>
+    // Oracle: fakeFeatures is strided byte reads over ASCII text so each
+    // component is (byte-128)/128.0 — exact in binary floating point both
+    // as float32 and double — and the cosine is plain double arithmetic;
+    // round(...,3) absorbs accumulation-order ULPs.
+    Q("mm_feature_knn",
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 16),
+        |      i -> (ascii(substr(text, ((i*31) % length(text)) + 1, 1)) - 128) / 128.0) AS feat
+        |  FROM documents WHERE doc_id < 500),
+        |p AS (SELECT feat AS probe FROM f WHERE doc_id = 0),
+        |s AS (
+        |  SELECT doc_id,
+        |    round(list_sum(list_transform(range(0,16), i -> feat[i+1] * probe[i+1]))
+        |      / (sqrt(list_sum(list_transform(feat, x -> x*x)))
+        |       * sqrt(list_sum(list_transform(probe, x -> x*x)))), 3) + 0 AS sim
+        |  FROM f, p WHERE doc_id <> 0)
+        |SELECT doc_id, sim FROM s ORDER BY sim DESC, doc_id LIMIT 10""".stripMargin) { (s, dir) =>
       val withPayload = Tables(s, dir, "documents")
         .filter(col("doc_id") < 500)
         .withColumn("payload", col("text").cast("binary"))

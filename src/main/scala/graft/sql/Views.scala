@@ -26,8 +26,11 @@ object Views {
     }
     if (firstForDir) {
       Tables.names.foreach { name =>
+        // missing optional table: skip it, register the rest. NonFatal
+        // only — an OOM or linkage error here must propagate, not turn
+        // into a silently half-registered catalog.
         try Tables(spark, dir, name).createOrReplaceTempView(name)
-        catch { case _: Throwable => () } // missing optional table
+        catch { case scala.util.control.NonFatal(_) => () }
       }
       GraftExtensions.register(spark)
     }

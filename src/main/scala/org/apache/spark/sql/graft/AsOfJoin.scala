@@ -125,44 +125,64 @@ case class AsOfJoinExec(
       "as-of join key types must match on both sides")
     val lk = leftKeys; val rk = rightKeys
     val lt = leftTime; val rt = rightTime; val rvs = rightValues
-    val timeType = leftTime.dataType
-    val out = output
-    val outs = outAttrs
+    require(rightTime.dataType == leftTime.dataType,
+      "as-of join time types must match on both sides")
     val nVals = rvs.length
+    val nKeys = lk.length
+    val valTypes = rvs.map(_.dataType)
 
+    // Codegen-tuned merge: each side is flattened by ONE generated
+    // UnsafeProjection — probes to (keys..., time), quotes to
+    // (keys..., time, vals...) — so the per-row work inside the loop is
+    // compiled projections, compiled comparators over aligned ordinals
+    // (the key/time prefix has the same ordinals on both shapes), and a
+    // single UnsafeRow byte-copy per consumed quote. No boxed eval(), no
+    // per-field retained() allocation, no GenericInternalRow rebuild.
     left.execute().zipPartitions(right.execute()) { (pIter, qIter) =>
-      val lKeyProj = UnsafeProjection.create(lk, lOut)
-      val rKeyProj = UnsafeProjection.create(rk, rOut)
-      val lTimeBound = BindReferences.bindReference(lt, AttributeSeq(lOut))
-      val rTimeBound = BindReferences.bindReference(rt, AttributeSeq(rOut))
-      val valBounds = rvs.map(BindReferences.bindReference(_, AttributeSeq(rOut))).toArray
-      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
-      val timeOrd = TypeUtils.getInterpretedOrdering(timeType)
-      val resultProj = UnsafeProjection.create(out, lOut ++ outs)
-      val valRow = new GenericInternalRow(nVals)
+      val lProj = UnsafeProjection.create(lk :+ lt, lOut)
+      val rProj = UnsafeProjection.create((rk :+ rt) ++ rvs, rOut)
+      // compare (keys..., time): Ascending/NullsFirst matches the merge
+      // condition — an earlier key consumes regardless of time, the same
+      // key consumes while quote.time <= probe.time, and a null probe
+      // time sorts before every (pre-filtered, non-null) quote time so
+      // it consumes nothing at its own key
+      val keyTimeOrd = codegen.GenerateOrdering.generate(
+        (keyTypes :+ lt.dataType).zipWithIndex.map { case (dt, i) =>
+          SortOrder(BoundReference(i, dt, nullable = true), Ascending) })
+      val keyOrd = codegen.GenerateOrdering.generate(
+        keyTypes.zipWithIndex.map { case (dt, i) =>
+          SortOrder(BoundReference(i, dt, nullable = true), Ascending) })
+      // output = probe row ++ value fields of the retained quote row,
+      // read through one JoinedRow: vals sit at ordinal nKeys+1+i of the
+      // right shape, i.e. lOut.size + nKeys + 1 + i of the joined row
+      val resultProj = UnsafeProjection.create(
+        lOut.indices.map(i => BoundReference(i, lOut(i).dataType, lOut(i).nullable)) ++
+          valTypes.zipWithIndex.map { case (dt, i) =>
+            BoundReference(lOut.size + nKeys + 1 + i, dt, nullable = true) })
+      val nullQuote: InternalRow = new GenericInternalRow(nKeys + 1 + nVals)
       val joined = new JoinedRow
 
-      // lookahead quote: (key copy, time copy, value copy); null = drained.
+      def keysNull(row: InternalRow): Boolean = {
+        var i = 0
+        while (i < nKeys) { if (row.isNullAt(i)) return true; i += 1 }
+        false
+      }
+
+      // lookahead quote (an owned copy; projection buffers are reused).
       // Quotes with a null key component — or a null time — are skipped
       // outright: SQL semantics, null keys match nothing and
       // `probe.time >= null` is never true. Both sort first under the
       // required ordering, so skipping upfront is consistent (a retained
       // null-time quote would otherwise never be consumed and block every
       // later quote of its key).
-      var qKey: InternalRow = null
-      var qTime: Any = null
-      var qVals: Array[Any] = null
+      var qRow: InternalRow = null
       var qHas = false
       def advance(): Unit = {
         qHas = false
         while (!qHas && qIter.hasNext) {
-          val q = qIter.next()
-          val k = rKeyProj(q)
-          val t = rTimeBound.eval(q)
-          if (!k.anyNull && t != null) {
-            qKey = k.copy()
-            qTime = retained(t)
-            qVals = Array.tabulate(nVals)(i => retained(valBounds(i).eval(q)))
+          val q = rProj(qIter.next())
+          if (!q.isNullAt(nKeys) && !keysNull(q)) {
+            qRow = q.copy()
             qHas = true
           }
         }
@@ -170,39 +190,25 @@ case class AsOfJoinExec(
       advance()
 
       // most recently consumed quote (the as-of candidate)
-      var lastKey: InternalRow = null
-      var lastVals: Array[Any] = null
+      var lastRow: InternalRow = null
       var hasLast = false
 
-      def emit(p: InternalRow, vals: Array[Any]): InternalRow = {
-        var i = 0
-        while (i < nVals) {
-          valRow.update(i, if (vals == null) null else vals(i)); i += 1
-        }
-        resultProj(joined(p, valRow))
-      }
-
       pIter.map { p =>
-        val pKey = lKeyProj(p)
-        val pTime = lTimeBound.eval(p)
-        if (pKey.anyNull) {
+        val pRow = lProj(p)
+        if (keysNull(pRow)) {
           // null probe key matches no quote (SQL equi-join semantics)
-          emit(p, null)
+          resultProj(joined(p, nullQuote))
         } else {
-        // consume quotes at earlier keys, or same key with time <= probe
-        // time (a quote AT the probe time counts — reference step_wise)
-        var continue = qHas
-        while (continue) {
-          val c = keyOrd.compare(qKey, pKey)
-          if (c < 0 || (c == 0 && pTime != null && qTime != null &&
-              timeOrd.lteq(qTime, pTime))) {
-            lastKey = qKey; lastVals = qVals; hasLast = true
+          // consume quotes at earlier keys, or same key with time <=
+          // probe time (a quote AT the probe time counts — reference
+          // step_wise)
+          while (qHas && keyTimeOrd.compare(qRow, pRow) <= 0) {
+            lastRow = qRow; hasLast = true
             advance()
-            continue = qHas
-          } else continue = false
-        }
-        emit(p,
-          if (hasLast && keyOrd.compare(lastKey, pKey) == 0) lastVals else null)
+          }
+          resultProj(joined(p,
+            if (hasLast && keyOrd.compare(lastRow, pRow) == 0) lastRow
+            else nullQuote))
         }
       }
     }

@@ -58,6 +58,28 @@ class TextSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
+  test("minhashCandidates drops a saturated LSH bucket (maxBucketSize guard)") {
+    // adversarial density: 40 byte-identical boilerplate docs all hash to
+    // the SAME bucket in every band. With maxBucketSize = 20 the guard
+    // must drop that bucket outright — the 40·39/2 = 780 quadratic pairs
+    // never materialize (accepted recall loss: identical boilerplate is
+    // exact-dedup's job, not minhash's) — while the genuine near-dup pair
+    // in healthy buckets still surfaces.
+    val boiler = (100L until 140L).map(i =>
+      (i, "boilerplate header terms of service apply to all documents here"))
+    val df = (Seq((1L, docA), (2L, docB), (3L, docC)) ++ boiler)
+      .toDF("doc_id", "text")
+    val pairs = Text.minhashCandidates(df, "doc_id", "text",
+      k = 2, numHashes = 32, bands = 16, maxBucketSize = 20)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => a >= 100L && b >= 100L },
+      "saturated-bucket pairs must be dropped by the maxBucketSize guard")
+    // fan-out bound: every surviving bucket has ≤ maxBucketSize ids, so
+    // the candidate set stays far below the quadratic blow-up
+    assert(pairs.size < 40 * 39 / 2)
+  }
+
   test("simhash: near-dup docs land within small hamming distance") {
     val df = Seq(("a", docA), ("b", docB), ("c", docC)).toDF("id", "text")
     val hashes = df.select(col("id"),

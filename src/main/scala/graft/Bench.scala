@@ -19,20 +19,29 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // session warm-up: JVM/codegen init is not a query cost
     spark.range(1000000).selectExpr("sum(id)").collect()
-    // per-query time = min of three runs (host-level noise on this VM is
-    // ±30-100% between runs; the min approximates the uncontended cost).
+    // per-query time = min over three INTERLEAVED full passes (pass 1 runs
+    // every query, then pass 2, then pass 3). Host-level noise on this VM
+    // is ±30-100%; back-to-back repeats of one query all land inside the
+    // same contention window, interleaved passes don't — and the per-pass
+    // totals expose contention directly: a quiet host gives near-equal
+    // pass totals (noise ≈ 1), a contended one a visibly skewed ratio, so
+    // a noisy snapshot self-identifies instead of reading as a regression.
     // A query that throws is reported as null (never a near-zero elapsed
     // time that would silently deflate the total) and logged to stderr.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 3).map { _ =>
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val passes = (1 to 3).map { _ =>
+      names.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch {
           case e: Throwable =>
             System.err.println(s"BENCH FAILURE $name: ${e.getMessage}")
             false
         }
-        (ok, (System.nanoTime() - t0) / 1e9)
+        name -> (ok, (System.nanoTime() - t0) / 1e9)
       }
+    }
+    val results = names.map { case (name, _) =>
+      val times = passes.map(_.find(_._1 == name).get._2)
       name -> (if (times.forall(_._1)) Some(times.map(_._2).min) else None)
     }
     val qs = results.map { case (k, v) =>
@@ -40,10 +49,17 @@ object Bench {
     }.mkString("{", ",", "}")
     val failed = results.collect { case (k, None) => k }
     val total = results.flatMap(_._2).sum
+    val passTotals = passes.map(_.map(_._2._2).sum)
+    // noise ratio over the WARM passes only (pass 1 also pays per-query
+    // plan + codegen compilation, which is systematic, not contention)
+    val warm = passTotals.drop(1)
+    val noise = warm.max / warm.min
+    val passJson = passTotals.map(t => f"$t%.3f").mkString("[", ",", "]")
     val errs =
       if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"").mkString(""","errors":[""", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errs,""" +
+      f""""pass_totals":$passJson,"noise_ratio":$noise%.3f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,351 @@
+package graft.ingest
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.util.zip.{ZipEntry, ZipInputStream, ZipOutputStream}
+
+import scala.collection.mutable
+
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants, XMLStreamReader}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** S13: native Excel (.xlsx) source — the reference loads its telemetry
+  * mnemonic dimension with `pd.read_excel(mnemonics_file, sheet_name=0)`
+  * (cosmo/monitors/telemetry_monitors.py:84). XLSX is ZIP + SpreadsheetML,
+  * so a zero-dependency JDK parse (ZipInputStream + StAX) covers it: the
+  * workbook's sheet order resolves through xl/workbook.xml and its .rels,
+  * cell text through xl/sharedStrings.xml, and the sheet grid through
+  * sparse `<c r="B3" t="...">` cells.
+  *
+  * Scale posture: spreadsheets are small dimension tables by construction
+  * (the format holds one zip in memory; the reference's is a mnemonic
+  * list). The read is still distributed — one task per matched file via
+  * the binaryFile source, schema probed from ONE file on the driver — and
+  * the result is broadcast-join-sized by nature. Bulk facts belong in
+  * parquet; this source exists so a user can point at the same .xlsx the
+  * reference consumes.
+  */
+object Excel {
+
+  /** One parsed sheet: header row + data rows as raw cell strings (null =
+    * missing cell), plus per-column "every non-null cell parses as a
+    * number" flags from this file (used for type inference). */
+  final case class Sheet(header: Seq[String], rows: Seq[Array[String]])
+
+  private def factory: XMLInputFactory = {
+    val f = XMLInputFactory.newInstance()
+    // no DTDs / external entities: untrusted workbook bytes must not
+    // trigger any fetch or entity expansion
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+    f.setProperty("javax.xml.stream.isSupportingExternalEntities", false)
+    f
+  }
+
+  private def zipEntries(bytes: Array[Byte]): Map[String, Array[Byte]] = {
+    val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
+    val out = mutable.Map[String, Array[Byte]]()
+    try {
+      var e = zin.getNextEntry
+      while (e != null) {
+        if (!e.isDirectory) {
+          val buf = new ByteArrayOutputStream()
+          val tmp = new Array[Byte](8192)
+          var n = zin.read(tmp)
+          while (n >= 0) { buf.write(tmp, 0, n); n = zin.read(tmp) }
+          out(e.getName) = buf.toByteArray
+        }
+        e = zin.getNextEntry
+      }
+    } finally zin.close()
+    out.toMap
+  }
+
+  /** Sheet paths in workbook order: xl/workbook.xml lists `<sheet>`s with
+    * r:id refs; xl/_rels/workbook.xml.rels maps each Id to its target. */
+  private def sheetPaths(entries: Map[String, Array[Byte]]): Seq[String] = {
+    val rels = entries.get("xl/_rels/workbook.xml.rels").map { b =>
+      val r = factory.createXMLStreamReader(new ByteArrayInputStream(b))
+      val m = mutable.Map[String, String]()
+      try {
+        while (r.hasNext) {
+          if (r.next() == XMLStreamConstants.START_ELEMENT &&
+              r.getLocalName == "Relationship") {
+            val id = r.getAttributeValue(null, "Id")
+            val target = r.getAttributeValue(null, "Target")
+            if (id != null && target != null) m(id) = target
+          }
+        }
+      } finally r.close()
+      m.toMap
+    }.getOrElse(Map.empty)
+    val wb = entries.getOrElse("xl/workbook.xml",
+      throw new IllegalArgumentException("not an xlsx: no xl/workbook.xml"))
+    val r = factory.createXMLStreamReader(new ByteArrayInputStream(wb))
+    val ids = mutable.ArrayBuffer[String]()
+    try {
+      while (r.hasNext) {
+        if (r.next() == XMLStreamConstants.START_ELEMENT &&
+            r.getLocalName == "sheet") {
+          // the r:id attribute lives in the officeDocument relationships
+          // namespace; match by local name to stay prefix-agnostic
+          var rid: String = null
+          var i = 0
+          while (i < r.getAttributeCount) {
+            if (r.getAttributeLocalName(i) == "id") rid = r.getAttributeValue(i)
+            i += 1
+          }
+          if (rid != null) ids += rid
+        }
+      }
+    } finally r.close()
+    ids.toSeq.map { rid =>
+      val t = rels.getOrElse(rid, s"worksheets/sheet${ids.indexOf(rid) + 1}.xml")
+      if (t.startsWith("/")) t.stripPrefix("/") else s"xl/$t"
+    }
+  }
+
+  /** sharedStrings.xml: the i-th `<si>` is the text for shared index i
+    * (concatenating all nested `<t>` runs — rich text splits one string
+    * across several). */
+  private def sharedStrings(entries: Map[String, Array[Byte]]): IndexedSeq[String] =
+    entries.get("xl/sharedStrings.xml").map { b =>
+      val r = factory.createXMLStreamReader(new ByteArrayInputStream(b))
+      val out = mutable.ArrayBuffer[String]()
+      val cur = new StringBuilder
+      var inSi = false
+      var inT = false
+      try {
+        while (r.hasNext) {
+          r.next() match {
+            case XMLStreamConstants.START_ELEMENT =>
+              r.getLocalName match {
+                case "si" => inSi = true; cur.clear()
+                case "t" if inSi => inT = true
+                case _ =>
+              }
+            case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
+              if (inT) cur.append(r.getText)
+            case XMLStreamConstants.END_ELEMENT =>
+              r.getLocalName match {
+                case "si" => inSi = false; out += cur.toString
+                case "t" => inT = false
+                case _ =>
+              }
+            case _ =>
+          }
+        }
+      } finally r.close()
+      out.toIndexedSeq
+    }.getOrElse(IndexedSeq.empty)
+
+  /** "B3" → column 1 (letters are bijective base-26). */
+  private[ingest] def colIndex(ref: String): Int = {
+    var i = 0; var c = 0
+    while (i < ref.length && ref.charAt(i).isLetter) {
+      c = c * 26 + (ref.charAt(i).toUpper - 'A' + 1); i += 1
+    }
+    c - 1
+  }
+
+  /** Parse the `sheet`-th worksheet (0-based, workbook order) of one
+    * workbook's bytes into header + rows. First row = header (pandas
+    * `read_excel` default); missing cells are null; all values surface as
+    * their raw cell strings (numbers in canonical xlsx form, booleans as
+    * "true"/"false"). */
+  def parseSheet(bytes: Array[Byte], sheet: Int = 0): Sheet = {
+    val entries = zipEntries(bytes)
+    val paths = sheetPaths(entries)
+    require(sheet >= 0 && sheet < paths.length,
+      s"sheet $sheet out of range: workbook has ${paths.length} sheet(s)")
+    val strings = sharedStrings(entries)
+    val data = entries.getOrElse(paths(sheet),
+      throw new IllegalArgumentException(s"missing worksheet part ${paths(sheet)}"))
+
+    val r = factory.createXMLStreamReader(new ByteArrayInputStream(data))
+    val rows = mutable.ArrayBuffer[mutable.ArrayBuffer[(Int, String)]]()
+    var cells: mutable.ArrayBuffer[(Int, String)] = null
+    var cellCol = -1
+    var cellType = "n"
+    var inV = false
+    var inIsT = false
+    val text = new StringBuilder
+    var maxCol = -1
+    try {
+      while (r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT =>
+            r.getLocalName match {
+              case "row" => cells = mutable.ArrayBuffer[(Int, String)]()
+              case "c" if cells != null =>
+                val ref = r.getAttributeValue(null, "r")
+                // no r attribute → next column after the previous cell
+                cellCol = if (ref != null) colIndex(ref)
+                          else cells.lastOption.map(_._1 + 1).getOrElse(0)
+                val t = r.getAttributeValue(null, "t")
+                cellType = if (t == null) "n" else t
+                text.clear()
+              case "v" => inV = true
+              case "t" if cellType == "inlineStr" => inIsT = true
+              case _ =>
+            }
+          case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
+            if (inV || inIsT) text.append(r.getText)
+          case XMLStreamConstants.END_ELEMENT =>
+            r.getLocalName match {
+              case "v" => inV = false
+              case "t" => inIsT = false
+              case "c" if cells != null && cellCol >= 0 =>
+                val raw = text.toString
+                val value = cellType match {
+                  case "s" =>
+                    val i = raw.trim.toInt
+                    if (i >= 0 && i < strings.length) strings(i) else null
+                  case "b" => if (raw.trim == "1") "true" else "false"
+                  case _ => if (raw.isEmpty && cellType != "str" &&
+                                cellType != "inlineStr") null else raw
+                }
+                if (value != null) {
+                  cells += ((cellCol, value))
+                  if (cellCol > maxCol) maxCol = cellCol
+                }
+                cellCol = -1
+              case "row" =>
+                if (cells != null && cells.nonEmpty) rows += cells
+                cells = null
+              case _ =>
+            }
+          case _ =>
+        }
+      }
+    } finally r.close()
+
+    if (rows.isEmpty) return Sheet(Seq.empty, Seq.empty)
+    val width = maxCol + 1
+    def dense(cs: mutable.ArrayBuffer[(Int, String)]): Array[String] = {
+      val a = new Array[String](width)
+      cs.foreach { case (i, v) => if (i < width) a(i) = v }
+      a
+    }
+    val headerCells = dense(rows.head)
+    val header = headerCells.zipWithIndex.map { case (h, i) =>
+      if (h == null || h.isEmpty) s"_c$i" else h
+    }.toSeq
+    Sheet(header, rows.tail.map(dense).toSeq)
+  }
+
+  /** Read .xlsx file(s) into a DataFrame. `path` may be a glob; every
+    * matched workbook must share the probe file's header. Columns are
+    * StringType, or DoubleType when `inferTypes` and every non-null cell
+    * of the probe file's column parses numerically (casts applied in the
+    * plan, so they stay inside codegen).
+    *
+    * Distribution contract: binaryFile source → one partition per file;
+    * the driver reads ONE file to fix the schema (same bounded probe as
+    * the FITS source); per-file parse runs in executors. */
+  def readXlsx(spark: SparkSession, path: String, sheet: Int = 0,
+               inferTypes: Boolean = true): DataFrame = {
+    import spark.implicits._
+    val bin = spark.read.format("binaryFile").load(path)
+      .select("path", "content").as[(String, Array[Byte])]
+    val probeBytes = bin.map(_._2).head()
+    val probe = parseSheet(probeBytes, sheet)
+    require(probe.header.nonEmpty, s"empty worksheet in $path")
+    val header = probe.header
+    val numeric = header.indices.map { i =>
+      inferTypes && {
+        val vals = probe.rows.flatMap(r => Option(r(i)))
+        vals.nonEmpty && vals.forall(v => v.toDoubleOption.isDefined)
+      }
+    }
+
+    val rawSchema = StructType(header.map(StructField(_, StringType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(rawSchema)
+    val width = header.length
+    val hdr = header
+    val raw = bin.mapPartitions { files =>
+      files.flatMap { case (p, bytes) =>
+        val s = parseSheet(bytes, sheet)
+        require(s.header == hdr,
+          s"workbook $p header ${s.header} differs from probe header $hdr")
+        s.rows.map { cells =>
+          Row.fromSeq(Seq.tabulate(width)(i => if (i < cells.length) cells(i) else null))
+        }
+      }
+    }(enc)
+    raw.select(header.zipWithIndex.map { case (h, i) =>
+      if (numeric(i)) col(h).cast(DoubleType).as(h) else col(h)
+    }: _*)
+  }
+
+  /** Minimal .xlsx writer (inline-string cells, one canonical number form)
+    * — the sink side of S13 and the round-trip harness for the reader.
+    * Accepts several sheets; `rows` cells may be String, Boolean, or any
+    * Number (null → omitted cell, exercising sparse-row reads). */
+  def writeXlsx(sheets: Seq[(String, Seq[String], Seq[Seq[Any]])]): Array[Byte] = {
+    def colRef(i: Int): String = {
+      var n = i + 1; val sb = new StringBuilder
+      while (n > 0) { val r = (n - 1) % 26; sb.insert(0, ('A' + r).toChar); n = (n - 1) / 26 }
+      sb.toString
+    }
+    def esc(s: String): String = s.replace("&", "&amp;").replace("<", "&lt;")
+      .replace(">", "&gt;").replace("\"", "&quot;")
+    def cellXml(ref: String, v: Any): String = v match {
+      case null => ""
+      case b: Boolean => s"""<c r="$ref" t="b"><v>${if (b) 1 else 0}</v></c>"""
+      case n: Number => s"""<c r="$ref"><v>${n.toString}</v></c>"""
+      case s => s"""<c r="$ref" t="inlineStr"><is><t>${esc(s.toString)}</t></is></c>"""
+    }
+    def sheetXml(header: Seq[String], rows: Seq[Seq[Any]]): String = {
+      val all = header.map(h => h: Any) +: rows
+      val body = all.zipWithIndex.map { case (cells, ri) =>
+        val cs = cells.zipWithIndex
+          .map { case (v, ci) => cellXml(s"${colRef(ci)}${ri + 1}", v) }.mkString
+        s"""<row r="${ri + 1}">$cs</row>"""
+      }.mkString
+      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        s"""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>$body</sheetData></worksheet>"""
+    }
+    val sheetTags = sheets.zipWithIndex.map { case ((name, _, _), i) =>
+      s"""<sheet name="${esc(name)}" sheetId="${i + 1}" r:id="rId${i + 1}"/>"""
+    }.mkString
+    val workbook =
+      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        s"""<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets>$sheetTags</sheets></workbook>"""
+    val relTags = sheets.indices.map { i =>
+      s"""<Relationship Id="rId${i + 1}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet${i + 1}.xml"/>"""
+    }.mkString
+    val wbRels =
+      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        s"""<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">$relTags</Relationships>"""
+    val rootRels =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/></Relationships>"""
+    val contentTypes =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"><Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/><Default Extension="xml" ContentType="application/xml"/><Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>""" +
+        sheets.indices.map { i =>
+          s"""<Override PartName="/xl/worksheets/sheet${i + 1}.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>"""
+        }.mkString + "</Types>"
+
+    val buf = new ByteArrayOutputStream()
+    val zip = new ZipOutputStream(buf)
+    def put(name: String, content: String): Unit = {
+      val e = new ZipEntry(name)
+      e.setTime(0L) // deterministic bytes: zip timestamps pinned
+      zip.putNextEntry(e)
+      zip.write(content.getBytes("UTF-8"))
+      zip.closeEntry()
+    }
+    put("[Content_Types].xml", contentTypes)
+    put("_rels/.rels", rootRels)
+    put("xl/workbook.xml", workbook)
+    put("xl/_rels/workbook.xml.rels", wbRels)
+    sheets.zipWithIndex.foreach { case ((_, header, rows), i) =>
+      put(s"xl/worksheets/sheet${i + 1}.xml", sheetXml(header, rows))
+    }
+    zip.close()
+    buf.toByteArray
+  }
+}

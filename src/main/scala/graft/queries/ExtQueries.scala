@@ -12,6 +12,39 @@ object ExtQueries {
 
   def qs: Seq[Q] = Seq(
 
+    // S13 — native .xlsx source (reference loads its mnemonic dimension
+    // with pd.read_excel(mnemonics_file, sheet_name=0),
+    // telemetry_monitors.py:84). A deterministic mnemonic workbook is
+    // materialized once (pure-JDK writer, pinned zip timestamps), read
+    // back through the ZipInputStream+StAX source with type inference,
+    // and checked against a constant-table oracle — which verifies the
+    // whole parse: sheet resolution, sparse cells → NULL, numeric
+    // inference, header naming.
+    Q("s13_excel_mnemonics",
+      """SELECT * FROM (VALUES
+        |  ('LD2LMP',   'Lamp 2 current',      CAST(NULL AS DOUBLE), 2),
+        |  ('LMMCETMP', 'Mechanism temp',      1.5,                  1),
+        |  ('LOSMLAMB', CAST(NULL AS VARCHAR), 0.25,                 1),
+        |  ('SDVBIASL', 'Detector bias low',   -3.0,                 0))
+        |  AS t(mnemonic, descr, scale, category)
+        |ORDER BY mnemonic""".stripMargin) { (s, _) =>
+      val f = new java.io.File(
+        new java.io.File(sys.props("java.io.tmpdir"), "graft_s13"), "mnemonics.xlsx")
+      val bytes = graft.ingest.Excel.writeXlsx(Seq(("mnemonics",
+        Seq("mnemonic", "descr", "scale", "category"),
+        Seq(Seq("LD2LMP", "Lamp 2 current", null, 2L),
+          Seq("LMMCETMP", "Mechanism temp", 1.5, 1L),
+          Seq("LOSMLAMB", null, 0.25, 1L),
+          Seq("SDVBIASL", "Detector bias low", -3.0, 0L)))))
+      if (!f.exists() || f.length() != bytes.length) {
+        f.getParentFile.mkdirs()
+        java.nio.file.Files.write(f.toPath, bytes)
+      }
+      graft.ingest.Excel.readXlsx(s, f.getAbsolutePath)
+        .withColumn("category", col("category").cast("int"))
+        .orderBy("mnemonic")
+    },
+
     // S8-style regex field extraction from semi-structured text
     // (reference: cosmo/sms/ingest_sms.py:20–37 field patterns).
     Q("s8_regex_extract",

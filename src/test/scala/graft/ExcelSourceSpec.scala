@@ -1,0 +1,97 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+import java.nio.file.Files
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import org.apache.spark.sql.types._
+import graft.ingest.Excel
+
+/** S13 native .xlsx source (reference loads its mnemonic dimension with
+  * pd.read_excel, telemetry_monitors.py:84): ZipInputStream + StAX parse,
+  * exercised over writer round-trips, a hand-built shared-strings
+  * workbook, DataFrame type inference, and a multi-file glob. */
+class ExcelSourceSpec extends SparkSpec {
+
+  private val header = Seq("mnemonic", "descr", "scale")
+  private val rows: Seq[Seq[Any]] = Seq(
+    Seq("LMMCETMP", "Mechanism temp", 1.5),
+    Seq("LOSMLAMB", null, 2.0),
+    Seq("LD2LMP", "Lamp current", null))
+
+  test("writer/reader round-trip: strings, numbers, booleans, sparse cells") {
+    val bytes = Excel.writeXlsx(Seq(
+      ("mnemonics", header, rows),
+      ("flags", Seq("name", "ok"), Seq(Seq("a", true), Seq("b", false)))))
+    val s0 = Excel.parseSheet(bytes, 0)
+    assert(s0.header == header)
+    assert(s0.rows.map(_.toSeq) == Seq(
+      Seq("LMMCETMP", "Mechanism temp", "1.5"),
+      Seq("LOSMLAMB", null, "2.0"),
+      Seq("LD2LMP", "Lamp current", null)))
+    val s1 = Excel.parseSheet(bytes, 1)
+    assert(s1.header == Seq("name", "ok"))
+    assert(s1.rows.map(_.toSeq) == Seq(Seq("a", "true"), Seq("b", "false")))
+    // 0-based sheet index out of range is an error, not silent sheet 0
+    intercept[IllegalArgumentException](Excel.parseSheet(bytes, 2))
+  }
+
+  test("shared-string cells resolve through xl/sharedStrings.xml") {
+    // hand-built workbook: cells use t="s" indices into a rich-text-split
+    // shared string table (two <t> runs in one <si>), plus a t="str"
+    // formula-result cell
+    def entry(zip: ZipOutputStream, name: String, content: String): Unit = {
+      zip.putNextEntry(new ZipEntry(name))
+      zip.write(content.getBytes("UTF-8")); zip.closeEntry()
+    }
+    val buf = new ByteArrayOutputStream()
+    val zip = new ZipOutputStream(buf)
+    entry(zip, "xl/workbook.xml",
+      """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="s" sheetId="1" r:id="rId1"/></sheets></workbook>""")
+    entry(zip, "xl/_rels/workbook.xml.rels",
+      """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="t" Target="worksheets/sheet1.xml"/></Relationships>""")
+    entry(zip, "xl/sharedStrings.xml",
+      """<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="3" uniqueCount="3"><si><t>name</t></si><si><t>val</t></si><si><r><t>split </t></r><r><t>text</t></r></si></sst>""")
+    entry(zip, "xl/worksheets/sheet1.xml",
+      """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData><row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row><row r="2"><c r="A2" t="s"><v>2</v></c><c r="B2" t="str"><v>SUM()</v></c></row></sheetData></worksheet>""")
+    zip.close()
+    val s = Excel.parseSheet(buf.toByteArray, 0)
+    assert(s.header == Seq("name", "val"))
+    assert(s.rows.map(_.toSeq) == Seq(Seq("split text", "SUM()")))
+  }
+
+  test("readXlsx infers numeric columns and keeps strings") {
+    val dir = Files.createTempDirectory("xlsx_read").toFile
+    val f = new java.io.File(dir, "m.xlsx")
+    Files.write(f.toPath, Excel.writeXlsx(Seq(("mnemonics", header, rows))))
+    val df = Excel.readXlsx(spark, f.getAbsolutePath)
+    assert(df.schema == StructType(Seq(
+      StructField("mnemonic", StringType),
+      StructField("descr", StringType),
+      StructField("scale", DoubleType))))
+    val got = df.collect().map(r => (r.getString(0), r.getString(1),
+      if (r.isNullAt(2)) null else r.getDouble(2))).toSet
+    assert(got == Set(("LMMCETMP", "Mechanism temp", 1.5),
+      ("LOSMLAMB", null, 2.0), ("LD2LMP", "Lamp current", null)))
+  }
+
+  test("glob read unions matching workbooks, one task per file") {
+    val dir = Files.createTempDirectory("xlsx_glob").toFile
+    Files.write(new java.io.File(dir, "a.xlsx").toPath,
+      Excel.writeXlsx(Seq(("s", Seq("k", "v"), Seq(Seq("a", 1.0))))))
+    Files.write(new java.io.File(dir, "b.xlsx").toPath,
+      Excel.writeXlsx(Seq(("s", Seq("k", "v"), Seq(Seq("b", 2.0), Seq("c", 3.0))))))
+    val df = Excel.readXlsx(spark, dir.getAbsolutePath + "/*.xlsx")
+    assert(df.rdd.getNumPartitions == 2)
+    assert(df.collect().map(r => (r.getString(0), r.getDouble(1))).toSet ==
+      Set(("a", 1.0), ("b", 2.0), ("c", 3.0)))
+    // mismatched header fails loudly, not silently misaligned
+    Files.write(new java.io.File(dir, "c.xlsx").toPath,
+      Excel.writeXlsx(Seq(("s", Seq("other", "v"), Seq(Seq("x", 9.0))))))
+    val err = intercept[org.apache.spark.SparkException] {
+      Excel.readXlsx(spark, dir.getAbsolutePath + "/*.xlsx").collect()
+    }
+    assert(err.getMessage.contains("differs from probe header") ||
+      Option(err.getCause).exists(_.getMessage.contains("differs from probe header")))
+  }
+}

@@ -252,6 +252,124 @@ object TextQueries {
         .orderBy("doc_id", "j")
     },
 
+    // End-to-end corpus curation — the composed pipeline a training-data
+    // run executes, as ONE query: quality gate (Gopher-style heuristics)
+    // → exact dedup (min-doc_id keeper per fingerprint, among quality
+    // survivors) → MinHash-LSH near-dup drop (16 md5 components, 4 bands
+    // × 4 rows; a doc sharing any band bucket with a smaller quality
+    // doc_id is dropped) → per-language attrition report. Every stage
+    // must agree with the independent DuckDB twin for the hash to match:
+    // langid argmax, quality cut, fingerprint keeper choice, shingling,
+    // signature, banding, drop policy, and the conditional final counts.
+    // Scale shape: per-doc expressions + one fp window + one band
+    // groupBy + one anti-join-style flag join + one final agg — no
+    // all-pairs anywhere (the LSH bucket join is the 100 TB dedup path).
+    // The signature branch hangs off the QUALITY gate, not the exact-dedup
+    // window: exact duplicates have identical signatures, so a dup group's
+    // keeper is still the min of its own buckets and survives — and the
+    // fingerprint window + langid then execute exactly once, keeping the
+    // second pass over the corpus down to split + quality metrics +
+    // signatures (the dominant cost regardless).
+    Q("pipe_curation",
+      """WITH m AS (SELECT doc_id,
+        |    len(string_split(text, ' ')) AS nt,
+        |    string_split(text, ' ') AS ws,
+        |    CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS atl,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS sr,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp,
+        |    (length(text) - length(replace(text,'data','')))/4
+        |      + (length(text) - length(replace(text,'table','')))/5
+        |      + (length(text) - length(replace(text,'row','')))/3 AS s1,
+        |    (length(text) - length(replace(text,'query','')))/5
+        |      + (length(text) - length(replace(text,'filter','')))/6
+        |      + (length(text) - length(replace(text,'join','')))/4 AS s2,
+        |    (length(text) - length(replace(text,'stream','')))/6
+        |      + (length(text) - length(replace(text,'batch','')))/5
+        |      + (length(text) - length(replace(text,'window','')))/6 AS s3
+        |  FROM documents),
+        |base AS (SELECT doc_id, nt, ws, fp,
+        |    CASE WHEN s3 > s1 AND s3 > s2 THEN 'streamish'
+        |      WHEN s2 > s1 THEN 'queryish' ELSE 'dataish' END AS pred_lang,
+        |    (nt >= 10 AND atl BETWEEN 2.0 AND 12.0 AND sr <= 0.5) AS q_keep
+        |  FROM m),
+        |ex AS (SELECT *, q_keep AND doc_id = MIN(CASE WHEN q_keep THEN doc_id END)
+        |    OVER (PARTITION BY fp) AS keep_exact FROM base),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |    [array_to_string(ws[i:i+3], ' ')
+        |     FOR i IN generate_series(1, greatest(len(ws) - 3, 1))])) AS s
+        |  FROM base WHERE q_keep),
+        |comp AS (SELECT doc_id, j,
+        |    MIN(('0x' || substr(md5(j::VARCHAR || ' ' || s), 1, 15))::BIGINT) AS c
+        |  FROM sh CROSS JOIN generate_series(0, 15) AS g(j) GROUP BY doc_id, j),
+        |sig AS (SELECT doc_id, list(c ORDER BY j) AS cs FROM comp GROUP BY doc_id),
+        |banded AS (SELECT doc_id, j,
+        |    md5(array_to_string(cs[j*4+1 : j*4+4], ',')) AS bh
+        |  FROM sig CROSS JOIN generate_series(0, 3) AS g(j)),
+        |dropped AS (SELECT DISTINCT b.doc_id FROM banded b
+        |  JOIN banded a ON a.j = b.j AND a.bh = b.bh AND a.doc_id < b.doc_id)
+        |SELECT pred_lang, COUNT(*) AS n_raw,
+        |  SUM(CASE WHEN q_keep THEN 1 ELSE 0 END)::BIGINT AS n_quality,
+        |  SUM(CASE WHEN keep_exact THEN 1 ELSE 0 END)::BIGINT AS n_after_exact,
+        |  SUM(CASE WHEN keep_exact AND d.doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_final,
+        |  SUM(CASE WHEN keep_exact AND d.doc_id IS NULL THEN nt ELSE 0 END)::BIGINT AS sum_tokens_final
+        |FROM ex LEFT JOIN dropped d ON ex.doc_id = d.doc_id
+        |GROUP BY pred_lang ORDER BY pred_lang""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val qm = Text.qualityMetrics(col("text"), stopwords)
+      val base = Tables.fannedOut(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ", -1)).as("nt"),
+          split(col("text"), " ", -1).as("ws"),
+          Text.fingerprint(col("text")).as("fp"),
+          Text.langIdScore(col("text"), langMarkers).as("pred_lang"),
+          qm.getField("keep").as("q_keep"))
+      // exact dedup among quality survivors: keeper = smallest quality
+      // doc_id of the fingerprint group (one window over fp)
+      val ex = base.withColumn("keep_exact",
+        col("q_keep") && col("doc_id") ===
+          min(when(col("q_keep"), col("doc_id"))).over(Window.partitionBy("fp")))
+      // 16-component portable minhash over 4-gram shingles of survivors
+      val comps = (0 until 16).map { j =>
+        aggregate(col("sh"), lit(Long.MaxValue), (acc, sgl) =>
+          least(acc, conv(substring(md5(concat(lit(s"$j "), sgl)), 1, 15), 16, 10)
+            .cast("long")))
+      }
+      // EvalBarrier: without it the q_keep predicate (split + filter HOFs)
+      // is pushed below the fan-out repartition and evaluates on the one
+      // pre-shuffle partition of the single-row-group parquet
+      val sig = base.filter(graft.functions.GraftExtensions.evalBarrier(col("q_keep")))
+        .select(col("doc_id"), array_distinct(graft.functions.GraftExtensions
+          .shingles(col("ws"), 4)).as("sh"))
+        .select(col("doc_id"), array(comps: _*).as("cs"))
+      // band hash = md5 of the band's comma-joined components; a doc
+      // sharing any (band, hash) bucket with a smaller doc_id is dropped.
+      // Pairs never materialize — only min(doc_id) per bucket.
+      val banded = sig.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(3)), j =>
+          md5(concat_ws(",", transform(
+            slice(col("cs"), j * 4 + 1, lit(4)), _.cast("string"))))))
+          .as(Seq("j", "bh")))
+      val dropped = banded.groupBy("j", "bh")
+        .agg(min("doc_id").as("m"), collect_set("doc_id").as("ids"))
+        .select(explode(col("ids")).as("doc_id"), col("m"))
+        .filter(col("doc_id") > col("m"))
+        .select("doc_id").distinct()
+        .withColumn("is_dropped", lit(true))
+      ex.join(dropped, Seq("doc_id"), "left")
+        .groupBy("pred_lang")
+        .agg(count(lit(1)).as("n_raw"),
+          sum(when(col("q_keep"), 1).otherwise(0)).as("n_quality"),
+          sum(when(col("keep_exact"), 1).otherwise(0)).as("n_after_exact"),
+          sum(when(col("keep_exact") && col("is_dropped").isNull, 1).otherwise(0))
+            .as("n_final"),
+          sum(when(col("keep_exact") && col("is_dropped").isNull, col("nt"))
+            .otherwise(0)).as("sum_tokens_final"))
+        .orderBy("pred_lang")
+    },
+
     // Multimodal plumbing: opaque binary payload column + metadata derived
     // without decoding (byte length, md5 digest). The decode itself is
     // stubbed (no codecs in-container); the schema/partition path is real.

@@ -1,0 +1,148 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) for embedding columns — the compression leg
+  * of large-scale ANN (IVF-PQ): a dim-D vector becomes `m` small integer
+  * codes, one per subspace, each the id of the nearest codebook entry for
+  * that subspace. A 64-float embedding compresses to 4 ints (~32×); ADC
+  * search then scans CODES, not vectors, and reconstructs approximate
+  * distances from a per-probe lookup table — at 100 TB the scan is
+  * memory-bandwidth-bound, so reading 16 bytes/row instead of 256 is the
+  * whole game.
+  *
+  * Everything is codegen-friendly column algebra: codebooks pack into ONE
+  * broadcast row, encode is a per-row argmin HOF (zero shuffle, same
+  * design as [[Similarity.ivfAssign]]), training exchanges only
+  * (m·ksub·dim)-sized aggregates per Lloyd round, and ADC is an array
+  * lookup join. (PQ: Jégou, Douze, Schmid, "Product Quantization for
+  * Nearest Neighbor Search", TPAMI 2011.)
+  */
+object Quantization {
+
+  /** Squared L2 distance of two double arrays (HOF; one zip pass). */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0d), _ + _)
+
+  private def rank(c: Column, distRound: Int): Column =
+    if (distRound >= 0) round(c, distRound) else c
+
+  /** Seed codebooks `(subspace, code_id, cv)`: the `ksub` rows with the
+    * smallest `seedHash(id)` (data-independent spread, portable when the
+    * hash is), sliced into `m` subvectors of width dim/m. With seeds every
+    * subspace has the full `ksub` codes — Lloyd rounds may drop empty
+    * cells, like [[Similarity.kmeansCentroids]]. */
+  def seedCodebooks(df: DataFrame, id: String, vecCol: String,
+                    m: Int, dim: Int, ksub: Int,
+                    seedHash: Column => Column = xxhash64(_)): DataFrame = {
+    val w = dim / m
+    require(m * w == dim, s"dim $dim must divide into $m subspaces")
+    df.select(col(id), col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("__h", seedHash(col(id)))
+      .orderBy("__h").limit(ksub)
+      .withColumn("code_id", row_number().over(Window.orderBy("__h")) - 1)
+      .select(col("code_id"),
+        posexplode(array((0 until m).map(i =>
+          slice(col("__v"), i * w + 1, w)): _*)).as(Seq("subspace", "cv")))
+      .select(col("subspace"), col("code_id"), col("cv"))
+  }
+
+  /** One broadcast row holding every codebook entry. */
+  private def packed(codebooks: DataFrame): DataFrame =
+    codebooks.agg(collect_list(struct(
+      col("subspace"), col("code_id"), col("cv"))).as("__cb"))
+
+  /** Per-row PQ codes: `codes[i]` = argmin over the subspace-i codebook of
+    * squared L2 distance to the row's i-th subvector, ties to the lower
+    * code id. Zero shuffle: one broadcast of the packed codebook, argmin
+    * as `array_min` over a struct array ((dist, id) lexicographic order
+    * IS the tie rule). `distRound` >= 0 ranks on the rounded distance so
+    * an external oracle can replay the argmin across engines. */
+  def encode(df: DataFrame, vecCol: String, codebooks: DataFrame,
+             m: Int, dim: Int, distRound: Int = -1,
+             codesCol: String = "codes"): DataFrame = {
+    val w = dim / m
+    val v = col(vecCol).cast("array<double>")
+    df.crossJoin(broadcast(packed(codebooks)))
+      .withColumn(codesCol,
+        transform(sequence(lit(0), lit(m - 1)), mm =>
+          array_min(transform(
+            filter(col("__cb"), e => e.getField("subspace") === mm),
+            e => struct(
+              rank(l2sq(slice(v, mm * w + 1, lit(w)), e.getField("cv")),
+                distRound).as("d"),
+              e.getField("code_id").as("j"))))
+            .getField("j")))
+      .drop("__cb")
+  }
+
+  /** `iters` Lloyd rounds over ALL `m` codebooks in one scan per round:
+    * rows explode to (subspace, subvector), assignment is the zero-shuffle
+    * packed-codebook argmin, new entry = elementwise mean of its members.
+    * Each round exchanges only (m·ksub·dim)-sized aggregates. */
+  def trainCodebooks(df: DataFrame, id: String, vecCol: String,
+                     m: Int, dim: Int, ksub: Int, iters: Int = 2,
+                     seedHash: Column => Column = xxhash64(_),
+                     distRound: Int = -1): DataFrame = {
+    val w = dim / m
+    val v = col(vecCol).cast("array<double>")
+    val sub = df.select(col(id),
+      posexplode(array((0 until m).map(i => slice(v, i * w + 1, w)): _*))
+        .as(Seq("subspace", "sv")))
+    (1 to iters).foldLeft(seedCodebooks(df, id, vecCol, m, dim, ksub, seedHash)) {
+      (cb, _) =>
+        sub.crossJoin(broadcast(packed(cb)))
+          .select(col("subspace"), col("sv"),
+            array_min(transform(
+              filter(col("__cb"), e => e.getField("subspace") === col("subspace")),
+              e => struct(rank(l2sq(col("sv"), e.getField("cv")), distRound).as("d"),
+                e.getField("code_id").as("j"))))
+              .getField("j").as("code_id"))
+          .select(col("subspace"), col("code_id"),
+            posexplode(col("sv")).as(Seq("pos", "x")))
+          .groupBy("subspace", "code_id", "pos").agg(avg("x").as("x"))
+          .groupBy("subspace", "code_id")
+          .agg(array_sort(collect_list(struct(col("pos"), col("x")))).as("__z"))
+          .select(col("subspace"), col("code_id"),
+            transform(col("__z"), z => z.getField("x")).as("cv"))
+    }
+  }
+
+  /** ADC (asymmetric distance computation) top-k: for each probe, the `k`
+    * encoded candidates with the smallest approximate distance
+    * `sum_i table[i][codes[i]]`, where `table` — each probe's subspace ×
+    * code distance grid — is computed ONCE per probe against the broadcast
+    * codebook. The candidate side touches only (candId, codes): M ints per
+    * row, never the original vectors. Rounding: per-cell `distRound`, and
+    * the final rank on `round(dist, totalRound)` with the candidate id as
+    * tiebreak, so results replay deterministically across engines. */
+  def adcTopK(encoded: DataFrame, codebooks: DataFrame,
+              probes: DataFrame, probeId: String, candId: String,
+              vecCol: String, m: Int, dim: Int, k: Int,
+              distRound: Int = -1, totalRound: Int = 4,
+              codesCol: String = "codes"): DataFrame = {
+    val w = dim / m
+    val pv = col(vecCol).cast("array<double>")
+    // per-probe table: array over subspaces of (code_id -> distance) maps
+    // (a map, not a positional array: Lloyd-trained codebooks may have
+    // dropped ids)
+    val tabled = probes.crossJoin(broadcast(packed(codebooks)))
+      .select(col(probeId), transform(sequence(lit(0), lit(m - 1)), mm =>
+        map_from_entries(transform(
+          filter(col("__cb"), e => e.getField("subspace") === mm),
+          e => struct(e.getField("code_id"),
+            rank(l2sq(slice(pv, mm * w + 1, lit(w)), e.getField("cv")),
+              distRound))))).as("__tbl"))
+    val pairs = encoded.select(col(candId), col(codesCol))
+      .crossJoin(broadcast(tabled))
+      .withColumn("dist", round(
+        aggregate(zip_with(col("__tbl"), col(codesCol),
+          (t, c) => element_at(t, c)), lit(0.0d), _ + _), totalRound))
+    val win = Window.partitionBy(probeId).orderBy(col("dist"), col(candId))
+    pairs.withColumn("__rn", row_number().over(win))
+      .filter(col("__rn") <= k)
+      .select(col(probeId), col(candId), col("dist"))
+  }
+}

@@ -142,5 +142,93 @@ object SimilarityQueries {
         .select(Similarity.lshBucket(col("embedding"), planes).as("bucket"))
         .groupBy("bucket").agg(count(lit(1)).as("n"))
         .orderBy("bucket")
+    },
+
+    // Product quantization encode, hash-checked end-to-end: md5-seeded
+    // codebooks (8 codes × 4 subspaces of width 16), every vector's code
+    // = argmin of 6-decimal-rounded squared L2 to the subspace codebook,
+    // ties to the lower code id. The oracle re-derives codebook slicing,
+    // subvector distances, and the argmin independently — any drift in
+    // seeding, slicing, distance, or tie policy hash-mismatches.
+    Q("pq_encode_md5",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |    FROM embeddings),
+        |seeds AS (SELECT v,
+        |    ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS j
+        |  FROM e
+        |  QUALIFY ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) <= 8),
+        |cb AS (SELECT CAST(j AS INT) AS j, CAST(g.m AS INT) AS m,
+        |    v[g.m*16+1 : g.m*16+16] AS cv
+        |  FROM seeds CROSS JOIN generate_series(0, 3) g(m)),
+        |sub AS (SELECT vec_id, CAST(g.m AS INT) AS m,
+        |    v[g.m*16+1 : g.m*16+16] AS sv
+        |  FROM e CROSS JOIN generate_series(0, 3) g(m) WHERE vec_id < 200),
+        |d AS (SELECT vec_id, s.m, c.j, ROUND(list_sum(
+        |    [ (s.sv[i]-c.cv[i])*(s.sv[i]-c.cv[i])
+        |      FOR i IN generate_series(1, 16) ]), 6) AS dist
+        |  FROM sub s JOIN cb c ON s.m = c.m)
+        |SELECT vec_id, m, j AS code FROM d
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, m
+        |  ORDER BY dist, j) = 1
+        |ORDER BY vec_id, m""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val cb = graft.ops.Quantization.seedCodebooks(
+        e, "vec_id", "v", m = 4, dim = 64, ksub = 8,
+        seedHash = c => md5(c.cast("string")))
+      graft.ops.Quantization.encode(
+        e.filter(col("vec_id") < 200), "v", cb, m = 4, dim = 64, distRound = 6)
+        .select(col("vec_id"), posexplode(col("codes")).as(Seq("m", "code")))
+        .orderBy("vec_id", "m")
+    },
+
+    // ADC top-k over PQ codes, hash-checked: probes (vec_id < 3) rank the
+    // encoded candidates (vec_id >= 3) by the table-lookup distance
+    // sum_i table[i][codes[i]] — the oracle recomputes codes, per-probe
+    // distance grids, and the summed ranking independently. The candidate
+    // side of the Spark plan touches only (id, codes): 4 ints per row in
+    // place of 64 floats, PQ's memory-bandwidth point at scale.
+    Q("pq_adc_topk_md5",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |    FROM embeddings),
+        |seeds AS (SELECT v,
+        |    ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS j
+        |  FROM e
+        |  QUALIFY ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) <= 8),
+        |cb AS (SELECT CAST(j AS INT) AS j, CAST(g.m AS INT) AS m,
+        |    v[g.m*16+1 : g.m*16+16] AS cv
+        |  FROM seeds CROSS JOIN generate_series(0, 3) g(m)),
+        |sub AS (SELECT vec_id, CAST(g.m AS INT) AS m,
+        |    v[g.m*16+1 : g.m*16+16] AS sv
+        |  FROM e CROSS JOIN generate_series(0, 3) g(m)),
+        |d AS (SELECT vec_id, s.m, c.j, ROUND(list_sum(
+        |    [ (s.sv[i]-c.cv[i])*(s.sv[i]-c.cv[i])
+        |      FOR i IN generate_series(1, 16) ]), 6) AS dist
+        |  FROM sub s JOIN cb c ON s.m = c.m),
+        |codes AS (SELECT vec_id, m, j FROM d WHERE vec_id >= 3
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, m
+        |    ORDER BY dist, j) = 1),
+        |pair AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+        |    ROUND(SUM(p.dist), 4) AS dist
+        |  FROM d p JOIN codes c ON p.m = c.m AND p.j = c.j
+        |  WHERE p.vec_id < 3 GROUP BY 1, 2)
+        |SELECT probe_id, cand_id, dist FROM pair
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY probe_id
+        |  ORDER BY dist, cand_id) <= 5
+        |ORDER BY probe_id, dist, cand_id""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val cb = graft.ops.Quantization.seedCodebooks(
+        e, "vec_id", "v", m = 4, dim = 64, ksub = 8,
+        seedHash = c => md5(c.cast("string")))
+      val encoded = graft.ops.Quantization.encode(
+        e.filter(col("vec_id") >= 3), "v", cb, m = 4, dim = 64, distRound = 6)
+        .select(col("vec_id").as("cand_id"), col("codes"))
+      graft.ops.Quantization.adcTopK(
+        encoded, cb, e.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("probe_id"), col("v")),
+        "probe_id", "cand_id", "v", m = 4, dim = 64, k = 5,
+        distRound = 6, totalRound = 4)
+        .orderBy("probe_id", "dist", "cand_id")
     })
 }

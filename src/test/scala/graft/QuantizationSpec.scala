@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Quantization
+
+/** Product quantization: encode determinism, Lloyd training improving the
+  * codebooks, and ADC ranking approximating exact L2 search. */
+class QuantizationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two gaussian-ish clusters per subspace half, 40 vectors of dim 8
+  private def vecs = {
+    val rnd = new scala.util.Random(7)
+    (0L until 40L).map { i =>
+      val base = if (i % 2 == 0) 1.0 else -1.0
+      (i, Seq.tabulate(8)(j =>
+        (base * (1 + j % 2) + rnd.nextGaussian() * 0.1).toFloat))
+    }.toDF("id", "v")
+  }
+
+  test("encode emits one in-range code per subspace, deterministically") {
+    val cb = Quantization.seedCodebooks(vecs, "id", "v", m = 2, dim = 8, ksub = 4)
+    val enc = Quantization.encode(vecs, "v", cb, m = 2, dim = 8)
+      .select(col("id"), col("codes"))
+    val rows = enc.as[(Long, Seq[Int])].collect()
+    assert(rows.length == 40)
+    assert(rows.forall { case (_, cs) => cs.length == 2 && cs.forall(c => c >= 0 && c < 4) })
+    // repeated evaluation gives the identical code assignment
+    assert(rows.toSet == enc.as[(Long, Seq[Int])].collect().toSet)
+  }
+
+  /** Total quantization error = sum over rows and subspaces of squared L2
+    * to the assigned codebook entry. */
+  private def totalError(cb: org.apache.spark.sql.DataFrame): Double = {
+    val w = 4
+    val sub = vecs.select(col("id"),
+      posexplode(array((0 until 2).map(i =>
+        slice(col("v").cast("array<double>"), i * w + 1, w)): _*))
+        .as(Seq("subspace", "sv")))
+    sub.join(cb, Seq("subspace"))
+      .groupBy("id", "subspace")
+      .agg(min(Quantization.l2sq(col("sv"), col("cv"))).as("d"))
+      .agg(sum("d")).as[Double].head()
+  }
+
+  test("Lloyd rounds do not worsen quantization error; training tightens seeds") {
+    val seeds = Quantization.seedCodebooks(vecs, "id", "v", m = 2, dim = 8, ksub = 4)
+    val trained = Quantization.trainCodebooks(vecs, "id", "v",
+      m = 2, dim = 8, ksub = 4, iters = 2)
+    val e0 = totalError(seeds)
+    val e2 = totalError(trained)
+    assert(e2 <= e0 + 1e-9, s"trained error $e2 > seed error $e0")
+    assert(e2 < e0, s"expected strict improvement on spread data: $e2 vs $e0")
+  }
+
+  test("ADC top-k matches exact L2 ranking on cluster-separated data") {
+    // 8 distinct cluster patterns x 5 members: one codebook entry per
+    // cluster per subspace is learnable at ksub=8, so ADC separates
+    // clusters while within-cluster ranking stays quantized (PQ's
+    // accepted resolution limit — codes, not vectors)
+    val rnd = new scala.util.Random(11)
+    val clustered = (0L until 40L).map { i =>
+      val c = (i % 8).toInt
+      (i, Seq.tabulate(8)(j =>
+        (((c * 3 + j * 5) % 11) - 5 + rnd.nextGaussian() * 0.1).toFloat))
+    }.toDF("id", "v")
+    val cb = Quantization.trainCodebooks(clustered, "id", "v",
+      m = 2, dim = 8, ksub = 8, iters = 2)
+    val probes = clustered.filter(col("id") < 4)
+      .select(col("id").as("pid"), col("v"))
+    val cands = clustered.filter(col("id") >= 4)
+    val encoded = Quantization.encode(cands, "v", cb, m = 2, dim = 8)
+      .select(col("id").as("cid"), col("codes"))
+    val adc = Quantization.adcTopK(encoded, cb, probes, "pid", "cid", "v",
+      m = 2, dim = 8, k = 4)
+      .select("pid", "cid").as[(Long, Long)].collect().toSet
+    // exact L2 top-4 per probe = the probe's 4 other cluster members
+    val exact = probes.crossJoin(cands.select(col("id").as("cid"), col("v").as("cv")))
+      .withColumn("d", Quantization.l2sq(col("v").cast("array<double>"),
+        col("cv").cast("array<double>")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("pid")
+          .orderBy(col("d"), col("cid"))))
+      .filter(col("rn") <= 4)
+      .select("pid", "cid").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect adc).size.toDouble / exact.size
+    assert(recall >= 0.9, s"ADC recall $recall")
+    // every ADC hit lands in the probe's cluster
+    assert(adc.forall { case (p, c) => p % 8 == c % 8 },
+      "ADC returned a cross-cluster neighbor")
+  }
+}

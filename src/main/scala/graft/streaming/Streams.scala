@@ -142,6 +142,22 @@ object Streams {
         TimeMode.EventTime(), OutputMode.Append())
   }
 
+  /** Streaming exact-dedup of documents by content fingerprint with
+    * BOUNDED state: `dropDuplicatesWithinWatermark` holds a fingerprint in
+    * state only until the watermark passes its first arrival plus the
+    * horizon, so state size tracks the dedup window, not corpus history —
+    * the operational difference from plain `dropDuplicates` on a
+    * continuous ingest (whose state grows with every distinct document
+    * ever seen). A duplicate arriving inside the horizon is dropped; the
+    * same text re-ingested after the horizon is treated as new — the
+    * accepted trade-off, and the streaming counterpart of the batch
+    * `dedup_exact` fingerprint groupBy. */
+  def streamingDedupDocs(docs: DataFrame, tsCol: String, textCol: String,
+                         horizon: String): DataFrame =
+    docs.withColumn("fp", graft.ops.Text.fingerprint(col(textCol)))
+      .withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Event-time tumbling-window aggregation with a watermark — the
     * streaming form of the batch `w_tumbling_window` query; identical
     * results on bounded input. */

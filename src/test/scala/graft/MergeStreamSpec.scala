@@ -109,6 +109,41 @@ class MergeStreamSpec extends SparkSpec {
     assert(out.count(_._1 == "a") == 1, "replayed key must be dropped across batches")
   }
 
+  test("streaming doc dedup by fingerprint: bounded state, batch-equal on one horizon") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    val docs = input.toDF().toDF("doc_id", "ts_s", "text")
+      .select(col("doc_id"), to_timestamp(col("ts_s")).as("ts"), col("text"))
+    val q = Streams.streamingDedupDocs(docs, "ts", "text", horizon = "1 hour")
+      .select("doc_id", "text")
+      .writeStream.format("memory").queryName("doc_dedup_out")
+      .outputMode("append").start()
+    // same normalized content under different doc_ids and formatting —
+    // the fingerprint (normalize + md5) must collapse all three
+    input.addData(
+      (1L, "2024-01-01 00:00:00", "The quick fox"),
+      (2L, "2024-01-01 00:10:00", "the QUICK   fox!"),
+      (3L, "2024-01-01 00:20:00", "something else"))
+    q.processAllAvailable()
+    input.addData((4L, "2024-01-01 00:30:00", "The quick fox")) // dup, in horizon
+    q.processAllAvailable()
+    val out = spark.table("doc_dedup_out").as[(Long, String)].collect().toSet
+    q.stop()
+    assert(out.map(_._1) == Set(1L, 3L),
+      s"expected first-arrival survivors only, got $out")
+    // and the surviving set equals the batch fingerprint dedup of the
+    // same bounded input (keep-first-by-id policy)
+    val batch = Seq((1L, "The quick fox"), (2L, "the QUICK   fox!"),
+      (3L, "something else"), (4L, "The quick fox"))
+      .toDF("doc_id", "text")
+      .withColumn("fp", graft.ops.Text.fingerprint(col("text")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("fp").orderBy("doc_id")))
+      .filter(col("rn") === 1).select("doc_id").as[Long].collect().toSet
+    assert(batch == out.map(_._1))
+  }
+
   test("streaming windowed counts equal the batch tumbling-window result") {
     val events = Seq(
       ("2024-01-01 01:00:00", "click", 1.0),

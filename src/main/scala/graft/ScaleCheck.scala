@@ -152,6 +152,34 @@ object ScaleCheck {
         .asOf(probes, quotes, Seq.empty, "ts", "v", "qv").count()
     }
 
+    // 7b. full curation pipeline at 50k docs: quality gate + fingerprint
+    // window + LSH banding + flag join + report — the composed flow must
+    // stay bucket-joined (no all-pairs) as the corpus grows
+    time("pipe_curation (50k docs)") {
+      ops.Curation.report(ops.Curation.flags(docs10, "doc_id", "text",
+        Seq("the", "a"),
+        Seq("dataish" -> Seq("data", "table", "row"),
+          "queryish" -> Seq("query", "filter", "join"),
+          "streamish" -> Seq("stream", "batch", "window")))).count()
+    }
+
+    // 7c. PQ train + encode + ADC at 10× vectors: encode is the
+    // zero-shuffle packed-codebook argmin; ADC's candidate side reads
+    // only the integer codes, so the search scan should stay flat as
+    // vector width grows
+    time("pq_train+encode+adc (10x vecs)") {
+      val e = emb10.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val cb = ops.Quantization.trainCodebooks(e, "vec_id", "v",
+        m = 8, dim = 64, ksub = 16, iters = 2)
+      val encoded = ops.Quantization.encode(e, "v", cb, m = 8, dim = 64)
+        .select(col("vec_id").as("cand_id"), col("codes"))
+      val probes = e.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("probe_id"), col("v"))
+      ops.Quantization.adcTopK(encoded, cb, probes, "probe_id", "cand_id",
+        "v", m = 8, dim = 64, k = 10).count()
+    }
+
     // 7. IVF train + assign at 200k vectors: the shuffle-free assignment
     // (packed-centroid HOF argmax) is the piece that used to shuffle
     // rows×k — training cost should stay ~linear in rows·iters

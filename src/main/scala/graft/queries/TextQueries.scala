@@ -317,57 +317,9 @@ object TextQueries {
         |  SUM(CASE WHEN keep_exact AND d.doc_id IS NULL THEN nt ELSE 0 END)::BIGINT AS sum_tokens_final
         |FROM ex LEFT JOIN dropped d ON ex.doc_id = d.doc_id
         |GROUP BY pred_lang ORDER BY pred_lang""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val qm = Text.qualityMetrics(col("text"), stopwords)
-      val base = Tables.fannedOut(s, dir, "documents")
-        .select(col("doc_id"),
-          size(split(col("text"), " ", -1)).as("nt"),
-          split(col("text"), " ", -1).as("ws"),
-          Text.fingerprint(col("text")).as("fp"),
-          Text.langIdScore(col("text"), langMarkers).as("pred_lang"),
-          qm.getField("keep").as("q_keep"))
-      // exact dedup among quality survivors: keeper = smallest quality
-      // doc_id of the fingerprint group (one window over fp)
-      val ex = base.withColumn("keep_exact",
-        col("q_keep") && col("doc_id") ===
-          min(when(col("q_keep"), col("doc_id"))).over(Window.partitionBy("fp")))
-      // 16-component portable minhash over 4-gram shingles of survivors
-      val comps = (0 until 16).map { j =>
-        aggregate(col("sh"), lit(Long.MaxValue), (acc, sgl) =>
-          least(acc, conv(substring(md5(concat(lit(s"$j "), sgl)), 1, 15), 16, 10)
-            .cast("long")))
-      }
-      // EvalBarrier: without it the q_keep predicate (split + filter HOFs)
-      // is pushed below the fan-out repartition and evaluates on the one
-      // pre-shuffle partition of the single-row-group parquet
-      val sig = base.filter(graft.functions.GraftExtensions.evalBarrier(col("q_keep")))
-        .select(col("doc_id"), array_distinct(graft.functions.GraftExtensions
-          .shingles(col("ws"), 4)).as("sh"))
-        .select(col("doc_id"), array(comps: _*).as("cs"))
-      // band hash = md5 of the band's comma-joined components; a doc
-      // sharing any (band, hash) bucket with a smaller doc_id is dropped.
-      // Pairs never materialize — only min(doc_id) per bucket.
-      val banded = sig.select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(3)), j =>
-          md5(concat_ws(",", transform(
-            slice(col("cs"), j * 4 + 1, lit(4)), _.cast("string"))))))
-          .as(Seq("j", "bh")))
-      val dropped = banded.groupBy("j", "bh")
-        .agg(min("doc_id").as("m"), collect_set("doc_id").as("ids"))
-        .select(explode(col("ids")).as("doc_id"), col("m"))
-        .filter(col("doc_id") > col("m"))
-        .select("doc_id").distinct()
-        .withColumn("is_dropped", lit(true))
-      ex.join(dropped, Seq("doc_id"), "left")
-        .groupBy("pred_lang")
-        .agg(count(lit(1)).as("n_raw"),
-          sum(when(col("q_keep"), 1).otherwise(0)).as("n_quality"),
-          sum(when(col("keep_exact"), 1).otherwise(0)).as("n_after_exact"),
-          sum(when(col("keep_exact") && col("is_dropped").isNull, 1).otherwise(0))
-            .as("n_final"),
-          sum(when(col("keep_exact") && col("is_dropped").isNull, col("nt"))
-            .otherwise(0)).as("sum_tokens_final"))
-        .orderBy("pred_lang")
+      graft.ops.Curation.report(graft.ops.Curation.flags(
+        Tables.fannedOut(s, dir, "documents"), "doc_id", "text",
+        stopwords, langMarkers, shingleK = 4, numHashes = 16, bands = 4))
     },
 
     // Multimodal plumbing: opaque binary payload column + metadata derived

@@ -110,6 +110,85 @@ object Quantization {
     }
   }
 
+  /** Residual of each vector against its assigned IVF cell centroid:
+    * adds `centroid_id` (via the zero-shuffle [[Similarity.ivfAssign]])
+    * and `resCol` = v − centroid. Residuals concentrate near zero, so a
+    * shared PQ codebook quantizes them far better than raw vectors — the
+    * standard IVF-PQ composition. One broadcast join on `centroid_id`. */
+  def residuals(df: DataFrame, vecCol: String, centroids: DataFrame,
+                resCol: String = "residual", simRound: Int = -1,
+                nProbe: Int = 1): DataFrame = {
+    val assigned = Similarity.ivfAssign(df, vecCol,
+      centroids, nProbe = nProbe, simRound = simRound)
+    assigned
+      .join(broadcast(centroids.select(col("centroid_id"),
+        col(vecCol).cast("array<double>").as("__cent"))), Seq("centroid_id"))
+      .withColumn(resCol,
+        zip_with(col(vecCol).cast("array<double>"), col("__cent"), _ - _))
+      .drop("__cent")
+  }
+
+  /** IVF-PQ index build: IVF cells from `centroids`, PQ codebooks trained
+    * on the RESIDUALS, every vector stored as (id, centroid_id, codes).
+    * Returns (encoded, codebooks). At scale the encoded table is the
+    * index: M ints + a cell id per vector.
+    *
+    * The residual table is a lazy plan consumed by every Lloyd round AND
+    * the final encode — at corpus scale, `persist()` (or checkpoint to
+    * parquet) the [[residuals]] output first and pass it through, exactly
+    * as one would materialize any k-means training input; the builder
+    * stays lazy so small/oracle runs need no storage side effects. */
+  def ivfPqIndex(df: DataFrame, id: String, vecCol: String,
+                 centroids: DataFrame, m: Int, dim: Int, ksub: Int,
+                 iters: Int = 2,
+                 seedHash: Column => Column = xxhash64(_),
+                 simRound: Int = -1, distRound: Int = -1):
+      (DataFrame, DataFrame) = {
+    val res = residuals(df.select(col(id), col(vecCol)), vecCol, centroids,
+      simRound = simRound)
+    val cb = trainCodebooks(res, id, "residual", m, dim, ksub, iters,
+      seedHash, distRound)
+    val encoded = encode(res, "residual", cb, m, dim, distRound)
+      .select(col(id), col("centroid_id"), col("codes"))
+    (encoded, cb)
+  }
+
+  /** IVF-PQ search: each probe fans out to its `nProbe` nearest cells,
+    * computes the ADC grid of its RESIDUAL against that cell, and ranks
+    * only the candidates of the probed cells — the join is an equi-join
+    * on `centroid_id`, so at scale each probe touches nProbe cells'
+    * codes, not the corpus. Distances use the probe's per-cell residual
+    * (asymmetric: candidate side stays codes-only). */
+  def ivfPqTopK(encoded: DataFrame, codebooks: DataFrame,
+                probes: DataFrame, probeId: String, candId: String,
+                vecCol: String, centroids: DataFrame,
+                m: Int, dim: Int, k: Int, nProbe: Int = 1,
+                simRound: Int = -1, distRound: Int = -1,
+                totalRound: Int = 4): DataFrame = {
+    val w = dim / m
+    // probe residual per probed cell (nProbe rows per probe)
+    val pres = residuals(probes.select(col(probeId), col(vecCol)), vecCol,
+      centroids, simRound = simRound, nProbe = nProbe)
+    val rv = col("residual")
+    val tabled = pres.crossJoin(broadcast(packed(codebooks)))
+      .select(col(probeId), col("centroid_id"),
+        transform(sequence(lit(0), lit(m - 1)), mm =>
+          map_from_entries(transform(
+            filter(col("__cb"), e => e.getField("subspace") === mm),
+            e => struct(e.getField("code_id"),
+              rank(l2sq(slice(rv, mm * w + 1, lit(w)), e.getField("cv")),
+                distRound))))).as("__tbl"))
+    val pairs = encoded.select(col(candId), col("centroid_id"), col("codes"))
+      .join(broadcast(tabled), Seq("centroid_id"))
+      .withColumn("dist", round(
+        aggregate(zip_with(col("__tbl"), col("codes"),
+          (t, c) => element_at(t, c)), lit(0.0d), _ + _), totalRound))
+    val win = Window.partitionBy(probeId).orderBy(col("dist"), col(candId))
+    pairs.withColumn("__rn", row_number().over(win))
+      .filter(col("__rn") <= k)
+      .select(col(probeId), col("centroid_id"), col(candId), col("dist"))
+  }
+
   /** ADC (asymmetric distance computation) top-k: for each probe, the `k`
     * encoded candidates with the smallest approximate distance
     * `sum_i table[i][codes[i]]`, where `table` — each probe's subspace ×

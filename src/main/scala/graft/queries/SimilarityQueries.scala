@@ -182,6 +182,69 @@ object SimilarityQueries {
         .orderBy("vec_id", "m")
     },
 
+    // IVF-PQ residual encoding, hash-checked: vectors assign to per-label
+    // mean centroids (the oracled IVF mechanism), PQ then encodes the
+    // RESIDUAL v − centroid against md5-seeded codebooks — the standard
+    // IVF-PQ composition, where residuals concentrate near zero and
+    // quantize better than raw vectors. The oracle independently re-derives
+    // centroid means, the round-6 cosine argmax assignment, residual
+    // arithmetic, codebook slicing, and the round-6 L2 argmin.
+    Q("pq_residual_codes_md5",
+      """WITH pos AS (SELECT vec_id, label,
+        |    unnest(CAST(embedding AS DOUBLE[])) AS x,
+        |    generate_subscripts(embedding, 1) AS pos FROM embeddings),
+        |cent AS (SELECT label AS cl, pos, AVG(x) AS c FROM pos GROUP BY 1, 2),
+        |sim AS (SELECT p.vec_id, c.cl,
+        |    SUM(p.x * c.c) / (SQRT(SUM(p.x * p.x)) * SQRT(SUM(c.c * c.c))) AS s
+        |  FROM pos p JOIN cent c USING (pos) GROUP BY 1, 2),
+        |best AS (SELECT vec_id, cl FROM sim
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+        |    ORDER BY ROUND(s, 6) DESC, cl) = 1),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |centL AS (SELECT cl, list(c ORDER BY pos) AS cv FROM cent GROUP BY cl),
+        |res AS (SELECT e.vec_id, b.cl,
+        |    [e.v[i] - cl2.cv[i] FOR i IN generate_series(1, 64)] AS r
+        |  FROM e JOIN best b USING (vec_id) JOIN centL cl2 ON b.cl = cl2.cl),
+        |seeds AS (SELECT r,
+        |    ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS j
+        |  FROM res
+        |  QUALIFY ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) <= 8),
+        |cb AS (SELECT CAST(j AS INT) AS j, CAST(g.m AS INT) AS m,
+        |    r[g.m*16+1 : g.m*16+16] AS cv
+        |  FROM seeds CROSS JOIN generate_series(0, 3) g(m)),
+        |sub AS (SELECT vec_id, cl, CAST(g.m AS INT) AS m,
+        |    r[g.m*16+1 : g.m*16+16] AS sv
+        |  FROM res CROSS JOIN generate_series(0, 3) g(m) WHERE vec_id < 100),
+        |d AS (SELECT vec_id, cl, s.m, c.j, ROUND(list_sum(
+        |    [ (s.sv[i]-c.cv[i])*(s.sv[i]-c.cv[i])
+        |      FOR i IN generate_series(1, 16) ]), 6) AS dist
+        |  FROM sub s JOIN cb c ON s.m = c.m)
+        |SELECT vec_id, CAST(cl AS INT) AS centroid_id, m, j AS code FROM d
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, m
+        |  ORDER BY dist, j) = 1
+        |ORDER BY vec_id, m""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+      val cents = e
+        .select(col("label").as("centroid_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("centroid_id", "pos").agg(avg("x").as("x"))
+        .groupBy("centroid_id")
+        .agg(array_sort(collect_list(struct(col("pos"), col("x")))).as("z"))
+        .select(col("centroid_id"), transform(col("z"), _.getField("x")).as("v"))
+      val res = graft.ops.Quantization.residuals(
+        e.select(col("vec_id"), col("v")), "v", cents, simRound = 6)
+      val cb = graft.ops.Quantization.seedCodebooks(
+        res, "vec_id", "residual", m = 4, dim = 64, ksub = 8,
+        seedHash = c => md5(c.cast("string")))
+      graft.ops.Quantization.encode(
+        res.filter(col("vec_id") < 100), "residual", cb, m = 4, dim = 64,
+        distRound = 6)
+        .select(col("vec_id"), col("centroid_id"),
+          posexplode(col("codes")).as(Seq("m", "code")))
+        .orderBy("vec_id", "m")
+    },
+
     // ADC top-k over PQ codes, hash-checked: probes (vec_id < 3) rank the
     // encoded candidates (vec_id >= 3) by the table-lookup distance
     // sum_i table[i][codes[i]] — the oracle recomputes codes, per-probe

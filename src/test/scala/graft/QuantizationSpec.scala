@@ -53,17 +53,20 @@ class QuantizationSpec extends SparkSpec {
     assert(e2 < e0, s"expected strict improvement on spread data: $e2 vs $e0")
   }
 
-  test("ADC top-k matches exact L2 ranking on cluster-separated data") {
-    // 8 distinct cluster patterns x 5 members: one codebook entry per
-    // cluster per subspace is learnable at ksub=8, so ADC separates
-    // clusters while within-cluster ranking stays quantized (PQ's
-    // accepted resolution limit — codes, not vectors)
+  // 8 distinct cluster patterns x 5 members: one codebook entry per
+  // cluster per subspace is learnable at ksub=8, so ADC separates
+  // clusters while within-cluster ranking stays quantized (PQ's
+  // accepted resolution limit — codes, not vectors)
+  private def clustered = {
     val rnd = new scala.util.Random(11)
-    val clustered = (0L until 40L).map { i =>
+    (0L until 40L).map { i =>
       val c = (i % 8).toInt
       (i, Seq.tabulate(8)(j =>
         (((c * 3 + j * 5) % 11) - 5 + rnd.nextGaussian() * 0.1).toFloat))
     }.toDF("id", "v")
+  }
+
+  test("ADC top-k matches exact L2 ranking on cluster-separated data") {
     val cb = Quantization.trainCodebooks(clustered, "id", "v",
       m = 2, dim = 8, ksub = 8, iters = 2)
     val probes = clustered.filter(col("id") < 4)
@@ -88,5 +91,46 @@ class QuantizationSpec extends SparkSpec {
     // every ADC hit lands in the probe's cluster
     assert(adc.forall { case (p, c) => p % 8 == c % 8 },
       "ADC returned a cross-cluster neighbor")
+  }
+
+  test("IVF-PQ: residual index search matches exact neighbors within probed cells") {
+    import graft.ops.Similarity
+    val data = clustered
+    // IVF cells from the same corpus (k=8 ≈ the true cluster count)
+    val cents = Similarity.kmeansCentroids(
+      data.select(col("id"), col("v").cast("array<double>").as("v")),
+      "id", "v", k = 8, iters = 2)
+    val (encoded, cb) = Quantization.ivfPqIndex(
+      data.select(col("id"), col("v").cast("array<double>").as("v")),
+      "id", "v", cents, m = 2, dim = 8, ksub = 8, iters = 2)
+    assert(encoded.columns.toSeq == Seq("id", "centroid_id", "codes"))
+    // every vector encodes into its cell with 2 in-range residual codes
+    val enc = encoded.as[(Long, Int, Seq[Int])].collect()
+    assert(enc.length == 40 &&
+      enc.forall { case (_, _, cs) => cs.length == 2 && cs.forall(c => c >= 0 && c < 8) })
+    val probes = data.filter(col("id") < 4)
+      .select(col("id").as("pid"), col("v").cast("array<double>").as("v"))
+    val hits = Quantization.ivfPqTopK(
+      encoded.withColumnRenamed("id", "cid"), cb, probes, "pid", "cid", "v",
+      cents, m = 2, dim = 8, k = 5, nProbe = 1)
+      .select("pid", "cid").as[(Long, Long)].collect()
+    // k=5 and the probe itself is indexed: top-5 of a probed cell =
+    // the probe plus its 4 cluster siblings (cells track clusters here)
+    val byProbe = hits.groupBy(_._1)
+    assert(byProbe.keySet == Set(0L, 1L, 2L, 3L))
+    assert(hits.forall { case (p, c) => p % 8 == c % 8 },
+      "IVF-PQ returned a neighbor outside the probe's cell/cluster")
+    // exact top-5 (including self) per probe within the full corpus —
+    // cell-scoped IVF-PQ must recover them when cells align with clusters
+    val exact = probes.crossJoin(data.select(col("id").as("cid"),
+        col("v").cast("array<double>").as("cv")))
+      .withColumn("d", Quantization.l2sq(col("v"), col("cv")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("pid")
+          .orderBy(col("d"), col("cid"))))
+      .filter(col("rn") <= 5)
+      .select("pid", "cid").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect hits.toSet).size.toDouble / exact.size
+    assert(recall >= 0.9, s"IVF-PQ recall $recall")
   }
 }

@@ -158,6 +158,20 @@ object Streams {
       .withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming curation: the ingest-time slice of the batch
+    * `pipe_curation` pipeline — quality gate (pure per-row predicate,
+    * evaluated before anything stateful) then bounded-state fingerprint
+    * dedup. Near-dup (LSH) removal stays batch/periodic by design: its
+    * bucket aggregation needs cross-document state proportional to the
+    * corpus, which is a compaction job, not a per-record stream decision.
+    * Output rows carry the fingerprint for downstream idempotent MERGE. */
+  def streamingCurate(docs: DataFrame, tsCol: String, textCol: String,
+                      stopwords: Seq[String], horizon: String): DataFrame =
+    streamingDedupDocs(
+      docs.filter(graft.ops.Text.qualityMetrics(col(textCol), stopwords)
+        .getField("keep")),
+      tsCol, textCol, horizon)
+
   /** Event-time tumbling-window aggregation with a watermark — the
     * streaming form of the batch `w_tumbling_window` query; identical
     * results on bounded input. */

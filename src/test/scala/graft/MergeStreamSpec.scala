@@ -144,6 +144,46 @@ class MergeStreamSpec extends SparkSpec {
     assert(batch == out.map(_._1))
   }
 
+  test("streaming curation = quality gate then bounded dedup, equal to batch flags") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stopwords = Seq("the", "a")
+    // long texts pass the quality gate (>= 10 tokens, sane shape); short
+    // and stopword-heavy ones fail it before any state is touched
+    val good = "the quick brown fox jumps over a lazy dog near the old river bank"
+    val junk = "the a the a the a the a the a the a"
+    val input = MemoryStream[(Long, String, String)]
+    val docs = input.toDF().toDF("doc_id", "ts_s", "text")
+      .select(col("doc_id"), to_timestamp(col("ts_s")).as("ts"), col("text"))
+    val q = Streams.streamingCurate(docs, "ts", "text", stopwords, horizon = "1 hour")
+      .select("doc_id")
+      .writeStream.format("memory").queryName("curate_out")
+      .outputMode("append").start()
+    input.addData(
+      (1L, "2024-01-01 00:00:00", good),
+      (2L, "2024-01-01 00:01:00", "too short"),
+      (3L, "2024-01-01 00:02:00", junk))
+    q.processAllAvailable()
+    input.addData(
+      (4L, "2024-01-01 00:10:00", good.toUpperCase), // normalized dup of 1
+      (5L, "2024-01-01 00:11:00", good + " with an extra distinct tail here"))
+    q.processAllAvailable()
+    val out = spark.table("curate_out").as[Long].collect().toSet
+    q.stop()
+    // 2/3 fail quality, 4 is a fingerprint dup of 1 within the horizon
+    assert(out == Set(1L, 5L), s"got $out")
+    // batch equivalent: quality flags + first-per-fingerprint on the same rows
+    val batch = Seq((1L, good), (2L, "too short"), (3L, junk),
+      (4L, good.toUpperCase), (5L, good + " with an extra distinct tail here"))
+      .toDF("doc_id", "text")
+      .filter(graft.ops.Text.qualityMetrics(col("text"), stopwords).getField("keep"))
+      .withColumn("fp", graft.ops.Text.fingerprint(col("text")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("fp").orderBy("doc_id")))
+      .filter(col("rn") === 1).select("doc_id").as[Long].collect().toSet
+    assert(batch == out)
+  }
+
   test("streaming windowed counts equal the batch tumbling-window result") {
     val events = Seq(
       ("2024-01-01 01:00:00", "click", 1.0),

@@ -371,6 +371,34 @@ object ExtQueries {
         .limit(10)
     },
 
+    // Multimodal resize + frame sampling: decode → resize (payload bytes
+    // AND metadata patched consistently) → stride-3 frame index sampling.
+    // Oracle re-derives every output from the generator's text lengths:
+    // resized payload length is the target-size formula, n_frames the
+    // original length mod 30, and the sampled-frame count the closed form
+    // of filter(0..n-1, i%3=0). DuckDB `//` = integer division (its `/`
+    // is float division, unlike Spark's integer `/` on ints).
+    Q("mm_resize_frames",
+      """SELECT doc_id, 64 AS w, 48 AS h,
+        |  CAST(1 + length(text) % 30 AS INT) AS n_frames,
+        |  12 AS n_bytes,
+        |  CAST((length(text) % 30) // 3 + 1 AS INT) AS n_sampled
+        |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val withPayload = Tables(s, dir, "documents")
+        .filter(col("doc_id") < 300)
+        .withColumn("payload", col("text").cast("binary"))
+      val decoded = graft.ops.Multimodal.withDecodedMeta(withPayload, "payload")
+      val rs = graft.ops.Multimodal.resized(decoded, "payload", "media_meta",
+        targetW = 64, targetH = 48)
+      rs.select(col("doc_id"),
+        col("media_meta.width").as("w"), col("media_meta.height").as("h"),
+        col("media_meta.n_frames").as("n_frames"),
+        octet_length(col("payload")).as("n_bytes"),
+        size(graft.ops.Multimodal.sampleFrameIndices(col("media_meta"), 3))
+          .as("n_sampled"))
+        .orderBy("doc_id")
+    },
+
     // Deterministic hash sampling (training-pipeline op): md5-prefix
     // bucket keeps ~12.5% of docs, stable across engines and runs —
     // the content-hash split used for held-out/train partitions.

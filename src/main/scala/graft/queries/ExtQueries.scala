@@ -135,6 +135,45 @@ object ExtQueries {
         .orderBy("l_returnflag")
     },
 
+    // KMV (k-minimum-values) distinct sketch with the PORTABLE md5 hash
+    // family: estimate = (k-1) / U_k where U_k is the k-th smallest
+    // normalized hash of the distinct keys — deterministic, so unlike
+    // HLL the whole sketch hash-checks across engines. One shuffle: the
+    // distinct and both window functions share the group partitioning.
+    // (At 100 TB the production path is HLL below — a merged fixed-size
+    // sketch; KMV here certifies estimate-from-order-statistics
+    // semantics with an exact cross-engine oracle.)
+    Q("ext_kmv_distinct_md5",
+      """WITH h AS (SELECT DISTINCT l_returnflag,
+        |    ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  ROUND(63.0 * 1152921504606846976.0 / h, 1) AS est_distinct,
+        |  n_distinct
+        |FROM (SELECT l_returnflag, h,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn,
+        |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n_distinct
+        |  FROM h)
+        |WHERE rn = 64 ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val k = 64
+      val hs = Tables(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          conv(substring(md5(col("l_partkey").cast("string")), 1, 15), 16, 10)
+            .cast("long").as("h"))
+        .distinct()
+      hs.withColumn("rn",
+          row_number().over(Window.partitionBy("l_returnflag").orderBy("h")))
+        .withColumn("n_distinct",
+          count(lit(1)).over(Window.partitionBy("l_returnflag")))
+        .filter(col("rn") === k)
+        .select(col("l_returnflag"),
+          round(lit((k - 1).toDouble) * lit(1.152921504606846976e18) / col("h"), 1)
+            .as("est_distinct"),
+          col("n_distinct"))
+        .orderBy("l_returnflag")
+    },
+
     // Approximate distinct via HLL++ (no SQL oracle — sketch
     // implementations differ between engines; error bound asserted in
     // ScaleSpec against the exact count, and the query itself emits the

@@ -81,13 +81,37 @@ object Similarity {
     Seq.fill(nBits)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** Portable plane family: entry (j,i) = md5("j_i")'s 60-bit prefix
+    * normalized to (−0.5, 0.5). Uniform entries are a valid random
+    * projection for sign-LSH (Achlioptas-style; gaussian is the classic
+    * choice, any symmetric zero-mean family preserves angles in
+    * expectation) — and because md5 is engine-independent, an external
+    * SQL oracle can re-derive the planes EXACTLY (each value is a ≤60-bit
+    * dyadic rational: h/2^60 − 0.5 is computed without rounding error on
+    * both sides). The xxhash-free analogue of the md5 minhash twins. */
+  def portablePlanes(nBits: Int, dim: Int): Seq[Seq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Seq.tabulate(nBits) { j =>
+      Seq.tabulate(dim) { i0 =>
+        val hex = md.digest(s"${j}_${i0 + 1}".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(15)
+        java.lang.Long.parseLong(hex, 16) / 1.152921504606846976e18 - 0.5
+      }
+    }
+  }
+
   /** Random-hyperplane LSH bucket id: bit j = sign of <v, plane_j>.
     * Vectors with equal bucket ids are near in angle with high
-    * probability; the ANN search becomes a bucket equi-join. */
-  def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column = {
+    * probability; the ANN search becomes a bucket equi-join.
+    * `dotRound` >= 0 takes the sign of the rounded dot product so an
+    * external oracle can replay the bucket bits across engines. */
+  def lshBucket(vec: Column, planes: Seq[Seq[Double]],
+                dotRound: Int = -1): Column = {
     val bits = planes.zipWithIndex.map { case (p, j) =>
       val planeLit = array(p.map(lit): _*)
-      when(dot(vec, planeLit) >= 0.0d, shiftleft(lit(1L), j)).otherwise(lit(0L))
+      val d = dot(vec, planeLit)
+      val ranked = if (dotRound >= 0) round(d, dotRound) else d
+      when(ranked >= 0.0d, shiftleft(lit(1L), j)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
   }

@@ -182,6 +182,34 @@ object SimilarityQueries {
         .orderBy("vec_id", "m")
     },
 
+    // Sign-LSH bucket assignment with the PORTABLE md5 plane family
+    // (entry (j,i) = md5("j_i") 60-bit prefix → (−0.5, 0.5), an exact
+    // dyadic rational both engines compute identically): the oracle
+    // re-derives planes, round-6 dot-product signs, and the bucket bit
+    // packing — certifying the sign-LSH mechanism itself. The seed-42
+    // gaussian family stays the fast path (`sim_ann_lsh_buckets`, rows
+    // check + recall specs).
+    Q("sim_lsh_buckets_md5",
+      """WITH v AS (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+        |    generate_subscripts(embedding, 1) AS i FROM embeddings),
+        |p AS (SELECT j, i,
+        |    ('0x' || substr(md5(j::VARCHAR || '_' || i::VARCHAR), 1, 15))::BIGINT
+        |      / 1152921504606846976.0 - 0.5 AS w
+        |  FROM generate_series(0, 7) g(j) CROSS JOIN generate_series(1, 64) gi(i)),
+        |d AS (SELECT vec_id, j, ROUND(SUM(x * w), 6) AS dot
+        |  FROM v JOIN p USING (i) GROUP BY 1, 2),
+        |b AS (SELECT vec_id,
+        |    SUM(CASE WHEN dot >= 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS bucket
+        |  FROM d GROUP BY 1)
+        |SELECT bucket, COUNT(*) AS n FROM b GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, dir) =>
+      val planes = Similarity.portablePlanes(nBits = 8, dim = 64)
+      Tables(s, dir, "embeddings")
+        .select(Similarity.lshBucket(
+          col("embedding").cast("array<double>"), planes, dotRound = 6).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .orderBy("bucket")
+    },
+
     // IVF-PQ residual encoding, hash-checked: vectors assign to per-label
     // mean centroids (the oracled IVF mechanism), PQ then encodes the
     // RESIDUAL v − centroid against md5-seeded codebooks — the standard

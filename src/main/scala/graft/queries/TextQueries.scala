@@ -322,6 +322,132 @@ object TextQueries {
         stopwords, langMarkers, shingleK = 4, numHashes = 16, bands = 4))
     },
 
+    // Duplicate CLUSTERS from candidate pairs: connected components over
+    // the shingle-candidate graph (alternating large-star/small-star,
+    // O(log n) shuffle rounds — ops.Graph), labeled by the component's
+    // min doc_id = the kept representative. The oracle recomputes the
+    // same components with a recursive CTE (min reachable id), fully
+    // independent of the star algorithm.
+    Q("dedup_cc_clusters",
+      """WITH RECURSIVE
+        |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(ws[i:i+7], ' ')
+        |    FOR i IN generate_series(1, greatest(len(ws) - 7, 1))])) AS shingle
+        |  FROM w),
+        |e AS (SELECT a.doc_id AS ua, b.doc_id AS vb FROM sh a JOIN sh b
+        |  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+        |edges AS (SELECT ua AS u, vb AS v FROM e UNION SELECT vb, ua FROM e),
+        |reach(id, r) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+        |  UNION
+        |  SELECT ed.v, re.r FROM reach re JOIN edges ed ON ed.u = re.id),
+        |comp AS (SELECT id AS doc_id, MIN(r) AS cluster FROM reach GROUP BY id)
+        |SELECT c.doc_id, c.cluster, s.cluster_size,
+        |  c.doc_id = c.cluster AS is_keeper
+        |FROM comp c JOIN (SELECT cluster, COUNT(*) AS cluster_size
+        |  FROM comp GROUP BY cluster) s USING (cluster)
+        |ORDER BY c.doc_id""".stripMargin) { (s, dir) =>
+      val sh = Tables.fannedOut(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(
+            Text.wordShingles(split(col("text"), " ", -1), 8))).as("shingle"))
+      val lists = sh.groupBy("shingle")
+        .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) > 1)
+      val pairFan = flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+          y => struct(x.as("id_a"), y.as("id_b")))))
+      val pairs = lists.select(explode(pairFan).as("p"))
+        .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 3)
+      graft.ops.Graph.connectedComponents(pairs, "id_a", "id_b")
+        .withColumn("cluster_size",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy("cluster")))
+        .select(col("node").as("doc_id"), col("cluster"), col("cluster_size"),
+          (col("node") === col("cluster")).as("is_keeper"))
+        .orderBy("doc_id")
+    },
+
+    // Decontamination: flag corpus documents that share any 8-gram with a
+    // held-out benchmark set (the GPT-3-style n-gram overlap rule). The
+    // benchmark shingle set is tiny relative to the corpus, so the Spark
+    // plan BROADCASTS it — the corpus-side scan never shuffles; at 100 TB
+    // this is a map-only pass.
+    Q("t_decontaminate",
+      """WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
+        |    FROM documents),
+        |sh AS (SELECT doc_id, lang, unnest(list_distinct(
+        |    [array_to_string(ws[i:i+7], ' ')
+        |     FOR i IN generate_series(1, greatest(len(ws) - 7, 1))])) AS shingle
+        |  FROM w),
+        |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 13 = 0),
+        |hits AS (SELECT DISTINCT s.doc_id FROM sh s
+        |  JOIN bench b ON s.shingle = b.shingle WHERE s.doc_id % 13 <> 0)
+        |SELECT w.lang, COUNT(*) AS n_corpus,
+        |  SUM(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_contaminated
+        |FROM w LEFT JOIN hits h ON w.doc_id = h.doc_id
+        |WHERE w.doc_id % 13 <> 0
+        |GROUP BY w.lang ORDER BY w.lang""".stripMargin) { (s, dir) =>
+      val docs = Tables.fannedOut(s, dir, "documents")
+      val sh = docs.select(col("doc_id"), col("lang"),
+        explode(array_distinct(
+          Text.wordShingles(split(col("text"), " ", -1), 8))).as("shingle"))
+      val bench = sh.filter(col("doc_id") % 13 === 0)
+        .select(col("shingle")).distinct()
+      val hits = sh.filter(col("doc_id") % 13 =!= 0)
+        .join(broadcast(bench), "shingle")
+        .select(col("doc_id")).distinct()
+        .withColumn("hit", lit(1))
+      // hits grows with corpus contamination — shuffle join, not broadcast
+      docs.filter(col("doc_id") % 13 =!= 0)
+        .join(hits, Seq("doc_id"), "left")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_corpus"),
+          sum(coalesce(col("hit"), lit(0))).as("n_contaminated"))
+        .orderBy("lang")
+    },
+
+    // TF-IDF: top-3 terms per document by tf·ln(N/df), deterministic
+    // tie-break (score desc, term asc). Two shuffles — the df groupBy and
+    // the per-doc top-k window — both on natural keys; document counts
+    // broadcast as a scalar subquery, nothing collects to the driver.
+    Q("t_tfidf",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |    FROM documents WHERE doc_id < 200),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tok),
+        |scored AS (SELECT tf.doc_id, tf.term,
+        |    ROUND(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 4) AS tfidf,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) DESC, tf.term)
+        |      AS rk
+        |  FROM tf JOIN df USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, tfidf, rk FROM scored WHERE rk <= 3
+        |ORDER BY doc_id, rk""".stripMargin) { (s, dir) =>
+      val tok = Tables(s, dir, "documents")
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          explode(split(col("text"), " ", -1)).as("term"))
+      val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tok.groupBy("term").agg(countDistinct("doc_id").as("df"))
+      val n = tok.select(countDistinct("doc_id").as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id")
+        .orderBy(col("score").desc, col("term"))
+      tf.join(df, "term").crossJoin(broadcast(n))
+        .withColumn("score", col("tf") * log(col("n").cast("double") / col("df")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("term"),
+          round(col("score"), 4).as("tfidf"), col("rk"))
+        .orderBy("doc_id", "rk")
+    },
+
     // Multimodal plumbing: opaque binary payload column + metadata derived
     // without decoding (byte length, md5 digest). The decode itself is
     // stubbed (no codecs in-container); the schema/partition path is real.

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Graph
+
+/** Connected components (large-star/small-star): correctness against a
+  * brute-force transitive closure, adversarial shapes (long chains — the
+  * case naive min-propagation needs O(n) rounds for), normalization, and
+  * the min-id labeling contract. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Graph.connectedComponents(edges.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+
+  /** Reference labeling: repeated relaxation on the driver. */
+  private def bruteForce(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    var label = nodes.map(n => n -> n).toMap
+    var changed = true
+    while (changed) {
+      changed = false
+      for ((a, b) <- edges) {
+        val m = math.min(label(a), label(b))
+        if (label(a) != m) { label += a -> m; changed = true }
+        if (label(b) != m) { label += b -> m; changed = true }
+      }
+    }
+    label
+  }
+
+  test("two disjoint components labeled by their min ids") {
+    val edges = Seq((5L, 3L), (3L, 9L), (20L, 21L))
+    assert(cc(edges) == Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("long chain converges (adversarial diameter for min-propagation)") {
+    val n = 200L
+    val edges = (1L until n).map(i => (i + 1, i))
+    val got = cc(edges)
+    assert(got.size == n)
+    assert(got.values.forall(_ == 1L))
+  }
+
+  test("self-loops, duplicates and reversed edges are normalized away") {
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 1L), (2L, 3L), (3L, 2L))
+    assert(cc(edges) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("matches brute-force closure on a mixed random-ish graph") {
+    // deterministic pseudo-random graph: hub, chain, cycle, singles pairs
+    val edges = Seq(
+      (10L, 11L), (10L, 12L), (10L, 13L), (13L, 14L),          // hub tree
+      (30L, 31L), (31L, 32L), (32L, 33L), (33L, 30L),          // cycle
+      (50L, 60L), (61L, 51L), (51L, 50L), (60L, 61L),          // tangled
+      (70L, 71L),                                              // pair
+      (2L, 80L), (80L, 3L))                                    // bridge
+    assert(cc(edges) == bruteForce(edges))
+  }
+
+  test("empty edge list yields empty labeling") {
+    assert(cc(Seq.empty) == Map.empty)
+  }
+
+  test("cluster column plugs into keeper selection") {
+    val labeled = Graph.connectedComponents(
+      Seq((4L, 2L), (2L, 7L), (9L, 8L)).toDF("a", "b"), "a", "b")
+    val keepers = labeled.filter(col("node") === col("cluster"))
+      .select("node").as[Long].collect().sorted
+    assert(keepers.toSeq == Seq(2L, 8L))
+  }
+}

@@ -7,8 +7,9 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, BinaryNode => LogicalBinaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext
 import org.apache.spark.sql.catalyst.util.TypeUtils
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, CollapseCodegenStages, SparkPlan, SparkStrategy}
 
 /** Whole-operator custom plan for the as-of (step-function) lookup —
   * SURVEY.md §2.3 J11 / §2.5 W8 (reference:
@@ -71,12 +72,122 @@ object AsOfJoinStrategy extends SparkStrategy {
   }
 }
 
+/** Per-partition merge worker for the KEYED as-of join — the exact loop
+  * documented on [[AsOfJoinExec.doExecute]], factored out so the
+  * interpreted path (`zipPartitions`) and the whole-stage-codegen path
+  * (`doProduce`) run the same compiled projections/orderings and stay
+  * semantically identical by construction. One instance per partition;
+  * `process` must see probes in (key, time) order and pulls quotes from
+  * `qIter` as it goes. */
+final class AsOfMerge(
+    lk: Seq[Expression], rk: Seq[Expression],
+    lt: Expression, rt: Expression, rvs: Seq[Expression],
+    lOut: Seq[Attribute], rOut: Seq[Attribute]) {
+  private val nKeys = lk.length
+  private val nVals = rvs.length
+  private val keyTypes = lk.map(_.dataType)
+  private val valTypes = rvs.map(_.dataType)
+  // Codegen-tuned merge: each side is flattened by ONE generated
+  // UnsafeProjection — probes to (keys..., time), quotes to
+  // (keys..., time, vals...) — so the per-row work inside the loop is
+  // compiled projections, compiled comparators over aligned ordinals
+  // (the key/time prefix has the same ordinals on both shapes), and a
+  // single UnsafeRow byte-copy per consumed quote. No boxed eval(), no
+  // per-field allocation, no GenericInternalRow rebuild.
+  private val lProj = UnsafeProjection.create(lk :+ lt, lOut)
+  private val rProj = UnsafeProjection.create((rk :+ rt) ++ rvs, rOut)
+  // compare (keys..., time): Ascending/NullsFirst matches the merge
+  // condition — an earlier key consumes regardless of time, the same
+  // key consumes while quote.time <= probe.time, and a null probe
+  // time sorts before every (pre-filtered, non-null) quote time so
+  // it consumes nothing at its own key
+  private val keyTimeOrd = codegen.GenerateOrdering.generate(
+    (keyTypes :+ lt.dataType).zipWithIndex.map { case (dt, i) =>
+      SortOrder(BoundReference(i, dt, nullable = true), Ascending) })
+  private val keyOrd = codegen.GenerateOrdering.generate(
+    keyTypes.zipWithIndex.map { case (dt, i) =>
+      SortOrder(BoundReference(i, dt, nullable = true), Ascending) })
+  // output = probe row ++ value fields of the retained quote row,
+  // read through one JoinedRow: vals sit at ordinal nKeys+1+i of the
+  // right shape, i.e. lOut.size + nKeys + 1 + i of the joined row
+  private val resultProj = UnsafeProjection.create(
+    lOut.indices.map(i => BoundReference(i, lOut(i).dataType, lOut(i).nullable)) ++
+      valTypes.zipWithIndex.map { case (dt, i) =>
+        BoundReference(lOut.size + nKeys + 1 + i, dt, nullable = true) })
+  private val nullQuote: InternalRow = new GenericInternalRow(nKeys + 1 + nVals)
+  private val joined = new JoinedRow
+
+  // lookahead quote (an owned copy; projection buffers are reused) and
+  // the most recently consumed quote (the as-of candidate)
+  private var qRow: InternalRow = null
+  private var qHas = false
+  private var started = false
+  private var lastRow: InternalRow = null
+  private var hasLast = false
+
+  private def keysNull(row: InternalRow): Boolean = {
+    var i = 0
+    while (i < nKeys) { if (row.isNullAt(i)) return true; i += 1 }
+    false
+  }
+
+  // Quotes with a null key component — or a null time — are skipped
+  // outright: SQL semantics, null keys match nothing and
+  // `probe.time >= null` is never true. Both sort first under the
+  // required ordering, so skipping upfront is consistent (a retained
+  // null-time quote would otherwise never be consumed and block every
+  // later quote of its key).
+  private def advance(qIter: Iterator[InternalRow]): Unit = {
+    qHas = false
+    while (!qHas && qIter.hasNext) {
+      val q = rProj(qIter.next())
+      if (!q.isNullAt(nKeys) && !keysNull(q)) {
+        qRow = q.copy()
+        qHas = true
+      }
+    }
+  }
+
+  /** The as-of result row for one probe. The returned UnsafeRow is a
+    * reused buffer — copy before buffering (the exec declares
+    * `needCopyResult`). */
+  def process(p: InternalRow, qIter: Iterator[InternalRow]): UnsafeRow = {
+    if (!started) { advance(qIter); started = true }
+    val pRow = lProj(p)
+    if (keysNull(pRow)) {
+      // null probe key matches no quote (SQL equi-join semantics)
+      resultProj(joined(p, nullQuote))
+    } else {
+      // consume quotes at earlier keys, or same key with time <=
+      // probe time (a quote AT the probe time counts — reference
+      // step_wise)
+      while (qHas && keyTimeOrd.compare(qRow, pRow) <= 0) {
+        lastRow = qRow; hasLast = true
+        advance(qIter)
+      }
+      resultProj(joined(p,
+        if (hasLast && keyOrd.compare(lastRow, pRow) == 0) lastRow
+        else nullQuote))
+    }
+  }
+}
+
+/** Serializable recipe for [[AsOfMerge]]: ships unbound expressions to
+  * executors; projections/orderings compile lazily per task (cached by
+  * the codegen compiler cache). */
+final class AsOfMergeFactory(
+    lk: Seq[Expression], rk: Seq[Expression],
+    lt: Expression, rt: Expression, rvs: Seq[Expression],
+    lOut: Seq[Attribute], rOut: Seq[Attribute]) extends Serializable {
+  def create(): AsOfMerge = new AsOfMerge(lk, rk, lt, rt, rvs, lOut, rOut)
+}
+
 case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
     rightValues: Seq[Expression], outAttrs: Seq[AttributeReference])
-  extends BinaryExecNode {
+  extends BinaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] = left.output ++ outAttrs
   override def producedAttributes: AttributeSet = AttributeSet(outAttrs)
@@ -116,102 +227,80 @@ case class AsOfJoinExec(
     case x => x
   }
 
-  protected override def doExecute(): RDD[InternalRow] = {
-    if (leftKeys.isEmpty) return executeGlobal()
-    val lOut = left.output
-    val rOut = right.output
-    val keyTypes = leftKeys.map(_.dataType)
-    require(keyTypes == rightKeys.map(_.dataType),
+  private def validateTypes(): Unit = {
+    require(leftKeys.map(_.dataType) == rightKeys.map(_.dataType),
       "as-of join key types must match on both sides")
-    val lk = leftKeys; val rk = rightKeys
-    val lt = leftTime; val rt = rightTime; val rvs = rightValues
     require(rightTime.dataType == leftTime.dataType,
       "as-of join time types must match on both sides")
-    val nVals = rvs.length
-    val nKeys = lk.length
-    val valTypes = rvs.map(_.dataType)
+  }
 
-    // Codegen-tuned merge: each side is flattened by ONE generated
-    // UnsafeProjection — probes to (keys..., time), quotes to
-    // (keys..., time, vals...) — so the per-row work inside the loop is
-    // compiled projections, compiled comparators over aligned ordinals
-    // (the key/time prefix has the same ordinals on both shapes), and a
-    // single UnsafeRow byte-copy per consumed quote. No boxed eval(), no
-    // per-field retained() allocation, no GenericInternalRow rebuild.
+  private def mergeFactory: AsOfMergeFactory =
+    new AsOfMergeFactory(leftKeys, rightKeys, leftTime, rightTime,
+      rightValues, left.output, right.output)
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    if (leftKeys.isEmpty) return executeGlobal()
+    validateTypes()
+    val factory = mergeFactory
     left.execute().zipPartitions(right.execute()) { (pIter, qIter) =>
-      val lProj = UnsafeProjection.create(lk :+ lt, lOut)
-      val rProj = UnsafeProjection.create((rk :+ rt) ++ rvs, rOut)
-      // compare (keys..., time): Ascending/NullsFirst matches the merge
-      // condition — an earlier key consumes regardless of time, the same
-      // key consumes while quote.time <= probe.time, and a null probe
-      // time sorts before every (pre-filtered, non-null) quote time so
-      // it consumes nothing at its own key
-      val keyTimeOrd = codegen.GenerateOrdering.generate(
-        (keyTypes :+ lt.dataType).zipWithIndex.map { case (dt, i) =>
-          SortOrder(BoundReference(i, dt, nullable = true), Ascending) })
-      val keyOrd = codegen.GenerateOrdering.generate(
-        keyTypes.zipWithIndex.map { case (dt, i) =>
-          SortOrder(BoundReference(i, dt, nullable = true), Ascending) })
-      // output = probe row ++ value fields of the retained quote row,
-      // read through one JoinedRow: vals sit at ordinal nKeys+1+i of the
-      // right shape, i.e. lOut.size + nKeys + 1 + i of the joined row
-      val resultProj = UnsafeProjection.create(
-        lOut.indices.map(i => BoundReference(i, lOut(i).dataType, lOut(i).nullable)) ++
-          valTypes.zipWithIndex.map { case (dt, i) =>
-            BoundReference(lOut.size + nKeys + 1 + i, dt, nullable = true) })
-      val nullQuote: InternalRow = new GenericInternalRow(nKeys + 1 + nVals)
-      val joined = new JoinedRow
-
-      def keysNull(row: InternalRow): Boolean = {
-        var i = 0
-        while (i < nKeys) { if (row.isNullAt(i)) return true; i += 1 }
-        false
-      }
-
-      // lookahead quote (an owned copy; projection buffers are reused).
-      // Quotes with a null key component — or a null time — are skipped
-      // outright: SQL semantics, null keys match nothing and
-      // `probe.time >= null` is never true. Both sort first under the
-      // required ordering, so skipping upfront is consistent (a retained
-      // null-time quote would otherwise never be consumed and block every
-      // later quote of its key).
-      var qRow: InternalRow = null
-      var qHas = false
-      def advance(): Unit = {
-        qHas = false
-        while (!qHas && qIter.hasNext) {
-          val q = rProj(qIter.next())
-          if (!q.isNullAt(nKeys) && !keysNull(q)) {
-            qRow = q.copy()
-            qHas = true
-          }
-        }
-      }
-      advance()
-
-      // most recently consumed quote (the as-of candidate)
-      var lastRow: InternalRow = null
-      var hasLast = false
-
-      pIter.map { p =>
-        val pRow = lProj(p)
-        if (keysNull(pRow)) {
-          // null probe key matches no quote (SQL equi-join semantics)
-          resultProj(joined(p, nullQuote))
-        } else {
-          // consume quotes at earlier keys, or same key with time <=
-          // probe time (a quote AT the probe time counts — reference
-          // step_wise)
-          while (qHas && keyTimeOrd.compare(qRow, pRow) <= 0) {
-            lastRow = qRow; hasLast = true
-            advance()
-          }
-          resultProj(joined(p,
-            if (hasLast && keyOrd.compare(lastRow, pRow) == 0) lastRow
-            else nullQuote))
-        }
-      }
+      val merge = factory.create()
+      pIter.map(p => merge.process(p, qIter))
     }
+  }
+
+  // ---- whole-stage codegen (keyed path) ----------------------------------
+  //
+  // Produce-leaf, the SortMergeJoinExec pattern: both children stay
+  // separate stages feeding `inputs[0]`/`inputs[1]`, and this node's merge
+  // loop runs inside the PARENT's generated pipeline — the as-of output
+  // flows into downstream filters/projects with no iterator boundary. The
+  // per-row merge work itself is the same compiled projections and
+  // generated orderings as the interpreted path (one shared AsOfMerge),
+  // so the two paths cannot drift.
+
+  // the global (unkeyed) path re-partitions internally — RDD-only
+  override def supportCodegen: Boolean = leftKeys.nonEmpty
+
+  // process() returns a reused UnsafeRow buffer — buffering parents and
+  // the stage-top append must copy
+  override def needCopyResult: Boolean = true
+
+  // like SortMergeJoinExec: this node drives the produce loop from raw
+  // input iterators, so it is a valid place to test the limit condition
+  override def canCheckLimitNotReached: Boolean = true
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    childStage(left).execute() :: childStage(right).execute() :: Nil
+
+  /** CollapseCodegenStages hard-codes SortMergeJoinExec/ShuffledHashJoinExec
+    * as the two-input nodes whose children get their own codegen stages; a
+    * custom node falls through to the default traversal and its child
+    * pipelines (the EnsureRequirements sorts and everything below) would
+    * silently run un-fused. Re-running the collapse rule on each child
+    * subtree here gives them exactly the treatment the built-ins get. */
+  private def childStage(p: SparkPlan): SparkPlan =
+    CollapseCodegenStages(new java.util.concurrent.atomic.AtomicInteger(0))(p)
+
+  protected override def doProduce(ctx: CodegenContext): String = {
+    validateTypes()
+    val leftInput = ctx.addMutableState("scala.collection.Iterator", "asofProbeInput",
+      v => s"$v = inputs[0];", forceInline = true)
+    val rightInput = ctx.addMutableState("scala.collection.Iterator", "asofQuoteInput",
+      v => s"$v = inputs[1];", forceInline = true)
+    val factoryTerm = ctx.addReferenceObj("asOfMergeFactory", mergeFactory,
+      classOf[AsOfMergeFactory].getName)
+    val mergeTerm = ctx.addMutableState(classOf[AsOfMerge].getName, "asofMerge",
+      v => s"$v = $factoryTerm.create();", forceInline = true)
+    val probe = ctx.freshName("asofProbe")
+    val outRow = ctx.freshName("asofOut")
+    s"""
+       |while ($limitNotReachedCond $leftInput.hasNext()) {
+       |  InternalRow $probe = (InternalRow) $leftInput.next();
+       |  InternalRow $outRow = $mergeTerm.process($probe, $rightInput);
+       |  ${consume(ctx, null, outRow)}
+       |  if (shouldStop()) return;
+       |}
+     """.stripMargin
   }
 
   /** Global (unkeyed) as-of: every probe sees ONE step function over all

@@ -208,4 +208,64 @@ class AsOfJoinSpec extends SparkSpec {
       (Some(15L), Some(1.0)),
       (None, None)))
   }
+
+  test("keyed as-of joins whole-stage codegen and fuses with its parent") {
+    // fallback=false: a codegen compile error would throw instead of
+    // silently reverting to the interpreted path
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = AsOfJoinApi.asOf(probes, quotes, Seq("k"), "t", "v", "qv")
+        .filter(col("qv").isNotNull)
+      // collect THIS dataset so its own AQE plan finalizes (a derived
+      // select would execute a different QueryExecution)
+      val out = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+      assert(out == Set(
+        (1L, 10L, 1.0), (1L, 25L, 2.0), (1L, 99L, 3.0), (2L, 16L, 9.0)))
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      // the as-of line carries a codegen-stage star, i.e. the node is
+      // INSIDE a WholeStageCodegen span together with the Filter above it
+      assert(plan.linesIterator.exists(l =>
+        l.contains("AsOfJoin") && l.trim.startsWith("+- *(")), plan)
+      assert(plan.linesIterator.exists(l =>
+        l.contains("Filter") && l.contains("*(")), plan)
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
+
+  test("codegen and interpreted as-of paths produce identical results") {
+    def run(): Set[(Long, Long, Option[Double])] = {
+      val n = 3000
+      val qs = spark.range(n).select(
+        (col("id") % 23).as("k"),
+        ((col("id") * 7919) % 5000).as("t"),
+        (col("id") % 100).cast("double").as("v"))
+        .groupBy("k", "t").agg(max("v").as("v"))
+      val ps = spark.range(n).select(
+        (col("id") % 29).as("k"),
+        ((col("id") * 104729) % 5000).as("t")).distinct()
+      AsOfJoinApi.asOf(ps, qs, Seq("k"), "t", "v", "qv")
+        .select("k", "t", "qv").as[(Long, Long, Option[Double])]
+        .collect().toSet
+    }
+    val withCodegen = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    val interpreted = try run()
+    finally spark.conf.unset("spark.sql.codegen.wholeStage")
+    assert(withCodegen == interpreted)
+    assert(withCodegen.nonEmpty)
+  }
+
+  test("as-of output survives a buffering parent (sort) under codegen") {
+    // needCopyResult contract: process() hands out a reused buffer; a
+    // sort above the join in the same stage must see distinct rows
+    val df = AsOfJoinApi.asOf(probes, quotes, Seq("k"), "t", "v", "qv")
+      .orderBy(col("qv").asc_nulls_first, col("k"), col("t"))
+      .select("k", "t", "qv")
+    val rows = df.as[(Long, Long, Option[Double])].collect().toSeq
+    assert(rows == Seq(
+      (1L, 5L, None), (2L, 14L, None), (3L, 50L, None),
+      (1L, 10L, Some(1.0)), (1L, 25L, Some(2.0)), (1L, 99L, Some(3.0)),
+      (2L, 16L, Some(9.0))))
+  }
 }

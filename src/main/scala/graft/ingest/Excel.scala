@@ -140,6 +140,75 @@ object Excel {
       out.toIndexedSeq
     }.getOrElse(IndexedSeq.empty)
 
+  /** Style classification from xl/styles.xml: for each cellXfs index, is
+    * it a date/time number format, and does it carry a time component?
+    * Built-in numFmtIds 14–22 and 45–47 are date/time; custom formats are
+    * classified by their format code (date tokens y/d, or time tokens
+    * h/s/AM-PM, outside quoted literals and [] sections — 'm' alone is
+    * ambiguous between month and minute, so it never decides by itself).
+    */
+  private def dateStyles(entries: Map[String, Array[Byte]]): Map[Int, Boolean] =
+    entries.get("xl/styles.xml").map { b =>
+      val r = factory.createXMLStreamReader(new ByteArrayInputStream(b))
+      val customFmts = mutable.Map[Int, String]()
+      val xfFmtIds = mutable.ArrayBuffer[Int]()
+      var inCellXfs = false
+      try {
+        while (r.hasNext) {
+          r.next() match {
+            case XMLStreamConstants.START_ELEMENT =>
+              r.getLocalName match {
+                case "numFmt" =>
+                  val id = r.getAttributeValue(null, "numFmtId")
+                  val code = r.getAttributeValue(null, "formatCode")
+                  if (id != null && code != null) customFmts(id.toInt) = code
+                case "cellXfs" => inCellXfs = true
+                case "xf" if inCellXfs =>
+                  val id = r.getAttributeValue(null, "numFmtId")
+                  xfFmtIds += (if (id == null) 0 else id.toInt)
+                case _ =>
+              }
+            case XMLStreamConstants.END_ELEMENT =>
+              if (r.getLocalName == "cellXfs") inCellXfs = false
+            case _ =>
+          }
+        }
+      } finally r.close()
+
+      def strip(code: String): String =
+        code.replaceAll("\"[^\"]*\"", "").replaceAll("\\[[^\\]]*\\]", "")
+          .replaceAll("\\\\.", "")
+      def isDate(fmtId: Int): Option[Boolean] = fmtId match {
+        case i if (i >= 14 && i <= 21) => Some(i >= 18) // 18–21 carry time
+        case 22 => Some(true)                           // m/d/yy h:mm
+        case i if i >= 45 && i <= 47 => Some(true)      // elapsed times
+        case i => customFmts.get(i).flatMap { c =>
+          val s = strip(c).toLowerCase
+          val time = s.exists(ch => ch == 'h' || ch == 's') || s.contains("am/pm")
+          val date = s.exists(ch => ch == 'y' || ch == 'd')
+          if (date || time) Some(time) else None
+        }
+      }
+      xfFmtIds.zipWithIndex.flatMap { case (fmtId, xfIdx) =>
+        isDate(fmtId).map(xfIdx -> _)
+      }.toMap
+    }.getOrElse(Map.empty)
+
+  /** Serial-day → ISO string. Excel day 0 is 1899-12-30 (the 1900-leap-bug
+    * epoch every modern reader uses; serials below 61 — pre-March-1900 —
+    * inherit the historical one-day ambiguity and are out of scope).
+    * Date-only styles render `yyyy-MM-dd`; time-bearing styles render
+    * `yyyy-MM-dd HH:mm:ss` with the fraction rounded to the second. */
+  private[graft] def serialToIso(serial: Double, withTime: Boolean): String = {
+    val secs = math.round(serial * 86400.0) - 25569L * 86400L
+    val dt = java.time.LocalDateTime.ofEpochSecond(secs, 0, java.time.ZoneOffset.UTC)
+    if (withTime)
+      "%04d-%02d-%02d %02d:%02d:%02d".format(dt.getYear, dt.getMonthValue,
+        dt.getDayOfMonth, dt.getHour, dt.getMinute, dt.getSecond)
+    else
+      "%04d-%02d-%02d".format(dt.getYear, dt.getMonthValue, dt.getDayOfMonth)
+  }
+
   /** "B3" → column 1 (letters are bijective base-26). */
   private[ingest] def colIndex(ref: String): Int = {
     var i = 0; var c = 0
@@ -160,6 +229,7 @@ object Excel {
     require(sheet >= 0 && sheet < paths.length,
       s"sheet $sheet out of range: workbook has ${paths.length} sheet(s)")
     val strings = sharedStrings(entries)
+    val dateXfs = dateStyles(entries)
     val data = entries.getOrElse(paths(sheet),
       throw new IllegalArgumentException(s"missing worksheet part ${paths(sheet)}"))
 
@@ -168,6 +238,7 @@ object Excel {
     var cells: mutable.ArrayBuffer[(Int, String)] = null
     var cellCol = -1
     var cellType = "n"
+    var cellStyle = -1
     var inV = false
     var inIsT = false
     val text = new StringBuilder
@@ -185,6 +256,8 @@ object Excel {
                           else cells.lastOption.map(_._1 + 1).getOrElse(0)
                 val t = r.getAttributeValue(null, "t")
                 cellType = if (t == null) "n" else t
+                val s = r.getAttributeValue(null, "s")
+                cellStyle = if (s == null) -1 else s.trim.toInt
                 text.clear()
               case "v" => inV = true
               case "t" if cellType == "inlineStr" => inIsT = true
@@ -203,6 +276,12 @@ object Excel {
                     val i = raw.trim.toInt
                     if (i >= 0 && i < strings.length) strings(i) else null
                   case "b" => if (raw.trim == "1") "true" else "false"
+                  case "n" if raw.nonEmpty && dateXfs.contains(cellStyle) &&
+                      raw.trim.toDoubleOption.isDefined =>
+                    // date-styled numeric cell: surface the serial as an
+                    // ISO string (pandas read_excel parity) instead of the
+                    // raw serial number
+                    serialToIso(raw.trim.toDouble, dateXfs(cellStyle))
                   case _ => if (raw.isEmpty && cellType != "str" &&
                                 cellType != "inlineStr") null else raw
                 }
@@ -253,11 +332,18 @@ object Excel {
     val probe = parseSheet(probeBytes, sheet)
     require(probe.header.nonEmpty, s"empty worksheet in $path")
     val header = probe.header
-    val numeric = header.indices.map { i =>
-      inferTypes && {
-        val vals = probe.rows.flatMap(r => Option(r(i)))
-        vals.nonEmpty && vals.forall(v => v.toDoubleOption.isDefined)
-      }
+    val dateRe = "\\d{4}-\\d{2}-\\d{2}".r
+    val tsRe = "\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}".r
+    // per-column target type from the probe file: Double when every
+    // non-null cell parses numerically; Date/Timestamp when every
+    // non-null cell is an ISO string from a date-styled serial
+    val colType: Seq[DataType] = header.indices.map { i =>
+      val vals = probe.rows.flatMap(r => Option(r(i)))
+      if (!inferTypes || vals.isEmpty) StringType
+      else if (vals.forall(v => v.toDoubleOption.isDefined)) DoubleType
+      else if (vals.forall(v => tsRe.matches(v))) TimestampType
+      else if (vals.forall(v => dateRe.matches(v))) DateType
+      else StringType
     }
 
     val rawSchema = StructType(header.map(StructField(_, StringType, nullable = true)))
@@ -275,7 +361,7 @@ object Excel {
       }
     }(enc)
     raw.select(header.zipWithIndex.map { case (h, i) =>
-      if (numeric(i)) col(h).cast(DoubleType).as(h) else col(h)
+      if (colType(i) == StringType) col(h) else col(h).cast(colType(i)).as(h)
     }: _*)
   }
 
@@ -291,9 +377,19 @@ object Excel {
     }
     def esc(s: String): String = s.replace("&", "&amp;").replace("<", "&lt;")
       .replace(">", "&gt;").replace("\"", "&quot;")
+    // date/datetime cells: serial day number + a date-styled cellXf (s=1
+    // is numFmtId 14 date-only, s=2 is numFmtId 22 datetime — see the
+    // styles.xml part below); epoch 1899-12-30 mirrors serialToIso
     def cellXml(ref: String, v: Any): String = v match {
       case null => ""
       case b: Boolean => s"""<c r="$ref" t="b"><v>${if (b) 1 else 0}</v></c>"""
+      case d: java.time.LocalDate =>
+        s"""<c r="$ref" s="1"><v>${d.toEpochDay + 25569L}</v></c>"""
+      case dt: java.time.LocalDateTime =>
+        val serial = dt.toEpochSecond(java.time.ZoneOffset.UTC) / 86400.0 + 25569.0
+        s"""<c r="$ref" s="2"><v>$serial</v></c>"""
+      case ts: java.sql.Timestamp =>
+        cellXml(ref, ts.toLocalDateTime)
       case n: Number => s"""<c r="$ref"><v>${n.toString}</v></c>"""
       case s => s"""<c r="$ref" t="inlineStr"><is><t>${esc(s.toString)}</t></is></c>"""
     }
@@ -313,9 +409,13 @@ object Excel {
     val workbook =
       s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
         s"""<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets>$sheetTags</sheets></workbook>"""
-    val relTags = sheets.indices.map { i =>
+    val styles =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""" +
+        """<cellXfs count="3"><xf numFmtId="0"/><xf numFmtId="14" applyNumberFormat="1"/><xf numFmtId="22" applyNumberFormat="1"/></cellXfs></styleSheet>"""
+    val relTags = (sheets.indices.map { i =>
       s"""<Relationship Id="rId${i + 1}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet${i + 1}.xml"/>"""
-    }.mkString
+    } :+ s"""<Relationship Id="rId${sheets.length + 1}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/styles" Target="styles.xml"/>""").mkString
     val wbRels =
       s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
         s"""<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">$relTags</Relationships>"""
@@ -324,7 +424,7 @@ object Excel {
         """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/></Relationships>"""
     val contentTypes =
       """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
-        """<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"><Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/><Default Extension="xml" ContentType="application/xml"/><Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>""" +
+        """<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"><Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/><Default Extension="xml" ContentType="application/xml"/><Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/><Override PartName="/xl/styles.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.styles+xml"/>""" +
         sheets.indices.map { i =>
           s"""<Override PartName="/xl/worksheets/sheet${i + 1}.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>"""
         }.mkString + "</Types>"
@@ -342,6 +442,7 @@ object Excel {
     put("_rels/.rels", rootRels)
     put("xl/workbook.xml", workbook)
     put("xl/_rels/workbook.xml.rels", wbRels)
+    put("xl/styles.xml", styles)
     sheets.zipWithIndex.foreach { case ((_, header, rows), i) =>
       put(s"xl/worksheets/sheet${i + 1}.xml", sheetXml(header, rows))
     }

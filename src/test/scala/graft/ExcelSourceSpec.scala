@@ -75,6 +75,74 @@ class ExcelSourceSpec extends SparkSpec {
       ("LOSMLAMB", null, 2.0), ("LD2LMP", "Lamp current", null)))
   }
 
+  test("date-styled cells surface as dates/timestamps via styles.xml") {
+    import java.time.{LocalDate, LocalDateTime}
+    val bytes = Excel.writeXlsx(Seq(("obs",
+      Seq("prog", "start_date", "exp_start", "serial"),
+      Seq(
+        Seq("p15646", LocalDate.of(2024, 3, 1), LocalDateTime.of(2024, 3, 1, 13, 45, 30), 42.0),
+        Seq("p15873", LocalDate.of(1999, 12, 31), LocalDateTime.of(1999, 12, 31, 0, 0, 1), 7.5)))))
+    // parse level: serials with a date numFmt render as ISO strings;
+    // unstyled numerics stay raw
+    val s = Excel.parseSheet(bytes)
+    assert(s.rows.map(_.toSeq) == Seq(
+      Seq("p15646", "2024-03-01", "2024-03-01 13:45:30", "42.0"),
+      Seq("p15873", "1999-12-31", "1999-12-31 00:00:01", "7.5")))
+    // DataFrame level: DateType / TimestampType inference
+    val dir = Files.createTempDirectory("xlsx_dates").toFile
+    val f = new java.io.File(dir, "obs.xlsx")
+    Files.write(f.toPath, bytes)
+    val df = Excel.readXlsx(spark, f.getAbsolutePath)
+    assert(df.schema == StructType(Seq(
+      StructField("prog", StringType),
+      StructField("start_date", DateType),
+      StructField("exp_start", TimestampType),
+      StructField("serial", DoubleType))))
+    val got = df.collect().map(r => (r.getString(0), r.getDate(1).toString,
+      r.getTimestamp(2).toLocalDateTime.toString)).toSet
+    assert(got == Set(
+      ("p15646", "2024-03-01", "2024-03-01T13:45:30"),
+      ("p15873", "1999-12-31", "1999-12-31T00:00:01")))
+  }
+
+  test("custom numFmt codes classify date vs time vs plain number") {
+    // hand-check the serial conversion boundaries too
+    assert(Excel.serialToIso(45352.0, withTime = false) == "2024-03-01")
+    assert(Excel.serialToIso(45352.573264, withTime = true)
+      .startsWith("2024-03-01 13:45:3"))
+    // day 25569 is the unix epoch
+    assert(Excel.serialToIso(25569.0, withTime = false) == "1970-01-01")
+
+    // hand-built workbook with CUSTOM formats: a date code, an elapsed-time
+    // code, a plain numeric code with quoted date letters ("days"), and a
+    // currency-ish bracket code — only the first two may convert
+    def entry(zip: ZipOutputStream, name: String, content: String): Unit = {
+      zip.putNextEntry(new ZipEntry(name))
+      zip.write(content.getBytes("UTF-8")); zip.closeEntry()
+    }
+    val buf = new ByteArrayOutputStream()
+    val zip = new ZipOutputStream(buf)
+    entry(zip, "xl/workbook.xml",
+      """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="s" sheetId="1" r:id="rId1"/></sheets></workbook>""")
+    entry(zip, "xl/_rels/workbook.xml.rels",
+      """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="t" Target="worksheets/sheet1.xml"/></Relationships>""")
+    entry(zip, "xl/styles.xml",
+      """<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""" +
+        """<numFmts count="4"><numFmt numFmtId="164" formatCode="yyyy\-mm"/><numFmt numFmtId="165" formatCode="[h]:mm:ss"/><numFmt numFmtId="166" formatCode="0.00&quot;days&quot;"/><numFmt numFmtId="167" formatCode="[$USD] 0.00"/></numFmts>""" +
+        """<cellXfs count="5"><xf numFmtId="0"/><xf numFmtId="164"/><xf numFmtId="165"/><xf numFmtId="166"/><xf numFmtId="167"/></cellXfs></styleSheet>""")
+    entry(zip, "xl/worksheets/sheet1.xml",
+      """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""" +
+        """<row r="1"><c r="A1" t="inlineStr"><is><t>a</t></is></c><c r="B1" t="inlineStr"><is><t>b</t></is></c><c r="C1" t="inlineStr"><is><t>c</t></is></c><c r="D1" t="inlineStr"><is><t>d</t></is></c></row>""" +
+        """<row r="2"><c r="A2" s="1"><v>45352</v></c><c r="B2" s="2"><v>45352.5</v></c><c r="C2" s="3"><v>3.25</v></c><c r="D2" s="4"><v>19.99</v></c></row>""" +
+        """</sheetData></worksheet>""")
+    zip.close()
+    val s = Excel.parseSheet(buf.toByteArray, 0)
+    assert(s.rows.map(_.toSeq) == Seq(
+      // custom date → ISO date; custom elapsed time → datetime; the
+      // quoted-"days" and [$USD] codes stay raw numbers
+      Seq("2024-03-01", "2024-03-01 12:00:00", "3.25", "19.99")))
+  }
+
   test("glob read unions matching workbooks, one task per file") {
     val dir = Files.createTempDirectory("xlsx_glob").toFile
     Files.write(new java.io.File(dir, "a.xlsx").toPath,

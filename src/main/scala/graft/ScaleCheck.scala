@@ -122,6 +122,26 @@ object ScaleCheck {
       n
     }
 
+    // 4c. connected components over the 50k-doc candidate graph: rounds
+    // are O(log n) by the star construction, so 10× the docs must not
+    // change the round count materially — wall time should track the
+    // edge volume, not component diameter
+    time("dedup_cc (50k docs)") {
+      val sh = docs10.select(col("doc_id"),
+        explode(array_distinct(ops.Text.wordShingles(
+          split(col("text"), " ", -1), 8))).as("shingle"))
+      val lists = sh.groupBy("shingle")
+        .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) > 1 && size(col("ids")) <= 1000)
+      val pairFan = flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+          y => struct(x.as("id_a"), y.as("id_b")))))
+      val pairs = lists.select(explode(pairFan).as("p"))
+        .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+        .distinct()
+      ops.Graph.connectedComponents(pairs, "id_a", "id_b").count()
+    }
+
     // 5. custom as-of join: 1M probes x 1M quotes over 10k keys
     time("asof_native (1M x 1M)") {
       val events10 = x10(core.Tables(spark, sfDir, "events")) { (d, i) =>

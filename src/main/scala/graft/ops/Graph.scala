@@ -41,13 +41,22 @@ object Graph {
     * `localCheckpoint` — iterative plans otherwise nest the full lineage
     * and re-execute it every round. (On a real cluster with unreliable
     * executors, swap for `checkpoint` against the cluster checkpoint
-    * dir; the call is the only line that changes.) Convergence is
-    * checked exactly (distinct edge sets compared with a count + anti
-    * join), one tiny extra job per round on the already-checkpointed
-    * frontier.
+    * dir; the call is the only line that changes.) Convergence is the
+    * exact star-forest test: both star phases only emit parent < child
+    * edges, so the frontier is a fixpoint exactly when no node appears
+    * as both a parent and a child — one semi-join job per round on the
+    * checkpointed frontier, and it fires one round earlier than a
+    * set-equality compare would.
     */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
                           maxRounds: Int = 30): DataFrame = {
+    // fixpoint ⟺ star forest: no parent is also a child. Connectivity is
+    // invariant across rounds and emitted edges always point small ←
+    // large, so a star forest's roots are exactly the component minima.
+    def isStarForest(f: DataFrame): Boolean =
+      f.join(f.select(col("v").as("u")).distinct(), Seq("u"), "left_semi")
+        .isEmpty
+
     // canonical frontier: (u, v) with u < v, distinct, no self-loops
     var e = edges
       .select(least(col(aCol), col(bCol)).as("u"),
@@ -55,8 +64,7 @@ object Graph {
       .filter(col("u") =!= col("v") && col("u").isNotNull)
       .distinct()
       .localCheckpoint(true)
-    var n = e.count()
-    var converged = n == 0L
+    var converged = isStarForest(e)
     var round = 0
 
     while (!converged && round < maxRounds) {
@@ -80,14 +88,8 @@ object Graph {
         .select(col("m").as("u"), col("s").as("v"))
         .unionAll(oriented.select(col("m").as("u"), col("b").as("v")))
 
-      val next = small.distinct().localCheckpoint(true)
-      val nNext = next.count()
-      // exact fixpoint test on the checkpointed frontiers: same count and
-      // no edge in next that is not in e (both are distinct sets)
-      converged = nNext == n &&
-        next.join(e, Seq("u", "v"), "left_anti").isEmpty
-      e = next
-      n = nNext
+      e = small.distinct().localCheckpoint(true)
+      converged = isStarForest(e)
       round += 1
     }
     if (!converged)

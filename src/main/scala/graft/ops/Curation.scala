@@ -67,6 +67,40 @@ object Curation {
     ex.join(dropped, Seq(idCol), "left")
   }
 
+  /** Portable-md5 MinHash-LSH candidate pairs over `docs(idCol,
+    * textCol)`: shingle → `numHashes`-component signature → `bands`
+    * band-hash buckets → in-bucket pair fan-out with the standard
+    * hot-bucket guard. Same signature family as [[flags]], so the whole
+    * pair generation is expressible in the DuckDB oracle (unlike the
+    * xxhash64 fast path in Text.minhashCandidates). One shuffle — the
+    * bucket groupBy. */
+  def mdCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
+                       shingleK: Int = 4, numHashes: Int = 16, bands: Int = 4,
+                       maxBucketSize: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val id = col(idCol)
+    val comps = (0 until numHashes).map(j => mdComp(col("sh"), j))
+    val sig = docs
+      .select(id, array_distinct(graft.functions.GraftExtensions
+        .shingles(split(col(textCol), " ", -1), shingleK)).as("sh"))
+      .select(id, array(comps: _*).as("cs"))
+    val banded = sig.select(id,
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), j =>
+        md5(concat_ws(",", transform(
+          slice(col("cs"), j * r + 1, lit(r)), _.cast("string"))))))
+        .as(Seq("j", "bh")))
+    val buckets = banded.groupBy("j", "bh")
+      .agg(sort_array(collect_set(id)).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucketSize)
+    val pairFan = flatten(transform(col("ids"), (x, i) =>
+      transform(slice(col("ids"), i + 2, size(col("ids"))),
+        y => struct(x.as("id_a"), y.as("id_b")))))
+    buckets.select(explode(pairFan).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .distinct()
+  }
+
   /** Per-language attrition report over [[flags]] output: raw → quality →
     * after-exact-dedup → final counts and surviving token mass. */
   def report(flagged: DataFrame): DataFrame =

@@ -102,4 +102,17 @@ object Graph {
       .unionAll(e.select(col("u").as("node"), col("u").as("cluster")))
       .distinct()
   }
+
+  /** One representative per cluster: the member with the highest
+    * `scoreCol`, ties to the smallest `nodeCol` — the "keep the longest /
+    * highest-quality duplicate" policy real curation runs use instead of
+    * blind min-id. One window over the cluster key (a single shuffle);
+    * returns the input rows of the winners only. */
+  def representatives(labeled: DataFrame, nodeCol: String, clusterCol: String,
+                      scoreCol: String): DataFrame = {
+    val w = Window.partitionBy(clusterCol)
+      .orderBy(col(scoreCol).desc, col(nodeCol))
+    labeled.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1).drop("__rk")
+  }
 }

@@ -181,6 +181,36 @@ object Text {
     }._2
   }
 
+  /** PII redaction: each (regex, replacement) rule applied in order with
+    * global replacement — the standard pre-training scrub pass (emails,
+    * long digit runs, IP addresses). Pure per-row `regexp_replace` chain:
+    * codegen'd, shuffle-free, and expressible verbatim in the oracle's
+    * dialect as long as the patterns stick to the portable subset
+    * (character classes, bounded repetition, anchors — no lookarounds). */
+  def redact(text: Column, rules: Seq[(String, String)]): Column =
+    rules.foldLeft(text) { case (c, (pat, repl)) => regexp_replace(c, pat, repl) }
+
+  /** Default scrub rules: emails, 7+-digit runs (phone/account numbers),
+    * dotted-quad IPs. Ordered: emails first so their digits don't get
+    * half-eaten by the digit-run rule. */
+  val defaultPiiRules: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}" -> "<IP>",
+    "[0-9]{7,}" -> "<NUM>")
+
+  /** Duplicate-n-gram repetition ratio (the Gopher/FineWeb repetition
+    * family): 1 − distinct/total over word n-grams. Boilerplate and
+    * looping generations score high; `ratio > threshold` is the usual
+    * drop rule. Per-row expression, no shuffle. Materialize the shingle
+    * array in a prior select when the ratio is used more than once (the
+    * CSE rule that applies to every HOF pipeline here). */
+  def repetitionRatio(toks: Column, n: Int): Column =
+    repetitionRatioOfShingles(wordShingles(toks, n))
+
+  /** [[repetitionRatio]] over an already-built shingle array. */
+  def repetitionRatioOfShingles(sh: Column): Column =
+    lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh).cast("double")
+
   /** Quality metrics bundle (length / stopword / word-shape heuristics in
     * the spirit of Gopher rules). Returns a struct column. */
   def qualityMetrics(text: Column, stopwords: Seq[String]): Column = {

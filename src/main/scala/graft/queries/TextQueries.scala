@@ -448,6 +448,117 @@ object TextQueries {
         .orderBy("doc_id", "rk")
     },
 
+    // The composed near-dup path end-to-end, fully oracled: portable-md5
+    // MinHash-LSH candidate pairs → connected components → best-member
+    // representative (longest doc wins, ties to the smaller id) — the
+    // "cluster then keep one" flow a production dedup run executes, with
+    // the DuckDB twin recomputing pairs from the same hash family and
+    // components via recursive reachability. Scale: bucket-joined pairs,
+    // O(log n) CC rounds, one window for the keeper — no all-pairs.
+    Q("dedup_near_e2e",
+      """WITH RECURSIVE
+        |w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents WHERE doc_id < 400),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |    [array_to_string(ws[i:i+3], ' ')
+        |     FOR i IN generate_series(1, greatest(len(ws) - 3, 1))])) AS s
+        |  FROM w),
+        |comp AS (SELECT doc_id, j,
+        |    MIN(('0x' || substr(md5(j::VARCHAR || ' ' || s), 1, 15))::BIGINT) AS c
+        |  FROM sh CROSS JOIN generate_series(0, 15) AS g(j) GROUP BY doc_id, j),
+        |sig AS (SELECT doc_id, list(c ORDER BY j) AS cs FROM comp GROUP BY doc_id),
+        |banded AS (SELECT doc_id, j,
+        |    md5(array_to_string(cs[j*4+1 : j*4+4], ',')) AS bh
+        |  FROM sig CROSS JOIN generate_series(0, 3) AS g(j)),
+        |pairs AS (SELECT DISTINCT a.doc_id AS ua, b.doc_id AS vb
+        |  FROM banded a JOIN banded b ON a.j = b.j AND a.bh = b.bh
+        |    AND a.doc_id < b.doc_id),
+        |edges AS (SELECT ua AS u, vb AS v FROM pairs
+        |  UNION SELECT vb, ua FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+        |  UNION
+        |  SELECT ed.v, re.r FROM reach re JOIN edges ed ON ed.u = re.id),
+        |cc AS (SELECT id AS doc_id, MIN(r) AS cluster FROM reach GROUP BY id),
+        |scored AS (SELECT c.doc_id, c.cluster, len(w.ws) AS nt
+        |  FROM cc c JOIN w USING (doc_id)),
+        |reps AS (SELECT cluster, doc_id AS keeper, nt AS keeper_tokens,
+        |    row_number() OVER (PARTITION BY cluster
+        |      ORDER BY nt DESC, doc_id) AS rk
+        |  FROM scored)
+        |SELECT r.cluster, s.cluster_size, r.keeper, r.keeper_tokens
+        |FROM reps r JOIN (SELECT cluster, COUNT(*) AS cluster_size
+        |  FROM cc GROUP BY cluster) s USING (cluster)
+        |WHERE r.rk = 1 ORDER BY r.cluster""".stripMargin) { (s, dir) =>
+      val docs = Tables.fannedOut(s, dir, "documents")
+        .filter(col("doc_id") < 400)
+      val pairs = graft.ops.Curation.mdCandidatePairs(docs, "doc_id", "text",
+        shingleK = 4, numHashes = 16, bands = 4)
+      val labeled = graft.ops.Graph.connectedComponents(pairs, "id_a", "id_b")
+      val scored = labeled
+        .join(docs.select(col("doc_id").as("node"),
+          size(split(col("text"), " ", -1)).as("nt")), "node")
+      val sizes = labeled.groupBy("cluster")
+        .agg(count(lit(1)).as("cluster_size"))
+      graft.ops.Graph.representatives(scored, "node", "cluster", "nt")
+        .join(sizes, "cluster")
+        .select(col("cluster"), col("cluster_size"),
+          col("node").as("keeper"), col("nt").as("keeper_tokens"))
+        .orderBy("cluster")
+    },
+
+    // PII redaction (emails → long digit runs → IPs) over text with
+    // deterministically injected PII; the oracle applies the identical
+    // portable-regex chain, so the full scrub agrees byte-for-byte
+    // (compared via md5). Per-row regexp chain — map-only at any scale.
+    Q("t_redact_pii",
+      """SELECT doc_id, md5(
+        |  regexp_replace(regexp_replace(regexp_replace(
+        |    text || ' mail u' || doc_id::VARCHAR || '@example.com ip 10.0.'
+        |      || (doc_id % 256)::VARCHAR || '.7 acct '
+        |      || (doc_id + 1000000)::VARCHAR,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+        |    '[0-9]{7,}', '<NUM>', 'g')) AS red_md5
+        |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val injected = concat(col("text"),
+        lit(" mail u"), col("doc_id").cast("string"),
+        lit("@example.com ip 10.0."), (col("doc_id") % 256).cast("string"),
+        lit(".7 acct "), (col("doc_id") + 1000000L).cast("string"))
+      Tables(s, dir, "documents")
+        .filter(col("doc_id") < 300)
+        .select(col("doc_id"),
+          md5(Text.redact(injected, Text.defaultPiiRules)).as("red_md5"))
+        .orderBy("doc_id")
+    },
+
+    // Duplicate-n-gram repetition ratio (Gopher/FineWeb repetition rule):
+    // the text is doubled so the metric has signal on the synthetic
+    // corpus; ratio and the >0.2 drop flag must match the SQL twin.
+    Q("t_repetition",
+      """WITH w AS (SELECT doc_id,
+        |    string_split(text || ' ' || text, ' ') AS ws
+        |  FROM documents WHERE doc_id < 300),
+        |sh AS (SELECT doc_id, [array_to_string(ws[i:i+2], ' ')
+        |    FOR i IN generate_series(1, greatest(len(ws) - 2, 1))] AS sh
+        |  FROM w)
+        |SELECT doc_id, len(sh) AS n_shingles,
+        |  ROUND(1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh), 4)
+        |    AS rep_ratio,
+        |  (1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh)) > 0.2
+        |    AS repetitive
+        |FROM sh ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val ws = split(concat_ws(" ", col("text"), col("text")), " ", -1)
+      val sh = Text.wordShingles(ws, 3)
+      Tables(s, dir, "documents")
+        .filter(col("doc_id") < 300)
+        .select(col("doc_id"), sh.as("sh"))
+        .select(col("doc_id"), size(col("sh")).as("n_shingles"),
+          round(Text.repetitionRatioOfShingles(col("sh")), 4).as("rep_ratio"),
+          (Text.repetitionRatioOfShingles(col("sh")) > 0.2).as("repetitive"))
+        .orderBy("doc_id")
+    },
+
     // Multimodal plumbing: opaque binary payload column + metadata derived
     // without decoding (byte length, md5 digest). The decode itself is
     // stubbed (no codecs in-container); the schema/partition path is real.

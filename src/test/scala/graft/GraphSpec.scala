@@ -63,6 +63,16 @@ class GraphSpec extends SparkSpec {
     assert(cc(Seq.empty) == Map.empty)
   }
 
+  test("representatives picks highest score, ties to smallest node") {
+    val labeled = Seq(
+      (2L, 1L, 10), (1L, 1L, 30), (3L, 1L, 30),   // cluster 1: 1 and 3 tie on score
+      (5L, 5L, 7), (6L, 5L, 9))                   // cluster 5: 6 wins on score
+      .toDF("node", "cluster", "score")
+    val reps = Graph.representatives(labeled, "node", "cluster", "score")
+      .select("cluster", "node").as[(Long, Long)].collect().toSet
+    assert(reps == Set((1L, 1L), (5L, 6L)))
+  }
+
   test("cluster column plugs into keeper selection") {
     val labeled = Graph.connectedComponents(
       Seq((4L, 2L), (2L, 7L), (9L, 8L)).toDF("a", "b"), "a", "b")

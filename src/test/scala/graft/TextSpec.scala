@@ -116,4 +116,28 @@ class TextSpec extends SparkSpec {
       .as[(String, String)].collect().toMap
     assert(out == Map("d1" -> "dataish", "d2" -> "queryish"))
   }
+
+  test("redact scrubs emails, IPs and digit runs in rule order") {
+    val df = Seq(
+      "reach bob.smith+x@corp.example.org or 10.20.30.40 acct 123456789",
+      "short 123456 stays, 1234567 goes",
+      "no pii here").toDF("text")
+    val out = df.select(Text.redact(col("text"), Text.defaultPiiRules).as("r"))
+      .as[String].collect().toSeq
+    assert(out == Seq(
+      "reach <EMAIL> or <IP> acct <NUM>",
+      "short 123456 stays, <NUM> goes",   // 6 digits under the 7+ rule
+      "no pii here"))
+  }
+
+  test("repetitionRatio scores looped text high and varied text zero") {
+    val df = Seq(
+      ("loop", "spam spam spam spam spam spam spam spam"),
+      ("varied", "eight distinct words appear exactly once here now")).toDF("id", "text")
+    val out = df.select(col("id"),
+      Text.repetitionRatio(Text.tokens(col("text")), 2).as("r"))
+      .as[(String, Double)].collect().toMap
+    assert(out("varied") == 0.0)
+    assert(out("loop") > 0.8)   // 7 bigrams, 1 distinct → 6/7
+  }
 }

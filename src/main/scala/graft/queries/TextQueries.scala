@@ -434,8 +434,14 @@ object TextQueries {
         .select(col("doc_id"),
           explode(split(col("text"), " ", -1)).as("term"))
       val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val df = tok.groupBy("term").agg(countDistinct("doc_id").as("df"))
-      val n = tok.select(countDistinct("doc_id").as("n"))
+      // df and N derive from the tf AGGREGATE (tf rows are distinct
+      // (doc, term) pairs), not from a re-scan of tok: the derived
+      // branches shuffle the (doc, term) table, never the corpus text.
+      // (Column pruning specializes each branch's partial aggregate, so
+      // the plans stay separate — a full-corpus run would tf.persist()
+      // between the corpus pass and these small derived aggregates.)
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = tf.select(countDistinct("doc_id").as("n"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id")
         .orderBy(col("score").desc, col("term"))

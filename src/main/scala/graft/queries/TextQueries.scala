@@ -330,7 +330,8 @@ object TextQueries {
     // independent of the star algorithm.
     Q("dedup_cc_clusters",
       """WITH RECURSIVE
-        |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE doc_id < 500),
         |sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(ws[i:i+7], ' ')
         |    FOR i IN generate_series(1, greatest(len(ws) - 7, 1))])) AS shingle
         |  FROM w),
@@ -348,7 +349,10 @@ object TextQueries {
         |FROM comp c JOIN (SELECT cluster, COUNT(*) AS cluster_size
         |  FROM comp GROUP BY cluster) s USING (cluster)
         |ORDER BY c.doc_id""".stripMargin) { (s, dir) =>
+      // bounded corpus slice (= the whole corpus at the correctness SFs);
+      // the UNBOUNDED 50k-doc run lives in ScaleCheck's dedup_cc entry
       val sh = Tables.fannedOut(s, dir, "documents")
+        .filter(col("doc_id") < 500)
         .select(col("doc_id"),
           explode(array_distinct(
             Text.wordShingles(split(col("text"), " ", -1), 8))).as("shingle"))

@@ -152,8 +152,74 @@ object ScaleCheck {
         .select(col("event_id"), col("user_id"), col("ts"))
       val quotes = events10.filter(col("event_type") === "view")
         .select(col("user_id"), col("ts"), col("value"))
+      // consume qv: a bare count() lets column pruning DELETE the window
+      // from the window formulation (but not the custom exec) — every
+      // as-of entry aggregates the carried value so both paths do the work
       org.apache.spark.sql.graft.AsOfJoinApi
-        .asOf(probes, quotes, Seq("user_id"), "ts", "value", "qv").count()
+        .asOf(probes, quotes, Seq("user_id"), "ts", "value", "qv")
+        .agg(count(col("qv"))).collect(); 1L
+    }
+
+    // 5b. the SAME 1M x 1M as-of through the union+window formulation —
+    // the comparison that justifies the custom exec: the window form
+    // sorts the COMBINED stream (2x the rows through sort plus the
+    // union's column padding), so its gap vs the native merge should
+    // widen with scale
+    time("asof_window (1M x 1M)") {
+      val events10 = x10(core.Tables(spark, sfDir, "events")) { (d, i) =>
+        d.withColumn("event_id", col("event_id") + lit(i * 10000000L))
+          .withColumn("user_id", col("user_id") + lit(i * 1000L))
+      }
+      val probes = events10.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val quotes = events10.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("value"))
+      ops.Relational.asOfLookup(probes, quotes, Seq("user_id"), "ts",
+        "value", "qv").agg(count(col("qv"))).collect(); 1L
+    }
+
+    // 5c/5d. MULTI-VALUE as-of, native vs window: carrying 3 quote
+    // columns is ONE native merge (one shuffle+sort per side) but THREE
+    // window passes (each re-shuffling and re-sorting the combined
+    // stream) — the composition where the custom exec's advantage is
+    // structural, not constant-factor
+    time("asof_multi_native (1M, 3 cols)") {
+      val events10 = x10(core.Tables(spark, sfDir, "events")) { (d, i) =>
+        d.withColumn("event_id", col("event_id") + lit(i * 10000000L))
+          .withColumn("user_id", col("user_id") + lit(i * 1000L))
+      }
+      val probes = events10.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val quotes = events10.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("value"),
+          (col("value") * 2).as("v2"), (col("value") + 1).as("v3"))
+      org.apache.spark.sql.graft.AsOfJoinApi.asOfMulti(
+        probes, quotes, Seq("user_id"), "ts",
+        Seq("value", "v2", "v3"), Seq("q1", "q2", "q3"))
+        .agg(count(col("q1")), count(col("q2")), count(col("q3")))
+        .collect(); 1L
+    }
+    time("asof_multi_window (1M, 3 cols)") {
+      val events10 = x10(core.Tables(spark, sfDir, "events")) { (d, i) =>
+        d.withColumn("event_id", col("event_id") + lit(i * 10000000L))
+          .withColumn("user_id", col("user_id") + lit(i * 1000L))
+      }
+      val probes = events10.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val quotes = events10.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("value"),
+          (col("value") * 2).as("v2"), (col("value") + 1).as("v3"))
+      val s1 = ops.Relational.asOfLookup(probes, quotes
+        .select(col("user_id"), col("ts"), col("value")),
+        Seq("user_id"), "ts", "value", "q1")
+      val s2 = ops.Relational.asOfLookup(s1, quotes
+        .select(col("user_id"), col("ts"), col("v2")),
+        Seq("user_id"), "ts", "v2", "q2")
+      ops.Relational.asOfLookup(s2, quotes
+        .select(col("user_id"), col("ts"), col("v3")),
+        Seq("user_id"), "ts", "v3", "q3")
+        .agg(count(col("q1")), count(col("q2")), count(col("q3")))
+        .collect(); 1L
     }
 
     // 6. GLOBAL (unkeyed) as-of: range-partitioned path with the
@@ -169,7 +235,8 @@ object ScaleCheck {
       val quotes = events10.filter(col("event_type") === "click")
         .groupBy("ts").agg(max("value").as("v"))
       org.apache.spark.sql.graft.AsOfJoinApi
-        .asOf(probes, quotes, Seq.empty, "ts", "v", "qv").count()
+        .asOf(probes, quotes, Seq.empty, "ts", "v", "qv")
+        .agg(count(col("qv"))).collect(); 1L
     }
 
     // 7b. full curation pipeline at 50k docs: quality gate + fingerprint

@@ -91,11 +91,19 @@ final class AsOfMerge(
   // UnsafeProjection — probes to (keys..., time), quotes to
   // (keys..., time, vals...) — so the per-row work inside the loop is
   // compiled projections, compiled comparators over aligned ordinals
-  // (the key/time prefix has the same ordinals on both shapes), and a
-  // single UnsafeRow byte-copy per consumed quote. No boxed eval(), no
-  // per-field allocation, no GenericInternalRow rebuild.
+  // (the key/time prefix has the same ordinals on both shapes), and
+  // ZERO copies: the quote-side buffers rotate instead (see rProjs).
+  // No boxed eval(), no per-field allocation, no GenericInternalRow
+  // rebuild, no per-row allocation at all.
   private val lProj = UnsafeProjection.create(lk :+ lt, lOut)
-  private val rProj = UnsafeProjection.create((rk :+ rt) ++ rvs, rOut)
+  // THREE quote-side projection instances, each with its own result
+  // buffer, rotated so the lookahead quote and the retained (as-of
+  // candidate) quote stay valid without any per-row copy: at any moment
+  // one buffer holds qRow, one holds lastRow (or aliases qRow right
+  // after a consume), and the third takes the next projection. Identical
+  // expressions → one codegen'd class, three buffer instances.
+  private val rProjs = Array.fill(3)(
+    UnsafeProjection.create((rk :+ rt) ++ rvs, rOut))
   // compare (keys..., time): Ascending/NullsFirst matches the merge
   // condition — an earlier key consumes regardless of time, the same
   // key consumes while quote.time <= probe.time, and a null probe
@@ -117,13 +125,16 @@ final class AsOfMerge(
   private val nullQuote: InternalRow = new GenericInternalRow(nKeys + 1 + nVals)
   private val joined = new JoinedRow
 
-  // lookahead quote (an owned copy; projection buffers are reused) and
-  // the most recently consumed quote (the as-of candidate)
+  // lookahead quote and the most recently consumed quote (the as-of
+  // candidate), each pointing at one of the rotated projection buffers
   private var qRow: InternalRow = null
   private var qHas = false
   private var started = false
   private var lastRow: InternalRow = null
   private var hasLast = false
+  private var qIdx = -1     // buffer holding qRow
+  private var lastIdx = -1  // buffer holding lastRow
+  private var freeIdx = 0   // buffer for the next projection
 
   private def keysNull(row: InternalRow): Boolean = {
     var i = 0
@@ -131,18 +142,27 @@ final class AsOfMerge(
     false
   }
 
+  private def pickFree(): Int = {
+    var i = 0
+    while (i == qIdx || i == lastIdx) i += 1
+    i
+  }
+
   // Quotes with a null key component — or a null time — are skipped
   // outright: SQL semantics, null keys match nothing and
   // `probe.time >= null` is never true. Both sort first under the
   // required ordering, so skipping upfront is consistent (a retained
   // null-time quote would otherwise never be consumed and block every
-  // later quote of its key).
+  // later quote of its key). A rejected quote reuses the same free
+  // buffer; only an accepted lookahead rotates it.
   private def advance(qIter: Iterator[InternalRow]): Unit = {
     qHas = false
     while (!qHas && qIter.hasNext) {
-      val q = rProj(qIter.next())
+      val q = rProjs(freeIdx)(qIter.next())
       if (!q.isNullAt(nKeys) && !keysNull(q)) {
-        qRow = q.copy()
+        qRow = q
+        qIdx = freeIdx
+        freeIdx = pickFree()
         qHas = true
       }
     }
@@ -161,8 +181,10 @@ final class AsOfMerge(
       // consume quotes at earlier keys, or same key with time <=
       // probe time (a quote AT the probe time counts — reference
       // step_wise)
+      // consuming aliases lastRow onto qRow's buffer; freeIdx already
+      // excludes it, so the next projection cannot clobber the candidate
       while (qHas && keyTimeOrd.compare(qRow, pRow) <= 0) {
-        lastRow = qRow; hasLast = true
+        lastRow = qRow; lastIdx = qIdx; hasLast = true
         advance(qIter)
       }
       resultProj(joined(p,

@@ -224,6 +224,64 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // SimHash candidate PAIRS with Hamming verification, fully oracled
+    // via the portable md5 hash family: corpus + near-identical twins
+    // (one appended token) → 60-bit simhash → 12-bit prefix buckets →
+    // in-bucket pairs with hamming <= 8. Completes the SimHash dedup
+    // path (signature mechanism: dedup_simhash_md5; bucket histogram:
+    // dedup_simhash_buckets). Pairs form inside buckets only — the
+    // bucket groupBy is the one shuffle, no all-pairs at any scale.
+    Q("dedup_simhash_pairs_md5",
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 150
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text || ' extra' FROM documents
+        |  WHERE doc_id < 150),
+        |tok AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |        FROM corpus)),
+        |bits AS (SELECT doc_id, j,
+        |    CASE WHEN SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) >= 0
+        |      THEN (1::BIGINT << j) ELSE 0 END AS b
+        |  FROM tok CROSS JOIN generate_series(0, 59) AS g(j)
+        |  GROUP BY doc_id, j),
+        |shs AS (SELECT doc_id, SUM(b)::BIGINT AS sh FROM bits GROUP BY doc_id),
+        |b AS (SELECT doc_id, sh, sh >> 48 AS bucket FROM shs)
+        |SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+        |  bit_count(xor(a.sh, c.sh)) AS ham
+        |FROM b a JOIN b c ON a.bucket = c.bucket AND a.doc_id < c.doc_id
+        |WHERE bit_count(xor(a.sh, c.sh)) <= 8
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      val base = Tables(s, dir, "documents")
+        .filter(col("doc_id") < 150).select(col("doc_id"), col("text"))
+      val twins = base.select((col("doc_id") + 10000).as("doc_id"),
+        concat(col("text"), lit(" extra")).as("text"))
+      val sigs = base.unionByName(twins)
+        .select(col("doc_id"),
+          transform(split(col("text"), " ", -1),
+            t => conv(substring(md5(t), 1, 15), 16, 10).cast("long")).as("th"))
+        .select(col("doc_id"),
+          graft.functions.GraftExtensions.simhash64(col("th")).as("sh"))
+        .withColumn("bucket", shiftrightunsigned(col("sh"), 48))
+      // pairs within each bucket via in-array combinations (one shuffle,
+      // no self-join recompute of the signature pipeline)
+      val buckets = sigs.groupBy("bucket")
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("sh"))))
+          .as("ms"))
+        .filter(size(col("ms")) > 1)
+      val pairFan = flatten(transform(col("ms"), (x, i) =>
+        transform(slice(col("ms"), i + 2, size(col("ms"))), y =>
+          struct(x.getField("doc_id").as("id_a"),
+            y.getField("doc_id").as("id_b"),
+            Text.hammingDistance(x.getField("sh"), y.getField("sh"))
+              .as("ham")))))
+      buckets.select(explode(pairFan).as("p"))
+        .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+          col("p.ham").as("ham"))
+        .filter(col("ham") <= 8)
+        .orderBy("id_a", "id_b")
+    },
+
     // MinHash with the portable md5 family: component j = min over
     // distinct 4-gram shingles of hash(j, shingle) — the operator's full
     // signature semantics (shingling included) hash-checked against SQL.

@@ -172,6 +172,39 @@ object Streams {
         .getField("keep")),
       tsCol, textCol, horizon)
 
+  /** Streaming as-of lookup against a STATIC quote table — the streaming
+    * form of the reference's step-wise telemetry lookup (W8/J11): each
+    * probe resolves to the most recent quote at or before its time.
+    *
+    * Neither batch formulation survives a streaming plan (window
+    * functions over rows and stream-static UNION are both unsupported),
+    * so the streaming shape is: pack the static side ONCE into a sorted
+    * `(t, v)` array per key, stream-static LEFT equi-join on the key
+    * (supported, stateless), then a per-row HOF picks the last entry at
+    * or before the probe time. No watermark, no state store; late or
+    * replayed probes are safe because the answer depends only on the
+    * probe's own timestamp and the static quotes.
+    *
+    * Scale: quotes-per-key must fit in one row — the telemetry shape
+    * this lookup exists for (a bounded step function per mnemonic). The
+    * packed side is aggregated once per (re)start and joined per batch;
+    * Spark broadcasts it when small. Null-keyed/timed quotes are dropped
+    * (match nothing); a null probe time yields null. Semantics pinned
+    * equal to the batch window form in MergeStreamSpec. */
+  def streamingAsOf(probeStream: DataFrame, quotes: DataFrame,
+                    keys: Seq[String], timeCol: String,
+                    quoteVal: String, outCol: String): DataFrame = {
+    val packed = (keys :+ timeCol)
+      .foldLeft(quotes)((d, k) => d.filter(col(k).isNotNull))
+      .groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(
+        struct(col(timeCol).as("t"), col(quoteVal).as("v")))).as("__q"))
+    val hits = filter(col("__q"), q => q.getField("t") <= col(timeCol))
+    probeStream.join(packed, keys, "left")
+      .withColumn(outCol, get(hits, size(hits) - 1).getField("v"))
+      .drop("__q")
+  }
+
   /** Event-time tumbling-window aggregation with a watermark — the
     * streaming form of the batch `w_tumbling_window` query; identical
     * results on bounded input. */

@@ -201,4 +201,35 @@ class MergeStreamSpec extends SparkSpec {
       ("2024-01-02", "click", 1L, 4.0),
       ("2024-01-02", "view", 1L, 8.0)))
   }
+
+  test("streaming as-of against static quotes equals the batch window form") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // static quotes, deduped per (k, t) like every as-of fixture
+    val quotes = Seq(
+      (1L, 10L, 1.0), (1L, 20L, 2.0), (1L, 30L, 3.0),
+      (2L, 15L, 9.0)).toDF("k", "t", "v")
+    val input = MemoryStream[(Long, Long)]
+    val probes = input.toDF().toDF("k", "t")
+    val out = graft.streaming.Streams.streamingAsOf(
+      probes, quotes, Seq("k"), "t", "v", "qv")
+    val q = out.writeStream.format("memory").queryName("asof_out")
+      .outputMode("append").start()
+    input.addData((1L, 5L), (1L, 10L), (1L, 25L))
+    q.processAllAvailable()
+    input.addData((1L, 99L), (2L, 14L), (2L, 16L), (3L, 50L)) // later batch
+    q.processAllAvailable()
+    val got = spark.table("asof_out").select("k", "t", "qv")
+      .as[(Long, Long, Option[Double])].collect().toSet
+    q.stop()
+    // batch window form on the union of both micro-batches
+    val allProbes = Seq((1L, 5L), (1L, 10L), (1L, 25L), (1L, 99L),
+      (2L, 14L), (2L, 16L), (3L, 50L)).toDF("k", "t")
+    val expected = graft.ops.Relational.asOfLookup(
+      allProbes, quotes, Seq("k"), "t", "v", "qv")
+      .as[(Long, Long, Option[Double])].collect().toSet
+    assert(got == expected)
+    assert(got((1L, 10L, Some(1.0))))  // tie: quote AT probe time counts
+    assert(got((3L, 50L, None)))       // unseen key -> null carry
+  }
 }

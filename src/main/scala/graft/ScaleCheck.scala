@@ -142,6 +142,25 @@ object ScaleCheck {
       ops.Graph.connectedComponents(pairs, "id_a", "id_b").count()
     }
 
+    // 4d. adversarial CC shape: ONE giant component with a 200k-degree
+    // hub plus a 100k-node chain grafted on — the hot spot of star
+    // contraction. The groupBy-min formulation folds the hub's min
+    // map-side and leaves the join-back to AQE's skew splitting; the
+    // chain half forces the O(log n) round behavior at the same time.
+    time("dedup_cc hot-root giant comp (300k edges)") {
+      val star = spark.range(1, 200001)
+        .select(lit(0L).as("a"), col("id").as("b"))
+      val chain = spark.range(200001, 300000)
+        .select(col("id").as("a"), (col("id") + 1).as("b"))
+      val graft = spark.range(1).select(lit(5L).as("a"), lit(200001L).as("b"))
+      val labeled = ops.Graph.connectedComponents(
+        star.unionAll(chain).unionAll(graft), "a", "b")
+      val n = labeled.count()
+      val comps = labeled.select("cluster").distinct().count()
+      require(comps == 1L, s"expected one giant component, got $comps")
+      n
+    }
+
     // 5. custom as-of join: 1M probes x 1M quotes over 10k keys
     time("asof_native (1M x 1M)") {
       val events10 = x10(core.Tables(spark, sfDir, "events")) { (d, i) =>

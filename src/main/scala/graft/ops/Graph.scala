@@ -68,25 +68,32 @@ object Graph {
     var round = 0
 
     while (!converged && round < maxRounds) {
-      // large-star: for each node u, connect every LARGER neighbor to the
-      // minimum of Γ(u) ∪ {u}. Strictly-larger guard keeps the forest
-      // acyclic; min over the window is the one shuffle of the phase.
+      // Both phases compute "min over a node's neighbors" with a groupBy
+      // + join-back rather than a window: the aggregate gets map-side
+      // partial combine (a hot node's min folds before the shuffle), the
+      // join back is co-partitioned with the aggregate's exchange, and a
+      // node of enormous degree — the known hot spot of star contraction
+      // on giant components — is an AQE-splittable skewed JOIN partition
+      // instead of one un-splittable sorted window partition.
+
+      // large-star: for each node u, connect every LARGER neighbor to
+      // the minimum of Γ(u) ∪ {u}. Strictly-larger guard keeps the
+      // forest acyclic.
       val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
-      val wU = Window.partitionBy("u")
-      val large = sym
-        .withColumn("m", least(col("u"), min("v").over(wU)))
+      val mins = sym.groupBy("u")
+        .agg(least(col("u"), min(col("v"))).as("m"))
+      val large = sym.join(mins, "u")
         .filter(col("v") > col("u"))
         .select(col("m").as("u"), col("v"))
 
       // small-star: orient edges to the larger endpoint; connect that
       // node and all its (smaller) neighbors to the smallest neighbor.
-      val wB = Window.partitionBy("b")
-      val oriented = large
-        .select(col("v").as("b"), col("u").as("s"))
-        .withColumn("m", min("s").over(wB))
-      val small = oriented.filter(col("s") =!= col("m"))
+      val oriented = large.select(col("v").as("b"), col("u").as("s"))
+      val mins2 = oriented.groupBy("b").agg(min(col("s")).as("m"))
+      val small = oriented.join(mins2, "b")
+        .filter(col("s") =!= col("m"))
         .select(col("m").as("u"), col("s").as("v"))
-        .unionAll(oriented.select(col("m").as("u"), col("b").as("v")))
+        .unionAll(mins2.select(col("m").as("u"), col("b").as("v")))
 
       e = small.distinct().localCheckpoint(true)
       converged = isStarForest(e)

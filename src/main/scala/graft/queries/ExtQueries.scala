@@ -535,5 +535,38 @@ object ExtQueries {
         .groupBy("user_id", "sess")
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_v"))
         .orderBy("user_id", "sess")
+    },
+
+    // Deequ-style data-quality audit (ops.Checks): completeness,
+    // composite-key uniqueness, range and accepted-value constraints over
+    // lineitem, all in ONE map-side-combinable aggregation pass (the
+    // uniqueness distinct-count is the only shuffle), unpivoted to
+    // (metric, value, passed) rows. The discount-range check is designed
+    // to FAIL (TPC-H discounts reach 0.10), pinning the fail path.
+    Q("pipe_data_quality",
+      """WITH m AS (SELECT
+        |  AVG(CASE WHEN l_shipdate IS NOT NULL THEN 1.0 ELSE 0.0 END) AS c_ship,
+        |  CAST(COUNT(DISTINCT CAST(l_orderkey AS VARCHAR) || '|' ||
+        |    CAST(l_linenumber AS VARCHAR)) AS DOUBLE) / COUNT(*) AS uniq,
+        |  AVG(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 1.0 ELSE 0.0 END) AS r_qty,
+        |  AVG(CASE WHEN l_returnflag IN ('A','N','R') THEN 1.0 ELSE 0.0 END) AS a_rf,
+        |  AVG(CASE WHEN l_discount BETWEEN 0.0 AND 0.05 THEN 1.0 ELSE 0.0 END) AS r_disc
+        |  FROM lineitem)
+        |SELECT * FROM (
+        |  SELECT 'completeness_l_shipdate' AS metric, ROUND(c_ship, 4) AS value,
+        |    c_ship >= 1.0 AS passed FROM m
+        |  UNION ALL SELECT 'uniqueness_l_orderkey_l_linenumber', ROUND(uniq, 4),
+        |    uniq >= 1.0 FROM m
+        |  UNION ALL SELECT 'range_l_quantity', ROUND(r_qty, 4), r_qty >= 1.0 FROM m
+        |  UNION ALL SELECT 'accepted_l_returnflag', ROUND(a_rf, 4), a_rf >= 1.0 FROM m
+        |  UNION ALL SELECT 'range_l_discount', ROUND(r_disc, 4), r_disc >= 1.0 FROM m)
+        |ORDER BY metric""".stripMargin) { (s, dir) =>
+      import graft.ops.Checks
+      Checks.audit(Tables(s, dir, "lineitem"), Seq(
+        Checks.completeness("l_shipdate"),
+        Checks.uniqueness(Seq("l_orderkey", "l_linenumber")),
+        Checks.inRange("l_quantity", 1, 50),
+        Checks.inSet("l_returnflag", Seq("A", "N", "R")),
+        Checks.inRange("l_discount", 0.0, 0.05)))
     })
 }

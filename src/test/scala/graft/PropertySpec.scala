@@ -98,4 +98,74 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("connected components equal brute-force closure on random graphs") {
+    val edgeGen = Gen.listOfN(25,
+      Gen.zip(Gen.choose(0L, 30L), Gen.choose(0L, 30L)))
+    for (edges <- samples(edgeGen, 6)) {
+      val labeled = graft.ops.Graph.connectedComponents(
+        edges.toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect().toMap
+      // driver-side closure
+      val clean = edges.filter(e => e._1 != e._2)
+      val nodes = clean.flatMap(e => Seq(e._1, e._2)).distinct
+      var lab = nodes.map(n => n -> n).toMap
+      var changed = true
+      while (changed) {
+        changed = false
+        for ((a, b) <- clean) {
+          val m = math.min(lab(a), lab(b))
+          if (lab(a) != m) { lab += a -> m; changed = true }
+          if (lab(b) != m) { lab += b -> m; changed = true }
+        }
+      }
+      assert(labeled == lab.filter { case (n, _) =>
+        clean.exists(e => e._1 == n || e._2 == n) })
+    }
+  }
+
+  test("redact is idempotent and leaves no raw emails or 7+-digit runs") {
+    val piiGen = Gen.oneOf(
+      "call 5551234567 now", "x@y.org and 1.2.3.4", "nothing here",
+      "a.b+c@d.co 192.168.0.255 12345678901", "id 123456 ok")
+    val docs = samples(piiGen, 5).toDF("text")
+    val once = docs.select(Text.redact(col("text"), Text.defaultPiiRules).as("r"))
+    val twice = once.select(Text.redact(col("r"), Text.defaultPiiRules).as("r"))
+    assert(once.as[String].collect().toSeq == twice.as[String].collect().toSeq)
+    for (r <- once.as[String].collect()) {
+      assert(!r.matches(".*[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}.*"), r)
+      assert(!r.matches(".*[0-9]{7,}.*"), r)
+    }
+  }
+
+  test("repetitionRatio stays in [0,1); 0 iff all shingles distinct") {
+    for (words <- samples(wordGen, 8)) {
+      val df = Seq(words.mkString(" ")).toDF("text")
+      val r = df.select(Text.repetitionRatio(Text.tokens(col("text")), 2)
+        .as("r")).as[Double].collect().head
+      assert(r >= 0.0 && r < 1.0, s"$words -> $r")
+      val sh = words.sliding(2).map(_.mkString(" ")).toSeq
+      val expectZero = words.size < 2 || sh.distinct.size == sh.size
+      assert((r == 0.0) == expectZero, s"$words -> $r")
+    }
+  }
+
+  test("representatives: exactly one member chosen per cluster") {
+    val rowGen = Gen.listOfN(30,
+      Gen.zip(Gen.choose(0L, 50L), Gen.choose(0L, 5L), Gen.choose(0, 100)))
+    for (rows <- samples(rowGen, 4)) {
+      val labeled = rows.distinct.toDF("node", "cluster", "score")
+      val reps = graft.ops.Graph.representatives(
+        labeled, "node", "cluster", "score")
+        .as[(Long, Long, Int)].collect()
+      val clusters = rows.map(_._2).distinct.sorted
+      assert(reps.map(_._2).sorted.toSeq == clusters)
+      for ((node, cluster, score) <- reps) {
+        val members = rows.distinct.filter(_._2 == cluster)
+        assert(members.contains((node, cluster, score)))
+        val best = members.maxBy(m => (m._3, -m._1))
+        assert((node, score) == ((best._1, best._3)))
+      }
+    }
+  }
 }

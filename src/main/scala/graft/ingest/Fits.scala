@@ -12,8 +12,8 @@ import org.apache.spark.sql.types._
   * Scope: the subset of the public FITS standard the COS products use —
   * 2880-byte header blocks of 80-char cards, BINTABLE extensions with
   * fixed-width column formats (rA, 1D, 1E, 1J, 1I, 1L; big-endian),
-  * optional gzip container. Variable-length (P/Q descriptor) columns are
-  * out of scope and rejected explicitly.
+  * optional gzip container — plus variable-length (P/Q descriptor)
+  * columns, decoded through each HDU's heap (THEAP-aware).
   *
   * Spark integration reads whole files via the binaryFile source and
   * parses per-partition — the dask per-file fan-out of the reference
@@ -26,8 +26,12 @@ object Fits {
 
   final case class Hdu(header: Map[String, String], cardsInOrder: Seq[(String, String)],
                        dataStart: Int, dataLen: Int)
+  /** `desc` is ' ' for fixed-width cells, 'P' for 32-bit and 'Q' for
+    * 64-bit variable-length array descriptors (cell = (count, heap
+    * offset); elements live in the HDU's heap). `code` is always the
+    * ELEMENT type. */
   final case class ColSpec(name: String, code: Char, repeat: Int, offset: Int,
-                           cellBytes: Int)
+                           cellBytes: Int, desc: Char = ' ')
 
   private val CardRe = """^([A-Z0-9_-]+)\s*=\s*('(?:[^']|'')*'|[^/]*).*$""".r
 
@@ -81,6 +85,31 @@ object Fits {
   }
 
   private val FormRe = """^(\d*)([ADEJILKB])""".r
+  private val VarFormRe = """^(\d*)([PQ])([ADEJILKB])""".r
+
+  private def unitBytes(code: Char): Int = code match {
+    case 'A' | 'L' | 'B' => 1
+    case 'I' => 2
+    case 'E' | 'J' => 4
+    case 'D' | 'K' => 8
+  }
+
+  private def scalarAt(bytes: Array[Byte], code: Char, at: Int): Any =
+    code match {
+      case 'D' => ByteBuffer.wrap(bytes, at, 8).getDouble
+      case 'E' => ByteBuffer.wrap(bytes, at, 4).getFloat
+      case 'J' => ByteBuffer.wrap(bytes, at, 4).getInt
+      case 'I' => ByteBuffer.wrap(bytes, at, 2).getShort.toInt
+      case 'K' => ByteBuffer.wrap(bytes, at, 8).getLong
+      case 'B' => bytes(at) & 0xff
+      case 'L' => bytes(at) == 'T'.toByte
+    }
+
+  /** Start of a BINTABLE HDU's heap (variable-length element storage):
+    * `THEAP` when present, else immediately after the fixed table. */
+  def heapStart(h: Hdu): Int =
+    h.dataStart + h.header.get("THEAP").map(_.trim.toInt).getOrElse(
+      h.header("NAXIS1").toInt * h.header("NAXIS2").toInt)
 
   /** Column layout of a BINTABLE HDU, in physical order with offsets. */
   def tableCols(h: Hdu): Seq[ColSpec] = {
@@ -91,19 +120,19 @@ object Fits {
     (1 to tfields).map { j =>
       val name = h.header.getOrElse(s"TTYPE$j", s"col$j")
       val form = h.header(s"TFORM$j")
-      require(!form.contains("P") && !form.contains("Q"),
-        s"variable-length column $name ($form) not supported")
-      val m = FormRe.findFirstMatchIn(form).getOrElse(
-        throw new IllegalArgumentException(s"unsupported TFORM '$form' for $name"))
-      val repeat = if (m.group(1).isEmpty) 1 else m.group(1).toInt
-      val code = m.group(2).head
-      val unit = code match {
-        case 'A' | 'L' | 'B' => 1
-        case 'I' => 2
-        case 'E' | 'J' => 4
-        case 'D' | 'K' => 8
+      val spec = VarFormRe.findFirstMatchIn(form) match {
+        case Some(m) =>
+          // rPt(max)/rQt(max): one (count, offset) descriptor per cell
+          // (r is 0 or 1 by the standard), elements of type t in the heap
+          ColSpec(name, m.group(3).head, 1, offset,
+            if (m.group(2) == "P") 8 else 16, m.group(2).head)
+        case None =>
+          val m = FormRe.findFirstMatchIn(form).getOrElse(
+            throw new IllegalArgumentException(s"unsupported TFORM '$form' for $name"))
+          val repeat = if (m.group(1).isEmpty) 1 else m.group(1).toInt
+          val code = m.group(2).head
+          ColSpec(name, code, repeat, offset, unitBytes(code) * repeat)
       }
-      val spec = ColSpec(name, code, repeat, offset, unit * repeat)
       offset += spec.cellBytes
       spec
     }
@@ -116,19 +145,34 @@ object Fits {
   def columnValues(bytes: Array[Byte], h: Hdu, spec: ColSpec): IndexedSeq[Any] = {
     val rowLen = h.header("NAXIS1").toInt
     val nRows = h.header("NAXIS2").toInt
+    if (spec.desc != ' ') {
+      // variable-length cells: (count, offset) descriptor into the heap;
+      // 'A' decodes to one string, numeric types to one Seq per row
+      val hs = heapStart(h)
+      val unit = unitBytes(spec.code)
+      return (0 until nRows).map { r =>
+        val base = h.dataStart + r * rowLen + spec.offset
+        val (cnt, off) =
+          if (spec.desc == 'P')
+            (ByteBuffer.wrap(bytes, base, 4).getInt,
+              ByteBuffer.wrap(bytes, base + 4, 4).getInt.toLong)
+          else
+            (ByteBuffer.wrap(bytes, base, 8).getLong.toInt,
+              ByteBuffer.wrap(bytes, base + 8, 8).getLong)
+        val at0 = hs + off.toInt
+        spec.code match {
+          case 'A' => new String(bytes, at0, cnt, "US-ASCII").trim
+          case c => (0 until cnt).map(i => scalarAt(bytes, c, at0 + i * unit))
+        }
+      }
+    }
     require(spec.code == 'A' || spec.repeat == 1,
       s"column ${spec.name}: array cells (repeat=${spec.repeat}) not supported")
     (0 until nRows).map { r =>
       val base = h.dataStart + r * rowLen + spec.offset
       spec.code match {
         case 'A' => new String(bytes, base, spec.repeat, "US-ASCII").trim
-        case 'D' => ByteBuffer.wrap(bytes, base, 8).getDouble
-        case 'E' => ByteBuffer.wrap(bytes, base, 4).getFloat
-        case 'J' => ByteBuffer.wrap(bytes, base, 4).getInt
-        case 'I' => ByteBuffer.wrap(bytes, base, 2).getShort.toInt
-        case 'K' => ByteBuffer.wrap(bytes, base, 8).getLong
-        case 'B' => (bytes(base) & 0xff)
-        case 'L' => bytes(base) == 'T'.toByte
+        case c => scalarAt(bytes, c, base)
       }
     }
   }
@@ -164,7 +208,12 @@ object Fits {
         tableColumns.map { n =>
           val spec = specByName.getOrElse(n, throw new IllegalArgumentException(
             s"column $n not in $extName extension"))
-          StructField(n, ArrayType(elemType(spec.code), containsNull = false))
+          // fixed cells: one scalar per table row; var-length numeric
+          // cells: one array per table row (var 'A' decodes to a string)
+          val cell =
+            if (spec.desc == ' ' || spec.code == 'A') elemType(spec.code)
+            else ArrayType(elemType(spec.code), containsNull = false)
+          StructField(n, ArrayType(cell, containsNull = false))
         })
     val rows = files.rdd.flatMap { r =>
       val bytes = gunzipIfNeeded(r.getAs[Array[Byte]]("content"))

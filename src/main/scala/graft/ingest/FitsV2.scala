@@ -157,7 +157,9 @@ object FitsV2 {
       case 'K' => LongType
       case 'L' => BooleanType
     }
-    if (spec.code == 'A' || spec.repeat == 1) elem
+    if (spec.code == 'A') elem
+    else if (spec.desc != ' ') ArrayType(elem, containsNull = false)
+    else if (spec.repeat == 1) elem
     else ArrayType(elem, containsNull = false)
   }
 
@@ -171,9 +173,11 @@ object FitsV2 {
         cols.map(s => StructField(s.name, sparkType(s))))
   }
 
-  /** Decode one cell (scalar, string, or fixed-repeat array). */
+  /** Decode one cell (scalar, string, fixed-repeat array, or
+    * variable-length heap array — `heapStart` is the absolute heap
+    * offset of the cell's HDU, ignored for fixed cells). */
   private[ingest] def cellValue(bytes: Array[Byte], base: Int,
-                                spec: Fits.ColSpec): Any = {
+                                spec: Fits.ColSpec, heapStart: Int): Any = {
     import java.nio.ByteBuffer
     def scalar(code: Char, at: Int): Any = code match {
       case 'D' => ByteBuffer.wrap(bytes, at, 8).getDouble
@@ -184,13 +188,36 @@ object FitsV2 {
       case 'B' => bytes(at) & 0xff
       case 'L' => bytes(at) == 'T'.toByte
     }
-    if (spec.code == 'A')
+    def unit(code: Char): Int = code match {
+      case 'A' | 'L' | 'B' => 1
+      case 'I' => 2
+      case 'E' | 'J' => 4
+      case 'D' | 'K' => 8
+    }
+    if (spec.desc != ' ') {
+      val (cnt, off) =
+        if (spec.desc == 'P')
+          (ByteBuffer.wrap(bytes, base, 4).getInt,
+            ByteBuffer.wrap(bytes, base + 4, 4).getInt.toLong)
+        else
+          (ByteBuffer.wrap(bytes, base, 8).getLong.toInt,
+            ByteBuffer.wrap(bytes, base + 8, 8).getLong)
+      val at0 = heapStart + off.toInt
+      if (spec.code == 'A')
+        UTF8String.fromString(new String(bytes, at0, cnt, "US-ASCII").trim)
+      else {
+        val u = unit(spec.code)
+        new GenericArrayData(
+          (0 until cnt).map(i => scalar(spec.code, at0 + i * u)).toArray)
+      }
+    }
+    else if (spec.code == 'A')
       UTF8String.fromString(new String(bytes, base, spec.repeat, "US-ASCII").trim)
     else if (spec.repeat == 1) scalar(spec.code, base)
     else {
-      val unit = spec.cellBytes / spec.repeat
+      val unitB = spec.cellBytes / spec.repeat
       new GenericArrayData(
-        (0 until spec.repeat).map(i => scalar(spec.code, base + i * unit)).toArray)
+        (0 until spec.repeat).map(i => scalar(spec.code, base + i * unitB)).toArray)
     }
   }
 }
@@ -319,8 +346,9 @@ case class FitsReaderFactory(schema: StructType, hdu: Int,
         if (f.name == "_file") (_: Int) => pathValue
         else specByName.get(f.name) match {
           case Some(spec) =>
+            val hs = Fits.heapStart(ext)
             (r: Int) => FitsV2.cellValue(bytes,
-              ext.dataStart + r * rowLen + spec.offset, spec)
+              ext.dataStart + r * rowLen + spec.offset, spec, hs)
           case None => // a primary-header key column
             val v = primary.header.get(f.name)
               .map(UTF8String.fromString).orNull

@@ -161,8 +161,10 @@ object ScaleCheck {
       n
     }
 
-    // 5. custom as-of join: 1M probes x 1M quotes over 10k keys
-    time("asof_native (1M x 1M)") {
+    // shared as-of fixture: 1M probes (purchases) x 1M quotes (views,
+    // 3 value columns) over 10k keys — ONE definition so every native/
+    // window comparison below measures the same dataset
+    def asofFixture(): (DataFrame, DataFrame) = {
       val events10 = x10(core.Tables(spark, sfDir, "events")) { (d, i) =>
         d.withColumn("event_id", col("event_id") + lit(i * 10000000L))
           .withColumn("user_id", col("user_id") + lit(i * 1000L))
@@ -170,12 +172,20 @@ object ScaleCheck {
       val probes = events10.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("ts"))
       val quotes = events10.filter(col("event_type") === "view")
-        .select(col("user_id"), col("ts"), col("value"))
+        .select(col("user_id"), col("ts"), col("value"),
+          (col("value") * 2).as("v2"), (col("value") + 1).as("v3"))
+      (probes, quotes)
+    }
+
+    // 5. custom as-of join: 1M probes x 1M quotes over 10k keys
+    time("asof_native (1M x 1M)") {
+      val (probes, quotes) = asofFixture()
       // consume qv: a bare count() lets column pruning DELETE the window
       // from the window formulation (but not the custom exec) — every
       // as-of entry aggregates the carried value so both paths do the work
       org.apache.spark.sql.graft.AsOfJoinApi
-        .asOf(probes, quotes, Seq("user_id"), "ts", "value", "qv")
+        .asOf(probes, quotes.select(col("user_id"), col("ts"), col("value")),
+          Seq("user_id"), "ts", "value", "qv")
         .agg(count(col("qv"))).collect(); 1L
     }
 
@@ -185,16 +195,11 @@ object ScaleCheck {
     // union's column padding), so its gap vs the native merge should
     // widen with scale
     time("asof_window (1M x 1M)") {
-      val events10 = x10(core.Tables(spark, sfDir, "events")) { (d, i) =>
-        d.withColumn("event_id", col("event_id") + lit(i * 10000000L))
-          .withColumn("user_id", col("user_id") + lit(i * 1000L))
-      }
-      val probes = events10.filter(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), col("ts"))
-      val quotes = events10.filter(col("event_type") === "view")
-        .select(col("user_id"), col("ts"), col("value"))
-      ops.Relational.asOfLookup(probes, quotes, Seq("user_id"), "ts",
-        "value", "qv").agg(count(col("qv"))).collect(); 1L
+      val (probes, quotes) = asofFixture()
+      ops.Relational.asOfLookup(probes,
+        quotes.select(col("user_id"), col("ts"), col("value")),
+        Seq("user_id"), "ts", "value", "qv")
+        .agg(count(col("qv"))).collect(); 1L
     }
 
     // 5c/5d. MULTI-VALUE as-of, native vs window: carrying 3 quote
@@ -203,15 +208,7 @@ object ScaleCheck {
     // stream) — the composition where the custom exec's advantage is
     // structural, not constant-factor
     time("asof_multi_native (1M, 3 cols)") {
-      val events10 = x10(core.Tables(spark, sfDir, "events")) { (d, i) =>
-        d.withColumn("event_id", col("event_id") + lit(i * 10000000L))
-          .withColumn("user_id", col("user_id") + lit(i * 1000L))
-      }
-      val probes = events10.filter(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), col("ts"))
-      val quotes = events10.filter(col("event_type") === "view")
-        .select(col("user_id"), col("ts"), col("value"),
-          (col("value") * 2).as("v2"), (col("value") + 1).as("v3"))
+      val (probes, quotes) = asofFixture()
       org.apache.spark.sql.graft.AsOfJoinApi.asOfMulti(
         probes, quotes, Seq("user_id"), "ts",
         Seq("value", "v2", "v3"), Seq("q1", "q2", "q3"))
@@ -219,15 +216,7 @@ object ScaleCheck {
         .collect(); 1L
     }
     time("asof_multi_window (1M, 3 cols)") {
-      val events10 = x10(core.Tables(spark, sfDir, "events")) { (d, i) =>
-        d.withColumn("event_id", col("event_id") + lit(i * 10000000L))
-          .withColumn("user_id", col("user_id") + lit(i * 1000L))
-      }
-      val probes = events10.filter(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), col("ts"))
-      val quotes = events10.filter(col("event_type") === "view")
-        .select(col("user_id"), col("ts"), col("value"),
-          (col("value") * 2).as("v2"), (col("value") + 1).as("v3"))
+      val (probes, quotes) = asofFixture()
       val s1 = ops.Relational.asOfLookup(probes, quotes
         .select(col("user_id"), col("ts"), col("value")),
         Seq("user_id"), "ts", "value", "q1")

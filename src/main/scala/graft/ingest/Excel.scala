@@ -140,14 +140,15 @@ object Excel {
       out.toIndexedSeq
     }.getOrElse(IndexedSeq.empty)
 
-  /** Style classification from xl/styles.xml: for each cellXfs index, is
-    * it a date/time number format, and does it carry a time component?
-    * Built-in numFmtIds 14–22 and 45–47 are date/time; custom formats are
-    * classified by their format code (date tokens y/d, or time tokens
-    * h/s/AM-PM, outside quoted literals and [] sections — 'm' alone is
-    * ambiguous between month and minute, so it never decides by itself).
-    */
-  private def dateStyles(entries: Map[String, Array[Byte]]): Map[Int, Boolean] =
+  /** Style classification from xl/styles.xml: for each cellXfs index
+    * whose number format is temporal, its flavor — 'd' date-only,
+    * 't' time-only (no fabricated epoch date), 'x' datetime. Built-in
+    * numFmtIds 14–17 are dates, 18–21 and 45–47 times, 22 datetime;
+    * custom formats are classified by their format code (date tokens
+    * y/d vs time tokens h/s/AM-PM, outside quoted literals and []
+    * sections — 'm' alone is ambiguous between month and minute, so it
+    * never decides by itself). */
+  private def dateStyles(entries: Map[String, Array[Byte]]): Map[Int, Char] =
     entries.get("xl/styles.xml").map { b =>
       val r = factory.createXMLStreamReader(new ByteArrayInputStream(b))
       val customFmts = mutable.Map[Int, String]()
@@ -178,35 +179,48 @@ object Excel {
       def strip(code: String): String =
         code.replaceAll("\"[^\"]*\"", "").replaceAll("\\[[^\\]]*\\]", "")
           .replaceAll("\\\\.", "")
-      def isDate(fmtId: Int): Option[Boolean] = fmtId match {
-        case i if (i >= 14 && i <= 21) => Some(i >= 18) // 18–21 carry time
-        case 22 => Some(true)                           // m/d/yy h:mm
-        case i if i >= 45 && i <= 47 => Some(true)      // elapsed times
+      def flavor(fmtId: Int): Option[Char] = fmtId match {
+        case i if i >= 14 && i <= 17 => Some('d')  // dates
+        case i if i >= 18 && i <= 21 => Some('t')  // times of day
+        case 22 => Some('x')                       // m/d/yy h:mm
+        case i if i >= 45 && i <= 47 => Some('t')  // elapsed times
         case i => customFmts.get(i).flatMap { c =>
           val s = strip(c).toLowerCase
           val time = s.exists(ch => ch == 'h' || ch == 's') || s.contains("am/pm")
           val date = s.exists(ch => ch == 'y' || ch == 'd')
-          if (date || time) Some(time) else None
+          if (date && time) Some('x')
+          else if (date) Some('d')
+          else if (time) Some('t')
+          else None
         }
       }
       xfFmtIds.zipWithIndex.flatMap { case (fmtId, xfIdx) =>
-        isDate(fmtId).map(xfIdx -> _)
+        flavor(fmtId).map(xfIdx -> _)
       }.toMap
     }.getOrElse(Map.empty)
 
   /** Serial-day → ISO string. Excel day 0 is 1899-12-30 (the 1900-leap-bug
     * epoch every modern reader uses; serials below 61 — pre-March-1900 —
     * inherit the historical one-day ambiguity and are out of scope).
-    * Date-only styles render `yyyy-MM-dd`; time-bearing styles render
-    * `yyyy-MM-dd HH:mm:ss` with the fraction rounded to the second. */
-  private[graft] def serialToIso(serial: Double, withTime: Boolean): String = {
+    * `flavor` 'd' renders `yyyy-MM-dd`, 'x' `yyyy-MM-dd HH:mm:ss`, and
+    * 't' (time-only formats — no date in the cell at all) just
+    * `HH:mm:ss` from the fractional day, with no fabricated epoch date;
+    * all fractions round to the second. */
+  private[graft] def serialToIso(serial: Double, flavor: Char): String = {
     val secs = math.round(serial * 86400.0) - 25569L * 86400L
-    val dt = java.time.LocalDateTime.ofEpochSecond(secs, 0, java.time.ZoneOffset.UTC)
-    if (withTime)
-      "%04d-%02d-%02d %02d:%02d:%02d".format(dt.getYear, dt.getMonthValue,
-        dt.getDayOfMonth, dt.getHour, dt.getMinute, dt.getSecond)
-    else
-      "%04d-%02d-%02d".format(dt.getYear, dt.getMonthValue, dt.getDayOfMonth)
+    if (flavor == 't') {
+      val s = math.round(serial * 86400.0) % 86400L
+      val t = if (s < 0) s + 86400L else s
+      "%02d:%02d:%02d".format(t / 3600, t / 60 % 60, t % 60)
+    } else {
+      val dt = java.time.LocalDateTime.ofEpochSecond(secs, 0,
+        java.time.ZoneOffset.UTC)
+      if (flavor == 'x')
+        "%04d-%02d-%02d %02d:%02d:%02d".format(dt.getYear, dt.getMonthValue,
+          dt.getDayOfMonth, dt.getHour, dt.getMinute, dt.getSecond)
+      else
+        "%04d-%02d-%02d".format(dt.getYear, dt.getMonthValue, dt.getDayOfMonth)
+    }
   }
 
   /** "B3" → column 1 (letters are bijective base-26). */

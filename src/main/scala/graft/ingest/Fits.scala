@@ -122,10 +122,15 @@ object Fits {
       val form = h.header(s"TFORM$j")
       val spec = VarFormRe.findFirstMatchIn(form) match {
         case Some(m) =>
-          // rPt(max)/rQt(max): one (count, offset) descriptor per cell
-          // (r is 0 or 1 by the standard), elements of type t in the heap
-          ColSpec(name, m.group(3).head, 1, offset,
-            if (m.group(2) == "P") 8 else 16, m.group(2).head)
+          // rPt(max)/rQt(max): r (count, offset) descriptors per cell —
+          // the standard restricts r to 0 or 1; r=0 occupies no bytes
+          // and always decodes empty. Anything else is rejected loudly
+          // (a silently-ignored r would misalign every later column).
+          val r = if (m.group(1).isEmpty) 1 else m.group(1).toInt
+          require(r <= 1,
+            s"variable-length column $name ($form): repeat $r > 1 is not valid FITS")
+          ColSpec(name, m.group(3).head, r, offset,
+            r * (if (m.group(2) == "P") 8 else 16), m.group(2).head)
         case None =>
           val m = FormRe.findFirstMatchIn(form).getOrElse(
             throw new IllegalArgumentException(s"unsupported TFORM '$form' for $name"))
@@ -150,6 +155,8 @@ object Fits {
       // 'A' decodes to one string, numeric types to one Seq per row
       val hs = heapStart(h)
       val unit = unitBytes(spec.code)
+      if (spec.repeat == 0)
+        return IndexedSeq.fill(nRows)(if (spec.code == 'A') "" else Seq.empty)
       return (0 until nRows).map { r =>
         val base = h.dataStart + r * rowLen + spec.offset
         val (cnt, off) =

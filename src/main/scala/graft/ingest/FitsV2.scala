@@ -195,6 +195,9 @@ object FitsV2 {
       case 'D' | 'K' => 8
     }
     if (spec.desc != ' ') {
+      if (spec.repeat == 0)
+        return if (spec.code == 'A') UTF8String.fromString("")
+               else new GenericArrayData(Array.empty[Any])
       val (cnt, off) =
         if (spec.desc == 'P')
           (ByteBuffer.wrap(bytes, base, 4).getInt,

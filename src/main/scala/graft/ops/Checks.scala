@@ -24,11 +24,13 @@ object Checks {
       avg(when(col(c).isNotNull, 1.0).otherwise(0.0)), threshold)
 
   /** Distinct fraction of a (possibly composite) key: 1.0 = unique.
-    * Composite keys concatenate with a separator so the SQL twin is the
-    * same expression in any engine. */
+    * Composite keys count distinct STRUCT values — no separator encoding
+    * (concatenation collides on embedded separators and silently skips
+    * null components), and rows with null key parts still count as
+    * values. The SQL twin is `COUNT(DISTINCT (a, b, ...))`. */
   def uniqueness(cols: Seq[String], threshold: Double = 1.0): Check =
     Check(s"uniqueness_${cols.mkString("_")}",
-      countDistinct(concat_ws("|", cols.map(col): _*)).cast("double") /
+      countDistinct(struct(cols.map(col): _*)).cast("double") /
         count(lit(1)).cast("double"), threshold)
 
   /** Fraction of values inside [lo, hi]; nulls count as violations. */
@@ -48,6 +50,12 @@ object Checks {
     * posexplode. */
   def audit(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "audit needs at least one check")
+    // two checks with one name (e.g. warn + error thresholds on the same
+    // column) would make the unpivot's column references ambiguous —
+    // construct Check directly with distinct metric names for that
+    val dup = checks.groupBy(_.metric).collect { case (m, cs) if cs.size > 1 => m }
+    require(dup.isEmpty,
+      s"duplicate metric names: ${dup.mkString(", ")} — give each Check a distinct name")
     val wide = df.agg(checks.head.agg.as(checks.head.metric),
       checks.tail.map(c => c.agg.as(c.metric)): _*)
     val packed = array(checks.map(c =>

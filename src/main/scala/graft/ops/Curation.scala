@@ -23,6 +23,23 @@ object Curation {
       least(acc, conv(substring(md5(concat(lit(s"$j "), sgl)), 1, 15), 16, 10)
         .cast("long")))
 
+  /** `(id, sh)` (distinct shingle array) → `(id, j, bh)` LSH band hashes
+    * of the md5 signature family — the ONE definition both [[flags]] and
+    * [[mdCandidatePairs]] share, so the family cannot silently diverge
+    * from the DuckDB twins that re-derive it. */
+  private def bandHashes(withShingles: DataFrame, idCol: String,
+                         numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val comps = (0 until numHashes).map(j => mdComp(col("sh"), j))
+    withShingles.select(col(idCol), array(comps: _*).as("cs"))
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)), j =>
+          md5(concat_ws(",", transform(
+            slice(col("cs"), j * r + 1, lit(r)), _.cast("string"))))))
+          .as(Seq("j", "bh")))
+  }
+
   /** Per-document curation flags over `docs(idCol, textCol)`:
     * `pred_lang` (marker-argmax language id), `q_keep` (quality gate),
     * `keep_exact` (smallest quality doc id of the fingerprint group),
@@ -31,8 +48,6 @@ object Curation {
   def flags(docs: DataFrame, idCol: String, textCol: String,
             stopwords: Seq[String], markers: Seq[(String, Seq[String])],
             shingleK: Int = 4, numHashes: Int = 16, bands: Int = 4): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
     val id = col(idCol)
     val qm = Text.qualityMetrics(col(textCol), stopwords)
     val base = docs.select(id,
@@ -47,17 +62,11 @@ object Curation {
     // EvalBarrier: keeps the q_keep predicate above any fan-out
     // repartition feeding `docs` (split + filter HOFs must not sink onto
     // a single pre-shuffle parquet partition)
-    val comps = (0 until numHashes).map(j => mdComp(col("sh"), j))
-    val sig = base
+    val banded = bandHashes(base
       .filter(graft.functions.GraftExtensions.evalBarrier(col("q_keep")))
       .select(id, array_distinct(graft.functions.GraftExtensions
-        .shingles(col("ws"), shingleK)).as("sh"))
-      .select(id, array(comps: _*).as("cs"))
-    val banded = sig.select(id,
-      posexplode(transform(sequence(lit(0), lit(bands - 1)), j =>
-        md5(concat_ws(",", transform(
-          slice(col("cs"), j * r + 1, lit(r)), _.cast("string"))))))
-        .as(Seq("j", "bh")))
+        .shingles(col("ws"), shingleK)).as("sh")),
+      idCol, numHashes, bands)
     val dropped = banded.groupBy("j", "bh")
       .agg(min(idCol).as("m"), collect_set(idCol).as("ids"))
       .select(explode(col("ids")).as(idCol), col("m"))
@@ -77,19 +86,11 @@ object Curation {
   def mdCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
                        shingleK: Int = 4, numHashes: Int = 16, bands: Int = 4,
                        maxBucketSize: Int = 1000): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
     val id = col(idCol)
-    val comps = (0 until numHashes).map(j => mdComp(col("sh"), j))
-    val sig = docs
+    val banded = bandHashes(docs
       .select(id, array_distinct(graft.functions.GraftExtensions
-        .shingles(split(col(textCol), " ", -1), shingleK)).as("sh"))
-      .select(id, array(comps: _*).as("cs"))
-    val banded = sig.select(id,
-      posexplode(transform(sequence(lit(0), lit(bands - 1)), j =>
-        md5(concat_ws(",", transform(
-          slice(col("cs"), j * r + 1, lit(r)), _.cast("string"))))))
-        .as(Seq("j", "bh")))
+        .shingles(split(col(textCol), " ", -1), shingleK)).as("sh")),
+      idCol, numHashes, bands)
     val buckets = banded.groupBy("j", "bh")
       .agg(sort_array(collect_set(id)).as("ids"))
       .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucketSize)

@@ -50,11 +50,19 @@ object Graph {
     */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
                           maxRounds: Int = 30): DataFrame = {
-    // fixpoint ⟺ star forest: no parent is also a child. Connectivity is
+    // fixpoint ⟺ proper star forest: no parent is also a child AND every
+    // child has exactly one parent. (The second clause matters: the
+    // frontier {(1,5),(2,5)} satisfies the first alone, yet is NOT a
+    // fixpoint — node 5 would belong to two stars.) Connectivity is
     // invariant across rounds and emitted edges always point small ←
-    // large, so a star forest's roots are exactly the component minima.
+    // large, so a proper star forest's roots are exactly the component
+    // minima. One aggregate job over the checkpointed frontier.
     def isStarForest(f: DataFrame): Boolean =
-      f.join(f.select(col("v").as("u")).distinct(), Seq("u"), "left_semi")
+      f.select(col("v").as("n"), lit(1L).as("c"))
+        .unionAll(f.select(col("u").as("n"), lit(0L).as("c")))
+        .groupBy("n")
+        .agg(sum(col("c")).as("nc"), count(lit(1)).as("cnt"))
+        .filter(col("nc") > 1 || (col("nc") >= 1 && col("cnt") > col("nc")))
         .isEmpty
 
     // canonical frontier: (u, v) with u < v, distinct, no self-loops

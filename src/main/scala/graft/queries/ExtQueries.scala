@@ -546,8 +546,8 @@ object ExtQueries {
     Q("pipe_data_quality",
       """WITH m AS (SELECT
         |  AVG(CASE WHEN l_shipdate IS NOT NULL THEN 1.0 ELSE 0.0 END) AS c_ship,
-        |  CAST(COUNT(DISTINCT CAST(l_orderkey AS VARCHAR) || '|' ||
-        |    CAST(l_linenumber AS VARCHAR)) AS DOUBLE) / COUNT(*) AS uniq,
+        |  CAST(COUNT(DISTINCT (l_orderkey, l_linenumber)) AS DOUBLE)
+        |    / COUNT(*) AS uniq,
         |  AVG(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 1.0 ELSE 0.0 END) AS r_qty,
         |  AVG(CASE WHEN l_returnflag IN ('A','N','R') THEN 1.0 ELSE 0.0 END) AS a_rf,
         |  AVG(CASE WHEN l_discount BETWEEN 0.0 AND 0.05 THEN 1.0 ELSE 0.0 END) AS r_disc

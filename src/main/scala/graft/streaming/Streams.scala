@@ -190,7 +190,12 @@ object Streams {
     * packed side is aggregated once per (re)start and joined per batch;
     * Spark broadcasts it when small. Null-keyed/timed quotes are dropped
     * (match nothing); a null probe time yields null. Semantics pinned
-    * equal to the batch window form in MergeStreamSpec. */
+    * equal to the batch window form in MergeStreamSpec for quotes
+    * deduped per (key, time) — at DUPLICATE (key, time) quotes this
+    * path deterministically picks the max value (struct sort breaks
+    * time-ties by value) where the batch formulations are
+    * order-dependent; dedupe the quote side first, as with every as-of
+    * variant here. */
   def streamingAsOf(probeStream: DataFrame, quotes: DataFrame,
                     keys: Seq[String], timeCol: String,
                     quoteVal: String, outCol: String): DataFrame = {
@@ -199,10 +204,14 @@ object Streams {
       .groupBy(keys.map(col): _*)
       .agg(sort_array(collect_list(
         struct(col(timeCol).as("t"), col(quoteVal).as("v")))).as("__q"))
-    val hits = filter(col("__q"), q => q.getField("t") <= col(timeCol))
     probeStream.join(packed, keys, "left")
-      .withColumn(outCol, get(hits, size(hits) - 1).getField("v"))
-      .drop("__q")
+      // materialize the filtered hits once; referencing the HOF twice in
+      // one projection would evaluate it twice per row
+      .withColumn("__hits",
+        filter(col("__q"), q => q.getField("t") <= col(timeCol)))
+      .withColumn(outCol,
+        get(col("__hits"), size(col("__hits")) - 1).getField("v"))
+      .drop("__q", "__hits")
   }
 
   /** Event-time tumbling-window aggregation with a watermark — the

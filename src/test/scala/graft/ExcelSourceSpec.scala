@@ -107,11 +107,14 @@ class ExcelSourceSpec extends SparkSpec {
 
   test("custom numFmt codes classify date vs time vs plain number") {
     // hand-check the serial conversion boundaries too
-    assert(Excel.serialToIso(45352.0, withTime = false) == "2024-03-01")
-    assert(Excel.serialToIso(45352.573264, withTime = true)
+    assert(Excel.serialToIso(45352.0, 'd') == "2024-03-01")
+    assert(Excel.serialToIso(45352.573264, 'x')
       .startsWith("2024-03-01 13:45:3"))
+    // time-only flavor: no fabricated epoch date
+    assert(Excel.serialToIso(45352.5, 't') == "12:00:00")
+    assert(Excel.serialToIso(0.75, 't') == "18:00:00")
     // day 25569 is the unix epoch
-    assert(Excel.serialToIso(25569.0, withTime = false) == "1970-01-01")
+    assert(Excel.serialToIso(25569.0, 'd') == "1970-01-01")
 
     // hand-built workbook with CUSTOM formats: a date code, an elapsed-time
     // code, a plain numeric code with quoted date letters ("days"), and a
@@ -140,7 +143,7 @@ class ExcelSourceSpec extends SparkSpec {
     assert(s.rows.map(_.toSeq) == Seq(
       // custom date → ISO date; custom elapsed time → datetime; the
       // quoted-"days" and [$USD] codes stay raw numbers
-      Seq("2024-03-01", "2024-03-01 12:00:00", "3.25", "19.99")))
+      Seq("2024-03-01", "12:00:00", "3.25", "19.99")))
   }
 
   test("glob read unions matching workbooks, one task per file") {

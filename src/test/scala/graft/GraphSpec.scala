@@ -63,6 +63,20 @@ class GraphSpec extends SparkSpec {
     assert(cc(Seq.empty) == Map.empty)
   }
 
+  test("shared-child star is NOT a fixpoint (review regression)") {
+    // {(1,5),(2,5)}: no parent is also a child, but node 5 has two
+    // parents — the weak convergence test accepted this as converged and
+    // emitted node 5 in TWO clusters. One component, min id 1.
+    assert(cc(Seq((1L, 5L), (2L, 5L))) == Map(1L -> 1L, 2L -> 1L, 5L -> 1L))
+  }
+
+  test("multi-parent shape mid-iteration converges to one component") {
+    // {(1,3),(1,10),(2,3),(2,11)}: reachable as a frontier mid-iteration;
+    // children 3 has parents 1 and 2 — all five nodes are one component
+    val got = cc(Seq((1L, 3L), (1L, 10L), (2L, 3L), (2L, 11L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 1L, 11L -> 1L))
+  }
+
   test("representatives picks highest score, ties to smallest node") {
     val labeled = Seq(
       (2L, 1L, 10), (1L, 1L, 30), (3L, 1L, 30),   // cluster 1: 1 and 3 tie on score

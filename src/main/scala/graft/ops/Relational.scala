@@ -239,4 +239,50 @@ object Relational {
       .filter(abs(col(valueCol) - col("__mu")) > lit(k) * col("__sigma"))
       .drop("__mu", "__sigma")
   }
+
+  /** Distributed prefix sum: `outCol` = running total of `valueCol` in
+    * `orderCol` order (inclusive). The naive formulation — one window
+    * over a global ORDER BY — collapses to a single partition; this is
+    * the two-phase form that survives scale:
+    *
+    *   1. split the order key's range into `buckets` slices at
+    *      approx-quantile boundaries (a PURE EXPRESSION of the row, so
+    *      every branch and re-execution assigns identically — unlike
+    *      `spark_partition_id` after a sampled range exchange, whose
+    *      boundaries can differ between materializations) and cumsum
+    *      WITHIN each bucket, all buckets in parallel;
+    *   2. per-bucket totals (one tiny row per bucket) prefix-sum into
+    *      starting offsets — the only serial step, bounded by the BUCKET
+    *      count — broadcast back onto phase 1.
+    *
+    * The result depends only on the order, never on where the boundaries
+    * land (they only control balance). Costs one boundary-probe pass plus
+    * the compute pass; persist the input upstream if it is expensive.
+    * `orderCol` must be a numeric total order (ties across a bucket
+    * boundary would make the split ambiguous). */
+  def prefixSum(df: DataFrame, orderCol: String, valueCol: String,
+                outCol: String, buckets: Int = 0): DataFrame = {
+    val n =
+      if (buckets > 0) buckets
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val bounds = df.stat
+      .approxQuantile(orderCol, (1 until n).map(_.toDouble / n).toArray, 0.001)
+      .distinct.sorted
+    val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col(orderCol) > b, 1).otherwise(0)
+    }
+    val withB = df.withColumn("__b", bucket)
+    val wIn = Window.partitionBy("__b").orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = withB.withColumn("__local", sum(col(valueCol)).over(wIn))
+    val wOff = Window.orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withB.groupBy("__b")
+      .agg(sum(col(valueCol)).as("__btotal"))
+      .withColumn("__offset", coalesce(sum("__btotal").over(wOff), lit(0L)))
+      .select("__b", "__offset")
+    local.join(broadcast(offsets), "__b")
+      .withColumn(outCol, col("__local") + col("__offset"))
+      .drop("__b", "__local")
+  }
 }

@@ -627,6 +627,34 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Sequence packing: bin documents (in doc_id order) into fixed
+    // 4096-token training sequences by running token offset — the
+    // pretraining packing step. The running total uses the DISTRIBUTED
+    // two-phase prefix sum (Relational.prefixSum: range partition +
+    // per-partition cumsum + tiny offset table), not a single-partition
+    // global window; the oracle recomputes it with a plain SUM OVER.
+    Q("pipe_seq_pack",
+      """WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS nt
+        |    FROM documents),
+        |c AS (SELECT doc_id, nt,
+        |    SUM(nt) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t),
+        |b AS (SELECT CAST(floor((cum - nt) / 4096.0) AS BIGINT) AS bin, nt
+        |  FROM c)
+        |SELECT bin, COUNT(*) AS n_docs, SUM(nt)::BIGINT AS sum_tokens,
+        |  ROUND(SUM(nt) / 4096.0, 4) AS fill
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir, "documents")
+        .select(col("doc_id"), size(split(col("text"), " ", -1)).as("nt"))
+      graft.ops.Relational.prefixSum(t, "doc_id", "nt", "cum")
+        .withColumn("bin",
+          floor((col("cum") - col("nt")) / 4096.0).cast("long"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"), sum("nt").as("sum_tokens"),
+          round(sum("nt") / 4096.0, 4).as("fill"))
+        .orderBy("bin")
+    },
+
     // Multimodal plumbing: opaque binary payload column + metadata derived
     // without decoding (byte length, md5 digest). The decode itself is
     // stubbed (no codecs in-container); the schema/partition path is real.

@@ -62,4 +62,34 @@ class RelationalSpec extends SparkSpec {
     val out = Relational.globalSigmaOutliers(df, "v", 2.0).as[Double].collect()
     assert(out.toSeq == Seq(1000.0))
   }
+
+  test("prefixSum equals a single-window cumsum, including negatives") {
+    val df = spark.range(1, 501).select(
+      col("id").as("k"),
+      (when(col("id") % 7 === 0, -col("id")).otherwise(col("id") % 97))
+        .cast("long").as("v"))
+    val got = Relational.prefixSum(df, "k", "v", "cum")
+      .select("k", "cum").as[(Long, Long)].collect().toMap
+    // reference: driver-side running total in k order
+    val rows = df.as[(Long, Long)].collect().sortBy(_._1)
+    var acc = 0L
+    for ((k, v) <- rows) {
+      acc += v
+      assert(got(k) == acc, s"k=$k")
+    }
+    assert(got.size == 500)
+  }
+
+  test("prefixSum spreads work over multiple range partitions") {
+    val df = spark.range(1, 2001).select(col("id").as("k"), lit(1L).as("v"))
+    val out = Relational.prefixSum(df, "k", "v", "cum")
+    // cum of an all-ones column in k order is k itself
+    assert(out.filter(col("cum") =!= col("k")).isEmpty)
+    // the running total must come from the two-phase bucketed form —
+    // the DATA-side window is partitioned by the bucket column, never a
+    // global-order window over the rows (only the tiny per-bucket offset
+    // table goes through a single-partition window)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("windowspecdefinition(__b"), plan)
+  }
 }

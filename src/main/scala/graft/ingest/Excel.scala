@@ -179,19 +179,26 @@ object Excel {
       def strip(code: String): String =
         code.replaceAll("\"[^\"]*\"", "").replaceAll("\\[[^\\]]*\\]", "")
           .replaceAll("\\\\.", "")
+      val elapsedRe = "(?i)\\[(h+|m+|s+)\\]".r
       def flavor(fmtId: Int): Option[Char] = fmtId match {
         case i if i >= 14 && i <= 17 => Some('d')  // dates
         case i if i >= 18 && i <= 21 => Some('t')  // times of day
         case 22 => Some('x')                       // m/d/yy h:mm
-        case i if i >= 45 && i <= 47 => Some('t')  // elapsed times
+        case 45 | 47 => Some('t')                  // mm:ss displays
+        case 46 => Some('e')                       // [h]:mm:ss elapsed
         case i => customFmts.get(i).flatMap { c =>
-          val s = strip(c).toLowerCase
-          val time = s.exists(ch => ch == 'h' || ch == 's') || s.contains("am/pm")
-          val date = s.exists(ch => ch == 'y' || ch == 'd')
-          if (date && time) Some('x')
-          else if (date) Some('d')
-          else if (time) Some('t')
-          else None
+          // bracketed h/m/s sections mean ELAPSED duration — check before
+          // strip() removes the brackets
+          if (elapsedRe.findFirstIn(c).isDefined) Some('e')
+          else {
+            val s = strip(c).toLowerCase
+            val time = s.exists(ch => ch == 'h' || ch == 's') || s.contains("am/pm")
+            val date = s.exists(ch => ch == 'y' || ch == 'd')
+            if (date && time) Some('x')
+            else if (date) Some('d')
+            else if (time) Some('t')
+            else None
+          }
         }
       }
       xfFmtIds.zipWithIndex.flatMap { case (fmtId, xfIdx) =>
@@ -202,26 +209,32 @@ object Excel {
   /** Serial-day → ISO string. Excel day 0 is 1899-12-30 (the 1900-leap-bug
     * epoch every modern reader uses; serials below 61 — pre-March-1900 —
     * inherit the historical one-day ambiguity and are out of scope).
-    * `flavor` 'd' renders `yyyy-MM-dd`, 'x' `yyyy-MM-dd HH:mm:ss`, and
-    * 't' (time-only formats — no date in the cell at all) just
-    * `HH:mm:ss` from the fractional day, with no fabricated epoch date;
-    * all fractions round to the second. */
-  private[graft] def serialToIso(serial: Double, flavor: Char): String = {
-    val secs = math.round(serial * 86400.0) - 25569L * 86400L
-    if (flavor == 't') {
-      val s = math.round(serial * 86400.0) % 86400L
-      val t = if (s < 0) s + 86400L else s
-      "%02d:%02d:%02d".format(t / 3600, t / 60 % 60, t % 60)
-    } else {
-      val dt = java.time.LocalDateTime.ofEpochSecond(secs, 0,
-        java.time.ZoneOffset.UTC)
-      if (flavor == 'x')
+    * `flavor` 'd' renders `yyyy-MM-dd` (from the FLOOR of the serial —
+    * a date cell's time fraction must not round it into the next day),
+    * 'x' `yyyy-MM-dd HH:mm:ss`, 't' (time-of-day formats) `HH:mm:ss`
+    * from the fractional day with no fabricated epoch date, and 'e'
+    * (elapsed [h]-style formats) unbounded `H:mm:ss` — 1.5 days is
+    * `36:00:00`, not wrapped mod 24. Time fractions round to the
+    * second. */
+  private[graft] def serialToIso(serial: Double, flavor: Char): String =
+    flavor match {
+      case 't' =>
+        val s = math.round(serial * 86400.0) % 86400L
+        val t = if (s < 0) s + 86400L else s
+        "%02d:%02d:%02d".format(t / 3600, t / 60 % 60, t % 60)
+      case 'e' =>
+        val s = math.round(serial * 86400.0)
+        "%d:%02d:%02d".format(s / 3600, math.abs(s) / 60 % 60, math.abs(s) % 60)
+      case 'd' =>
+        val d = java.time.LocalDate.ofEpochDay(math.floor(serial).toLong - 25569L)
+        "%04d-%02d-%02d".format(d.getYear, d.getMonthValue, d.getDayOfMonth)
+      case _ =>
+        val secs = math.round(serial * 86400.0) - 25569L * 86400L
+        val dt = java.time.LocalDateTime.ofEpochSecond(secs, 0,
+          java.time.ZoneOffset.UTC)
         "%04d-%02d-%02d %02d:%02d:%02d".format(dt.getYear, dt.getMonthValue,
           dt.getDayOfMonth, dt.getHour, dt.getMinute, dt.getSecond)
-      else
-        "%04d-%02d-%02d".format(dt.getYear, dt.getMonthValue, dt.getDayOfMonth)
     }
-  }
 
   /** "B3" → column 1 (letters are bijective base-26). */
   private[ingest] def colIndex(ref: String): Int = {

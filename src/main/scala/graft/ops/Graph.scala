@@ -42,11 +42,12 @@ object Graph {
     * and re-execute it every round. (On a real cluster with unreliable
     * executors, swap for `checkpoint` against the cluster checkpoint
     * dir; the call is the only line that changes.) Convergence is the
-    * exact star-forest test: both star phases only emit parent < child
-    * edges, so the frontier is a fixpoint exactly when no node appears
-    * as both a parent and a child — one semi-join job per round on the
-    * checkpointed frontier, and it fires one round earlier than a
-    * set-equality compare would.
+    * exact PROPER-star-forest test: both star phases only emit
+    * parent < child edges, so the frontier is a fixpoint exactly when no
+    * node is both a parent and a child AND every child has exactly one
+    * parent (the first clause alone is NOT sufficient — see the inline
+    * note). One aggregate job per round on the checkpointed frontier,
+    * firing one round earlier than a set-equality compare would.
     */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
                           maxRounds: Int = 30): DataFrame = {

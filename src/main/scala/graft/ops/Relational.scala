@@ -257,14 +257,22 @@ object Relational {
     *
     * The result depends only on the order, never on where the boundaries
     * land (they only control balance). Costs one boundary-probe pass plus
-    * the compute pass; persist the input upstream if it is expensive.
-    * `orderCol` must be a numeric total order (ties across a bucket
-    * boundary would make the split ambiguous). */
+    * the compute pass, and the input is read by BOTH phases — a
+    * nondeterministic input (sample, limit, rand) MUST be persisted or
+    * materialized first or the offset table can disagree with the
+    * per-bucket sums; for expensive deterministic inputs persisting is
+    * merely the perf fix. `orderCol` must be a numeric total order (ties
+    * across a bucket boundary would make the split ambiguous). Bucket
+    * assignment is a linear when-chain, so the bucket count is capped at
+    * 64 — ample parallelism for the serial phase-2 step it bounds. */
   def prefixSum(df: DataFrame, orderCol: String, valueCol: String,
                 outCol: String, buckets: Int = 0): DataFrame = {
     val n =
       if (buckets > 0) buckets
-      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+      else math.min(64,
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+          .toIntOption.getOrElse(
+            df.sparkSession.sparkContext.defaultParallelism)).max(1)
     val bounds = df.stat
       .approxQuantile(orderCol, (1 until n).map(_.toDouble / n).toArray, 0.001)
       .distinct.sorted
@@ -283,6 +291,6 @@ object Relational {
       .select("__b", "__offset")
     local.join(broadcast(offsets), "__b")
       .withColumn(outCol, col("__local") + col("__offset"))
-      .drop("__b", "__local")
+      .drop("__b", "__local", "__offset")
   }
 }

@@ -113,12 +113,17 @@ class ExcelSourceSpec extends SparkSpec {
     // time-only flavor: no fabricated epoch date
     assert(Excel.serialToIso(45352.5, 't') == "12:00:00")
     assert(Excel.serialToIso(0.75, 't') == "18:00:00")
+    // elapsed flavor: unbounded hours, no mod-24 wrap
+    assert(Excel.serialToIso(1.5, 'e') == "36:00:00")
+    // date flavor floors — a fraction near midnight stays on its day
+    assert(Excel.serialToIso(45352.999995, 'd') == "2024-03-01")
     // day 25569 is the unix epoch
     assert(Excel.serialToIso(25569.0, 'd') == "1970-01-01")
 
     // hand-built workbook with CUSTOM formats: a date code, an elapsed-time
-    // code, a plain numeric code with quoted date letters ("days"), and a
-    // currency-ish bracket code — only the first two may convert
+    // code (serial 1.5 -> 36 unbounded hours), a plain numeric code with
+    // quoted date letters ("days"), and a currency-ish bracket code —
+    // only the first two may convert
     def entry(zip: ZipOutputStream, name: String, content: String): Unit = {
       zip.putNextEntry(new ZipEntry(name))
       zip.write(content.getBytes("UTF-8")); zip.closeEntry()
@@ -136,14 +141,14 @@ class ExcelSourceSpec extends SparkSpec {
     entry(zip, "xl/worksheets/sheet1.xml",
       """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""" +
         """<row r="1"><c r="A1" t="inlineStr"><is><t>a</t></is></c><c r="B1" t="inlineStr"><is><t>b</t></is></c><c r="C1" t="inlineStr"><is><t>c</t></is></c><c r="D1" t="inlineStr"><is><t>d</t></is></c></row>""" +
-        """<row r="2"><c r="A2" s="1"><v>45352</v></c><c r="B2" s="2"><v>45352.5</v></c><c r="C2" s="3"><v>3.25</v></c><c r="D2" s="4"><v>19.99</v></c></row>""" +
+        """<row r="2"><c r="A2" s="1"><v>45352</v></c><c r="B2" s="2"><v>1.5</v></c><c r="C2" s="3"><v>3.25</v></c><c r="D2" s="4"><v>19.99</v></c></row>""" +
         """</sheetData></worksheet>""")
     zip.close()
     val s = Excel.parseSheet(buf.toByteArray, 0)
     assert(s.rows.map(_.toSeq) == Seq(
       // custom date → ISO date; custom elapsed time → datetime; the
       // quoted-"days" and [$USD] codes stay raw numbers
-      Seq("2024-03-01", "12:00:00", "3.25", "19.99")))
+      Seq("2024-03-01", "36:00:00", "3.25", "19.99")))
   }
 
   test("glob read unions matching workbooks, one task per file") {

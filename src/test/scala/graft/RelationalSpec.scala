@@ -91,5 +91,9 @@ class RelationalSpec extends SparkSpec {
     // table goes through a single-partition window)
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("windowspecdefinition(__b"), plan)
+    // and no window may be ORDERED by the data key without a partition
+    // spec — the regression this contract exists to catch (the offsets
+    // window orders by __b, never by k)
+    assert(!plan.contains("windowspecdefinition(k#"), plan)
   }
 }

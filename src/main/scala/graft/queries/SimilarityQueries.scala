@@ -133,6 +133,48 @@ object SimilarityQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // Embedding near-dup CLUSTERS: the cosine candidate pairs above fed
+    // through connected components (ops.Graph) — the embedding-space
+    // counterpart of dedup_cc_clusters, so near-dup groups found by ANY
+    // similarity modality resolve to one keeper the same way. Oracle
+    // recomputes pairs AND components (recursive reachability)
+    // independently.
+    Q("dedup_embed_clusters",
+      """WITH RECURSIVE
+        |e AS (SELECT a.vec_id AS ua, b.vec_id AS vb
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |      CAST(b.embedding AS DOUBLE[])), 3) >= 0.35),
+        |edges AS (SELECT ua AS u, vb AS v FROM e UNION SELECT vb, ua FROM e),
+        |reach(id, r) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+        |  UNION
+        |  SELECT ed.v, re.r FROM reach re JOIN edges ed ON ed.u = re.id),
+        |comp AS (SELECT id AS vec_id, MIN(r) AS cluster FROM reach GROUP BY id)
+        |SELECT c.vec_id, c.cluster, s.cluster_size,
+        |  c.vec_id = c.cluster AS is_keeper
+        |FROM comp c JOIN (SELECT cluster, COUNT(*) AS cluster_size
+        |  FROM comp GROUP BY cluster) s USING (cluster)
+        |ORDER BY c.vec_id""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+        .select(col("label"), col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+      val a = e.select(col("label"), col("vec_id").as("id_a"), col("v").as("va"))
+      val b = e.select(col("label"), col("vec_id").as("id_b"), col("v").as("vb"))
+      val pairs = a.join(b, Seq("label"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(round(Similarity.cosine(col("va"), col("vb")), 3) + lit(0) >= 0.35)
+        .select("id_a", "id_b")
+      graft.ops.Graph.connectedComponents(pairs, "id_a", "id_b")
+        .withColumn("cluster_size",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy("cluster")))
+        .select(col("node").as("vec_id"), col("cluster"), col("cluster_size"),
+          (col("node") === col("cluster")).as("is_keeper"))
+        .orderBy("vec_id")
+    },
+
     // LSH-bucketed ANN (no SQL oracle — bucket assignment is seeded;
     // recall-vs-brute-force is verified in SimilaritySpec). Emits the
     // bucket occupancy histogram, which is deterministic.

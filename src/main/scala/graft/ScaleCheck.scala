@@ -73,6 +73,42 @@ object ScaleCheck {
         .filter(col("sim") >= 0.35).count()
     }
 
+    // 2b. ANN near-dup END-TO-END at 20k vectors: banded sign-LSH
+    // candidates → exact-cosine verify → connected components →
+    // norm-scored representative — the composition that replaces the
+    // label-blocked pair source (entry 2) at scale. Candidates may come
+    // ONLY from the (band, bucket) equi-join: the require pins candidate
+    // volume two orders below all-pairs (20k² / 2 = 200M), so a silent
+    // fall-through to a cross join fails the check rather than just
+    // slowing it.
+    time("dedup_ann_e2e (20k vecs)") {
+      val e = emb10.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val planes = ops.Similarity.portablePlanes(nBits = 16, dim = 64)
+      val banded = e.select(col("vec_id"),
+          explode(ops.Similarity.lshBands(col("v"), planes, bandBits = 8)).as("bb"))
+        .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"),
+          col("vec_id"))
+      val cand = banded.select(col("band"), col("bucket"), col("vec_id").as("id_a"))
+        .join(banded.select(col("band"), col("bucket"), col("vec_id").as("id_b")),
+          Seq("band", "bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+      val nCand = cand.count()
+      require(nCand < 4000000L,
+        s"candidate volume looks all-pairs (${nCand} of 200M possible)")
+      val pairs = cand
+        .join(e.select(col("vec_id").as("id_a"), col("v").as("va")), "id_a")
+        .join(e.select(col("vec_id").as("id_b"), col("v").as("vb")), "id_b")
+        .filter(round(ops.Similarity.cosine(col("va"), col("vb")), 3) >= 0.35)
+        .select("id_a", "id_b")
+      val labeled = ops.Graph.connectedComponents(pairs, "id_a", "id_b")
+      val scored = labeled.join(e.select(col("vec_id").as("node"),
+        round(sqrt(aggregate(col("v"), lit(0.0d),
+          (acc, x) => acc + x * x)), 6).as("nrm")), "node")
+      ops.Graph.representatives(scored, "node", "cluster", "nrm").count()
+    }
+
     // 3. full OSM-shift monitor pipeline at 6M lineitem rows
     time("monitor_osm_shift (6M rows)") {
       val lamp = lineitem10.filter(col("l_linenumber") <= 2)

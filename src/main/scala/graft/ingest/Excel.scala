@@ -106,6 +106,24 @@ object Excel {
     }
   }
 
+  /** 1904 date system flag: `<workbookPr date1904="1"/>` (or "true") in
+    * xl/workbook.xml — classic-Mac workbooks; shifts every date serial. */
+  private def isDate1904(entries: Map[String, Array[Byte]]): Boolean =
+    entries.get("xl/workbook.xml").exists { b =>
+      val r = factory.createXMLStreamReader(new ByteArrayInputStream(b))
+      try {
+        var found = false
+        while (r.hasNext && !found) {
+          if (r.next() == XMLStreamConstants.START_ELEMENT &&
+              r.getLocalName == "workbookPr") {
+            val v = r.getAttributeValue(null, "date1904")
+            found = v == "1" || v == "true"
+          }
+        }
+        found
+      } finally r.close()
+    }
+
   /** sharedStrings.xml: the i-th `<si>` is the text for shared index i
     * (concatenating all nested `<t>` runs — rich text splits one string
     * across several). */
@@ -176,39 +194,54 @@ object Excel {
         }
       } finally r.close()
 
-      def strip(code: String): String =
-        code.replaceAll("\"[^\"]*\"", "").replaceAll("\\[[^\\]]*\\]", "")
-          .replaceAll("\\\\.", "")
-      val elapsedRe = "(?i)\\[(h+|m+|s+)\\]".r
-      def flavor(fmtId: Int): Option[Char] = fmtId match {
-        case i if i >= 14 && i <= 17 => Some('d')  // dates
-        case i if i >= 18 && i <= 21 => Some('t')  // times of day
-        case 22 => Some('x')                       // m/d/yy h:mm
-        case 45 | 47 => Some('t')                  // mm:ss displays
-        case 46 => Some('e')                       // [h]:mm:ss elapsed
-        case i => customFmts.get(i).flatMap { c =>
-          // bracketed h/m/s sections mean ELAPSED duration — check before
-          // strip() removes the brackets
-          if (elapsedRe.findFirstIn(c).isDefined) Some('e')
-          else {
-            val s = strip(c).toLowerCase
-            val time = s.exists(ch => ch == 'h' || ch == 's') || s.contains("am/pm")
-            val date = s.exists(ch => ch == 'y' || ch == 'd')
-            if (date && time) Some('x')
-            else if (date) Some('d')
-            else if (time) Some('t')
-            else None
-          }
-        }
-      }
       xfFmtIds.zipWithIndex.flatMap { case (fmtId, xfIdx) =>
-        flavor(fmtId).map(xfIdx -> _)
+        fmtFlavor(fmtId, customFmts.toMap).map(xfIdx -> _)
       }.toMap
     }.getOrElse(Map.empty)
+
+  /** Temporal flavor of one number format id — shared by the .xlsx styles
+    * path above and the BIFF8 XF/FORMAT path ([[Biff]]): 'd' date-only,
+    * 't' time-of-day, 'x' datetime, 'e' elapsed duration; None = plain
+    * number. Built-in ids per the SpreadsheetML spec; custom codes are
+    * classified by their tokens (outside quoted literals and [] sections;
+    * 'm' alone never decides — it is ambiguous between month and minute). */
+  private[ingest] def fmtFlavor(fmtId: Int,
+                                customFmts: Map[Int, String]): Option[Char] = {
+    def strip(code: String): String =
+      code.replaceAll("\"[^\"]*\"", "").replaceAll("\\[[^\\]]*\\]", "")
+        .replaceAll("\\\\.", "")
+    val elapsedRe = "(?i)\\[(h+|m+|s+)\\]".r
+    fmtId match {
+      case i if i >= 14 && i <= 17 => Some('d')  // dates
+      case i if i >= 18 && i <= 21 => Some('t')  // times of day
+      case 22 => Some('x')                       // m/d/yy h:mm
+      case 45 | 47 => Some('t')                  // mm:ss displays
+      case 46 => Some('e')                       // [h]:mm:ss elapsed
+      case i => customFmts.get(i).flatMap { c =>
+        // bracketed h/m/s sections mean ELAPSED duration — check before
+        // strip() removes the brackets
+        if (elapsedRe.findFirstIn(c).isDefined) Some('e')
+        else {
+          val s = strip(c).toLowerCase
+          val time = s.exists(ch => ch == 'h' || ch == 's') || s.contains("am/pm")
+          val date = s.exists(ch => ch == 'y' || ch == 'd')
+          if (date && time) Some('x')
+          else if (date) Some('d')
+          else if (time) Some('t')
+          else None
+        }
+      }
+    }
+  }
 
   /** Serial-day → ISO string. Excel day 0 is 1899-12-30 (the 1900-leap-bug
     * epoch every modern reader uses; serials below 61 — pre-March-1900 —
     * inherit the historical one-day ambiguity and are out of scope).
+    * Workbooks saved in the 1904 date system (`<workbookPr date1904="1"/>`,
+    * the classic-Mac default) shift day 0 to 1904-01-01: `date1904 = true`
+    * adds the 1,462-day epoch gap before conversion for date-bearing
+    * flavors ('d'/'x'); time-of-day ('t') and elapsed ('e') cells carry no
+    * epoch and are unaffected.
     * `flavor` 'd' renders `yyyy-MM-dd` (from the FLOOR of the serial —
     * a date cell's time fraction must not round it into the next day),
     * 'x' `yyyy-MM-dd HH:mm:ss`, 't' (time-of-day formats) `HH:mm:ss`
@@ -216,20 +249,27 @@ object Excel {
     * (elapsed [h]-style formats) unbounded `H:mm:ss` — 1.5 days is
     * `36:00:00`, not wrapped mod 24. Time fractions round to the
     * second. */
-  private[graft] def serialToIso(serial: Double, flavor: Char): String =
+  private[graft] def serialToIso(serial: Double, flavor: Char,
+                                 date1904: Boolean = false): String =
     flavor match {
       case 't' =>
         val s = math.round(serial * 86400.0) % 86400L
         val t = if (s < 0) s + 86400L else s
         "%02d:%02d:%02d".format(t / 3600, t / 60 % 60, t % 60)
       case 'e' =>
-        val s = math.round(serial * 86400.0)
-        "%d:%02d:%02d".format(s / 3600, math.abs(s) / 60 % 60, math.abs(s) % 60)
+        // sign carried explicitly: "%d" of the hours field alone would
+        // render -30 s as "0:00:30" (the minus vanishes below one hour)
+        val s0 = math.round(serial * 86400.0)
+        val s = math.abs(s0)
+        (if (s0 < 0) "-" else "") +
+          "%d:%02d:%02d".format(s / 3600, s / 60 % 60, s % 60)
       case 'd' =>
-        val d = java.time.LocalDate.ofEpochDay(math.floor(serial).toLong - 25569L)
+        val adj = if (date1904) serial + 1462.0 else serial
+        val d = java.time.LocalDate.ofEpochDay(math.floor(adj).toLong - 25569L)
         "%04d-%02d-%02d".format(d.getYear, d.getMonthValue, d.getDayOfMonth)
       case _ =>
-        val secs = math.round(serial * 86400.0) - 25569L * 86400L
+        val adj = if (date1904) serial + 1462.0 else serial
+        val secs = math.round(adj * 86400.0) - 25569L * 86400L
         val dt = java.time.LocalDateTime.ofEpochSecond(secs, 0,
           java.time.ZoneOffset.UTC)
         "%04d-%02d-%02d %02d:%02d:%02d".format(dt.getYear, dt.getMonthValue,
@@ -249,14 +289,25 @@ object Excel {
     * workbook's bytes into header + rows. First row = header (pandas
     * `read_excel` default); missing cells are null; all values surface as
     * their raw cell strings (numbers in canonical xlsx form, booleans as
-    * "true"/"false"). */
+    * "true"/"false").
+    *
+    * Dispatches on the file magic: ZIP ("PK") → this SpreadsheetML parse;
+    * OLE2 (d0cf11e0) → the [[Biff]] `.xls` parse (same Sheet contract, so
+    * every consumer — readXlsx included — is format-agnostic); anything
+    * else → a clear unsupported-format error. */
   def parseSheet(bytes: Array[Byte], sheet: Int = 0): Sheet = {
+    if (Biff.isOle2(bytes)) return Biff.parseSheet(bytes, sheet)
+    require(bytes.length >= 2 && bytes(0) == 'P'.toByte && bytes(1) == 'K'.toByte,
+      "unrecognized workbook format: expected .xlsx (ZIP magic 'PK') or " +
+        "legacy .xls (OLE2 magic d0cf11e0); got " +
+        bytes.take(4).map("%02x".format(_)).mkString)
     val entries = zipEntries(bytes)
     val paths = sheetPaths(entries)
     require(sheet >= 0 && sheet < paths.length,
       s"sheet $sheet out of range: workbook has ${paths.length} sheet(s)")
     val strings = sharedStrings(entries)
     val dateXfs = dateStyles(entries)
+    val date1904 = isDate1904(entries)
     val data = entries.getOrElse(paths(sheet),
       throw new IllegalArgumentException(s"missing worksheet part ${paths(sheet)}"))
 
@@ -308,7 +359,7 @@ object Excel {
                     // date-styled numeric cell: surface the serial as an
                     // ISO string (pandas read_excel parity) instead of the
                     // raw serial number
-                    serialToIso(raw.trim.toDouble, dateXfs(cellStyle))
+                    serialToIso(raw.trim.toDouble, dateXfs(cellStyle), date1904)
                   case _ => if (raw.isEmpty && cellType != "str" &&
                                 cellType != "inlineStr") null else raw
                 }
@@ -341,7 +392,8 @@ object Excel {
     Sheet(header, rows.tail.map(dense).toSeq)
   }
 
-  /** Read .xlsx file(s) into a DataFrame. `path` may be a glob; every
+  /** Read Excel file(s) — .xlsx or legacy .xls (BIFF8/OLE2, via [[Biff]])
+    * in any mix — into a DataFrame. `path` may be a glob; every
     * matched workbook must share the probe file's header. Columns are
     * StringType, or DoubleType when `inferTypes` and every non-null cell
     * of the probe file's column parses numerically (casts applied in the
@@ -349,7 +401,16 @@ object Excel {
     *
     * Distribution contract: binaryFile source → one partition per file;
     * the driver reads ONE file to fix the schema (same bounded probe as
-    * the FITS source); per-file parse runs in executors. */
+    * the FITS source); per-file parse runs in executors.
+    *
+    * PROBE-FILE TYPE CONTRACT: Double/Timestamp/Date columns are inferred
+    * from the FIRST matched file only. In a multi-file glob, a cell in a
+    * NON-probe file that does not parse as the inferred type surfaces as
+    * null (the cast is a plan-level `cast`, which is non-throwing by SQL
+    * semantics) — identical to how Spark's csv/json sources treat
+    * malformed values under the default permissive mode. Pass
+    * `inferTypes = false` to get every column as its raw string when the
+    * glob's files are not type-homogeneous. */
   def readXlsx(spark: SparkSession, path: String, sheet: Int = 0,
                inferTypes: Boolean = true): DataFrame = {
     import spark.implicits._

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -66,6 +67,15 @@ object Graph {
         .filter(col("nc") > 1 || (col("nc") >= 1 && col("cnt") > col("nc")))
         .isEmpty
 
+    // The eager localCheckpoint materializes each frontier into executor
+    // block storage; the PREVIOUS frontier's blocks are dead the moment
+    // the new one exists (lineage is truncated, nothing downstream reads
+    // them), so each round releases them — otherwise O(log n) frontiers
+    // stay pinned for the lifetime of the job on a large graph. The
+    // LAST frontier must stay persisted: the returned DataFrame reads it.
+    def frontierRdd(df: DataFrame) =
+      df.queryExecution.analyzed.collectFirst { case lr: LogicalRDD => lr.rdd }
+
     // canonical frontier: (u, v) with u < v, distinct, no self-loops
     var e = edges
       .select(least(col(aCol), col(bCol)).as("u"),
@@ -104,7 +114,9 @@ object Graph {
         .select(col("m").as("u"), col("s").as("v"))
         .unionAll(mins2.select(col("m").as("u"), col("b").as("v")))
 
-      e = small.distinct().localCheckpoint(true)
+      val next = small.distinct().localCheckpoint(true) // eager: materialized here
+      frontierRdd(e).foreach(_.unpersist(false)) // superseded frontier's blocks
+      e = next
       converged = isStarForest(e)
       round += 1
     }

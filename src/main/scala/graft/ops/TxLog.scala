@@ -107,6 +107,48 @@ object TxLog {
       s"merge into $tableDir lost $maxAttempts optimistic-concurrency races")
   }
 
+  /** Transactional whole-table REWRITE: apply `f` to the current committed
+    * snapshot and commit the result as the next version — the maintenance-
+    * job counterpart of [[commitMerge]], for rewrites that recompute
+    * derived columns over the FULL table (near-dup compaction flags)
+    * rather than merging keyed rows. On a lost optimistic-concurrency race
+    * the closure RE-RUNS against the winner's snapshot: the rewrite is
+    * derived data, so recomputation is the only reconciliation that can't
+    * lose a concurrent writer's rows. Returns None when the table has no
+    * committed version yet (nothing to rewrite). */
+  def commitRewrite(spark: SparkSession, tableDir: String,
+                    maxAttempts: Int = 20)(f: DataFrame => DataFrame): Option[Long] = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      currentVersion(tableDir) match {
+        case None => return None
+        case Some((v, snap)) =>
+          val out = f(spark.read.parquet(snap))
+          val next = v + 1
+          val snapDir = s"$tableDir/snap-$next-${java.util.UUID.randomUUID()}"
+          out.write.mode(SaveMode.Overwrite).parquet(snapDir)
+          val d = logDir(tableDir)
+          d.mkdirs()
+          val tmp = new File(d, s".tmp-${java.util.UUID.randomUUID()}")
+          Files.write(tmp.toPath, snapDir.getBytes("UTF-8"))
+          val commitFile = new File(d, f"$next%010d.commit")
+          try {
+            Files.createLink(commitFile.toPath, tmp.toPath) // atomic claim
+            Files.delete(tmp.toPath)
+            gc(tableDir)
+            return Some(next)
+          } catch {
+            case _: FileAlreadyExistsException =>
+              Files.delete(tmp.toPath)
+              deleteRecursively(new File(snapDir))
+          }
+      }
+    }
+    throw new IllegalStateException(
+      s"rewrite of $tableDir lost $maxAttempts optimistic-concurrency races")
+  }
+
   /** Drop snapshots no longer referenced by the trailing commits. */
   private def gc(tableDir: String): Unit = {
     val all = commits(tableDir)

@@ -175,6 +175,104 @@ object SimilarityQueries {
         .orderBy("vec_id")
     },
 
+    // End-to-end ANN near-dup: the 100 TB embedding-dedup composition.
+    // Candidate pairs come from BANDED sign-LSH over the portable md5
+    // plane family (2 bands × 4 bits — candidates meet only inside a
+    // (band, bucket) equi-join, never all-pairs), are verified by exact
+    // rounded cosine, clustered by connected components, and each
+    // cluster keeps its most CENTRAL member (highest round-4 cosine to
+    // the cluster mean, ties to the smallest vec_id) — the medoid-style
+    // keeper policy of a real curation run. This replaces the
+    // label-blocked brute-force pair source of `dedup_embed_clusters`
+    // as the at-scale path: the oracle independently re-derives planes,
+    // round-6 dot signs, band bucketing, the verified pair set,
+    // recursive-CTE reachability, per-cluster centroids, and the
+    // centrality ranking — drift anywhere in the chain hash-mismatches.
+    Q("dedup_ann_e2e",
+      """WITH RECURSIVE
+        |v AS (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+        |    generate_subscripts(embedding, 1) AS i FROM embeddings),
+        |p AS (SELECT j, i,
+        |    ('0x' || substr(md5(j::VARCHAR || '_' || i::VARCHAR), 1, 15))::BIGINT
+        |      / 1152921504606846976.0 - 0.5 AS w
+        |  FROM generate_series(0, 7) g(j) CROSS JOIN generate_series(1, 64) gi(i)),
+        |d AS (SELECT vec_id, j, ROUND(SUM(x * w), 6) AS dot
+        |  FROM v JOIN p USING (i) GROUP BY 1, 2),
+        |bands AS (SELECT vec_id, j // 4 AS band,
+        |    SUM((CASE WHEN dot >= 0 THEN 1 ELSE 0 END) << (j % 4))::BIGINT AS bucket
+        |  FROM d GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.vec_id AS ua, b.vec_id AS vb
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        |pairs AS (SELECT ua, vb FROM cand
+        |  JOIN embeddings ea ON cand.ua = ea.vec_id
+        |  JOIN embeddings eb ON cand.vb = eb.vec_id
+        |  WHERE ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+        |    CAST(eb.embedding AS DOUBLE[])), 3) >= 0.35),
+        |edges AS (SELECT ua AS u, vb AS v FROM pairs UNION SELECT vb, ua FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+        |  UNION
+        |  SELECT ed.v, re.r FROM reach re JOIN edges ed ON ed.u = re.id),
+        |cc AS (SELECT id AS vec_id, MIN(r) AS cluster FROM reach GROUP BY id),
+        |mem AS (SELECT cc.cluster, cc.vec_id, v.x, v.i
+        |  FROM cc JOIN v USING (vec_id)),
+        |cent AS (SELECT cluster, i, AVG(x) AS c FROM mem GROUP BY 1, 2),
+        |ctr AS (SELECT m.vec_id, m.cluster,
+        |    ROUND(SUM(m.x * c.c) / (SQRT(SUM(m.x * m.x)) * SQRT(SUM(c.c * c.c))), 4)
+        |      AS centrality
+        |  FROM mem m JOIN cent c ON m.cluster = c.cluster AND m.i = c.i
+        |  GROUP BY 1, 2),
+        |reps AS (SELECT cluster, vec_id AS keeper, centrality AS keeper_centrality,
+        |    row_number() OVER (PARTITION BY cluster
+        |      ORDER BY centrality DESC, vec_id) AS rk
+        |  FROM ctr)
+        |SELECT r.cluster, s.cluster_size, r.keeper, r.keeper_centrality
+        |FROM reps r JOIN (SELECT cluster, COUNT(*) AS cluster_size
+        |  FROM cc GROUP BY cluster) s USING (cluster)
+        |WHERE r.rk = 1 ORDER BY r.cluster""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val planes = Similarity.portablePlanes(nBits = 8, dim = 64)
+      val banded = e.select(col("vec_id"),
+          explode(Similarity.lshBands(col("v"), planes, bandBits = 4,
+            dotRound = 6)).as("bb"))
+        .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"),
+          col("vec_id"))
+      // candidates carry ids only through the bucket join + distinct; the
+      // (few) survivors re-join the vector table by id for verification —
+      // at scale the wide embedding column never rides through a shuffle
+      // it doesn't need
+      val cand = banded.select(col("band"), col("bucket"), col("vec_id").as("id_a"))
+        .join(banded.select(col("band"), col("bucket"), col("vec_id").as("id_b")),
+          Seq("band", "bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+      val pairs = cand
+        .join(e.select(col("vec_id").as("id_a"), col("v").as("va")), "id_a")
+        .join(e.select(col("vec_id").as("id_b"), col("v").as("vb")), "id_b")
+        .filter(round(Similarity.cosine(col("va"), col("vb")), 3) >= 0.35)
+        .select("id_a", "id_b")
+      val labeled = graft.ops.Graph.connectedComponents(pairs, "id_a", "id_b")
+      val exploded = labeled
+        .join(e.select(col("vec_id").as("node"), col("v")), "node")
+        .select(col("cluster"), col("node"), posexplode(col("v")).as(Seq("pos", "x")))
+      val cent = exploded.groupBy("cluster", "pos").agg(avg("x").as("c"))
+      val ctr = exploded.join(cent, Seq("cluster", "pos"))
+        .groupBy("node", "cluster")
+        .agg(sum(col("x") * col("c")).as("dotp"),
+          sqrt(sum(col("x") * col("x"))).as("nx"),
+          sqrt(sum(col("c") * col("c"))).as("nc"))
+        .select(col("node"), col("cluster"),
+          round(col("dotp") / (col("nx") * col("nc")), 4).as("centrality"))
+      val sizes = labeled.groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
+      graft.ops.Graph.representatives(ctr, "node", "cluster", "centrality")
+        .join(sizes, "cluster")
+        .select(col("cluster"), col("cluster_size"),
+          col("node").as("keeper"), col("centrality").as("keeper_centrality"))
+        .orderBy("cluster")
+    },
+
     // LSH-bucketed ANN (no SQL oracle — bucket assignment is seeded;
     // recall-vs-brute-force is verified in SimilaritySpec). Emits the
     // bucket occupancy histogram, which is deterministic.

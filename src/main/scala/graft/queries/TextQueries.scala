@@ -491,28 +491,12 @@ object TextQueries {
         |  FROM tf JOIN df USING (term) CROSS JOIN n)
         |SELECT doc_id, term, tfidf, rk FROM scored WHERE rk <= 3
         |ORDER BY doc_id, rk""".stripMargin) { (s, dir) =>
-      val tok = Tables(s, dir, "documents")
-        .filter(col("doc_id") < 200)
-        .select(col("doc_id"),
-          explode(split(col("text"), " ", -1)).as("term"))
-      val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      // df and N derive from the tf AGGREGATE (tf rows are distinct
-      // (doc, term) pairs), not from a re-scan of tok: the derived
-      // branches shuffle the (doc, term) table, never the corpus text.
-      // (Column pruning specializes each branch's partial aggregate, so
-      // the plans stay separate — a full-corpus run would tf.persist()
-      // between the corpus pass and these small derived aggregates.)
-      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      val n = tf.select(countDistinct("doc_id").as("n"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id")
-        .orderBy(col("score").desc, col("term"))
-      tf.join(df, "term").crossJoin(broadcast(n))
-        .withColumn("score", col("tf") * log(col("n").cast("double") / col("df")))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 3)
-        .select(col("doc_id"), col("term"),
-          round(col("score"), 4).as("tfidf"), col("rk"))
+      // routed through ops.Text.tfidf — the reusable form with the
+      // full-corpus persist handle (persistTf); the query runs it
+      // unpersisted, the sf-scale-appropriate choice (TextSpec pins the
+      // persisted variant equal)
+      Text.tfidf(Tables(s, dir, "documents").filter(col("doc_id") < 200),
+          "doc_id", "text", topK = 3)._1
         .orderBy("doc_id", "rk")
     },
 

@@ -172,6 +172,50 @@ object Streams {
         .getField("keep")),
       tsCol, textCol, horizon)
 
+  /** Periodic near-dup COMPACTION over a TxLog-committed document store —
+    * the batch half of streaming curation that [[streamingCurate]]'s
+    * scaladoc promises: LSH near-dup removal needs cross-document state
+    * proportional to the corpus, so it runs as a maintenance job over the
+    * accumulated table, not per-record in the stream. One compaction =
+    * MinHash-LSH candidate pairs → connected components → longest-doc
+    * representative (the `dedup_near_e2e` policy), committed back through
+    * the [[graft.ops.TxLog]] as a transactional whole-table rewrite:
+    * concurrent stream micro-batches serialize against it via optimistic
+    * concurrency, and a lost race recomputes flags over the winner's
+    * rows — a keeper decision can never resurrect or drop a document that
+    * a concurrent ingest added.
+    *
+    * The rewrite adds/overwrites two columns: `cluster` (null for
+    * singleton documents, else the component's min doc id) and `is_kept`
+    * (singletons true; within a cluster only the representative). Rows
+    * themselves are never deleted — downstream consumers filter on
+    * `is_kept`, and a later compaction can re-flag as new near-dups
+    * arrive. Returns the committed version, or None if the store has no
+    * commits yet. At scale every stage is the audited batch shape: banded
+    * bucket join (never all-pairs), O(log n) star-contraction rounds, one
+    * window per cluster for the representative. */
+  def compactNearDups(spark: SparkSession, tableDir: String,
+                      idCol: String, textCol: String,
+                      shingleK: Int = 4, numHashes: Int = 16,
+                      bands: Int = 4): Option[Long] =
+    graft.ops.TxLog.commitRewrite(spark, tableDir) { snap =>
+      val base = snap.drop("cluster", "is_kept")
+      val pairs = graft.ops.Curation.mdCandidatePairs(
+        base, idCol, textCol, shingleK, numHashes, bands)
+      val labeled = graft.ops.Graph.connectedComponents(pairs, "id_a", "id_b")
+      val scored = labeled.join(
+        base.select(col(idCol).as("node"),
+          size(split(col(textCol), " ", -1)).as("__nt")), "node")
+      val keepers = graft.ops.Graph.representatives(scored, "node", "cluster", "__nt")
+        .select(col("node").as(idCol), lit(true).as("__keep"))
+      base
+        .join(labeled.select(col("node").as(idCol), col("cluster")),
+          Seq(idCol), "left")
+        .join(keepers, Seq(idCol), "left")
+        .withColumn("is_kept", coalesce(col("__keep"), col("cluster").isNull))
+        .drop("__keep")
+    }
+
   /** Streaming as-of lookup against a STATIC quote table — the streaming
     * form of the reference's step-wise telemetry lookup (W8/J11): each
     * probe resolves to the most recent quote at or before its time.

@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, BinaryNode => L
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext
 import org.apache.spark.sql.catalyst.util.TypeUtils
-import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, CollapseCodegenStages, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, CollapseCodegenStages, SparkPlan, SparkStrategy, WholeStageCodegenExec}
 
 /** Whole-operator custom plan for the as-of (step-function) lookup —
   * SURVEY.md §2.3 J11 / §2.5 W8 (reference:
@@ -299,9 +299,23 @@ case class AsOfJoinExec(
     * custom node falls through to the default traversal and its child
     * pipelines (the EnsureRequirements sorts and everything below) would
     * silently run un-fused. Re-running the collapse rule on each child
-    * subtree here gives them exactly the treatment the built-ins get. */
+    * subtree here gives them exactly the treatment the built-ins get.
+    *
+    * Guard: re-collapse ONLY a subtree the planner has not collapsed yet.
+    * Under AQE the children are query-stage leaves (no
+    * WholeStageCodegenExec anywhere below this node), so the rule runs and
+    * fuses them. With AQE disabled the planner's own collapse pass already
+    * wrapped the stages below each exchange; running the rule again would
+    * wrap those WholeStageCodegenExec nodes in a second one (the rule sees
+    * them as plain codegen-supporting operators) and the inner node's
+    * doProduce throws at runtime. In that case return the subtree as-is —
+    * the thin sort-above-exchange top runs un-fused, which is correct and
+    * costs nothing measurable (the sort dominates and has its own
+    * non-codegen execute path). Regression pinned in AsOfJoinSpec
+    * ("keyed as-of with AQE disabled"). */
   private def childStage(p: SparkPlan): SparkPlan =
-    CollapseCodegenStages(new java.util.concurrent.atomic.AtomicInteger(0))(p)
+    if (p.exists(_.isInstanceOf[WholeStageCodegenExec])) p
+    else CollapseCodegenStages(new java.util.concurrent.atomic.AtomicInteger(0))(p)
 
   protected override def doProduce(ctx: CodegenContext): String = {
     validateTypes()

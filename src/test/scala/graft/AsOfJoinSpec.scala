@@ -233,6 +233,49 @@ class AsOfJoinSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.codegen.fallback")
   }
 
+  test("keyed as-of with AQE disabled (planner pre-collapses child stages)") {
+    // Without AQE the planner's CollapseCodegenStages pass has already
+    // wrapped the stages below each child exchange in WholeStageCodegenExec;
+    // childStage must NOT re-collapse such a subtree (double-wrapping makes
+    // the inner stage's doProduce throw at runtime). Codegen fallback off so
+    // the failure mode is a hard error, not a silent interpreted retry.
+    // Inputs must be range-derived so a real codegen stage (WSCG over the
+    // range+project) sits BELOW each child exchange — a local Seq.toDF
+    // gives LocalTableScanExec, which the collapse rule never wraps, and
+    // the double-wrap cannot occur. This shape reproduced the crash.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val n = 2000
+      val qs = spark.range(n).select(
+        (col("id") % 23).as("k"),
+        ((col("id") * 7919) % 5000).as("t"),
+        (col("id") % 100).cast("double").as("v"))
+        .groupBy("k", "t").agg(max("v").as("v"))
+      val ps = spark.range(n).select(
+        (col("id") % 29).as("k"),
+        ((col("id") * 104729) % 5000).as("t")).distinct()
+      val native = AsOfJoinApi.asOf(ps, qs, Seq("k"), "t", "v", "qv")
+        .select("k", "t", "qv").as[(Long, Long, Option[Double])]
+        .collect().toSet
+      val window = Relational.asOfLookup(ps, qs, Seq("k"), "t", "v", "qv")
+        .select("k", "t", "qv").as[(Long, Long, Option[Double])]
+        .collect().toSet
+      assert(native == window)
+      assert(native.nonEmpty)
+      // a buffering parent in the same stage survives too
+      val sorted = AsOfJoinApi.asOf(probes, quotes, Seq("k"), "t", "v", "qv")
+        .orderBy(col("qv").asc_nulls_first, col("k"), col("t"))
+        .select("k", "t", "qv").as[(Long, Long, Option[Double])]
+        .collect().toSeq
+      assert(sorted.head == ((1L, 5L, None)))
+      assert(sorted.last == ((2L, 16L, Some(9.0))))
+    } finally {
+      spark.conf.unset("spark.sql.adaptive.enabled")
+      spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
   test("codegen and interpreted as-of paths produce identical results") {
     def run(): Set[(Long, Long, Option[Double])] = {
       val n = 3000

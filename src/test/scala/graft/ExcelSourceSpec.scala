@@ -170,4 +170,120 @@ class ExcelSourceSpec extends SparkSpec {
     assert(err.getMessage.contains("differs from probe header") ||
       Option(err.getCause).exists(_.getMessage.contains("differs from probe header")))
   }
+
+  // ---- legacy .xls (BIFF8/OLE2) — golden reads over the reference's OWN
+  // mnemonic workbook (cosmo/telemetry_support/COSMnemonics.xls, the file
+  // telemetry_monitors.py:84 feeds pd.read_excel), same pattern as the
+  // FITS golden-bytes specs. Pinned values were cross-derived with an
+  // independent record-level parse of the file.
+
+  private val xlsPath = "/root/reference/cosmo/telemetry_support/COSMnemonics.xls"
+  private def xlsBytes = Files.readAllBytes(java.nio.file.Paths.get(xlsPath))
+
+  test(".xls golden read: sheet 0 header, shape, and cell classes") {
+    assume(new java.io.File(xlsPath).exists())
+    val s = Excel.parseSheet(xlsBytes, 0)
+    // date-styled MULRK header cells render as ISO dates (ixfe→ifmt 14),
+    // missing header cells take positional names
+    assert(s.header == Seq("DM-02 Page", "Mnemonic", "Description",
+      "Sample Period", "Bits", "Component", "_c6",
+      "2009-06-13", "2009-11-30", "2010-01-27", "_c10", "Monthly plots", "Page"))
+    // 267 sheet rows with two fully-empty rows absent (264, 265): header
+    // + 264 data rows survive, empty rows don't fabricate null rows
+    assert(s.rows.length == 264)
+    // LABELSST strings + RK/MULRK numbers in canonical form ("30" not 30.0)
+    assert(s.rows.head.toSeq == Seq("16", "L15VHLD1",
+      "LVPS1 +15V Hold Converter Voltage", "30", "8", "LVPS",
+      null, null, null, null, null, "x", "249250"))
+    // this description is the SST string split across the CONTINUE record
+    // boundary — the grbit-per-part re-read path
+    val dce = s.rows.find(r => r(1) == "LDCHVMNA").get
+    assert(dce.toSeq == Seq("23", "LDCHVMNA",
+      "DCE HV Output Voltage Monitor A", "30", "8", "DVA",
+      null, null, "x", "x", null, "x", null))
+  }
+
+  test(".xls golden read: sheet 1 resolves through BOUNDSHEET order") {
+    assume(new java.io.File(xlsPath).exists())
+    val s = Excel.parseSheet(xlsBytes, 1)
+    assert(s.header.head == "Possibly Useful telemetry items")
+    assert(s.header.length == 8)
+    assert(s.rows.length == 76)
+    assert(s.rows.head.head == "Included in Chris Long's telemetry deliveries:")
+    intercept[IllegalArgumentException](Excel.parseSheet(xlsBytes, 2))
+  }
+
+  test(".xls reads through readXlsx with type inference, like .xlsx") {
+    assume(new java.io.File(xlsPath).exists())
+    val df = Excel.readXlsx(spark, xlsPath)
+    assert(df.count() == 264)
+    assert(df.schema.fields.length == 13)
+    // numeric RK/MULRK columns infer Double; mnemonic strings stay strings
+    assert(df.schema("Sample Period").dataType == DoubleType)
+    assert(df.schema("Mnemonic").dataType == StringType)
+    val r = df.filter(df("Mnemonic") === "L15VHLD1").collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[String]("Description") == "LVPS1 +15V Hold Converter Voltage")
+    assert(r.head.getAs[Double]("Sample Period") == 30.0)
+  }
+
+  test("RK decode: 30-bit int, x100 scaling, truncated-double forms") {
+    import graft.ingest.Biff
+    // int form: value<<2 | fInt
+    assert(Biff.rkValue((30L << 2) | 2L) == 30.0)
+    // negative 30-bit int
+    assert(Biff.rkValue((((-7L) & 0x3fffffffL) << 2) | 2L) == -7.0)
+    // int/100 form
+    assert(Biff.rkValue((1234L << 2) | 3L) == 12.34)
+    // double form: top 34 bits of the IEEE encoding
+    val bits = java.lang.Double.doubleToLongBits(1.5)
+    assert(Biff.rkValue((bits >>> 34) << 2) == 1.5)
+    // double/100
+    assert(Biff.rkValue(((bits >>> 34) << 2) | 1L) == 0.015)
+  }
+
+  test("unrecognized workbook magic raises a clear format error") {
+    val err = intercept[IllegalArgumentException](
+      Excel.parseSheet("not a workbook at all".getBytes("UTF-8")))
+    assert(err.getMessage.contains("unrecognized workbook format"))
+  }
+
+  test("1904 date system shifts date serials (xlsx workbookPr + serialToIso)") {
+    // serial 100 = 1900-04-09 in the default system, 1904-04-10 in 1904
+    assert(Excel.serialToIso(100.0, 'd') == "1900-04-09")
+    assert(Excel.serialToIso(100.0, 'd', date1904 = true) == "1904-04-10")
+    assert(Excel.serialToIso(100.5, 'x', date1904 = true) == "1904-04-10 12:00:00")
+    // time-of-day and elapsed flavors carry no epoch — unaffected
+    assert(Excel.serialToIso(0.5, 't', date1904 = true) == "12:00:00")
+    // negative elapsed keeps its sign below one hour
+    assert(Excel.serialToIso(-30.0 / 86400.0, 'e') == "-0:00:30")
+    assert(Excel.serialToIso(1.5, 'e') == "36:00:00")
+    // end-to-end: a writeXlsx workbook patched to declare date1904 reads
+    // its date cells shifted
+    val base = Excel.writeXlsx(Seq(("s", Seq("d"),
+      Seq(Seq(java.time.LocalDate.of(2009, 6, 13))))))
+    def patched(bytes: Array[Byte]): Array[Byte] = {
+      val zin = new java.util.zip.ZipInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val buf = new ByteArrayOutputStream()
+      val zout = new ZipOutputStream(buf)
+      var e = zin.getNextEntry
+      while (e != null) {
+        val content = zin.readAllBytes()
+        zout.putNextEntry(new ZipEntry(e.getName))
+        zout.write(
+          if (e.getName == "xl/workbook.xml")
+            new String(content, "UTF-8").replace("<sheets>",
+              """<workbookPr date1904="1"/><sheets>""").getBytes("UTF-8")
+          else content)
+        zout.closeEntry()
+        e = zin.getNextEntry
+      }
+      zout.close()
+      buf.toByteArray
+    }
+    assert(Excel.parseSheet(base, 0).rows.head.head == "2009-06-13")
+    // same serial, 1904 epoch: 1462 days later
+    assert(Excel.parseSheet(patched(base), 0).rows.head.head == "2013-06-14")
+  }
 }

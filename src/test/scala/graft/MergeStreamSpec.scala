@@ -184,6 +184,68 @@ class MergeStreamSpec extends SparkSpec {
     assert(batch == out)
   }
 
+  test("near-dup compaction converges a stream-ingested store to the batch result") {
+    val base = Files.createTempDirectory("graft-compact").toString
+    val srcDir = s"$base/src"
+    val tableDir = s"$base/table"
+    new java.io.File(srcDir).mkdirs()
+    // two near-dup families (shared 4-shingles → LSH band collisions) and
+    // two singletons, arriving across two micro-batches in id-scrambled
+    // order; family keeper = longest text, ties to smallest id
+    val a = "the solar array current telemetry shows a slow seasonal drift across the mission baseline period"
+    val b = "detector dark rate monitoring aggregates counts per exposure bin over the full focal plane grid"
+    val docs = Seq(
+      (1L, a), (7L, a + " with two extra tokens"), (4L, a),
+      (2L, b), (5L, b + " appended"),
+      (3L, "completely unrelated single document one"),
+      (6L, "another entirely distinct standalone text"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ver", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    docs.take(3).map { case (i, t) => (i, 1, t) }.toDF("doc_id", "ver", "text")
+      .write.parquet(s"$srcDir/batch1")
+    docs.drop(3).map { case (i, t) => (i, 1, t) }.toDF("doc_id", "ver", "text")
+      .write.parquet(s"$srcDir/batch2")
+    // compaction before any commit: nothing to rewrite
+    assert(Streams.compactNearDups(spark, tableDir, "doc_id", "text").isEmpty)
+    val q = Streams.incrementalIngest(spark, s"$srcDir/*/", tableDir,
+      s"$base/ckpt", schema, Seq("doc_id"), "ver", transactional = true)
+    q.awaitTermination(60000)
+    val vIngest = graft.ops.TxLog.currentVersion(tableDir).get._1
+    val vCompact = Streams.compactNearDups(spark, tableDir, "doc_id", "text")
+    assert(vCompact.contains(vIngest + 1))
+    val out = graft.ops.TxLog.read(spark, tableDir).get
+      .select("doc_id", "cluster", "is_kept")
+      .as[(Long, Option[Long], Boolean)].collect().toSet
+    // batch expectation, computed independently over the same corpus:
+    // LSH pairs → CC → longest-doc keeper
+    val corpus = docs.toDF("doc_id", "text")
+    val pairs = graft.ops.Curation.mdCandidatePairs(corpus, "doc_id", "text")
+    val labeled = graft.ops.Graph.connectedComponents(pairs, "id_a", "id_b")
+    val reps = graft.ops.Graph.representatives(
+      labeled.join(corpus.select(col("doc_id").as("node"),
+        size(split(col("text"), " ", -1)).as("nt")), "node"),
+      "node", "cluster", "nt")
+      .select("node").as[Long].collect().toSet
+    val clusterOf = labeled.as[(Long, Long)].collect().toMap
+    val expected = docs.map { case (i, _) =>
+      (i, clusterOf.get(i), clusterOf.get(i).isEmpty || reps.contains(i))
+    }.toSet
+    assert(out == expected, s"got $out\nwant $expected")
+    // sanity on the scenario itself: both families clustered, keepers are
+    // the longest members (7 beats 1/4; 5 beats 2), singletons kept
+    assert(clusterOf.keySet == Set(1L, 4L, 7L, 2L, 5L))
+    assert(reps == Set(7L, 5L))
+    // a second compaction is a no-op rewrite, version still advances
+    val v2 = Streams.compactNearDups(spark, tableDir, "doc_id", "text")
+    assert(v2.contains(vCompact.get + 1))
+    val out2 = graft.ops.TxLog.read(spark, tableDir).get
+      .select("doc_id", "cluster", "is_kept")
+      .as[(Long, Option[Long], Boolean)].collect().toSet
+    assert(out2 == expected)
+  }
+
   test("streaming windowed counts equal the batch tumbling-window result") {
     val events = Seq(
       ("2024-01-01 01:00:00", "click", 1.0),

@@ -80,6 +80,31 @@ class RelationalSpec extends SparkSpec {
     assert(got.size == 500)
   }
 
+  test("prefixSum refuses a nondeterministic input unless persisted") {
+    // rand() in the plan: both phases would re-sample → offsets could
+    // disagree with bucket sums; must fail fast with a clear message
+    val nondet = spark.range(1, 301).select(
+      col("id").as("k"), (rand(7) * 100).cast("long").as("v"))
+    val err = intercept[IllegalArgumentException](
+      Relational.prefixSum(nondet, "k", "v", "cum"))
+    assert(err.getMessage.contains("nondeterministic"), err.getMessage)
+    // persisted: one materialization serves both phases → accepted and
+    // internally consistent (cum is the running total of the cached v's)
+    val cached = nondet.persist()
+    try {
+      val out = Relational.prefixSum(cached, "k", "v", "cum")
+        .select("k", "v", "cum").as[(Long, Long, Long)].collect().sortBy(_._1)
+      var acc = 0L
+      out.foreach { case (_, v, cum) => acc += v; assert(cum == acc) }
+      assert(out.length == 300)
+    } finally { cached.unpersist(); () }
+    // sample() is likewise refused (rejection is plan-shape based)
+    val sampled = spark.range(1, 301)
+      .select(col("id").as("k"), lit(1L).as("v")).sample(0.5)
+    intercept[IllegalArgumentException](
+      Relational.prefixSum(sampled, "k", "v", "cum"))
+  }
+
   test("prefixSum spreads work over multiple range partitions") {
     val df = spark.range(1, 2001).select(col("id").as("k"), lit(1L).as("v"))
     val out = Relational.prefixSum(df, "k", "v", "cum")

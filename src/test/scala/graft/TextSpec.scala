@@ -140,4 +140,27 @@ class TextSpec extends SparkSpec {
     assert(out("varied") == 0.0)
     assert(out("loop") > 0.8)   // 7 bigrams, 1 distinct → 6/7
   }
+
+  test("tfidf persisted variant equals the unpersisted plan (values pinned)") {
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha alpha shared"),
+      (2L, "beta gamma delta shared shared tail"),
+      (3L, "epsilon zeta eta theta iota shared")).toDF("doc_id", "text")
+    def rows(persist: Boolean): (Set[(Long, String, Double, Int)], org.apache.spark.sql.DataFrame) = {
+      val (out, tf) = Text.tfidf(docs, "doc_id", "text", topK = 3,
+        persistTf = persist)
+      (out.as[(Long, String, Double, Int)].collect().toSet, tf)
+    }
+    val (plain, _) = rows(persist = false)
+    val (persisted, tfHandle) = rows(persist = true)
+    try {
+      assert(persisted == plain)
+      assert(plain.nonEmpty)
+      // the full-corpus handle is really cached (the point of the flag)
+      assert(tfHandle.storageLevel !=
+        org.apache.spark.storage.StorageLevel.NONE)
+      // rank-1 term for doc 1 is its thrice-repeated distinctive token
+      assert(plain.exists { case (d, t, _, rk) => d == 1L && t == "alpha" && rk == 1 })
+    } finally { tfHandle.unpersist(); () }
+  }
 }

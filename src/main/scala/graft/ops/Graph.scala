@@ -115,6 +115,10 @@ object Graph {
         .unionAll(mins2.select(col("m").as("u"), col("b").as("v")))
 
       val next = small.distinct().localCheckpoint(true) // eager: materialized here
+      // Spark logs a WARN ("locally checkpointed ... cannot be recomputed
+      // after unpersisting") on this unpersist — that is the point: the
+      // superseded frontier is dead, nothing can read it again, and its
+      // blocks must not pin executor storage for O(log n) rounds.
       frontierRdd(e).foreach(_.unpersist(false)) // superseded frontier's blocks
       e = next
       converged = isStarForest(e)

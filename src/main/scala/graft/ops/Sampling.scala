@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sampling operators for training-data curation: temperature-weighted
+  * domain mixing and weighted reservoir sampling. Everything is
+  * deterministic — randomness comes from content hashes (portable md5),
+  * never from seeded RNGs, so results are reproducible across engines,
+  * retries, and partitionings, and every query here oracles exactly.
+  */
+object Sampling {
+
+  /** Uniform(0,1) deviate derived from a column's md5: 60 hash bits
+    * scaled into the open unit interval. Deterministic and identical in
+    * DuckDB: `(('0x'||substr(md5(x),1,15))::BIGINT + 1) / 2.0^60`. The
+    * +1 keeps the value strictly positive so ln(u) is finite. */
+  def hashUniform(c: Column): Column =
+    (Text.portableHash(c) + 1).cast("double") / lit(math.pow(2.0, 60))
+
+  /** Temperature-weighted domain mixture rates (the multilingual /
+    * multi-source sampling scheme of large-LM training: weight each
+    * domain ∝ count^alpha, alpha < 1 upsamples small domains):
+    * rate(d) = min(1, budget · p_d / n_d) with p_d = n_d^α / Σ n^α.
+    * Input: one row per domain with its count. Output adds `p` and
+    * `rate`. Domain cardinality is tiny (it's a group-by result), so
+    * the Σ n^α total is a broadcast 1-row cross join — no extra pass
+    * over the corpus at any scale. */
+  def mixtureRates(domainCounts: DataFrame, countCol: String,
+                   alpha: Double, budget: Long): DataFrame = {
+    // α = 0.5 routes through sqrt (IEEE-exact, hence engine-portable for
+    // the oracle); general α uses pow
+    def weight(c: Column): Column =
+      if (alpha == 0.5) sqrt(c.cast("double")) else pow(c.cast("double"), alpha)
+    val w = weight(col(countCol))
+    val tot = domainCounts.agg(sum(weight(col(countCol))).as("tw"))
+    domainCounts.crossJoin(broadcast(tot))
+      .withColumn("p", w / col("tw"))
+      .withColumn("rate",
+        least(lit(1.0), lit(budget.toDouble) * col("p") / col(countCol)))
+      .drop("tw")
+  }
+
+  /** Apply mixture rates: keep a row when its id-hash uniform falls under
+    * the domain's rate. One broadcast join (domain table is tiny) + a
+    * map-side filter — the corpus is read once and never shuffled. */
+  def mixtureSample(df: DataFrame, domainCol: String, idCol: String,
+                    rates: DataFrame): DataFrame =
+    df.join(broadcast(rates.select(col(domainCol), col("rate"))), domainCol)
+      .filter(hashUniform(col(idCol).cast("string")) < col("rate"))
+
+  /** Efraimidis–Spirakis weighted-sampling key: u^(1/w) maximized ≡
+    * ln(u)/w maximized (u = hash uniform, w > 0 the row weight). Taking
+    * the per-group top-k rows by this key is a weighted reservoir sample
+    * without replacement — the standard one-pass trick; with a content
+    * hash for u it is also deterministic and engine-portable. */
+  def esKey(idCol: Column, weight: Column): Column =
+    log(hashUniform(idCol.cast("string"))) / weight.cast("double")
+
+  /** Weighted sample without replacement: top-k rows per group by the
+    * Efraimidis–Spirakis key (ties broken by id for determinism). One
+    * shuffle on the group key; at 100 TB the window's per-group top-k is
+    * the same rank-then-filter shape as `o5_topk_per_group` — partial
+    * top-k per partition would be the refinement if groups grow hot. */
+  def weightedSample(df: DataFrame, groupCol: String, idCol: String,
+                     weightCol: String, k: Int): DataFrame = {
+    val win = Window.partitionBy(groupCol)
+      .orderBy(col("es_key").desc, col(idCol))
+    df.withColumn("es_key", esKey(col(idCol), col(weightCol)))
+      .withColumn("rk", row_number().over(win))
+      .filter(col("rk") <= k)
+  }
+}

@@ -285,4 +285,51 @@ object Similarity {
       .filter(col("__rn") <= k)
       .select(col(probeId), col(candId), col("sim"))
   }
+
+  /** Sample covariance matrix (biased, ÷N) of a vector column in ONE
+    * distributed pass: per row the d² outer-product entries explode
+    * straight into a partial hash aggregate (the hash table holds ≤ d²
+    * entries), so each partition ships exactly d² partial sums — the
+    * shuffle is data-size-independent, the same shape as
+    * [[kmeansCentroids]]' mean step. Output: (i, j, cov), 0-based,
+    * d² rows. Means and N come from a second dimension-sized aggregate
+    * over the same scan; both aggregates ship d- or d²-sized partials
+    * regardless of N. */
+  def covarianceMatrix(df: DataFrame, vecCol: String, dim: Int): DataFrame = {
+    val v = df.select(col(vecCol).cast("array<double>").as("__v"))
+    val sums = v.select(posexplode(flatten(transform(col("__v"),
+        x => transform(col("__v"), y => x * y)))).as(Seq("pos", "xy")))
+      .groupBy("pos").agg(sum("xy").as("sxy"))
+      .select(floor(col("pos") / lit(dim)).cast("long").as("i"),
+        (col("pos") % dim).cast("long").as("j"), col("sxy"))
+    val means = v.select(posexplode(col("__v")).as(Seq("i", "x")))
+      .groupBy("i").agg(avg("x").as("m"), count(lit(1)).as("n"))
+    sums
+      .join(broadcast(means.select(col("i"), col("m").as("mi"), col("n"))), "i")
+      .join(broadcast(means.select(col("i").as("j"), col("m").as("mj"))), "j")
+      .select(col("i"), col("j"),
+        (col("sxy") / col("n") - col("mi") * col("mj")).as("cov"))
+  }
+
+  /** Driver-side power iteration for the top principal component of a
+    * collected d×d covariance matrix. The matrix is data-size-INDEPENDENT
+    * (d² doubles — 32 KB at d=64), so collecting it is legitimate at any
+    * corpus scale; the per-iteration matvec is O(d²) driver arithmetic.
+    * Deterministic: v₀ = 1/√d uniform, `iters` rounds of normalize(C·v),
+    * sums in index order. Returns (loadings, eigenvalue) where the
+    * eigenvalue is the Rayleigh quotient vᵀCv of the final iterate. */
+  def powerIteration(c: Array[Array[Double]], iters: Int): (Array[Double], Double) = {
+    val d = c.length
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    def matvec(x: Array[Double]): Array[Double] =
+      Array.tabulate(d)(i => (0 until d).foldLeft(0.0)((s, j) => s + c(i)(j) * x(j)))
+    for (_ <- 1 to iters) {
+      val q = matvec(v)
+      val norm = math.sqrt(q.foldLeft(0.0)((s, x) => s + x * x))
+      v = q.map(_ / norm)
+    }
+    val q = matvec(v)
+    val eig = v.zip(q).foldLeft(0.0) { case (s, (a, b)) => s + a * b }
+    (v, eig)
+  }
 }

@@ -248,6 +248,117 @@ object Text {
     (out, tf)
   }
 
+  /** Portable 60-bit hash (top 15 hex digits of md5, base-16 → long):
+    * identical expression exists in DuckDB as
+    * `('0x' || substr(md5(x), 1, 15))::BIGINT`, which is what makes the
+    * hash-keyed dedup queries oracle-able. xxhash64 is the faster
+    * non-oracled twin. */
+  def portableHash(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Positional k-token span hashes: one portable hash per token position
+    * `i ∈ [1, n−k+1]` over the space-joined span `toks[i..i+k−1]`. The
+    * building block of exact-substring dedup (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better") at fixed-k granularity:
+    * explode → groupBy(hash) → spans seen in ≥2 documents are duplicated
+    * text. Returns an array of (pos, span_hash) structs; per-row compute,
+    * no shuffle — the corpus-wide groupBy shuffles 8-byte hashes, never
+    * the spans themselves. */
+  def spanHashes(toks: Column, k: Int): Column =
+    // docs shorter than k yield NO spans (excluded, no partial span) —
+    // the explicit guard matters: sequence(1, n−k+1) with n<k would be a
+    // descending range, not empty
+    when(size(toks) < k, array().cast("array<struct<pos:int,h:bigint>>"))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - (k - 1), lit(1)),
+        i => struct(i.as("pos"),
+          portableHash(concat_ws(" ", slice(toks, i, lit(k)))).as("h"))))
+
+  /** Duplicated-span statistics per document: of the `n_spans` k-token
+    * spans in each doc, how many (`n_dup_spans`) also occur in at least
+    * one OTHER document, and the ratio. Docs with fewer than k tokens
+    * yield no spans and are excluded (no denominator).
+    *
+    * Plan shape at 100 TB: explode hashes (8 bytes each, ~tokens/doc per
+    * row) → one groupBy(h) keeping per-hash distinct-doc count (map-side
+    * combinable; the HAVING ≥2 filter shrinks it to the duplicated-hash
+    * set) → inner join back on h → per-doc count. No all-pairs stage and
+    * no span text ever shuffles; this is the standard scalable shape of
+    * suffix-style dedup. */
+  def duplicatedSpanStats(df: DataFrame, idCol: String, textCol: String,
+                          k: Int = 5): DataFrame = {
+    val spans = df
+      .select(col(idCol), explode(spanHashes(split(col(textCol), " ", -1), k)).as("s"))
+      .select(col(idCol), col("s.h").as("h"))
+    val dupHashes = spans.groupBy("h")
+      .agg(countDistinct(idCol).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("h")
+    val perDocTotal = spans.groupBy(idCol).agg(count(lit(1)).as("n_spans"))
+    val perDocDup = spans.join(dupHashes, "h")
+      .groupBy(idCol).agg(count(lit(1)).as("n_dup_spans"))
+    perDocTotal.join(perDocDup, Seq(idCol), "left")
+      .select(col(idCol), col("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        round(coalesce(col("n_dup_spans"), lit(0L)).cast("double")
+          / col("n_spans"), 4).as("dup_ratio"))
+  }
+
+  /** Adjacent-token bigrams as (a, b) structs; n tokens → n−1 bigrams,
+    * none for single-token docs (guarded — see [[spanHashes]]). */
+  def bigrams(toks: Column): Column =
+    when(size(toks) < 2, array().cast("array<struct<a:string,b:string>>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - 1, lit(1)),
+        i => struct(element_at(toks, i).as("a"), element_at(toks, i + 1).as("b"))))
+
+  /** Per-document add-one-smoothed bigram-LM negative log-likelihood —
+    * the KenLM-style perplexity gate of training pipelines, with the LM
+    * trained on the corpus itself in the same plan:
+    * nll(doc) = −(1/m)·Σ ln (C(a,b)+1) / (C(a·)+V), over the doc's m
+    * bigrams, where C are corpus counts and V the corpus vocabulary size.
+    *
+    * Plan shape at 100 TB: one explode of 2-token bigrams → the C(a,b)
+    * aggregate IS the training pass; C(a·) and V derive from it (head
+    * groupBy / distinct count over the already-aggregated vocab-sized
+    * table, never re-reading the corpus). Scoring joins the exploded
+    * bigrams against the count tables on token keys — vocabulary-sized
+    * sides, broadcastable for natural-language vocabularies, hash join
+    * otherwise. Docs with <2 tokens have no bigrams and drop out. */
+  def bigramNll(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bg = df.select(col(idCol),
+      explode(bigrams(split(col(textCol), " ", -1))).as("b"))
+      .select(col(idCol), col("b.a").as("a"), col("b.b").as("bb"))
+    val c2 = bg.groupBy("a", "bb").agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy("a").agg(sum("c2").as("c1"))
+    val vocab = c2.select(explode(array(col("a"), col("bb"))).as("t"))
+      .agg(countDistinct("t").as("v"))
+    bg.join(c2, Seq("a", "bb")).join(c1, Seq("a")).crossJoin(broadcast(vocab))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(-avg(log((col("c2") + 1).cast("double")
+          / (col("c1") + col("v")))), 4).as("nll"))
+  }
+
+  /** Sliding-window token chunking: split each document into windows of
+    * `window` tokens advancing by `stride` (overlap = window − stride) —
+    * the standard pre-tokenization step for fixed-context training.
+    * Returns (chunk_id, chunk_text, chunk_tokens) structs; every doc
+    * yields ≥1 chunk. Pure per-row expression — chunking 100 TB is
+    * embarrassingly parallel, and emitted chunks carry no cross-doc
+    * state. Integer-only count arithmetic so the oracle matches exactly:
+    * n_chunks = 1 + ceil((n−window)/stride) when n > window else 1. */
+  def chunkTokens(toks: Column, window: Int, stride: Int): Column = {
+    val n = size(toks).cast("long")
+    // integer ceil((n-window)/stride) via floor — exact below 2^53
+    val extra = floor((n - window + (stride - 1)) / lit(stride)).cast("long")
+    val nChunks = when(n <= window, lit(1L)).otherwise(extra + 1L)
+    transform(sequence(lit(0L), nChunks - 1L, lit(1L)), c =>
+      struct(c.as("chunk_id"),
+        concat_ws(" ", slice(toks, (c * stride + 1L).cast("int"), lit(window)))
+          .as("chunk_text"),
+        least(n - c * stride, lit(window.toLong)).as("chunk_tokens")))
+  }
+
   /** Quality metrics bundle (length / stopword / word-shape heuristics in
     * the spirit of Gopher rules). Returns a struct column. */
   def qualityMetrics(text: Column, stopwords: Seq[String]): Column = {

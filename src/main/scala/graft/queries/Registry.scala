@@ -8,7 +8,8 @@ object Registry {
 
   def all: Seq[Q] =
     CoreQueries.qs ++ ArrayTimeQueries.qs ++ TextQueries.qs ++
-      SimilarityQueries.qs ++ ExtQueries.qs ++ GapQueries.qs
+      SimilarityQueries.qs ++ ExtQueries.qs ++ GapQueries.qs ++
+      TrainQueries.qs
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Sampling, Similarity, Text}
+
+/** Wave-2 training-pipeline operators: exact duplicated-span detection,
+  * corpus-trained bigram LM, chunking, mixture sampling, weighted
+  * reservoir sampling, covariance + power iteration. Hand-computed
+  * oracles on tiny inputs; the DuckDB hash-compare covers sf-scale.
+  */
+class TrainSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("spanHashes: n-k+1 spans, short docs yield none") {
+    val df = Seq("a b c d", "a b", "a b c").toDF("text")
+    val n = df.select(size(Text.spanHashes(split(col("text"), " ", -1), 3)).as("n"))
+      .as[Int].collect().toSeq
+    assert(n == Seq(2, 0, 1))
+  }
+
+  test("duplicatedSpanStats counts spans shared across documents") {
+    val df = Seq((1L, "a b c"), (2L, "b c d"), (3L, "x y")).toDF("doc_id", "text")
+    val out = Text.duplicatedSpanStats(df, "doc_id", "text", k = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // "b c" occurs in docs 1 and 2; every doc has n-1 = 2 or 1 spans
+    assert(out == Seq((1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5), (3L, 1L, 0L, 0.0)))
+  }
+
+  test("bigramNll: add-one smoothed corpus LM, hand-computed") {
+    val df = Seq((1L, "a b a b"), (2L, "a b")).toDF("doc_id", "text")
+    // c2: (a,b)=3, (b,a)=1; c1: a=3, b=1; V=2
+    // d1 = -(ln(4/5)+ln(2/3)+ln(4/5))/3 = 0.2839; d2 = -ln(4/5) = 0.2231
+    val out = Text.bigramNll(df, "doc_id", "text").orderBy("doc_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 3L, 0.2839), (2L, 1L, 0.2231)))
+  }
+
+  test("chunkTokens: window/stride boundaries and short-doc single chunk") {
+    val df = Seq("t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11", "s1 s2").toDF("text")
+    val out = df.select(Text.chunkTokens(split(col("text"), " ", -1),
+        window = 4, stride = 3).as("c"))
+      .select(explode(col("c")).as("c"))
+      .select(col("c.chunk_id"), col("c.chunk_text"), col("c.chunk_tokens"))
+      .as[(Long, String, Long)].collect().toSeq
+    assert(out == Seq(
+      (0L, "t1 t2 t3 t4", 4L), (1L, "t4 t5 t6 t7", 4L),
+      (2L, "t7 t8 t9 t10", 4L), (3L, "t10 t11", 2L),
+      (0L, "s1 s2", 2L)))
+  }
+
+  test("mixtureRates: alpha=0.5 upsamples the small domain") {
+    val counts = Seq(("big", 100L), ("small", 1L)).toDF("source", "n_docs")
+    val r = Sampling.mixtureRates(counts, "n_docs", alpha = 0.5, budget = 10)
+      .orderBy("source")
+      .select(col("source"), round(col("p"), 6), round(col("rate"), 6))
+      .as[(String, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // w = (10, 1), tw = 11: p = 10/11, 1/11; rate = min(1, 10*p/n)
+    assert(r("big") == (0.909091, 0.090909))
+    assert(r("small") == (0.090909, 0.909091))
+  }
+
+  test("mixtureSample: rate 1.0 keeps every row, rate 0.0 keeps none") {
+    val docs = (1L to 50L).map(i => (if (i <= 25) "keep" else "drop", i))
+      .toDF("source", "doc_id")
+    val rates = Seq(("keep", 1.0), ("drop", 0.0)).toDF("source", "rate")
+    val kept = Sampling.mixtureSample(docs, "source", "doc_id", rates)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(kept == Map("keep" -> 25L))
+  }
+
+  test("weightedSample: deterministic, k-bounded, ranks contiguous") {
+    val df = (1L to 40L).map(i => (s"g${i % 2}", i, (i * 7 % 13) + 1))
+      .toDF("grp", "id", "w")
+    def run() = Sampling.weightedSample(df, "grp", "id", "w", k = 3)
+      .select("grp", "id", "rk").as[(String, Long, Int)].collect().toSet
+    val s1 = run(); val s2 = run()
+    assert(s1 == s2)                         // content-hash randomness
+    assert(s1.size == 6)                     // 3 per group
+    assert(s1.groupBy(_._1).forall(_._2.map(_._3) == Set(1, 2, 3)))
+  }
+
+  test("covarianceMatrix matches hand computation on 2-d vectors") {
+    val df = Seq(Array(1.0f, 2.0f), Array(3.0f, 6.0f)).toDF("embedding")
+    val cov = Similarity.covarianceMatrix(df, "embedding", dim = 2)
+      .as[(Long, Long, Double)].collect()
+      .map { case (i, j, c) => (i, j) -> c }.toMap
+    assert(cov((0L, 0L)) == 1.0 && cov((1L, 1L)) == 4.0)
+    assert(cov((0L, 1L)) == 2.0 && cov((1L, 0L)) == 2.0)
+  }
+
+  test("powerIteration finds the dominant eigenpair") {
+    val c = Array(Array(2.0, 0.0), Array(0.0, 1.0))
+    val (v, eig) = Similarity.powerIteration(c, 30)
+    assert(math.abs(eig - 2.0) < 1e-9)
+    assert(math.abs(math.abs(v(0)) - 1.0) < 1e-6 && math.abs(v(1)) < 1e-4)
+  }
+
+  test("powerIteration + covariance recover the principal axis of correlated data") {
+    // points along y = 2x: top PC must align with (1,2)/sqrt(5)
+    val pts = (1 to 50).map(i => Array(i.toFloat, (2 * i).toFloat))
+    val df = pts.toDF("embedding")
+    val covRows = Similarity.covarianceMatrix(df, "embedding", dim = 2).collect()
+    val c = Array.ofDim[Double](2, 2)
+    covRows.foreach(r => c(r.getLong(0).toInt)(r.getLong(1).toInt) = r.getDouble(2))
+    val (v, eig) = Similarity.powerIteration(c, 50)
+    val expected = Array(1.0 / math.sqrt(5.0), 2.0 / math.sqrt(5.0))
+    assert(math.abs(math.abs(v(0)) - expected(0)) < 1e-6)
+    assert(math.abs(math.abs(v(1)) - expected(1)) < 1e-6)
+    assert(eig > 0.0)
+  }
+}

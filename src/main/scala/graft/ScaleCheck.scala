@@ -311,6 +311,72 @@ object ScaleCheck {
         "v", m = 8, dim = 64, k = 10).count()
     }
 
+    // 8a. duplicated-span stats at 50k docs. The ×10 key-shifted copies
+    // make EVERY span a cross-doc duplicate — maximum density for the
+    // dup-hash join-back (the worst case for this operator, since the
+    // HAVING >= 2 filter drops nothing); volume must stay linear in
+    // total span count, never pairwise in duplicates
+    time("dedup_span_ngrams (50k docs, all-dup)") {
+      ops.Text.duplicatedSpanStats(docs10, "doc_id", "text", k = 5).count()
+    }
+
+    // 8b. corpus-trained bigram LM at 50k docs: the c2 count table is
+    // vocabulary²-bounded (shared across the shifted copies), so the
+    // scoring join sides stay small while the exploded bigram stream
+    // grows linearly
+    time("t_lm_perplexity (50k docs)") {
+      ops.Text.bigramNll(docs10, "doc_id", "text").count()
+    }
+
+    // 8c. covariance at 20k vectors: the posexplode fans out d² = 4096
+    // entries per row into a partial hash aggregate whose table holds at
+    // most d² groups — the shuffle ships 4096 partial sums per partition
+    // regardless of row count
+    time("sim_pca_cov (20k vecs)") {
+      ops.Similarity.covarianceMatrix(
+        emb10.select(col("embedding")), "embedding", dim = 64).count()
+    }
+
+    // 8d. covariance fast path at the same 20k vectors: the typed
+    // Aggregator (object buffer, no fan-out) vs 8c's posexplode — the
+    // gap is the d² row fan-out cost the aggregator avoids
+    time("sim_pca_cov_fast (20k vecs)") {
+      ops.Similarity.covarianceMatrixFast(
+        emb10.select(col("embedding")), "embedding", dim = 64).count()
+    }
+
+    // 8e. incremental dedup: 5k-doc batch against a 45k-doc corpus.
+    // The corpus side reduces to fingerprints + band hashes; cost must
+    // track batch + one corpus signature pass, with candidate volume
+    // bucket-bounded (the ×10 copies make every batch doc an exact dup
+    // of its source-shard sibling — maximal candidate density)
+    time("dedup_incremental (5k vs 45k)") {
+      val batch = docs10.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("text"))
+      val corpus = docs10.filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"), col("text"))
+      ops.Curation.incrementalDedup(batch, corpus, "doc_id", "text")
+        .groupBy("status").count().count()
+    }
+
+    // 8f. epoch shard shuffle at 50k docs into 64 shards: one shuffle
+    // on the shard key + per-shard sort — the write-layout movement
+    time("pipe_shard_shuffle (50k, 64 shards)") {
+      ops.Sampling.shardShuffle(docs10.select("doc_id"), "doc_id", 64, "ep1")
+        .groupBy("shard").agg(max("pos")).count()
+    }
+
+    // 8g. classifier margin + token budget at 50k docs: map-only margin,
+    // then one domain-key shuffle for the running-total window
+    time("pipe_token_budget (50k docs)") {
+      val base = docs10.select(col("doc_id"), col("source"),
+        size(split(col("text"), " ", -1)).cast("long").as("nt"),
+        ops.Text.classifierMarginInt(split(col("text"), " ", -1), 1024)
+          .as("pri"))
+      ops.Sampling.tokenBudgetFilter(base, "source", "doc_id", "nt", "pri",
+        6000L).count()
+    }
+
     // 7. IVF train + assign at 200k vectors: the shuffle-free assignment
     // (packed-centroid HOF argmax) is the piece that used to shuffle
     // rows×k — training cost should stay ~linear in rows·iters

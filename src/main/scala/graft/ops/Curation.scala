@@ -102,6 +102,56 @@ object Curation {
       .distinct()
   }
 
+  /** Incremental (delta) dedup: flag each NEW document against an
+    * existing corpus without any corpus-side pairwise work — `status` is
+    * `exact_dup` (fingerprint already in the corpus), `near_dup` (shares
+    * an LSH band bucket with a corpus doc AND verifies at `jaccardMin`
+    * shingle Jaccard), else `kept`. This is the daily-ingest shape at
+    * 100 TB: the corpus reduces to its DISTINCT fingerprints and band
+    * hashes — both precomputable once and servable from a signature
+    * store (pass such a store as `corpus` with the same columns and the
+    * derivation prunes to a scan) — so steady-state cost is proportional
+    * to the batch, not the corpus. The bucket join shuffles on
+    * (band, hash); a small batch side broadcasts under AQE. Jaccard
+    * verification joins shingle arrays only for candidate ids
+    * (candidate-set-reduced, never all-pairs). Same md5 signature
+    * family as [[flags]]/[[mdCandidatePairs]], so the whole flow
+    * re-derives in the DuckDB oracle (`dedup_incremental`). */
+  def incrementalDedup(newDocs: DataFrame, corpus: DataFrame,
+                       idCol: String, textCol: String, shingleK: Int = 4,
+                       numHashes: Int = 16, bands: Int = 4,
+                       jaccardMin: Double = 0.5): DataFrame = {
+    val id = col(idCol)
+    def shingled(df: DataFrame) = df.select(id,
+      array_distinct(graft.functions.GraftExtensions
+        .shingles(split(col(textCol), " ", -1), shingleK)).as("sh"))
+    val newSh = shingled(newDocs)
+    val corpSh = shingled(corpus)
+    val exactIds = newDocs
+      .select(id, Text.fingerprint(col(textCol)).as("fp"))
+      .join(corpus.select(Text.fingerprint(col(textCol)).as("fp")).distinct(),
+        "fp")
+      .select(id).distinct()
+      .withColumn("is_exact", lit(true))
+    val nb = bandHashes(newSh, idCol, numHashes, bands)
+      .withColumnRenamed(idCol, "new_id")
+    val cb = bandHashes(corpSh, idCol, numHashes, bands)
+      .withColumnRenamed(idCol, "corp_id")
+    val cand = nb.join(cb, Seq("j", "bh"))
+      .select(col("new_id"), col("corp_id")).distinct()
+    val nearIds = cand
+      .join(newSh.select(id.as("new_id"), col("sh").as("sha")), "new_id")
+      .join(corpSh.select(id.as("corp_id"), col("sh").as("shb")), "corp_id")
+      .filter(Text.jaccard(col("sha"), col("shb")) >= jaccardMin)
+      .select(col("new_id").as(idCol)).distinct()
+      .withColumn("is_near", lit(true))
+    newDocs.select(id)
+      .join(exactIds, Seq(idCol), "left")
+      .join(nearIds, Seq(idCol), "left")
+      .select(id, when(col("is_exact"), "exact_dup")
+        .when(col("is_near"), "near_dup").otherwise("kept").as("status"))
+  }
+
   /** Per-language attrition report over [[flags]] output: raw → quality →
     * after-exact-dedup → final counts and surviving token mass. */
   def report(flagged: DataFrame): DataFrame =

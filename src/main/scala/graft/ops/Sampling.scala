@@ -71,4 +71,47 @@ object Sampling {
       .withColumn("rk", row_number().over(win))
       .filter(col("rk") <= k)
   }
+
+  /** Deterministic global shuffle into training shards: `shard` =
+    * content-hash(id:seed) mod `nShards`, `pos` = rank of the hash
+    * within the shard (id tiebreak). Reshuffling for a new epoch =
+    * changing the seed string — no RNG state, any subset recomputes its
+    * placement independently (the property that makes the shuffle
+    * resumable mid-job). The window partitions by shard, which is
+    * physically the write-side `repartition(shard)` +
+    * `sortWithinPartitions(hash)` layout that streams one file per
+    * shard; at 100 TB shards are sized to output files (thousands), so
+    * no window partition is hot and the one shuffle on `shard` IS the
+    * write movement the job needs anyway. */
+  def shardShuffle(df: DataFrame, idCol: String, nShards: Int,
+                   seed: String): DataFrame = {
+    val h = Text.portableHash(concat(col(idCol).cast("string"), lit(":" + seed)))
+    df.withColumn("h", h)
+      .withColumn("shard", (col("h") % nShards).cast("int"))
+      .withColumn("pos",
+        (row_number().over(Window.partitionBy("shard")
+          .orderBy(col("h"), col(idCol))) - 1).cast("long"))
+      .drop("h")
+  }
+
+  /** Token-budget selection: within each domain, rank rows by priority
+    * (descending, id tiebreak) and keep rows while the RUNNING token
+    * total stays within `budget` — the curation step that caps each
+    * source/domain at a token budget, spending it on the
+    * highest-priority documents first. One shuffle on the domain key;
+    * each domain is one window partition (domains ≫ cores in real
+    * corpora — a single pathological mega-domain would route through
+    * [[Relational.prefixSum]]'s two-phase form instead). Integer
+    * priorities (e.g. [[Text.classifierMarginInt]]) make the ordering
+    * engine-exact; float priorities ride on exact float equality of the
+    * priority expression across engines. */
+  def tokenBudgetFilter(df: DataFrame, domainCol: String, idCol: String,
+                        tokCol: String, priorityCol: String,
+                        budget: Long): DataFrame = {
+    val win = Window.partitionBy(domainCol)
+      .orderBy(col(priorityCol).desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum_tokens", sum(col(tokCol).cast("long")).over(win))
+      .filter(col("cum_tokens") <= budget)
+  }
 }

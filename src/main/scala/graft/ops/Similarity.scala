@@ -311,6 +311,24 @@ object Similarity {
         (col("sxy") / col("n") - col("mi") * col("mj")).as("cov"))
   }
 
+  /** [[covarianceMatrix]]'s fast twin: same (i, j, cov) output through the
+    * one-pass [[CovarianceAggregator]] (ObjectHashAggregate, primitive
+    * buffer, no d²-row fan-out). Agreement with the explode path is to FP
+    * round-off — partition merge order differs — so this is the rows-only
+    * registered form; `sim_pca_cov` carries the oracle. */
+  def covarianceMatrixFast(df: DataFrame, vecCol: String, dim: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // typed select keeps the TypedColumn dispatch (an .as alias would
+    // downgrade it to the untyped API, which rejects typed aggregates)
+    val one = df.select(col(vecCol).cast("array<double>")).as[Array[Double]]
+      .select(new CovarianceAggregator(dim).toColumn)
+    one.toDF("c")
+      .select(posexplode(col("c")).as(Seq("pos", "cov")))
+      .select(floor(col("pos") / lit(dim)).cast("long").as("i"),
+        (col("pos") % dim).cast("long").as("j"), col("cov"))
+  }
+
   /** Driver-side power iteration for the top principal component of a
     * collected d×d covariance matrix. The matrix is data-size-INDEPENDENT
     * (d² doubles — 32 KB at d=64), so collecting it is legitimate at any

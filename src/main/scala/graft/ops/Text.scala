@@ -284,12 +284,33 @@ object Text {
     * combinable; the HAVING ≥2 filter shrinks it to the duplicated-hash
     * set) → inner join back on h → per-doc count. No all-pairs stage and
     * no span text ever shuffles; this is the standard scalable shape of
-    * suffix-style dedup. */
+    * suffix-style dedup.
+    *
+    * The (doc_id, h) span stream has three consumers (dup-hash aggregate,
+    * per-doc total, join-back), each of which re-derives the tokenize +
+    * hash explode WITHOUT persistence — fine at test SF, 3× the dominant
+    * CPU cost at full corpus scale. `persistSpans = true` is the
+    * full-corpus handle (same contract as [[tfidf]]'s persistTf): the
+    * 16-byte/span stream is computed once and served from storage; the
+    * second return value is the handle to `unpersist()` when done.
+    * A groupBy-h formulation stays deliberately: the hot-span case (one
+    * boilerplate sentence in every doc) partial-aggregates map-side,
+    * where a window-over-h would concentrate it on one partition. */
   def duplicatedSpanStats(df: DataFrame, idCol: String, textCol: String,
-                          k: Int = 5): DataFrame = {
-    val spans = df
+                          k: Int = 5): DataFrame =
+    duplicatedSpanStatsWithHandle(df, idCol, textCol, k, persistSpans = false)._1
+
+  /** [[duplicatedSpanStats]] with the full-corpus persist handle. */
+  def duplicatedSpanStatsWithHandle(df: DataFrame, idCol: String,
+                                    textCol: String, k: Int = 5,
+                                    persistSpans: Boolean = false)
+      : (DataFrame, DataFrame) = {
+    val spans0 = df
       .select(col(idCol), explode(spanHashes(split(col(textCol), " ", -1), k)).as("s"))
       .select(col(idCol), col("s.h").as("h"))
+    val spans = if (persistSpans)
+      spans0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else spans0
     val dupHashes = spans.groupBy("h")
       .agg(countDistinct(idCol).as("nd"))
       .filter(col("nd") >= 2)
@@ -297,11 +318,12 @@ object Text {
     val perDocTotal = spans.groupBy(idCol).agg(count(lit(1)).as("n_spans"))
     val perDocDup = spans.join(dupHashes, "h")
       .groupBy(idCol).agg(count(lit(1)).as("n_dup_spans"))
-    perDocTotal.join(perDocDup, Seq(idCol), "left")
+    val out = perDocTotal.join(perDocDup, Seq(idCol), "left")
       .select(col(idCol), col("n_spans"),
         coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
         round(coalesce(col("n_dup_spans"), lit(0L)).cast("double")
           / col("n_spans"), 4).as("dup_ratio"))
+    (out, spans)
   }
 
   /** Adjacent-token bigrams as (a, b) structs; n tokens → n−1 bigrams,
@@ -323,20 +345,40 @@ object Text {
     * table, never re-reading the corpus). Scoring joins the exploded
     * bigrams against the count tables on token keys — vocabulary-sized
     * sides, broadcastable for natural-language vocabularies, hash join
-    * otherwise. Docs with <2 tokens have no bigrams and drop out. */
-  def bigramNll(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val bg = df.select(col(idCol),
+    * otherwise. Docs with <2 tokens have no bigrams and drop out.
+    *
+    * The exploded bigram stream feeds both the count aggregate and the
+    * scoring join; `persistBigrams = true` is the full-corpus handle
+    * (same contract as [[tfidf]]'s persistTf) that computes the explode
+    * once — the second return value is the handle to `unpersist()`.
+    * The scoring join stays a join on (a, b) rather than a window by
+    * first token: hot tokens ("the …") partial-aggregate map-side and
+    * AQE can split the skewed join, where a window would pin every
+    * "the"-bigram on one partition. */
+  def bigramNll(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    bigramNllWithHandle(df, idCol, textCol, persistBigrams = false)._1
+
+  /** [[bigramNll]] with the full-corpus persist handle. */
+  def bigramNllWithHandle(df: DataFrame, idCol: String, textCol: String,
+                          persistBigrams: Boolean = false)
+      : (DataFrame, DataFrame) = {
+    val bg0 = df.select(col(idCol),
       explode(bigrams(split(col(textCol), " ", -1))).as("b"))
       .select(col(idCol), col("b.a").as("a"), col("b.b").as("bb"))
+    val bg = if (persistBigrams)
+      bg0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else bg0
     val c2 = bg.groupBy("a", "bb").agg(count(lit(1)).as("c2"))
     val c1 = c2.groupBy("a").agg(sum("c2").as("c1"))
     val vocab = c2.select(explode(array(col("a"), col("bb"))).as("t"))
       .agg(countDistinct("t").as("v"))
-    bg.join(c2, Seq("a", "bb")).join(c1, Seq("a")).crossJoin(broadcast(vocab))
+    val out = bg.join(c2, Seq("a", "bb")).join(c1, Seq("a"))
+      .crossJoin(broadcast(vocab))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_bigrams"),
         round(-avg(log((col("c2") + 1).cast("double")
           / (col("c1") + col("v")))), 4).as("nll"))
+    (out, bg)
   }
 
   /** Sliding-window token chunking: split each document into windows of
@@ -358,6 +400,33 @@ object Text {
           .as("chunk_text"),
         least(n - c * stride, lit(window.toLong)).as("chunk_tokens")))
   }
+
+  /** fastText-style hashed bag-of-tokens linear classifier, the learned
+    * counterpart of [[qualityMetrics]]'s heuristics (the CCNet/fineweb
+    * quality-filter shape): each token hashes into one of `buckets`
+    * feature slots, the margin is the sum of the slot weights. Weights
+    * here are hash-DERIVED integers in [−1000, 1000] — a stand-in with
+    * the exact compute shape of trained weights, chosen so the whole
+    * model re-derives in an independent SQL engine for the oracle; a
+    * production model would supply the same-shaped weights as a
+    * broadcast array lookup (`lit(weights)(slot)`) with an identical
+    * plan. Returns the INTEGER margin numerator Σ w(slot(tok)):
+    * integer summation is order-independent, so ordering or comparing
+    * on the margin is engine-exact where a float sum would depend on
+    * accumulation order. One aggregate HOF per row — map-only, no
+    * shuffle, embarrassingly parallel at any scale. */
+  def classifierMarginInt(toks: Column, buckets: Int): Column =
+    aggregate(toks, lit(0L), (acc, t) =>
+      acc + (portableHash(concat(lit("w"),
+        (portableHash(t) % buckets).cast("string"))) % 2001L - 1000L))
+
+  /** Sigmoid probability from [[classifierMarginInt]]: the margin mean
+    * (margin / (1000·n_tokens), an exactly-rounded double of two exact
+    * integers) through the logistic function. Round before comparing
+    * across engines — exp differs in the last ulp between libms. */
+  def classifierProb(marginInt: Column, nTokens: Column): Column =
+    lit(1.0) / (lit(1.0) +
+      exp(-(marginInt.cast("double") / (lit(1000.0) * nTokens.cast("double")))))
 
   /** Quality metrics bundle (length / stopword / word-shape heuristics in
     * the spirit of Gopher rules). Returns a struct column. */

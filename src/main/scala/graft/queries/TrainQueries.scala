@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ops.{Sampling, Similarity, Text}
+import graft.ops.{Curation, Sampling, Similarity, Text}
 
 /** Training-data pipeline operators, wave 2: exact duplicated-span
   * detection, corpus-trained bigram-LM perplexity, temperature-weighted
@@ -24,7 +24,9 @@ object TrainQueries {
     * parquet scans). */
   private val pcaIters = 20
 
-  private val pcaPowerSql: String = {
+  /** The WITH chain through p{pcaIters} (shared by the power-iteration
+    * and projection oracles); ends ready for a final SELECT. */
+  private val pcaPowerCtes: String = {
     val base =
       """WITH v AS MATERIALIZED (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
         |    unnest(CAST(embedding AS DOUBLE[])) AS x FROM embeddings),
@@ -41,7 +43,11 @@ object TrainQueries {
          |p$t AS MATERIALIZED (SELECT i, val / (SELECT sqrt(SUM(val * val)) FROM q$t) AS val
          |  FROM q$t)""".stripMargin
     }.mkString
-    val fin =
+    base + steps + "\n"
+  }
+
+  private val pcaPowerSql: String =
+    pcaPowerCtes.stripSuffix("\n") +
       s""",
          |qf AS MATERIALIZED (SELECT cv.i AS i, SUM(cv.c * p$pcaIters.val) AS val
          |  FROM cv JOIN p$pcaIters ON p$pcaIters.i = cv.j GROUP BY cv.i),
@@ -50,8 +56,6 @@ object TrainQueries {
          |SELECT p$pcaIters.i - 1 AS i, ROUND(p$pcaIters.val, 4) + 0.0 AS loading,
          |  ROUND((SELECT e FROM eig), 4) + 0.0 AS eigval
          |FROM p$pcaIters ORDER BY i""".stripMargin
-    base + steps + fin
-  }
 
   def qs: Seq[Q] = Seq(
 
@@ -211,6 +215,19 @@ object TrainQueries {
         .orderBy("i", "j")
     },
 
+    // Fast-path twin of sim_pca_cov: one-pass typed Aggregator
+    // (ObjectHashAggregate, primitive buffer, no d²-row fan-out) — rows
+    // only; merge-order FP round-off keeps it off the hash compare, the
+    // explode form above carries the oracle. Rounded to 6 decimals the
+    // two paths agree (pinned in TrainSpec).
+    Q.noOracle("sim_pca_cov_fast") { (s, dir) =>
+      Similarity.covarianceMatrixFast(Tables(s, dir, "embeddings"),
+          "embedding", dim = 64)
+        .select(col("i"), col("j"),
+          (round(col("cov"), 6) + lit(0.0)).as("cov"))
+        .orderBy("i", "j")
+    },
+
     // Top principal component by power iteration: the d×d covariance is
     // data-size-independent, so the iteration runs on collected driver
     // state (32 KB) — the distributed work is the single covariance pass.
@@ -228,6 +245,171 @@ object TrainQueries {
       import s.implicits._
       v.zipWithIndex.toSeq.map { case (l, i) => (i, r4(l), r4(eig)) }
         .toDF("i", "loading", "eigval").orderBy("i")
+    },
+
+    // PCA projection: score every embedding on the top principal
+    // component. The 100 TB shape: the loadings are 64 doubles of
+    // driver state (from the data-size-independent covariance), so the
+    // projection is a map-only broadcast dot product — zero shuffle over
+    // the vector table. Both engines use their OWN full-precision
+    // iterate (identical arithmetic sequence); agreement to 4 decimals
+    // is the same stability contract sim_pca_power pins.
+    Q("sim_pca_project",
+      pcaPowerCtes +
+        s"""SELECT v.vec_id, ROUND(SUM(p$pcaIters.val * v.x), 4) + 0.0 AS proj
+           |FROM v JOIN p$pcaIters ON p$pcaIters.i = v.i
+           |GROUP BY v.vec_id ORDER BY v.vec_id""".stripMargin) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val covRows = Similarity
+        .covarianceMatrix(emb, "embedding", dim = 64).collect()
+      val c = Array.ofDim[Double](64, 64)
+      covRows.foreach(r => c(r.getLong(0).toInt)(r.getLong(1).toInt) = r.getDouble(2))
+      val (v, _) = Similarity.powerIteration(c, pcaIters)
+      val loadings = array(v.map(lit): _*)
+      emb.select(col("vec_id"),
+          (round(aggregate(
+            zip_with(col("embedding").cast("array<double>"), loadings, _ * _),
+            lit(0.0), _ + _), 4) + lit(0.0)).as("proj"))
+        .orderBy("vec_id")
+    },
+
+    // Hashed linear quality classifier (the fastText-filter shape of
+    // CCNet/fineweb): token → feature slot by portable hash, margin =
+    // Σ slot weights (hash-derived integers standing in for trained
+    // weights — same compute shape, oracle re-derives the whole model).
+    // Map-only: one aggregate HOF per row, no shuffle at any scale.
+    Q("t_quality_model",
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |f AS (SELECT doc_id, ('0x' || substr(md5('w' ||
+        |      (('0x' || substr(md5(tok), 1, 15))::BIGINT % 1024)::VARCHAR),
+        |      1, 15))::BIGINT % 2001 - 1000 AS wi
+        |  FROM t),
+        |s AS (SELECT doc_id, SUM(wi)::BIGINT AS margin_int,
+        |    COUNT(*)::BIGINT AS nt FROM f GROUP BY doc_id)
+        |SELECT doc_id, nt, margin_int,
+        |  ROUND(1.0 / (1.0 + exp(-(margin_int / (1000.0 * nt)))), 4) + 0.0 AS prob
+        |FROM s ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ", -1)).cast("long").as("nt"),
+          Text.classifierMarginInt(split(col("text"), " ", -1), 1024)
+            .as("margin_int"))
+        .select(col("doc_id"), col("nt"), col("margin_int"),
+          (round(Text.classifierProb(col("margin_int"), col("nt")), 4)
+            + lit(0.0)).as("prob"))
+        .orderBy("doc_id")
+    },
+
+    // Deterministic epoch shuffle into training shards: shard and
+    // within-shard position from a content hash of (id, epoch seed).
+    // The window-by-shard form is physically the write-side
+    // repartition(shard) + sortWithinPartitions layout; at 100 TB
+    // shards are file-sized (thousands), so nothing is hot.
+    Q("pipe_shard_shuffle",
+      """WITH h AS (SELECT doc_id,
+        |    ('0x' || substr(md5(doc_id::VARCHAR || ':ep0'), 1, 15))::BIGINT AS h
+        |  FROM documents)
+        |SELECT doc_id, (h % 8)::INT AS shard,
+        |  (ROW_NUMBER() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - 1)::BIGINT
+        |    AS pos
+        |FROM h ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Sampling.shardShuffle(
+          Tables(s, dir, "documents").select("doc_id"), "doc_id", 8, "ep0")
+        .orderBy("doc_id")
+    },
+
+    // Token-budget selection: each source spends a fixed token budget on
+    // its highest-margin docs (integer margins from the hashed
+    // classifier → the ordering is engine-exact). One shuffle on the
+    // domain key; running total via a domain-partitioned window.
+    Q("pipe_token_budget",
+      """WITH t AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |f AS (SELECT doc_id, source, ('0x' || substr(md5('w' ||
+        |      (('0x' || substr(md5(tok), 1, 15))::BIGINT % 1024)::VARCHAR),
+        |      1, 15))::BIGINT % 2001 - 1000 AS wi
+        |  FROM t),
+        |s AS (SELECT doc_id, source, SUM(wi)::BIGINT AS pri,
+        |    COUNT(*)::BIGINT AS nt FROM f GROUP BY doc_id, source),
+        |c AS (SELECT doc_id, source, nt, pri,
+        |    SUM(nt) OVER (PARTITION BY source ORDER BY pri DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |      AS cum_tokens
+        |  FROM s)
+        |SELECT doc_id, source, nt, pri, cum_tokens FROM c
+        |WHERE cum_tokens <= 600 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val base = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ", -1)).cast("long").as("nt"),
+          Text.classifierMarginInt(split(col("text"), " ", -1), 1024).as("pri"))
+      Sampling.tokenBudgetFilter(base, "source", "doc_id", "nt", "pri", 600L)
+        .select("doc_id", "source", "nt", "pri", "cum_tokens")
+        .orderBy("doc_id")
+    },
+
+    // Incremental (delta) dedup: the daily-ingest composition — src0 is
+    // the arriving batch, everything else the standing corpus. Exact via
+    // fingerprint lookup, near via LSH bucket join + Jaccard verify;
+    // corpus work reduces to fingerprints + band hashes (precomputable
+    // as a signature store at scale), so steady-state cost follows the
+    // batch. Oracle re-derives both sides' signature chains.
+    Q("dedup_incremental",
+      """WITH newd AS (SELECT doc_id, text FROM documents WHERE source = 'src0'),
+        |corp AS (SELECT doc_id, text FROM documents WHERE source <> 'src0'),
+        |ex AS (SELECT DISTINCT n.doc_id
+        |  FROM (SELECT doc_id, md5(trim(regexp_replace(regexp_replace(
+        |      lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+        |    FROM newd) n
+        |  JOIN (SELECT DISTINCT md5(trim(regexp_replace(regexp_replace(
+        |      lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+        |    FROM corp) c ON n.fp = c.fp),
+        |nws AS (SELECT doc_id, list_distinct([array_to_string(ws[i:i+3], ' ')
+        |    FOR i IN generate_series(1, greatest(len(ws) - 3, 1))]) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM newd)),
+        |cws AS (SELECT doc_id, list_distinct([array_to_string(ws[i:i+3], ' ')
+        |    FOR i IN generate_series(1, greatest(len(ws) - 3, 1))]) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM corp)),
+        |ncomp AS (SELECT doc_id, j,
+        |    MIN(('0x' || substr(md5(j::VARCHAR || ' ' || s), 1, 15))::BIGINT) AS c
+        |  FROM (SELECT doc_id, unnest(sh) AS s FROM nws)
+        |  CROSS JOIN generate_series(0, 15) AS g(j) GROUP BY doc_id, j),
+        |nsig AS (SELECT doc_id, list(c ORDER BY j) AS cs FROM ncomp
+        |  GROUP BY doc_id),
+        |nband AS (SELECT doc_id, j,
+        |    md5(array_to_string(cs[j*4+1 : j*4+4], ',')) AS bh
+        |  FROM nsig CROSS JOIN generate_series(0, 3) AS g(j)),
+        |ccomp AS (SELECT doc_id, j,
+        |    MIN(('0x' || substr(md5(j::VARCHAR || ' ' || s), 1, 15))::BIGINT) AS c
+        |  FROM (SELECT doc_id, unnest(sh) AS s FROM cws)
+        |  CROSS JOIN generate_series(0, 15) AS g(j) GROUP BY doc_id, j),
+        |csig AS (SELECT doc_id, list(c ORDER BY j) AS cs FROM ccomp
+        |  GROUP BY doc_id),
+        |cband AS (SELECT doc_id, j,
+        |    md5(array_to_string(cs[j*4+1 : j*4+4], ',')) AS bh
+        |  FROM csig CROSS JOIN generate_series(0, 3) AS g(j)),
+        |cand AS (SELECT DISTINCT n.doc_id AS nid, c.doc_id AS cid
+        |  FROM nband n JOIN cband c ON n.j = c.j AND n.bh = c.bh),
+        |near AS (SELECT DISTINCT cand.nid AS doc_id FROM cand
+        |  JOIN nws ON nws.doc_id = cand.nid
+        |  JOIN cws ON cws.doc_id = cand.cid
+        |  WHERE CAST(len(list_intersect(nws.sh, cws.sh)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(nws.sh, cws.sh))) >= 0.5)
+        |SELECT n.doc_id,
+        |  CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup'
+        |    WHEN near.doc_id IS NOT NULL THEN 'near_dup'
+        |    ELSE 'kept' END AS status
+        |FROM newd n
+        |LEFT JOIN ex ON ex.doc_id = n.doc_id
+        |LEFT JOIN near ON near.doc_id = n.doc_id
+        |ORDER BY n.doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      Curation.incrementalDedup(
+          docs.filter(col("source") === "src0").select("doc_id", "text"),
+          docs.filter(col("source") =!= "src0").select("doc_id", "text"),
+          "doc_id", "text", shingleK = 4, numHashes = 16, bands = 4,
+          jaccardMin = 0.5)
+        .orderBy("doc_id")
     }
   )
 }

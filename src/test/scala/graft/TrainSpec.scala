@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.{Sampling, Similarity, Text}
+import graft.ops.{Curation, Sampling, Similarity, Text}
 
 /** Wave-2 training-pipeline operators: exact duplicated-span detection,
   * corpus-trained bigram LM, chunking, mixture sampling, weighted
@@ -25,6 +25,23 @@ class TrainSpec extends SparkSpec {
       .as[(Long, Long, Long, Double)].collect().toSeq
     // "b c" occurs in docs 1 and 2; every doc has n-1 = 2 or 1 spans
     assert(out == Seq((1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5), (3L, 1L, 0L, 0.0)))
+  }
+
+  test("persisted span/bigram variants equal the unpersisted plans") {
+    val df = Seq((1L, "a b c d e f"), (2L, "b c d x y z"), (3L, "a b"))
+      .toDF("doc_id", "text")
+    val plainSpans = Text.duplicatedSpanStats(df, "doc_id", "text", k = 2)
+      .orderBy("doc_id").collect().toSeq
+    val (fastDf, spanHandle) = Text.duplicatedSpanStatsWithHandle(
+      df, "doc_id", "text", k = 2, persistSpans = true)
+    try assert(fastDf.orderBy("doc_id").collect().toSeq == plainSpans)
+    finally spanHandle.unpersist()
+    val plainNll = Text.bigramNll(df, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val (nllDf, bgHandle) = Text.bigramNllWithHandle(
+      df, "doc_id", "text", persistBigrams = true)
+    try assert(nllDf.orderBy("doc_id").collect().toSeq == plainNll)
+    finally bgHandle.unpersist()
   }
 
   test("bigramNll: add-one smoothed corpus LM, hand-computed") {
@@ -88,6 +105,101 @@ class TrainSpec extends SparkSpec {
       .map { case (i, j, c) => (i, j) -> c }.toMap
     assert(cov((0L, 0L)) == 1.0 && cov((1L, 1L)) == 4.0)
     assert(cov((0L, 1L)) == 2.0 && cov((1L, 0L)) == 2.0)
+  }
+
+  test("covarianceMatrixFast matches the explode path to FP round-off") {
+    val vecs = (1 to 200).map { i =>
+      Array.tabulate(6)(d => math.sin(i * 0.7 + d).toFloat)
+    }
+    val df = vecs.toDF("embedding")
+    val slow = Similarity.covarianceMatrix(df, "embedding", dim = 6)
+      .as[(Long, Long, Double)].collect()
+      .map { case (i, j, c) => (i, j) -> c }.toMap
+    val fast = Similarity.covarianceMatrixFast(df, "embedding", dim = 6)
+      .as[(Long, Long, Double)].collect()
+      .map { case (i, j, c) => (i, j) -> c }.toMap
+    assert(fast.keySet == slow.keySet && fast.size == 36)
+    fast.foreach { case (k, v) => assert(math.abs(v - slow(k)) < 1e-12, k) }
+  }
+
+  test("covarianceMatrixFast plans as a single-pass ObjectHashAggregate") {
+    val df = (1 to 50).map(i => Array(i.toFloat, (2 * i).toFloat)).toDF("embedding")
+    val plan = Similarity.covarianceMatrixFast(df, "embedding", dim = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      "non-flat typed buffer must route through ObjectHashAggregateExec")
+    // one partial + one final aggregate, nothing else touches the input
+    assert("ObjectHashAggregate".r.findAllIn(plan).length == 2)
+  }
+
+  test("classifierMarginInt: additive over tokens, weights bounded") {
+    val df = Seq("a", "a a", "a a a b").toDF("text")
+    val m = df.select(Text.classifierMarginInt(
+      split(col("text"), " ", -1), 1024).as("m")).as[Long].collect()
+    val wa = m(0)
+    assert(m(1) == 2 * wa, "margin must be additive per token occurrence")
+    val wb = m(2) - 3 * wa
+    assert(math.abs(wa) <= 1000 && math.abs(wb) <= 1000)
+    // deterministic across evaluations
+    val again = df.select(Text.classifierMarginInt(
+      split(col("text"), " ", -1), 1024).as("m")).as[Long].collect()
+    assert(m.toSeq == again.toSeq)
+  }
+
+  test("classifierProb is the sigmoid of the mean weight") {
+    val df = Seq("z").toDF("text")
+    val (m, p) = df.select(
+      Text.classifierMarginInt(split(col("text"), " ", -1), 1024).as("m"),
+      Text.classifierProb(
+        Text.classifierMarginInt(split(col("text"), " ", -1), 1024),
+        size(split(col("text"), " ", -1))).as("p"))
+      .as[(Long, Double)].head()
+    assert(math.abs(p - 1.0 / (1.0 + math.exp(-m / 1000.0))) < 1e-12)
+  }
+
+  test("shardShuffle: partition of ids, contiguous positions, seed-sensitive") {
+    val df = (0L until 100L).toDF("id")
+    val out = Sampling.shardShuffle(df, "id", 4, "s1")
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(out.map(_._1).sorted == (0L until 100L))
+    assert(out.map(_._2).forall(s => s >= 0 && s < 4))
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted == (0L until rows.size))
+    }
+    val other = Sampling.shardShuffle(df, "id", 4, "s2")
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(out.map(r => r._1 -> r._2).toMap != other.map(r => r._1 -> r._2).toMap,
+      "a different epoch seed must reshuffle")
+  }
+
+  test("tokenBudgetFilter keeps highest-priority rows within the budget") {
+    val df = Seq(
+      ("d1", 1L, 10L, 5L), ("d1", 2L, 10L, 9L), ("d1", 3L, 10L, 7L),
+      ("d2", 4L, 25L, 1L), ("d2", 5L, 10L, 2L))
+      .toDF("dom", "id", "nt", "pri")
+    val kept = Sampling.tokenBudgetFilter(df, "dom", "id", "nt", "pri", 25L)
+      .select("id", "cum_tokens").as[(Long, Long)].collect().toMap
+    // d1 by priority: id2 (9) cum 10, id3 (7) cum 20, id1 (5) cum 30 > 25
+    // d2 by priority: id5 (2) cum 10, id4 (1) cum 35 > 25
+    assert(kept == Map(2L -> 10L, 3L -> 20L, 5L -> 10L))
+  }
+
+  test("incrementalDedup flags exact, near, and kept against a corpus") {
+    // the near-dup doc is a verified band-collision: a last-token edit of
+    // a 30-token doc keeps 26/28 shingles, and the md5 signature family
+    // (re-derived offline) shares LSH band 0 at jaccard 0.929
+    val qdoc = (1 to 30).map("q" + _).mkString(" ")
+    val corpus = Seq(
+      (100L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      (101L, qdoc)).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),            // identical → exact_dup
+      (2L, qdoc.split(" ").init.mkString(" ") + " zz"),    // edit → near_dup
+      (3L, "n1 n2 n3 n4 n5 n6 n7 n8 n9 n10"))             // novel → kept
+      .toDF("doc_id", "text")
+    val out = Curation.incrementalDedup(batch, corpus, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(out == Seq(1L -> "exact_dup", 2L -> "near_dup", 3L -> "kept"))
   }
 
   test("powerIteration finds the dominant eigenpair") {

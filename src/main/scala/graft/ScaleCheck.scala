@@ -15,6 +15,16 @@ object ScaleCheck {
     println(f"[scale10x] $label%-34s ${(System.nanoTime() - t0) / 1e9}%6.2f s  ($n rows)")
   }
 
+  /** Forces FULL computation of every column: a bare `.count()` lets
+    * Catalyst prune unreferenced expressions and even drop unique-keyed
+    * outer joins entirely (caught live: the scrub entry once measured a
+    * plan with the whole scrub optimized away). Hashing a struct of all
+    * columns pins every operator in the measured plan. */
+  private def consume(df: org.apache.spark.sql.DataFrame): Long =
+    // the % bounds each addend so the ANSI-mode sum can't overflow
+    df.select((xxhash64(struct(df.columns.map(col): _*)) % 1000003L).as("__h"))
+      .agg(sum("__h"), count(lit(1))).collect()(0).getLong(1)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
@@ -317,7 +327,7 @@ object ScaleCheck {
     // HAVING >= 2 filter drops nothing); volume must stay linear in
     // total span count, never pairwise in duplicates
     time("dedup_span_ngrams (50k docs, all-dup)") {
-      ops.Text.duplicatedSpanStats(docs10, "doc_id", "text", k = 5).count()
+      consume(ops.Text.duplicatedSpanStats(docs10, "doc_id", "text", k = 5))
     }
 
     // 8b. corpus-trained bigram LM at 50k docs: the c2 count table is
@@ -325,7 +335,7 @@ object ScaleCheck {
     // scoring join sides stay small while the exploded bigram stream
     // grows linearly
     time("t_lm_perplexity (50k docs)") {
-      ops.Text.bigramNll(docs10, "doc_id", "text").count()
+      consume(ops.Text.bigramNll(docs10, "doc_id", "text"))
     }
 
     // 8c. covariance at 20k vectors: the posexplode fans out d² = 4096
@@ -333,16 +343,16 @@ object ScaleCheck {
     // most d² groups — the shuffle ships 4096 partial sums per partition
     // regardless of row count
     time("sim_pca_cov (20k vecs)") {
-      ops.Similarity.covarianceMatrix(
-        emb10.select(col("embedding")), "embedding", dim = 64).count()
+      consume(ops.Similarity.covarianceMatrix(
+        emb10.select(col("embedding")), "embedding", dim = 64))
     }
 
     // 8d. covariance fast path at the same 20k vectors: the typed
     // Aggregator (object buffer, no fan-out) vs 8c's posexplode — the
     // gap is the d² row fan-out cost the aggregator avoids
     time("sim_pca_cov_fast (20k vecs)") {
-      ops.Similarity.covarianceMatrixFast(
-        emb10.select(col("embedding")), "embedding", dim = 64).count()
+      consume(ops.Similarity.covarianceMatrixFast(
+        emb10.select(col("embedding")), "embedding", dim = 64))
     }
 
     // 8e. incremental dedup: 5k-doc batch against a 45k-doc corpus.
@@ -362,8 +372,8 @@ object ScaleCheck {
     // 8f. epoch shard shuffle at 50k docs into 64 shards: one shuffle
     // on the shard key + per-shard sort — the write-layout movement
     time("pipe_shard_shuffle (50k, 64 shards)") {
-      ops.Sampling.shardShuffle(docs10.select("doc_id"), "doc_id", 64, "ep1")
-        .groupBy("shard").agg(max("pos")).count()
+      consume(ops.Sampling.shardShuffle(
+        docs10.select("doc_id"), "doc_id", 64, "ep1"))
     }
 
     // 8g. classifier margin + token budget at 50k docs: map-only margin,
@@ -375,6 +385,53 @@ object ScaleCheck {
           .as("pri"))
       ops.Sampling.tokenBudgetFilter(base, "source", "doc_id", "nt", "pri",
         6000L).count()
+    }
+
+    // 8h. span scrubbing at 50k docs under the same all-dup density as
+    // 8a — every span duplicated, so EVERY token is covered and the
+    // covered-position sets are maximal; the rebuild join must still be
+    // linear (per-doc int sets, never pairwise)
+    time("t_scrub_spans (50k docs, all-dup)") {
+      consume(ops.Text.scrubDuplicatedSpans(docs10, "doc_id", "text", k = 5))
+    }
+
+    // 8i. containment at 50k docs: the ×10 copies make every shingle's
+    // doc-list 10× hotter — the maxDf stop-shingle prune is what keeps
+    // the per-shingle ordered-pair fan-out (df², here up to 100 pairs
+    // per genuinely-shared shingle) from exploding
+    time("t_containment (50k docs)") {
+      ops.Text.containmentPairs(docs10, "doc_id", "text", k = 5,
+        minContain = 0.5, maxDf = 100).count()
+    }
+
+    // 8j. semantic dedup at 20k vectors with k SCALED to the corpus
+    // (k=64 → ~300-vector cells): within-cell pair volume is
+    // |cell|²·k ≈ 6M, linear in N at constant cell size — the SemDeDup
+    // contract; k=8 here would quadratically blow the cell self-join
+    time("dedup_semantic (20k vecs, k=64)") {
+      ops.Similarity.semanticDedup(
+        emb10.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding")),
+        "vec_id", "embedding", k = 64, iters = 2, tau = 0.35)
+        .groupBy("status").count().count()
+    }
+
+    // 8k. count-min sketch at 50k docs (~7.5M token occurrences × depth
+    // 4 = 30M exploded slot rows): the partial aggregate collapses them
+    // map-side to ≤ 256 counters per partition — the shuffle must stay
+    // sketch-sized no matter the corpus
+    time("t_cms_sketch (50k docs)") {
+      consume(ops.Sketches.cmsSketch(
+        docs10.select(explode(split(col("text"), " ", -1)).as("tok")),
+        "tok", depth = 4, width = 64))
+    }
+
+    // 8l. oversampling at 50k docs: one domain-count aggregate
+    // (broadcast back) + map-only copy explode — the output is written,
+    // never shuffled
+    time("pipe_oversample (50k docs)") {
+      consume(ops.Sampling.oversample(
+        docs10.select(col("doc_id"), col("source")), "doc_id", "source"))
     }
 
     // 7. IVF train + assign at 200k vectors: the shuffle-free assignment

@@ -94,6 +94,63 @@ object Sampling {
       .drop("h")
   }
 
+  /** Deterministic train/val/test split: bucket = content-hash(id:seed)
+    * mod 10000, thresholded into `train` / `val` / `test` at the given
+    * fractions. Map-only (no shuffle, no RNG state): any row's split is
+    * recomputable in isolation, so the assignment survives retries,
+    * repartitioning, and incremental ingest — a new document joins the
+    * right split without touching the others. Changing `seed` redraws
+    * the whole split; stratification comes for free in expectation
+    * because the hash is independent of every column. */
+  def hashSplit(df: DataFrame, idCol: String, seed: String,
+                fracTrain: Double, fracVal: Double): DataFrame = {
+    val bucket = Text.portableHash(
+      concat(col(idCol).cast("string"), lit(":" + seed))) % 10000L
+    df.withColumn("split",
+      when(bucket < (fracTrain * 10000).toLong, "train")
+        .when(bucket < ((fracTrain + fracVal) * 10000).toLong, "val")
+        .otherwise("test"))
+  }
+
+  /** Temperature-weighted oversampling WITH replacement (the upsampling
+    * half of domain mixing, à la multilingual/temperature sampling):
+    * domain weight w = min((N_max / N_domain)^alpha, maxCopies), each
+    * row emits floor(w) copies plus one more when its content-hash
+    * uniform falls below frac(w) — so E[copies] = w exactly, rows of the
+    * LARGEST domain emit exactly one copy, and the whole draw is
+    * deterministic (no RNG state; any subset recomputes its copies
+    * independently, the same resumability contract as [[shardShuffle]]).
+    * Output repeats the row with `n_copies` and `copy` ∈ [1, n_copies].
+    *
+    * Shape at 100 TB: one domain-count aggregate (domain-cardinality
+    * sized, broadcast back), then a map-only explode — the output is
+    * written, not shuffled. `alpha = 0.5` routes through IEEE-exact
+    * `sqrt` so an external oracle replays the boundary comparison
+    * bit-for-bit; other alphas ride on libm `pow` agreement (last-ulp
+    * differences could flip a copy only if frac(w) lands within 1e-16
+    * of the 1e-6-granular uniform). */
+  def oversample(df: DataFrame, idCol: String, domainCol: String,
+                 alpha: Double = 0.5, maxCopies: Double = 4.0,
+                 seed: String = "os0"): DataFrame = {
+    val counts = df.groupBy(domainCol).agg(count(lit(1)).as("__n"))
+    val mx = counts.agg(max("__n").as("__mx"))
+    val ratio = col("__mx").cast("double") / col("__n").cast("double")
+    val weights = counts.crossJoin(broadcast(mx))
+      .select(col(domainCol),
+        least(if (alpha == 0.5) sqrt(ratio) else pow(ratio, alpha),
+          lit(maxCopies)).as("__w"))
+    val u = (Text.portableHash(
+      concat(col(idCol).cast("string"), lit(":" + seed))) % 1000000L)
+      .cast("double") / 1000000.0
+    df.join(broadcast(weights), domainCol)
+      .withColumn("n_copies",
+        (floor(col("__w")) +
+          when(u < col("__w") - floor(col("__w")), 1).otherwise(0))
+          .cast("long"))
+      .withColumn("copy", explode(sequence(lit(1L), col("n_copies"))))
+      .drop("__w")
+  }
+
   /** Token-budget selection: within each domain, rank rows by priority
     * (descending, id tiebreak) and keep rows while the RUNNING token
     * total stays within `budget` — the curation step that caps each

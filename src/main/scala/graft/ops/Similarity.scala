@@ -329,6 +329,50 @@ object Similarity {
         (col("pos") % dim).cast("long").as("j"), col("cov"))
   }
 
+  /** SemDeDup-shape SEMANTIC dedup (Abbas et al., "SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication"): cluster the
+    * embeddings with deterministic k-means ([[kmeansCentroids]]), then
+    * within each cluster drop every vector that has a SMALLER-id cluster
+    * neighbor at cosine ≥ `tau` — pairwise similarity is computed only
+    * inside a cluster, never across the corpus. Output: (id, centroid_id,
+    * status ∈ kept|dropped) per input row.
+    *
+    * The scale contract is the one SemDeDup itself relies on: k grows
+    * with the corpus (k ≈ N/target-cell-size) so cells stay bounded and
+    * the within-cell pair fan-out is |cell|² with |cell| a CONSTANT —
+    * total pair work is linear in N. The cell self-join shuffles both
+    * sides on centroid_id once; assignment itself is the zero-shuffle
+    * packed-centroid argmax ([[ivfAssign]]). The smaller-id keeper rule
+    * is deterministic and local to a pair (no iteration); a
+    * closest-to-centroid keeper is the documented variant (rank by the
+    * assignment similarity instead of id).
+    *
+    * `seedHash`/`simRound` thread through to the k-means exactly as in
+    * [[kmeansCentroids]]; `simRound ≥ 0` also rounds the pairwise cosine
+    * before the τ comparison so an external oracle replays the same
+    * drop set (double ulp noise can't flip a 6-decimal-rounded
+    * threshold). */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    k: Int, iters: Int = 3, tau: Double = 0.95,
+                    seedHash: Column => Column = xxhash64(_),
+                    simRound: Int = -1): DataFrame = {
+    val in = df.select(col(idCol), col(vecCol))
+    val cents = kmeansCentroids(in, idCol, vecCol, k, iters, seedHash, simRound)
+    val assigned = ivfAssign(in, vecCol, cents, simRound = simRound)
+    def side(p: String) = assigned.select(col("centroid_id"),
+      col(idCol).as(p + "id"), col(vecCol).as(p + "v"))
+    def rank(c: Column) = if (simRound >= 0) round(c, simRound) else c
+    val dropped = side("__a").join(side("__b"), "centroid_id")
+      .filter(col("__aid") < col("__bid"))
+      .filter(rank(cosine(col("__av"), col("__bv"))) >= tau)
+      .select(col("__bid").as(idCol)).distinct()
+      .withColumn("__d", lit(true))
+    assigned.select(col(idCol), col("centroid_id"))
+      .join(dropped, Seq(idCol), "left")
+      .select(col(idCol), col("centroid_id"),
+        when(col("__d"), lit("dropped")).otherwise(lit("kept")).as("status"))
+  }
+
   /** Driver-side power iteration for the top principal component of a
     * collected d×d covariance matrix. The matrix is data-size-INDEPENDENT
     * (d² doubles — 32 KB at d=64), so collecting it is legitimate at any

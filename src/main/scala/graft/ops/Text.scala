@@ -428,6 +428,89 @@ object Text {
     lit(1.0) / (lit(1.0) +
       exp(-(marginInt.cast("double") / (lit(1000.0) * nTokens.cast("double")))))
 
+  /** Duplicated-span SCRUBBING — the removal counterpart of
+    * [[duplicatedSpanStats]] (exact-substring dedup in the spirit of Lee
+    * et al., "Deduplicating Training Data Makes Language Models Better",
+    * at fixed-k granularity): every token covered by a k-token span that
+    * also occurs in ≥ `minDocs` distinct documents is removed, and the
+    * surviving tokens rejoin in order as `clean_text`.
+    *
+    * Plan shape at 100 TB: explode positional span hashes (8-byte
+    * hashes, never span text) → one groupBy(h) for the duplicated-hash
+    * set (map-side combinable, HAVING-style filter shrinks it) → join
+    * back → per-doc covered-position set (collect_set of ints, bounded
+    * by tokens/doc) → one join to the docs table for the rebuild. Two
+    * shuffles of hash/int streams plus the doc-id join; the span text
+    * itself never moves. Docs shorter than k have no spans and pass
+    * through untouched. */
+  def scrubDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                           k: Int = 5, minDocs: Int = 2): DataFrame = {
+    val spans = df
+      .select(col(idCol),
+        explode(spanHashes(split(col(textCol), " ", -1), k)).as("s"))
+      .select(col(idCol), col("s.pos").as("pos"), col("s.h").as("h"))
+    val dupHashes = spans.groupBy("h")
+      .agg(countDistinct(idCol).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("h")
+    val covered = spans.join(dupHashes, "h")
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("ci"))
+      .groupBy(idCol).agg(collect_set("ci").as("__cov"))
+    df.select(col(idCol), split(col(textCol), " ", -1).as("__t"))
+      .join(covered, Seq(idCol), "left")
+      .select(col(idCol),
+        size(col("__t")).cast("long").as("n_tokens"),
+        when(col("__cov").isNull, lit(0L))
+          .otherwise(size(col("__cov")).cast("long")).as("n_removed"),
+        concat_ws(" ", filter(col("__t"), (tok, i) =>
+          !array_contains(
+            coalesce(col("__cov"), array().cast("array<int>")), i + 1)))
+          .as("clean_text"))
+  }
+
+  /** Shingle-CONTAINMENT pairs: for ordered pairs (src, dst),
+    * containment C(src→dst) = |shingles(src) ∩ shingles(dst)| /
+    * |shingles(src)| — the asymmetric measure that catches a document
+    * EMBEDDED inside a longer one, which Jaccard misses (a 100-token doc
+    * quoted whole inside a 10k-token doc has Jaccard ≈ 0.01 but
+    * containment ≈ 1.0). Returns pairs with containment ≥ `minContain`.
+    *
+    * Shape: the intersection size is computed distributively as a
+    * groupBy-count over the shingle inverted index (per-shingle sorted
+    * doc list → in-array ordered pairs → count per pair), so no shingle
+    * ARRAY ever crosses a join — the same one-explode form as the
+    * shingle-candidate query. `maxDf` drops shingles present in more
+    * than that many docs before pair generation — the standard
+    * stop-shingle prune that bounds the per-shingle pair fan-out
+    * (maxDf² ordered pairs worst case) and keeps hot boilerplate
+    * shingles from dominating; the DENOMINATOR stays the full per-doc
+    * distinct-shingle count, so pruning can only lower a containment
+    * estimate, never inflate it. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       k: Int = 5, minContain: Double = 0.5,
+                       maxDf: Int = 1000): DataFrame = {
+    val sh = df.select(col(idCol),
+      explode(array_distinct(
+        wordShingles(split(col(textCol), " ", -1), k))).as("sh"))
+    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("__ns"))
+    val lists = sh.groupBy("sh")
+      .agg(sort_array(collect_set(col(idCol))).as("__ids"))
+      .filter(size(col("__ids")) > 1 && size(col("__ids")) <= maxDf)
+    val pairs = flatten(transform(col("__ids"), x =>
+      transform(filter(col("__ids"), y => y =!= x),
+        y => struct(x.as("src_id"), y.as("dst_id")))))
+    val shared = lists.select(explode(pairs).as("__p"))
+      .groupBy(col("__p.src_id").as("src_id"), col("__p.dst_id").as("dst_id"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.withColumnRenamed(idCol, "src_id"), "src_id")
+      .filter(col("n_shared").cast("double") / col("__ns") >= minContain)
+      .select(col("src_id"), col("dst_id"), col("n_shared"),
+        (round(col("n_shared").cast("double") / col("__ns"), 4) + lit(0.0))
+          .as("containment"))
+  }
+
   /** Quality metrics bundle (length / stopword / word-shape heuristics in
     * the spirit of Gopher rules). Returns a struct column. */
   def qualityMetrics(text: Column, stopwords: Seq[String]): Column = {

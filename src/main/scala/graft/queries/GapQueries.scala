@@ -246,35 +246,11 @@ object GapQueries {
     })
 
   /** DuckDB oracle for [[graft.ops.Similarity.kmeansCentroids]] with md5
-    * seeds: the `iters` Lloyd rounds unroll to CTE stages (assign by
-    * round-6 argmax cosine, then per-cell elementwise AVG), mirroring the
-    * Spark plan stage for stage. */
-  private def kmeansMd5Oracle(k: Int, iters: Int): String = {
-    def round(n: Int, prev: String): String =
-      s"""s$n AS (SELECT v.vec_id, c.cid,
-         |    SUM(v.x*c.c)/(SQRT(SUM(v.x*v.x))*SQRT(SUM(c.c*c.c))) AS s
-         |  FROM v JOIN $prev c USING (pos) GROUP BY 1,2),
-         |a$n AS (SELECT vec_id, cid FROM s$n
-         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
-         |    ORDER BY ROUND(s,6) DESC, cid) = 1),
-         |c$n AS (SELECT a.cid, v.pos, AVG(v.x) AS c
-         |  FROM a$n a JOIN v USING (vec_id) GROUP BY 1,2)""".stripMargin
-    val rounds = (1 to iters).map(i => round(i, s"c${i - 1}")).mkString(",\n")
-    s"""WITH v AS (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
-       |    generate_subscripts(embedding, 1) AS pos FROM embeddings),
-       |seeds AS (SELECT vec_id,
-       |    ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid
-       |  FROM embeddings
-       |  QUALIFY ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) <= $k),
-       |c0 AS (SELECT s.cid, v.pos, v.x AS c FROM seeds s JOIN v USING (vec_id)),
-       |$rounds,
-       |sf AS (SELECT v.vec_id, c.cid,
-       |    SUM(v.x*c.c)/(SQRT(SUM(v.x*v.x))*SQRT(SUM(c.c*c.c))) AS s
-       |  FROM v JOIN c$iters c USING (pos) GROUP BY 1,2),
-       |af AS (SELECT vec_id, cid FROM sf
-       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
-       |    ORDER BY ROUND(s,6) DESC, cid) = 1)
-       |SELECT cid AS centroid_id, COUNT(*) AS n FROM af
-       |GROUP BY 1 ORDER BY 1""".stripMargin
-  }
+    * seeds; the shared CTE chain lives in [[OracleSql.kmeansMd5Ctes]]
+    * (also the base of `dedup_semantic`'s oracle). */
+  private def kmeansMd5Oracle(k: Int, iters: Int): String =
+    OracleSql.kmeansMd5Ctes(k, iters) +
+      """
+        |SELECT cid AS centroid_id, COUNT(*) AS n FROM af
+        |GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -175,6 +175,36 @@ object SimilarityQueries {
         .orderBy("vec_id")
     },
 
+    // SemDeDup-shape SEMANTIC dedup: deterministic k-means cells (the
+    // exact md5-seeded chain sim_kmeans_md5 pins), then within each cell
+    // drop every vector with a smaller-id neighbor at round-6 cosine >=
+    // 0.35. Pairwise work happens only INSIDE a cell — the SemDeDup
+    // contract that makes pair volume linear in N when k tracks corpus
+    // size. The oracle replays seeds, 3 Lloyd rounds, the final
+    // assignment, within-cell pairs, and the drop rule end to end.
+    Q("dedup_semantic",
+      OracleSql.kmeansMd5Ctes(k = 8, iters = 3) +
+        """,
+          |wp AS (SELECT a.vec_id AS ia, b.vec_id AS ib FROM af a
+          |  JOIN af b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+          |cs AS (SELECT wp.ia, wp.ib,
+          |    SUM(va.x*vb.x)/(SQRT(SUM(va.x*va.x))*SQRT(SUM(vb.x*vb.x))) AS s
+          |  FROM wp JOIN v va ON va.vec_id = wp.ia
+          |  JOIN v vb ON vb.vec_id = wp.ib AND vb.pos = va.pos GROUP BY 1, 2),
+          |drp AS (SELECT DISTINCT ib FROM cs WHERE ROUND(s, 6) >= 0.35)
+          |SELECT af.vec_id, af.cid AS centroid_id,
+          |  CASE WHEN drp.ib IS NOT NULL THEN 'dropped' ELSE 'kept' END AS status
+          |FROM af LEFT JOIN drp ON drp.ib = af.vec_id
+          |ORDER BY af.vec_id""".stripMargin) { (s, dir) =>
+      Similarity.semanticDedup(
+          Tables(s, dir, "embeddings")
+            .select(col("vec_id"),
+              col("embedding").cast("array<double>").as("embedding")),
+          "vec_id", "embedding", k = 8, iters = 3, tau = 0.35,
+          seedHash = c => md5(c.cast("string")), simRound = 6)
+        .orderBy("vec_id")
+    },
+
     // End-to-end ANN near-dup: the 100 TB embedding-dedup composition.
     // Candidate pairs come from BANDED sign-LSH over the portable md5
     // plane family (2 bands × 4 bits — candidates meet only inside a

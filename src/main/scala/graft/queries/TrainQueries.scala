@@ -83,6 +83,62 @@ object TrainQueries {
           .orderBy("doc_id")
     },
 
+    // Duplicated-span SCRUBBING — the removal counterpart of the stats
+    // above (Lee et al. exact-substring dedup): every token covered by a
+    // 3-token span occurring in ≥2 docs is removed; survivors rejoin in
+    // order. k=3 so the word-salad corpus actually collides. The oracle
+    // re-derives spans, the dup set, covered positions, and the rebuilt
+    // text — a byte-exact clean_text comparison.
+    Q("t_scrub_spans",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sp AS (SELECT doc_id, i AS pos,
+        |    ('0x' || substr(md5(array_to_string(
+        |      list_slice(toks, i, i + 2), ' ')), 1, 15))::BIGINT AS h
+        |  FROM (SELECT doc_id, toks,
+        |      unnest(generate_series(1, len(toks) - 2)) AS i FROM t)),
+        |dup AS (SELECT h FROM sp GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+        |cov0 AS (SELECT doc_id, unnest(generate_series(pos, pos + 2)) AS ci
+        |  FROM sp JOIN dup USING (h)),
+        |cov AS (SELECT DISTINCT doc_id, ci FROM cov0),
+        |tk AS (SELECT doc_id, i, toks[i] AS tok, len(toks) AS n
+        |  FROM (SELECT doc_id, toks,
+        |      unnest(generate_series(1, len(toks))) AS i FROM t)),
+        |j AS (SELECT tk.doc_id, tk.i, tk.tok, tk.n, cov.ci
+        |  FROM tk LEFT JOIN cov ON cov.doc_id = tk.doc_id AND cov.ci = tk.i)
+        |SELECT doc_id, MAX(n)::BIGINT AS n_tokens, COUNT(ci)::BIGINT AS n_removed,
+        |  COALESCE(array_to_string(list(tok ORDER BY i)
+        |    FILTER (WHERE ci IS NULL), ' '), '') AS clean_text
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Text.scrubDuplicatedSpans(Tables(s, dir, "documents"),
+          "doc_id", "text", k = 3)
+        .orderBy("doc_id")
+    },
+
+    // Shingle CONTAINMENT pairs: asymmetric |A∩B|/|A| — catches a doc
+    // quoted whole inside a longer one, which Jaccard misses. Computed
+    // over the shingle inverted index (per-shingle doc list → in-array
+    // ordered pairs → count per pair), stop-shingle prune at maxDf.
+    Q("t_containment",
+      """WITH s AS (SELECT doc_id, unnest(list_distinct([array_to_string(
+        |      ws[i:i+4], ' ')
+        |    FOR i IN generate_series(1, greatest(len(ws) - 4, 1))])) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+        |n AS (SELECT doc_id, COUNT(*) AS ns FROM s GROUP BY 1),
+        |keep AS (SELECT sh FROM s GROUP BY sh
+        |  HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 1000),
+        |p AS (SELECT a.doc_id AS src_id, b.doc_id AS dst_id, COUNT(*) AS n_shared
+        |  FROM s a JOIN keep USING (sh) JOIN s b USING (sh)
+        |  WHERE a.doc_id <> b.doc_id GROUP BY 1, 2)
+        |SELECT src_id, dst_id, n_shared,
+        |  ROUND(n_shared * 1.0 / n.ns, 4) + 0.0 AS containment
+        |FROM p JOIN n ON n.doc_id = p.src_id
+        |WHERE n_shared * 1.0 / n.ns >= 0.5
+        |ORDER BY src_id, dst_id""".stripMargin) { (s, dir) =>
+      Text.containmentPairs(Tables(s, dir, "documents"),
+          "doc_id", "text", k = 5, minContain = 0.5, maxDf = 1000)
+        .orderBy("src_id", "dst_id")
+    },
+
     // Corpus-trained add-one bigram-LM negative log-likelihood per doc —
     // the perplexity quality gate. The LM "training" IS the c2 aggregate.
     Q("t_lm_perplexity",
@@ -346,6 +402,94 @@ object TrainQueries {
       Sampling.tokenBudgetFilter(base, "source", "doc_id", "nt", "pri", 600L)
         .select("doc_id", "source", "nt", "pri", "cum_tokens")
         .orderBy("doc_id")
+    },
+
+    // Deterministic stratified train/val/test split (90/5/5 by content
+    // hash): per-(source, split) doc counts and token mass. Map-only —
+    // any row's split recomputes in isolation, so assignment survives
+    // retries, repartitioning, and incremental ingest.
+    Q("pipe_split",
+      """WITH b AS (SELECT doc_id, source,
+        |    len(string_split(text, ' '))::BIGINT AS nt,
+        |    ('0x' || substr(md5(doc_id::VARCHAR || ':sp0'), 1, 15))::BIGINT
+        |      % 10000 AS bk
+        |  FROM documents)
+        |SELECT source,
+        |  CASE WHEN bk < 9000 THEN 'train' WHEN bk < 9500 THEN 'val'
+        |    ELSE 'test' END AS split,
+        |  COUNT(*)::BIGINT AS n_docs, SUM(nt)::BIGINT AS n_tokens
+        |FROM b GROUP BY 1, 2 ORDER BY source, split""".stripMargin) { (s, dir) =>
+      Sampling.hashSplit(Tables(s, dir, "documents"), "doc_id", "sp0",
+          fracTrain = 0.9, fracVal = 0.05)
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ", -1)).cast("long")).as("n_tokens"))
+        .orderBy("source", "split")
+    },
+
+    // Temperature-weighted oversampling WITH replacement: domain weight
+    // min(sqrt(N_max/N_dom), 4), floor(w) copies + one more when the
+    // content-hash uniform < frac(w) — E[copies] = w exactly, largest
+    // domain emits exactly 1 copy, fully deterministic. The oracle
+    // re-derives weights, uniforms, and the per-copy explode.
+    Q("pipe_oversample",
+      """WITH c AS (SELECT source, COUNT(*)::BIGINT AS n FROM documents
+        |  GROUP BY 1),
+        |m AS (SELECT MAX(n) AS mx FROM c),
+        |w AS (SELECT source, LEAST(SQRT(mx * 1.0 / n), 4.0) AS w FROM c, m),
+        |d AS (SELECT doc_id, documents.source, w.w,
+        |    (('0x' || substr(md5(doc_id::VARCHAR || ':os0'), 1, 15))::BIGINT
+        |      % 1000000) / 1000000.0 AS u
+        |  FROM documents JOIN w USING (source)),
+        |k AS (SELECT doc_id, source,
+        |    (FLOOR(w) + CASE WHEN u < w - FLOOR(w) THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_copies FROM d)
+        |SELECT doc_id, source, n_copies,
+        |  unnest(generate_series(1, n_copies)) AS copy
+        |FROM k ORDER BY doc_id, copy""".stripMargin) { (s, dir) =>
+      Sampling.oversample(Tables(s, dir, "documents")
+            .select("doc_id", "source"),
+          "doc_id", "source", alpha = 0.5, maxCopies = 4.0, seed = "os0")
+        .select("doc_id", "source", "n_copies", "copy")
+        .orderBy("doc_id", "copy")
+    },
+
+    // Count-min sketch: 4×64 counter grid over the token stream, point
+    // estimates for the exact top-10 tokens beside their true counts.
+    // The sketch is depth·width rows REGARDLESS of corpus size — the
+    // aggregate ships sketch-sized partials; estimates broadcast the
+    // sketch. est ≥ exact always; the deliberately narrow width makes
+    // the collision over-count visible. Oracle re-derives the grid and
+    // every estimate from the same salted-md5 family.
+    Q("t_cms_counts",
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |ex AS (SELECT tok, COUNT(*)::BIGINT AS n_exact FROM t GROUP BY tok),
+        |top AS (SELECT tok, n_exact FROM ex
+        |  ORDER BY n_exact DESC, tok LIMIT 10),
+        |sl AS (SELECT tok, j,
+        |    ('0x' || substr(md5('cms' || j::VARCHAR || ':' || tok), 1, 15))::BIGINT
+        |      % 64 AS slot
+        |  FROM t CROSS JOIN generate_series(0, 3) AS g(j)),
+        |sk AS (SELECT j, slot, COUNT(*)::BIGINT AS c FROM sl GROUP BY 1, 2),
+        |ts AS (SELECT top.tok, j,
+        |    ('0x' || substr(md5('cms' || j::VARCHAR || ':' || tok), 1, 15))::BIGINT
+        |      % 64 AS slot
+        |  FROM top CROSS JOIN generate_series(0, 3) AS g(j)),
+        |est AS (SELECT ts.tok, MIN(sk.c) AS cms_est
+        |  FROM ts JOIN sk USING (j, slot) GROUP BY 1)
+        |SELECT top.tok, top.n_exact, est.cms_est
+        |FROM top JOIN est USING (tok) ORDER BY tok""".stripMargin) { (s, dir) =>
+      import graft.ops.Sketches
+      val toks = Tables(s, dir, "documents")
+        .select(explode(split(col("text"), " ", -1)).as("tok"))
+      val exact = toks.groupBy("tok").agg(count(lit(1)).as("n_exact"))
+      val top = exact.orderBy(col("n_exact").desc, col("tok")).limit(10)
+      val sketch = Sketches.cmsSketch(toks, "tok", depth = 4, width = 64)
+      top.join(Sketches.cmsEstimate(top.select("tok"), "tok", sketch,
+          depth = 4, width = 64), "tok")
+        .select("tok", "n_exact", "cms_est")
+        .orderBy("tok")
     },
 
     // Incremental (delta) dedup: the daily-ingest composition — src0 is

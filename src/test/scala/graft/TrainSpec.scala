@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.{Curation, Sampling, Similarity, Text}
+import graft.ops.{Curation, Sampling, Similarity, Sketches, Text}
 
 /** Wave-2 training-pipeline operators: exact duplicated-span detection,
   * corpus-trained bigram LM, chunking, mixture sampling, weighted
@@ -200,6 +200,106 @@ class TrainSpec extends SparkSpec {
     val out = Curation.incrementalDedup(batch, corpus, "doc_id", "text")
       .orderBy("doc_id").as[(Long, String)].collect().toSeq
     assert(out == Seq(1L -> "exact_dup", 2L -> "near_dup", 3L -> "kept"))
+  }
+
+  test("scrubDuplicatedSpans removes exactly the cross-doc duplicated spans") {
+    val df = Seq(
+      (1L, "a b c d e"),   // "a b c" duplicated with doc 2 -> tokens 1-3 go
+      (2L, "x a b c y"),   // covered positions 2-4 -> "x y" survives
+      (3L, "p q r"))       // no duplicated span -> untouched
+      .toDF("doc_id", "text")
+    val out = Text.scrubDuplicatedSpans(df, "doc_id", "text", k = 3)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 5L, 3L, "d e"),
+      (2L, 5L, 3L, "x y"),
+      (3L, 3L, 0L, "p q r")))
+  }
+
+  test("containmentPairs: asymmetric containment with stop-shingle prune") {
+    val df = Seq((1L, "a b c"), (2L, "a b c d e"), (3L, "z z"))
+      .toDF("doc_id", "text")
+    // shingles(k=2): doc1 {a b, b c}, doc2 {a b, b c, c d, d e}, doc3 {z z}
+    val out = Text.containmentPairs(df, "doc_id", "text", k = 2,
+        minContain = 0.5, maxDf = 1000)
+      .orderBy("src_id", "dst_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // doc1 fully inside doc2 (2/2 = 1.0); reverse direction only 2/4
+    assert(out == Seq((1L, 2L, 2L, 1.0), (2L, 1L, 2L, 0.5)))
+    // maxDf=2 prunes "a b" (df=3 with doc 4) from numerators, never
+    // denominators: only (1 -> 2) via "b c" survives at 1/2
+    val df4 = df.union(Seq((4L, "a b q")).toDF("doc_id", "text"))
+    val pruned = Text.containmentPairs(df4, "doc_id", "text", k = 2,
+        minContain = 0.5, maxDf = 2)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(pruned == Seq((1L, 2L, 1L, 0.5)))
+  }
+
+  test("semanticDedup drops the larger id of a within-cell near-dup pair") {
+    val vecs = Seq(
+      (1L, Array(1.0, 0.0)), (2L, Array(1.0, 0.0)),   // exact dup of 1
+      (3L, Array(0.0, 1.0)), (4L, Array(0.0, 1.0)),   // exact dup of 3
+      (5L, Array(-1.0, 0.5)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(df, "vec_id", "embedding",
+        k = 2, iters = 2, tau = 0.999)
+      .orderBy("vec_id")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(out.map(_._1) == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(out.map(_._3) == Seq("kept", "dropped", "kept", "dropped", "kept"))
+    // exact duplicates always land in the same cell
+    val cell = out.map(r => r._1 -> r._2).toMap
+    assert(cell(1L) == cell(2L) && cell(3L) == cell(4L))
+  }
+
+  test("hashSplit: total cover, rough fractions, deterministic") {
+    val df = (0L until 1000L).toDF("id")
+    val out = Sampling.hashSplit(df, "id", "s1", 0.8, 0.1)
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(out.values.sum == 1000L)
+    assert(out.keySet == Set("train", "val", "test"))
+    assert(math.abs(out("train") - 800L) < 60, out.toString)
+    val again = Sampling.hashSplit(df, "id", "s1", 0.8, 0.1)
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(out == again)
+    // a different seed redraws the split
+    val other = Sampling.hashSplit(df, "id", "s2", 0.8, 0.1)
+      .filter(col("split") === "train").select("id").as[Long].collect().toSet
+    val trainIds = Sampling.hashSplit(df, "id", "s1", 0.8, 0.1)
+      .filter(col("split") === "train").select("id").as[Long].collect().toSet
+    assert(other != trainIds)
+  }
+
+  test("oversample: integer weights give exact copy counts") {
+    // small domain: sqrt(8/2) = 2.0 exactly -> every row exactly 2 copies;
+    // largest domain: w = 1 -> exactly 1 copy
+    val df = ((1L to 8L).map(i => (i, "big")) ++ Seq((9L, "small"), (10L, "small")))
+      .toDF("id", "dom")
+    val out = Sampling.oversample(df, "id", "dom", alpha = 0.5,
+        maxCopies = 4.0, seed = "t")
+      .groupBy("id", "dom").agg(count(lit(1)).as("rows"),
+        max("n_copies").as("nc"))
+      .as[(Long, String, Long, Long)].collect()
+    assert(out.length == 10)
+    out.foreach { case (_, dom, rows, nc) =>
+      assert(rows == nc, "one output row per copy")
+      assert(if (dom == "small") nc == 2L else nc == 1L)
+    }
+  }
+
+  test("cms estimate is never below the exact count and exact when alone") {
+    val solo = Seq.fill(5)("x").toDF("tok")
+    val sk = Sketches.cmsSketch(solo, "tok", depth = 4, width = 64)
+    val est = Sketches.cmsEstimate(solo.distinct(), "tok", sk, 4, 64)
+      .as[(String, Long)].head()
+    assert(est == ("x" -> 5L))
+    val toks = (1 to 400).map(i => "t" + (i % 37)).toDF("tok")
+    val sk2 = Sketches.cmsSketch(toks, "tok", depth = 4, width = 16)
+    val exact = toks.groupBy("tok").count().as[(String, Long)].collect().toMap
+    val ests = Sketches.cmsEstimate(toks.distinct(), "tok", sk2, 4, 16)
+      .as[(String, Long)].collect()
+    assert(ests.length == exact.size)
+    ests.foreach { case (t, e) => assert(e >= exact(t), s"$t: $e < ${exact(t)}") }
   }
 
   test("powerIteration finds the dominant eigenpair") {

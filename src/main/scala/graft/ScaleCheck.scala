@@ -434,6 +434,17 @@ object ScaleCheck {
         docs10.select(col("doc_id"), col("source")), "doc_id", "source"))
     }
 
+    // 8m. BPE training at 50k docs (~7.5M token occurrences): the corpus
+    // is touched by exactly ONE aggregate (word vocab); all 6 merge
+    // rounds then run on the vocabulary-sized table — cost must track
+    // the single corpus pass, not merges × corpus
+    time("t_bpe_train (50k docs, 6 merges)") {
+      ops.Bpe.train(
+        docs10.select(explode(split(col("text"), " ", -1)).as("tok"))
+          .filter(length(col("tok")) >= 1),
+        "tok", numMerges = 6).size.toLong
+    }
+
     // 7. IVF train + assign at 200k vectors: the shuffle-free assignment
     // (packed-centroid HOF argmax) is the piece that used to shuffle
     // rows×k — training cost should stay ~linear in rows·iters

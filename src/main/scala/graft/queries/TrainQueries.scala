@@ -492,6 +492,49 @@ object TrainQueries {
         .orderBy("tok")
     },
 
+    // BPE round-1 statistics: weighted adjacent symbol-pair counts over
+    // the initial char+</w> segmentation, top 20 — the aggregate every
+    // training round runs (vocabulary-sized from round 1 on; the corpus
+    // is touched exactly once). Oracled by per-occurrence pair counts
+    // (equal to vocab-weighted counts by construction).
+    Q("t_bpe_pairs",
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |p0 AS (SELECT tok, unnest(generate_series(1, len(tok))) AS i FROM t),
+        |p AS (SELECT tok[i] AS a,
+        |    CASE WHEN i < len(tok) THEN tok[i+1] ELSE '</w>' END AS bb
+        |  FROM p0),
+        |c AS (SELECT a, bb, COUNT(*)::BIGINT AS n FROM p GROUP BY 1, 2)
+        |SELECT a, bb, n FROM c ORDER BY n DESC, a, bb LIMIT 20""".stripMargin) {
+      (s, dir) =>
+        val vocab = graft.ops.Bpe.wordVocab(
+            Tables(s, dir, "documents")
+              .select(explode(split(col("text"), " ", -1)).as("tok"))
+              .filter(length(col("tok")) >= 1),
+            "tok")
+          .select(col("word"), col("wc"),
+            graft.ops.Bpe.initialSymbols(col("word")).as("syms"))
+        graft.ops.Bpe.pairCounts(vocab)
+          .orderBy(col("n").desc, col("a"), col("bb")).limit(20)
+    },
+
+    // Full BPE tokenizer training (8 merges) over the corpus: each round
+    // is a vocabulary-sized pair-count aggregate + a 1-row deterministic
+    // argmax (count desc, pair lexicographic) collected as bounded
+    // driver state — the PCA-power-iteration pattern. No SQL oracle (the
+    // greedy re-segmentation fold has no tractable SQL twin); the
+    // trainer is pinned in TrainSpec against the classic Sennrich
+    // example, and round-1 statistics are oracled above.
+    Q.noOracle("t_bpe_train") { (s, dir) =>
+      import s.implicits._
+      val toks = Tables(s, dir, "documents")
+        .select(explode(split(col("text"), " ", -1)).as("tok"))
+        .filter(length(col("tok")) >= 1)
+      graft.ops.Bpe.train(toks, "tok", numMerges = 8)
+        .toDF("rank", "a", "b", "merged", "n")
+        .orderBy("rank")
+    },
+
     // Incremental (delta) dedup: the daily-ingest composition — src0 is
     // the arriving batch, everything else the standing corpus. Exact via
     // fingerprint lookup, near via LSH bucket join + Jaccard verify;

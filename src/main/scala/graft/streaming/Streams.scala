@@ -172,6 +172,20 @@ object Streams {
         .getField("keep")),
       tsCol, textCol, horizon)
 
+  /** Streaming count-min sketch maintenance: the batch
+    * [[graft.ops.Sketches.cmsSketch]] plan IS a valid streaming
+    * aggregation, so this is a delegation with a contract, not new code —
+    * the aggregation state is the sketch itself, ≤ depth·width counter
+    * rows, CONSTANT-size on an unbounded token stream (the streaming
+    * analogue of the batch entry's "sketch-sized shuffle at any corpus
+    * size"). Run in complete (or update) output mode — no watermark is
+    * needed because state never grows; each trigger re-emits the grid
+    * for a downstream [[graft.ops.Sketches.cmsEstimate]] join.
+    * Stream-equals-batch is pinned in MergeStreamSpec. */
+  def streamingCmsSketch(toks: DataFrame, tokCol: String,
+                         depth: Int = 4, width: Int = 64): DataFrame =
+    graft.ops.Sketches.cmsSketch(toks, tokCol, depth, width)
+
   /** Periodic near-dup COMPACTION over a TxLog-committed document store —
     * the batch half of streaming curation that [[streamingCurate]]'s
     * scaladoc promises: LSH near-dup removal needs cross-document state

@@ -294,4 +294,28 @@ class MergeStreamSpec extends SparkSpec {
     assert(got((1L, 10L, Some(1.0))))  // tie: quote AT probe time counts
     assert(got((3L, 50L, None)))       // unseen key -> null carry
   }
+
+  test("streaming cms sketch equals the batch sketch, constant-size state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[String]
+    val q = Streams.streamingCmsSketch(
+        input.toDF().toDF("tok"), "tok", depth = 4, width = 16)
+      .writeStream.format("memory").queryName("cms_out")
+      .outputMode("complete").start()
+    val batch1 = Seq.fill(3)("alpha") ++ Seq("beta", "gamma")
+    val batch2 = Seq.fill(2)("alpha") ++ Seq.fill(4)("delta")
+    input.addData(batch1: _*)
+    q.processAllAvailable()
+    input.addData(batch2: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("cms_out")
+      .as[(Int, Int, Long)].collect().toSet
+    q.stop()
+    val batch = graft.ops.Sketches.cmsSketch(
+        (batch1 ++ batch2).toDF("tok"), "tok", depth = 4, width = 16)
+      .as[(Int, Int, Long)].collect().toSet
+    assert(streamed == batch, "complete-mode sketch must equal batch sketch")
+    assert(streamed.size <= 4 * 16, "state is bounded by the grid size")
+  }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.{Curation, Sampling, Similarity, Sketches, Text}
+import graft.ops.{Bpe, Curation, Sampling, Similarity, Sketches, Text}
 
 /** Wave-2 training-pipeline operators: exact duplicated-span detection,
   * corpus-trained bigram LM, chunking, mixture sampling, weighted
@@ -300,6 +300,29 @@ class TrainSpec extends SparkSpec {
       .as[(String, Long)].collect()
     assert(ests.length == exact.size)
     ests.foreach { case (t, e) => assert(e >= exact(t), s"$t: $e < ${exact(t)}") }
+  }
+
+  test("BPE applyMerge is canonical greedy left-to-right") {
+    val df = Seq(Seq("a", "a", "a"), Seq("a", "a", "a", "a"), Seq("b", "a"))
+      .toDF("syms")
+    val out = df.select(Bpe.applyMerge(col("syms"), "a", "a").as("m"))
+      .as[Seq[String]].collect().toSeq
+    assert(out == Seq(Seq("aa", "a"), Seq("aa", "aa"), Seq("b", "a")))
+  }
+
+  test("BPE train reproduces the classic subword-units example") {
+    // Sennrich et al. corpus: low x5, lower x2, newest x6, widest x3
+    val toks = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).toDF("tok")
+    val merges = Bpe.train(toks, "tok", numMerges = 6)
+    assert(merges.map(m => (m._2, m._3, m._5)) == Seq(
+      ("e", "s", 9L), ("es", "t", 9L), ("est", "</w>", 9L),
+      ("l", "o", 7L), ("lo", "w", 7L), ("e", "w", 6L)))
+    // the learned tokenizer segments an UNSEEN word into known subwords
+    val seg = Seq("lowest").toDF("w")
+      .select(Bpe.segment(col("w"), merges.map(m => (m._2, m._3))).as("s"))
+      .as[Seq[String]].head()
+    assert(seg == Seq("low", "est</w>"))
   }
 
   test("powerIteration finds the dominant eigenpair") {

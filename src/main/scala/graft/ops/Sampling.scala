@@ -104,6 +104,9 @@ object Sampling {
     * because the hash is independent of every column. */
   def hashSplit(df: DataFrame, idCol: String, seed: String,
                 fracTrain: Double, fracVal: Double): DataFrame = {
+    require(fracTrain >= 0 && fracVal >= 0 && fracTrain + fracVal <= 1,
+      s"split fractions must be non-negative and sum <= 1 " +
+        s"(got train=$fracTrain, val=$fracVal)")
     val bucket = Text.portableHash(
       concat(col(idCol).cast("string"), lit(":" + seed))) % 10000L
     df.withColumn("split",
@@ -132,6 +135,9 @@ object Sampling {
   def oversample(df: DataFrame, idCol: String, domainCol: String,
                  alpha: Double = 0.5, maxCopies: Double = 4.0,
                  seed: String = "os0"): DataFrame = {
+    // w >= 1 always (largest domain has w = 1); a cap below 1 would make
+    // n_copies 0 and sequence(1, 0) DESCEND ([1, 0]) instead of empty
+    require(maxCopies >= 1.0, s"maxCopies must be >= 1, got $maxCopies")
     val counts = df.groupBy(domainCol).agg(count(lit(1)).as("__n"))
     val mx = counts.agg(max("__n").as("__mx"))
     val ratio = col("__mx").cast("double") / col("__n").cast("double")

@@ -19,12 +19,15 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
-  private def slots(tok: org.apache.spark.sql.Column, depth: Int, width: Int) =
+  private def slots(tok: org.apache.spark.sql.Column, depth: Int, width: Int) = {
+    require(depth >= 1 && width >= 1,
+      s"cms needs depth, width >= 1 (got $depth x $width)")
     array((0 until depth).map { j =>
       struct(lit(j).as("j"),
         (Text.portableHash(concat(lit("cms" + j + ":"), tok)) % width)
           .cast("int").as("slot"))
     }: _*)
+  }
 
   /** Build the sketch: one (j, slot) → count row per non-empty counter
     * (absent counters are zero). Input: one row per token OCCURRENCE. */

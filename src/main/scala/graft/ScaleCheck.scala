@@ -445,6 +445,35 @@ object ScaleCheck {
         "tok", numMerges = 6).size.toLong
     }
 
+    // 8n. BM25 at 50k docs: the term filter must kill non-query tokens
+    // BELOW the exchange — cost tracks the tokenize scan, the shuffle
+    // carries only (docs-with-hit × query-terms) postings
+    time("t_bm25_topk (50k docs)") {
+      consume(ops.Retrieval.bm25TopK(docs10, "doc_id", "text",
+        Seq("q1" -> Seq("vector", "hash", "spark"),
+          "q2" -> Seq("window", "filter"),
+          "q3" -> Seq("stream", "batch", "merge", "slow")), topK = 5))
+    }
+
+    // 8o. SQ8 at 200k vectors: train is one posexplode groupBy(pos) with
+    // map-side min/max partials (exchange carries partitions×dim rows);
+    // encode + asymmetric dot are map-only over broadcast literal stats —
+    // the whole pipeline must stay scan-bound
+    time("sq8 train+encode+topk (200k)") {
+      val st = ops.Quantization.sqTrain(emb10, "embedding")
+        .orderBy("pos").collect()
+      val lo = st.map(_.getDouble(1)).toSeq
+      val step = st.map(_.getDouble(2)).toSeq
+      val probe = emb10.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head.getSeq[Double](0)
+      consume(emb10.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), ops.Quantization.sqDot(
+          ops.Quantization.sqEncode(col("embedding"), lo, step),
+          probe, lo, step).as("score"))
+        .orderBy(round(col("score"), 4).desc, col("vec_id")).limit(10))
+    }
+
     // 7. IVF train + assign at 200k vectors: the shuffle-free assignment
     // (packed-centroid HOF argmax) is the piece that used to shuffle
     // rows×k — training cost should stay ~linear in rows·iters

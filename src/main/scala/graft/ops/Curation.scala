@@ -164,4 +164,20 @@ object Curation {
         sum(when(col("keep_exact") && col("is_dropped").isNull, col("nt"))
           .otherwise(0)).as("sum_tokens_final"))
       .orderBy("pred_lang")
+
+  /** Per-host document cap (the C4/RefinedWeb anti-spam rule: no single
+    * host may dominate the corpus): rank each host's docs by a content
+    * hash of `(id, seed)` — deterministic, ingest-order-free — and keep
+    * rank ≤ cap. Returns the input plus `(rk, kept)`. One shuffle on the
+    * host key; a mega-host concentrates its OWN docs on one partition,
+    * which is exactly the hot-key shape AQE's skew handling splits, and
+    * the window state is a running count, not a buffer. */
+  def domainCapFlags(df: DataFrame, hostCol: String, idCol: String,
+                     cap: Int, seed: String): DataFrame = {
+    val w = Window.partitionBy(hostCol).orderBy(
+      Text.portableHash(concat(col(idCol).cast("string"), lit(":" + seed))),
+      col(idCol))
+    df.withColumn("rk", row_number().over(w))
+      .withColumn("kept", col("rk") <= cap)
+  }
 }

@@ -224,4 +224,54 @@ object Quantization {
       .filter(col("__rn") <= k)
       .select(col(probeId), col(candId), col("dist"))
   }
+
+  // ---- scalar quantization (SQ8) ------------------------------------------
+  //
+  // The per-DIMENSION companion of PQ: an affine int8 quantizer
+  // `code_i = round((x_i − lo_i) / step_i)` with `step_i = (hi_i − lo_i)/255`
+  // trained from per-dimension min/max. A 64-float vector becomes 64 bytes
+  // (4×); unlike PQ there is no codebook argmin — encode and the
+  // dequantized dot are pure per-row column algebra, so SQ8 is the
+  // cheapest compression tier (the FAISS `SQ8` index shape). At 100 TB
+  // the trained stats are `dim` doubles of bounded driver state (the
+  // sim_pca_project contract) broadcast as literals into a map-only plan.
+
+  /** Per-dimension quantizer stats `(pos, lo, step)`, `pos` 1-based.
+    * One posexplode → groupBy(pos): min/max partial-aggregate map-side,
+    * so the exchange carries partitions×dim rows regardless of N. */
+  def sqTrain(df: DataFrame, vecCol: String): DataFrame =
+    df.select(posexplode(col(vecCol).cast("array<double>")).as(Seq("pos0", "x")))
+      .groupBy((col("pos0") + 1).as("pos"))
+      .agg(min(col("x")).as("lo"),
+        ((max(col("x")) - min(col("x"))) / lit(255.0d)).as("step"))
+
+  /** int8 codes for `vec` given collected `(lo, step)` driver stats:
+    * `floor((x − lo)/step + 0.5)` clamped to [0, 255] (round-half-up via
+    * floor — the identical IEEE sequence is expressible in DuckDB, which
+    * is what makes the encode hash-oracle-able). A constant dimension
+    * (step 0) encodes as 0. */
+  def sqEncode(vec: Column, lo: Seq[Double], step: Seq[Double]): Column = {
+    val loArr = array(lo.map(lit): _*)
+    val stArr = array(step.map(lit): _*)
+    val shifted = zip_with(vec.cast("array<double>"), loArr, (x, m) => x - m)
+    zip_with(shifted, stArr, (d, s) =>
+      when(s > lit(0.0d),
+        least(greatest(floor(d / s + lit(0.5d)), lit(0.0d)), lit(255.0d)))
+        .otherwise(lit(0.0d)).cast("int"))
+  }
+
+  /** Asymmetric dequantized dot product: the full-precision probe against
+    * the reconstruction `lo_i + code_i·step_i` of an encoded row — the
+    * SQ analogue of ADC (scan 64 bytes of codes, never the vector). The
+    * fold is a sequential HOF, rounded by the caller before ranking. */
+  def sqDot(codes: Column, probe: Seq[Double],
+            lo: Seq[Double], step: Seq[Double]): Column = {
+    val loArr = array(lo.map(lit): _*)
+    val stArr = array(step.map(lit): _*)
+    val pArr = array(probe.map(lit): _*)
+    val dq = zip_with(
+      zip_with(codes.cast("array<double>"), stArr, (c, s) => c * s),
+      loArr, (cs, l) => l + cs)
+    aggregate(zip_with(pArr, dq, (p, y) => p * y), lit(0.0d), _ + _)
+  }
 }

@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sparse lexical retrieval over the corpus — the BM25 ranking used by
+  * decontamination-by-retrieval and hard-negative mining in training-data
+  * pipelines (Robertson & Zaragoza, "The Probabilistic Relevance
+  * Framework: BM25 and Beyond", FnTIR 2009).
+  *
+  * Scale shape: the query set is tiny (tens of terms) and the corpus is
+  * the 100 TB side, so everything query-sized is broadcast and the ONLY
+  * row-scale work is one explode → filter-to-query-terms → groupBy. The
+  * term filter sits BELOW the shuffle: non-query tokens die map-side, so
+  * the exchange carries only matching postings (|docs with a hit| ×
+  * |query terms| rows), never the token stream. Document length comes
+  * along functionally (grouped with the doc id), and corpus stats
+  * (N, avgdl) are ONE map-only aggregate cross-joined as a broadcast
+  * single row — no second pass over text.
+  */
+object Retrieval {
+
+  /** BM25 top-`topK` documents per query. `queries` is (query_id, terms);
+    * a doc scores `Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`
+    * over the query terms it contains, with the non-negative
+    * `idf = ln(1 + (N−df+0.5)/(df+0.5))`. Ranking compares scores
+    * ROUNDED to 4 decimals (ties → lower doc id) so the order is stable
+    * across FP summation orders — the same contract as the k-means
+    * argmax. Output: (query_id, doc_id, rank, score). */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queries: Seq[(String, Seq[String])], topK: Int = 5,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25TopKWithHandle(docs, idCol, textCol, queries, topK, k1, b,
+      persistTf = false)._1
+
+  /** [[bm25TopK]] with the full-corpus persist contract (the
+    * Text.tfidf/duplicatedSpanStats handle): the postings stream `tf`
+    * has two consumers (df derivation + scoring), each of which would
+    * re-run the tokenize explode over the corpus. `persistTf = true`
+    * materializes the (query-term-filtered, postings-sized) tf once;
+    * the second return value is the handle to `unpersist()` when done.
+    * The corpus-stats pass still reads text once more — it needs ALL
+    * docs' lengths, which the term-filtered postings can't provide. */
+  def bm25TopKWithHandle(docs: DataFrame, idCol: String, textCol: String,
+                         queries: Seq[(String, Seq[String])], topK: Int = 5,
+                         k1: Double = 1.2, b: Double = 0.75,
+                         persistTf: Boolean = false): (DataFrame, DataFrame) = {
+    val spark: SparkSession = docs.sparkSession
+    import spark.implicits._
+    val qdf = queries.flatMap { case (qid, ts) => ts.map(qid -> _) }
+      .toDF("query_id", "term")
+    val terms = queries.flatMap(_._2).distinct
+    // one map-only pass for corpus stats — no tokenize explode needed
+    val stats = docs.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      avg(size(split(col(textCol), " ", -1)).cast("double")).as("avgdl"))
+    val tf0 = docs
+      .select(col(idCol),
+        size(split(col(textCol), " ", -1)).cast("double").as("dl"),
+        explode(split(col(textCol), " ", -1)).as("term"))
+      .filter(col("term").isin(terms: _*)) // map-side, below the exchange
+      .groupBy(col(idCol), col("term"), col("dl"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val tf = if (persistTf) tf0.persist() else tf0
+    // df is per-TERM (query-sized) — derived from the postings, broadcast
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    // arithmetic shape mirrored token-for-token by the DuckDB oracle so
+    // both engines run the identical IEEE operation sequence per term
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfPart = col("tf") * (lit(k1) + lit(1.0)) /
+      (col("tf") + lit(k1) *
+        (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+    val scored = tf
+      .join(broadcast(qdf), "term")
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib", idf * tfPart)
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("contrib")).as("score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(round(col("score"), 4).desc, col(idCol))
+    val out = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col(idCol), col("rank"),
+        (round(col("score"), 4) + lit(0.0)).as("score"))
+    (out, tf)
+  }
+}

@@ -526,4 +526,51 @@ object Text {
       (nTok >= 10 && avgTokLen >= 2.0 && avgTokLen <= 12.0 && stopRatio <= 0.5)
         .as("keep"))
   }
+
+  // ---- URL canonicalization -----------------------------------------------
+  //
+  // Web-curation dedup keys: the same page arrives under
+  // HTTPS://WWW.Host:443/p/?utm_source=x#frag and https://host/p — byte
+  // dedup misses it, so curation canonicalizes first (lowercase
+  // scheme+host, strip `www.`, strip the scheme's default port, drop the
+  // fragment, drop tracking params keeping the rest in original order,
+  // trim trailing slashes; the case-sensitive path is preserved). Pure
+  // per-row regex algebra — map-only at any scale, and expressible
+  // identically in DuckDB (RE2-safe patterns: no lookarounds).
+
+  private def urlNoFrag(u: Column): Column = regexp_replace(u, "#.*$", "")
+
+  /** Lowercased scheme of a URL (empty string when not a scheme:// URL). */
+  def urlScheme(u: Column): Column =
+    lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+
+  /** Canonical host[:port]: lowercased authority with `www.` and the
+    * scheme's default port (http:80 / https:443) removed; non-default
+    * ports are preserved. */
+  def urlHost(u: Column): Column = {
+    val auth = regexp_replace(
+      lower(regexp_extract(urlNoFrag(u), "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)),
+      "^www\\.", "")
+    when(urlScheme(u) === "http", regexp_replace(auth, ":80$", ""))
+      .when(urlScheme(u) === "https", regexp_replace(auth, ":443$", ""))
+      .otherwise(auth)
+  }
+
+  /** Canonical form of a URL (see section comment). `trackingParams` is
+    * the regex of query-param NAMES to drop (anchored alternation). */
+  def normalizeUrl(u: Column,
+                   trackingParams: String = "utm_[a-z]+|ref"): Column = {
+    val nf = urlNoFrag(u)
+    val rest = regexp_extract(nf, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1)
+    val path0 = regexp_replace(regexp_extract(rest, "^([^?]*)", 1), "/+$", "")
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val query0 = when(rest.contains("?"),
+      regexp_replace(rest, "^[^?]*\\?", "")).otherwise(lit(""))
+    val kept = array_join(
+      filter(split(query0, "&", -1),
+        p => p =!= "" && !p.rlike(s"^($trackingParams)=")),
+      "&")
+    concat(urlScheme(u), lit("://"), urlHost(u), path,
+      when(kept === "", lit("")).otherwise(concat(lit("?"), kept)))
+  }
 }

@@ -1,0 +1,237 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.{Curation, Quantization, Retrieval, Text}
+
+/** Training-data pipeline operators, wave 8: BM25 lexical retrieval,
+  * scalar (int8) quantization, and web-curation URL canonicalization +
+  * per-host caps. All fully oracled; the URL queries synthesize their
+  * raw URLs deterministically from doc_id (the s8_sms_report_parse
+  * pattern: both engines derive identical inputs, so normalization is
+  * compared byte-exact).
+  */
+object RetrievalQueries {
+
+  /** Deterministic messy raw URL for a doc id — four variants covering
+    * the canonicalization axes: mixed-case scheme/host, `www.`, default
+    * ports (kept when non-default: the :8080 arm), tracking params mixed
+    * with real ones, fragments, and trailing-slash piles. */
+  private def synthUrl(id: Column): Column = {
+    val hb = concat(lit("Site"), (id % 7).cast("string"), lit(".Example.COM"))
+    val s = id.cast("string")
+    when(id % 4 === 0, concat(lit("HTTPS://WWW."), hb, lit(":443/Docs/"), s,
+        lit("/?utm_source=feed&id="), s, lit("#top")))
+      .when(id % 4 === 1, concat(lit("http://"), hb, lit(":80/a/b?id="), s,
+        lit("&utm_campaign=x&ref=rss")))
+      .when(id % 4 === 2, concat(lit("https://"), lower(hb), lit("/")))
+      .otherwise(concat(lit("HTTP://"), hb, lit(":8080/news///")))
+  }
+
+  /** DuckDB twin of [[synthUrl]] + [[Text.normalizeUrl]]: CTE chain
+    * ending in `fin(doc_id, raw_url, host, url)`. The COALESCE on the
+    * kept-params join matters: DuckDB's array_to_string([]) is NULL
+    * where Spark's array_join([]) is ''. */
+  private val urlCtes: String =
+    """WITH base AS (SELECT doc_id,
+      |    'Site' || (doc_id % 7)::VARCHAR || '.Example.COM' AS hb,
+      |    doc_id % 4 AS m FROM documents),
+      |raw AS (SELECT doc_id,
+      |    CASE WHEN m = 0 THEN 'HTTPS://WWW.' || hb || ':443/Docs/'
+      |        || doc_id::VARCHAR || '/?utm_source=feed&id=' || doc_id::VARCHAR
+      |        || '#top'
+      |      WHEN m = 1 THEN 'http://' || hb || ':80/a/b?id=' || doc_id::VARCHAR
+      |        || '&utm_campaign=x&ref=rss'
+      |      WHEN m = 2 THEN 'https://' || lower(hb) || '/'
+      |      ELSE 'HTTP://' || hb || ':8080/news///' END AS raw_url
+      |  FROM base),
+      |nf AS (SELECT doc_id, raw_url, regexp_replace(raw_url, '#.*$', '') AS u
+      |  FROM raw),
+      |parts AS (SELECT doc_id, raw_url, u,
+      |    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      |    regexp_replace(lower(regexp_extract(u,
+      |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^www\.', '') AS auth,
+      |    regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1) AS rest
+      |  FROM nf),
+      |hp AS (SELECT doc_id, raw_url, scheme, rest,
+      |    CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
+      |      WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+      |      ELSE auth END AS host FROM parts),
+      |pq AS (SELECT doc_id, raw_url, scheme, host, rest,
+      |    regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$', '') AS p0,
+      |    CASE WHEN contains(rest, '?') THEN regexp_replace(rest, '^[^?]*\?', '')
+      |      ELSE '' END AS q0
+      |  FROM hp),
+      |fin AS (SELECT doc_id, raw_url, host,
+      |    scheme || '://' || host || (CASE WHEN p0 = '' THEN '/' ELSE p0 END) ||
+      |    (CASE WHEN kq = '' THEN '' ELSE '?' || kq END) AS url
+      |  FROM (SELECT *, COALESCE(array_to_string([x FOR x IN string_split(q0, '&')
+      |      IF x <> '' AND NOT regexp_matches(x, '^(utm_[a-z]+|ref)=')], '&'), '')
+      |      AS kq
+      |    FROM pq))""".stripMargin
+
+  /** SQ8 oracle CTEs: per-dim stats `s(pos, lo, step)` and codes
+    * `c(vec_id, pos, code)` — the FLOOR(x + 0.5) round-half-up is the
+    * identical IEEE sequence [[Quantization.sqEncode]] runs. */
+  private val sq8Ctes: String =
+    """WITH v AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+      |    unnest(CAST(embedding AS DOUBLE[])) AS x FROM embeddings),
+      |s AS (SELECT pos, MIN(x) AS lo, (MAX(x) - MIN(x)) / 255.0 AS step
+      |  FROM v GROUP BY pos),
+      |c AS (SELECT v.vec_id, v.pos,
+      |    (CASE WHEN s.step > 0 THEN LEAST(GREATEST(
+      |      FLOOR((v.x - s.lo) / s.step + 0.5), 0), 255) ELSE 0 END)::INT AS code
+      |  FROM v JOIN s USING (pos))""".stripMargin
+
+  private val bm25Queries: Seq[(String, Seq[String])] = Seq(
+    "q1" -> Seq("vector", "hash", "spark"),
+    "q2" -> Seq("window", "filter"),
+    "q3" -> Seq("stream", "batch", "merge", "slow"))
+
+  /** Collected SQ8 stats (lo, step) ordered by pos — `dim` doubles of
+    * bounded driver state, the sim_pca_project contract. */
+  private def sqStats(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (Seq[Double], Seq[Double]) = {
+    val rows = Quantization.sqTrain(Tables(s, dir, "embeddings"), "embedding")
+      .orderBy("pos").collect()
+    (rows.map(_.getDouble(1)).toSeq, rows.map(_.getDouble(2)).toSeq)
+  }
+
+  def qs: Seq[Q] = Seq(
+
+    // BM25 top-5 per query over the document corpus — decontamination-by-
+    // retrieval / hard-negative mining. The oracle mirrors the arithmetic
+    // shape token for token; ranking compares ROUND(score,4) with doc_id
+    // ties so FP summation order cannot flip the cut.
+    Q("t_bm25_topk",
+      """WITH q(query_id, term) AS (VALUES
+        |    ('q1','vector'),('q1','hash'),('q1','spark'),
+        |    ('q2','window'),('q2','filter'),
+        |    ('q3','stream'),('q3','batch'),('q3','merge'),('q3','slow')),
+        |d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |st AS (SELECT COUNT(*)::DOUBLE AS n_docs, AVG(len(toks)::DOUBLE) AS avgdl
+        |  FROM d),
+        |tk AS (SELECT doc_id, len(toks)::DOUBLE AS dl, unnest(toks) AS term
+        |  FROM d),
+        |tf AS (SELECT doc_id, term, dl, COUNT(*)::DOUBLE AS tf FROM tk
+        |  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1, 2, 3),
+        |dfq AS (SELECT term, COUNT(*)::DOUBLE AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT q.query_id, tf.doc_id,
+        |    SUM(LN(1.0 + (st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)) *
+        |      (tf.tf * (1.2 + 1.0) /
+        |        (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / st.avgdl)))) AS score
+        |  FROM tf JOIN q USING (term) JOIN dfq USING (term) CROSS JOIN st
+        |  GROUP BY 1, 2),
+        |r AS (SELECT query_id, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY ROUND(score, 4) DESC, doc_id) AS rank,
+        |    ROUND(score, 4) + 0.0 AS score
+        |  FROM sc)
+        |SELECT query_id, doc_id, rank, score FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      Retrieval.bm25TopK(Tables(s, dir, "documents"), "doc_id", "text",
+          bm25Queries, topK = 5)
+        .orderBy("query_id", "rank")
+    },
+
+    // SQ8 encode, hash-checked end to end: per-dim min/step train + the
+    // round-half-up affine code of every dimension of every vector.
+    Q("sim_sq8_md5",
+      sq8Ctes +
+        """
+          |SELECT vec_id, COUNT(*)::BIGINT AS n_dims,
+          |  md5(array_to_string(list(code ORDER BY pos), ',')) AS code_md5
+          |FROM c GROUP BY vec_id ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      val (lo, step) = sqStats(s, dir)
+      val codes = Quantization.sqEncode(col("embedding"), lo, step)
+      Tables(s, dir, "embeddings")
+        .select(col("vec_id"), size(codes).cast("long").as("n_dims"),
+          md5(array_join(transform(codes, _.cast("string")), ",")).as("code_md5"))
+        .orderBy("vec_id")
+    },
+
+    // SQ8 asymmetric top-10: full-precision probe (vec 0) against the
+    // dequantized reconstruction of every other row — the scan touches
+    // 64 bytes of codes per row, never the vector (the ADC shape). At
+    // corpus scale codes come from the encoded store; here they are
+    // derived inline so the whole chain stays one oracled query.
+    Q("sim_sq8_topk",
+      sq8Ctes +
+        """,
+          |p AS (SELECT pos, x FROM v WHERE vec_id = 0),
+          |dq AS (SELECT c.vec_id, c.pos, s.lo + c.code * s.step AS y
+          |  FROM c JOIN s USING (pos) WHERE c.vec_id <> 0),
+          |sc AS (SELECT dq.vec_id, SUM(p.x * dq.y) AS score
+          |  FROM dq JOIN p USING (pos) GROUP BY 1),
+          |r AS (SELECT vec_id,
+          |    ROW_NUMBER() OVER (ORDER BY ROUND(score, 4) DESC, vec_id) AS rank,
+          |    ROUND(score, 4) + 0.0 AS adot
+          |  FROM sc)
+          |SELECT vec_id, rank, adot FROM r WHERE rank <= 10
+          |ORDER BY rank""".stripMargin) { (s, dir) =>
+      val (lo, step) = sqStats(s, dir)
+      val emb = Tables(s, dir, "embeddings")
+      val probe = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head.getSeq[Double](0)
+      val scored = emb.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          Quantization.sqDot(
+            Quantization.sqEncode(col("embedding"), lo, step),
+            probe, lo, step).as("score"))
+      // TakeOrdered top-10 first; the rank window then runs on 10 rows
+      scored.orderBy(round(col("score"), 4).desc, col("vec_id")).limit(10)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(round(col("score"), 4).desc, col("vec_id"))))
+        .select(col("vec_id"), col("rank"),
+          (round(col("score"), 4) + lit(0.0)).as("adot"))
+        .orderBy("rank")
+    },
+
+    // URL canonicalization, byte-exact: messy synthesized URLs →
+    // lowercase scheme/host, www. and default-port strip (:8080 kept),
+    // fragment drop, tracking-param drop preserving real params in
+    // order, trailing-slash trim. Map-only at any scale.
+    Q("t_url_normalize",
+      urlCtes +
+        """
+          |SELECT doc_id, raw_url, host, url FROM fin
+          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val raw = synthUrl(col("doc_id"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), raw.as("raw_url"),
+          Text.urlHost(raw).as("host"), Text.normalizeUrl(raw).as("url"))
+        .orderBy("doc_id")
+    },
+
+    // Per-host document cap (C4/RefinedWeb anti-spam): deterministic
+    // content-hash keeper rank per host, cap 25; the kept set is
+    // hash-pinned in keeper order. One shuffle on the host key.
+    Q("pipe_domain_cap",
+      urlCtes +
+        """,
+          |r AS (SELECT host, doc_id,
+          |    ROW_NUMBER() OVER (PARTITION BY host ORDER BY
+          |      ('0x' || substr(md5(doc_id::VARCHAR || ':cap0'), 1, 15))::BIGINT,
+          |      doc_id) AS rk
+          |  FROM fin)
+          |SELECT host, COUNT(*)::BIGINT AS n_docs,
+          |  SUM(CASE WHEN rk <= 25 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+          |  md5(array_to_string(list(doc_id::VARCHAR ORDER BY rk)
+          |    FILTER (WHERE rk <= 25), ',')) AS kept_md5
+          |FROM r GROUP BY host ORDER BY host""".stripMargin) { (s, dir) =>
+      val hosts = Tables(s, dir, "documents")
+        .select(col("doc_id"), Text.urlHost(synthUrl(col("doc_id"))).as("host"))
+      Curation.domainCapFlags(hosts, "host", "doc_id", cap = 25, seed = "cap0")
+        .groupBy("host")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          md5(array_join(transform(
+            array_sort(collect_list(when(col("kept"),
+              struct(col("rk"), col("doc_id"))))),
+            _.getField("doc_id").cast("string")), ",")).as("kept_md5"))
+        .orderBy("host")
+    }
+  )
+}

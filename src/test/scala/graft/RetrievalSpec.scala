@@ -1,0 +1,167 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Curation, Quantization, Retrieval, Text}
+
+/** Wave-8 operators: BM25 retrieval, scalar (SQ8) quantization, URL
+  * canonicalization, per-host caps. Hand-computed oracles on tiny
+  * inputs; the DuckDB hash-compare covers sf-scale.
+  */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- BM25 ---------------------------------------------------------------
+
+  test("bm25TopK: hand-computed scores, rank and tie order") {
+    // corpus: N=3, dl = 4,2,2, avgdl = 8/3
+    val docs = Seq(
+      (1L, "a b a c"),
+      (2L, "a d"),
+      (3L, "d d")).toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(docs, "doc_id", "text",
+        Seq("q" -> Seq("a")), topK = 3)
+      .orderBy("rank").as[(String, Long, Int, Double)].collect().toSeq
+    // df(a)=2; idf = ln(1 + (3-2+0.5)/(2+0.5)) = ln(1.6)
+    // doc1: tf=2, dl=4: ln(1.6)*2*2.2/(2+1.2*(0.25+0.75*4/(8/3))) = 0.5672
+    // doc2: tf=1, dl=2: ln(1.6)*1*2.2/(1+1.2*(0.25+0.75*2/(8/3))) = 0.5384
+    def score(tf: Double, dl: Double): Double = {
+      val idf = math.log(1.0 + (3.0 - 2.0 + 0.5) / (2.0 + 0.5))
+      val d = idf * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / (8.0 / 3.0))))
+      BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(out == Seq(
+      ("q", 1L, 1, score(2, 4)),
+      ("q", 2L, 2, score(1, 2))))
+  }
+
+  test("bm25TopK: doc without any query term is absent; topK truncates") {
+    val docs = Seq(
+      (1L, "x y"), (2L, "x z"), (3L, "w w"), (4L, "x x x")).toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(docs, "doc_id", "text",
+        Seq("q" -> Seq("x")), topK = 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!out.contains(3L) && out.size == 2)
+  }
+
+  test("bm25TopK: rarer term dominates via idf across two query terms") {
+    // 'rare' in 1 of 4 docs, 'common' in all 4 — the rare-term doc must
+    // outrank docs with only the common term
+    val docs = Seq(
+      (1L, "common rare"), (2L, "common common"),
+      (3L, "common a"), (4L, "common b")).toDF("doc_id", "text")
+    val top = Retrieval.bm25TopK(docs, "doc_id", "text",
+        Seq("q" -> Seq("rare", "common")), topK = 1)
+      .select("doc_id").as[Long].head()
+    assert(top == 1L)
+  }
+
+  test("bm25TopKWithHandle: persisted tf equals the unpersisted plan") {
+    val docs = Seq((1L, "a b a c"), (2L, "a d"), (3L, "d d"))
+      .toDF("doc_id", "text")
+    val qs = Seq("q" -> Seq("a", "d"))
+    val plain = Retrieval.bm25TopK(docs, "doc_id", "text", qs, topK = 3)
+      .orderBy("query_id", "rank").collect().toSeq
+    val (fast, handle) = Retrieval.bm25TopKWithHandle(
+      docs, "doc_id", "text", qs, topK = 3, persistTf = true)
+    try assert(fast.orderBy("query_id", "rank").collect().toSeq == plain)
+    finally handle.unpersist()
+  }
+
+  // ---- SQ8 ----------------------------------------------------------------
+
+  test("sqTrain/sqEncode: min→0, max→255, constant dim→0, codes bounded") {
+    val df = Seq(
+      (1L, Seq(0.0f, 5.0f, 7.0f)),
+      (2L, Seq(10.0f, 5.0f, 3.0f)),
+      (3L, Seq(2.5f, 5.0f, 4.0f))).toDF("vec_id", "embedding")
+    val st = Quantization.sqTrain(df, "embedding").orderBy("pos").collect()
+    val lo = st.map(_.getDouble(1)).toSeq
+    val step = st.map(_.getDouble(2)).toSeq
+    assert(lo == Seq(0.0, 5.0, 3.0))
+    assert(step(1) == 0.0) // constant dimension
+    val codes = df.orderBy("vec_id")
+      .select(Quantization.sqEncode(col("embedding"), lo, step))
+      .as[Seq[Int]].collect().toSeq
+    assert(codes(0) == Seq(0, 0, 255)) // mins → 0 (const dim → 0), max → 255
+    assert(codes(1) == Seq(255, 0, 0))
+    // 2.5 of [0,10] → 63.75 → round-half-up 64; 4.0 of [3,7] → 63.75 → 64
+    assert(codes(2) == Seq(64, 0, 64))
+    assert(codes.flatten.forall(c => c >= 0 && c <= 255))
+  }
+
+  test("sqDot: dequantized dot reconstructs within step/2 per dimension") {
+    val df = Seq(
+      (1L, Seq(0.0f, 1.0f)), (2L, Seq(4.0f, 3.0f)), (3L, Seq(2.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val st = Quantization.sqTrain(df, "embedding").orderBy("pos").collect()
+    val lo = st.map(_.getDouble(1)).toSeq
+    val step = st.map(_.getDouble(2)).toSeq
+    val probe = Seq(1.0, 1.0)
+    val got = df.filter(col("vec_id") === 2)
+      .select(Quantization.sqDot(
+        Quantization.sqEncode(col("embedding"), lo, step), probe, lo, step))
+      .as[Double].head()
+    val exact = 4.0 * 1.0 + 3.0 * 1.0
+    val bound = step.map(_ / 2).sum // |probe_i| = 1
+    assert(math.abs(got - exact) <= bound + 1e-9)
+  }
+
+  // ---- URL canonicalization ----------------------------------------------
+
+  private def norm(u: String): (String, String) = {
+    val r = Seq(u).toDF("u")
+      .select(Text.urlHost(col("u")), Text.normalizeUrl(col("u"))).head
+    (r.getString(0), r.getString(1))
+  }
+
+  test("normalizeUrl: case, www, default port, fragment, tracking params") {
+    assert(norm("HTTPS://WWW.Ex.COM:443/A/b/?utm_source=x&id=3&ref=r#f") ==
+      ("ex.com", "https://ex.com/A/b?id=3"))
+  }
+
+  test("normalizeUrl: http default port, param order preserved") {
+    assert(norm("http://ex.com:80/p?b=2&a=1") ==
+      ("ex.com", "http://ex.com/p?b=2&a=1"))
+  }
+
+  test("normalizeUrl: non-default port kept; trailing slashes collapse") {
+    assert(norm("HTTP://Ex.Com:8080/news///") ==
+      ("ex.com:8080", "http://ex.com:8080/news"))
+  }
+
+  test("normalizeUrl: root path survives as /; empty query dropped") {
+    assert(norm("https://ex.com/") == ("ex.com", "https://ex.com/"))
+    assert(norm("https://ex.com") == ("ex.com", "https://ex.com/"))
+    assert(norm("https://ex.com/?utm_source=x") == ("ex.com", "https://ex.com/"))
+  }
+
+  test("normalizeUrl: path case is preserved, only scheme+host lowercase") {
+    assert(norm("HTTPS://EX.COM/CamelCase/Path")._2 ==
+      "https://ex.com/CamelCase/Path")
+  }
+
+  // ---- domain cap ---------------------------------------------------------
+
+  test("domainCapFlags: per-host cap, deterministic hash rank") {
+    val df = (1L to 20L).map(i => (i, s"h${i % 2}")).toDF("doc_id", "host")
+    val out = Curation.domainCapFlags(df, "host", "doc_id", cap = 3, "s0")
+    val kept = out.filter(col("kept")).groupBy("host").count()
+      .as[(String, Long)].collect().toMap
+    assert(kept == Map("h0" -> 3L, "h1" -> 3L))
+    // rank is a permutation of 1..n per host
+    val rks = out.filter(col("host") === "h0").select("rk")
+      .as[Int].collect().toSeq.sorted
+    assert(rks == (1 to 10).toSeq)
+    // deterministic across recomputation
+    val again = Curation.domainCapFlags(df, "host", "doc_id", cap = 3, "s0")
+      .filter(col("kept")).select("doc_id").as[Long].collect().toSet
+    val first = out.filter(col("kept")).select("doc_id").as[Long].collect().toSet
+    assert(again == first)
+  }
+
+  test("domainCapFlags: under-cap host keeps everything") {
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "host")
+    val out = Curation.domainCapFlags(df, "host", "doc_id", cap = 5, "s0")
+    assert(out.filter(col("kept")).count() == 3)
+  }
+}

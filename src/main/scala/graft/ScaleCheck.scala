@@ -474,6 +474,31 @@ object ScaleCheck {
         .orderBy(round(col("score"), 4).desc, col("vec_id")).limit(10))
     }
 
+    // 8p. PageRank at 50k nodes / 150k edges, 10 rounds: contributions
+    // to the 50 hub nodes (~1k in-degree each) must partial-aggregate
+    // map-side — cost tracks rounds × edge scan, and the hub skew never
+    // concentrates on one reducer
+    time("graph_pagerank (50k nodes, 10 it)") {
+      val ids = docs10.select(col("doc_id"))
+      val nCnt = ids.agg(count(lit(1)).as("nl"))
+      val withN = ids.crossJoin(broadcast(nCnt))
+      val e = withN.select(col("doc_id").as("src"),
+          ((col("doc_id") * 7 + 1) % col("nl")).as("dst"))
+        .unionByName(withN.select(col("doc_id").as("src"),
+          ((col("doc_id") * 13 + 5) % col("nl")).as("dst")))
+        .unionByName(ids.select(col("doc_id").as("src"),
+          (col("doc_id") % 50).as("dst")))
+      consume(ops.Graph.pageRank(e, ids, "src", "dst", "doc_id", iters = 10))
+    }
+
+    // 8q. interpolated trigram LM at 50k docs (~7.5M trigram events):
+    // one explode feeds training counts AND scoring joins; all count
+    // tables are vocabulary-bounded — cost must track the corpus passes,
+    // not vocab³
+    time("t_lm_interp (50k docs)") {
+      consume(ops.Text.trigramNll(docs10, "doc_id", "text"))
+    }
+
     // 7. IVF train + assign at 200k vectors: the shuffle-free assignment
     // (packed-centroid HOF argmax) is the piece that used to shuffle
     // rows×k — training cost should stay ~linear in rows·iters

@@ -147,4 +147,80 @@ object Graph {
     labeled.withColumn("__rk", row_number().over(w))
       .filter(col("__rk") === 1).drop("__rk")
   }
+
+  /** PageRank over a directed edge list — host/page importance weighting
+    * (the CommonCrawl-rank shape curation pipelines use to prioritize
+    * crawl sources). `nodes` defines the rank vector's support (a node
+    * with no inbound links still holds (1−d)/N).
+    *
+    * Each of the `iters` rounds is the canonical two-shuffle shape:
+    * join ranks to edges on the source key, then aggregate contributions
+    * by destination — contributions partial-aggregate map-side, so a
+    * celebrity page with millions of inbound links combines before the
+    * exchange rather than concentrating on one reducer. N and out-degrees
+    * are plan-side (broadcast single-row / src-keyed aggregate), never a
+    * driver collect. No dangling-mass term: callers with sink nodes
+    * should pre-drop them or add self-loops (documented contract; the
+    * query-level synthesis guarantees ≥2 out-links per node). At a fixed
+    * small `iters` the nested-lineage plan compiles fine; an unbounded
+    * iteration would localCheckpoint per round like
+    * [[connectedComponents]].
+    *
+    * Arithmetic shape (`(1−d)/N + d·Σ pr(src)/od(src)`, per-edge divide
+    * then sum) is mirrored token for token by the DuckDB oracle.
+    *
+    * Iteration state is Pregel-style: the (edge, out-degree) table is
+    * materialized ONCE (eager localCheckpoint — it feeds every round),
+    * and each round's rank vector is materialized and the previous
+    * round's released, exactly the [[connectedComponents]] frontier
+    * contract. Without this the nested 10-round lineage re-optimizes
+    * and re-executes the whole prefix inside every AQE stage —
+    * measured 35 s → ~8 s at 50k nodes / 150k edges. (Cluster swap:
+    * `checkpoint` against the checkpoint dir, same single line.) */
+  def pageRank(edges: DataFrame, nodes: DataFrame, srcCol: String,
+               dstCol: String, nodeCol: String, d: Double = 0.85,
+               iters: Int = 10): DataFrame = {
+    def rddOf(df: DataFrame) =
+      df.queryExecution.analyzed.collectFirst { case lr: LogicalRDD => lr.rdd }
+    // the node set is read every round (left join + the N broadcast);
+    // materialize once, co-partitioned with the contribution aggregate
+    val n1 = nodes.select(col(nodeCol).as("id"))
+      .repartition(col("id"))
+      .localCheckpoint(true)
+    val nDf = n1.agg(count(lit(1)).cast("double").as("n"))
+    // Edge table with out-degree attached, one row per edge — built once,
+    // read every round. The raw edge plan is materialized FIRST: the
+    // out-degree join reads the edge list twice (probe + aggregate), and
+    // an upstream source fragmented into thousands of micro-partitions
+    // (e.g. a many-file union) would otherwise be recomputed on both
+    // sides — measured 21 s → 1.5 s on a 960-partition union at 150k
+    // edges. localCheckpoint also compacts to the shuffle-partition
+    // count, so the per-round tasks are right-sized.
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .repartition(col("src"))
+      .localCheckpoint(true)
+    val eod = e.join(e.groupBy("src").agg(count(lit(1)).cast("double").as("od")),
+        "src")
+      .localCheckpoint(true)
+    rddOf(e).foreach(_.unpersist(false)) // superseded by eod
+    var pr = n1.crossJoin(broadcast(nDf))
+      .select(col("id"), (lit(1.0) / col("n")).as("pr"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contrib = eod
+        .join(pr.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("pr") / col("od")).as("c"))
+      val next = n1.join(contrib, Seq("id"), "left")
+        .crossJoin(broadcast(nDf))
+        .select(col("id"),
+          ((lit(1.0) - lit(d)) / col("n") +
+            lit(d) * coalesce(col("c"), lit(0.0))).as("pr"))
+        .localCheckpoint(true)
+      rddOf(pr).foreach(_.unpersist(false)) // superseded rank vector
+      pr = next
+    }
+    pr
+  }
 }

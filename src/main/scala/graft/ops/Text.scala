@@ -381,6 +381,69 @@ object Text {
     (out, bg)
   }
 
+  /** Adjacent-token trigrams as (a, b, c) structs; n tokens → n−2
+    * trigrams, none for docs under 3 tokens (guard — see [[spanHashes]]). */
+  def trigrams(toks: Column): Column =
+    when(size(toks) < 3, array().cast("array<struct<a:string,b:string,c:string>>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - 2, lit(1)),
+        i => struct(element_at(toks, i).as("a"), element_at(toks, i + 1).as("b"),
+          element_at(toks, i + 2).as("c"))))
+
+  /** Per-document INTERPOLATED trigram-LM negative log-likelihood — the
+    * step up from [[bigramNll]]'s add-one bigram: per trigram event,
+    * p = λ3·p(c|a,b) + λ2·p(c|b) + λ1·p(c), all three maximum-likelihood
+    * distributions estimated from the corpus TRIGRAM EVENT STREAM
+    * (context count C(a,b·), suffix-bigram count C(·bc), middle count
+    * C(·b·), last count C(··c), total T) so the whole model derives from
+    * ONE explode. Interpolation makes every probability strictly
+    * positive (λ1·p(c) > 0 for any seen token), so no extra smoothing
+    * term is needed.
+    *
+    * Plan shape at 100 TB: one trigram explode → the C(a,b,c) aggregate
+    * is the training pass; every other count table derives from it
+    * (vocab³-bounded, usually vocab²). Scoring joins the event stream
+    * back on token keys — the same hot-key-safe join-not-window choice
+    * as [[bigramNll]], with `persistTrigrams` as the full-corpus handle
+    * computing the explode once. */
+  def trigramNll(df: DataFrame, idCol: String, textCol: String,
+                 l3: Double = 0.6, l2: Double = 0.3, l1: Double = 0.1)
+      : DataFrame =
+    trigramNllWithHandle(df, idCol, textCol, l3, l2, l1,
+      persistTrigrams = false)._1
+
+  /** [[trigramNll]] with the full-corpus persist handle. */
+  def trigramNllWithHandle(df: DataFrame, idCol: String, textCol: String,
+                           l3: Double = 0.6, l2: Double = 0.3,
+                           l1: Double = 0.1,
+                           persistTrigrams: Boolean = false)
+      : (DataFrame, DataFrame) = {
+    val tg0 = df.select(col(idCol),
+      explode(trigrams(split(col(textCol), " ", -1))).as("t"))
+      .select(col(idCol), col("t.a").as("a"), col("t.b").as("bb"),
+        col("t.c").as("cc"))
+    val tg = if (persistTrigrams)
+      tg0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else tg0
+    val c3 = tg.groupBy("a", "bb", "cc").agg(count(lit(1)).as("c3"))
+    val cab = c3.groupBy("a", "bb").agg(sum("c3").as("cab"))
+    val cbc = c3.groupBy("bb", "cc").agg(sum("c3").as("cbc"))
+    val cb = cab.groupBy("bb").agg(sum("cab").as("cb"))
+    val cc = cbc.groupBy("cc").agg(sum("cbc").as("ccnt"))
+    val tot = c3.agg(sum("c3").cast("double").as("t"))
+    // λ3·(c3/cab) + λ2·(cbc/cb) + λ1·(ccnt/T) — the oracle mirrors this
+    // association exactly
+    val p = lit(l3) * (col("c3").cast("double") / col("cab")) +
+      lit(l2) * (col("cbc").cast("double") / col("cb")) +
+      lit(l1) * (col("ccnt").cast("double") / col("t"))
+    val out = tg.join(c3, Seq("a", "bb", "cc")).join(cab, Seq("a", "bb"))
+      .join(cbc, Seq("bb", "cc")).join(cb, Seq("bb")).join(cc, Seq("cc"))
+      .crossJoin(broadcast(tot))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_trigrams"),
+        round(-avg(log(p)), 4).as("nll"))
+    (out, tg)
+  }
+
   /** Sliding-window token chunking: split each document into windows of
     * `window` tokens advancing by `stride` (overlap = window − stride) —
     * the standard pre-tokenization step for fixed-context training.

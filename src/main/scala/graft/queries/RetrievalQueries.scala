@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ops.{Curation, Quantization, Retrieval, Text}
+import graft.ops.{Bpe, Curation, Graph, Quantization, Retrieval, Text}
 
 /** Training-data pipeline operators, wave 8: BM25 lexical retrieval,
   * scalar (int8) quantization, and web-curation URL canonicalization +
@@ -84,6 +84,47 @@ object RetrievalQueries {
       |    (CASE WHEN s.step > 0 THEN LEAST(GREATEST(
       |      FLOOR((v.x - s.lo) / s.step + 0.5), 0), 255) ELSE 0 END)::INT AS code
       |  FROM v JOIN s USING (pos))""".stripMargin
+
+  /** PageRank iterations for the oracle CTE chain and the Spark plan —
+    * kept in lockstep so both engines run the identical round count. */
+  private val prIters = 10
+
+  /** Generated PageRank oracle (the pcaPowerCtes pattern): a synthesized
+    * 3-out-link graph (two coprime affine rules covering every node +
+    * a %50 hub rule creating realistic popular-page skew), then `prIters`
+    * unrolled MATERIALIZED rounds of
+    * `(1−d)/N + d·Σ pr(src)/od(src)`. */
+  private val pageRankSql: String = {
+    val base =
+      """WITH nn AS MATERIALIZED (SELECT COUNT(*)::DOUBLE AS n FROM documents),
+        |e AS MATERIALIZED (SELECT src, dst FROM (
+        |    SELECT doc_id AS src,
+        |      (doc_id * 7 + 1) % (SELECT COUNT(*) FROM documents) AS dst
+        |    FROM documents
+        |    UNION ALL SELECT doc_id,
+        |      (doc_id * 13 + 5) % (SELECT COUNT(*) FROM documents)
+        |    FROM documents
+        |    UNION ALL SELECT doc_id, doc_id % 50 FROM documents)
+        |  WHERE src <> dst),
+        |od AS MATERIALIZED (SELECT src, COUNT(*)::DOUBLE AS od FROM e GROUP BY src),
+        |p0 AS MATERIALIZED (SELECT doc_id AS id, 1.0 / (SELECT n FROM nn) AS pr
+        |  FROM documents)""".stripMargin
+    val steps = (1 to prIters).map { t =>
+      s""",
+         |c$t AS MATERIALIZED (SELECT e.dst AS id, SUM(p.pr / od.od) AS c
+         |  FROM e JOIN od ON od.src = e.src JOIN p${t - 1} p ON p.id = e.src
+         |  GROUP BY 1),
+         |p$t AS MATERIALIZED (SELECT d.doc_id AS id,
+         |  (1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * COALESCE(c.c, 0.0) AS pr
+         |  FROM documents d LEFT JOIN c$t c ON c.id = d.doc_id)""".stripMargin
+    }.mkString
+    base + steps +
+      s"""
+         |SELECT id, rank, pr FROM (SELECT id,
+         |    ROW_NUMBER() OVER (ORDER BY ROUND(pr, 6) DESC, id) AS rank,
+         |    ROUND(pr, 6) + 0.0 AS pr
+         |  FROM p$prIters) WHERE rank <= 20 ORDER BY rank""".stripMargin
+  }
 
   private val bm25Queries: Seq[(String, Seq[String])] = Seq(
     "q1" -> Seq("vector", "hash", "spark"),
@@ -232,6 +273,101 @@ object RetrievalQueries {
               struct(col("rk"), col("doc_id"))))),
             _.getField("doc_id").cast("string")), ",")).as("kept_md5"))
         .orderBy("host")
+    },
+
+    // PageRank over a synthesized link graph — page/host importance
+    // weighting (the CommonCrawl-rank shape). Both engines derive the
+    // same edges from doc_id arithmetic, run 10 identical rounds, and
+    // rank on ROUND(pr,6) with id ties. The %50 rule gives 50 hub nodes
+    // ~10× the in-degree of the rest — visible in the result (hubs fill
+    // the entire top-20) and a real skew exercise for the dst aggregate.
+    Q("graph_pagerank", pageRankSql) { (s, dir) =>
+      val docs = Tables(s, dir, "documents").select("doc_id")
+      val nCnt = docs.agg(count(lit(1)).as("nl"))
+      val withN = docs.crossJoin(broadcast(nCnt))
+      val e = withN.select(col("doc_id").as("src"),
+          ((col("doc_id") * 7 + 1) % col("nl")).as("dst"))
+        .unionAll(withN.select(col("doc_id").as("src"),
+          ((col("doc_id") * 13 + 5) % col("nl")).as("dst")))
+        .unionAll(docs.select(col("doc_id").as("src"),
+          (col("doc_id") % 50).as("dst")))
+      val pr = Graph.pageRank(e, docs, "src", "dst", "doc_id",
+        d = 0.85, iters = prIters)
+      pr.orderBy(round(col("pr"), 6).desc, col("id")).limit(20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(round(col("pr"), 6).desc, col("id"))))
+        .select(col("id"), col("rank"),
+          (round(col("pr"), 6) + lit(0.0)).as("pr"))
+        .orderBy("rank")
+    },
+
+    // Interpolated trigram LM NLL per doc — the step up from the add-one
+    // bigram gate (t_lm_perplexity): λ-mixed trigram/bigram/unigram ML
+    // estimates, all derived from one trigram-event explode.
+    Q("t_lm_interp",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |tg AS (SELECT doc_id, toks[i] AS a, toks[i+1] AS b2, toks[i+2] AS c2
+        |  FROM (SELECT doc_id, toks,
+        |      unnest(generate_series(1, len(toks) - 2)) AS i FROM t)),
+        |c3 AS (SELECT a, b2, c2, COUNT(*) AS n3 FROM tg GROUP BY 1, 2, 3),
+        |cab AS (SELECT a, b2, SUM(n3) AS nab FROM c3 GROUP BY 1, 2),
+        |cbc AS (SELECT b2, c2, SUM(n3) AS nbc FROM c3 GROUP BY 1, 2),
+        |cb AS (SELECT b2, SUM(nab) AS nb FROM cab GROUP BY 1),
+        |cc AS (SELECT c2, SUM(nbc) AS nc FROM cbc GROUP BY 1),
+        |tot AS (SELECT SUM(n3)::DOUBLE AS t FROM c3)
+        |SELECT tg.doc_id, COUNT(*) AS n_trigrams,
+        |  ROUND(-AVG(LN(0.6 * (n3::DOUBLE / nab) + 0.3 * (nbc::DOUBLE / nb)
+        |    + 0.1 * (nc::DOUBLE / (SELECT t FROM tot)))), 4) AS nll
+        |FROM tg JOIN c3 USING (a, b2, c2) JOIN cab USING (a, b2)
+        |  JOIN cbc USING (b2, c2) JOIN cb USING (b2) JOIN cc USING (c2)
+        |GROUP BY tg.doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Text.trigramNll(Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // URL-keyed dedup: the first curation pass of any web corpus — after
+    // canonicalization, one URL keeps one doc (earliest id). Composes
+    // t_url_normalize's map-only chain with a single url-key window.
+    Q("dedup_url",
+      urlCtes +
+        """,
+          |k AS (SELECT doc_id, url,
+          |    MIN(doc_id) OVER (PARTITION BY url) AS keep_id FROM fin)
+          |SELECT doc_id, url, keep_id,
+          |  CASE WHEN doc_id = keep_id THEN 'kept' ELSE 'url_dup' END AS status
+          |FROM k ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val urls = Tables(s, dir, "documents")
+        .select(col("doc_id"), Text.normalizeUrl(synthUrl(col("doc_id"))).as("url"))
+      urls.withColumn("keep_id",
+          min(col("doc_id")).over(Window.partitionBy("url")))
+        .select(col("doc_id"), col("url"), col("keep_id"),
+          when(col("doc_id") === col("keep_id"), "kept").otherwise("url_dup")
+            .as("status"))
+        .orderBy("doc_id")
+    },
+
+    // Corpus-wide BPE ENCODE with the trained tokenizer — completes the
+    // train → encode → token-budget chain. The scalable shape: segment
+    // the VOCABULARY once (corpus-cardinality-bounded), broadcast-join
+    // the per-word subword counts back to the token stream — the greedy
+    // merge fold never runs on the 100 TB side. No SQL twin (greedy
+    // re-segmentation, same as t_bpe_train); vocab-join == direct
+    // segmentation is pinned in TrainSpec.
+    Q.noOracle("t_bpe_encode") { (s, dir) =>
+      val docTok = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("tok"))
+        .filter(length(col("tok")) >= 1)
+      val merges = Bpe.train(docTok, "tok", numMerges = 8)
+        .map(m => (m._2, m._3))
+      val vocabSeg = docTok.select("tok").distinct()
+        .select(col("tok"),
+          size(Bpe.segment(col("tok"), merges)).cast("long").as("n_sub"))
+      docTok.join(broadcast(vocabSeg), "tok")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum("n_sub").as("n_subwords"),
+          round(sum("n_sub").cast("double") / count(lit(1)), 4)
+            .as("subwords_per_token"))
+        .orderBy("doc_id")
     }
   )
 }

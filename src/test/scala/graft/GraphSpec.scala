@@ -94,4 +94,42 @@ class GraphSpec extends SparkSpec {
       .select("node").as[Long].collect().sorted
     assert(keepers.toSeq == Seq(2L, 8L))
   }
+
+  test("pageRank: 2-cycle is uniform, mass sums to 1") {
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L).toDF("id")
+    val pr = Graph.pageRank(edges, nodes, "src", "dst", "id", iters = 5)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(pr(1L) - 0.5) < 1e-12 && math.abs(pr(2L) - 0.5) < 1e-12)
+  }
+
+  test("pageRank: star center accumulates; hand-computed 1 iteration") {
+    // 1→3, 2→3, 3→1 ; N=3, p0=1/3, d=0.85
+    // after 1 iter: pr(3) = 0.15/3 + 0.85*(1/3 + 1/3) = 0.61666...
+    //   pr(1) = 0.15/3 + 0.85*(1/3) = 0.33333... ; pr(2) = 0.15/3 = 0.05
+    val edges = Seq((1L, 3L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val pr = Graph.pageRank(edges, nodes, "src", "dst", "id", iters = 1)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(pr(3L) - (0.05 + 0.85 * (2.0 / 3.0))) < 1e-12)
+    assert(math.abs(pr(1L) - (0.05 + 0.85 / 3.0)) < 1e-12)
+    assert(math.abs(pr(2L) - 0.05) < 1e-12)
+  }
+
+  test("pageRank: mass conserved and dangling-free graph converges") {
+    // every node has an out-link → Σ pr = 1 at any iteration
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+      .toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val total = Graph.pageRank(edges, nodes, "src", "dst", "id", iters = 8)
+      .agg(sum("pr")).as[Double].head()
+    assert(math.abs(total - 1.0) < 1e-9)
+    // self-loops are dropped: a pure self-loop node becomes a sink for
+    // its own edge but still receives the teleport share
+    val withSelf = Seq((1L, 2L), (2L, 1L), (3L, 3L)).toDF("src", "dst")
+    val pr3 = Graph.pageRank(withSelf, Seq(1L, 2L, 3L).toDF("id"),
+        "src", "dst", "id", iters = 3)
+      .filter(col("id") === 3L).select("pr").as[Double].head()
+    assert(math.abs(pr3 - 0.05) < 1e-12) // (1-d)/N only
+  }
 }

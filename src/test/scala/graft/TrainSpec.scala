@@ -345,4 +345,63 @@ class TrainSpec extends SparkSpec {
     assert(math.abs(math.abs(v(1)) - expected(1)) < 1e-6)
     assert(eig > 0.0)
   }
+
+  test("trigramNll: interpolated probabilities, hand-computed") {
+    // corpus trigram events: (a,b,a)×2 from doc 1, (b,a,b)×2 (docs 1+2).
+    // Every event interpolates to 0.6·1 + 0.3·1 + 0.1·(2/4) = 0.95 →
+    // nll = −ln(0.95) = 0.0513 for both docs; doc 3 has no trigrams.
+    val df = Seq((1L, "a b a b a"), (2L, "b a b"), (3L, "x y"))
+      .toDF("doc_id", "text")
+    val out = Text.trigramNll(df, "doc_id", "text").orderBy("doc_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 3L, 0.0513), (2L, 1L, 0.0513)))
+  }
+
+  test("trigramNll: persisted trigram stream equals the plain plan") {
+    val df = Seq((1L, "a b c d a b c"), (2L, "c d a b"), (3L, "a b c"))
+      .toDF("doc_id", "text")
+    val plain = Text.trigramNll(df, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val (fast, handle) = Text.trigramNllWithHandle(
+      df, "doc_id", "text", persistTrigrams = true)
+    try assert(fast.orderBy("doc_id").collect().toSeq == plain)
+    finally handle.unpersist()
+  }
+
+  test("trigramNll: rarer continuations score worse than corpus-typical ones") {
+    val common = (1 to 10).map(i => (i.toLong, "the cat sat on the mat"))
+    val odd = Seq((99L, "the cat zzz on qqq mat"))
+    val out = Text.trigramNll((common ++ odd).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val nll = out.select("doc_id", "nll").as[(Long, Double)].collect().toMap
+    assert(nll(99L) > nll(1L))
+  }
+
+  test("BPE encode via segmented vocabulary equals direct per-token segmentation") {
+    val docs = Seq((1L, "low lower lowest low"), (2L, "newer new low"))
+      .toDF("doc_id", "text")
+    val docTok = docs.select(col("doc_id"),
+        explode(split(col("text"), " ", -1)).as("tok"))
+      .filter(length(col("tok")) >= 1)
+    val merges = Bpe.train(docTok, "tok", numMerges = 5).map(m => (m._2, m._3))
+    // scalable path: segment the distinct vocabulary, join counts back
+    val vocabSeg = docTok.select("tok").distinct()
+      .select(col("tok"), size(Bpe.segment(col("tok"), merges)).cast("long")
+        .as("n_sub"))
+    val viaVocab = docTok.join(broadcast(vocabSeg), "tok")
+      .groupBy("doc_id").agg(sum("n_sub").as("n_subwords"))
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    // direct path: segment every token occurrence inline
+    val direct = docTok
+      .select(col("doc_id"), size(Bpe.segment(col("tok"), merges)).cast("long")
+        .as("n_sub"))
+      .groupBy("doc_id").agg(sum("n_sub").as("n_subwords"))
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(viaVocab == direct && viaVocab.nonEmpty)
+    // segmentation is real: subwords strictly exceed tokens pre-merge
+    // convergence on this tiny vocab, and every count is ≥ token count
+    val nTok = docTok.groupBy("doc_id").count()
+      .orderBy("doc_id").as[(Long, Long)].collect().toMap
+    viaVocab.foreach { case (id, ns) => assert(ns >= nTok(id)) }
+  }
 }

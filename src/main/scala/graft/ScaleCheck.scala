@@ -499,6 +499,31 @@ object ScaleCheck {
       consume(ops.Text.trigramNll(docs10, "doc_id", "text"))
     }
 
+    // 8r. blocked fuzzy join at 150k dirty × 150k clean: the q-gram
+    // index + stop-gram prune must keep verified candidates near-linear
+    // — 22.5B all-pairs would never finish; the prune also absorbs the
+    // shared 'Customer#0000' prefix block that would otherwise be one
+    // hot gram
+    time("j_fuzzy_blocked (150k x 150k)") {
+      val cust10 = x10(core.Tables(spark, sfDir, "customer")
+        .select("c_custkey", "c_name")) { (d, i) =>
+        d.withColumn("c_custkey", col("c_custkey") + lit(i * 10000000L))
+          .withColumn("c_name",
+            concat(col("c_name"), lit("-"), lit(i.toString)))
+      }
+      val dirty = cust10.select(col("c_custkey").as("d_id"),
+        when(col("c_custkey") % 3 === 0,
+          concat(substring(col("c_name"), 1, 8),
+            col("c_name").substr(lit(10), length(col("c_name")))))
+          .when(col("c_custkey") % 3 === 1,
+            concat(substring(col("c_name"), 1, 12), lit("X"),
+              col("c_name").substr(lit(14), length(col("c_name")))))
+          .otherwise(concat(col("c_name"), lit("Z"))).as("d_name"))
+      consume(ops.Linkage.fuzzyJoinBlocked(dirty,
+        cust10.select(col("c_custkey").as("c_id"), col("c_name")),
+        "d_id", "d_name", "c_id", "c_name", q = 4, maxDf = 25, maxDist = 2))
+    }
+
     // 7. IVF train + assign at 200k vectors: the shuffle-free assignment
     // (packed-centroid HOF argmax) is the piece that used to shuffle
     // rows×k — training cost should stay ~linear in rows·iters

@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Record linkage (entity resolution): fuzzy-match a dirty feed against a
+  * clean reference registry — customer/supplier reconciliation, crawl
+  * metadata vs catalog, the standard "same entity, typo'd key" problem.
+  *
+  * Scale shape: NEVER all-pairs. Candidates come from a q-gram inverted
+  * index over the reference side (each record explodes to its distinct
+  * character q-grams; records sharing a *discriminative* gram become
+  * candidates), with a `maxDf` stop-gram prune — the exact design of
+  * [[Text.containmentPairs]]'s stop-shingle prune: a gram shared by the
+  * whole registry ("Cust…") would re-create the cross join, so it is
+  * dropped from the index. Edit distance then verifies only the
+  * candidate pairs. Recall contract: a true match is found iff the pair
+  * still shares one un-pruned gram after corruption — the LSH-style
+  * trade, deterministic and therefore oracle-able; raise `maxDf` or
+  * lower `q` to widen recall.
+  */
+object Linkage {
+
+  /** Distinct character q-grams of a string column. */
+  def charGrams(c: Column, q: Int): Column =
+    array_distinct(transform(sequence(lit(1), length(c) - (q - 1), lit(1)),
+      i => c.substr(i, lit(q))))
+
+  /** Blocked fuzzy join: for each dirty record the best reference match
+    * (smallest levenshtein ≤ `maxDist`, ties to the smallest clean id).
+    * Returns `(dId, matchId, lev, n_cands)`; dirty records with no
+    * surviving candidate are absent (caller left-joins for a full
+    * report). `n_cands` is the verified-candidate count — the block
+    * quality signal a real pipeline monitors. */
+  def fuzzyJoinBlocked(dirty: DataFrame, clean: DataFrame,
+                       dId: String, dName: String,
+                       cId: String, cName: String,
+                       q: Int = 4, maxDf: Int = 25, maxDist: Int = 2)
+      : DataFrame = {
+    val cg = clean.select(col(cId), col(cName),
+        explode(charGrams(col(cName), q)).as("g"))
+    // stop-gram prune on the REFERENCE index (the side that is indexed
+    // once and reused per feed)
+    val keep = cg.groupBy("g")
+      .agg(countDistinct(col(cId)).as("__df"))
+      .filter(col("__df") <= maxDf)
+      .select("g")
+    val dg = dirty.select(col(dId), col(dName),
+        explode(charGrams(col(dName), q)).as("g"))
+    val cands = dg.join(keep, "g").join(cg, "g")
+      .select(col(dId), col(dName), col(cId), col(cName))
+      .distinct()
+    val verified = cands
+      .withColumn("lev", levenshtein(col(dName), col(cName)))
+      .filter(col("lev") <= maxDist)
+    val w = Window.partitionBy(dId).orderBy(col("lev"), col(cId))
+    verified
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("n_cands", count(lit(1)).over(Window.partitionBy(dId)))
+      .filter(col("__rk") === 1)
+      .select(col(dId), col(cId).as("match_id"), col("lev"), col("n_cands"))
+  }
+}

@@ -4,7 +4,8 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ops.{Bpe, Curation, Graph, Quantization, Retrieval, Text}
+import graft.ops.{Bpe, Curation, Graph, Linkage, Quantization, Retrieval,
+  Similarity, Text}
 
 /** Training-data pipeline operators, wave 8: BM25 lexical retrieval,
   * scalar (int8) quantization, and web-curation URL canonicalization +
@@ -130,6 +131,50 @@ object RetrievalQueries {
     "q1" -> Seq("vector", "hash", "spark"),
     "q2" -> Seq("window", "filter"),
     "q3" -> Seq("stream", "batch", "merge", "slow"))
+
+  /** Shared single-query (q1) BM25 ranking CTEs, ending in
+    * `rb(doc_id, r)` — the base of the fusion / negative-mining /
+    * snippet oracles. Restricting tf to q1's terms leaves those terms'
+    * df values unchanged, so q1 ranks here equal the 3-query twin's. */
+  private val bm25RbCtes: String =
+    """WITH q(query_id, term) AS (VALUES
+      |    ('q1','vector'),('q1','hash'),('q1','spark')),
+      |d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |st AS (SELECT COUNT(*)::DOUBLE AS n_docs, AVG(len(toks)::DOUBLE) AS avgdl
+      |  FROM d),
+      |tk AS (SELECT doc_id, len(toks)::DOUBLE AS dl, unnest(toks) AS term
+      |  FROM d),
+      |tf AS (SELECT doc_id, term, dl, COUNT(*)::DOUBLE AS tf FROM tk
+      |  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1, 2, 3),
+      |dfq AS (SELECT term, COUNT(*)::DOUBLE AS df FROM tf GROUP BY 1),
+      |sc AS (SELECT q.query_id, tf.doc_id,
+      |    SUM(LN(1.0 + (st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)) *
+      |      (tf.tf * (1.2 + 1.0) /
+      |        (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / st.avgdl)))) AS score
+      |  FROM tf JOIN q USING (term) JOIN dfq USING (term) CROSS JOIN st
+      |  GROUP BY 1, 2),
+      |rb AS (SELECT doc_id,
+      |    ROW_NUMBER() OVER (ORDER BY ROUND(score, 4) DESC, doc_id) AS r
+      |  FROM sc)""".stripMargin
+
+  private val q1Terms = Seq("vector", "hash", "spark")
+
+  /** The q1 BM25 ranking as a DataFrame `(doc_id, r)`, top `topK`. */
+  private def bm25Q1(s: org.apache.spark.sql.SparkSession, dir: String,
+                     topK: Int) =
+    Retrieval.bm25TopK(Tables(s, dir, "documents"), "doc_id", "text",
+        Seq("q1" -> q1Terms), topK = topK)
+      .select(col("doc_id"), col("rank").cast("long").as("r"))
+
+  /** The dirty-feed synthesis of the fuzzy-join queries: one
+    * deterministic single-edit corruption per customer name. */
+  private def dirtyName(name: Column, key: Column): Column =
+    when(key % 3 === 0,
+      concat(substring(name, 1, 8), name.substr(lit(10), length(name))))
+      .when(key % 3 === 1,
+        concat(substring(name, 1, 12), lit("X"),
+          name.substr(lit(14), length(name))))
+      .otherwise(concat(name, lit("Z")))
 
   /** Collected SQ8 stats (lo, step) ordered by pos — `dim` doubles of
     * bounded driver state, the sim_pca_project contract. */
@@ -368,6 +413,169 @@ object RetrievalQueries {
           round(sum("n_sub").cast("double") / count(lit(1)), 4)
             .as("subwords_per_token"))
         .orderBy("doc_id")
+    },
+
+    // Blocked fuzzy join (record linkage): a deterministically corrupted
+    // customer feed matched back against the registry via a q-gram
+    // inverted index with a stop-gram prune (maxDf — the containment
+    // stop-shingle design), then levenshtein ≤ 2 verification on
+    // candidates only. ~1.1k candidate pairs vs 22.5k all-pairs at sf;
+    // unmatched dirty rows (blocking recall miss) are deterministic and
+    // absent from BOTH engines.
+    Q("j_fuzzy_blocked",
+      """WITH dirty AS (SELECT c_custkey AS d_id,
+        |    CASE WHEN c_custkey % 3 = 0
+        |        THEN substr(c_name, 1, 8) || substr(c_name, 10)
+        |      WHEN c_custkey % 3 = 1
+        |        THEN substr(c_name, 1, 12) || 'X' || substr(c_name, 14)
+        |      ELSE c_name || 'Z' END AS d_name
+        |  FROM customer),
+        |cg AS (SELECT c_custkey AS c_id, c_name,
+        |    unnest(list_distinct([c_name[i:i+3] FOR i IN
+        |      generate_series(1, len(c_name) - 3)])) AS g
+        |  FROM customer),
+        |keep AS (SELECT g FROM cg GROUP BY g
+        |  HAVING COUNT(DISTINCT c_id) <= 25),
+        |dg AS (SELECT d_id, d_name,
+        |    unnest(list_distinct([d_name[i:i+3] FOR i IN
+        |      generate_series(1, len(d_name) - 3)])) AS g
+        |  FROM dirty),
+        |cand AS (SELECT DISTINCT dg.d_id, dg.d_name, cg.c_id, cg.c_name
+        |  FROM dg JOIN keep USING (g) JOIN cg USING (g)),
+        |v AS (SELECT d_id, c_id, levenshtein(d_name, c_name) AS lev FROM cand
+        |  WHERE levenshtein(d_name, c_name) <= 2),
+        |best AS (SELECT d_id, c_id, lev,
+        |    ROW_NUMBER() OVER (PARTITION BY d_id ORDER BY lev, c_id) AS rk,
+        |    COUNT(*) OVER (PARTITION BY d_id) AS n_cands
+        |  FROM v)
+        |SELECT d_id, c_id AS match_id, lev, n_cands FROM best WHERE rk = 1
+        |ORDER BY d_id""".stripMargin) { (s, dir) =>
+      val cust = Tables(s, dir, "customer")
+      val dirty = cust.select(col("c_custkey").as("d_id"),
+        dirtyName(col("c_name"), col("c_custkey")).as("d_name"))
+      Linkage.fuzzyJoinBlocked(dirty,
+          cust.select(col("c_custkey").as("c_id"), col("c_name")),
+          "d_id", "d_name", "c_id", "c_name",
+          q = 4, maxDf = 25, maxDist = 2)
+        .orderBy("d_id")
+    },
+
+    // Reciprocal-rank fusion: the hybrid-retrieval join — BM25 (q1)
+    // top-20 fused with cosine-vs-probe top-20 at k=60. The fused score
+    // derives entirely from INTEGER ranks (1/(60+r)), so both engines
+    // compute identical doubles and even the unrounded order agrees.
+    Q("t_rrf_fusion",
+      bm25RbCtes +
+        """,
+          |v AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+          |    unnest(CAST(embedding AS DOUBLE[])) AS x FROM embeddings
+          |  WHERE vec_id IN (SELECT doc_id FROM documents)),
+          |p AS (SELECT pos, x FROM v WHERE vec_id = 0),
+          |cs AS (SELECT v.vec_id,
+          |    SUM(v.x * p.x) / (SQRT(SUM(v.x * v.x)) * SQRT(SUM(p.x * p.x))) AS s
+          |  FROM v JOIN p USING (pos) WHERE v.vec_id <> 0 GROUP BY 1),
+          |rc AS (SELECT vec_id AS doc_id,
+          |    ROW_NUMBER() OVER (ORDER BY ROUND(s, 6) DESC, vec_id) AS r FROM cs),
+          |fused AS (SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+          |    COALESCE(1.0 / (60 + b.r), 0.0) + COALESCE(1.0 / (60 + c.r), 0.0)
+          |      AS rrf
+          |  FROM (SELECT * FROM rb WHERE r <= 20) b
+          |  FULL OUTER JOIN (SELECT * FROM rc WHERE r <= 20) c USING (doc_id))
+          |SELECT doc_id, ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rank,
+          |  ROUND(rrf, 6) + 0.0 AS rrf
+          |FROM fused QUALIFY rank <= 10 ORDER BY rank""".stripMargin) {
+      (s, dir) =>
+        val docs = Tables(s, dir, "documents")
+        val emb = Tables(s, dir, "embeddings")
+          .join(docs.select(col("doc_id").as("vec_id")), Seq("vec_id"),
+            "left_semi")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val probe = emb.filter(col("vec_id") === 0).select("v")
+          .head.getSeq[Double](0)
+        val pLit = array(probe.map(lit): _*)
+        val rc = emb.filter(col("vec_id") =!= 0)
+          .select(col("vec_id").as("doc_id"),
+            Similarity.cosine(col("v"), pLit).as("s"))
+          .orderBy(round(col("s"), 6).desc, col("doc_id")).limit(20)
+          .withColumn("rc", row_number().over(
+            Window.orderBy(round(col("s"), 6).desc, col("doc_id"))))
+          .select(col("doc_id"), col("rc").cast("long").as("rc"))
+        val rb = bm25Q1(s, dir, topK = 20)
+          .select(col("doc_id"), col("r").as("rb"))
+        rb.join(rc, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            (coalesce(lit(1.0) / (lit(60) + col("rb")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60) + col("rc")), lit(0.0))).as("rrf"))
+          .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("rrf").desc, col("doc_id"))))
+          .select(col("doc_id"), col("rank").cast("long").as("rank"),
+            (round(col("rrf"), 6) + lit(0.0)).as("rrf"))
+          .orderBy("rank")
+    },
+
+    // Hard-negative mining for contrastive training: BM25 positives
+    // (top-5), hard negatives (ranks 6–15), and 5 deterministically
+    // hash-sampled easy negatives from the rest of the corpus.
+    Q("pipe_hard_negatives",
+      bm25RbCtes +
+        """,
+          |pos AS (SELECT doc_id, r FROM rb WHERE r <= 5),
+          |hard AS (SELECT doc_id, r FROM rb WHERE r > 5 AND r <= 15),
+          |easy AS (SELECT doc_id, NULL::BIGINT AS r FROM (
+          |    SELECT doc_id FROM documents
+          |    WHERE doc_id NOT IN (SELECT doc_id FROM rb WHERE r <= 15)
+          |    ORDER BY md5(doc_id::VARCHAR || ':neg0'), doc_id LIMIT 5))
+          |SELECT doc_id, 'positive' AS role, r AS bm25_rank FROM pos
+          |UNION ALL SELECT doc_id, 'hard_negative', r FROM hard
+          |UNION ALL SELECT doc_id, 'easy_negative', r FROM easy
+          |ORDER BY role, bm25_rank, doc_id""".stripMargin) { (s, dir) =>
+      val rb15 = bm25Q1(s, dir, topK = 15)
+      val docs = Tables(s, dir, "documents").select("doc_id")
+      val pos = rb15.filter(col("r") <= 5)
+        .select(col("doc_id"), lit("positive").as("role"),
+          col("r").as("bm25_rank"))
+      val hard = rb15.filter(col("r") > 5)
+        .select(col("doc_id"), lit("hard_negative").as("role"),
+          col("r").as("bm25_rank"))
+      val easy = docs.join(rb15, Seq("doc_id"), "left_anti")
+        .orderBy(md5(concat(col("doc_id").cast("string"), lit(":neg0"))),
+          col("doc_id"))
+        .limit(5)
+        .select(col("doc_id"), lit("easy_negative").as("role"),
+          lit(null).cast("long").as("bm25_rank"))
+      pos.unionAll(hard).unionAll(easy).orderBy("role", "bm25_rank", "doc_id")
+    },
+
+    // Keyword-in-context snippets for q1's top-5 hits: a 7-token window
+    // around the FIRST occurrence of each query term — the display /
+    // audit surface of retrieval. Map-only over broadcast hit ids.
+    Q("t_kwic_snippets",
+      bm25RbCtes +
+        """,
+          |top AS (SELECT doc_id, r FROM rb WHERE r <= 5),
+          |hit AS (SELECT top.doc_id, q.term,
+          |    list_position(d.toks, q.term) AS i, d.toks
+          |  FROM top JOIN d USING (doc_id)
+          |  CROSS JOIN (SELECT DISTINCT term FROM q) q
+          |  WHERE list_position(d.toks, q.term) IS NOT NULL)
+          |SELECT doc_id, term, i::BIGINT AS pos,
+          |  array_to_string(toks[greatest(i - 3, 1):i + 3], ' ') AS snippet
+          |FROM hit ORDER BY doc_id, term""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val top5 = bm25Q1(s, dir, topK = 5).select("doc_id")
+      import s.implicits._
+      val tdf = q1Terms.toDF("term")
+      val start = greatest(col("i") - 3, lit(1L))
+      docs.join(broadcast(top5), "doc_id")
+        .select(col("doc_id"), split(col("text"), " ", -1).as("toks"))
+        .crossJoin(broadcast(tdf))
+        .withColumn("i", array_position(col("toks"), col("term")))
+        .filter(col("i") > 0)
+        .select(col("doc_id"), col("term"), col("i").as("pos"),
+          concat_ws(" ", slice(col("toks"), start,
+            col("i") + 3 - start + 1)).as("snippet"))
+        .orderBy("doc_id", "term")
     }
   )
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.{Curation, Quantization, Retrieval, Text}
+import graft.ops.{Curation, Linkage, Quantization, Retrieval, Text}
 
 /** Wave-8 operators: BM25 retrieval, scalar (SQ8) quantization, URL
   * canonicalization, per-host caps. Hand-computed oracles on tiny
@@ -163,5 +163,48 @@ class RetrievalSpec extends SparkSpec {
     val df = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "host")
     val out = Curation.domainCapFlags(df, "host", "doc_id", cap = 5, "s0")
     assert(out.filter(col("kept")).count() == 3)
+  }
+
+  // ---- blocked fuzzy join -------------------------------------------------
+
+  test("charGrams: n-q+1 positions, duplicates collapsed") {
+    val out = Seq("ababa").toDF("s")
+      .select(Linkage.charGrams(col("s"), 3)).as[Seq[String]].head()
+    assert(out == Seq("aba", "bab")) // 3 positions, 2 distinct
+  }
+
+  test("fuzzyJoinBlocked: finds single-edit matches, best by lev then id") {
+    val clean = Seq((1L, "Acme Corp"), (2L, "Beta LLC"), (3L, "Acme Group"))
+      .toDF("c_id", "c_name")
+    val dirty = Seq((10L, "Acme Crop"), (20L, "Beta LLCX"), (30L, "Zzzz Qqqq"))
+      .toDF("d_id", "d_name")
+    val out = Linkage.fuzzyJoinBlocked(dirty, clean, "d_id", "d_name",
+        "c_id", "c_name", q = 3, maxDf = 10, maxDist = 2)
+      .orderBy("d_id").as[(Long, Long, Int, Long)].collect().toSeq
+    // "Acme Crop" ↔ "Acme Corp" lev 2 (transposition); no-match row absent
+    assert(out.map(t => (t._1, t._2, t._3)) ==
+      Seq((10L, 1L, 2), (20L, 2L, 1)))
+  }
+
+  test("fuzzyJoinBlocked: stop-gram prune kills the universal prefix block") {
+    // every name shares the 'Customer#' prefix — with maxDf=2 those
+    // grams leave the index, and only tail-gram neighbors survive as
+    // candidates; the n_cands column proves no cross join happened
+    val clean = (1 to 9).map(i => (i.toLong, f"Customer#00$i%02d"))
+      .toDF("c_id", "c_name")
+    val dirty = Seq((101L, "Customer#0005X")).toDF("d_id", "d_name")
+    val out = Linkage.fuzzyJoinBlocked(dirty, clean, "d_id", "d_name",
+        "c_id", "c_name", q = 4, maxDf = 2, maxDist = 2)
+      .as[(Long, Long, Int, Long)].collect().toSeq
+    assert(out.map(t => (t._1, t._2)) == Seq((101L, 5L)))
+    assert(out.head._4 < 9) // verified candidates strictly under all-pairs
+  }
+
+  test("fuzzyJoinBlocked: maxDist excludes far pairs entirely") {
+    val clean = Seq((1L, "aaaaaa")).toDF("c_id", "c_name")
+    val dirty = Seq((9L, "aaabbb")).toDF("d_id", "d_name")
+    val out = Linkage.fuzzyJoinBlocked(dirty, clean, "d_id", "d_name",
+      "c_id", "c_name", q = 3, maxDf = 10, maxDist = 2)
+    assert(out.isEmpty) // lev 3 > maxDist even though grams collide
   }
 }

@@ -5,11 +5,43 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: times every registered query on SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line {"metric","value","unit","queries","sf"}.
   * local[32] with 32 shuffle partitions to match the driver environment;
-  * AQE (on by default) coalesces small shuffles at runtime. */
+  * AQE (on by default) coalesces small shuffles at runtime.
+  *
+  * Measurement design (round 9 — budget-aware):
+  *
+  * Per-query time = min over up to two INTERLEAVED full passes (pass 1 runs
+  * every query, then pass 2) PLUS, for queries whose interleaved min
+  * exceeds WARM_CUTOFF, one back-to-back prime+measure repeat. Host-level
+  * noise on this VM is ±30-100%; back-to-back repeats of one query all
+  * land inside the same contention window, interleaved passes don't.
+  * The back-to-back repeat exists because the registry (148+ queries) is
+  * larger than Spark's fixed 100-entry generated-class cache: an
+  * interleaved pass cycles the cache and every query pays codegen
+  * COMPILATION again, inflating interleaved timings by the compile cost.
+  * The repeat's prime run recompiles; the measure run immediately after
+  * hits the still-warm cache, so its timing is pure execution. Sub-cutoff
+  * queries skip the repeat: when a query's TOTAL (execution + compile) is
+  * already under ~0.3 s, the compile share cannot distort the round
+  * aggregate, and at 148 queries the repeats are the wall-clock majority.
+  *
+  * The whole run is TIME-BOXED (env SPARK_GRAFT_BENCH_BUDGET, seconds,
+  * default 360): pass 1 always completes (every query needs at least one
+  * timing — a missing number would read as a failure), but pass 2 and the
+  * warm repeats are skipped from the moment the cumulative measured wall
+  * exceeds the budget. Degrading precision beats rc=124 with no numbers:
+  * round 8 lost its official perf signal exactly that way. The emitted
+  * JSON records passes_run / warm_repeats / budget so a degraded run is
+  * self-identifying.
+  *
+  * A query that throws is reported as null (never a near-zero elapsed time
+  * that would silently deflate the total) and logged to stderr.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "360").toDouble
+    val warmCutoff = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM_CUTOFF", "0.3").toDouble
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -19,23 +51,9 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // session warm-up: JVM/codegen init is not a query cost
     spark.range(1000000).selectExpr("sum(id)").collect()
-    // per-query time = min over three INTERLEAVED full passes (pass 1 runs
-    // every query, then pass 2, then pass 3) PLUS one back-to-back repeat.
-    // Host-level noise on this VM is ±30-100%; back-to-back repeats of one
-    // query all land inside the same contention window, interleaved passes
-    // don't — and the per-pass totals expose contention directly: a quiet
-    // host gives near-equal pass totals (noise ≈ 1), a contended one a
-    // visibly skewed ratio, so a noisy snapshot self-identifies instead of
-    // reading as a regression. The back-to-back repeat exists because the
-    // registry (112+ queries) is larger than Spark's fixed 100-entry
-    // generated-class cache: an interleaved pass cycles the cache and every
-    // query pays codegen COMPILATION again, inflating all three interleaved
-    // timings by the compile cost. The repeat runs immediately after its
-    // own pass-3 execution, so its generated classes are still cached and
-    // the timing is pure execution; min over all four keeps whichever
-    // measurement was quietest. A query that throws is reported as null
-    // (never a near-zero elapsed time that would silently deflate the
-    // total) and logged to stderr.
+    val benchStart = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - benchStart) / 1e9
+
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Boolean, Double) = {
@@ -47,19 +65,38 @@ object Bench {
       }
       (ok, (System.nanoTime() - t0) / 1e9)
     }
-    val passes = (1 to 3).map { _ =>
-      names.map { case (name, fn) => name -> timeOne(name, fn) }
-    }
-    // back-to-back pass: run each query twice IN A ROW and keep the second
-    // timing — the first run re-compiles (the cache was cycled by the other
-    // 111 queries since this query last ran), the second hits the cache
-    val warmPass = names.map { case (name, fn) =>
-      timeOne(name, fn) // prime: pays the recompile
-      name -> timeOne(name, fn) // measure: generated classes still cached
-    }
+
+    // Pass 1: mandatory, full registry.
+    val pass1 = names.map { case (name, fn) => name -> timeOne(name, fn) }
+    // Pass 2: full registry, only if the budget still has room.
+    val ranPass2 = elapsedSec < budgetSec
+    val pass2 =
+      if (ranPass2) names.map { case (name, fn) => name -> timeOne(name, fn) }
+      else Seq.empty
+    val passes = Seq(pass1) ++ (if (ranPass2) Seq(pass2) else Seq.empty)
+
+    // Warm repeats: slowest-first so if the budget cuts us off we spent the
+    // remaining time where the compile-share distortion is largest.
+    val interleavedMin: Map[String, Option[Double]] = names.map { case (name, _) =>
+      val ts = passes.map(_.find(_._1 == name).get._2)
+      name -> (if (ts.forall(_._1)) Some(ts.map(_._2).min) else None)
+    }.toMap
+    val warmCandidates = names
+      .filter { case (n, _) => interleavedMin(n).exists(_ > warmCutoff) }
+      .sortBy { case (n, _) => -interleavedMin(n).get }
+    var warmDone = 0
+    val warmPass: Map[String, (Boolean, Double)] = warmCandidates.flatMap {
+      case (name, fn) =>
+        if (elapsedSec >= budgetSec) None
+        else {
+          timeOne(name, fn) // prime: pays the recompile
+          warmDone += 1
+          Some(name -> timeOne(name, fn)) // measure: classes still cached
+        }
+    }.toMap
+
     val results = names.map { case (name, _) =>
-      val times = passes.map(_.find(_._1 == name).get._2) :+
-        warmPass.find(_._1 == name).get._2
+      val times = passes.map(_.find(_._1 == name).get._2) ++ warmPass.get(name)
       name -> (if (times.forall(_._1)) Some(times.map(_._2).min) else None)
     }
     val qs = results.map { case (k, v) =>
@@ -68,16 +105,20 @@ object Bench {
     val failed = results.collect { case (k, None) => k }
     val total = results.flatMap(_._2).sum
     val passTotals = passes.map(_.map(_._2._2).sum)
-    // noise ratio over the WARM passes only (pass 1 also pays per-query
-    // plan + codegen compilation, which is systematic, not contention)
-    val warm = passTotals.drop(1)
-    val noise = warm.max / warm.min
+    // noise ratio: with two interleaved passes the only same-workload pair
+    // is pass1/pass2 — pass 1 additionally pays first-plan + codegen, so
+    // this ratio UPPER-bounds contention (quiet host ≈ compile share only).
+    val noise =
+      if (passTotals.size >= 2) passTotals.max / passTotals.min else 1.0
     val passJson = passTotals.map(t => f"$t%.3f").mkString("[", ",", "]")
     val errs =
       if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"").mkString(""","errors":[""", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errs,""" +
-      f""""pass_totals":$passJson,"noise_ratio":$noise%.3f,"sf":"$sfDir"}""")
+      f""""pass_totals":$passJson,"noise_ratio":$noise%.3f,""" +
+      s""""passes_run":${passes.size},"warm_repeats":$warmDone,""" +
+      s""""warm_candidates":${warmCandidates.size},""" +
+      f""""budget_s":$budgetSec%.0f,"wall_s":$elapsedSec%.1f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -2,7 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated star-schema tables (TESTDATA.md).
   *
@@ -10,11 +10,16 @@ import org.apache.spark.sql.types.LongType
   * would be partitioned directories; the API is identical
   * (`spark.read.parquet` over a path), so nothing here changes.
   *
-  * The `events` table stores `ts` as parquet TIMESTAMP(NANOS), which
-  * Spark's vectorized reader refuses ([PARQUET_TYPE_ILLEGAL]). We read
-  * nanos as raw longs (`spark.sql.legacy.parquet.nanosAsLong`) and convert
-  * to a micros TimestampType with integer division — double-precision
-  * division would lose precision on ~1e18 nanosecond epochs.
+  * Timestamp normalization: the generator has shipped `events.ts` both as
+  * parquet TIMESTAMP(NANOS) (which Spark's vectorized reader refuses with
+  * [PARQUET_TYPE_ILLEGAL] — read as raw longs via
+  * `spark.sql.legacy.parquet.nanosAsLong`, then integer-divide to micros;
+  * double division would lose precision on ~1e18 nanosecond epochs) and as
+  * TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark reads as
+  * TIMESTAMP_NTZ and which `unix_micros`/interval arithmetic reject. The
+  * session timezone is pinned to UTC everywhere in this engine, so casting
+  * NTZ → TIMESTAMP is a semantic no-op and keeps results byte-identical to
+  * the DuckDB oracle (which treats the same column as a plain timestamp).
   */
 object Tables {
   val names: Seq[String] = Seq(
@@ -24,9 +29,15 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    df.schema.fields.filter(f => f.name == "ts" && f.dataType == LongType)
-      .foldLeft(df)((d, f) =>
-        d.withColumn(f.name, timestamp_micros(expr(s"${f.name} div 1000"))))
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      f.dataType match {
+        case LongType if f.name == "ts" =>
+          d.withColumn(f.name, timestamp_micros(expr(s"${f.name} div 1000")))
+        case TimestampNTZType =>
+          d.withColumn(f.name, col(f.name).cast(TimestampType))
+        case _ => d
+      }
+    }
   }
 
   /** Number of scan splits a table yields: parquet files under the path

@@ -22,9 +22,13 @@ import org.apache.spark.sql.functions._
   */
 object Linkage {
 
-  /** Distinct character q-grams of a string column. */
+  /** Distinct character q-grams of a string column. Strings shorter than
+    * `q` yield their whole value as the single gram (an empty gram set
+    * would make short records silently unmatchable, and a raw
+    * `sequence(1, len-q+1)` THROWS when the stop is below the start). */
   def charGrams(c: Column, q: Int): Column =
-    array_distinct(transform(sequence(lit(1), length(c) - (q - 1), lit(1)),
+    array_distinct(transform(
+      sequence(lit(1), greatest(lit(1), length(c) - (q - 1)), lit(1)),
       i => c.substr(i, lit(q))))
 
   /** Blocked fuzzy join: for each dirty record the best reference match

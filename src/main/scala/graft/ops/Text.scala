@@ -339,22 +339,27 @@ object Text {
     * nll(doc) = −(1/m)·Σ ln (C(a,b)+1) / (C(a·)+V), over the doc's m
     * bigrams, where C are corpus counts and V the corpus vocabulary size.
     *
-    * Plan shape at 100 TB: one explode of 2-token bigrams → the C(a,b)
-    * aggregate IS the training pass; C(a·) and V derive from it (head
-    * groupBy / distinct count over the already-aggregated vocab-sized
-    * table, never re-reading the corpus). Scoring joins the exploded
-    * bigrams against the count tables on token keys — vocabulary-sized
-    * sides, broadcastable for natural-language vocabularies, hash join
-    * otherwise. Docs with <2 tokens have no bigrams and drop out.
+    * Plan shape at 100 TB: one explode of 2-token bigrams, immediately
+    * PRE-AGGREGATED to per-document bigram counts `(doc, a, b) → n` —
+    * the scoring side then carries one row per distinct (doc, bigram)
+    * instead of one per OCCURRENCE (smaller by the repetition factor),
+    * and every model table (C(a,b), C(a·), V) derives from that table,
+    * so the event stream is consumed exactly once. Count tables key and
+    * join on `xxhash64` of the n-gram — fixed 8-byte shuffle/join keys
+    * instead of string tuples (64-bit over a vocabulary-sized domain:
+    * collision-free in any practical corpus). Per-doc NLL is the
+    * n-weighted mean −Σ n·ln p / Σ n — the same multiset of log terms
+    * as the per-event average, so values agree at the 4-decimal
+    * contract. Docs with <2 tokens have no bigrams and drop out.
     *
-    * The exploded bigram stream feeds both the count aggregate and the
-    * scoring join; `persistBigrams = true` is the full-corpus handle
-    * (same contract as [[tfidf]]'s persistTf) that computes the explode
-    * once — the second return value is the handle to `unpersist()`.
-    * The scoring join stays a join on (a, b) rather than a window by
-    * first token: hot tokens ("the …") partial-aggregate map-side and
-    * AQE can split the skewed join, where a window would pin every
-    * "the"-bigram on one partition. */
+    * `persistBigrams = true` is the full-corpus handle (same contract as
+    * [[tfidf]]'s persistTf): it materializes the per-doc count table —
+    * the one input with two consumers (model derivation + scoring) —
+    * and the second return value is the handle to `unpersist()`.
+    * Scoring stays a join rather than a window by first token: hot
+    * tokens ("the …") partial-aggregate map-side and AQE can split the
+    * skewed join, where a window would pin every "the"-bigram on one
+    * partition. */
   def bigramNll(df: DataFrame, idCol: String, textCol: String): DataFrame =
     bigramNllWithHandle(df, idCol, textCol, persistBigrams = false)._1
 
@@ -362,23 +367,45 @@ object Text {
   def bigramNllWithHandle(df: DataFrame, idCol: String, textCol: String,
                           persistBigrams: Boolean = false)
       : (DataFrame, DataFrame) = {
-    val bg0 = df.select(col(idCol),
-      explode(bigrams(split(col(textCol), " ", -1))).as("b"))
-      .select(col(idCol), col("b.a").as("a"), col("b.b").as("bb"))
-    val bg = if (persistBigrams)
-      bg0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else bg0
-    val c2 = bg.groupBy("a", "bb").agg(count(lit(1)).as("c2"))
-    val c1 = c2.groupBy("a").agg(sum("c2").as("c1"))
+    // Hash each bigram event map-side; the per-doc pre-aggregate then
+    // shuffles (id, h2) with map-side partial aggregation — partials
+    // shrink the exchange by the repetition factor, which an explicit
+    // pre-shuffle repartition (tried; slower) would forfeit. Token
+    // strings ride only as far as the corpus count table needs them for
+    // the vocabulary count.
+    val ev = df.select(col(idCol),
+        explode(bigrams(split(col(textCol), " ", -1))).as("b"))
+      .select(col(idCol), col("b.a").as("a"), col("b.b").as("bb"),
+        xxhash64(col("b.a"), col("b.b")).as("h2"),
+        xxhash64(col("b.a")).as("ha"))
+    // per-document distinct-bigram counts: scoring carries one row per
+    // (doc, bigram) — smaller by the repetition factor — and the corpus
+    // model derives from it, so the explode is consumed exactly once
+    val dt0 = ev.groupBy(col(idCol), col("h2"))
+      .agg(count(lit(1)).as("n"), first("ha").as("ha"),
+        first("a").as("a"), first("bb").as("bb"))
+    val dt = if (persistBigrams)
+      dt0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else dt0
+    // The whole LM assembles into ONE vocab²-bounded table model(h2, lp):
+    // corpus counts keyed by h2 (ha / tokens carried through `first` —
+    // functionally dependent on the bigram), C(a·) and V derived from IT
+    // at vocab scale, and the log term computed once per DISTINCT
+    // bigram. Scoring is a single co-partitioned join.
+    val c2 = dt.groupBy("h2").agg(sum("n").as("c2"),
+      first("ha").as("ha"), first("a").as("a"), first("bb").as("bb"))
+    val c1 = c2.groupBy("ha").agg(sum("c2").as("c1"))
     val vocab = c2.select(explode(array(col("a"), col("bb"))).as("t"))
       .agg(countDistinct("t").as("v"))
-    val out = bg.join(c2, Seq("a", "bb")).join(c1, Seq("a"))
-      .crossJoin(broadcast(vocab))
+    val model = c2.join(c1, Seq("ha")).crossJoin(broadcast(vocab))
+      .select(col("h2"), log((col("c2") + 1).cast("double")
+        / (col("c1") + col("v"))).as("lp"))
+    val out = dt.select(col(idCol), col("h2"), col("n"))
+      .join(model, Seq("h2"))
       .groupBy(idCol)
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(-avg(log((col("c2") + 1).cast("double")
-          / (col("c1") + col("v")))), 4).as("nll"))
-    (out, bg)
+      .agg(sum("n").as("n_bigrams"),
+        round(-(sum(col("n") * col("lp")) / sum("n")), 4).as("nll"))
+    (out, dt)
   }
 
   /** Adjacent-token trigrams as (a, b, c) structs; n tokens → n−2
@@ -399,12 +426,14 @@ object Text {
     * positive (λ1·p(c) > 0 for any seen token), so no extra smoothing
     * term is needed.
     *
-    * Plan shape at 100 TB: one trigram explode → the C(a,b,c) aggregate
-    * is the training pass; every other count table derives from it
-    * (vocab³-bounded, usually vocab²). Scoring joins the event stream
-    * back on token keys — the same hot-key-safe join-not-window choice
-    * as [[bigramNll]], with `persistTrigrams` as the full-corpus handle
-    * computing the explode once. */
+    * Plan shape at 100 TB: one trigram explode, pre-aggregated to
+    * per-document trigram counts `(doc, a, b, c) → n` (the [[bigramNll]]
+    * design: scoring carries distinct per-doc trigrams, not
+    * occurrences); all five count tables derive from that table via
+    * `xxhash64` long keys, and the per-doc NLL is the n-weighted mean.
+    * The same hot-key-safe join-not-window choice as [[bigramNll]], with
+    * `persistTrigrams` as the full-corpus handle materializing the
+    * per-doc count table (the one two-consumer input). */
   def trigramNll(df: DataFrame, idCol: String, textCol: String,
                  l3: Double = 0.6, l2: Double = 0.3, l1: Double = 0.1)
       : DataFrame =
@@ -417,31 +446,51 @@ object Text {
                            l1: Double = 0.1,
                            persistTrigrams: Boolean = false)
       : (DataFrame, DataFrame) = {
-    val tg0 = df.select(col(idCol),
-      explode(trigrams(split(col(textCol), " ", -1))).as("t"))
-      .select(col(idCol), col("t.a").as("a"), col("t.b").as("bb"),
-        col("t.c").as("cc"))
-    val tg = if (persistTrigrams)
-      tg0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else tg0
-    val c3 = tg.groupBy("a", "bb", "cc").agg(count(lit(1)).as("c3"))
-    val cab = c3.groupBy("a", "bb").agg(sum("c3").as("cab"))
-    val cbc = c3.groupBy("bb", "cc").agg(sum("c3").as("cbc"))
-    val cb = cab.groupBy("bb").agg(sum("cab").as("cb"))
-    val cc = cbc.groupBy("cc").agg(sum("cbc").as("ccnt"))
+    // Hash every n-gram key map-side and drop the token strings BEFORE
+    // any exchange (the [[bigramNllWithHandle]] design): the per-doc
+    // pre-aggregate shuffles (id, h3) + four marginal hashes — six longs
+    // per row, shrunk map-side by partial aggregation.
+    val ev = df.select(col(idCol),
+        explode(trigrams(split(col(textCol), " ", -1))).as("t"))
+      .select(col(idCol),
+        xxhash64(col("t.a"), col("t.b"), col("t.c")).as("h3"),
+        xxhash64(col("t.a"), col("t.b")).as("hab"),
+        xxhash64(col("t.b"), col("t.c")).as("hbc"),
+        xxhash64(col("t.b")).as("hb"),
+        xxhash64(col("t.c")).as("hc"))
+    val dt0 = ev.groupBy(col(idCol), col("h3"))
+      .agg(count(lit(1)).as("n"), first("hab").as("hab"),
+        first("hbc").as("hbc"), first("hb").as("hb"), first("hc").as("hc"))
+    val dt = if (persistTrigrams)
+      dt0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else dt0
+    // One vocab³-bounded model table: corpus trigram counts keyed by h3
+    // carry their context/suffix hashes through `first` (functionally
+    // dependent on the trigram), every marginal count derives from THAT
+    // table at vocab scale, and the interpolated log term is computed
+    // once per DISTINCT trigram. λ3·(c3/cab) + λ2·(cbc/cb) + λ1·(ccnt/T)
+    // — the oracle mirrors this association exactly.
+    val c3 = dt.groupBy("h3").agg(sum("n").as("c3"),
+      first("hab").as("hab"), first("hbc").as("hbc"),
+      first("hb").as("hb"), first("hc").as("hc"))
+    val cab = c3.groupBy("hab").agg(sum("c3").as("cab"))
+    val cbc = c3.groupBy("hbc").agg(sum("c3").as("cbc"))
+    val cb = c3.groupBy("hb").agg(sum("c3").as("cb"))
+    val cc = c3.groupBy("hc").agg(sum("c3").as("ccnt"))
     val tot = c3.agg(sum("c3").cast("double").as("t"))
-    // λ3·(c3/cab) + λ2·(cbc/cb) + λ1·(ccnt/T) — the oracle mirrors this
-    // association exactly
     val p = lit(l3) * (col("c3").cast("double") / col("cab")) +
       lit(l2) * (col("cbc").cast("double") / col("cb")) +
       lit(l1) * (col("ccnt").cast("double") / col("t"))
-    val out = tg.join(c3, Seq("a", "bb", "cc")).join(cab, Seq("a", "bb"))
-      .join(cbc, Seq("bb", "cc")).join(cb, Seq("bb")).join(cc, Seq("cc"))
+    val model = c3.join(cab, Seq("hab")).join(cbc, Seq("hbc"))
+      .join(cb, Seq("hb")).join(cc, Seq("hc"))
       .crossJoin(broadcast(tot))
+      .select(col("h3"), log(p).as("lp"))
+    val out = dt.select(col(idCol), col("h3"), col("n"))
+      .join(model, Seq("h3"))
       .groupBy(idCol)
-      .agg(count(lit(1)).as("n_trigrams"),
-        round(-avg(log(p)), 4).as("nll"))
-    (out, tg)
+      .agg(sum("n").as("n_trigrams"),
+        round(-(sum(col("n") * col("lp")) / sum("n")), 4).as("nll"))
+    (out, dt)
   }
 
   /** Sliding-window token chunking: split each document into windows of

@@ -159,12 +159,27 @@ object RetrievalQueries {
 
   private val q1Terms = Seq("vector", "hash", "spark")
 
-  /** The q1 BM25 ranking as a DataFrame `(doc_id, r)`, top `topK`. */
+  /** The q1 BM25 ranking as a DataFrame `(doc_id, r)`, top `topK` —
+    * computed ONCE and returned as a local relation. The composed
+    * consumers (rrf fusion, hard-negative mining, kwic snippets)
+    * reference the ranking from multiple plan branches, and a lazy
+    * DataFrame would re-run the full tokenize → postings derivation per
+    * branch (3× in `pipe_hard_negatives`). The ranking is ≤ topK rows —
+    * bounded driver state, the same contract as the ANN probe `head` —
+    * so: derive with the persist handle (one tokenize scan feeds both df
+    * and scoring), collect the topK rows, release the handle, and hand
+    * every consumer a broadcast-sized LocalRelation. Exactly one corpus
+    * scan per query, no persist left behind. */
   private def bm25Q1(s: org.apache.spark.sql.SparkSession, dir: String,
-                     topK: Int) =
-    Retrieval.bm25TopK(Tables(s, dir, "documents"), "doc_id", "text",
-        Seq("q1" -> q1Terms), topK = topK)
-      .select(col("doc_id"), col("rank").cast("long").as("r"))
+                     topK: Int): org.apache.spark.sql.DataFrame = {
+    val (out, tf) = Retrieval.bm25TopKWithHandle(
+      Tables.fannedOut(s, dir, "documents"), "doc_id", "text",
+      Seq("q1" -> q1Terms), topK = topK, persistTf = true)
+    val ranked = out.select(col("doc_id"), col("rank").cast("long").as("r"))
+    val rows = ranked.collect().toSeq
+    tf.unpersist()
+    s.createDataFrame(s.sparkContext.parallelize(rows, 1), ranked.schema)
+  }
 
   /** The dirty-feed synthesis of the fuzzy-join queries: one
     * deterministic single-edit corruption per customer name. */
@@ -217,7 +232,9 @@ object RetrievalQueries {
         |  FROM sc)
         |SELECT query_id, doc_id, rank, score FROM r WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
-      Retrieval.bm25TopK(Tables(s, dir, "documents"), "doc_id", "text",
+      // fannedOut: the tokenize explode is CPU-dense and the single-file
+      // test table would otherwise scan as one partition
+      Retrieval.bm25TopK(Tables.fannedOut(s, dir, "documents"), "doc_id", "text",
           bm25Queries, topK = 5)
         .orderBy("query_id", "rank")
     },
@@ -266,10 +283,12 @@ object RetrievalQueries {
           Quantization.sqDot(
             Quantization.sqEncode(col("embedding"), lo, step),
             probe, lo, step).as("score"))
-      // TakeOrdered top-10 first; the rank window then runs on 10 rows
+      // TakeOrdered top-10 first; the rank window then runs on 10 rows.
+      // partitionBy(lit(0)) = same single partition, but keeps Spark's
+      // "no partition defined" warning out of the driver log.
       scored.orderBy(round(col("score"), 4).desc, col("vec_id")).limit(10)
-        .withColumn("rank", row_number().over(
-          Window.orderBy(round(col("score"), 4).desc, col("vec_id"))))
+        .withColumn("rank", row_number().over(Window.partitionBy(lit(0))
+          .orderBy(round(col("score"), 4).desc, col("vec_id"))))
         .select(col("vec_id"), col("rank"),
           (round(col("score"), 4) + lit(0.0)).as("adot"))
         .orderBy("rank")
@@ -339,8 +358,8 @@ object RetrievalQueries {
       val pr = Graph.pageRank(e, docs, "src", "dst", "doc_id",
         d = 0.85, iters = prIters)
       pr.orderBy(round(col("pr"), 6).desc, col("id")).limit(20)
-        .withColumn("rank", row_number().over(
-          Window.orderBy(round(col("pr"), 6).desc, col("id"))))
+        .withColumn("rank", row_number().over(Window.partitionBy(lit(0))
+          .orderBy(round(col("pr"), 6).desc, col("id"))))
         .select(col("id"), col("rank"),
           (round(col("pr"), 6) + lit(0.0)).as("pr"))
         .orderBy("rank")
@@ -354,19 +373,23 @@ object RetrievalQueries {
         |tg AS (SELECT doc_id, toks[i] AS a, toks[i+1] AS b2, toks[i+2] AS c2
         |  FROM (SELECT doc_id, toks,
         |      unnest(generate_series(1, len(toks) - 2)) AS i FROM t)),
-        |c3 AS (SELECT a, b2, c2, COUNT(*) AS n3 FROM tg GROUP BY 1, 2, 3),
-        |cab AS (SELECT a, b2, SUM(n3) AS nab FROM c3 GROUP BY 1, 2),
-        |cbc AS (SELECT b2, c2, SUM(n3) AS nbc FROM c3 GROUP BY 1, 2),
-        |cb AS (SELECT b2, SUM(nab) AS nb FROM cab GROUP BY 1),
-        |cc AS (SELECT c2, SUM(nbc) AS nc FROM cbc GROUP BY 1),
+        |dt AS (SELECT doc_id, a, b2, c2, COUNT(*)::BIGINT AS n FROM tg
+        |  GROUP BY 1, 2, 3, 4),
+        |c3 AS (SELECT a, b2, c2, SUM(n)::BIGINT AS n3 FROM dt GROUP BY 1, 2, 3),
+        |cab AS (SELECT a, b2, SUM(n3)::BIGINT AS nab FROM c3 GROUP BY 1, 2),
+        |cbc AS (SELECT b2, c2, SUM(n3)::BIGINT AS nbc FROM c3 GROUP BY 1, 2),
+        |cb AS (SELECT b2, SUM(nab)::BIGINT AS nb FROM cab GROUP BY 1),
+        |cc AS (SELECT c2, SUM(nbc)::BIGINT AS nc FROM cbc GROUP BY 1),
         |tot AS (SELECT SUM(n3)::DOUBLE AS t FROM c3)
-        |SELECT tg.doc_id, COUNT(*) AS n_trigrams,
-        |  ROUND(-AVG(LN(0.6 * (n3::DOUBLE / nab) + 0.3 * (nbc::DOUBLE / nb)
-        |    + 0.1 * (nc::DOUBLE / (SELECT t FROM tot)))), 4) AS nll
-        |FROM tg JOIN c3 USING (a, b2, c2) JOIN cab USING (a, b2)
+        |SELECT dt.doc_id, SUM(n)::BIGINT AS n_trigrams,
+        |  ROUND(-(SUM(n * LN(0.6 * (n3::DOUBLE / nab) + 0.3 * (nbc::DOUBLE / nb)
+        |    + 0.1 * (nc::DOUBLE / (SELECT t FROM tot)))) / SUM(n)), 4) AS nll
+        |FROM dt JOIN c3 USING (a, b2, c2) JOIN cab USING (a, b2)
         |  JOIN cbc USING (b2, c2) JOIN cb USING (b2) JOIN cc USING (c2)
-        |GROUP BY tg.doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      Text.trigramNll(Tables(s, dir, "documents"), "doc_id", "text")
+        |GROUP BY dt.doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // fannedOut: the trigram explode is CPU-dense and the single-file
+      // test table would otherwise scan as one partition
+      Text.trigramNll(Tables.fannedOut(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")
     },
 
@@ -399,7 +422,7 @@ object RetrievalQueries {
     // re-segmentation, same as t_bpe_train); vocab-join == direct
     // segmentation is pinned in TrainSpec.
     Q.noOracle("t_bpe_encode") { (s, dir) =>
-      val docTok = Tables(s, dir, "documents")
+      val docTok = Tables.fannedOut(s, dir, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("tok"))
         .filter(length(col("tok")) >= 1)
       val merges = Bpe.train(docTok, "tok", numMerges = 8)
@@ -450,7 +473,8 @@ object RetrievalQueries {
         |  FROM v)
         |SELECT d_id, c_id AS match_id, lev, n_cands FROM best WHERE rk = 1
         |ORDER BY d_id""".stripMargin) { (s, dir) =>
-      val cust = Tables(s, dir, "customer")
+      // fannedOut: q-gram explode + levenshtein verification are CPU-dense
+      val cust = Tables.fannedOut(s, dir, "customer")
       val dirty = cust.select(col("c_custkey").as("d_id"),
         dirtyName(col("c_name"), col("c_custkey")).as("d_name"))
       Linkage.fuzzyJoinBlocked(dirty,
@@ -497,8 +521,8 @@ object RetrievalQueries {
           .select(col("vec_id").as("doc_id"),
             Similarity.cosine(col("v"), pLit).as("s"))
           .orderBy(round(col("s"), 6).desc, col("doc_id")).limit(20)
-          .withColumn("rc", row_number().over(
-            Window.orderBy(round(col("s"), 6).desc, col("doc_id"))))
+          .withColumn("rc", row_number().over(Window.partitionBy(lit(0))
+            .orderBy(round(col("s"), 6).desc, col("doc_id"))))
           .select(col("doc_id"), col("rc").cast("long").as("rc"))
         val rb = bm25Q1(s, dir, topK = 20)
           .select(col("doc_id"), col("r").as("rb"))
@@ -507,8 +531,8 @@ object RetrievalQueries {
             (coalesce(lit(1.0) / (lit(60) + col("rb")), lit(0.0)) +
               coalesce(lit(1.0) / (lit(60) + col("rc")), lit(0.0))).as("rrf"))
           .orderBy(col("rrf").desc, col("doc_id")).limit(10)
-          .withColumn("rank", row_number().over(
-            Window.orderBy(col("rrf").desc, col("doc_id"))))
+          .withColumn("rank", row_number().over(Window.partitionBy(lit(0))
+            .orderBy(col("rrf").desc, col("doc_id"))))
           .select(col("doc_id"), col("rank").cast("long").as("rank"),
             (round(col("rrf"), 6) + lit(0.0)).as("rrf"))
           .orderBy("rank")

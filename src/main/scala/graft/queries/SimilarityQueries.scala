@@ -121,7 +121,9 @@ object SimilarityQueries {
         |WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |    CAST(b.embedding AS DOUBLE[])), 3) >= 0.35
         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
-      val e = Tables(s, dir, "embeddings")
+      // fannedOut: within-label pairwise cosine is CPU-dense and the
+      // single-file test table would otherwise scan as one partition
+      val e = Tables.fannedOut(s, dir, "embeddings")
         .select(col("label"), col("vec_id"), col("embedding").cast("array<double>").as("v"))
       val a = e.select(col("label"), col("vec_id").as("id_a"), col("v").as("va"))
       val b = e.select(col("label"), col("vec_id").as("id_b"), col("v").as("vb"))
@@ -157,7 +159,9 @@ object SimilarityQueries {
         |FROM comp c JOIN (SELECT cluster, COUNT(*) AS cluster_size
         |  FROM comp GROUP BY cluster) s USING (cluster)
         |ORDER BY c.vec_id""".stripMargin) { (s, dir) =>
-      val e = Tables(s, dir, "embeddings")
+      // fannedOut: within-label pairwise cosine is CPU-dense and the
+      // single-file test table would otherwise scan as one partition
+      val e = Tables.fannedOut(s, dir, "embeddings")
         .select(col("label"), col("vec_id"),
           col("embedding").cast("array<double>").as("v"))
       val a = e.select(col("label"), col("vec_id").as("id_a"), col("v").as("va"))
@@ -197,7 +201,7 @@ object SimilarityQueries {
           |FROM af LEFT JOIN drp ON drp.ib = af.vec_id
           |ORDER BY af.vec_id""".stripMargin) { (s, dir) =>
       Similarity.semanticDedup(
-          Tables(s, dir, "embeddings")
+          Tables.fannedOut(s, dir, "embeddings")
             .select(col("vec_id"),
               col("embedding").cast("array<double>").as("embedding")),
           "vec_id", "embedding", k = 8, iters = 3, tau = 0.35,
@@ -261,6 +265,9 @@ object SimilarityQueries {
         |FROM reps r JOIN (SELECT cluster, COUNT(*) AS cluster_size
         |  FROM cc GROUP BY cluster) s USING (cluster)
         |WHERE r.rk = 1 ORDER BY r.cluster""".stripMargin) { (s, dir) =>
+      // NOT fanned out: this chain is stage-count-bound (banded join →
+      // verify → iterative CC → centrality), not CPU-bound — a fan-out
+      // repartition measurably slows it at test scale
       val e = Tables(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       val planes = Similarity.portablePlanes(nBits = 8, dim = 64)

@@ -134,7 +134,9 @@ object TrainQueries {
         |FROM p JOIN n ON n.doc_id = p.src_id
         |WHERE n_shared * 1.0 / n.ns >= 0.5
         |ORDER BY src_id, dst_id""".stripMargin) { (s, dir) =>
-      Text.containmentPairs(Tables(s, dir, "documents"),
+      // fannedOut: the shingle explode is CPU-dense and the single-file
+      // test table would otherwise scan as one partition
+      Text.containmentPairs(Tables.fannedOut(s, dir, "documents"),
           "doc_id", "text", k = 5, minContain = 0.5, maxDf = 1000)
         .orderBy("src_id", "dst_id")
     },
@@ -146,16 +148,20 @@ object TrainQueries {
         |bg AS (SELECT doc_id, toks[i] AS a, toks[i + 1] AS b2
         |  FROM (SELECT doc_id, toks,
         |      unnest(generate_series(1, len(toks) - 1)) AS i FROM t)),
-        |c2 AS (SELECT a, b2, COUNT(*) AS n2 FROM bg GROUP BY a, b2),
-        |c1 AS (SELECT a, SUM(n2) AS n1 FROM c2 GROUP BY a),
+        |dt AS (SELECT doc_id, a, b2, COUNT(*)::BIGINT AS n FROM bg
+        |  GROUP BY 1, 2, 3),
+        |c2 AS (SELECT a, b2, SUM(n)::BIGINT AS n2 FROM dt GROUP BY a, b2),
+        |c1 AS (SELECT a, SUM(n2)::BIGINT AS n1 FROM c2 GROUP BY a),
         |vv AS (SELECT COUNT(DISTINCT tok) AS v FROM
         |  (SELECT a AS tok FROM c2 UNION SELECT b2 FROM c2))
-        |SELECT bg.doc_id, COUNT(*) AS n_bigrams,
-        |  ROUND(-AVG(LN(CAST(c2.n2 + 1 AS DOUBLE)
-        |    / (c1.n1 + (SELECT v FROM vv)))), 4) AS nll
-        |FROM bg JOIN c2 USING (a, b2) JOIN c1 USING (a)
-        |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin) { (s, dir) =>
-      Text.bigramNll(Tables(s, dir, "documents"), "doc_id", "text")
+        |SELECT dt.doc_id, SUM(n)::BIGINT AS n_bigrams,
+        |  ROUND(-(SUM(n * LN(CAST(c2.n2 + 1 AS DOUBLE)
+        |    / (c1.n1 + (SELECT v FROM vv)))) / SUM(n)), 4) AS nll
+        |FROM dt JOIN c2 USING (a, b2) JOIN c1 USING (a)
+        |GROUP BY dt.doc_id ORDER BY dt.doc_id""".stripMargin) { (s, dir) =>
+      // fannedOut: the bigram explode is CPU-dense and the single-file
+      // test table would otherwise scan as one partition
+      Text.bigramNll(Tables.fannedOut(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")
     },
 
@@ -262,8 +268,10 @@ object TrainQueries {
         |  ROUND(c.sxy / ma.n - ma.m * mb.m, 6) + 0.0 AS cov
         |FROM c JOIN m ma ON ma.i = c.i JOIN m mb ON mb.i = c.j
         |ORDER BY i, j""".stripMargin) { (s, dir) =>
-      Similarity.covarianceMatrix(Tables(s, dir, "embeddings"), "embedding",
-          dim = 64)
+      // fannedOut: the d² outer-product fan-out is CPU-dense and the
+      // single-file test table would otherwise scan as one partition
+      Similarity.covarianceMatrix(Tables.fannedOut(s, dir, "embeddings"),
+          "embedding", dim = 64)
         .select(col("i"), col("j"),
           // + 0.0: off-diagonal covariances are signed, a tiny negative
           // rounds to -0.0 — normalize exactly as the oracle does
@@ -289,7 +297,8 @@ object TrainQueries {
     // state (32 KB) — the distributed work is the single covariance pass.
     Q("sim_pca_power", pcaPowerSql) { (s, dir) =>
       val covRows = Similarity
-        .covarianceMatrix(Tables(s, dir, "embeddings"), "embedding", dim = 64)
+        .covarianceMatrix(Tables.fannedOut(s, dir, "embeddings"),
+          "embedding", dim = 64)
         .collect()
       val c = Array.ofDim[Double](64, 64)
       covRows.foreach(r => c(r.getLong(0).toInt)(r.getLong(1).toInt) = r.getDouble(2))
@@ -315,7 +324,7 @@ object TrainQueries {
         s"""SELECT v.vec_id, ROUND(SUM(p$pcaIters.val * v.x), 4) + 0.0 AS proj
            |FROM v JOIN p$pcaIters ON p$pcaIters.i = v.i
            |GROUP BY v.vec_id ORDER BY v.vec_id""".stripMargin) { (s, dir) =>
-      val emb = Tables(s, dir, "embeddings")
+      val emb = Tables.fannedOut(s, dir, "embeddings")
       val covRows = Similarity
         .covarianceMatrix(emb, "embedding", dim = 64).collect()
       val c = Array.ofDim[Double](64, 64)
@@ -527,7 +536,7 @@ object TrainQueries {
     // example, and round-1 statistics are oracled above.
     Q.noOracle("t_bpe_train") { (s, dir) =>
       import s.implicits._
-      val toks = Tables(s, dir, "documents")
+      val toks = Tables.fannedOut(s, dir, "documents")
         .select(explode(split(col("text"), " ", -1)).as("tok"))
         .filter(length(col("tok")) >= 1)
       graft.ops.Bpe.train(toks, "tok", numMerges = 8)

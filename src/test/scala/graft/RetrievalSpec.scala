@@ -173,6 +173,23 @@ class RetrievalSpec extends SparkSpec {
     assert(out == Seq("aba", "bab")) // 3 positions, 2 distinct
   }
 
+  test("charGrams: strings shorter than q yield the whole value, not a throw") {
+    // sequence(1, len-q+1) with a positive step throws on stop < start —
+    // one 2-char name must not kill a 150k-record linkage job
+    val out = Seq("ab", "a", "abcd").toDF("s")
+      .select(Linkage.charGrams(col("s"), 4)).as[Seq[String]].collect().toSeq
+    assert(out == Seq(Seq("ab"), Seq("a"), Seq("abcd")))
+  }
+
+  test("fuzzyJoinBlocked: short dirty names match without crashing the job") {
+    val clean = Seq((1L, "Jo"), (2L, "Acme Corp")).toDF("c_id", "c_name")
+    val dirty = Seq((10L, "Jo"), (20L, "Acme Crop")).toDF("d_id", "d_name")
+    val out = Linkage.fuzzyJoinBlocked(dirty, clean, "d_id", "d_name",
+        "c_id", "c_name", q = 4, maxDf = 10, maxDist = 2)
+      .orderBy("d_id").as[(Long, Long, Int, Long)].collect().toSeq
+    assert(out.map(t => (t._1, t._2)) == Seq((10L, 1L), (20L, 2L)))
+  }
+
   test("fuzzyJoinBlocked: finds single-edit matches, best by lev then id") {
     val clean = Seq((1L, "Acme Corp"), (2L, "Beta LLC"), (3L, "Acme Group"))
       .toDF("c_id", "c_name")

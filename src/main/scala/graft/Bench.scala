@@ -26,12 +26,12 @@ import org.apache.spark.sql.SparkSession
   *
   * The whole run is TIME-BOXED (env SPARK_GRAFT_BENCH_BUDGET, seconds,
   * default 360): pass 1 always completes (every query needs at least one
-  * timing — a missing number would read as a failure), but pass 2 and the
-  * warm repeats are skipped from the moment the cumulative measured wall
-  * exceeds the budget. Degrading precision beats rc=124 with no numbers:
-  * round 8 lost its official perf signal exactly that way. The emitted
-  * JSON records passes_run / warm_repeats / budget so a degraded run is
-  * self-identifying.
+  * timing — a missing number would read as a failure), but pass-2 queries
+  * and the warm repeats are skipped per query from the moment the
+  * cumulative measured wall exceeds the budget. Degrading precision beats
+  * rc=124 with no numbers: round 8 lost its official perf signal exactly
+  * that way. The emitted JSON records pass2_queries / warm_repeats /
+  * budget so a degraded run is self-identifying.
   *
   * A query that throws is reported as null (never a near-zero elapsed time
   * that would silently deflate the total) and logged to stderr.
@@ -66,19 +66,24 @@ object Bench {
       (ok, (System.nanoTime() - t0) / 1e9)
     }
 
-    // Pass 1: mandatory, full registry.
+    // Pass 1: mandatory, full registry — every query needs at least one
+    // timing (a missing number would read as a failure downstream).
     val pass1 = names.map { case (name, fn) => name -> timeOne(name, fn) }
-    // Pass 2: full registry, only if the budget still has room.
-    val ranPass2 = elapsedSec < budgetSec
-    val pass2 =
-      if (ranPass2) names.map { case (name, fn) => name -> timeOne(name, fn) }
-      else Seq.empty
-    val passes = Seq(pass1) ++ (if (ranPass2) Seq(pass2) else Seq.empty)
+    // Pass 2: time-boxed PER QUERY — on a contended host pass 1 alone can
+    // eat most of the budget, and a check only at the pass boundary would
+    // still overshoot by a whole pass; queries cut here keep their pass-1
+    // timing, so worst-case wall is pass1 + one query, not 2 × pass1.
+    val pass2 = names.flatMap { case (name, fn) =>
+      if (elapsedSec >= budgetSec) None else Some(name -> timeOne(name, fn))
+    }
+
+    def interleavedRuns(name: String): Seq[(Boolean, Double)] =
+      (pass1 ++ pass2).collect { case (`name`, r) => r }
 
     // Warm repeats: slowest-first so if the budget cuts us off we spent the
     // remaining time where the compile-share distortion is largest.
     val interleavedMin: Map[String, Option[Double]] = names.map { case (name, _) =>
-      val ts = passes.map(_.find(_._1 == name).get._2)
+      val ts = interleavedRuns(name)
       name -> (if (ts.forall(_._1)) Some(ts.map(_._2).min) else None)
     }.toMap
     val warmCandidates = names
@@ -96,7 +101,7 @@ object Bench {
     }.toMap
 
     val results = names.map { case (name, _) =>
-      val times = passes.map(_.find(_._1 == name).get._2) ++ warmPass.get(name)
+      val times = interleavedRuns(name) ++ warmPass.get(name)
       name -> (if (times.forall(_._1)) Some(times.map(_._2).min) else None)
     }
     val qs = results.map { case (k, v) =>
@@ -104,19 +109,28 @@ object Bench {
     }.mkString("{", ",", "}")
     val failed = results.collect { case (k, None) => k }
     val total = results.flatMap(_._2).sum
-    val passTotals = passes.map(_.map(_._2._2).sum)
-    // noise ratio: with two interleaved passes the only same-workload pair
-    // is pass1/pass2 — pass 1 additionally pays first-plan + codegen, so
-    // this ratio UPPER-bounds contention (quiet host ≈ compile share only).
+    // noise ratio over the queries both passes measured: pass 1
+    // additionally pays first-plan + codegen, so this ratio UPPER-bounds
+    // contention (quiet host ≈ compile share only). The ratio compares
+    // the same common subset so a budget-truncated pass 2 stays honest;
+    // pass_totals reports the FULL pass-1 wall plus pass 2's (possibly
+    // partial — see pass2_queries) wall.
+    val common = pass2.map(_._1).toSet
+    val p1common = pass1.filter(kv => common(kv._1)).map(_._2._2).sum
+    val p2sum = pass2.map(_._2._2).sum
     val noise =
-      if (passTotals.size >= 2) passTotals.max / passTotals.min else 1.0
+      if (p1common > 0 && p2sum > 0)
+        math.max(p1common, p2sum) / math.min(p1common, p2sum)
+      else 1.0
+    val passTotals = Seq(pass1.map(_._2._2).sum) ++
+      (if (pass2.nonEmpty) Seq(p2sum) else Seq.empty)
     val passJson = passTotals.map(t => f"$t%.3f").mkString("[", ",", "]")
     val errs =
       if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"").mkString(""","errors":[""", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errs,""" +
       f""""pass_totals":$passJson,"noise_ratio":$noise%.3f,""" +
-      s""""passes_run":${passes.size},"warm_repeats":$warmDone,""" +
+      s""""pass2_queries":${pass2.size},"warm_repeats":$warmDone,""" +
       s""""warm_candidates":${warmCandidates.size},""" +
       f""""budget_s":$budgetSec%.0f,"wall_s":$elapsedSec%.1f,"sf":"$sfDir"}""")
     spark.stop()

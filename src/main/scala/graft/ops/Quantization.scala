@@ -42,7 +42,8 @@ object Quantization {
     df.select(col(id), col(vecCol).cast("array<double>").as("__v"))
       .withColumn("__h", seedHash(col(id)))
       .orderBy("__h").limit(ksub)
-      .withColumn("code_id", row_number().over(Window.orderBy("__h")) - 1)
+      .withColumn("code_id",
+        row_number().over(Window.partitionBy(lit(0)).orderBy("__h")) - 1)
       .select(col("code_id"),
         posexplode(array((0 until m).map(i =>
           slice(col("__v"), i * w + 1, w)): _*)).as(Seq("subspace", "cv")))

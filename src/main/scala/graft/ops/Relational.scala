@@ -298,7 +298,7 @@ object Relational {
     val wIn = Window.partitionBy("__b").orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = withB.withColumn("__local", sum(col(valueCol)).over(wIn))
-    val wOff = Window.orderBy("__b")
+    val wOff = Window.partitionBy(lit(0)).orderBy("__b")
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = withB.groupBy("__b")
       .agg(sum(col(valueCol)).as("__btotal"))

@@ -219,7 +219,7 @@ object Similarity {
       .withColumn("__h", seedHash(col(id)))
       .orderBy("__h").limit(k)
       .withColumn("centroid_id",
-        row_number().over(Window.orderBy("__h")) - 1)
+        row_number().over(Window.partitionBy(lit(0)).orderBy("__h")) - 1)
       .select(col("centroid_id"), col(vecCol))
     (1 to iters).foldLeft(seeds) { (cents, _) =>
       ivfAssign(df.select(col(id), col(vecCol)), vecCol, cents,

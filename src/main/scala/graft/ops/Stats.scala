@@ -52,7 +52,10 @@ object Stats {
     * cumulative fraction reaches each quantile. Running sum over the
     * (tiny) histogram — the window over nBins rows is negligible. */
   def cdfThresholds(hist: DataFrame, quantiles: Seq[Double]): DataFrame = {
-    val w = Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // partitionBy(lit(0)) = same single partition, but keeps Spark's
+    // "no partition defined" warning out of the driver log
+    val w = Window.partitionBy(lit(0)).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = Window.partitionBy()
     // ONE pass over the histogram: fan the quantile list out as a literal
     // array-explode instead of unioning a filtered copy per quantile

@@ -26,7 +26,10 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         return str(v)
     out = df.applymap(cell) if hasattr(df, "applymap") else df.map(cell)
     out = out.sort_values(by=list(out.columns)).reset_index(drop=True)
-    return out
+    # astype(str): a zero-row frame keeps its source dtypes through the
+    # cell map, and DataFrame.equals compares dtypes even with no rows —
+    # an empty int32 vs int64 pair would read as a value mismatch
+    return out.astype(str)
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()

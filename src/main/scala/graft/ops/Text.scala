@@ -339,22 +339,27 @@ object Text {
     * nll(doc) = −(1/m)·Σ ln (C(a,b)+1) / (C(a·)+V), over the doc's m
     * bigrams, where C are corpus counts and V the corpus vocabulary size.
     *
-    * Plan shape at 100 TB: one explode of 2-token bigrams, immediately
-    * PRE-AGGREGATED to per-document bigram counts `(doc, a, b) → n` —
-    * the scoring side then carries one row per distinct (doc, bigram)
-    * instead of one per OCCURRENCE (smaller by the repetition factor),
-    * and every model table (C(a,b), C(a·), V) derives from that table,
-    * so the event stream is consumed exactly once. Count tables key and
-    * join on `xxhash64` of the n-gram — fixed 8-byte shuffle/join keys
-    * instead of string tuples (64-bit over a vocabulary-sized domain:
-    * collision-free in any practical corpus). Per-doc NLL is the
-    * n-weighted mean −Σ n·ln p / Σ n — the same multiset of log terms
-    * as the per-event average, so values agree at the 4-decimal
-    * contract. Docs with <2 tokens have no bigrams and drop out.
+    * Plan shape at 100 TB: one explode of 2-token bigrams, hashed
+    * map-side — the whole LM assembles into ONE vocab²-bounded table
+    * `model(h2, lp)` (corpus counts keyed by `xxhash64` of the bigram;
+    * C(a·) and V derived from the count table at vocab scale; the log
+    * term computed once per DISTINCT bigram), and scoring is a single
+    * join of the `(doc, h2)` long pairs against it plus a per-doc avg
+    * whose exchange carries doc-count-sized partials. So the only
+    * event-scale exchanges are the corpus-count aggregate (map-side
+    * combine shrinks it to vocabulary size — corpus-level repetition is
+    * high even when within-doc repetition is not) and the scoring join
+    * itself, which ships two 8-byte longs per event, never token
+    * strings. A per-document `(doc, bigram) → n` pre-aggregate was
+    * tried and REJECTED: within-doc n-gram repetition is ~1.1-1.3× in
+    * natural text, so it adds a full event-scale shuffle (with a
+    * group-per-row hash table that spills) to shrink the join input by
+    * almost nothing — 2.7× slower at the 50k-doc ScaleCheck.
+    * Docs with <2 tokens have no bigrams and drop out.
     *
     * `persistBigrams = true` is the full-corpus handle (same contract as
-    * [[tfidf]]'s persistTf): it materializes the per-doc count table —
-    * the one input with two consumers (model derivation + scoring) —
+    * [[tfidf]]'s persistTf): it materializes the hashed event stream —
+    * the one input with two consumers (count aggregate + scoring join) —
     * and the second return value is the handle to `unpersist()`.
     * Scoring stays a join rather than a window by first token: hot
     * tokens ("the …") partial-aggregate map-side and AQE can split the
@@ -367,32 +372,23 @@ object Text {
   def bigramNllWithHandle(df: DataFrame, idCol: String, textCol: String,
                           persistBigrams: Boolean = false)
       : (DataFrame, DataFrame) = {
-    // Hash each bigram event map-side; the per-doc pre-aggregate then
-    // shuffles (id, h2) with map-side partial aggregation — partials
-    // shrink the exchange by the repetition factor, which an explicit
-    // pre-shuffle repartition (tried; slower) would forfeit. Token
-    // strings ride only as far as the corpus count table needs them for
-    // the vocabulary count.
-    val ev = df.select(col(idCol),
+    // Hash each bigram event map-side. Token strings ride only into the
+    // corpus count aggregate (the vocabulary count needs them), which
+    // map-side combines to vocab size before its exchange; scoring sees
+    // (id, h2) longs only.
+    val ev0 = df.select(col(idCol),
         explode(bigrams(split(col(textCol), " ", -1))).as("b"))
       .select(col(idCol), col("b.a").as("a"), col("b.b").as("bb"),
         xxhash64(col("b.a"), col("b.b")).as("h2"),
         xxhash64(col("b.a")).as("ha"))
-    // per-document distinct-bigram counts: scoring carries one row per
-    // (doc, bigram) — smaller by the repetition factor — and the corpus
-    // model derives from it, so the explode is consumed exactly once
-    val dt0 = ev.groupBy(col(idCol), col("h2"))
-      .agg(count(lit(1)).as("n"), first("ha").as("ha"),
-        first("a").as("a"), first("bb").as("bb"))
-    val dt = if (persistBigrams)
-      dt0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else dt0
-    // The whole LM assembles into ONE vocab²-bounded table model(h2, lp):
-    // corpus counts keyed by h2 (ha / tokens carried through `first` —
-    // functionally dependent on the bigram), C(a·) and V derived from IT
-    // at vocab scale, and the log term computed once per DISTINCT
-    // bigram. Scoring is a single co-partitioned join.
-    val c2 = dt.groupBy("h2").agg(sum("n").as("c2"),
+    val ev = if (persistBigrams)
+      ev0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else ev0
+    // ONE vocab²-bounded table model(h2, lp): corpus counts keyed by h2
+    // (ha / tokens carried through `first` — functionally dependent on
+    // the bigram), C(a·) and V derived from IT at vocab scale, the log
+    // term computed once per DISTINCT bigram.
+    val c2 = ev.groupBy("h2").agg(count(lit(1)).as("c2"),
       first("ha").as("ha"), first("a").as("a"), first("bb").as("bb"))
     val c1 = c2.groupBy("ha").agg(sum("c2").as("c1"))
     val vocab = c2.select(explode(array(col("a"), col("bb"))).as("t"))
@@ -400,12 +396,11 @@ object Text {
     val model = c2.join(c1, Seq("ha")).crossJoin(broadcast(vocab))
       .select(col("h2"), log((col("c2") + 1).cast("double")
         / (col("c1") + col("v"))).as("lp"))
-    val out = dt.select(col(idCol), col("h2"), col("n"))
+    val out = ev.select(col(idCol), col("h2"))
       .join(model, Seq("h2"))
       .groupBy(idCol)
-      .agg(sum("n").as("n_bigrams"),
-        round(-(sum(col("n") * col("lp")) / sum("n")), 4).as("nll"))
-    (out, dt)
+      .agg(count(lit(1)).as("n_bigrams"), round(-avg("lp"), 4).as("nll"))
+    (out, ev)
   }
 
   /** Adjacent-token trigrams as (a, b, c) structs; n tokens → n−2
@@ -426,14 +421,16 @@ object Text {
     * positive (λ1·p(c) > 0 for any seen token), so no extra smoothing
     * term is needed.
     *
-    * Plan shape at 100 TB: one trigram explode, pre-aggregated to
-    * per-document trigram counts `(doc, a, b, c) → n` (the [[bigramNll]]
-    * design: scoring carries distinct per-doc trigrams, not
-    * occurrences); all five count tables derive from that table via
-    * `xxhash64` long keys, and the per-doc NLL is the n-weighted mean.
-    * The same hot-key-safe join-not-window choice as [[bigramNll]], with
+    * Plan shape at 100 TB: the [[bigramNll]] design — one trigram
+    * explode hashed map-side, all five count tables derived from the
+    * single corpus C(a,b,c) aggregate via `xxhash64` long keys and
+    * assembled into one vocab³-bounded `model(h3, lp)` table, scoring a
+    * single join of `(doc, h3)` long pairs against it. The same
+    * hot-key-safe join-not-window choice as [[bigramNll]], with
     * `persistTrigrams` as the full-corpus handle materializing the
-    * per-doc count table (the one two-consumer input). */
+    * hashed event stream (the one two-consumer input); the same
+    * rejected-pre-aggregate note applies (trigrams repeat within a
+    * document even less than bigrams do). */
   def trigramNll(df: DataFrame, idCol: String, textCol: String,
                  l3: Double = 0.6, l2: Double = 0.3, l1: Double = 0.1)
       : DataFrame =
@@ -447,10 +444,10 @@ object Text {
                            persistTrigrams: Boolean = false)
       : (DataFrame, DataFrame) = {
     // Hash every n-gram key map-side and drop the token strings BEFORE
-    // any exchange (the [[bigramNllWithHandle]] design): the per-doc
-    // pre-aggregate shuffles (id, h3) + four marginal hashes — six longs
-    // per row, shrunk map-side by partial aggregation.
-    val ev = df.select(col(idCol),
+    // any exchange: the event stream carries five longs (h3 + the four
+    // marginal hashes, needed only by the count aggregate) and scoring
+    // projects it to (id, h3).
+    val ev0 = df.select(col(idCol),
         explode(trigrams(split(col(textCol), " ", -1))).as("t"))
       .select(col(idCol),
         xxhash64(col("t.a"), col("t.b"), col("t.c")).as("h3"),
@@ -458,19 +455,16 @@ object Text {
         xxhash64(col("t.b"), col("t.c")).as("hbc"),
         xxhash64(col("t.b")).as("hb"),
         xxhash64(col("t.c")).as("hc"))
-    val dt0 = ev.groupBy(col(idCol), col("h3"))
-      .agg(count(lit(1)).as("n"), first("hab").as("hab"),
-        first("hbc").as("hbc"), first("hb").as("hb"), first("hc").as("hc"))
-    val dt = if (persistTrigrams)
-      dt0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else dt0
+    val ev = if (persistTrigrams)
+      ev0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else ev0
     // One vocab³-bounded model table: corpus trigram counts keyed by h3
     // carry their context/suffix hashes through `first` (functionally
     // dependent on the trigram), every marginal count derives from THAT
     // table at vocab scale, and the interpolated log term is computed
     // once per DISTINCT trigram. λ3·(c3/cab) + λ2·(cbc/cb) + λ1·(ccnt/T)
     // — the oracle mirrors this association exactly.
-    val c3 = dt.groupBy("h3").agg(sum("n").as("c3"),
+    val c3 = ev.groupBy("h3").agg(count(lit(1)).as("c3"),
       first("hab").as("hab"), first("hbc").as("hbc"),
       first("hb").as("hb"), first("hc").as("hc"))
     val cab = c3.groupBy("hab").agg(sum("c3").as("cab"))
@@ -485,12 +479,11 @@ object Text {
       .join(cb, Seq("hb")).join(cc, Seq("hc"))
       .crossJoin(broadcast(tot))
       .select(col("h3"), log(p).as("lp"))
-    val out = dt.select(col(idCol), col("h3"), col("n"))
+    val out = ev.select(col(idCol), col("h3"))
       .join(model, Seq("h3"))
       .groupBy(idCol)
-      .agg(sum("n").as("n_trigrams"),
-        round(-(sum(col("n") * col("lp")) / sum("n")), 4).as("nll"))
-    (out, dt)
+      .agg(count(lit(1)).as("n_trigrams"), round(-avg("lp"), 4).as("nll"))
+    (out, ev)
   }
 
   /** Sliding-window token chunking: split each document into windows of

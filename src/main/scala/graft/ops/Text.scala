@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -385,15 +386,24 @@ object Text {
       ev0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else ev0
     // ONE vocab²-bounded table model(h2, lp): corpus counts keyed by h2
-    // (ha / tokens carried through `first` — functionally dependent on
-    // the bigram), C(a·) and V derived from IT at vocab scale, the log
-    // term computed once per DISTINCT bigram.
+    // (ha carried through `first` — functionally dependent on the
+    // bigram), C(a·) as a WINDOW sum over the count table rather than a
+    // groupBy+join-back — the join formulation made the c2 aggregate a
+    // multi-consumer subtree that per-branch column pruning
+    // de-canonicalizes, so exchange reuse never fired and every marginal
+    // re-derived the corpus aggregate (7 scans in the trigram audit).
+    // The window keys a VOCAB-bounded table (a hot "the …" context is at
+    // most |V| rows in one partition — bounded, unlike the event-stream
+    // window this design deliberately avoids), keeping the c2 subtree a
+    // single linear chain computed once. V counts distinct tokens off
+    // the event stream directly (same distinct set as via c2).
     val c2 = ev.groupBy("h2").agg(count(lit(1)).as("c2"),
-      first("ha").as("ha"), first("a").as("a"), first("bb").as("bb"))
-    val c1 = c2.groupBy("ha").agg(sum("c2").as("c1"))
-    val vocab = c2.select(explode(array(col("a"), col("bb"))).as("t"))
+      first("ha").as("ha"))
+    val vocab = ev.select(explode(array(col("a"), col("bb"))).as("t"))
       .agg(countDistinct("t").as("v"))
-    val model = c2.join(c1, Seq("ha")).crossJoin(broadcast(vocab))
+    val model = c2
+      .withColumn("c1", sum("c2").over(Window.partitionBy("ha")))
+      .crossJoin(broadcast(vocab))
       .select(col("h2"), log((col("c2") + 1).cast("double")
         / (col("c1") + col("v"))).as("lp"))
     val out = ev.select(col(idCol), col("h2"))
@@ -460,23 +470,27 @@ object Text {
     else ev0
     // One vocab³-bounded model table: corpus trigram counts keyed by h3
     // carry their context/suffix hashes through `first` (functionally
-    // dependent on the trigram), every marginal count derives from THAT
-    // table at vocab scale, and the interpolated log term is computed
-    // once per DISTINCT trigram. λ3·(c3/cab) + λ2·(cbc/cb) + λ1·(ccnt/T)
-    // — the oracle mirrors this association exactly.
+    // dependent on the trigram), and every marginal count is a WINDOW
+    // sum over THAT table — see [[bigramNllWithHandle]] for why windows
+    // beat groupBy+join-back here (the join form's multi-consumer c3
+    // subtree defeated exchange reuse: 7 corpus scans in the audit; the
+    // window chain computes c3 once). Window keys are vocab-bounded
+    // (a context's continuation set is at most |V|), never event-scale.
+    // T is the total trigram-event count, taken off the event stream.
+    // λ3·(c3/cab) + λ2·(cbc/cb) + λ1·(ccnt/T) — the oracle mirrors this
+    // association exactly.
     val c3 = ev.groupBy("h3").agg(count(lit(1)).as("c3"),
       first("hab").as("hab"), first("hbc").as("hbc"),
       first("hb").as("hb"), first("hc").as("hc"))
-    val cab = c3.groupBy("hab").agg(sum("c3").as("cab"))
-    val cbc = c3.groupBy("hbc").agg(sum("c3").as("cbc"))
-    val cb = c3.groupBy("hb").agg(sum("c3").as("cb"))
-    val cc = c3.groupBy("hc").agg(sum("c3").as("ccnt"))
-    val tot = c3.agg(sum("c3").cast("double").as("t"))
+    val tot = ev.agg(count(lit(1)).cast("double").as("t"))
     val p = lit(l3) * (col("c3").cast("double") / col("cab")) +
       lit(l2) * (col("cbc").cast("double") / col("cb")) +
       lit(l1) * (col("ccnt").cast("double") / col("t"))
-    val model = c3.join(cab, Seq("hab")).join(cbc, Seq("hbc"))
-      .join(cb, Seq("hb")).join(cc, Seq("hc"))
+    val model = c3
+      .withColumn("cab", sum("c3").over(Window.partitionBy("hab")))
+      .withColumn("cbc", sum("c3").over(Window.partitionBy("hbc")))
+      .withColumn("cb", sum("c3").over(Window.partitionBy("hb")))
+      .withColumn("ccnt", sum("c3").over(Window.partitionBy("hc")))
       .crossJoin(broadcast(tot))
       .select(col("h3"), log(p).as("lp"))
     val out = ev.select(col(idCol), col("h3"))

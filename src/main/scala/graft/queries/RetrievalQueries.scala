@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.ops.{Bpe, Curation, Graph, Linkage, Quantization, Retrieval,
-  Similarity, Text}
+  Sampling, Similarity, Text}
 
 /** Training-data pipeline operators, wave 8: BM25 lexical retrieval,
   * scalar (int8) quantization, and web-curation URL canonicalization +
@@ -412,6 +412,42 @@ object RetrievalQueries {
           when(col("doc_id") === col("keep_id"), "kept").otherwise("url_dup")
             .as("status"))
         .orderBy("doc_id")
+    },
+
+    // Leakage-safe train/val/test split: assignment hashed on the
+    // document's HOST, not its id, so every document of a host — and
+    // with it the near-duplicate families that overwhelmingly live
+    // within a site — lands in ONE split (an id-hashed split scatters
+    // them across train and test, leaking test content into training).
+    // Same deterministic md5 machinery as pipe_split ([[Sampling
+    // .hashSplit]] keyed on the group column): map-only after the
+    // canonicalize chain, no join, resumable per row at any scale. The
+    // per-split sorted host digest makes host-atomicity oracle-visible:
+    // both engines must produce identical host SETS, not just counts.
+    Q("pipe_split_by_host",
+      urlCtes +
+        """,
+          |b AS (SELECT doc_id, host,
+          |    ('0x' || substr(md5(host || ':hsp0'), 1, 15))::BIGINT
+          |      % 10000 AS bk
+          |  FROM fin),
+          |s AS (SELECT doc_id, host,
+          |    CASE WHEN bk < 8000 THEN 'train' WHEN bk < 9000 THEN 'val'
+          |      ELSE 'test' END AS split FROM b),
+          |hs AS (SELECT split, host, COUNT(*) AS nd FROM s GROUP BY 1, 2)
+          |SELECT split, COUNT(*)::BIGINT AS n_hosts, SUM(nd)::BIGINT AS n_docs,
+          |  md5(array_to_string(list(host ORDER BY host), ',')) AS hosts_md5
+          |FROM hs GROUP BY split ORDER BY split""".stripMargin) { (s, dir) =>
+      val hosts = Tables(s, dir, "documents")
+        .select(col("doc_id"), Text.urlHost(synthUrl(col("doc_id"))).as("host"))
+      Sampling.hashSplit(hosts, "host", "hsp0", fracTrain = 0.8,
+          fracVal = 0.1)
+        .groupBy("split")
+        .agg(countDistinct("host").as("n_hosts"),
+          count(lit(1)).as("n_docs"),
+          md5(array_join(array_sort(collect_set(col("host"))), ","))
+            .as("hosts_md5"))
+        .orderBy("split")
     },
 
     // Corpus-wide BPE ENCODE with the trained tokenizer — completes the

@@ -58,6 +58,45 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Quality-threshold retention sweep: the curve a curation run reads
+    // before picking its cutoff (how much data does each candidate
+    // min-length gate keep?). ONE corpus scan — the metrics compute
+    // per row once, a 5-element threshold-literal explode fans each
+    // row into the thresholds it's compared against, and the aggregate
+    // ships 5 groups; the a7_cdf_thresholds pattern (explode a literal
+    // axis, never re-scan per threshold). Counts only, no ratio — a
+    // rounded k/N ratio can tie at the decimal boundary (verify-skill
+    // pitfall list); the consumer divides.
+    Q("pipe_quality_sweep",
+      """WITH m AS (SELECT doc_id,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS avg_token_len,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |        x -> x IN ('the', 'a'))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS stopword_ratio
+        |  FROM documents),
+        |t AS (SELECT unnest([5, 10, 20, 40, 80]) AS min_tokens)
+        |SELECT min_tokens, COUNT(*)::BIGINT AS n_docs,
+        |  SUM(CASE WHEN n_tokens >= min_tokens
+        |    AND avg_token_len BETWEEN 2.0 AND 12.0
+        |    AND stopword_ratio <= 0.5 THEN 1 ELSE 0 END)::BIGINT AS n_kept
+        |FROM m CROSS JOIN t GROUP BY min_tokens
+        |ORDER BY min_tokens""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .withColumn("m", Text.qualityMetrics(col("text"), stopwords))
+        .select(col("m"),
+          explode(array(Seq(5, 10, 20, 40, 80).map(lit): _*))
+            .as("min_tokens"))
+        .groupBy("min_tokens")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("m.n_tokens") >= col("min_tokens")
+            && col("m.avg_token_len").between(2.0, 12.0)
+            && col("m.stopword_ratio") <= 0.5, 1L).otherwise(0L))
+            .as("n_kept"))
+        .orderBy("min_tokens")
+    },
+
     // Language-ID by n-gram marker counts: argmax of per-"language"
     // occurrence totals; deterministic, same formula both sides.
     Q("t_langid",

@@ -252,6 +252,19 @@ class TrainSpec extends SparkSpec {
     assert(cell(1L) == cell(2L) && cell(3L) == cell(4L))
   }
 
+  test("hashSplit keyed on a group column is group-atomic") {
+    // leakage-safe splitting: hash the HOST, not the doc id — every doc
+    // of a host must land in exactly one split
+    val df = (0L until 300L).map(i => (i, s"host${i % 13}"))
+      .toDF("id", "host")
+    val out = Sampling.hashSplit(df, "host", "ls0", 0.8, 0.1)
+    val splitsPerHost = out.groupBy("host")
+      .agg(countDistinct("split").as("n"))
+      .select("n").as[Long].collect()
+    assert(splitsPerHost.forall(_ == 1L))
+    assert(out.count() == 300L)
+  }
+
   test("hashSplit: total cover, rough fractions, deterministic") {
     val df = (0L until 1000L).toDF("id")
     val out = Sampling.hashSplit(df, "id", "s1", 0.8, 0.1)

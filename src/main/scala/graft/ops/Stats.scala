@@ -56,7 +56,7 @@ object Stats {
     // "no partition defined" warning out of the driver log
     val w = Window.partitionBy(lit(0)).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tot = Window.partitionBy()
+    val tot = Window.partitionBy(lit(0))
     // ONE pass over the histogram: fan the quantile list out as a literal
     // array-explode instead of unioning a filtered copy per quantile
     // (which re-scans the histogram — and its source — per quantile).

@@ -34,6 +34,7 @@ object ScaleCheck {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    core.Logs.quietKnownWarnings()
     spark.range(1000000).selectExpr("sum(id)").collect()
 
     def x10(df: DataFrame)(shift: (DataFrame, Int) => DataFrame): DataFrame =

@@ -14,6 +14,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    core.Logs.quietKnownWarnings()
     new java.io.File(outDir).mkdirs()
     // Dev-only subset filter (comma-separated names); the driver never
     // sets it, so its runs always dump the full registry.

@@ -186,6 +186,28 @@ object Streams {
                          depth: Int = 4, width: Int = 64): DataFrame =
     graft.ops.Sketches.cmsSketch(toks, tokCol, depth, width)
 
+  /** Streaming IVF index maintenance: assign arriving embeddings to
+    * their inverted-file cell as they stream in — the incremental-add
+    * half of the ANN story (batch trains the centroids; the stream keeps
+    * the index current without retraining). The batch
+    * [[graft.ops.Similarity.ivfAssign]] is already a STATELESS per-row
+    * projection against a packed broadcast centroid array (zero
+    * shuffles), so it is directly valid on an unbounded stream — this is
+    * a delegation with a contract, not new code, the
+    * [[streamingCmsSketch]] pattern. Append-mode output lands each
+    * vector in its cell partition (`partitionBy(centroidId)` at the
+    * sink) for cell-pruned search; centroid DRIFT handling stays a
+    * periodic batch retrain + whole-index rewrite (the
+    * [[compactNearDups]] role), because re-assignment needs every
+    * vector, not the arriving one. Stream-equals-batch is pinned in
+    * MergeStreamSpec. */
+  def streamingIvfAssign(vecs: DataFrame, vecCol: String,
+                         centroids: DataFrame,
+                         centroidId: String = "centroid_id",
+                         simRound: Int = -1): DataFrame =
+    graft.ops.Similarity.ivfAssign(vecs, vecCol, centroids, centroidId,
+      simRound = simRound)
+
   /** Periodic near-dup COMPACTION over a TxLog-committed document store —
     * the batch half of streaming curation that [[streamingCurate]]'s
     * scaladoc promises: LSH near-dup removal needs cross-document state

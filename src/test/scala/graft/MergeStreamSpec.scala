@@ -318,4 +318,33 @@ class MergeStreamSpec extends SparkSpec {
     assert(streamed == batch, "complete-mode sketch must equal batch sketch")
     assert(streamed.size <= 4 * 16, "state is bounded by the grid size")
   }
+
+  test("streaming IVF assignment equals the batch assignment") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val cents = Seq((0L, Seq(0.0, 1.0)), (1L, Seq(1.0, 0.0)))
+      .toDF("centroid_id", "v")
+    val vecs = Seq((10L, Seq(0.1, 0.9)), (11L, Seq(0.9, 0.2)),
+      (12L, Seq(0.6, 0.55)), (13L, Seq(-0.2, 0.3)))
+    val input = MemoryStream[(Long, Seq[Double])]
+    // stateless per-row projection against the packed static centroids:
+    // valid in append mode with no watermark, state-free by construction
+    val q = Streams.streamingIvfAssign(
+        input.toDF().toDF("vec_id", "v"), "v", cents)
+      .select("vec_id", "centroid_id")
+      .writeStream.format("memory").queryName("ivf_assign_out")
+      .outputMode("append").start()
+    input.addData(vecs.take(2): _*)
+    q.processAllAvailable()
+    input.addData(vecs.drop(2): _*)
+    q.processAllAvailable()
+    val streamed = spark.table("ivf_assign_out")
+      .as[(Long, Long)].collect().toSet
+    q.stop()
+    val batch = graft.ops.Similarity.ivfAssign(
+        vecs.toDF("vec_id", "v"), "v", cents)
+      .select("vec_id", "centroid_id").as[(Long, Long)].collect().toSet
+    assert(streamed == batch, "stream assignment must equal batch")
+    assert(streamed.map(_._1) == Set(10L, 11L, 12L, 13L))
+  }
 }

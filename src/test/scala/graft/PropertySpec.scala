@@ -150,6 +150,24 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("charGrams: count/width contract for arbitrary strings incl. short ones") {
+    val strGen = Gen.chooseNum(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    for (ss <- samples(Gen.listOfN(25, strGen), 4)) {
+      val out = ss.toDF("s")
+        .select(col("s"), graft.ops.Linkage.charGrams(col("s"), 4).as("g"))
+        .as[(String, Seq[String])].collect()
+      for ((s, grams) <- out) {
+        // every gram is a real substring no wider than q; a short string
+        // yields itself (never an empty gram set, never a throw)
+        assert(grams.nonEmpty)
+        assert(grams.forall(g => g.length <= 4 && s.contains(g)))
+        if (s.length <= 4) assert(grams == Seq(s))
+        else assert(grams.toSet == s.sliding(4).toSet)
+      }
+    }
+  }
+
   test("representatives: exactly one member chosen per cluster") {
     val rowGen = Gen.listOfN(30,
       Gen.zip(Gen.choose(0L, 50L), Gen.choose(0L, 5L), Gen.choose(0, 100)))

@@ -32,6 +32,36 @@ object SimilarityQueries {
         .orderBy("vec_id")
     },
 
+    // Matryoshka (truncated-dimension) retrieval: search on a PREFIX of
+    // the embedding — MRL-trained models put the most information in the
+    // leading dims, so a 16-of-64-dim scan cuts the similarity pass 4×
+    // (the coarse stage of coarse-to-fine retrieval; PQ/SQ8 compress
+    // codes, this compresses DIMENSIONS). Cosine over the truncation ==
+    // dot of the renormalized truncations, so the one native-cosine call
+    // covers the renormalize-then-dot definition without a second pass.
+    // Map-only against the broadcast truncated probe + TakeOrdered —
+    // zero shuffles over the vector table at any scale.
+    Q("sim_matryoshka_topk",
+      """WITH t AS (SELECT vec_id,
+        |    CAST(embedding[1:16] AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT v FROM t WHERE vec_id = 0)
+        |SELECT t.vec_id,
+        |  ROUND(list_cosine_similarity(t.v, (SELECT v FROM q)), 4) + 0 AS sim
+        |FROM t WHERE t.vec_id <> 0
+        |ORDER BY ROUND(list_cosine_similarity(t.v, (SELECT v FROM q)), 4)
+        |  DESC, t.vec_id LIMIT 10""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"),
+          slice(col("embedding").cast("array<double>"), 1, 16).as("v"))
+      val probe = e.filter(col("vec_id") === 0).select(col("v").as("__q"))
+      e.filter(col("vec_id") =!= 0).crossJoin(broadcast(probe))
+        .withColumn("sim",
+          (round(Similarity.cosine(col("v"), col("__q")), 4) + lit(0.0))
+            .as("sim"))
+        .select("vec_id", "sim")
+        .orderBy(col("sim").desc, col("vec_id")).limit(10)
+    },
+
     // Brute-force k-NN join: top-3 neighbors for each probe (vec_id < 20)
     // over all candidates. Oracle uses DuckDB QUALIFY with identical
     // rounded-sim ordering.

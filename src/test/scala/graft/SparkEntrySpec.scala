@@ -17,4 +17,23 @@ class SparkEntrySpec extends SparkSpec {
     // file from the registry should not pass silently)
     assert(qs.size >= 90, s"query registry shrank to ${qs.size}")
   }
+
+  test("every registered query analyzes against the smoke testdata") {
+    // Catches testdata/type drift at `sbt test` time instead of at the
+    // driver gate: round 8's regenerated parquet flipped events.ts to
+    // TIMESTAMP_NTZ and 7 queries failed ANALYSIS (unix_micros type
+    // mismatch) — schema resolution here is exactly that check. Queries
+    // whose construction runs bounded driver actions (collected probes,
+    // BPE merge loop) execute them; everything else stops at analysis.
+    val dir = "/root/testdata/sf0.001"
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try { fn(spark, dir).schema; None }
+        catch { case e: Throwable =>
+          Some(s"$name: ${e.getClass.getSimpleName} " +
+            String.valueOf(e.getMessage).take(120))
+        }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
 }

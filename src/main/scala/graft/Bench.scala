@@ -70,12 +70,17 @@ object Bench {
     // Pass 1: mandatory, full registry — every query needs at least one
     // timing (a missing number would read as a failure downstream).
     val pass1 = names.map { case (name, fn) => name -> timeOne(name, fn) }
+    val pass1Ok = pass1.collect { case (n, (true, _)) => n }.toSet
     // Pass 2: time-boxed PER QUERY — on a contended host pass 1 alone can
     // eat most of the budget, and a check only at the pass boundary would
     // still overshoot by a whole pass; queries cut here keep their pass-1
     // timing, so worst-case wall is pass1 + one query, not 2 × pass1.
+    // Pass-1 failures are excluded: their result is null regardless (one
+    // failed run poisons the min), so re-paying a slow failure's latency
+    // would only eat budget that a healthy query's timing could use.
     val pass2 = names.flatMap { case (name, fn) =>
-      if (elapsedSec >= budgetSec) None else Some(name -> timeOne(name, fn))
+      if (elapsedSec >= budgetSec || !pass1Ok(name)) None
+      else Some(name -> timeOne(name, fn))
     }
 
     def interleavedRuns(name: String): Seq[(Boolean, Double)] =
@@ -90,10 +95,16 @@ object Bench {
     val warmCandidates = names
       .filter { case (n, _) => interleavedMin(n).exists(_ > warmCutoff) }
       .sortBy { case (n, _) => -interleavedMin(n).get }
+    // Each candidate is admitted only if its PREDICTED pair cost (2× its
+    // interleaved min — prime + measure) still fits the budget: checking
+    // only "budget not yet spent" would admit the slowest query at
+    // budget−ε and overshoot by two executions of it (slowest-first
+    // maximizes exactly that). A skipped candidate doesn't stop the
+    // loop — later, cheaper candidates may still fit.
     var warmDone = 0
     val warmPass: Map[String, (Boolean, Double)] = warmCandidates.flatMap {
       case (name, fn) =>
-        if (elapsedSec >= budgetSec) None
+        if (elapsedSec + 2 * interleavedMin(name).get > budgetSec) None
         else {
           timeOne(name, fn) // prime: pays the recompile
           warmDone += 1
@@ -116,13 +127,16 @@ object Bench {
     // the same common subset so a budget-truncated pass 2 stays honest;
     // pass_totals reports the FULL pass-1 wall plus pass 2's (possibly
     // partial — see pass2_queries) wall.
+    // null (not 1.0) when the budget expired before any pass-2 query: a
+    // run with no second sample is exactly the one that must not read as
+    // "perfectly quiet".
     val common = pass2.map(_._1).toSet
     val p1common = pass1.filter(kv => common(kv._1)).map(_._2._2).sum
     val p2sum = pass2.map(_._2._2).sum
-    val noise =
+    val noiseJson =
       if (p1common > 0 && p2sum > 0)
-        math.max(p1common, p2sum) / math.min(p1common, p2sum)
-      else 1.0
+        f"${math.max(p1common, p2sum) / math.min(p1common, p2sum)}%.3f"
+      else "null"
     val passTotals = Seq(pass1.map(_._2._2).sum) ++
       (if (pass2.nonEmpty) Seq(p2sum) else Seq.empty)
     val passJson = passTotals.map(t => f"$t%.3f").mkString("[", ",", "]")
@@ -130,7 +144,7 @@ object Bench {
       if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"").mkString(""","errors":[""", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errs,""" +
-      f""""pass_totals":$passJson,"noise_ratio":$noise%.3f,""" +
+      s""""pass_totals":$passJson,"noise_ratio":$noiseJson,""" +
       s""""pass2_queries":${pass2.size},"warm_repeats":$warmDone,""" +
       s""""warm_candidates":${warmCandidates.size},""" +
       f""""budget_s":$budgetSec%.0f,"wall_s":$elapsedSec%.1f,"sf":"$sfDir"}""")

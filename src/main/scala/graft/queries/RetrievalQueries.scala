@@ -168,8 +168,10 @@ object RetrievalQueries {
     * bounded driver state, the same contract as the ANN probe `head` —
     * so: derive with the persist handle (one tokenize scan feeds both df
     * and scoring), collect the topK rows, release the handle, and hand
-    * every consumer a broadcast-sized LocalRelation. Exactly one corpus
-    * scan per query, no persist left behind. */
+    * every consumer a broadcast-sized LocalRelation. One TOKENIZE scan
+    * per query (the corpus-stats length aggregate inside
+    * bm25TopKWithHandle is a second, cheaper pass over the raw text —
+    * its own scaladoc documents why), no persist left behind. */
   private def bm25Q1(s: org.apache.spark.sql.SparkSession, dir: String,
                      topK: Int): org.apache.spark.sql.DataFrame = {
     val (out, tf) = Retrieval.bm25TopKWithHandle(
@@ -491,13 +493,13 @@ object RetrievalQueries {
         |  FROM customer),
         |cg AS (SELECT c_custkey AS c_id, c_name,
         |    unnest(list_distinct([c_name[i:i+3] FOR i IN
-        |      generate_series(1, len(c_name) - 3)])) AS g
+        |      generate_series(1, greatest(len(c_name) - 3, 1))])) AS g
         |  FROM customer),
         |keep AS (SELECT g FROM cg GROUP BY g
         |  HAVING COUNT(DISTINCT c_id) <= 25),
         |dg AS (SELECT d_id, d_name,
         |    unnest(list_distinct([d_name[i:i+3] FOR i IN
-        |      generate_series(1, len(d_name) - 3)])) AS g
+        |      generate_series(1, greatest(len(d_name) - 3, 1))])) AS g
         |  FROM dirty),
         |cand AS (SELECT DISTINCT dg.d_id, dg.d_name, cg.c_id, cg.c_name
         |  FROM dg JOIN keep USING (g) JOIN cg USING (g)),

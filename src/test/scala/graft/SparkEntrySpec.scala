@@ -25,7 +25,8 @@ class SparkEntrySpec extends SparkSpec {
     // mismatch) — schema resolution here is exactly that check. Queries
     // whose construction runs bounded driver actions (collected probes,
     // BPE merge loop) execute them; everything else stops at analysis.
-    val dir = "/root/testdata/sf0.001"
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    assume(new java.io.File(dir).exists, s"smoke testdata missing at $dir")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         try { fn(spark, dir).schema; None }

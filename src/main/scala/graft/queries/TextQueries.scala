@@ -678,6 +678,40 @@ object TextQueries {
         .orderBy("bin")
     },
 
+    // Packing ASSEMBLY — the materialization step pipe_seq_pack plans:
+    // each 4096-token bin's documents concatenate (doc_id order, single
+    // separator) into the actual training sequence, hash-pinned. The
+    // one data movement is the groupBy(bin) shuffle of the text — the
+    // write-side movement packing requires anyway — and per-group state
+    // is bounded by the bin budget plus one overflowing document, so
+    // the collect_list can never exceed ~a sequence length. The oracle
+    // re-assembles with an ordered string_agg; md5 agreement pins
+    // membership, order, and separators byte-exactly.
+    Q("pipe_pack_assemble",
+      """WITH t AS (SELECT doc_id, text,
+        |    len(string_split(text, ' ')) AS nt FROM documents),
+        |c AS (SELECT doc_id, text, nt,
+        |    SUM(nt) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t),
+        |b AS (SELECT CAST(floor((cum - nt) / 4096.0) AS BIGINT) AS bin,
+        |    doc_id, text, nt FROM c)
+        |SELECT bin, COUNT(*)::BIGINT AS n_docs, SUM(nt)::BIGINT AS sum_tokens,
+        |  md5(string_agg(text, ' ' ORDER BY doc_id)) AS seq_md5
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          size(split(col("text"), " ", -1)).as("nt"))
+      graft.ops.Relational.prefixSum(t, "doc_id", "nt", "cum")
+        .withColumn("bin",
+          floor((col("cum") - col("nt")) / 4096.0).cast("long"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"), sum("nt").as("sum_tokens"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("doc_id"), col("text")))),
+            _.getField("text")), " ")).as("seq_md5"))
+        .orderBy("bin")
+    },
+
     // Multimodal plumbing: opaque binary payload column + metadata derived
     // without decoding (byte length, md5 digest). The decode itself is
     // stubbed (no codecs in-container); the schema/partition path is real.

@@ -319,6 +319,44 @@ class MergeStreamSpec extends SparkSpec {
     assert(streamed.size <= 4 * 16, "state is bounded by the grid size")
   }
 
+  test("stream-stream interval join: attribution within the window, state bounded by watermarks") {
+    // the click/impression attribution shape: two unbounded streams
+    // joined on key + a time-range condition. Watermarks on BOTH sides
+    // plus the range bound are what let Spark expire join state — the
+    // stream-stream member of the §2.11 family (stream-static is
+    // streamingAsOf, windows/dedup/sketch/cells are the others).
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val impIn = MemoryStream[(Long, Int)]
+    val clkIn = MemoryStream[(Long, Int)]
+    val imps = impIn.toDF().toDF("ad_id", "imp_off")
+      .select(col("ad_id"), col("imp_off"), timestamp_seconds(
+        lit(1704067200L) + col("imp_off")).as("imp_time"))
+      .withWatermark("imp_time", "10 seconds")
+    val clks = clkIn.toDF().toDF("clk_ad_id", "clk_off")
+      .select(col("clk_ad_id"), col("clk_off"), timestamp_seconds(
+        lit(1704067200L) + col("clk_off")).as("clk_time"))
+      .withWatermark("clk_time", "10 seconds")
+    val joined = imps.join(clks,
+      col("ad_id") === col("clk_ad_id") &&
+        col("clk_time") >= col("imp_time") &&
+        col("clk_time") <= col("imp_time") + expr("interval 30 seconds"))
+      .select(col("ad_id"), col("imp_off"), col("clk_off"))
+    val q = joined.writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    impIn.addData((1L, 0), (2L, 5), (3L, 10))
+    clkIn.addData((1L, 20))            // within 30s of imp(1L, 0)
+    q.processAllAvailable()
+    clkIn.addData((2L, 50), (3L, 25))  // 2L outside its window, 3L inside
+    q.processAllAvailable()
+    val out = spark.table("attr_out")
+      .select(col("ad_id"), col("clk_off") - col("imp_off"))
+      .as[(Long, Int)].collect().toSet
+    q.stop()
+    assert(out == Set((1L, 20), (3L, 15)),
+      "only clicks within the 30s attribution window join")
+  }
+
   test("streaming IVF assignment equals the batch assignment") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

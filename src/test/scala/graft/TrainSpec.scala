@@ -417,4 +417,24 @@ class TrainSpec extends SparkSpec {
       .orderBy("doc_id").as[(Long, Long)].collect().toMap
     viaVocab.foreach { case (id, ns) => assert(ns >= nTok(id)) }
   }
+
+  test("BPE stored tokenizer: merges round-trip through parquet and encode identically") {
+    // the switch-over user's workflow: train once, store the merge
+    // table, encode in a later session without retraining
+    val toks = Seq("low", "lower", "lowest", "low", "newer", "new")
+      .toDF("tok")
+    val trained = Bpe.train(toks, "tok", numMerges = 5)
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-bpe").toString + "/merges"
+    Bpe.mergesToDF(spark, trained).write.parquet(store)
+    val loaded = Bpe.mergesFromDF(spark.read.parquet(store))
+    assert(loaded == trained.map(m => (m._2, m._3)),
+      "stored merge order must survive the round-trip")
+    val direct = toks.select(Bpe.segment(col("tok"),
+        trained.map(m => (m._2, m._3))).as("s"))
+      .as[Seq[String]].collect().toSeq
+    val viaStore = toks.select(Bpe.segment(col("tok"), loaded).as("s"))
+      .as[Seq[String]].collect().toSeq
+    assert(viaStore == direct)
+  }
 }

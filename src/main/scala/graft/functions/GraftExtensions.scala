@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{CosineSimilarity, DotProduct, EvalBarrier, MinHashSignature, MjdToTimestamp, NativeBridge, RegexpExtractGroups, ShingleArray, SimHash64, TimestampToMjd}
+import org.apache.spark.sql.graft.{CdcCuts, CosineSimilarity, DotProduct, EvalBarrier, MinHashSignature, MjdToTimestamp, NativeBridge, RegexpExtractGroups, ShingleArray, SimHash64, TimestampToMjd}
 
 /** Registers the native expressions as SQL functions so every operator is
   * reachable from `spark.sql` (SURVEY.md §7.1 `sql/` surface). Install
@@ -62,7 +62,15 @@ object GraftExtensions {
       info("regexp_extract_groups",
         "regexp_extract_groups(str, pattern) - all capture groups of one match as array<string>, null if no match."),
       (args: Seq[Expression]) => RegexpExtractGroups(args.head,
-        literalArg(args(1), "regexp_extract_groups", "pattern").toString)))
+        literalArg(args(1), "regexp_extract_groups", "pattern").toString)),
+    ("cdc_cuts",
+      info("cdc_cuts",
+        "cdc_cuts(str, window, divisor, min_size, max_size) - content-defined chunk end positions (rolling-hash boundaries) as array<int>."),
+      (args: Seq[Expression]) => CdcCuts(args.head,
+        literalArg(args(1), "cdc_cuts", "window").asInstanceOf[Number].intValue(),
+        literalArg(args(2), "cdc_cuts", "divisor").asInstanceOf[Number].intValue(),
+        literalArg(args(3), "cdc_cuts", "min_size").asInstanceOf[Number].intValue(),
+        literalArg(args(4), "cdc_cuts", "max_size").asInstanceOf[Number].intValue())))
 
   /** Register on an existing session (tests, REPL). Functions go into the
     * session registry; the pushdown rule into experimental optimizations
@@ -97,6 +105,10 @@ object GraftExtensions {
     NativeBridge.column(ShingleArray(NativeBridge.expression(tokens), k))
   def regexpGroups(str: Column, pattern: String): Column =
     NativeBridge.column(RegexpExtractGroups(NativeBridge.expression(str), pattern))
+  def cdcCuts(str: Column, window: Int, divisor: Int,
+              minSize: Int, maxSize: Int): Column =
+    NativeBridge.column(CdcCuts(NativeBridge.expression(str),
+      window, divisor, minSize, maxSize))
   /** Pins evaluation order of side-effecting expressions (see
     * org.apache.spark.sql.graft.EvalBarrier). */
   def evalBarrier(c: Column): Column =

@@ -42,6 +42,37 @@ object Text {
       lit(0L),
       (acc, c) => (acc * 31L + c) % 1000000007L)
 
+  /** Content-defined chunk cut positions (rolling-hash boundaries) — see
+    * org.apache.spark.sql.graft.CdcCuts for the scheme. Defaults give
+    * ~divisor-char expected chunks with no stateful size guards (the
+    * oracle-able stateless form). */
+  def cdcCuts(text: Column, window: Int = 8, divisor: Int = 64,
+              minSize: Int = 1, maxSize: Int = Int.MaxValue): Column =
+    graft.functions.GraftExtensions.cdcCuts(text, window, divisor, minSize, maxSize)
+
+  /** Content-defined chunking of `df(idCol, textCol)` into one row per
+    * chunk: (id, chunk_idx, chunk_start, chunk_len, chunk_md5), positions
+    * 1-based in code points. Map-only (cut computation + substring + md5
+    * per row, no shuffle) — at 100 TB this scales embarrassingly; the
+    * downstream dedup groupBy on chunk_md5 is the single shuffle, on a
+    * key whose cardinality the chunk size controls. */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+                window: Int = 8, divisor: Int = 64,
+                minSize: Int = 1, maxSize: Int = Int.MaxValue): DataFrame = {
+    // start of the pos-th (0-based) chunk: previous cut + 1
+    val start = when(col("pos") === 0, lit(1))
+      .otherwise(element_at(col("__cuts"), col("pos")) + 1)
+    df.select(col(idCol), col(textCol).as("__text"),
+        cdcCuts(col(textCol), window, divisor, minSize, maxSize).as("__cuts"))
+      .select(col(idCol), col("__text"), col("__cuts"),
+        posexplode(col("__cuts")).as(Seq("pos", "__end")))
+      .select(col(idCol),
+        (col("pos") + 1).cast("long").as("chunk_idx"),
+        start.cast("long").as("chunk_start"),
+        (col("__end") - start + 1).cast("long").as("chunk_len"),
+        md5(col("__text").substr(start, col("__end") - start + 1)).as("chunk_md5"))
+  }
+
   /** Word k-gram shingles (k tokens per shingle, space-joined). Documents
     * shorter than k yield a single partial shingle. */
   def wordShingles(toks: Column, k: Int): Column =

@@ -712,6 +712,77 @@ object TextQueries {
         .orderBy("bin")
     },
 
+    // Content-defined chunking (rolling-hash boundaries, stateless form):
+    // per-chunk rows with positions and content hashes. The oracle
+    // recomputes the identical windowed Rabin–Karp fold per position
+    // (O(n·window) in SQL — fine at oracle scale; the native expression
+    // is the O(n) rolling form). Window 8, divisor 64 → ~64-char chunks.
+    Q("t_cdc_chunks",
+      """WITH c AS (SELECT doc_id, text,
+        |    list_transform(string_split_regex(text, ''), x -> CAST(ascii(x) AS BIGINT)) AS cs
+        |  FROM documents WHERE doc_id < 50),
+        |b AS (SELECT doc_id, text, len(cs) AS n,
+        |    [i FOR i IN generate_series(8, len(cs))
+        |       IF list_reduce(list_prepend(CAST(0 AS BIGINT), cs[i-7:i]),
+        |            (acc, ch) -> (acc * 31 + ch) % 1000000007) % 64 = 0] AS cuts
+        |  FROM c),
+        |e AS (SELECT doc_id, text,
+        |    CASE WHEN len(cuts) > 0 AND cuts[-1] = n THEN cuts
+        |         ELSE list_append(cuts, n) END AS ends
+        |  FROM b WHERE n > 0),
+        |x AS (SELECT doc_id, text, ends, unnest(generate_series(1, len(ends))) AS k FROM e)
+        |SELECT doc_id, k AS chunk_idx,
+        |  CASE WHEN k = 1 THEN 1 ELSE ends[k-1] + 1 END AS chunk_start,
+        |  ends[k] - (CASE WHEN k = 1 THEN 1 ELSE ends[k-1] + 1 END) + 1 AS chunk_len,
+        |  md5(substring(text,
+        |    CAST(CASE WHEN k = 1 THEN 1 ELSE ends[k-1] + 1 END AS INTEGER),
+        |    CAST(ends[k] - (CASE WHEN k = 1 THEN 1 ELSE ends[k-1] + 1 END) + 1 AS INTEGER))) AS chunk_md5
+        |FROM x ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
+      graft.ops.Text.cdcChunks(
+          Tables(s, dir, "documents").filter(col("doc_id") < 50), "doc_id", "text")
+        .orderBy("doc_id", "chunk_idx")
+    },
+
+    // Chunk-level dedup over the CDC chunks: the rsync/LBFS dedup index —
+    // which content blocks repeat across the corpus, robust to insertions
+    // that shift byte offsets (fixed-size blocks would miss every shifted
+    // copy). Chunks shorter than the hash window carry no boundary signal
+    // and are excluded from the index (standard practice). One map-only
+    // chunking pass + one groupBy shuffle on chunk_md5.
+    Q("dedup_cdc",
+      """WITH c AS (SELECT doc_id, text,
+        |    list_transform(string_split_regex(text, ''), x -> CAST(ascii(x) AS BIGINT)) AS cs
+        |  FROM documents),
+        |b AS (SELECT doc_id, text, len(cs) AS n,
+        |    [i FOR i IN generate_series(8, len(cs))
+        |       IF list_reduce(list_prepend(CAST(0 AS BIGINT), cs[i-7:i]),
+        |            (acc, ch) -> (acc * 31 + ch) % 1000000007) % 64 = 0] AS cuts
+        |  FROM c),
+        |e AS (SELECT doc_id, text,
+        |    CASE WHEN len(cuts) > 0 AND cuts[-1] = n THEN cuts
+        |         ELSE list_append(cuts, n) END AS ends
+        |  FROM b WHERE n > 0),
+        |x AS (SELECT doc_id, text, ends, unnest(generate_series(1, len(ends))) AS k FROM e),
+        |ch AS (SELECT doc_id,
+        |    ends[k] - (CASE WHEN k = 1 THEN 1 ELSE ends[k-1] + 1 END) + 1 AS chunk_len,
+        |    md5(substring(text,
+        |      CAST(CASE WHEN k = 1 THEN 1 ELSE ends[k-1] + 1 END AS INTEGER),
+        |      CAST(ends[k] - (CASE WHEN k = 1 THEN 1 ELSE ends[k-1] + 1 END) + 1 AS INTEGER))) AS chunk_md5
+        |  FROM x)
+        |SELECT chunk_md5, COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS n_docs
+        |FROM ch WHERE chunk_len >= 8
+        |GROUP BY chunk_md5 HAVING COUNT(*) >= 2
+        |ORDER BY n_occ DESC, chunk_md5 LIMIT 20""".stripMargin) { (s, dir) =>
+      graft.ops.Text.cdcChunks(
+          Tables.fannedOut(s, dir, "documents"), "doc_id", "text")
+        .filter(col("chunk_len") >= 8)
+        .groupBy("chunk_md5")
+        .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("n_docs"))
+        .filter(col("n_occ") >= 2)
+        .orderBy(col("n_occ").desc, col("chunk_md5"))
+        .limit(20)
+    },
+
     // Multimodal plumbing: opaque binary payload column + metadata derived
     // without decoding (byte length, md5 digest). The decode itself is
     // stubbed (no codecs in-container); the schema/partition path is real.

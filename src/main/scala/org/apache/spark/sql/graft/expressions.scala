@@ -373,6 +373,90 @@ case class ShingleArray(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Content-defined chunk cuts: end positions (1-based, code points) of
+  * rolling-hash-delimited chunks, the boundary scheme rsync/LBFS-style
+  * dedup builds on. A windowed Rabin–Karp hash (base 31, mod 1e9+7 — the
+  * [[graft.ops.Text.rollingHash]] family) runs over the last `window`
+  * code points; position `i >= window` is a cut when `H_i % divisor == 0`.
+  * Boundaries depend only on LOCAL content, so an insertion re-chunks
+  * only the window around the edit — every downstream chunk keeps its
+  * position-independent identity (the property fixed-size chunking
+  * lacks, and the whole point of CDC dedup).
+  *
+  * `minSize`/`maxSize` add the standard stateful guards: a candidate cut
+  * closer than `minSize` to the previous cut is suppressed; a chunk
+  * reaching `maxSize` is force-cut regardless of content (bounds chunk
+  * size on pathological data — e.g. a long constant run that never fires
+  * the hash). With `minSize = 1` and an unreachable `maxSize` the cut set
+  * is STATELESS — each position decides independently — which is the
+  * oracle-able form (`t_cdc_chunks`/`dedup_cdc` recompute the identical
+  * windowed fold in DuckDB per position); the stateful guards are pinned
+  * by CdcSpec instead. Output always ends with the text length (the last
+  * chunk's end); empty input yields an empty array. The per-character
+  * loop is why this is a native expression: the HOF composition would
+  * evaluate an interpreted slice+fold lambda per position (O(n·window)
+  * with per-element lambda dispatch) vs one fused O(n) rolling pass.
+  */
+case class CdcCuts(child: Expression, window: Int, divisor: Int,
+                   minSize: Int, maxSize: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(window > 0, "window must be positive")
+  require(divisor > 0, "divisor must be positive")
+  require(minSize > 0, "minSize must be positive")
+  require(maxSize >= minSize, "maxSize must be >= minSize")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "cdc_cuts"
+
+  private val Mod = 1000000007L
+  // 31^(window-1) mod M: coefficient of the expiring (oldest) code point
+  @transient private lazy val pow: Long = {
+    var p = 1L; var i = 1
+    while (i < window) { p = p * 31L % Mod; i += 1 }
+    p
+  }
+
+  def compute(input: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val str = input.toString
+    val ring = new Array[Long](window)
+    val cuts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var h = 0L
+    var p = 0      // code-point position, 1-based once incremented
+    var prev = 0   // last accepted cut position
+    var idx = 0    // char index into str
+    while (idx < str.length) {
+      val cp = str.codePointAt(idx)
+      idx += Character.charCount(cp)
+      p += 1
+      if (p > window) h = (h - ring(p % window) * pow % Mod + Mod) % Mod
+      h = (h * 31L + cp) % Mod
+      ring(p % window) = cp.toLong
+      val force = p - prev == maxSize
+      if (force || (p >= window && h % divisor == 0 && p - prev >= minSize)) {
+        cuts += p
+        prev = p
+      }
+    }
+    if (p > 0 && (cuts.isEmpty || cuts.last != p)) cuts += p
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(cuts.toArray)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  // reference-object call, not inlined Java: the win is the fused rolling
+  // loop itself; staying out of CodegenFallback keeps the surrounding
+  // stage's projection compiled (see ShingleArray note)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cdc", this, "org.apache.spark.sql.graft.CdcCuts")
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CdcCuts =
+    copy(child = newChild)
+}
+
 /** All capture groups of ONE regex match as `array<string>`: the pattern
   * (a foldable literal) compiles once per operator, `find()` runs once per
   * row, and every group is read from the same Matcher. The composed

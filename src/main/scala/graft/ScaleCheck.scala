@@ -537,6 +537,25 @@ object ScaleCheck {
         .groupBy("centroid_id").count().count()
     }
 
+    // 8. CDC chunk + dedup index at 50k docs: the chunk pass is map-only
+    // (native rolling hash), so cost must scale linearly with corpus
+    // bytes; the dedup groupBy shuffles one row per chunk (~bytes/64).
+    time("dedup_cdc (50k docs)") {
+      consume(ops.Text.cdcChunks(docs10, "doc_id", "text")
+        .filter(col("chunk_len") >= 8)
+        .groupBy("chunk_md5")
+        .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("n_docs"))
+        .filter(col("n_occ") >= 2))
+    }
+
+    // 9. Unigram-LM hard-EM at 50k docs: after the single corpus-sized
+    // wordCounts aggregate, every EM round runs over the vocabulary-
+    // bounded word table — wall time must be ~flat in corpus size beyond
+    // the first scan (the Bpe.train property).
+    time("t_unigram_train (50k docs, 2 rounds)") {
+      consume(ops.Unigram.train(docs10, "text", rounds = 2))
+    }
+
     spark.stop()
   }
 }

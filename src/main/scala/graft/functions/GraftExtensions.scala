@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{CdcCuts, CosineSimilarity, DotProduct, EvalBarrier, MinHashSignature, MjdToTimestamp, NativeBridge, RegexpExtractGroups, ShingleArray, SimHash64, TimestampToMjd}
+import org.apache.spark.sql.graft.{CdcCuts, CosineSimilarity, DotProduct, EvalBarrier, MinHashSignature, MjdToTimestamp, NativeBridge, RegexpExtractGroups, ShingleArray, SimHash64, TimestampToMjd, UnigramViterbi}
 
 /** Registers the native expressions as SQL functions so every operator is
   * reachable from `spark.sql` (SURVEY.md §7.1 `sql/` surface). Install
@@ -70,7 +70,13 @@ object GraftExtensions {
         literalArg(args(1), "cdc_cuts", "window").asInstanceOf[Number].intValue(),
         literalArg(args(2), "cdc_cuts", "divisor").asInstanceOf[Number].intValue(),
         literalArg(args(3), "cdc_cuts", "min_size").asInstanceOf[Number].intValue(),
-        literalArg(args(4), "cdc_cuts", "max_size").asInstanceOf[Number].intValue())))
+        literalArg(args(4), "cdc_cuts", "max_size").asInstanceOf[Number].intValue())),
+    ("unigram_viterbi",
+      info("unigram_viterbi",
+        "unigram_viterbi(word, piece_costs, max_piece_len) - min-cost unigram-LM segmentation as struct(pieces, nll); null if uncoverable."),
+      (args: Seq[Expression]) => UnigramViterbi(args.head, args(1),
+        literalArg(args(2), "unigram_viterbi", "max_piece_len")
+          .asInstanceOf[Number].intValue())))
 
   /** Register on an existing session (tests, REPL). Functions go into the
     * session registry; the pushdown rule into experimental optimizations
@@ -109,6 +115,9 @@ object GraftExtensions {
               minSize: Int, maxSize: Int): Column =
     NativeBridge.column(CdcCuts(NativeBridge.expression(str),
       window, divisor, minSize, maxSize))
+  def unigramViterbi(word: Column, pieceCosts: Column, maxPieceLen: Int): Column =
+    NativeBridge.column(UnigramViterbi(NativeBridge.expression(word),
+      NativeBridge.expression(pieceCosts), maxPieceLen))
   /** Pins evaluation order of side-effecting expressions (see
     * org.apache.spark.sql.graft.EvalBarrier). */
   def evalBarrier(c: Column): Column =

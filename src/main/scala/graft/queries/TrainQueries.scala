@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ops.{Curation, Sampling, Similarity, Text}
+import graft.ops.{Curation, Sampling, Similarity, Text, Unigram}
 
 /** Training-data pipeline operators, wave 2: exact duplicated-span
   * detection, corpus-trained bigram-LM perplexity, temperature-weighted
@@ -163,6 +163,54 @@ object TrainQueries {
       // test table would otherwise scan as one partition
       Text.bigramNll(Tables.fannedOut(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")
+    },
+
+    // CCNet-style perplexity bucketing: per-language head/middle/tail
+    // terciles of the bigram-LM NLL — the standard web-corpus quality
+    // partition (keep head, sample middle, drop tail). Composes the
+    // t_lm_perplexity scoring with one per-lang ntile window (ordered by
+    // rounded nll with doc_id tiebreak — deterministic on both engines).
+    // At real corpus scale the terciles would come from sampled
+    // thresholds (approxQuantile) instead of a per-lang global window;
+    // the exact window form is the oracle-able variant, and the lang join
+    // is doc-keyed (shuffle join at scale, broadcast at test SF).
+    Q("pipe_ppl_buckets",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |bg AS (SELECT doc_id, toks[i] AS a, toks[i + 1] AS b2
+        |  FROM (SELECT doc_id, toks,
+        |      unnest(generate_series(1, len(toks) - 1)) AS i FROM t)),
+        |dt AS (SELECT doc_id, a, b2, COUNT(*)::BIGINT AS n FROM bg
+        |  GROUP BY 1, 2, 3),
+        |c2 AS (SELECT a, b2, SUM(n)::BIGINT AS n2 FROM dt GROUP BY a, b2),
+        |c1 AS (SELECT a, SUM(n2)::BIGINT AS n1 FROM c2 GROUP BY a),
+        |vv AS (SELECT COUNT(DISTINCT tok) AS v FROM
+        |  (SELECT a AS tok FROM c2 UNION SELECT b2 FROM c2)),
+        |nl AS (SELECT dt.doc_id,
+        |    ROUND(-(SUM(n * LN(CAST(c2.n2 + 1 AS DOUBLE)
+        |      / (c1.n1 + (SELECT v FROM vv)))) / SUM(n)), 4) AS nll
+        |  FROM dt JOIN c2 USING (a, b2) JOIN c1 USING (a)
+        |  GROUP BY dt.doc_id),
+        |b AS (SELECT d.lang, nl.nll,
+        |    NTILE(3) OVER (PARTITION BY d.lang ORDER BY nl.nll, nl.doc_id)
+        |      AS tercile
+        |  FROM nl JOIN documents d USING (doc_id))
+        |SELECT lang,
+        |  CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+        |    ELSE 'tail' END AS bucket,
+        |  COUNT(*)::BIGINT AS n_docs, ROUND(AVG(nll), 4) AS avg_nll
+        |FROM b GROUP BY lang, tercile ORDER BY lang, bucket""".stripMargin) {
+      (s, dir) =>
+        val docs = Tables.fannedOut(s, dir, "documents")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy(col("nll"), col("doc_id"))
+        Text.bigramNll(docs, "doc_id", "text")
+          .join(docs.select("doc_id", "lang"), "doc_id")
+          .withColumn("tercile", ntile(3).over(w))
+          .withColumn("bucket", when(col("tercile") === 1, "head")
+            .when(col("tercile") === 2, "middle").otherwise("tail"))
+          .groupBy("lang", "bucket")
+          .agg(count(lit(1)).as("n_docs"), round(avg("nll"), 4).as("avg_nll"))
+          .orderBy("lang", "bucket")
     },
 
     // Temperature-weighted domain mixture (α = 0.5 upsamples small
@@ -606,6 +654,106 @@ object TrainQueries {
           "doc_id", "text", shingleK = 4, numHashes = 16, bands = 4,
           jaccardMin = 0.5)
         .orderBy("doc_id")
+    },
+
+    // Unigram-LM tokenizer, stage 1 — seed vocabulary: all substrings up
+    // to 6 chars of the word vocabulary, weighted by word count, top 200
+    // (ties by piece). One corpus aggregate + one vocabulary-sized
+    // explode/aggregate.
+    Q("t_unigram_seed",
+      """WITH w AS (SELECT word, COUNT(*)::BIGINT AS c FROM
+        |    (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE word <> '' GROUP BY word),
+        |sub AS (SELECT unnest(flatten([[substring(word, s, l)
+        |      FOR l IN generate_series(1, least(6, length(word) - s + 1))]
+        |      FOR s IN generate_series(1, length(word))])) AS piece, c
+        |  FROM w)
+        |SELECT piece, SUM(c)::BIGINT AS n
+        |FROM sub GROUP BY piece
+        |ORDER BY n DESC, piece LIMIT 200""".stripMargin) { (s, dir) =>
+      Unigram.substringCounts(
+          Unigram.wordCounts(Tables(s, dir, "documents"), "text"))
+        .orderBy(col("n").desc, col("piece")).limit(200)
+    },
+
+    // Unigram-LM tokenizer, stage 2 — Viterbi segmentation under the
+    // seed-vocabulary costs (−ln n/Σn over top-200 ∪ single chars):
+    // per-word minimum NLL. The engine path is the native UnigramViterbi
+    // DP (O(len·L) per word, map-only); the oracle re-derives the vocab
+    // and runs the SAME shortest path as an unrolled per-position min
+    // (generated SQL below — words above the 8-position unroll are
+    // excluded on both sides; none exist in this corpus, and the native
+    // operator has no such cap). NLL is a path-ordered float sum on both
+    // engines, rounded to 4 decimals.
+    Q("t_unigram_viterbi", unigramViterbiOracleSql) { (s, dir) =>
+      val words = Unigram.wordCounts(Tables(s, dir, "documents"), "text")
+        .filter(length(col("word")) <= 8)
+      val costs = Unigram.pieceCosts(Unigram.seedVocab(words))
+      Unigram.segmented(words, costs)
+        .filter(col("seg").isNotNull)
+        .select(col("word"), round(col("seg.nll"), 4).as("nll"))
+        .orderBy("word")
+    },
+
+    // Unigram-LM tokenizer, stage 3 — full hard-EM training (3 Viterbi-EM
+    // rounds from the seed): final piece table. Each round exchanges
+    // vocabulary-sized data and collects the few-hundred-row cost table
+    // as bounded driver state (Bpe.train pattern). No SQL oracle — the
+    // EM re-segmentation loop has no tractable SQL twin (stage-1 counts
+    // and stage-2 DP are oracled above); the trainer invariants
+    // (coverage, NLL monotonicity, toy-corpus fixed point) are pinned in
+    // UnigramSpec.
+    Q.noOracle("t_unigram_train") { (s, dir) =>
+      Unigram.train(Tables(s, dir, "documents"), "text", rounds = 3)
+        .select(col("piece"), col("n"), round(col("cost"), 4).as("cost"))
+        .orderBy(col("n").desc, col("piece")).limit(50)
     }
   )
+
+  /** Generated oracle for t_unigram_viterbi: seed vocab (same SQL as
+    * t_unigram_seed, word length capped at the DP unroll) + arcs (piece
+    * matches at every start/len) + an UNROLLED Viterbi shortest path —
+    * p_j = min over i of p_i + arc(i, j), one CTE per position 1..8.
+    * Generated rather than hand-written because the 8 position CTEs are
+    * mechanical; the construction mirrors graph_pagerank's lockstep
+    * unrolling. */
+  private lazy val unigramViterbiOracleSql: String = {
+    val maxLen = 8
+    val L = 6
+    val dp = (1 to maxLen).map { j =>
+      val steps = (math.max(0, j - L) until j).map { i =>
+        s"""SELECT a.word, p$i.cost + a.cost AS cand FROM arcs a
+           |    JOIN p$i ON a.word = p$i.word AND a.s = $i AND a.e = $j""".stripMargin
+      }.mkString("\n    UNION ALL ")
+      s"""p$j AS (SELECT word, MIN(cand) AS cost FROM (
+         |    $steps) GROUP BY word)""".stripMargin
+    }.mkString(",\n")
+    val best = (1 to maxLen)
+      .map(j => s"SELECT word, cost FROM p$j WHERE length(word) = $j")
+      .mkString("\n  UNION ALL ")
+    s"""WITH w AS (SELECT word, COUNT(*)::BIGINT AS c FROM
+       |    (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE word <> '' AND length(word) <= $maxLen GROUP BY word),
+       |sub AS (SELECT unnest(flatten([[substring(word, s, l)
+       |      FOR l IN generate_series(1, least($L, length(word) - s + 1))]
+       |      FOR s IN generate_series(1, length(word))])) AS piece, c
+       |  FROM w),
+       |top AS (SELECT piece, SUM(c)::BIGINT AS n FROM sub GROUP BY piece
+       |  ORDER BY n DESC, piece LIMIT 200),
+       |vocab AS (SELECT piece, n FROM top
+       |  UNION SELECT piece, SUM(c)::BIGINT AS n FROM sub
+       |    WHERE length(piece) = 1 GROUP BY piece),
+       |v AS (SELECT piece,
+       |    -ln(CAST(n AS DOUBLE) / (SELECT SUM(n) FROM vocab)) AS cost
+       |  FROM vocab),
+       |arcs AS (SELECT w.word, t.s - 1 AS s, t.s - 1 + t.l AS e, v.cost
+       |  FROM w, unnest(flatten([[{'s': s, 'l': l}
+       |      FOR l IN generate_series(1, least($L, length(word) - s + 1))]
+       |      FOR s IN generate_series(1, length(word))])) AS u(t)
+       |  JOIN v ON v.piece = substring(w.word, t.s, t.l)),
+       |p0 AS (SELECT word, 0.0 AS cost FROM w),
+       |$dp
+       |SELECT word, ROUND(cost, 4) AS nll FROM (
+       |  $best) ORDER BY word""".stripMargin
+  }
 }

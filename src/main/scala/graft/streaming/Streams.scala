@@ -208,6 +208,24 @@ object Streams {
     graft.ops.Similarity.ivfAssign(vecs, vecCol, centroids, centroidId,
       simRound = simRound)
 
+  /** Streaming CDC chunk extraction: content-defined chunk rows for
+    * documents as they arrive — the ingest-time half of the chunk-level
+    * dedup index ([[graft.ops.Text.cdcChunks]] / `dedup_cdc`). The chunk
+    * pass is STATELESS per document (a native rolling-hash cut expression
+    * plus a generator), so the batch plan is directly valid on an
+    * unbounded stream — a delegation with a contract, the
+    * [[streamingCmsSketch]] pattern. Append-mode chunk rows feed an
+    * idempotent chunk-store MERGE (keyed on chunk_md5) or a downstream
+    * occurrence aggregation; cross-corpus dedup DECISIONS stay a periodic
+    * compaction ([[compactNearDups]] role) because they need state
+    * proportional to the chunk index, not the arriving row.
+    * Stream-equals-batch is pinned in MergeStreamSpec. */
+  def streamingCdcChunks(docs: DataFrame, idCol: String, textCol: String,
+                         window: Int = 8, divisor: Int = 64,
+                         minSize: Int = 1, maxSize: Int = Int.MaxValue): DataFrame =
+    graft.ops.Text.cdcChunks(docs, idCol, textCol, window, divisor,
+      minSize, maxSize)
+
   /** Periodic near-dup COMPACTION over a TxLog-committed document store —
     * the batch half of streaming curation that [[streamingCurate]]'s
     * scaladoc promises: LSH near-dup removal needs cross-document state

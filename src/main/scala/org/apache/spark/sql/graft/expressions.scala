@@ -457,6 +457,119 @@ case class CdcCuts(child: Expression, window: Int, divisor: Int,
     copy(child = newChild)
 }
 
+/** Min-cost unigram-LM segmentation (the SentencePiece/Kudo-2018 word
+  * lattice): given a piece→cost map (cost = −ln p, a foldable literal in
+  * practice), Viterbi DP over the word's positions returns the cheapest
+  * segmentation as struct(pieces array&lt;string&gt;, nll double), or null
+  * when no piece path covers the word. Exact cost ties prefer the LONGER
+  * piece (candidates are tried longest-first with strict improvement) —
+  * pinned by UnigramSpec. O(len · maxPieceLen) per word with one hashed
+  * lookup per arc; the piece map is converted to a java HashMap once per
+  * distinct MapData instance (reference-equality cache — a literal map is
+  * one instance per task), so per-row cost is the DP alone. The identical
+  * DP is expressible in SQL only as an unrolled per-position shortest
+  * path (see t_unigram_viterbi's generated oracle), which is the
+  * oracle-able form; this expression is the engine path.
+  */
+case class UnigramViterbi(left: Expression, right: Expression, maxPieceLen: Int)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  require(maxPieceLen > 0, "maxPieceLen must be positive")
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(StringType, MapType(StringType, DoubleType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("pieces", ArrayType(StringType, containsNull = false), nullable = false),
+    StructField("nll", DoubleType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "unigram_viterbi"
+
+  // (sourceMapData -> hashed costs); single field so a racy re-read sees
+  // a consistent pair. Worst case (non-literal map) rebuilds per row.
+  @transient private var cached: (AnyRef, java.util.HashMap[String, java.lang.Double]) = _
+
+  private def costMap(m: org.apache.spark.sql.catalyst.util.MapData)
+      : java.util.HashMap[String, java.lang.Double] = {
+    val c = cached
+    if (c != null && (c._1 eq m)) c._2
+    else {
+      val h = new java.util.HashMap[String, java.lang.Double](m.numElements() * 2)
+      val keys = m.keyArray(); val vals = m.valueArray()
+      var i = 0
+      while (i < m.numElements()) {
+        if (!vals.isNullAt(i))
+          h.put(keys.getUTF8String(i).toString, vals.getDouble(i))
+        i += 1
+      }
+      cached = (m, h)
+      h
+    }
+  }
+
+  def compute(w: org.apache.spark.unsafe.types.UTF8String,
+              m: org.apache.spark.sql.catalyst.util.MapData)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val word = w.toString
+    val n = word.length
+    if (n == 0) return null
+    val costs = costMap(m)
+    val best = Array.fill(n + 1)(Double.PositiveInfinity)
+    val back = new Array[Int](n + 1)
+    best(0) = 0.0
+    var j = 1
+    while (j <= n) {
+      // longest candidate first + strict <: exact ties keep the long piece
+      var l = math.min(maxPieceLen, j)
+      while (l >= 1) {
+        val i = j - l
+        if (best(i) != Double.PositiveInfinity) {
+          val c = costs.get(word.substring(i, j))
+          if (c != null && best(i) + c < best(j)) {
+            best(j) = best(i) + c
+            back(j) = l
+          }
+        }
+        l -= 1
+      }
+      j += 1
+    }
+    if (best(n) == Double.PositiveInfinity) return null
+    var k = n
+    var count = 0
+    while (k > 0) { count += 1; k -= back(k) }
+    val pieces = new Array[AnyRef](count)
+    k = n
+    var p = count - 1
+    while (k > 0) {
+      pieces(p) = org.apache.spark.unsafe.types.UTF8String
+        .fromString(word.substring(k - back(k), k))
+      p -= 1
+      k -= back(k)
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(pieces), best(n)))
+  }
+
+  override protected def nullSafeEval(w: Any, m: Any): Any =
+    compute(w.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      m.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("viterbi", this,
+      "org.apache.spark.sql.graft.UnigramViterbi")
+    nullSafeCodeGen(ctx, ev, (w, m) => {
+      val r = ctx.freshName("r")
+      s"""
+         |org.apache.spark.sql.catalyst.InternalRow $r = $ref.compute($w, $m);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): UnigramViterbi =
+    copy(left = newLeft, right = newRight)
+}
+
 /** All capture groups of ONE regex match as `array<string>`: the pattern
   * (a foldable literal) compiles once per operator, `find()` runs once per
   * row, and every group is read from the same Matcher. The composed

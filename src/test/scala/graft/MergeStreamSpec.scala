@@ -295,6 +295,32 @@ class MergeStreamSpec extends SparkSpec {
     assert(got((3L, 50L, None)))       // unseen key -> null carry
   }
 
+  test("streaming cdc chunks equal the batch chunk rows (stateless append)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = Streams.streamingCdcChunks(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .writeStream.format("memory").queryName("cdc_out")
+      .outputMode("append").start()
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog " * 10),
+      (2L, "tiny"),
+      (3L, "data table row query filter join stream batch " * 8))
+    input.addData(docs.take(2): _*)
+    q.processAllAvailable()
+    input.addData(docs.drop(2): _*)
+    q.processAllAvailable()
+    val streamed = spark.table("cdc_out")
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    q.stop()
+    val batch = graft.ops.Text.cdcChunks(
+        docs.toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    assert(streamed == batch, "streamed chunk rows must equal batch")
+    assert(streamed.exists(_._1 == 1L) && streamed.exists(_._1 == 3L))
+  }
+
   test("streaming cms sketch equals the batch sketch, constant-size state") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -88,6 +88,42 @@ object Unigram {
     top.unionByName(chars).distinct()
   }
 
+  /** Load piece costs from a stored piece table `(piece, cost)` — the
+    * stored-tokenizer surface ([[train]]'s output round-trips through
+    * parquet or any sink; later sessions segment without retraining,
+    * the Bpe.mergesFromDF analogue). Vocabulary-sized collect: bounded
+    * driver state by construction. */
+  def costsFromDF(df: DataFrame): Map[String, Double] =
+    df.select(col("piece"), col("cost")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+  /** Corpus encode under fixed piece costs: per-document piece counts
+    * and total NLL. The Viterbi DP runs over the DISTINCT-WORD table
+    * only; per-word results broadcast-join back to the per-document
+    * token stream (the Bpe corpus-encode pattern — the DP never touches
+    * the corpus side, so corpus cost is one explode + one join on the
+    * word key). */
+  def encodeCorpus(df: DataFrame, idCol: String, textCol: String,
+                   costs: Map[String, Double], maxPieceLen: Int = 6,
+                   maxWordLen: Int = Int.MaxValue): DataFrame = {
+    // maxWordLen guards pathological unbroken runs (minified JS, base64
+    // blobs) whose DP cost is quadratic in length — a real curation cap,
+    // and the hook that keeps the oracled query inside its SQL DP unroll
+    val docWords = df.select(col(idCol),
+        explode(split(col(textCol), " ", -1)).as("word"))
+      .filter(col("word") =!= "" && length(col("word")) <= maxWordLen)
+    val wordSeg = segmented(
+        docWords.groupBy("word").agg(count(lit(1)).as("c")), costs, maxPieceLen)
+      .filter(col("seg").isNotNull)
+      .select(col("word"), size(col("seg.pieces")).as("word_pieces"),
+        col("seg.nll").as("word_nll"))
+    docWords.join(broadcast(wordSeg), Seq("word"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_words"),
+        sum("word_pieces").cast("long").as("n_pieces"),
+        round(sum(col("word_nll")), 4).as("nll"))
+  }
+
   /** Hard-EM training: `rounds` Viterbi-segment → re-count → re-estimate
     * iterations from the seed vocabulary. Returns the final (piece, n,
     * cost) table, cost = −ln(n / Σn). */

@@ -695,6 +695,23 @@ object TrainQueries {
         .orderBy("word")
     },
 
+    // Unigram-LM corpus encode under the (deterministic) seed costs:
+    // per-document word count and total segmentation NLL. The DP runs
+    // over DISTINCT words only; per-word results broadcast-join back to
+    // the per-doc token stream (the Bpe corpus-encode shape — corpus
+    // cost is one explode + one join). Same 8-char word cap as the DP
+    // oracle on both sides; piece COUNTS (argmin path length) have no
+    // SQL twin and are pinned in UnigramSpec instead.
+    Q("t_unigram_encode", unigramEncodeOracleSql) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val words = Unigram.wordCounts(docs, "text")
+        .filter(length(col("word")) <= 8)
+      val costs = Unigram.pieceCosts(Unigram.seedVocab(words))
+      Unigram.encodeCorpus(docs, "doc_id", "text", costs, maxWordLen = 8)
+        .select(col("doc_id"), col("n_words"), col("nll"))
+        .orderBy("doc_id")
+    },
+
     // Unigram-LM tokenizer, stage 3 — full hard-EM training (3 Viterbi-EM
     // rounds from the seed): final piece table. Each round exchanges
     // vocabulary-sized data and collects the few-hundred-row cost table
@@ -710,15 +727,17 @@ object TrainQueries {
     }
   )
 
-  /** Generated oracle for t_unigram_viterbi: seed vocab (same SQL as
-    * t_unigram_seed, word length capped at the DP unroll) + arcs (piece
-    * matches at every start/len) + an UNROLLED Viterbi shortest path —
-    * p_j = min over i of p_i + arc(i, j), one CTE per position 1..8.
+  /** Generated WITH-prefix shared by the unigram DP oracles: seed vocab
+    * (same SQL as t_unigram_seed, word length capped at the DP unroll)
+    * + arcs (piece matches at every start/len) + an UNROLLED Viterbi
+    * shortest path — p_j = min over i of p_i + arc(i, j), one CTE per
+    * position 1..8 — ending in `best(word, cost)` (unrounded).
     * Generated rather than hand-written because the 8 position CTEs are
     * mechanical; the construction mirrors graph_pagerank's lockstep
     * unrolling. */
-  private lazy val unigramViterbiOracleSql: String = {
-    val maxLen = 8
+  private val unigramMaxLen = 8
+  private lazy val unigramDpCtes: String = {
+    val maxLen = unigramMaxLen
     val L = 6
     val dp = (1 to maxLen).map { j =>
       val steps = (math.max(0, j - L) until j).map { i =>
@@ -752,8 +771,26 @@ object TrainQueries {
        |      FOR s IN generate_series(1, length(word))])) AS u(t)
        |  JOIN v ON v.piece = substring(w.word, t.s, t.l)),
        |p0 AS (SELECT word, 0.0 AS cost FROM w),
-       |$dp
-       |SELECT word, ROUND(cost, 4) AS nll FROM (
-       |  $best) ORDER BY word""".stripMargin
+       |$dp,
+       |best AS (
+       |  $best)""".stripMargin
   }
+
+  private lazy val unigramViterbiOracleSql: String =
+    s"""$unigramDpCtes
+       |SELECT word, ROUND(cost, 4) AS nll FROM best ORDER BY word""".stripMargin
+
+  /** Per-doc encode oracle: per-word best cost (unrounded) joined back
+    * to the per-document token stream, summed and rounded once — the
+    * same formulation as Unigram.encodeCorpus. */
+  private lazy val unigramEncodeOracleSql: String =
+    s"""$unigramDpCtes,
+       |dw AS (SELECT doc_id, word FROM
+       |    (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |     FROM documents)
+       |  WHERE word <> '' AND length(word) <= $unigramMaxLen)
+       |SELECT dw.doc_id, COUNT(*)::BIGINT AS n_words,
+       |  ROUND(SUM(b.cost), 4) AS nll
+       |FROM dw JOIN best b USING (word)
+       |GROUP BY dw.doc_id ORDER BY dw.doc_id""".stripMargin
 }

@@ -106,6 +106,33 @@ class UnigramSpec extends SparkSpec {
     assert(segment("qa", costs).isDefined) // needs the floored chars
   }
 
+  test("stored piece table round-trips; encode equals direct per-word segmentation") {
+    val docs = Tablesish.docs(spark)
+    val trained = Unigram.train(docs, "text", rounds = 2)
+    // store/load round trip through parquet (the Bpe.mergesFromDF analogue)
+    val dir = java.nio.file.Files.createTempDirectory("uni_vocab").toString
+    trained.write.mode("overwrite").parquet(dir)
+    val loaded = Unigram.costsFromDF(spark.read.parquet(dir))
+    val direct = Unigram.pieceCosts(trained.select("piece", "n"))
+    assert(loaded.keySet == direct.keySet)
+    loaded.foreach { case (p, c) => assert(math.abs(c - direct(p)) < 1e-12) }
+    // encodeCorpus piece counts equal per-word DP summed over the doc
+    val enc = Unigram.encodeCorpus(docs, "doc_id", "text", loaded)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val byWord = docs.select(col("doc_id"),
+        explode(split(col("text"), " ", -1)).as("word"))
+      .filter(col("word") =!= "").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = byWord.groupBy(_._1).map { case (id, ws) =>
+      id -> (ws.size.toLong,
+        ws.map(w => segment(w._2, loaded).get._1.size.toLong).sum)
+    }
+    expected.foreach { case (id, (nw, np)) =>
+      assert(enc(id)._1 == nw, s"doc $id n_words")
+      assert(enc(id)._2 == np, s"doc $id n_pieces")
+    }
+  }
+
   test("train emits a deterministic cost table") {
     val docs = Seq.fill(20)("data data table").map(Tuple1(_)).toDF("text")
     val t1 = Unigram.train(docs, "text", rounds = 2)

@@ -73,6 +73,33 @@ object Text {
         md5(col("__text").substr(start, col("__end") - start + 1)).as("chunk_md5"))
   }
 
+  /** Byte-level content-defined chunking of `df(idCol, binCol)` where
+    * `binCol` is a BinaryType payload: one row per chunk with 1-based BYTE
+    * offsets and the md5 of the byte slice. This is the form CDC dedup
+    * actually runs in storage systems (LBFS/borg/restic) — the payload is
+    * opaque bytes (images, audio, archives), not text — and the multimodal
+    * path here: chunk the binary column without ever decoding it. Same
+    * map-only shape as [[cdcChunks]]; `substring`/`md5` operate natively
+    * on binary, so no copy into strings happens. On all-ASCII payloads the
+    * cut set equals the code-point form's (oracle hook for
+    * `t_cdc_bytes`). */
+  def cdcChunksBinary(df: DataFrame, idCol: String, binCol: String,
+                      window: Int = 8, divisor: Int = 64,
+                      minSize: Int = 1, maxSize: Int = Int.MaxValue): DataFrame = {
+    val start = when(col("pos") === 0, lit(1))
+      .otherwise(element_at(col("__cuts"), col("pos")) + 1)
+    df.select(col(idCol), col(binCol).cast("binary").as("__payload"),
+        cdcCuts(col(binCol).cast("binary"), window, divisor, minSize, maxSize)
+          .as("__cuts"))
+      .select(col(idCol), col("__payload"), col("__cuts"),
+        posexplode(col("__cuts")).as(Seq("pos", "__end")))
+      .select(col(idCol),
+        (col("pos") + 1).cast("long").as("chunk_idx"),
+        start.cast("long").as("chunk_start"),
+        (col("__end") - start + 1).cast("long").as("chunk_len"),
+        md5(col("__payload").substr(start, col("__end") - start + 1)).as("chunk_md5"))
+  }
+
   /** Word k-gram shingles (k tokens per shingle, space-joined). Documents
     * shorter than k yield a single partial shingle. */
   def wordShingles(toks: Column, k: Int): Column =

@@ -783,6 +783,44 @@ object TextQueries {
         .limit(20)
     },
 
+    // Byte-level CDC over an opaque BINARY payload (the storage-system
+    // form: LBFS/borg chunk raw bytes, never decoding). Payload here is
+    // the UTF-8 encoding of text; the oracle restricts to all-ASCII docs
+    // (octet_length == char length), where each byte IS the code point,
+    // so the identical per-position fold + substring-md5 chain from
+    // t_cdc_chunks is byte-exact. Multi-byte divergence (byte cuts !=
+    // code-point cuts) is pinned in CdcSpec against a brute-force byte
+    // loop. Map-only; chunk dedup downstream shuffles only (md5, len).
+    Q("t_cdc_bytes",
+      """WITH c AS (SELECT doc_id, text,
+        |    list_transform(string_split_regex(text, ''), x -> CAST(ascii(x) AS BIGINT)) AS cs
+        |  FROM documents
+        |  WHERE doc_id < 120 AND length(text) = octet_length(encode(text))),
+        |b AS (SELECT doc_id, text, len(cs) AS n,
+        |    [i FOR i IN generate_series(8, len(cs))
+        |       IF list_reduce(list_prepend(CAST(0 AS BIGINT), cs[i-7:i]),
+        |            (acc, ch) -> (acc * 31 + ch) % 1000000007) % 64 = 0] AS cuts
+        |  FROM c),
+        |e AS (SELECT doc_id, text,
+        |    CASE WHEN len(cuts) > 0 AND cuts[-1] = n THEN cuts
+        |         ELSE list_append(cuts, n) END AS ends
+        |  FROM b WHERE n > 0),
+        |x AS (SELECT doc_id, text, ends, unnest(generate_series(1, len(ends))) AS k FROM e)
+        |SELECT doc_id, k AS chunk_idx,
+        |  CASE WHEN k = 1 THEN 1 ELSE ends[k-1] + 1 END AS chunk_start,
+        |  ends[k] - (CASE WHEN k = 1 THEN 1 ELSE ends[k-1] + 1 END) + 1 AS chunk_len,
+        |  md5(substring(text,
+        |    CAST(CASE WHEN k = 1 THEN 1 ELSE ends[k-1] + 1 END AS INTEGER),
+        |    CAST(ends[k] - (CASE WHEN k = 1 THEN 1 ELSE ends[k-1] + 1 END) + 1 AS INTEGER))) AS chunk_md5
+        |FROM x ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
+      graft.ops.Text.cdcChunksBinary(
+          Tables(s, dir, "documents")
+            .filter(col("doc_id") < 120 &&
+              length(col("text")) === octet_length(col("text"))),
+          "doc_id", "text")
+        .orderBy("doc_id", "chunk_idx")
+    },
+
     // Multimodal plumbing: opaque binary payload column + metadata derived
     // without decoding (byte length, md5 digest). The decode itself is
     // stubbed (no codecs in-container); the schema/partition path is real.

@@ -405,7 +405,8 @@ case class CdcCuts(child: Expression, window: Int, divisor: Int,
   require(minSize > 0, "minSize must be positive")
   require(maxSize >= minSize, "maxSize must be >= minSize")
 
-  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(TypeCollection(StringType, BinaryType))
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "cdc_cuts"
 
@@ -442,15 +443,47 @@ case class CdcCuts(child: Expression, window: Int, divisor: Int,
     new org.apache.spark.sql.catalyst.util.GenericArrayData(cuts.toArray)
   }
 
+  /** Byte-level twin: the identical rolling fold over raw payload bytes
+    * (unsigned 0–255), positions 1-based in BYTES. This is the form real
+    * CDC systems (LBFS/rsync/borg) run — content is arbitrary binary, not
+    * text — and on all-ASCII text it produces exactly the code-point cut
+    * set (each byte IS the code point), which is what lets `t_cdc_bytes`
+    * share the per-position SQL oracle with the string form. */
+  def computeBytes(input: Array[Byte]): ArrayData = {
+    val ring = new Array[Long](window)
+    val cuts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var h = 0L
+    var p = 0
+    var prev = 0
+    while (p < input.length) {
+      val b = (input(p) & 0xff).toLong
+      p += 1
+      if (p > window) h = (h - ring(p % window) * pow % Mod + Mod) % Mod
+      h = (h * 31L + b) % Mod
+      ring(p % window) = b
+      val force = p - prev == maxSize
+      if (force || (p >= window && h % divisor == 0 && p - prev >= minSize)) {
+        cuts += p
+        prev = p
+      }
+    }
+    if (p > 0 && (cuts.isEmpty || cuts.last != p)) cuts += p
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(cuts.toArray)
+  }
+
+  private def isBinary: Boolean = child.dataType == BinaryType
+
   override protected def nullSafeEval(input: Any): Any =
-    compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    if (isBinary) computeBytes(input.asInstanceOf[Array[Byte]])
+    else compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
 
   // reference-object call, not inlined Java: the win is the fused rolling
   // loop itself; staying out of CodegenFallback keeps the surrounding
   // stage's projection compiled (see ShingleArray note)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("cdc", this, "org.apache.spark.sql.graft.CdcCuts")
-    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    val m = if (isBinary) "computeBytes" else "compute"
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.$m($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): CdcCuts =

@@ -100,6 +100,67 @@ class CdcSpec extends SparkSpec {
     assert(starts.head == 1L)
   }
 
+  /** Byte-level brute force: the oracle fold over unsigned UTF-8 bytes. */
+  private def bruteByteCuts(bytes: Array[Byte], w: Int, d: Int): Seq[Int] = {
+    val n = bytes.length
+    val cuts = (w to n).filter { i =>
+      val h = bytes.slice(i - w, i).foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xff)) % Mod)
+      h % d == 0
+    }
+    if (n == 0) Seq.empty
+    else if (cuts.nonEmpty && cuts.last == n) cuts else cuts :+ n
+  }
+
+  private def byteCuts(s: String, w: Int = 8, d: Int = 64): Seq[Int] =
+    Seq(s).toDF("t")
+      .select(GraftExtensions.cdcCuts(col("t").cast("binary"), w, d, 1, Int.MaxValue))
+      .head().getSeq[Int](0)
+
+  test("binary cuts equal the per-position fold over UTF-8 bytes") {
+    val rnd = new scala.util.Random(13)
+    val alphabet = "abcde fghé日本語 ökверст"
+    val samples = Seq.fill(15)(
+      (0 until (50 + rnd.nextInt(300))).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString) ++
+      Seq("", "é", "日本語テキスト", "plain ascii only")
+    for (s <- samples; d <- Seq(16, 64)) {
+      val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      assert(byteCuts(s, 8, d) == bruteByteCuts(bytes, 8, d),
+        s"divisor $d text ${s.take(30)}")
+    }
+  }
+
+  test("on all-ASCII input byte cuts equal code-point cuts") {
+    val rnd = new scala.util.Random(29)
+    val s = (0 until 1500).map(_ => ('a' + rnd.nextInt(20)).toChar).mkString
+    assert(byteCuts(s) == cuts(s))
+  }
+
+  test("on multi-byte input byte cuts use byte positions (diverge from code points)") {
+    // 2-byte chars: byte length is double → the final forced cut differs
+    val s = "é" * 40
+    assert(byteCuts(s).last == 80)
+    assert(cuts(s).last == 40)
+  }
+
+  test("cdcChunksBinary slices the payload byte-exactly") {
+    val texts = Seq((1L, "résumé naïve café " * 30), (2L, "ascii only " * 40))
+    val chunks = Text.cdcChunksBinary(texts.toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy("doc_id", "chunk_idx").collect()
+    for ((id, t) <- texts) {
+      val bytes = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val mine = chunks.filter(_.getLong(0) == id)
+      assert(mine.map(_.getLong(3)).sum == bytes.length, s"doc $id total bytes")
+      for (r <- mine) {
+        val start = r.getLong(2).toInt - 1
+        val len = r.getLong(3).toInt
+        val slice = bytes.slice(start, start + len)
+        val md = java.security.MessageDigest.getInstance("MD5").digest(slice)
+          .map("%02x".format(_)).mkString
+        assert(r.getString(4) == md, s"doc $id chunk at $start")
+      }
+    }
+  }
+
   test("cdc_cuts is SQL-registered with literal-argument validation") {
     GraftExtensions.register(spark)
     val r = spark.sql("SELECT cdc_cuts('aaaaaaaaaaaa', 4, 1000000000, 1, 5) AS c")

@@ -471,6 +471,59 @@ object Text {
     (out, ev)
   }
 
+  /** Per-document NLL under an interpolated Kneser–Ney bigram LM — the
+    * smoothing that made n-gram LMs competitive (Kneser & Ney 1995;
+    * Chen & Goodman 1999 empirical study) and the scheme KenLM ships by
+    * default. Absolute discount D on every seen count, with the
+    * discounted mass backing off to the CONTINUATION distribution
+    * (how many distinct contexts a word follows — "Francisco" is
+    * frequent but only ever after "San", so its continuation probability
+    * is tiny, exactly what plain frequency back-off gets wrong):
+    *
+    *   p(b|a) = (C(a,b) − D)/C(a·) + D·N1+(a·)/C(a·) · N1+(·b)/N
+    *
+    * where N1+(a·) = distinct continuations of context a, N1+(·b) =
+    * distinct contexts preceding b, N = distinct bigram types. The LM is
+    * trained on the scored corpus itself, so every scored bigram has
+    * C(a,b) ≥ 1 > D and the max(·,0) clamp never binds.
+    *
+    * Plan shape at 100 TB: identical to [[bigramNllWithHandle]] — one
+    * bigram explode hashed map-side, a single vocab²-bounded model
+    * table. All three KN statistics are WINDOWS over that count table
+    * (sum + count over ha; count over hb) — bounded per key by vocab
+    * size, computed without re-deriving the corpus aggregate — and N
+    * comes off the event stream (countDistinct of the already-computed
+    * h2) broadcast as one row. Scoring is the same (doc, h2)-longs join;
+    * the same join-not-window skew rationale applies. */
+  def kneserNeyNll(df: DataFrame, idCol: String, textCol: String,
+                   discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1, "discount must be in (0, 1)")
+    val ev = df.select(col(idCol),
+        explode(bigrams(split(col(textCol), " ", -1))).as("b"))
+      .select(col(idCol),
+        xxhash64(col("b.a"), col("b.b")).as("h2"),
+        xxhash64(col("b.a")).as("ha"),
+        xxhash64(col("b.b")).as("hb"))
+    val c2 = ev.groupBy("h2").agg(count(lit(1)).as("c2"),
+      first("ha").as("ha"), first("hb").as("hb"))
+    val nTypes = ev.agg(countDistinct("h2").as("nt"))
+    val wa = Window.partitionBy("ha")
+    val wb = Window.partitionBy("hb")
+    val model = c2
+      .withColumn("c1", sum("c2").over(wa))
+      .withColumn("n1a", count(lit(1)).over(wa))
+      .withColumn("n1b", count(lit(1)).over(wb))
+      .crossJoin(broadcast(nTypes))
+      .select(col("h2"), log(
+        (col("c2") - lit(discount)) / col("c1") +
+          lit(discount) * col("n1a") / col("c1") *
+            (col("n1b").cast("double") / col("nt"))).as("lp"))
+    ev.select(col(idCol), col("h2"))
+      .join(model, Seq("h2"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), round(-avg("lp"), 4).as("nll"))
+  }
+
   /** Adjacent-token trigrams as (a, b, c) structs; n tokens → n−2
     * trigrams, none for docs under 3 tokens (guard — see [[spanHashes]]). */
   def trigrams(toks: Column): Column =

@@ -165,6 +165,37 @@ object TrainQueries {
         .orderBy("doc_id")
     },
 
+    // Interpolated Kneser–Ney bigram LM (the KenLM-default smoothing):
+    // absolute discount with continuation-probability back-off. The
+    // oracle re-derives all three KN statistics (context totals/distinct
+    // continuations, distinct-context counts, bigram-type total) from
+    // the same count table and replays the identical IEEE arithmetic
+    // chain; round-4 absorbs summation-order drift exactly as in
+    // t_lm_perplexity.
+    Q("t_lm_kneser_ney",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |bg AS (SELECT doc_id, toks[i] AS a, toks[i + 1] AS b2
+        |  FROM (SELECT doc_id, toks,
+        |      unnest(generate_series(1, len(toks) - 1)) AS i FROM t)),
+        |dt AS (SELECT doc_id, a, b2, COUNT(*)::BIGINT AS n FROM bg
+        |  GROUP BY 1, 2, 3),
+        |c2 AS (SELECT a, b2, SUM(n)::BIGINT AS n2 FROM dt GROUP BY a, b2),
+        |ka AS (SELECT a, SUM(n2)::BIGINT AS n1, COUNT(*)::BIGINT AS n1a
+        |  FROM c2 GROUP BY a),
+        |kb AS (SELECT b2, COUNT(*)::BIGINT AS n1b FROM c2 GROUP BY b2),
+        |ntt AS (SELECT COUNT(*)::BIGINT AS nt FROM c2)
+        |SELECT dt.doc_id, SUM(n)::BIGINT AS n_bigrams,
+        |  ROUND(-(SUM(n * LN((c2.n2 - 0.75) / ka.n1
+        |    + 0.75 * ka.n1a / ka.n1
+        |      * (CAST(kb.n1b AS DOUBLE) / (SELECT nt FROM ntt)))) / SUM(n)), 4)
+        |    AS nll
+        |FROM dt JOIN c2 USING (a, b2) JOIN ka USING (a) JOIN kb USING (b2)
+        |GROUP BY dt.doc_id ORDER BY dt.doc_id""".stripMargin) { (s, dir) =>
+      Text.kneserNeyNll(Tables.fannedOut(s, dir, "documents"),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // CCNet-style perplexity bucketing: per-language head/middle/tail
     // terciles of the bigram-LM NLL — the standard web-corpus quality
     // partition (keep head, sample middle, drop tail). Composes the

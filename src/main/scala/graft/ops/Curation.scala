@@ -180,4 +180,56 @@ object Curation {
     df.withColumn("rk", row_number().over(w))
       .withColumn("kept", col("rk") <= cap)
   }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw
+    * document by how target-like its hashed unigram features are,
+    * log w(doc) = Σ_tokens ln( p̂_target(f) / p̂_raw(f) ), where f is the
+    * token's hash bucket and both distributions are add-one-smoothed
+    * bucket frequencies — target estimated from the `isTarget` slice,
+    * raw from the whole corpus. Resampling then keeps docs ∝ w; the
+    * weight column is the whole method.
+    *
+    * Scale shape: ONE token explode with the bucket computed map-side;
+    * both feature distributions come from a single `buckets`-bounded
+    * aggregate over it (count + conditional count — NOT two scans), the
+    * totals from that same tiny table; the log-ratio table is `buckets`
+    * rows broadcast into the scoring join; the only corpus-scale
+    * exchanges are the feature-count aggregate (map-side combined to
+    * `buckets` partials per task) and the per-doc sum. The event stream
+    * has two consumers (count aggregate + scoring join) — same contract
+    * as [[Text.tfidf]]'s persistTf: pass `persistEvents = true` at full
+    * corpus scale and unpersist the returned handle. */
+  def dsirWeightsWithHandle(df: DataFrame, idCol: String, textCol: String,
+                            isTarget: Column, buckets: Int = 512,
+                            persistEvents: Boolean = false)
+      : (DataFrame, DataFrame) = {
+    require(buckets > 0, "buckets must be positive")
+    val ev0 = df.select(col(idCol), isTarget.as("is_t"),
+        explode(split(col(textCol), " ", -1)).as("tok"))
+      .select(col(idCol), col("is_t"),
+        (Text.portableHash(col("tok")) % buckets).as("f"))
+    val ev = if (persistEvents)
+      ev0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else ev0
+    val counts = ev.groupBy("f").agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"))
+    val totals = counts.agg(sum("cr").as("nr"), sum("ct").as("nt"))
+    val ratios = counts.crossJoin(broadcast(totals))
+      .select(col("f"),
+        (log((col("ct") + 1).cast("double") / (col("nt") + lit(buckets))) -
+          log((col("cr") + 1).cast("double") / (col("nr") + lit(buckets))))
+          .as("lr"))
+    val out = ev.select(col(idCol), col("f"))
+      .join(broadcast(ratios), Seq("f"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"), round(sum("lr"), 4).as("log_weight"))
+    (out, ev)
+  }
+
+  /** [[dsirWeightsWithHandle]] without the persist handle. */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+                  isTarget: Column, buckets: Int = 512): DataFrame =
+    dsirWeightsWithHandle(df, idCol, textCol, isTarget, buckets)._1
 }

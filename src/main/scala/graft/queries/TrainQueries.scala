@@ -244,6 +244,33 @@ object TrainQueries {
           .orderBy("lang", "bucket")
     },
 
+    // DSIR importance weights (hashed-unigram importance resampling):
+    // target = English docs, raw = whole corpus; per-doc log weight is
+    // the sum over token events of the smoothed bucket-frequency
+    // log-ratio. The oracle re-derives the same portable-hash buckets,
+    // the single count table, the totals, and the identical IEEE
+    // log-ratio chain.
+    Q("pipe_dsir_weights",
+      """WITH t AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |f AS (SELECT doc_id, lang = 'en' AS is_t,
+        |    (('0x' || substr(md5(tok), 1, 15))::BIGINT % 512) AS f FROM t),
+        |c AS (SELECT f, COUNT(*)::BIGINT AS cr,
+        |    SUM(CASE WHEN is_t THEN 1 ELSE 0 END)::BIGINT AS ct
+        |  FROM f GROUP BY f),
+        |tot AS (SELECT SUM(cr)::BIGINT AS nr, SUM(ct)::BIGINT AS nt FROM c),
+        |r AS (SELECT f, LN(CAST(ct + 1 AS DOUBLE) / (nt + 512))
+        |    - LN(CAST(cr + 1 AS DOUBLE) / (nr + 512)) AS lr
+        |  FROM c CROSS JOIN tot)
+        |SELECT doc_id, COUNT(*)::BIGINT AS n_tokens,
+        |  ROUND(SUM(lr), 4) AS log_weight
+        |FROM f JOIN r USING (f)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Curation.dsirWeights(Tables.fannedOut(s, dir, "documents"),
+          "doc_id", "text", isTarget = col("lang") === "en", buckets = 512)
+        .orderBy("doc_id")
+    },
+
     // Temperature-weighted domain mixture (α = 0.5 upsamples small
     // sources) with deterministic hash-based sampling at the computed
     // per-domain rates; budget 200 docs.

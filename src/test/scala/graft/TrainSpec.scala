@@ -100,6 +100,28 @@ class TrainSpec extends SparkSpec {
       (0L, "s1 s2", 2L)))
   }
 
+  test("dsirWeights: target-like docs score higher; persisted equals plain") {
+    // two sharply separated vocabularies: target docs reuse target words
+    val docs = (1L to 20L).map { i =>
+      if (i <= 10) (i, "alpha beta gamma delta alpha beta", true)
+      else (i, "omega psi chi phi omega psi", false)
+    }
+    val df = docs.toDF("doc_id", "text", "tgt")
+    val out = Curation.dsirWeights(df, "doc_id", "text", col("tgt"), buckets = 64)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val tgtAvg = (1L to 10L).map(out).sum / 10
+    val rawAvg = (11L to 20L).map(out).sum / 10
+    assert(tgtAvg > rawAvg + 1.0,
+      s"target avg $tgtAvg should clearly exceed non-target $rawAvg")
+    // a doc made of target vocabulary gets positive log weight
+    assert(tgtAvg > 0 && rawAvg < 0)
+    val (p, handle) = Curation.dsirWeightsWithHandle(
+      df, "doc_id", "text", col("tgt"), buckets = 64, persistEvents = true)
+    val persisted = p.collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    handle.unpersist()
+    assert(persisted == out)
+  }
+
   test("mixtureRates: alpha=0.5 upsamples the small domain") {
     val counts = Seq(("big", 100L), ("small", 1L)).toDF("source", "n_docs")
     val r = Sampling.mixtureRates(counts, "n_docs", alpha = 0.5, budget = 10)

@@ -121,6 +121,60 @@ object TextQueries {
         .orderBy("pred_lang")
     },
 
+    // Language-ID EVALUATION: confusion matrix of the marker-based
+    // predictor against the labeled lang column — the eval surface every
+    // curation run needs before trusting a classifier gate (per-cell
+    // counts; precision/recall derive from rows/columns downstream).
+    // Same one-scan shape as t_langid plus the label; the matrix is at
+    // most |langs|×|preds| rows.
+    Q("t_langid_eval",
+      """WITH s AS (SELECT doc_id, lang,
+        |    (length(text) - length(replace(text,'data','')))/4
+        |      + (length(text) - length(replace(text,'table','')))/5
+        |      + (length(text) - length(replace(text,'row','')))/3 AS s1,
+        |    (length(text) - length(replace(text,'query','')))/5
+        |      + (length(text) - length(replace(text,'filter','')))/6
+        |      + (length(text) - length(replace(text,'join','')))/4 AS s2,
+        |    (length(text) - length(replace(text,'stream','')))/6
+        |      + (length(text) - length(replace(text,'batch','')))/5
+        |      + (length(text) - length(replace(text,'window','')))/6 AS s3
+        |  FROM documents)
+        |SELECT lang, CASE WHEN s3 > s1 AND s3 > s2 THEN 'streamish'
+        |    WHEN s2 > s1 THEN 'queryish' ELSE 'dataish' END AS pred_lang,
+        |  COUNT(*) AS n
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      Tables.fannedOut(s, dir, "documents")
+        .select(col("lang"),
+          Text.langIdScore(col("text"), langMarkers).as("pred_lang"))
+        .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred_lang")
+    },
+
+    // Blocklist gate (the C4 badwords rule): a doc is dropped when any
+    // token matches the broadcast blocklist. Token-boundary exact match
+    // (not substring — "slowly" must not fire "slow"-as-a-token rules);
+    // the list is a literal/broadcast on every executor, so the gate is
+    // map-only at any corpus size; one source-sized aggregate follows.
+    Q("t_blocklist_filter",
+      """WITH f AS (SELECT source,
+        |    list_has_any(string_split(text, ' '),
+        |      ['slow', 'crash', 'spam']) AS hit
+        |  FROM documents)
+        |SELECT source, COUNT(*)::BIGINT AS n_docs,
+        |  SUM(CASE WHEN hit THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+        |  SUM(CASE WHEN hit THEN 0 ELSE 1 END)::BIGINT AS n_kept
+        |FROM f GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val blocklist = array(Seq("slow", "crash", "spam").map(lit): _*)
+      Tables(s, dir, "documents")
+        .select(col("source"),
+          arrays_overlap(split(col("text"), " ", -1), blocklist).as("hit"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("hit"), 1L).otherwise(0L)).as("n_dropped"),
+          sum(when(col("hit"), 0L).otherwise(1L)).as("n_kept"))
+        .orderBy("source")
+    },
+
     // Document fingerprint (md5 of normalized text) — the exact-dedup key.
     Q("t_fingerprint",
       """SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text),

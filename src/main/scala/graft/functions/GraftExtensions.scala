@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{CdcCuts, CosineSimilarity, DotProduct, EvalBarrier, MinHashSignature, MjdToTimestamp, NativeBridge, RegexpExtractGroups, ShingleArray, SimHash64, TimestampToMjd, UnigramViterbi}
+import org.apache.spark.sql.graft.{CdcCuts, CosineSimilarity, DotProduct, EvalBarrier, MinHashSignature, MjdToTimestamp, NativeBridge, RegexpExtractGroups, ShingleArray, SimHash64, TimestampToMjd, UnigramViterbi, WordPieceEncode}
 
 /** Registers the native expressions as SQL functions so every operator is
   * reachable from `spark.sql` (SURVEY.md §7.1 `sql/` surface). Install
@@ -118,6 +118,9 @@ object GraftExtensions {
   def unigramViterbi(word: Column, pieceCosts: Column, maxPieceLen: Int): Column =
     NativeBridge.column(UnigramViterbi(NativeBridge.expression(word),
       NativeBridge.expression(pieceCosts), maxPieceLen))
+  def wordpieceEncode(word: Column, vocab: Column, maxPieceLen: Int): Column =
+    NativeBridge.column(WordPieceEncode(NativeBridge.expression(word),
+      NativeBridge.expression(vocab), maxPieceLen))
   /** Pins evaluation order of side-effecting expressions (see
     * org.apache.spark.sql.graft.EvalBarrier). */
   def evalBarrier(c: Column): Column =

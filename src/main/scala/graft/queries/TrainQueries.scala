@@ -782,8 +782,114 @@ object TrainQueries {
       Unigram.train(Tables(s, dir, "documents"), "text", rounds = 3)
         .select(col("piece"), col("n"), round(col("cost"), 4).as("cost"))
         .orderBy(col("n").desc, col("piece")).limit(50)
+    },
+
+    // WordPiece greedy longest-match encode (BERT tokenizer) over the
+    // distinct-word table: per-word segmentation string + piece count.
+    // Engine path = native greedy walk under the deterministic
+    // position-aware vocabulary; oracle = the IDENTICAL greedy unrolled
+    // one step per CTE (g1..g8 — each step consumes ≥1 char, words are
+    // capped at 8 on both sides like the unigram DP oracle).
+    Q("t_wordpiece_encode", wordpieceEncodeOracleSql) { (s, dir) =>
+      val words = graft.ops.WordPiece
+        .encodeWords(wordpieceWords(s, dir), wordpieceVocab(s, dir))
+      words.select(col("word"),
+          array_join(col("wp"), " ").as("wp"),
+          size(col("wp")).cast("long").as("n_pieces"))
+        .orderBy("word")
+    },
+
+    // WordPiece corpus encode: per-document word/piece counts (fertility
+    // = ratio, consumer divides) — greedy over DISTINCT words, broadcast
+    // join back to the token stream. Oracle reuses the unrolled-greedy
+    // CTEs joined to the per-doc word events.
+    Q("t_wordpiece_corpus", wordpieceCorpusOracleSql) { (s, dir) =>
+      graft.ops.WordPiece.encodeCorpus(
+          Tables(s, dir, "documents"), "doc_id", "text",
+          wordpieceVocab(s, dir), maxWordLen = wordpieceMaxLen)
+        .orderBy("doc_id")
     }
   )
+
+  /** Distinct corpus words under the oracle's unroll cap. */
+  private def wordpieceWords(s: org.apache.spark.sql.SparkSession,
+                             dir: String) =
+    Unigram.wordCounts(Tables(s, dir, "documents"), "text")
+      .filter(length(col("word")) <= wordpieceMaxLen)
+
+  /** Collected deterministic WordPiece vocabulary (bounded driver
+    * state). */
+  private def wordpieceVocab(s: org.apache.spark.sql.SparkSession,
+                             dir: String): Seq[String] =
+    graft.ops.WordPiece.vocabPieces(wordpieceWords(s, dir))
+
+  private val wordpieceMaxLen = 8
+
+  /** Generated WITH-prefix for the WordPiece oracles: position-aware
+    * piece counts → top-100 starts ∪ top-100 `##`-continuations ∪
+    * single-char floor → arcs (vocab matches per 0-based position) → an
+    * UNROLLED greedy walk, one CTE per step: at each cursor take
+    * MAX(l) over matching arcs, append the piece, advance; finished
+    * words carry forward. Mirrors unigramDpCtes' construction (the
+    * mechanical-CTE generation pattern); ends in
+    * `enc(word, seg, n_pieces)`. */
+  private lazy val wordpieceCtes: String = {
+    val maxLen = wordpieceMaxLen
+    val steps = (1 to maxLen).map { k =>
+      s"""g$k AS (
+         |  SELECT word, s + l AS pos,
+         |    CASE WHEN s = 0 THEN substring(word, 1, l)
+         |         ELSE seg || ' ##' || substring(word, s + 1, l) END AS seg
+         |  FROM (SELECT g.word, g.pos AS s, MAX(a.l) AS l, g.seg
+         |        FROM g${k - 1} g JOIN arcs a ON a.word = g.word AND a.s = g.pos
+         |        WHERE g.pos < length(g.word)
+         |        GROUP BY g.word, g.pos, g.seg)
+         |  UNION ALL
+         |  SELECT word, pos, seg FROM g${k - 1} WHERE pos = length(word))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH w AS (SELECT word, COUNT(*)::BIGINT AS c FROM
+       |    (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE word <> '' AND length(word) <= $maxLen GROUP BY word),
+       |pos_sub AS (SELECT w.word, w.c, t.s AS s, t.l AS l,
+       |    CASE WHEN t.s = 1 THEN substring(w.word, t.s, t.l)
+       |         ELSE '##' || substring(w.word, t.s, t.l) END AS piece
+       |  FROM w, unnest(flatten([[{'s': s, 'l': l}
+       |      FOR l IN generate_series(1, least(6, length(word) - s + 1))]
+       |      FOR s IN generate_series(1, length(word))])) AS u(t)),
+       |pc AS (SELECT piece, SUM(c)::BIGINT AS n FROM pos_sub GROUP BY piece),
+       |vocab AS (SELECT DISTINCT piece FROM (
+       |  SELECT piece FROM
+       |    (SELECT piece FROM pc WHERE piece NOT LIKE '##%'
+       |     ORDER BY n DESC, piece LIMIT 100)
+       |  UNION ALL SELECT piece FROM
+       |    (SELECT piece FROM pc WHERE piece LIKE '##%'
+       |     ORDER BY n DESC, piece LIMIT 100)
+       |  UNION ALL SELECT piece FROM pc
+       |    WHERE (piece NOT LIKE '##%' AND length(piece) = 1)
+       |       OR (piece LIKE '##%' AND length(piece) = 3))),
+       |arcs AS (SELECT DISTINCT p.word, p.s - 1 AS s, p.l AS l
+       |  FROM pos_sub p JOIN vocab v ON v.piece = p.piece),
+       |g0 AS (SELECT word, 0 AS pos, '' AS seg FROM w),
+       |$steps,
+       |enc AS (SELECT word, seg,
+       |    len(string_split(seg, ' '))::BIGINT AS n_pieces
+       |  FROM g$maxLen WHERE pos = length(word))""".stripMargin
+  }
+
+  private lazy val wordpieceEncodeOracleSql: String =
+    s"""$wordpieceCtes
+       |SELECT word, seg AS wp, n_pieces FROM enc ORDER BY word""".stripMargin
+
+  private lazy val wordpieceCorpusOracleSql: String =
+    s"""$wordpieceCtes,
+       |dw AS (SELECT doc_id, word FROM
+       |    (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |     FROM documents)
+       |  WHERE word <> '' AND length(word) <= $wordpieceMaxLen)
+       |SELECT dw.doc_id, COUNT(*)::BIGINT AS n_words,
+       |  SUM(e.n_pieces)::BIGINT AS n_pieces
+       |FROM dw JOIN enc e USING (word)
+       |GROUP BY dw.doc_id ORDER BY dw.doc_id""".stripMargin
 
   /** Generated WITH-prefix shared by the unigram DP oracles: seed vocab
     * (same SQL as t_unigram_seed, word length capped at the DP unroll)

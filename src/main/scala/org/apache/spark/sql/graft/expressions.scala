@@ -603,6 +603,99 @@ case class UnigramViterbi(left: Expression, right: Expression, maxPieceLen: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/** WordPiece greedy longest-match-first segmentation (Wu et al. 2016,
+  * the BERT tokenizer): from the word start, repeatedly take the LONGEST
+  * vocabulary piece matching at the cursor — word-initial pieces match
+  * verbatim, word-internal ones via their `##`-prefixed form — and
+  * return the piece array, or null when no piece (not even a single
+  * char) matches at some position (the [UNK] path). Greedy-longest is
+  * deliberately NOT [[UnigramViterbi]]'s min-cost DP: WordPiece commits
+  * left-to-right with no backtracking, which is what makes it O(n·L)
+  * with zero DP state and also why the two segmenters disagree on words
+  * where a long early piece strands the remainder.
+  *
+  * Vocabulary arrives as `array<string>` (a foldable literal/broadcast in
+  * practice — vocabularies are thousands of entries); it is interned into
+  * a HashSet once per distinct array reference, same caching contract as
+  * [[UnigramViterbi]]'s cost map. The identical greedy walk is
+  * expressible in SQL only as unrolled per-step CTEs (see
+  * t_wordpiece_encode's generated oracle); this expression is the engine
+  * path, map-only at any corpus scale. */
+case class WordPieceEncode(left: Expression, right: Expression, maxPieceLen: Int)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  require(maxPieceLen > 0, "maxPieceLen must be positive")
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(StringType, ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "wordpiece_encode"
+
+  @transient private var cached: (AnyRef, java.util.HashSet[String]) = _
+
+  private def vocabSet(a: ArrayData): java.util.HashSet[String] = {
+    val c = cached
+    if (c != null && (c._1 eq a)) c._2
+    else {
+      val s = new java.util.HashSet[String](a.numElements() * 2)
+      var i = 0
+      while (i < a.numElements()) {
+        if (!a.isNullAt(i)) s.add(a.getUTF8String(i).toString)
+        i += 1
+      }
+      cached = (a, s)
+      s
+    }
+  }
+
+  def compute(w: org.apache.spark.unsafe.types.UTF8String,
+              v: ArrayData): AnyRef = {
+    val word = w.toString
+    val n = word.length
+    if (n == 0) return null
+    val vocab = vocabSet(v)
+    val pieces = scala.collection.mutable.ArrayBuffer.empty[AnyRef]
+    var pos = 0
+    while (pos < n) {
+      var l = math.min(maxPieceLen, n - pos)
+      var matched = -1
+      while (l >= 1 && matched < 0) {
+        val cand =
+          if (pos == 0) word.substring(0, l)
+          else "##" + word.substring(pos, pos + l)
+        if (vocab.contains(cand)) matched = l else l -= 1
+      }
+      if (matched < 0) return null // [UNK]: some position has no piece
+      pieces += org.apache.spark.unsafe.types.UTF8String.fromString(
+        if (pos == 0) word.substring(0, matched)
+        else "##" + word.substring(pos, pos + matched))
+      pos += matched
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(pieces.toArray)
+  }
+
+  override protected def nullSafeEval(w: Any, v: Any): Any =
+    compute(w.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordpiece", this,
+      "org.apache.spark.sql.graft.WordPieceEncode")
+    nullSafeCodeGen(ctx, ev, (w, v) => {
+      val r = ctx.freshName("r")
+      s"""
+         |Object $r = $ref.compute($w, $v);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $r; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WordPieceEncode =
+    copy(left = newLeft, right = newRight)
+}
+
 /** All capture groups of ONE regex match as `array<string>`: the pattern
   * (a foldable literal) compiles once per operator, `find()` runs once per
   * row, and every group is read from the same Matcher. The composed

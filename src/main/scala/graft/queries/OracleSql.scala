@@ -10,24 +10,30 @@ object OracleSql {
     * mirroring the Spark plan stage for stage. Ends after the final
     * assignment CTE `af(vec_id, cid)` — callers append `,` + their own
     * CTEs or a `SELECT`. Exposes `v(vec_id, x, pos)` too. */
-  def kmeansMd5Ctes(k: Int, iters: Int): String = {
+  def kmeansMd5Ctes(k: Int, iters: Int, trainWhere: String = ""): String = {
+    // Training runs over `vt` (the optionally-filtered subset); the final
+    // assignment `af` covers ALL of `v` — identical to before when
+    // trainWhere is empty (vt == v), and the hook sim_ivf_drift uses to
+    // train on the t0 slice while assigning both slices.
+    val where = if (trainWhere.isEmpty) "" else s" WHERE $trainWhere"
     def round(n: Int, prev: String): String =
       s"""s$n AS (SELECT v.vec_id, c.cid,
          |    SUM(v.x*c.c)/(SQRT(SUM(v.x*v.x))*SQRT(SUM(c.c*c.c))) AS s
-         |  FROM v JOIN $prev c USING (pos) GROUP BY 1,2),
+         |  FROM vt v JOIN $prev c USING (pos) GROUP BY 1,2),
          |a$n AS (SELECT vec_id, cid FROM s$n
          |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
          |    ORDER BY ROUND(s,6) DESC, cid) = 1),
          |c$n AS (SELECT a.cid, v.pos, AVG(v.x) AS c
-         |  FROM a$n a JOIN v USING (vec_id) GROUP BY 1,2)""".stripMargin
+         |  FROM a$n a JOIN vt v USING (vec_id) GROUP BY 1,2)""".stripMargin
     val rounds = (1 to iters).map(i => round(i, s"c${i - 1}")).mkString(",\n")
     s"""WITH v AS (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
        |    generate_subscripts(embedding, 1) AS pos FROM embeddings),
+       |vt AS (SELECT v.* FROM v JOIN embeddings e USING (vec_id)$where),
        |seeds AS (SELECT vec_id,
        |    ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid
-       |  FROM embeddings
+       |  FROM embeddings$where
        |  QUALIFY ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) <= $k),
-       |c0 AS (SELECT s.cid, v.pos, v.x AS c FROM seeds s JOIN v USING (vec_id)),
+       |c0 AS (SELECT s.cid, v.pos, v.x AS c FROM seeds s JOIN vt v USING (vec_id)),
        |$rounds,
        |sf AS (SELECT v.vec_id, c.cid,
        |    SUM(v.x*c.c)/(SQRT(SUM(v.x*v.x))*SQRT(SUM(c.c*c.c))) AS s

@@ -209,6 +209,34 @@ object SimilarityQueries {
         .orderBy("vec_id")
     },
 
+    // IVF index DRIFT monitor — the maintenance signal for a served ANN
+    // index: train centroids on the t0 slice (even vec_ids), assign BOTH
+    // slices, and compare per-cell populations. A t1 histogram diverging
+    // from t0's says the data distribution moved and the index needs
+    // retraining (the batch counterpart of Streams.streamingIvfAssign's
+    // periodic-retrain contract). Counts only — the consumer picks the
+    // divergence metric. Oracle replays the md5-seeded Lloyd chain
+    // trained on the SAME t0 subset, then the full assignment.
+    Q("sim_ivf_drift",
+      OracleSql.kmeansMd5Ctes(k = 8, iters = 3,
+        trainWhere = "vec_id % 2 = 0") +
+        """
+          |SELECT af.cid AS centroid_id,
+          |  SUM(CASE WHEN af.vec_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_t0,
+          |  SUM(CASE WHEN af.vec_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_t1
+          |FROM af GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val emb = Tables.fannedOut(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val cents = Similarity.kmeansCentroids(
+        emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+        k = 8, iters = 3, seedHash = c => md5(c.cast("string")), simRound = 6)
+      Similarity.ivfAssign(emb, "embedding", cents, simRound = 6)
+        .groupBy("centroid_id")
+        .agg(sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)).as("n_t0"),
+          sum(when(col("vec_id") % 2 === 1, 1L).otherwise(0L)).as("n_t1"))
+        .orderBy("centroid_id")
+    },
+
     // SemDeDup-shape SEMANTIC dedup: deterministic k-means cells (the
     // exact md5-seeded chain sim_kmeans_md5 pins), then within each cell
     // drop every vector with a smaller-id neighbor at round-6 cosine >=

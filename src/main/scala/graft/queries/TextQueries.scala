@@ -175,6 +175,41 @@ object TextQueries {
         .orderBy("source")
     },
 
+    // Zipf rank–frequency fit per language: OLS slope of ln(freq) on
+    // ln(rank) over the top-200 tokens — the corpus-health diagnostic
+    // (natural text ≈ −1; a drifting slope flags boilerplate floods or
+    // truncated vocab). Vocab-bounded: one token aggregate, a per-lang
+    // window over vocabulary-sized rows, regr_slope on ≤200 points per
+    // group (the a11_linfit oracle pattern — same aggregate both sides).
+    Q("t_zipf_slope",
+      """WITH tf AS (SELECT lang, tok, COUNT(*)::BIGINT AS f
+        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  WHERE tok <> '' GROUP BY lang, tok),
+        |r AS (SELECT lang, f,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY f DESC, tok) AS rk
+        |  FROM tf)
+        |SELECT lang, COUNT(*)::BIGINT AS n_points,
+        |  ROUND(regr_slope(LN(CAST(f AS DOUBLE)), LN(CAST(rk AS DOUBLE))), 4)
+        |    AS zipf_slope
+        |FROM r WHERE rk <= 200
+        |GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      val tf = Tables.fannedOut(s, dir, "documents")
+        .select(col("lang"), explode(split(col("text"), " ", -1)).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy("lang", "tok").agg(count(lit(1)).as("f"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("f").desc, col("tok"))
+      tf.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 200)
+        .select(col("lang"), log(col("f").cast("double")).as("lf"),
+          log(col("rk").cast("double")).as("lr"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_points"),
+          round(expr("regr_slope(lf, lr)"), 4).as("zipf_slope"))
+        .orderBy("lang")
+    },
+
     // Document fingerprint (md5 of normalized text) — the exact-dedup key.
     Q("t_fingerprint",
       """SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text),

@@ -210,6 +210,25 @@ object TextQueries {
         .orderBy("lang")
     },
 
+    // Retrieval-index statistics (per-term document + collection
+    // frequency): the BM25 broadcast side, as maintained by
+    // Streams.streamingIndexStats — this batch query IS that plan run on
+    // a bounded input (stream==batch pinned in MergeStreamSpec), so the
+    // streaming operator inherits a DuckDB-gated oracle. Per-doc term
+    // counts stay inside the row (no corpus-scale tf shuffle); the one
+    // exchange is vocab-sized.
+    Q("t_index_stats",
+      """WITH e AS (SELECT doc_id, tok, COUNT(*)::BIGINT AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  WHERE tok <> '' GROUP BY doc_id, tok)
+        |SELECT tok AS term, COUNT(*)::BIGINT AS df, SUM(tf)::BIGINT AS cf
+        |FROM e GROUP BY tok ORDER BY term""".stripMargin) { (s, dir) =>
+      graft.streaming.Streams.streamingIndexStats(
+          Tables.fannedOut(s, dir, "documents"), "text")
+        .orderBy("term")
+    },
+
     // Document fingerprint (md5 of normalized text) — the exact-dedup key.
     Q("t_fingerprint",
       """SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text),

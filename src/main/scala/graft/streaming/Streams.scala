@@ -208,6 +208,31 @@ object Streams {
     graft.ops.Similarity.ivfAssign(vecs, vecCol, centroids, centroidId,
       simRound = simRound)
 
+  /** Streaming retrieval-index statistics maintenance: the BM25/TF-IDF
+    * corpus statistics (per-term document frequency `df` and collection
+    * frequency `cf`) kept current as documents stream in — the
+    * index-side half of [[graft.ops.Retrieval.bm25TopK]], which
+    * broadcast-joins exactly these numbers at query time. The design
+    * constraint is Spark's single-stateful-op rule: per-document term
+    * counts are computed STATELESSLY inside the arriving row (a doc's
+    * tokens live in one value — `array_distinct` + a `filter` count per
+    * distinct term, no shuffle), so the only stateful operator is ONE
+    * `groupBy(term)` aggregation whose state is vocabulary-bounded
+    * regardless of stream length. Each doc must arrive once (upstream
+    * [[streamingDedupDocs]] contract); update-mode rows upsert into the
+    * stats store. Stream-equals-batch is pinned in MergeStreamSpec. */
+  def streamingIndexStats(docs: DataFrame, textCol: String): DataFrame = {
+    val toks = split(col(textCol), " ", -1)
+    docs.select(explode(transform(
+        array_distinct(filter(toks, t => t =!= "")),
+        t => struct(t.as("term"),
+          size(filter(toks, x => x === t)).cast("long").as("tf"))))
+        .as("e"))
+      .select(col("e.term"), col("e.tf"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
+  }
+
   /** Streaming CDC chunk extraction: content-defined chunk rows for
     * documents as they arrive — the ingest-time half of the chunk-level
     * dedup index ([[graft.ops.Text.cdcChunks]] / `dedup_cdc`). The chunk

@@ -345,6 +345,32 @@ class MergeStreamSpec extends SparkSpec {
     assert(streamed.size <= 4 * 16, "state is bounded by the grid size")
   }
 
+  test("streaming index stats equal the batch stats, vocab-bounded state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[String]
+    val q = Streams.streamingIndexStats(input.toDF().toDF("text"), "text")
+      .writeStream.format("memory").queryName("idx_stats")
+      .outputMode("complete").start()
+    val b1 = Seq("alpha beta alpha", "beta gamma")
+    val b2 = Seq("alpha delta delta delta", "")
+    input.addData(b1: _*)
+    q.processAllAvailable()
+    input.addData(b2: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("idx_stats")
+      .as[(String, Long, Long)].collect().toSet
+    q.stop()
+    val batch = Streams.streamingIndexStats(
+        (b1 ++ b2).toDF("text"), "text")
+      .as[(String, Long, Long)].collect().toSet
+    assert(streamed == batch, "complete-mode stats must equal batch stats")
+    // hand check: df counts docs, cf counts occurrences
+    assert(streamed.contains(("alpha", 2L, 3L)))
+    assert(streamed.contains(("delta", 1L, 3L)))
+    assert(streamed.size == 4, "state rows = vocabulary size")
+  }
+
   test("stream-stream interval join: attribution within the window, state bounded by watermarks") {
     // the click/impression attribution shape: two unbounded streams
     // joined on key + a time-range condition. Watermarks on BOTH sides

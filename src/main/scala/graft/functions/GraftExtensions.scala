@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{CdcCuts, CosineSimilarity, DotProduct, EvalBarrier, MinHashSignature, MjdToTimestamp, NativeBridge, RegexpExtractGroups, ShingleArray, SimHash64, TimestampToMjd, UnigramViterbi, WordPieceEncode}
+import org.apache.spark.sql.graft.{CdcCuts, CosineSimilarity, DotProduct, EvalBarrier, MinHashSignature, MjdToTimestamp, NativeBridge, RegexpExtractGroups, ShingleArray, SimHash64, MultiMatch, TimestampToMjd, UnigramViterbi, WordPieceEncode}
 
 /** Registers the native expressions as SQL functions so every operator is
   * reachable from `spark.sql` (SURVEY.md §7.1 `sql/` surface). Install
@@ -76,7 +76,17 @@ object GraftExtensions {
         "unigram_viterbi(word, piece_costs, max_piece_len) - min-cost unigram-LM segmentation as struct(pieces, nll); null if uncoverable."),
       (args: Seq[Expression]) => UnigramViterbi(args.head, args(1),
         literalArg(args(2), "unigram_viterbi", "max_piece_len")
-          .asInstanceOf[Number].intValue())))
+          .asInstanceOf[Number].intValue())),
+    ("wordpiece_encode",
+      info("wordpiece_encode",
+        "wordpiece_encode(word, vocab, max_piece_len) - greedy longest-match WordPiece pieces as array<string>; null if unsegmentable ([UNK])."),
+      (args: Seq[Expression]) => WordPieceEncode(args.head, args(1),
+        literalArg(args(2), "wordpiece_encode", "max_piece_len")
+          .asInstanceOf[Number].intValue())),
+    ("multi_match",
+      info("multi_match",
+        "multi_match(text, patterns) - distinct patterns occurring in text as substrings (Aho-Corasick single pass), in patterns order."),
+      (args: Seq[Expression]) => MultiMatch(args.head, args(1))))
 
   /** Register on an existing session (tests, REPL). Functions go into the
     * session registry; the pushdown rule into experimental optimizations
@@ -121,6 +131,9 @@ object GraftExtensions {
   def wordpieceEncode(word: Column, vocab: Column, maxPieceLen: Int): Column =
     NativeBridge.column(WordPieceEncode(NativeBridge.expression(word),
       NativeBridge.expression(vocab), maxPieceLen))
+  def multiMatch(text: Column, patterns: Column): Column =
+    NativeBridge.column(MultiMatch(NativeBridge.expression(text),
+      NativeBridge.expression(patterns)))
   /** Pins evaluation order of side-effecting expressions (see
     * org.apache.spark.sql.graft.EvalBarrier). */
   def evalBarrier(c: Column): Column =

@@ -100,6 +100,16 @@ object Text {
         md5(col("__payload").substr(start, col("__end") - start + 1)).as("chunk_md5"))
   }
 
+  /** Distinct blocklist patterns occurring in `text` as SUBSTRINGS, via
+    * one Aho–Corasick automaton walk (see
+    * org.apache.spark.sql.graft.MultiMatch) — O(len + hits) per doc
+    * regardless of pattern count, vs O(len·patterns) for a `contains`
+    * chain or regex alternation. The scrubbing/safety-gate primitive for
+    * real phrase lists (thousands of entries, multi-word — token-match
+    * gates like arrays_overlap can't see across token boundaries). */
+  def multiMatch(text: Column, patterns: Seq[String]): Column =
+    graft.functions.GraftExtensions.multiMatch(text, typedLit(patterns))
+
   /** Word k-gram shingles (k tokens per shingle, space-joined). Documents
     * shorter than k yield a single partial shingle. */
   def wordShingles(toks: Column, k: Int): Column =

@@ -229,6 +229,26 @@ object TextQueries {
         .orderBy("term")
     },
 
+    // Multi-pattern PHRASE scan (substring semantics — the blocklist
+    // form token gates can't express: "fast key" crosses a token
+    // boundary): per-pattern document hit counts via ONE Aho–Corasick
+    // walk per doc. The oracle is a per-pattern contains join — same
+    // semantics, O(len·patterns) is fine at oracle scale while the
+    // engine path stays O(len) at any pattern count.
+    Q("t_blocklist_scan",
+      """WITH p AS (SELECT unnest(['slow', 'fast key', 'merge line',
+        |    'crash loop']) AS pattern),
+        |h AS (SELECT p.pattern, d.doc_id FROM p JOIN documents d
+        |  ON contains(d.text, p.pattern))
+        |SELECT pattern, COUNT(*)::BIGINT AS n_docs
+        |FROM h GROUP BY pattern ORDER BY pattern""".stripMargin) { (s, dir) =>
+      Tables.fannedOut(s, dir, "documents")
+        .select(explode(Text.multiMatch(col("text"),
+          Seq("slow", "fast key", "merge line", "crash loop"))).as("pattern"))
+        .groupBy("pattern").agg(count(lit(1)).as("n_docs"))
+        .orderBy("pattern")
+    },
+
     // Document fingerprint (md5 of normalized text) — the exact-dedup key.
     Q("t_fingerprint",
       """SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text),

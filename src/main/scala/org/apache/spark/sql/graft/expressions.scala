@@ -696,6 +696,131 @@ case class WordPieceEncode(left: Expression, right: Expression, maxPieceLen: Int
     copy(left = newLeft, right = newRight)
 }
 
+/** Multi-pattern substring scan via an Aho–Corasick automaton
+  * (Aho & Corasick 1975 — the FlashText/fgrep algorithm): returns the
+  * DISTINCT patterns that occur in `text` as substrings, ordered as in
+  * the patterns array. One automaton walk is O(len(text) + matches)
+  * regardless of pattern count — the reason real blocklist/safety
+  * scrubbing (thousands of phrases) cannot be a `contains` chain or a
+  * regex alternation, both O(len·patterns) and the regex one
+  * catastrophic on overlap. The automaton (trie + BFS failure links
+  * with output-set propagation) builds once per distinct patterns-array
+  * reference — the [[UnigramViterbi]]/[[WordPieceEncode]] caching
+  * contract; patterns are a foldable literal/broadcast in practice.
+  * Map-only at any corpus scale; the DuckDB twin is a per-pattern
+  * `contains` filter (same semantics, oracle scale only). Empty
+  * patterns are ignored; no match → empty array (never null for
+  * non-null input). */
+case class MultiMatch(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(StringType, ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "multi_match"
+
+  /** goto transitions per node, failure links, and per-node matched
+    * pattern indices (outputs merged across failure chains at build). */
+  private final class Automaton(val patterns: Array[String]) {
+    val gotoMaps = scala.collection.mutable.ArrayBuffer(
+      new java.util.HashMap[Char, Int]())
+    val fails = scala.collection.mutable.ArrayBuffer(0)
+    val outs = scala.collection.mutable.ArrayBuffer[java.util.BitSet](new java.util.BitSet())
+    // trie
+    for (pi <- patterns.indices; p = patterns(pi) if p.nonEmpty) {
+      var node = 0
+      var i = 0
+      while (i < p.length) {
+        val c = p.charAt(i)
+        node = if (gotoMaps(node).containsKey(c)) gotoMaps(node).get(c)
+        else {
+          gotoMaps += new java.util.HashMap[Char, Int]()
+          fails += 0
+          outs += new java.util.BitSet()
+          val id = gotoMaps.size - 1
+          gotoMaps(node).put(c, id)
+          id
+        }
+        i += 1
+      }
+      outs(node).set(pi)
+    }
+    // BFS failure links; outputs inherit the fail target's outputs
+    val queue = new java.util.ArrayDeque[Int]()
+    gotoMaps(0).forEach((_, child) => { fails(child) = 0; queue.add(child) })
+    while (!queue.isEmpty) {
+      val node = queue.poll()
+      gotoMaps(node).forEach { (c, child) =>
+        var f = fails(node)
+        while (f != 0 && !gotoMaps(f).containsKey(c)) f = fails(f)
+        fails(child) = if (gotoMaps(f).containsKey(c) && gotoMaps(f).get(c) != child)
+          gotoMaps(f).get(c) else 0
+        outs(child).or(outs(fails(child)))
+        queue.add(child)
+      }
+    }
+
+    def matches(text: String): java.util.BitSet = {
+      val hit = new java.util.BitSet(patterns.length)
+      var node = 0
+      var i = 0
+      while (i < text.length) {
+        val c = text.charAt(i)
+        while (node != 0 && !gotoMaps(node).containsKey(c)) node = fails(node)
+        if (gotoMaps(node).containsKey(c)) node = gotoMaps(node).get(c)
+        hit.or(outs(node))
+        i += 1
+      }
+      hit
+    }
+  }
+
+  @transient private var cached: (AnyRef, Automaton) = _
+
+  private def automaton(a: ArrayData): Automaton = {
+    val c = cached
+    if (c != null && (c._1 eq a)) c._2
+    else {
+      val ps = new Array[String](a.numElements())
+      var i = 0
+      while (i < ps.length) {
+        ps(i) = if (a.isNullAt(i)) "" else a.getUTF8String(i).toString
+        i += 1
+      }
+      val au = new Automaton(ps)
+      cached = (a, au)
+      au
+    }
+  }
+
+  def compute(t: org.apache.spark.unsafe.types.UTF8String,
+              v: ArrayData): ArrayData = {
+    val au = automaton(v)
+    val hit = au.matches(t.toString)
+    val out = scala.collection.mutable.ArrayBuffer.empty[AnyRef]
+    var i = hit.nextSetBit(0)
+    while (i >= 0) {
+      out += org.apache.spark.unsafe.types.UTF8String.fromString(au.patterns(i))
+      i = hit.nextSetBit(i + 1)
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  override protected def nullSafeEval(t: Any, v: Any): Any =
+    compute(t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ac", this,
+      "org.apache.spark.sql.graft.MultiMatch")
+    nullSafeCodeGen(ctx, ev, (t, v) => s"${ev.value} = $ref.compute($t, $v);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MultiMatch =
+    copy(left = newLeft, right = newRight)
+}
+
 /** All capture groups of ONE regex match as `array<string>`: the pattern
   * (a foldable literal) compiles once per operator, `find()` runs once per
   * row, and every group is read from the same Matcher. The composed

@@ -174,4 +174,42 @@ class NativeExprSpec extends SparkSpec {
       .selectExpr("g[0]", "g[1]").as[(String, String)].head()
     assert(ok == ("abc", "1"))
   }
+
+  test("multi_match equals per-pattern contains on random samples") {
+    val rnd = new scala.util.Random(23)
+    val alphabet = "abc "
+    def rand(n: Int) = (0 until n).map(_ => alphabet(rnd.nextInt(4))).mkString
+    val patterns = (1 to 25).map(_ => rand(1 + rnd.nextInt(5))).distinct
+      .filter(_.trim.nonEmpty)
+    for (_ <- 1 to 40) {
+      val text = rand(30 + rnd.nextInt(100))
+      val got = Seq(text).toDF("t")
+        .select(graft.ops.Text.multiMatch(col("t"), patterns))
+        .head().getSeq[String](0)
+      val want = patterns.filter(text.contains(_))
+      assert(got == want, s"text [$text]")
+    }
+  }
+
+  test("multi_match: overlapping patterns, shared prefixes, fail-link chains") {
+    def m(text: String, ps: Seq[String]): Seq[String] =
+      Seq(text).toDF("t")
+        .select(graft.ops.Text.multiMatch(col("t"), ps)).head().getSeq[String](0)
+    // the classic AC corpus: "she" must surface "he" via the fail link
+    assert(m("ushers", Seq("he", "she", "his", "hers")) == Seq("he", "she", "hers"))
+    assert(m("abc", Seq("ab", "b", "bc", "abc", "x")) == Seq("ab", "b", "bc", "abc"))
+    assert(m("", Seq("a")) == Seq.empty)
+    assert(m("aaa", Seq("aa")) == Seq("aa"))
+    assert(m("zzz", Seq("a", "b")) == Seq.empty)
+    // output preserves patterns order and dedups repeats
+    assert(m("ababab", Seq("ba", "ab")) == Seq("ba", "ab"))
+  }
+
+  test("multi_match is SQL-registered and codegen-compatible") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT multi_match('the slow crash', array('slow', 'crash', 'x')) AS m")
+      .head().getSeq[String](0)
+    assert(r == Seq("slow", "crash"))
+  }
 }

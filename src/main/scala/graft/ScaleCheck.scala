@@ -556,6 +556,61 @@ object ScaleCheck {
       consume(ops.Unigram.train(docs10, "text", rounds = 2))
     }
 
+    // 10. Kneser–Ney at 50k docs: same envelope as t_lm_perplexity —
+    // event-scale work is ONE hashed explode + the scoring join; the
+    // three KN statistics are windows over the vocab²-bounded count
+    // table, so their cost must not grow with corpus size.
+    time("t_lm_kneser_ney (50k docs)") {
+      consume(ops.Text.kneserNeyNll(docs10, "doc_id", "text"))
+    }
+
+    // 11. DSIR at 50k docs: feature distributions are a single
+    // 512-bounded aggregate; scoring joins a broadcast 512-row ratio
+    // table — the only corpus-scale exchanges are the map-side-combined
+    // count and the per-doc sum. Must scale like a groupBy, not a join.
+    time("pipe_dsir_weights (50k docs)") {
+      val (out, ev) = ops.Curation.dsirWeightsWithHandle(
+        docs10, "doc_id", "text",
+        isTarget = col("lang") === "en", buckets = 512, persistEvents = true)
+      val n = consume(out); ev.unpersist(); n
+    }
+
+    // 12. WordPiece corpus encode at 50k docs: greedy walk over DISTINCT
+    // words only (vocabulary-bounded — 10 shifted copies share one
+    // vocabulary), broadcast join back; corpus cost is one explode +
+    // one join, like Bpe/Unigram encode.
+    time("t_wordpiece_corpus (50k docs)") {
+      val words = ops.Unigram.wordCounts(docs10, "text")
+      val pieces = ops.WordPiece.vocabPieces(words)
+      consume(ops.WordPiece.encodeCorpus(docs10, "doc_id", "text", pieces))
+    }
+
+    // 13. Aho–Corasick phrase scan at 50k docs with a THOUSAND patterns:
+    // the point of the automaton — per-doc cost stays O(len), so 1000
+    // patterns must cost ~the same as the 4-pattern oracle query. The
+    // patterns (distinct word bigrams off the corpus itself) guarantee
+    // real hits, exercising output propagation, not just walking.
+    time("t_blocklist_scan (50k docs, 1000 patterns)") {
+      val pats = ops.Unigram.wordCounts(docs10, "text")
+        .orderBy(col("c").desc, col("word")).limit(40)
+        .collect().map(_.getString(0))
+      val phrases = (for (a <- pats.take(25); b <- pats.take(40))
+        yield s"$a $b").take(1000).toSeq
+      consume(docs10.select(col("doc_id"),
+          explode(ops.Text.multiMatch(col("text"), phrases)).as("pattern"))
+        .groupBy("pattern").agg(count(lit(1)).as("n_docs")))
+    }
+
+    // 14. Byte-level CDC at 50k docs: identical envelope to dedup_cdc —
+    // the binary rolling pass is map-only; substring/md5 run on the
+    // byte payload without a decode or copy-to-string step.
+    time("t_cdc_bytes (50k docs)") {
+      consume(ops.Text.cdcChunksBinary(docs10, "doc_id", "text")
+        .filter(col("chunk_len") >= 8)
+        .groupBy("chunk_md5")
+        .agg(count(lit(1)).as("n_occ")))
+    }
+
     spark.stop()
   }
 }

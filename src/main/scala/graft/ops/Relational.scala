@@ -168,6 +168,40 @@ object Relational {
     facts.join(broadcast(dims), cond, joinType)
   }
 
+  /** Large×large numeric BAND join: probe rows whose `valueCol` falls in
+    * `[loCol, hiCol]` of interval rows — WITHOUT [[intervalJoin]]'s
+    * small-dim broadcast assumption and without the cartesian a range
+    * predicate alone plans as. The standard bucketization: each interval
+    * explodes to the `width`-sized buckets it overlaps (bounded by
+    * `maxBucketsPerInterval` — enforced with a runtime error, because one
+    * corpus-spanning interval would silently re-create the cartesian);
+    * each probe maps to exactly ONE bucket; the equi-join on the bucket
+    * key shuffles both sides hash-partitioned (AQE-splittable on hot
+    * buckets), and the residual `BETWEEN` verifies exactly. Pick `width`
+    * near the typical interval length: ~1–2 buckets per interval, probe
+    * fan-out 1. */
+  def bandJoin(probes: DataFrame, valueCol: String,
+               intervals: DataFrame, loCol: String, hiCol: String,
+               width: Double, maxBucketsPerInterval: Int = 1024): DataFrame = {
+    require(width > 0, "width must be positive")
+    val start = floor(col(loCol) / width).cast("long")
+    val end0 = floor(col(hiCol) / width).cast("long")
+    // the guard lives INSIDE the explode argument so column pruning can't
+    // drop it: a corpus-spanning interval errors instead of silently
+    // re-creating the cartesian this operator exists to avoid
+    val end = when(end0 - start >= maxBucketsPerInterval,
+      raise_error(format_string(
+        s"bandJoin: interval [%s, %s] spans more than $maxBucketsPerInterval " +
+          s"buckets of width $width — widen `width` or split the interval",
+        col(loCol).cast("string"), col(hiCol).cast("string"))).cast("long"))
+      .otherwise(end0)
+    val iv = intervals.withColumn("__bucket", explode(sequence(start, end)))
+    probes.withColumn("__bucket", floor(col(valueCol) / width).cast("long"))
+      .join(iv, Seq("__bucket"))
+      .filter(col(valueCol) >= col(loCol) && col(valueCol) <= col(hiCol))
+      .drop("__bucket")
+  }
+
   /** A3/S9 keep-latest-version (reference: cosmo/sms/ingest_sms.py:274–280):
     * one row per `key`, the one with the greatest (orderBys). Window
     * row_number=1 — single shuffle on the key. */

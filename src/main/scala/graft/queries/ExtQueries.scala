@@ -122,6 +122,33 @@ object ExtQueries {
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     },
 
+    // Large×large numeric BAND join via bucketization
+    // (ops.Relational.bandJoin): customers whose balance falls within
+    // ±10 of a supplier's — the value-range join Spark would otherwise
+    // plan as a broadcast nested loop (fine only while one side is
+    // small) or a cartesian. Intervals explode to their ≤2 overlapping
+    // width-20 buckets, probes map to ONE bucket, the equi-join on the
+    // bucket key shuffles hash-partitioned, the BETWEEN residual
+    // verifies. The oracle is the plain range join — same semantics,
+    // DuckDB's IEJoin handles oracle scale.
+    Q("j_band_bucketized",
+      """SELECT s.s_suppkey, COUNT(*)::BIGINT AS n_matches,
+        |  SUM(c.c_custkey)::BIGINT AS sum_cust
+        |FROM supplier s JOIN customer c
+        |  ON c.c_acctbal BETWEEN s.s_acctbal - 10 AND s.s_acctbal + 10
+        |GROUP BY s.s_suppkey ORDER BY s.s_suppkey""".stripMargin) { (s, dir) =>
+      val sup = Tables(s, dir, "supplier")
+        .select(col("s_suppkey"), (col("s_acctbal") - 10).as("lo"),
+          (col("s_acctbal") + 10).as("hi"))
+      val cust = Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"))
+      graft.ops.Relational.bandJoin(cust, "c_acctbal", sup, "lo", "hi",
+          width = 20.0)
+        .groupBy("s_suppkey")
+        .agg(count(lit(1)).as("n_matches"), sum("c_custkey").as("sum_cust"))
+        .orderBy("s_suppkey")
+    },
+
     // Exact distinct counts (extended surface; no distinct-count exists in
     // the reference — SURVEY.md §2.4 note).
     Q("ext_count_distinct",

@@ -121,4 +121,35 @@ class RelationalSpec extends SparkSpec {
     // window orders by __b, never by k)
     assert(!plan.contains("windowspecdefinition(k#"), plan)
   }
+
+  test("bandJoin equals the nested-loop range join, negatives included") {
+    val rnd = new scala.util.Random(31)
+    val probes = (1 to 400).map(i => (i.toLong, rnd.nextDouble() * 200 - 100))
+      .toDF("pid", "v")
+    val ivs = (1 to 60).map { i =>
+      val c = rnd.nextDouble() * 200 - 100
+      val w = rnd.nextDouble() * 15
+      (i.toLong, c - w, c + w)
+    }.toDF("iid", "lo", "hi")
+    val got = Relational.bandJoin(probes, "v", ivs, "lo", "hi", width = 10.0)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    val want = probes.as[(Long, Double)].collect().flatMap { case (pid, v) =>
+      ivs.as[(Long, Double, Double)].collect().collect {
+        case (iid, lo, hi) if v >= lo && v <= hi => (pid, iid)
+      }
+    }.toSet
+    assert(got == want)
+    assert(want.nonEmpty, "degenerate sample: no range matches")
+  }
+
+  test("bandJoin errors on an interval spanning more than maxBucketsPerInterval") {
+    val probes = Seq((1L, 5.0)).toDF("pid", "v")
+    val wide = Seq((1L, 0.0, 1e9)).toDF("iid", "lo", "hi")
+    val e = intercept[Exception] {
+      Relational.bandJoin(probes, "v", wide, "lo", "hi",
+        width = 1.0, maxBucketsPerInterval = 100).collect()
+    }
+    assert(e.getMessage.contains("bandJoin") ||
+      Option(e.getCause).exists(_.getMessage.contains("bandJoin")), e.getMessage)
+  }
 }

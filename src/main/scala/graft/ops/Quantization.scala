@@ -275,4 +275,27 @@ object Quantization {
       loArr, (cs, l) => l + cs)
     aggregate(zip_with(pArr, dq, (p, y) => p * y), lit(0.0d), _ + _)
   }
+
+  /** 1-BIT binary quantization (the vector-DB "BQ" scheme): bit j of the
+    * code is `vec[j] > 0`, packed into ⌈d/64⌉ longs — a 64-d embedding
+    * becomes ONE 8-byte word, a 32× compression over float32, and
+    * Hamming distance becomes `bit_count(xor)` per word. The cheapest
+    * member of the quantization ladder next to [[sqEncode]] (8-bit) and
+    * PQ (codebook); the standard use is a BQ shortlist re-ranked by
+    * exact cosine on the survivors. Sign-of-dimension is the
+    * data-independent special case of sign-LSH (planes = axes), so BQ
+    * distance approximates angular distance. */
+  def bqEncode(vec: Column): Column =
+    transform(sequence(lit(0), floor((size(vec) - 1) / lit(64)).cast("int")), w =>
+      aggregate(
+        sequence(w * 64, least(w * 64 + 63, size(vec) - 1)),
+        lit(0L),
+        (acc, j) => when(element_at(vec, (j + 1).cast("int")) > 0,
+          acc.bitwiseOR(call_function("shiftleft", lit(1L), (j % 64).cast("int"))))
+          .otherwise(acc)))
+
+  /** Hamming distance between two packed BQ codes (same word count). */
+  def bqHamming(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), _ + _)
 }

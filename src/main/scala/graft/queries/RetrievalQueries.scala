@@ -296,6 +296,42 @@ object RetrievalQueries {
         .orderBy("rank")
     },
 
+    // 1-bit binary quantization top-10 (the vector-DB "BQ" scheme, the
+    // cheapest rung of the quantization ladder: 32× compression, Hamming
+    // = one xor+popcount per 8-byte word). Probes 0–4 against every
+    // other vector; integer distances + vec_id ties make the ranking
+    // engine-exact with no rounding contract at all. The oracle counts
+    // per-position sign mismatches — the same number the packed
+    // bit_count(xor) computes, which is exactly what BqSpec pins.
+    Q("sim_bq_topk",
+      """WITH v AS (SELECT vec_id, unnest(embedding) AS x,
+        |    generate_subscripts(embedding, 1) AS pos FROM embeddings),
+        |p AS (SELECT vec_id AS probe_id, pos, x AS px FROM v WHERE vec_id < 5),
+        |h AS (SELECT p.probe_id, v.vec_id,
+        |    SUM(CASE WHEN (p.px > 0) <> (v.x > 0) THEN 1 ELSE 0 END)::BIGINT
+        |      AS hamming
+        |  FROM p JOIN v ON v.pos = p.pos AND v.vec_id <> p.probe_id
+        |  GROUP BY 1, 2),
+        |r AS (SELECT probe_id, vec_id, hamming,
+        |    ROW_NUMBER() OVER (PARTITION BY probe_id
+        |      ORDER BY hamming, vec_id) AS rank FROM h)
+        |SELECT probe_id, vec_id, rank, hamming FROM r WHERE rank <= 10
+        |ORDER BY probe_id, rank""".stripMargin) { (s, dir) =>
+      val emb = Tables.fannedOut(s, dir, "embeddings")
+        .select(col("vec_id"), Quantization.bqEncode(col("embedding")).as("bq"))
+      val probes = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("bq").as("pbq"))
+      val w = Window.partitionBy("probe_id")
+        .orderBy(col("hamming"), col("vec_id"))
+      emb.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          Quantization.bqHamming(col("bq"), col("pbq")).as("hamming"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select("probe_id", "vec_id", "rank", "hamming")
+        .orderBy("probe_id", "rank")
+    },
+
     // URL canonicalization, byte-exact: messy synthesized URLs →
     // lowercase scheme/host, www. and default-port strip (:8080 kept),
     // fragment drop, tracking-param drop preserving real params in

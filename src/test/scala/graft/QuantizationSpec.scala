@@ -133,4 +133,34 @@ class QuantizationSpec extends SparkSpec {
     val recall = (exact intersect hits.toSet).size.toDouble / exact.size
     assert(recall >= 0.9, s"IVF-PQ recall $recall")
   }
+
+  test("BQ packed hamming equals per-position sign-mismatch count") {
+    val rnd = new scala.util.Random(41)
+    // dims straddling word boundaries: 1, 63, 64, 65, 130; zeros included
+    for (d <- Seq(1, 63, 64, 65, 130)) {
+      val a = Array.fill(d)(rnd.nextDouble() * 2 - 1)
+      val b = Array.fill(d)(rnd.nextDouble() * 2 - 1)
+      a(0) = 0.0 // the boundary case: 0 is NOT > 0
+      val df = Seq((a.toSeq, b.toSeq)).toDF("a", "b")
+      val got = df.select(Quantization.bqHamming(
+          Quantization.bqEncode(col("a")), Quantization.bqEncode(col("b"))))
+        .head().getLong(0)
+      val want = a.zip(b).count { case (x, y) => (x > 0) != (y > 0) }
+      assert(got == want.toLong, s"dim $d")
+      val words = df.select(Quantization.bqEncode(col("a"))).head().getSeq[Long](0)
+      assert(words.length == (d + 63) / 64, s"dim $d word count")
+    }
+  }
+
+  test("BQ distance orders angular neighbors ahead of antipodes") {
+    val v = (0 until 64).map(i => if (i < 32) 1.0 else -1.0)
+    val near = v.updated(0, -1.0) // 1 sign flip
+    val anti = v.map(-_) // 64 flips
+    val df = Seq(("near", near), ("anti", anti)).toDF("who", "u")
+      .withColumn("h", Quantization.bqHamming(
+        Quantization.bqEncode(col("u")),
+        Quantization.bqEncode(typedLit(v))))
+    val m = df.select("who", "h").as[(String, Long)].collect().toMap
+    assert(m("near") == 1 && m("anti") == 64)
+  }
 }

@@ -213,6 +213,30 @@ object ExtQueries {
         .orderBy("l_returnflag")
     },
 
+    // MERGEABLE distinct-count sketches (Apache DataSketches HLL via
+    // hll_sketch_agg): per-group sketches whose union answers the
+    // global question WITHOUT re-touching the data — the property that
+    // makes incremental/rollup distinct counts possible at 100 TB (keep
+    // a sketch per partition/day; merging is register-max, so the union
+    // over a partition of the data is BIT-IDENTICAL to sketching the
+    // whole — pinned in ScaleSpec). Sketch bytes differ across
+    // implementations → no DuckDB twin; the query emits estimates next
+    // to exact counts and the driver records rows>0.
+    Q.noOracle("ext_hll_mergeable") { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      val perType = ev.groupBy("event_type")
+        .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"),
+          countDistinct("user_id").as("exact_users"))
+      val merged = perType.agg(expr("hll_union_agg(sk)").as("sk"))
+        .crossJoin(broadcast(ev.agg(countDistinct("user_id").as("exact_users"))))
+        .select(lit("ALL").as("event_type"),
+          expr("hll_sketch_estimate(sk)").as("est_users"), col("exact_users"))
+      perType.select(col("event_type"),
+          expr("hll_sketch_estimate(sk)").as("est_users"), col("exact_users"))
+        .unionByName(merged)
+        .orderBy("event_type")
+    },
+
     // S8 full SMS-report parse pipeline: exposure-report lines in the
     // reference's fixed format are built from orders rows, then parsed by
     // the production regex extractor (all 10 patterns + quirk rules).

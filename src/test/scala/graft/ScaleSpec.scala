@@ -109,4 +109,21 @@ class ScaleSpec extends SparkSpec {
       s"bucketed join must not reshuffle:\n$plan")
     assert(joined.count() == 1000)
   }
+
+  test("HLL sketch union over a partition equals sketching the whole, exactly") {
+    import org.apache.spark.sql.functions._
+    val df = (1 to 5000).map(i => (i % 7, (i * 2654435761L) % 1200))
+      .toDF("g", "u")
+    // merging per-group sketches is register-max: the union over ANY
+    // partition of the rows must be bit-equivalent to one direct sketch
+    val direct = df.agg(expr("hll_sketch_estimate(hll_sketch_agg(u, 12))"))
+      .head().getLong(0)
+    val merged = df.groupBy("g").agg(expr("hll_sketch_agg(u, 12)").as("sk"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))"))
+      .head().getLong(0)
+    assert(merged == direct, s"union estimate $merged != direct $direct")
+    val exact = df.select("u").distinct().count()
+    assert(math.abs(merged - exact).toDouble / exact < 0.05,
+      s"estimate $merged vs exact $exact outside 5%")
+  }
 }

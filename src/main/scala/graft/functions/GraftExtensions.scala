@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{CdcCuts, CosineSimilarity, DotProduct, EvalBarrier, MinHashSignature, MjdToTimestamp, NativeBridge, RegexpExtractGroups, ShingleArray, SimHash64, MultiMatch, TimestampToMjd, UnigramViterbi, WordPieceEncode}
+import org.apache.spark.sql.graft.{CdcCuts, CosineSimilarity, DotProduct, EvalBarrier, MinHashSignature, MjdToTimestamp, NativeBridge, RegexpExtractGroups, ShingleArray, SimHash64, MultiMatch, TimestampToMjd, UnicodeNormalize, UnigramViterbi, WordPieceEncode}
 
 /** Registers the native expressions as SQL functions so every operator is
   * reachable from `spark.sql` (SURVEY.md §7.1 `sql/` surface). Install
@@ -86,7 +86,12 @@ object GraftExtensions {
     ("multi_match",
       info("multi_match",
         "multi_match(text, patterns) - distinct patterns occurring in text as substrings (Aho-Corasick single pass), in patterns order."),
-      (args: Seq[Expression]) => MultiMatch(args.head, args(1))))
+      (args: Seq[Expression]) => MultiMatch(args.head, args(1))),
+    ("unicode_normalize",
+      info("unicode_normalize",
+        "unicode_normalize(str, form) - Unicode normalization (NFC/NFD/NFKC/NFKD, literal form)."),
+      (args: Seq[Expression]) => UnicodeNormalize(args.head,
+        literalArg(args(1), "unicode_normalize", "form").toString)))
 
   /** Register on an existing session (tests, REPL). Functions go into the
     * session registry; the pushdown rule into experimental optimizations
@@ -134,6 +139,8 @@ object GraftExtensions {
   def multiMatch(text: Column, patterns: Column): Column =
     NativeBridge.column(MultiMatch(NativeBridge.expression(text),
       NativeBridge.expression(patterns)))
+  def unicodeNormalize(text: Column, form: String = "NFC"): Column =
+    NativeBridge.column(UnicodeNormalize(NativeBridge.expression(text), form))
   /** Pins evaluation order of side-effecting expressions (see
     * org.apache.spark.sql.graft.EvalBarrier). */
   def evalBarrier(c: Column): Column =

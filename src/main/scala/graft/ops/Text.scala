@@ -100,6 +100,14 @@ object Text {
         md5(col("__payload").substr(start, col("__end") - start + 1)).as("chunk_md5"))
   }
 
+  /** Unicode normalization (NFC default) — see
+    * org.apache.spark.sql.graft.UnicodeNormalize: canonical composition
+    * so byte-keyed ops (fingerprints, exact-dedup keys, CDC hashes)
+    * treat "é" and "e"+combining-acute as the same text. Map-only with
+    * an isNormalized fast path. */
+  def unicodeNormalize(text: Column, form: String = "NFC"): Column =
+    graft.functions.GraftExtensions.unicodeNormalize(text, form)
+
   /** Distinct blocklist patterns occurring in `text` as SUBSTRINGS, via
     * one Aho–Corasick automaton walk (see
     * org.apache.spark.sql.graft.MultiMatch) — O(len + hits) per doc

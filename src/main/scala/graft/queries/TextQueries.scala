@@ -249,6 +249,34 @@ object TextQueries {
         .orderBy("pattern")
     },
 
+    // Unicode NFC normalization: combining sequences composed so every
+    // byte-keyed operator (fingerprints, dedup keys, chunk hashes) sees
+    // one encoding of the same text. Input is synthesized denormalized
+    // (combining acute + diaeresis appended — the corpus itself is
+    // ASCII); both engines walk the same Unicode composition tables, so
+    // the md5 of the normalized bytes is the whole contract. Map-only.
+    Q("t_nfc_normalize",
+      """SELECT doc_id,
+        |  length(substring(text, 1, 30) || 'e' || chr(769) || 'A' || chr(776))
+        |    AS n_raw,
+        |  length(nfc_normalize(substring(text, 1, 30) || 'e' || chr(769)
+        |    || 'A' || chr(776))) AS n_nfc,
+        |  md5(nfc_normalize(substring(text, 1, 30) || 'e' || chr(769)
+        |    || 'A' || chr(776))) AS nfc_md5
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+        // combining chars as explicit escapes (e+U+0301, A+U+0308 —
+        // DEnormalized on purpose), not Spark chr(): that's ASCII-mod-256,
+        // not a code-point constructor
+        val raw = concat(substring(col("text"), 1, 30), lit("e\u0301A\u0308"))
+        Tables(s, dir, "documents").filter(col("doc_id") < 100)
+          .select(col("doc_id"),
+            length(raw).as("n_raw"),
+            length(Text.unicodeNormalize(raw)).as("n_nfc"),
+            md5(Text.unicodeNormalize(raw).cast("binary")).as("nfc_md5"))
+          .orderBy("doc_id")
+    },
+
     // Document fingerprint (md5 of normalized text) — the exact-dedup key.
     Q("t_fingerprint",
       """SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text),

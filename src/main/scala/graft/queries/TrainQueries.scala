@@ -799,6 +799,26 @@ object TrainQueries {
         .orderBy("word")
     },
 
+    // Tokenizer-aware sequence packing — the REAL packing pipeline:
+    // pipe_seq_pack bins by whitespace tokens, but training sequences
+    // are budgeted in TOKENIZER pieces, so this end-to-end composes the
+    // WordPiece corpus encode (greedy over distinct words, broadcast
+    // join back) with the two-phase distributed prefix sum into
+    // 2048-piece bins. One corpus explode + vocab-sized segmenter work
+    // + the prefix-sum exchange — no stage grows super-linearly.
+    Q("pipe_tokenize_pack", wordpiecePackOracleSql) { (s, dir) =>
+      val enc = graft.ops.WordPiece.encodeCorpus(
+        Tables(s, dir, "documents"), "doc_id", "text",
+        wordpieceVocab(s, dir), maxWordLen = wordpieceMaxLen)
+      graft.ops.Relational.prefixSum(
+          enc.select(col("doc_id"), col("n_pieces")), "doc_id", "n_pieces", "cum")
+        .withColumn("bin",
+          floor((col("cum") - col("n_pieces")) / 2048.0).cast("long"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"), sum("n_pieces").as("sum_pieces"))
+        .orderBy("bin")
+    },
+
     // WordPiece corpus encode: per-document word/piece counts (fertility
     // = ratio, consumer divides) — greedy over DISTINCT words, broadcast
     // join back to the token stream. Oracle reuses the unrolled-greedy
@@ -879,6 +899,24 @@ object TrainQueries {
   private lazy val wordpieceEncodeOracleSql: String =
     s"""$wordpieceCtes
        |SELECT word, seg AS wp, n_pieces FROM enc ORDER BY word""".stripMargin
+
+  /** Tokenizer-aware packing oracle: per-doc piece totals off the shared
+    * greedy CTEs, then the pipe_seq_pack cumulative-bin chain. */
+  private lazy val wordpiecePackOracleSql: String =
+    s"""$wordpieceCtes,
+       |dw AS (SELECT doc_id, word FROM
+       |    (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |     FROM documents)
+       |  WHERE word <> '' AND length(word) <= $wordpieceMaxLen),
+       |dp AS (SELECT dw.doc_id, SUM(e.n_pieces)::BIGINT AS np
+       |  FROM dw JOIN enc e USING (word) GROUP BY dw.doc_id),
+       |cc AS (SELECT doc_id, np,
+       |    SUM(np) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM dp),
+       |bb AS (SELECT CAST(floor((cum - np) / 2048.0) AS BIGINT) AS bin, np
+       |  FROM cc)
+       |SELECT bin, COUNT(*)::BIGINT AS n_docs, SUM(np)::BIGINT AS sum_pieces
+       |FROM bb GROUP BY bin ORDER BY bin""".stripMargin
 
   private lazy val wordpieceCorpusOracleSql: String =
     s"""$wordpieceCtes,

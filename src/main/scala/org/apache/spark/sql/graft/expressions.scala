@@ -696,6 +696,45 @@ case class WordPieceEncode(left: Expression, right: Expression, maxPieceLen: Int
     copy(left = newLeft, right = newRight)
 }
 
+/** Unicode normalization (java.text.Normalizer): canonical/compatibility
+  * composition of combining sequences — the text-pipeline prerequisite
+  * for every byte-keyed operation in this engine (fingerprints, CDC
+  * chunk hashes, exact dedup keys all compare BYTES, and "é" as U+00E9
+  * vs e+U+0301 are different bytes for the same text; web corpora mix
+  * both freely). Spark ships no normalizer builtin; this is a map-only
+  * per-row pass with a fast path — `Normalizer.isNormalized` is O(n)
+  * with no allocation, and real-world text is overwhelmingly already
+  * NFC. Form is a literal (NFC/NFD/NFKC/NFKD); the DuckDB twin is
+  * `nfc_normalize` (same Unicode tables, byte-identical output). */
+case class UnicodeNormalize(child: Expression, form: String)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  private val normForm = java.text.Normalizer.Form.valueOf(form.toUpperCase)
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "unicode_normalize"
+
+  def compute(input: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val s = input.toString
+    if (java.text.Normalizer.isNormalized(s, normForm)) input
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(s, normForm))
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("norm", this,
+      "org.apache.spark.sql.graft.UnicodeNormalize")
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UnicodeNormalize =
+    copy(child = newChild)
+}
+
 /** Multi-pattern substring scan via an Aho–Corasick automaton
   * (Aho & Corasick 1975 — the FlashText/fgrep algorithm): returns the
   * DISTINCT patterns that occur in `text` as substrings, ordered as in

@@ -212,4 +212,21 @@ class NativeExprSpec extends SparkSpec {
       .head().getSeq[String](0)
     assert(r == Seq("slow", "crash"))
   }
+
+  test("unicode_normalize: NFC/NFD/NFKC round-trips and the identity fast path") {
+    def n(x: String, form: String): String =
+      Seq(x).toDF("t")
+        .select(graft.ops.Text.unicodeNormalize(col("t"), form)).head().getString(0)
+    val decomposed = "e\u0301A\u0308" // e+combining acute, A+combining diaeresis
+    assert(n(decomposed, "NFC") == "\u00e9\u00c4")
+    assert(n("\u00e9", "NFD") == "e\u0301")
+    assert(n("\ufb01le", "NFKC") == "file") // fi ligature decomposes under KC only
+    assert(n("\ufb01le", "NFC") == "\ufb01le")
+    assert(n("plain ascii", "NFC") == "plain ascii")
+    // idempotence
+    assert(n(n(decomposed, "NFC"), "NFC") == n(decomposed, "NFC"))
+    GraftExtensions.register(spark)
+    assert(spark.sql("SELECT unicode_normalize('e' || '\u0301', 'NFC') AS x")
+      .head().getString(0) == "\u00e9")
+  }
 }

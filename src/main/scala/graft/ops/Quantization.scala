@@ -286,13 +286,17 @@ object Quantization {
     * data-independent special case of sign-LSH (planes = axes), so BQ
     * distance approximates angular distance. */
   def bqEncode(vec: Column): Column =
-    transform(sequence(lit(0), floor((size(vec) - 1) / lit(64)).cast("int")), w =>
-      aggregate(
-        sequence(w * 64, least(w * 64 + 63, size(vec) - 1)),
-        lit(0L),
-        (acc, j) => when(element_at(vec, (j + 1).cast("int")) > 0,
-          acc.bitwiseOR(call_function("shiftleft", lit(1L), (j % 64).cast("int"))))
-          .otherwise(acc)))
+    // empty-vector guard: floor((0-1)/64) = -1 would make sequence(0,-1)
+    // DESCEND into element_at(vec, 0), which throws — an empty embedding
+    // (failed upstream embed) must encode as zero words, not kill the job
+    when(size(vec) === 0, array().cast("array<bigint>")).otherwise(
+      transform(sequence(lit(0), floor((size(vec) - 1) / lit(64)).cast("int")), w =>
+        aggregate(
+          sequence(w * 64, least(w * 64 + 63, size(vec) - 1)),
+          lit(0L),
+          (acc, j) => when(element_at(vec, (j + 1).cast("int")) > 0,
+            acc.bitwiseOR(call_function("shiftleft", lit(1L), (j % 64).cast("int"))))
+            .otherwise(acc))))
 
   /** Hamming distance between two packed BQ codes (same word count). */
   def bqHamming(a: Column, b: Column): Column =

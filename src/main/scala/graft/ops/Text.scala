@@ -58,19 +58,28 @@ object Text {
     * key whose cardinality the chunk size controls. */
   def cdcChunks(df: DataFrame, idCol: String, textCol: String,
                 window: Int = 8, divisor: Int = 64,
-                minSize: Int = 1, maxSize: Int = Int.MaxValue): DataFrame = {
+                minSize: Int = 1, maxSize: Int = Int.MaxValue): DataFrame =
+    chunkRows(df, idCol, col(textCol), window, divisor, minSize, maxSize)
+
+  /** Shared cut→row derivation for [[cdcChunks]] (string payload,
+    * code-point offsets) and [[cdcChunksBinary]] (binary payload, byte
+    * offsets): the CdcCuts expression picks its unit from the payload
+    * type; substr/md5 operate natively on either. */
+  private def chunkRows(df: DataFrame, idCol: String, payload: Column,
+                        window: Int, divisor: Int,
+                        minSize: Int, maxSize: Int): DataFrame = {
     // start of the pos-th (0-based) chunk: previous cut + 1
     val start = when(col("pos") === 0, lit(1))
       .otherwise(element_at(col("__cuts"), col("pos")) + 1)
-    df.select(col(idCol), col(textCol).as("__text"),
-        cdcCuts(col(textCol), window, divisor, minSize, maxSize).as("__cuts"))
-      .select(col(idCol), col("__text"), col("__cuts"),
+    df.select(col(idCol), payload.as("__payload"),
+        cdcCuts(payload, window, divisor, minSize, maxSize).as("__cuts"))
+      .select(col(idCol), col("__payload"), col("__cuts"),
         posexplode(col("__cuts")).as(Seq("pos", "__end")))
       .select(col(idCol),
         (col("pos") + 1).cast("long").as("chunk_idx"),
         start.cast("long").as("chunk_start"),
         (col("__end") - start + 1).cast("long").as("chunk_len"),
-        md5(col("__text").substr(start, col("__end") - start + 1)).as("chunk_md5"))
+        md5(col("__payload").substr(start, col("__end") - start + 1)).as("chunk_md5"))
   }
 
   /** Byte-level content-defined chunking of `df(idCol, binCol)` where
@@ -85,20 +94,9 @@ object Text {
     * `t_cdc_bytes`). */
   def cdcChunksBinary(df: DataFrame, idCol: String, binCol: String,
                       window: Int = 8, divisor: Int = 64,
-                      minSize: Int = 1, maxSize: Int = Int.MaxValue): DataFrame = {
-    val start = when(col("pos") === 0, lit(1))
-      .otherwise(element_at(col("__cuts"), col("pos")) + 1)
-    df.select(col(idCol), col(binCol).cast("binary").as("__payload"),
-        cdcCuts(col(binCol).cast("binary"), window, divisor, minSize, maxSize)
-          .as("__cuts"))
-      .select(col(idCol), col("__payload"), col("__cuts"),
-        posexplode(col("__cuts")).as(Seq("pos", "__end")))
-      .select(col(idCol),
-        (col("pos") + 1).cast("long").as("chunk_idx"),
-        start.cast("long").as("chunk_start"),
-        (col("__end") - start + 1).cast("long").as("chunk_len"),
-        md5(col("__payload").substr(start, col("__end") - start + 1)).as("chunk_md5"))
-  }
+                      minSize: Int = 1, maxSize: Int = Int.MaxValue): DataFrame =
+    chunkRows(df, idCol, col(binCol).cast("binary"),
+      window, divisor, minSize, maxSize)
 
   /** Unicode normalization (NFC default) — see
     * org.apache.spark.sql.graft.UnicodeNormalize: canonical composition
@@ -514,17 +512,35 @@ object Text {
     * h2) broadcast as one row. Scoring is the same (doc, h2)-longs join;
     * the same join-not-window skew rationale applies. */
   def kneserNeyNll(df: DataFrame, idCol: String, textCol: String,
-                   discount: Double = 0.75): DataFrame = {
+                   discount: Double = 0.75): DataFrame =
+    kneserNeyNllWithHandle(df, idCol, textCol, discount,
+      persistBigrams = false)._1
+
+  /** [[kneserNeyNll]] with the full-corpus persist handle (the
+    * bigramNllWithHandle contract — the hashed event stream has two
+    * corpus-scale consumers: the count aggregate and the scoring join). */
+  def kneserNeyNllWithHandle(df: DataFrame, idCol: String, textCol: String,
+                             discount: Double = 0.75,
+                             persistBigrams: Boolean = false)
+      : (DataFrame, DataFrame) = {
     require(discount > 0 && discount < 1, "discount must be in (0, 1)")
-    val ev = df.select(col(idCol),
+    val ev0 = df.select(col(idCol),
         explode(bigrams(split(col(textCol), " ", -1))).as("b"))
       .select(col(idCol),
         xxhash64(col("b.a"), col("b.b")).as("h2"),
         xxhash64(col("b.a")).as("ha"),
         xxhash64(col("b.b")).as("hb"))
+    val ev = if (persistBigrams)
+      ev0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else ev0
     val c2 = ev.groupBy("h2").agg(count(lit(1)).as("c2"),
       first("ha").as("ha"), first("hb").as("hb"))
-    val nTypes = ev.agg(countDistinct("h2").as("nt"))
+    // N (bigram-type total) = c2's row count — a count over the
+    // vocab²-BOUNDED table, not a global distinct shuffle of the raw
+    // event stream (countDistinct over ev was a full second corpus pass;
+    // re-deriving c2's map-side-combined aggregate from the persisted
+    // events is strictly cheaper)
+    val nTypes = c2.agg(count(lit(1)).as("nt"))
     val wa = Window.partitionBy("ha")
     val wb = Window.partitionBy("hb")
     val model = c2
@@ -536,10 +552,11 @@ object Text {
         (col("c2") - lit(discount)) / col("c1") +
           lit(discount) * col("n1a") / col("c1") *
             (col("n1b").cast("double") / col("nt"))).as("lp"))
-    ev.select(col(idCol), col("h2"))
+    val out = ev.select(col(idCol), col("h2"))
       .join(model, Seq("h2"))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_bigrams"), round(-avg("lp"), 4).as("nll"))
+    (out, ev)
   }
 
   /** Adjacent-token trigrams as (a, b, c) structs; n tokens → n−2

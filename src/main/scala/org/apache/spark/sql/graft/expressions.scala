@@ -650,9 +650,15 @@ case class WordPieceEncode(left: Expression, right: Expression, maxPieceLen: Int
 
   def compute(w: org.apache.spark.unsafe.types.UTF8String,
               v: ArrayData): AnyRef = {
-    val word = w.toString
-    val n = word.length
+    // CODE-POINT units throughout, not UTF-16 chars: the vocabulary
+    // builder (Spark substr) and the DuckDB oracle both slice by code
+    // point, so a supplementary-plane word (emoji, rare CJK) must
+    // segment on the same axis — and candidate strings must never be
+    // lone surrogates.
+    val cps = w.toString.codePoints.toArray
+    val n = cps.length
     if (n == 0) return null
+    def sub(from: Int, len: Int) = new String(cps, from, len)
     val vocab = vocabSet(v)
     val pieces = scala.collection.mutable.ArrayBuffer.empty[AnyRef]
     var pos = 0
@@ -661,14 +667,14 @@ case class WordPieceEncode(left: Expression, right: Expression, maxPieceLen: Int
       var matched = -1
       while (l >= 1 && matched < 0) {
         val cand =
-          if (pos == 0) word.substring(0, l)
-          else "##" + word.substring(pos, pos + l)
+          if (pos == 0) sub(0, l)
+          else "##" + sub(pos, l)
         if (vocab.contains(cand)) matched = l else l -= 1
       }
       if (matched < 0) return null // [UNK]: some position has no piece
       pieces += org.apache.spark.unsafe.types.UTF8String.fromString(
-        if (pos == 0) word.substring(0, matched)
-        else "##" + word.substring(pos, pos + matched))
+        if (pos == 0) sub(0, matched)
+        else "##" + sub(pos, matched))
       pos += matched
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(pieces.toArray)
@@ -765,8 +771,12 @@ case class MultiMatch(left: Expression, right: Expression)
       new java.util.HashMap[Char, Int]())
     val fails = scala.collection.mutable.ArrayBuffer(0)
     val outs = scala.collection.mutable.ArrayBuffer[java.util.BitSet](new java.util.BitSet())
-    // trie
-    for (pi <- patterns.indices; p = patterns(pi) if p.nonEmpty) {
+    // trie; duplicate pattern strings map to their FIRST index so the
+    // output really is distinct (the documented contract — a repeated
+    // blocklist entry must not double-count downstream)
+    private val seenPatterns = new java.util.HashSet[String]()
+    for (pi <- patterns.indices;
+         p = patterns(pi) if p.nonEmpty && seenPatterns.add(p)) {
       var node = 0
       var i = 0
       while (i < p.length) {

@@ -229,4 +229,11 @@ class NativeExprSpec extends SparkSpec {
     assert(spark.sql("SELECT unicode_normalize('e' || '\u0301', 'NFC') AS x")
       .head().getString(0) == "\u00e9")
   }
+
+  test("multi_match dedups repeated blocklist entries") {
+    val got = Seq("the slow path").toDF("t")
+      .select(graft.ops.Text.multiMatch(col("t"), Seq("slow", "slow", "path")))
+      .head().getSeq[String](0)
+    assert(got == Seq("slow", "path"))
+  }
 }

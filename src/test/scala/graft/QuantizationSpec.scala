@@ -163,4 +163,10 @@ class QuantizationSpec extends SparkSpec {
     val m = df.select("who", "h").as[(String, Long)].collect().toMap
     assert(m("near") == 1 && m("anti") == 64)
   }
+
+  test("BQ encode of an empty vector is zero words, not an error") {
+    val out = Seq(Seq.empty[Double]).toDF("v")
+      .select(Quantization.bqEncode(col("v"))).head().getSeq[Long](0)
+    assert(out.isEmpty)
+  }
 }

@@ -87,6 +87,17 @@ class TrainSpec extends SparkSpec {
     assert(out.forall(_._3 > 0))
   }
 
+  test("kneserNeyNll: persisted event stream equals the plain plan") {
+    val df = Seq((1L, "a b a b c"), (2L, "b c d")).toDF("doc_id", "text")
+    val plain = Text.kneserNeyNll(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val (p, h) = Text.kneserNeyNllWithHandle(df, "doc_id", "text",
+      persistBigrams = true)
+    val persisted = p.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    h.unpersist()
+    assert(persisted == plain)
+  }
+
   test("chunkTokens: window/stride boundaries and short-doc single chunk") {
     val df = Seq("t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11", "s1 s2").toDF("text")
     val out = df.select(Text.chunkTokens(split(col("text"), " ", -1),

@@ -100,4 +100,16 @@ class WordPieceSpec extends SparkSpec {
     // "aa" is a top piece itself → 1 piece per word
     assert(out(0)._3 == 3 && out(1)._3 == 1)
   }
+
+  test("segmentation counts code points, not UTF-16 chars (non-BMP)") {
+    // five U+1F600 emoji = 5 code points (10 Java chars); the 5-cp piece
+    // must be reachable under maxPieceLen=6
+    val e = new String(Character.toChars(0x1F600))
+    val word = e * 5
+    val vocab = Seq(word, e, "##" + e)
+    assert(encode(word, vocab, 6) == Some(Seq(word)))
+    // and a 3-cp cap picks the longest CODE-POINT prefix, then continues
+    assert(encode(word, Seq(e * 3, e, "##" + e, "##" + (e * 2)), 3)
+      == Some(Seq(e * 3, "##" + (e * 2))))
+  }
 }

@@ -460,8 +460,9 @@ object Text {
       ev0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else ev0
     // ONE vocab²-bounded table model(h2, lp): corpus counts keyed by h2
-    // (ha carried through `first` — functionally dependent on the
-    // bigram), C(a·) as a WINDOW sum over the count table rather than a
+    // (ha carried through `max` — constant within the group, and max,
+    // unlike first, keeps the plan deterministic for composition guards
+    // like prefixSum's), C(a·) as a WINDOW sum over the count table rather than a
     // groupBy+join-back — the join formulation made the c2 aggregate a
     // multi-consumer subtree that per-branch column pruning
     // de-canonicalizes, so exchange reuse never fired and every marginal
@@ -472,7 +473,7 @@ object Text {
     // single linear chain computed once. V counts distinct tokens off
     // the event stream directly (same distinct set as via c2).
     val c2 = ev.groupBy("h2").agg(count(lit(1)).as("c2"),
-      first("ha").as("ha"))
+      max("ha").as("ha"))
     val vocab = ev.select(explode(array(col("a"), col("bb"))).as("t"))
       .agg(countDistinct("t").as("v"))
     val model = c2
@@ -534,7 +535,7 @@ object Text {
       ev0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else ev0
     val c2 = ev.groupBy("h2").agg(count(lit(1)).as("c2"),
-      first("ha").as("ha"), first("hb").as("hb"))
+      max("ha").as("ha"), max("hb").as("hb"))
     // N (bigram-type total) = c2's row count — a count over the
     // vocab²-BOUNDED table, not a global distinct shuffle of the raw
     // event stream (countDistinct over ev was a full second corpus pass;
@@ -615,7 +616,7 @@ object Text {
       ev0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else ev0
     // One vocab³-bounded model table: corpus trigram counts keyed by h3
-    // carry their context/suffix hashes through `first` (functionally
+    // carry their context/suffix hashes through `max` (functionally
     // dependent on the trigram), and every marginal count is a WINDOW
     // sum over THAT table — see [[bigramNllWithHandle]] for why windows
     // beat groupBy+join-back here (the join form's multi-consumer c3
@@ -626,8 +627,8 @@ object Text {
     // λ3·(c3/cab) + λ2·(cbc/cb) + λ1·(ccnt/T) — the oracle mirrors this
     // association exactly.
     val c3 = ev.groupBy("h3").agg(count(lit(1)).as("c3"),
-      first("hab").as("hab"), first("hbc").as("hbc"),
-      first("hb").as("hb"), first("hc").as("hc"))
+      max("hab").as("hab"), max("hbc").as("hbc"),
+      max("hb").as("hb"), max("hc").as("hc"))
     val tot = ev.agg(count(lit(1)).cast("double").as("t"))
     val p = lit(l3) * (col("c3").cast("double") / col("cab")) +
       lit(l2) * (col("cbc").cast("double") / col("cb")) +

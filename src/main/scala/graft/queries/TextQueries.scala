@@ -575,6 +575,104 @@ object TextQueries {
         stopwords, langMarkers, shingleK = 4, numHashes = 16, bands = 4))
     },
 
+    // FLAGSHIP END-TO-END: raw corpus → packed training bins in ONE
+    // oracled plan — the complete pretraining-data pipeline a user of
+    // this engine actually runs. Quality gate → exact-dedup keeper →
+    // MinHash-LSH near-dup drop (the pipe_curation chain) → bigram-LM
+    // perplexity scoring TRAINED ON THE SURVIVORS → drop the worst
+    // tercile (CCNet tail) → prefix-sum pack the kept docs into
+    // 4096-token bins. Any drift in any stage shifts bin membership and
+    // hash-mismatches. Scale notes: each stage is the already-audited
+    // shape (flags: one fingerprint window + band groupBy; LM:
+    // vocab-bounded model + hashed scoring join; pack: two-phase prefix
+    // sum); the global tercile is the oracle-able exact form — at real
+    // corpus scale the cut comes from approxQuantile thresholds, the
+    // pipe_ppl_buckets note.
+    Q("pipe_pretrain_e2e",
+      """WITH m AS (SELECT doc_id,
+        |    len(string_split(text, ' ')) AS nt,
+        |    string_split(text, ' ') AS ws,
+        |    CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS atl,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS sr,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |base AS (SELECT doc_id, nt, ws, fp,
+        |    (nt >= 10 AND atl BETWEEN 2.0 AND 12.0 AND sr <= 0.5) AS q_keep
+        |  FROM m),
+        |ex AS (SELECT *, q_keep AND doc_id = MIN(CASE WHEN q_keep THEN doc_id END)
+        |    OVER (PARTITION BY fp) AS keep_exact FROM base),
+        |shg AS (SELECT doc_id, unnest(list_distinct(
+        |    [array_to_string(ws[i:i+3], ' ')
+        |     FOR i IN generate_series(1, greatest(len(ws) - 3, 1))])) AS s
+        |  FROM base WHERE q_keep),
+        |comp AS (SELECT doc_id, j,
+        |    MIN(('0x' || substr(md5(j::VARCHAR || ' ' || s), 1, 15))::BIGINT) AS c
+        |  FROM shg CROSS JOIN generate_series(0, 15) AS g(j) GROUP BY doc_id, j),
+        |sig AS (SELECT doc_id, list(c ORDER BY j) AS cs FROM comp GROUP BY doc_id),
+        |banded AS (SELECT doc_id, j,
+        |    md5(array_to_string(cs[j*4+1 : j*4+4], ',')) AS bh
+        |  FROM sig CROSS JOIN generate_series(0, 3) AS g(j)),
+        |dropped AS (SELECT DISTINCT b.doc_id FROM banded b
+        |  JOIN banded a ON a.j = b.j AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        |surv AS (SELECT ex.doc_id, ex.nt FROM ex
+        |  LEFT JOIN dropped d ON ex.doc_id = d.doc_id
+        |  WHERE keep_exact AND d.doc_id IS NULL),
+        |t AS (SELECT d.doc_id, string_split(d.text, ' ') AS toks
+        |  FROM documents d JOIN surv USING (doc_id)),
+        |bg AS (SELECT doc_id, toks[i] AS a, toks[i + 1] AS b2
+        |  FROM (SELECT doc_id, toks,
+        |      unnest(generate_series(1, len(toks) - 1)) AS i FROM t)),
+        |dt AS (SELECT doc_id, a, b2, COUNT(*)::BIGINT AS n FROM bg
+        |  GROUP BY 1, 2, 3),
+        |c2 AS (SELECT a, b2, SUM(n)::BIGINT AS n2 FROM dt GROUP BY a, b2),
+        |c1 AS (SELECT a, SUM(n2)::BIGINT AS n1 FROM c2 GROUP BY a),
+        |vv AS (SELECT COUNT(DISTINCT tok) AS v FROM
+        |  (SELECT a AS tok FROM c2 UNION SELECT b2 FROM c2)),
+        |nl AS (SELECT dt.doc_id,
+        |    ROUND(-(SUM(n * LN(CAST(c2.n2 + 1 AS DOUBLE)
+        |      / (c1.n1 + (SELECT v FROM vv)))) / SUM(n)), 4) AS nll
+        |  FROM dt JOIN c2 USING (a, b2) JOIN c1 USING (a)
+        |  GROUP BY dt.doc_id),
+        |kept AS (SELECT s.doc_id, s.nt FROM surv s JOIN nl USING (doc_id)
+        |  QUALIFY NTILE(3) OVER (ORDER BY nl.nll, s.doc_id) <= 2),
+        |cc AS (SELECT doc_id, nt,
+        |    SUM(nt) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM kept),
+        |bb AS (SELECT CAST(floor((cum - nt) / 4096.0) AS BIGINT) AS bin, nt
+        |  FROM cc)
+        |SELECT bin, COUNT(*)::BIGINT AS n_docs, SUM(nt)::BIGINT AS sum_tokens
+        |FROM bb GROUP BY bin ORDER BY bin""".stripMargin) { (s, dir) =>
+      val docs = Tables.fannedOut(s, dir, "documents")
+      val flagged = graft.ops.Curation.flags(docs, "doc_id", "text",
+        stopwords, langMarkers, shingleK = 4, numHashes = 16, bands = 4)
+      val surv = flagged
+        .filter(col("keep_exact") && col("is_dropped").isNull)
+        .select("doc_id", "nt")
+      val nll = Text.bigramNll(
+        docs.join(surv.select("doc_id"), "doc_id"), "doc_id", "text")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(0)).orderBy(col("nll"), col("doc_id"))
+      // localCheckpoint before the pack: prefixSum's two phases re-read
+      // their input, and the upstream plan carries flags()' EvalBarrier
+      // (deliberately nondeterministic to pin filter order) — the guard
+      // demands a materialized input, which is also the right call at
+      // scale (doc-count-sized rows, re-read twice)
+      val kept = surv.join(nll.select("doc_id", "nll"), "doc_id")
+        .withColumn("terc", ntile(3).over(w))
+        .filter(col("terc") <= 2)
+        .select("doc_id", "nt")
+        .localCheckpoint()
+      graft.ops.Relational.prefixSum(kept, "doc_id", "nt", "cum")
+        .withColumn("bin",
+          floor((col("cum") - col("nt")) / 4096.0).cast("long"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"), sum("nt").as("sum_tokens"))
+        .orderBy("bin")
+    },
+
     // Duplicate CLUSTERS from candidate pairs: connected components over
     // the shingle-candidate graph (alternating large-star/small-star,
     // O(log n) shuffle rounds — ops.Graph), labeled by the component's

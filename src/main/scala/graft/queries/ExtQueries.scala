@@ -149,6 +149,68 @@ object ExtQueries {
         .orderBy("s_suppkey")
     },
 
+    // Ordered-sequence FUNNEL (view → click-after-view →
+    // purchase-after-click): the product-analytics shape the events
+    // table exists for. Each stage is a user-keyed aggregate + join —
+    // user-bounded state, no per-user event arrays (a hot user with
+    // millions of events stays a groupBy, never a collect_list) — and
+    // the three stage counts combine via one-row crossJoins.
+    Q("ext_funnel",
+      """WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
+        |SELECT (SELECT COUNT(*) FROM v)::BIGINT AS n_view,
+        |  (SELECT COUNT(*) FROM c)::BIGINT AS n_view_click,
+        |  (SELECT COUNT(*) FROM p)::BIGINT AS n_full_funnel""".stripMargin) {
+      (s, dir) =>
+        val ev = Tables(s, dir, "events")
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts").as("t1"))
+        val c = ev.filter(col("event_type") === "click")
+          .join(v, "user_id").filter(col("ts") > col("t1"))
+          .groupBy("user_id").agg(min("ts").as("t2"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .join(c, "user_id").filter(col("ts") > col("t2"))
+          .groupBy("user_id").agg(min("ts").as("t3"))
+        v.agg(count(lit(1)).as("n_view"))
+          .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
+          .crossJoin(p.agg(count(lit(1)).as("n_full_funnel")))
+    },
+
+    // Weekly COHORT retention: users grouped by first-event week, counted
+    // as active per subsequent week offset — the retention-curve matrix.
+    // Two user-keyed aggregates + one distinct; week arithmetic is the
+    // a11 epoch_us/double-floor chain so both engines run the identical
+    // IEEE sequence.
+    Q("ext_cohort_retention",
+      """WITH f AS (SELECT user_id,
+        |    CAST(floor(epoch_us(MIN(ts) - TIMESTAMP '2024-01-01')
+        |      / 604800000000.0) AS BIGINT) AS cohort_week
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT DISTINCT e.user_id, f.cohort_week,
+        |    CAST(floor(epoch_us(e.ts - TIMESTAMP '2024-01-01')
+        |      / 604800000000.0) AS BIGINT) - f.cohort_week AS week_offset
+        |  FROM events e JOIN f USING (user_id))
+        |SELECT cohort_week, week_offset, COUNT(*)::BIGINT AS n_users
+        |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      val t0 = unix_micros(lit("2024-01-01").cast("timestamp"))
+      def week(ts: org.apache.spark.sql.Column) =
+        floor((unix_micros(ts) - t0) / 604800000000.0).cast("long")
+      val f = ev.groupBy("user_id").agg(min("ts").as("first_ts"))
+        .select(col("user_id"), week(col("first_ts")).as("cohort_week"))
+      ev.join(f, "user_id")
+        .select(col("user_id"), col("cohort_week"),
+          (week(col("ts")) - col("cohort_week")).as("week_offset"))
+        .distinct()
+        .groupBy("cohort_week", "week_offset")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    },
+
     // Exact distinct counts (extended surface; no distinct-count exists in
     // the reference — SURVEY.md §2.4 note).
     Q("ext_count_distinct",

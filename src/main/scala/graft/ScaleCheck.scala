@@ -611,6 +611,37 @@ object ScaleCheck {
         .agg(count(lit(1)).as("n_occ")))
     }
 
+    // 15. The full pretraining composition at 50k docs: every stage is
+    // individually audited; this entry catches interaction cliffs
+    // (e.g. the LM scoring running over an un-pruned survivor join, or
+    // the tercile window receiving event-scale rows).
+    time("pipe_pretrain_e2e (50k docs)") {
+      val stop = Seq("the", "a")
+      val markers = Seq(
+        "dataish" -> Seq("data", "table", "row"),
+        "queryish" -> Seq("query", "filter", "join"),
+        "streamish" -> Seq("stream", "batch", "window"))
+      val flagged = ops.Curation.flags(docs10, "doc_id", "text",
+        stop, markers, shingleK = 4, numHashes = 16, bands = 4)
+      val surv = flagged
+        .filter(col("keep_exact") && col("is_dropped").isNull)
+        .select("doc_id", "nt")
+      val nll = ops.Text.bigramNll(
+        docs10.join(surv.select("doc_id"), "doc_id"), "doc_id", "text")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(0)).orderBy(col("nll"), col("doc_id"))
+      val kept = surv.join(nll.select("doc_id", "nll"), "doc_id")
+        .withColumn("terc", ntile(3).over(w))
+        .filter(col("terc") <= 2)
+        .select("doc_id", "nt")
+        .localCheckpoint()
+      consume(ops.Relational.prefixSum(kept, "doc_id", "nt", "cum")
+        .withColumn("bin",
+          floor((col("cum") - col("nt")) / 4096.0).cast("long"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"), sum("nt").as("sum_tokens")))
+    }
+
     spark.stop()
   }
 }

@@ -155,6 +155,13 @@ object ExtQueries {
     // user-bounded state, no per-user event arrays (a hot user with
     // millions of events stays a groupBy, never a collect_list) — and
     // the three stage counts combine via one-row crossJoins.
+    // The engine plan is ONE scan + ONE (user, time)-sorted window pass:
+    // two chained running-min columns mark chain-clicks (a view strictly
+    // before) and chain-purchases (a chain-click strictly before), then
+    // one distinct-user aggregate. The oracle is the INDEPENDENT 3-stage
+    // join formulation — two different shapes agreeing on the counts is
+    // a stronger check than one shape mirrored. Strictly-before = RANGE
+    // to -1 µs, matching the oracle's `>`.
     Q("ext_funnel",
       """WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
         |  WHERE event_type = 'view' GROUP BY 1),
@@ -166,18 +173,24 @@ object ExtQueries {
         |  (SELECT COUNT(*) FROM c)::BIGINT AS n_view_click,
         |  (SELECT COUNT(*) FROM p)::BIGINT AS n_full_funnel""".stripMargin) {
       (s, dir) =>
-        val ev = Tables(s, dir, "events")
-        val v = ev.filter(col("event_type") === "view")
-          .groupBy("user_id").agg(min("ts").as("t1"))
-        val c = ev.filter(col("event_type") === "click")
-          .join(v, "user_id").filter(col("ts") > col("t1"))
-          .groupBy("user_id").agg(min("ts").as("t2"))
-        val p = ev.filter(col("event_type") === "purchase")
-          .join(c, "user_id").filter(col("ts") > col("t2"))
-          .groupBy("user_id").agg(min("ts").as("t3"))
-        v.agg(count(lit(1)).as("n_view"))
-          .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
-          .crossJoin(p.agg(count(lit(1)).as("n_full_funnel")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("tus")
+          .rangeBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val staged = Tables(s, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("tus"))
+          .withColumn("mv",
+            min(when(col("event_type") === "view", col("tus"))).over(w))
+          .withColumn("is_cc",
+            col("event_type") === "click" && col("mv").isNotNull)
+          .withColumn("mc", min(when(col("is_cc"), col("tus"))).over(w))
+          .withColumn("is_cp",
+            col("event_type") === "purchase" && col("mc").isNotNull)
+        staged.agg(
+          countDistinct(when(col("event_type") === "view", col("user_id")))
+            .as("n_view"),
+          countDistinct(when(col("is_cc"), col("user_id"))).as("n_view_click"),
+          countDistinct(when(col("is_cp"), col("user_id"))).as("n_full_funnel"))
     },
 
     // Weekly COHORT retention: users grouped by first-event week, counted

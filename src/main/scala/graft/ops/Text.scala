@@ -451,10 +451,18 @@ object Text {
     // corpus count aggregate (the vocabulary count needs them), which
     // map-side combines to vocab size before its exchange; scoring sees
     // (id, h2) longs only.
+    // h2/h2b: TWO independently-seeded 64-bit hashes key each bigram —
+    // a single 64-bit key is a real collision bet at the design scale
+    // (~1e10 distinct n-grams -> O(1) expected 64-bit collisions, each
+    // silently merging two model rows); the pair makes the collision
+    // probability ~2^-128-scale negligible for 16 bytes per event.
+    // Marginal keys (ha: single tokens) stay 64-bit — vocab-bounded
+    // cardinality (~1e7) keeps their collision odds ~1e-6.
     val ev0 = df.select(col(idCol),
         explode(bigrams(split(col(textCol), " ", -1))).as("b"))
       .select(col(idCol), col("b.a").as("a"), col("b.b").as("bb"),
         xxhash64(col("b.a"), col("b.b")).as("h2"),
+        xxhash64(lit(1), col("b.a"), col("b.b")).as("h2b"),
         xxhash64(col("b.a")).as("ha"))
     val ev = if (persistBigrams)
       ev0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -472,17 +480,17 @@ object Text {
     // window this design deliberately avoids), keeping the c2 subtree a
     // single linear chain computed once. V counts distinct tokens off
     // the event stream directly (same distinct set as via c2).
-    val c2 = ev.groupBy("h2").agg(count(lit(1)).as("c2"),
+    val c2 = ev.groupBy("h2", "h2b").agg(count(lit(1)).as("c2"),
       max("ha").as("ha"))
     val vocab = ev.select(explode(array(col("a"), col("bb"))).as("t"))
       .agg(countDistinct("t").as("v"))
     val model = c2
       .withColumn("c1", sum("c2").over(Window.partitionBy("ha")))
       .crossJoin(broadcast(vocab))
-      .select(col("h2"), log((col("c2") + 1).cast("double")
+      .select(col("h2"), col("h2b"), log((col("c2") + 1).cast("double")
         / (col("c1") + col("v"))).as("lp"))
-    val out = ev.select(col(idCol), col("h2"))
-      .join(model, Seq("h2"))
+    val out = ev.select(col(idCol), col("h2"), col("h2b"))
+      .join(model, Seq("h2", "h2b"))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_bigrams"), round(-avg("lp"), 4).as("nll"))
     (out, ev)
@@ -525,16 +533,19 @@ object Text {
                              persistBigrams: Boolean = false)
       : (DataFrame, DataFrame) = {
     require(discount > 0 && discount < 1, "discount must be in (0, 1)")
+    // 128-bit bigram keying (h2, h2b) — see [[bigramNllWithHandle]];
+    // ha/hb marginal keys stay 64-bit (token-level cardinality)
     val ev0 = df.select(col(idCol),
         explode(bigrams(split(col(textCol), " ", -1))).as("b"))
       .select(col(idCol),
         xxhash64(col("b.a"), col("b.b")).as("h2"),
+        xxhash64(lit(1), col("b.a"), col("b.b")).as("h2b"),
         xxhash64(col("b.a")).as("ha"),
         xxhash64(col("b.b")).as("hb"))
     val ev = if (persistBigrams)
       ev0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else ev0
-    val c2 = ev.groupBy("h2").agg(count(lit(1)).as("c2"),
+    val c2 = ev.groupBy("h2", "h2b").agg(count(lit(1)).as("c2"),
       max("ha").as("ha"), max("hb").as("hb"))
     // N (bigram-type total) = c2's row count — a count over the
     // vocab²-BOUNDED table, not a global distinct shuffle of the raw
@@ -549,12 +560,12 @@ object Text {
       .withColumn("n1a", count(lit(1)).over(wa))
       .withColumn("n1b", count(lit(1)).over(wb))
       .crossJoin(broadcast(nTypes))
-      .select(col("h2"), log(
+      .select(col("h2"), col("h2b"), log(
         (col("c2") - lit(discount)) / col("c1") +
           lit(discount) * col("n1a") / col("c1") *
             (col("n1b").cast("double") / col("nt"))).as("lp"))
-    val out = ev.select(col(idCol), col("h2"))
-      .join(model, Seq("h2"))
+    val out = ev.select(col(idCol), col("h2"), col("h2b"))
+      .join(model, Seq("h2", "h2b"))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_bigrams"), round(-avg("lp"), 4).as("nll"))
     (out, ev)
@@ -604,12 +615,19 @@ object Text {
     // any exchange: the event stream carries five longs (h3 + the four
     // marginal hashes, needed only by the count aggregate) and scoring
     // projects it to (id, h3).
+    // 128-bit keying for every multi-token key (h3, hab, hbc — all at
+    // n-gram-scale cardinality where single-64-bit collisions are an
+    // O(1) expectation at 100 TB, each silently merging two counts);
+    // single-token hb/hc stay 64-bit (vocab-bounded cardinality).
     val ev0 = df.select(col(idCol),
         explode(trigrams(split(col(textCol), " ", -1))).as("t"))
       .select(col(idCol),
         xxhash64(col("t.a"), col("t.b"), col("t.c")).as("h3"),
+        xxhash64(lit(1), col("t.a"), col("t.b"), col("t.c")).as("h3b"),
         xxhash64(col("t.a"), col("t.b")).as("hab"),
+        xxhash64(lit(1), col("t.a"), col("t.b")).as("habb"),
         xxhash64(col("t.b"), col("t.c")).as("hbc"),
+        xxhash64(lit(1), col("t.b"), col("t.c")).as("hbcb"),
         xxhash64(col("t.b")).as("hb"),
         xxhash64(col("t.c")).as("hc"))
     val ev = if (persistTrigrams)
@@ -626,22 +644,23 @@ object Text {
     // T is the total trigram-event count, taken off the event stream.
     // λ3·(c3/cab) + λ2·(cbc/cb) + λ1·(ccnt/T) — the oracle mirrors this
     // association exactly.
-    val c3 = ev.groupBy("h3").agg(count(lit(1)).as("c3"),
-      max("hab").as("hab"), max("hbc").as("hbc"),
+    val c3 = ev.groupBy("h3", "h3b").agg(count(lit(1)).as("c3"),
+      max("hab").as("hab"), max("habb").as("habb"),
+      max("hbc").as("hbc"), max("hbcb").as("hbcb"),
       max("hb").as("hb"), max("hc").as("hc"))
     val tot = ev.agg(count(lit(1)).cast("double").as("t"))
     val p = lit(l3) * (col("c3").cast("double") / col("cab")) +
       lit(l2) * (col("cbc").cast("double") / col("cb")) +
       lit(l1) * (col("ccnt").cast("double") / col("t"))
     val model = c3
-      .withColumn("cab", sum("c3").over(Window.partitionBy("hab")))
-      .withColumn("cbc", sum("c3").over(Window.partitionBy("hbc")))
+      .withColumn("cab", sum("c3").over(Window.partitionBy("hab", "habb")))
+      .withColumn("cbc", sum("c3").over(Window.partitionBy("hbc", "hbcb")))
       .withColumn("cb", sum("c3").over(Window.partitionBy("hb")))
       .withColumn("ccnt", sum("c3").over(Window.partitionBy("hc")))
       .crossJoin(broadcast(tot))
-      .select(col("h3"), log(p).as("lp"))
-    val out = ev.select(col(idCol), col("h3"))
-      .join(model, Seq("h3"))
+      .select(col("h3"), col("h3b"), log(p).as("lp"))
+    val out = ev.select(col(idCol), col("h3"), col("h3b"))
+      .join(model, Seq("h3", "h3b"))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_trigrams"), round(-avg("lp"), 4).as("nll"))
     (out, ev)

@@ -102,7 +102,16 @@ object Unigram {
     * only; per-word results broadcast-join back to the per-document
     * token stream (the Bpe corpus-encode pattern — the DP never touches
     * the corpus side, so corpus cost is one explode + one join on the
-    * word key). */
+    * word key).
+    *
+    * UNCOVERABLE-WORD CONTRACT: a word no piece path covers (possible
+    * only when `costs` was trained on a DIFFERENT corpus — the
+    * single-char floor makes same-corpus words always coverable) is
+    * DROPPED from the counts, the tokenizer-UNK convention: n_words /
+    * n_pieces / nll cover encodable words only, and a document whose
+    * words are all uncoverable emits no row. Budget accounting that
+    * must see raw word counts should take them from the token stream
+    * before encoding. */
   def encodeCorpus(df: DataFrame, idCol: String, textCol: String,
                    costs: Map[String, Double], maxPieceLen: Int = 6,
                    maxWordLen: Int = Int.MaxValue): DataFrame = {

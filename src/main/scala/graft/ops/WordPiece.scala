@@ -80,7 +80,11 @@ object WordPiece {
     * the verify-skill pitfall list). The greedy walk runs over DISTINCT
     * words only; per-word piece counts broadcast-join back to the token
     * stream ([[Unigram.encodeCorpus]] shape). `maxWordLen` is the same
-    * pathological-run guard (and the oracle's unroll bound). */
+    * pathological-run guard (and the oracle's unroll bound). Same
+    * uncoverable-word ([UNK]) contract as [[Unigram.encodeCorpus]]:
+    * words the vocabulary can't segment (cross-corpus encode only —
+    * [[vocab]]'s single-char floor covers same-corpus words) drop from
+    * the counts. */
   def encodeCorpus(df: DataFrame, idCol: String, textCol: String,
                    pieces: Seq[String], maxPieceLen: Int = 6,
                    maxWordLen: Int = Int.MaxValue): DataFrame = {

@@ -180,7 +180,12 @@ object RetrievalQueries {
     val ranked = out.select(col("doc_id"), col("rank").cast("long").as("r"))
     val rows = ranked.collect().toSeq
     tf.unpersist()
-    s.createDataFrame(s.sparkContext.parallelize(rows, 1), ranked.schema)
+    // a TRUE LocalRelation (list-backed createDataFrame), not a
+    // 1-partition RDD: Catalyst sees the rows as a local literal
+    // relation, so consumers broadcast/fold it without scheduling an
+    // extra scan job per reference
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(rows.asJava, ranked.schema)
   }
 
   /** The dirty-feed synthesis of the fuzzy-join queries: one

@@ -541,9 +541,15 @@ case class UnigramViterbi(left: Expression, right: Expression, maxPieceLen: Int)
   def compute(w: org.apache.spark.unsafe.types.UTF8String,
               m: org.apache.spark.sql.catalyst.util.MapData)
       : org.apache.spark.sql.catalyst.InternalRow = {
-    val word = w.toString
-    val n = word.length
+    // CODE-POINT positions, not UTF-16 chars: the piece inventory
+    // (Unigram.substringCounts via Spark substr) and the unrolled SQL
+    // oracle both slice by code point — a supplementary-plane word must
+    // run the DP on the same axis or vocabulary pieces become
+    // unmatchable (see the WordPieceEncode twin of this note).
+    val cps = w.toString.codePoints.toArray
+    val n = cps.length
     if (n == 0) return null
+    def sub(from: Int, until: Int) = new String(cps, from, until - from)
     val costs = costMap(m)
     val best = Array.fill(n + 1)(Double.PositiveInfinity)
     val back = new Array[Int](n + 1)
@@ -555,7 +561,7 @@ case class UnigramViterbi(left: Expression, right: Expression, maxPieceLen: Int)
       while (l >= 1) {
         val i = j - l
         if (best(i) != Double.PositiveInfinity) {
-          val c = costs.get(word.substring(i, j))
+          val c = costs.get(sub(i, j))
           if (c != null && best(i) + c < best(j)) {
             best(j) = best(i) + c
             back(j) = l
@@ -574,7 +580,7 @@ case class UnigramViterbi(left: Expression, right: Expression, maxPieceLen: Int)
     var p = count - 1
     while (k > 0) {
       pieces(p) = org.apache.spark.unsafe.types.UTF8String
-        .fromString(word.substring(k - back(k), k))
+        .fromString(sub(k - back(k), k))
       p -= 1
       k -= back(k)
     }

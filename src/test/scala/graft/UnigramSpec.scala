@@ -53,6 +53,21 @@ class UnigramSpec extends SparkSpec {
     }
   }
 
+  test("DP positions are code points, not UTF-16 chars (non-BMP)") {
+    // four U+1F600 emoji = 4 code points, 8 Java chars: the whole-word
+    // piece must be matchable under maxPieceLen=6, and the returned
+    // pieces must be whole code points
+    val e = new String(Character.toChars(0x1F600))
+    val word = e * 4
+    val costs = Map(word -> 1.0, e -> 3.0)
+    val r = segment(word, costs, 6)
+    assert(r.map(_._1) == Some(Seq(word)))
+    assert(math.abs(r.get._2 - 1.0) < 1e-12)
+    // piece cap counted in code points: cap 2 forces e-pair pieces
+    val r2 = segment(word, Map((e * 2) -> 1.0, e -> 3.0), 2)
+    assert(r2.map(_._1) == Some(Seq(e * 2, e * 2)))
+  }
+
   test("pieces concatenate back to the word and price to nll") {
     val costs = Map("ab" -> 1.0, "a" -> 2.0, "b" -> 2.0, "c" -> 1.5)
     val Some((pieces, nll)) = segment("abcab", costs)

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ops.MergeOps
+import graft.ops.{MergeOps, Text}
 
 /** Ingest-side semantics (regex field extraction, JSON sources,
   * version-guarded MERGE) and the extended analytics surface
@@ -222,6 +222,42 @@ object ExtQueries {
         .groupBy("cohort_week", "week_offset")
         .agg(count(lit(1)).as("n_users"))
         .orderBy("cohort_week", "week_offset")
+    },
+
+    // Poisson BOOTSTRAP replicate means (the production way to put an
+    // error bar on a pipeline metric without resampling rows: each
+    // replicate assigns every row a deterministic hash-derived count ~
+    // truncated Poisson(1), so one scan computes all replicates and two
+    // workers never need the same row twice). 20 replicates via a
+    // literal explode — the a7/pipe_quality_sweep axis pattern; weights
+    // from the portable md5 uniform, thresholds = the Poisson(1) pmf
+    // (.3679/.7358/.9197). The replicate spread IS the standard error.
+    Q("ext_bootstrap_means",
+      """WITH reps AS (SELECT unnest(generate_series(0, 19)) AS r),
+        |w AS (SELECT r, e.value,
+        |    CASE WHEN u < 0.3679 THEN 0 WHEN u < 0.7358 THEN 1
+        |         WHEN u < 0.9197 THEN 2 ELSE 3 END AS w
+        |  FROM (SELECT reps.r, ev.value,
+        |      (('0x' || substr(md5(ev.event_id::VARCHAR || ':' || reps.r::VARCHAR),
+        |        1, 15))::BIGINT) / 1152921504606846976.0 AS u
+        |    FROM events ev CROSS JOIN reps) e(r, value, u))
+        |SELECT r, SUM(w)::BIGINT AS n_eff,
+        |  ROUND(SUM(w * value) / SUM(w), 4) AS boot_mean
+        |FROM w GROUP BY r ORDER BY r""".stripMargin) { (s, dir) =>
+      val u = Text.portableHash(
+        concat(col("event_id").cast("string"), lit(":"), col("r").cast("string")))
+        .cast("double") / lit(1152921504606846976.0d)
+      Tables(s, dir, "events")
+        .select(col("event_id"), col("value"),
+          explode(sequence(lit(0), lit(19))).as("r"))
+        .withColumn("u", u)
+        .withColumn("w", when(col("u") < 0.3679, 0)
+          .when(col("u") < 0.7358, 1)
+          .when(col("u") < 0.9197, 2).otherwise(3))
+        .groupBy("r")
+        .agg(sum("w").cast("long").as("n_eff"),
+          round(sum(col("w") * col("value")) / sum("w"), 4).as("boot_mean"))
+        .orderBy("r")
     },
 
     // Exact distinct counts (extended surface; no distinct-count exists in

@@ -224,6 +224,32 @@ object ExtQueries {
         .orderBy("cohort_week", "week_offset")
     },
 
+    // Rolling 7-day z-score per event_type — the windowed composition of
+    // the W-family (trailing RANGE frame) and the X-family (sigma
+    // outliers): each event scored against its own trailing-week
+    // distribution. No threshold FILTER on the float z (a boundary row
+    // could flip between engines on the last ulp) — every row emits its
+    // rounded z and the consumer cuts; single-row windows have no sample
+    // stddev and yield null.
+    Q("ext_rolling_zscore",
+      """SELECT event_id, CAST(COUNT(*) OVER w AS BIGINT) AS n_win,
+        |  ROUND((value - AVG(value) OVER w) / STDDEV_SAMP(value) OVER w, 4)
+        |    + 0.0 AS z
+        |FROM events WINDOW w AS (PARTITION BY event_type ORDER BY ts
+        |  RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type")
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-7L * 86400L * 1000000L, 0L)
+      Tables(s, dir, "events")
+        .select(col("event_id"),
+          count(lit(1)).over(w).as("n_win"),
+          (round((col("value") - avg("value").over(w))
+            / stddev_samp(col("value")).over(w), 4) + lit(0.0)).as("z"))
+        .orderBy("event_id")
+    },
+
     // Poisson BOOTSTRAP replicate means (the production way to put an
     // error bar on a pipeline metric without resampling rows: each
     // replicate assigns every row a deterministic hash-derived count ~

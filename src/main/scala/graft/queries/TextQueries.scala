@@ -229,6 +229,39 @@ object TextQueries {
         .orderBy("term")
     },
 
+    // N-gram NOVELTY curve: per document, how many of its distinct
+    // trigrams appear for the FIRST time (no earlier doc contains them) —
+    // the dataset-health diagnostic behind "is the tail of this corpus
+    // still contributing new content, or re-treading?" Two n-gram-keyed
+    // exchanges (distinct + first-occurrence aggregate) and a join, all
+    // on the trigram key — integer counts, engine-exact.
+    Q("t_ngram_novelty",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |tg AS (SELECT DISTINCT doc_id,
+        |    toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS g
+        |  FROM (SELECT doc_id, toks,
+        |      unnest(generate_series(1, len(toks) - 2)) AS i FROM t)),
+        |f AS (SELECT g, MIN(doc_id) AS first_doc FROM tg GROUP BY g)
+        |SELECT tg.doc_id, COUNT(*)::BIGINT AS n_trigrams,
+        |  SUM(CASE WHEN f.first_doc = tg.doc_id THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_novel
+        |FROM tg JOIN f USING (g)
+        |GROUP BY tg.doc_id ORDER BY tg.doc_id""".stripMargin) { (s, dir) =>
+      val tg = Tables.fannedOut(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(Text.trigrams(split(col("text"), " ", -1))).as("t"))
+        .select(col("doc_id"),
+          concat_ws(" ", col("t.a"), col("t.b"), col("t.c")).as("g"))
+        .distinct()
+      val f = tg.groupBy("g").agg(min("doc_id").as("first_doc"))
+      tg.join(f, "g")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_trigrams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .orderBy("doc_id")
+    },
+
     // Multi-pattern PHRASE scan (substring semantics — the blocklist
     // form token gates can't express: "fast key" crosses a token
     // boundary): per-pattern document hit counts via ONE Aho–Corasick

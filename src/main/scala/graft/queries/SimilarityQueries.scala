@@ -237,6 +237,69 @@ object SimilarityQueries {
         .orderBy("centroid_id")
     },
 
+    // ANN RECALL EVALUATION — the measurement every approximate index
+    // needs before it ships: IVF top-10 (candidates from the probe's
+    // single nearest cell) scored against exact top-10 over all vectors,
+    // per probe. n_overlap/n_exact IS recall@10; integer counts with the
+    // round-6-then-rank contract make the comparison engine-exact. The
+    // oracle replays the trained-cell chain, both rankings, and the
+    // intersection independently.
+    Q("sim_recall_eval",
+      OracleSql.kmeansMd5Ctes(k = 8, iters = 3) +
+        """,
+          |pv AS (SELECT vec_id AS probe_id, pos, x FROM v WHERE vec_id < 5),
+          |pa AS (SELECT vec_id AS probe_id, cid AS pcid FROM af WHERE vec_id < 5),
+          |sim AS (SELECT pv.probe_id, v.vec_id,
+          |    ROUND(SUM(pv.x*v.x)/(SQRT(SUM(pv.x*pv.x))*SQRT(SUM(v.x*v.x))), 6) AS s
+          |  FROM pv JOIN v ON v.pos = pv.pos AND v.vec_id <> pv.probe_id
+          |  GROUP BY 1, 2),
+          |ex AS (SELECT probe_id, vec_id FROM sim
+          |  QUALIFY ROW_NUMBER() OVER (PARTITION BY probe_id
+          |    ORDER BY s DESC, vec_id) <= 10),
+          |iv AS (SELECT s.probe_id, s.vec_id FROM sim s
+          |  JOIN pa USING (probe_id)
+          |  JOIN af ON af.vec_id = s.vec_id AND af.cid = pa.pcid
+          |  QUALIFY ROW_NUMBER() OVER (PARTITION BY s.probe_id
+          |    ORDER BY s.s DESC, s.vec_id) <= 10),
+          |exn AS (SELECT probe_id, COUNT(*)::BIGINT AS n_exact FROM ex GROUP BY 1),
+          |ivn AS (SELECT probe_id, COUNT(*)::BIGINT AS n_ivf FROM iv GROUP BY 1),
+          |ov AS (SELECT ex.probe_id, COUNT(*)::BIGINT AS n_overlap
+          |  FROM ex JOIN iv ON iv.probe_id = ex.probe_id AND iv.vec_id = ex.vec_id
+          |  GROUP BY 1)
+          |SELECT exn.probe_id, exn.n_exact,
+          |  COALESCE(ivn.n_ivf, 0) AS n_ivf,
+          |  COALESCE(ov.n_overlap, 0) AS n_overlap
+          |FROM exn LEFT JOIN ivn USING (probe_id) LEFT JOIN ov USING (probe_id)
+          |ORDER BY probe_id""".stripMargin) { (s, dir) =>
+      val emb = Tables.fannedOut(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+        k = 8, iters = 3, seedHash = c => md5(c.cast("string")), simRound = 6)
+      val assigned = Similarity.ivfAssign(emb, "embedding", cents, simRound = 6)
+      val probes = assigned.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("centroid_id").as("pcid"),
+          col("embedding").as("pvec"))
+      val sims = assigned.join(broadcast(probes),
+          col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("pcid"), col("vec_id"), col("centroid_id"),
+          round(Similarity.cosine(col("embedding"), col("pvec")), 6).as("s"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("probe_id").orderBy(col("s").desc, col("vec_id"))
+      val ex = sims.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10).select("probe_id", "vec_id")
+      val iv = sims.filter(col("centroid_id") === col("pcid"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10).select("probe_id", "vec_id")
+      val exn = ex.groupBy("probe_id").agg(count(lit(1)).as("n_exact"))
+      val ivn = iv.groupBy("probe_id").agg(count(lit(1)).as("n_ivf"))
+      val ov = ex.join(iv, Seq("probe_id", "vec_id"))
+        .groupBy("probe_id").agg(count(lit(1)).as("n_overlap"))
+      exn.join(ivn, Seq("probe_id"), "left")
+        .join(ov, Seq("probe_id"), "left")
+        .na.fill(0L, Seq("n_ivf", "n_overlap"))
+        .orderBy("probe_id")
+    },
+
     // SemDeDup-shape SEMANTIC dedup: deterministic k-means cells (the
     // exact md5-seeded chain sim_kmeans_md5 pins), then within each cell
     // drop every vector with a smaller-id neighbor at round-6 cosine >=

@@ -262,6 +262,52 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // HYBRID (cross-modal) near-dup verification: cheap TEXT MinHash-LSH
+    // candidate pairs verified by EMBEDDING cosine — the fusion a real
+    // curation run uses when lexical overlap proposes and semantics
+    // disposes (paraphrases keep high cosine with modest shingle
+    // overlap; boilerplate collisions don't). Candidates come from the
+    // bucket join (never all-pairs); the embedding join touches only
+    // candidate ids. Verdict compares the ROUNDED cosine (the
+    // dedup_embedding contract) so both engines classify identically.
+    Q("dedup_hybrid_verify",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |    [array_to_string(ws[i:i+3], ' ')
+        |     FOR i IN generate_series(1, greatest(len(ws) - 3, 1))])) AS s
+        |  FROM w),
+        |comp AS (SELECT doc_id, j,
+        |    MIN(('0x' || substr(md5(j::VARCHAR || ' ' || s), 1, 15))::BIGINT) AS c
+        |  FROM sh CROSS JOIN generate_series(0, 15) AS g(j) GROUP BY doc_id, j),
+        |sig AS (SELECT doc_id, list(c ORDER BY j) AS cs FROM comp GROUP BY doc_id),
+        |banded AS (SELECT doc_id, j,
+        |    md5(array_to_string(cs[j*4+1 : j*4+4], ',')) AS bh
+        |  FROM sig CROSS JOIN generate_series(0, 3) AS g(j)),
+        |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM banded a JOIN banded b ON a.j = b.j AND a.bh = b.bh
+        |    AND a.doc_id < b.doc_id),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT p.id_a, p.id_b,
+        |  ROUND(list_cosine_similarity(a.v, b.v), 3) + 0.0 AS cos_sim,
+        |  CASE WHEN ROUND(list_cosine_similarity(a.v, b.v), 3) >= 0.35
+        |       THEN 'semantic_dup' ELSE 'text_only' END AS verdict
+        |FROM pairs p JOIN e a ON a.vec_id = p.id_a JOIN e b ON b.vec_id = p.id_b
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      val pairs = graft.ops.Curation.mdCandidatePairs(
+        Tables.fannedOut(s, dir, "documents"), "doc_id", "text")
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val cosr = round(graft.ops.Similarity.cosine(col("va"), col("vb")), 3)
+      pairs
+        .join(e.select(col("vec_id").as("id_a"), col("v").as("va")), "id_a")
+        .join(e.select(col("vec_id").as("id_b"), col("v").as("vb")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          (cosr + lit(0.0)).as("cos_sim"),
+          when(cosr >= 0.35, "semantic_dup").otherwise("text_only")
+            .as("verdict"))
+        .orderBy("id_a", "id_b")
+    },
+
     // Multi-pattern PHRASE scan (substring semantics — the blocklist
     // form token gates can't express: "fast key" crosses a token
     // boundary): per-pattern document hit counts via ONE Aho–Corasick

@@ -7,34 +7,41 @@ import org.apache.spark.sql.SparkSession
   * local[32] with 32 shuffle partitions to match the driver environment;
   * AQE (on by default) coalesces small shuffles at runtime.
   *
-  * Measurement design (round 9 — budget-aware):
+  * Measurement design (round 9 — budget-aware, consume-honest):
   *
-  * Per-query time = min over up to two INTERLEAVED full passes (pass 1 runs
-  * every query, then pass 2) PLUS, for queries whose interleaved min
-  * exceeds WARM_CUTOFF, one back-to-back prime+measure repeat. Host-level
-  * noise on this VM is ±30-100%; back-to-back repeats of one query all
-  * land inside the same contention window, interleaved passes don't.
-  * The back-to-back repeat exists because the registry (148+ queries) is
-  * larger than Spark's fixed 100-entry generated-class cache: an
-  * interleaved pass cycles the cache and every query pays codegen
-  * COMPILATION again, inflating interleaved timings by the compile cost.
-  * The repeat's prime run recompiles; the measure run immediately after
-  * hits the still-warm cache, so its timing is pure execution. Sub-cutoff
-  * queries skip the repeat: when a query's TOTAL (execution + compile) is
-  * already under ~0.3 s, the compile share cannot distort the round
-  * aggregate, and at 148 queries the repeats are the wall-clock majority.
+  * Pass 1 times every query once (mandatory — a missing number would
+  * read as a failure). The REMAINING budget then goes to back-to-back
+  * prime+measure WARM PAIRS, slowest-first, for queries above
+  * WARM_CUTOFF: the registry (180+ queries) exceeds Spark's fixed
+  * 100-entry generated-class cache, so a full pass recompiles every
+  * query and single-pass timings carry the compile cost; the pair's
+  * prime run recompiles, the measure run immediately after hits the
+  * still-warm cache and times pure execution. Sub-cutoff queries keep
+  * their single pass-1 timing — under ~0.3 s total, the compile share
+  * cannot distort the round aggregate, and at this registry size any
+  * second full pass would starve the warm pairs that fix the heavy
+  * queries' numbers (measured: with an interleaved second pass, zero
+  * warm pairs fit the budget).
   *
-  * The whole run is TIME-BOXED (env SPARK_GRAFT_BENCH_BUDGET, seconds,
-  * default 360): pass 1 always completes (every query needs at least one
-  * timing — a missing number would read as a failure), but pass-2 queries
-  * and the warm repeats are skipped per query from the moment the
-  * cumulative measured wall exceeds the budget. Degrading precision beats
-  * rc=124 with no numbers: round 8 lost its official perf signal exactly
-  * that way. The emitted JSON records pass2_queries / warm_repeats /
-  * budget so a degraded run is self-identifying.
+  * The run is TIME-BOXED (env SPARK_GRAFT_BENCH_BUDGET, seconds,
+  * default 360): each warm pair is admitted only while its predicted
+  * cost fits. Degrading precision beats rc=124 with no numbers: round 8
+  * lost its official perf signal exactly that way. The JSON records
+  * warm_repeats / warm_candidates / budget so a degraded run is
+  * self-identifying; noise_ratio compares the warm PRIME runs (second
+  * full executions) against pass 1 on the common subset — same
+  * upper-bound-on-contention semantics as the old two-pass ratio.
   *
   * A query that throws is reported as null (never a near-zero elapsed time
   * that would silently deflate the total) and logged to stderr.
+  *
+  * Round-9 measurement-honesty change: queries are consumed by hashing
+  * EVERY output column (the ScaleCheck consume() contract), not by a
+  * bare .count() — count() lets Catalyst prune final projections and
+  * drop result sorts, so map-heavy queries (fingerprints, encodes,
+  * normalizations) under-measured by 10-50%%. Totals from this round on
+  * include that previously-pruned work (a one-time upward shift vs
+  * earlier rounds, documented in PERF.md).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -56,10 +63,17 @@ object Bench {
     def elapsedSec: Double = (System.nanoTime() - benchStart) / 1e9
 
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    // full-computation consume (ScaleCheck contract): hash a struct of
+    // every column so no operator in the measured plan can be pruned
+    def consume(df: org.apache.spark.sql.DataFrame): Unit = {
+      import org.apache.spark.sql.functions._
+      df.select((xxhash64(struct(df.columns.map(col): _*)) % 1000003L).as("__h"))
+        .agg(sum("__h"), count(lit(1))).collect()
+    }
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Boolean, Double) = {
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
+      val ok = try { consume(fn(spark, sfDir)); true } catch {
         case e: Throwable =>
           System.err.println(s"BENCH FAILURE $name: ${e.getMessage}")
           false
@@ -71,49 +85,33 @@ object Bench {
     // timing (a missing number would read as a failure downstream).
     val pass1 = names.map { case (name, fn) => name -> timeOne(name, fn) }
     val pass1Ok = pass1.collect { case (n, (true, _)) => n }.toSet
-    // Pass 2: time-boxed PER QUERY — on a contended host pass 1 alone can
-    // eat most of the budget, and a check only at the pass boundary would
-    // still overshoot by a whole pass; queries cut here keep their pass-1
-    // timing, so worst-case wall is pass1 + one query, not 2 × pass1.
-    // Pass-1 failures are excluded: their result is null regardless (one
-    // failed run poisons the min), so re-paying a slow failure's latency
-    // would only eat budget that a healthy query's timing could use.
-    val pass2 = names.flatMap { case (name, fn) =>
-      if (elapsedSec >= budgetSec || !pass1Ok(name)) None
-      else Some(name -> timeOne(name, fn))
-    }
-
-    def interleavedRuns(name: String): Seq[(Boolean, Double)] =
-      (pass1 ++ pass2).collect { case (`name`, r) => r }
-
-    // Warm repeats: slowest-first so if the budget cuts us off we spent the
-    // remaining time where the compile-share distortion is largest.
-    val interleavedMin: Map[String, Option[Double]] = names.map { case (name, _) =>
-      val ts = interleavedRuns(name)
-      name -> (if (ts.forall(_._1)) Some(ts.map(_._2).min) else None)
-    }.toMap
+    val pass1Time = pass1.map { case (n, (_, t)) => n -> t }.toMap
+    // Warm pairs: slowest-first (pass-1 time), pass-1 failures excluded
+    // (their result is null regardless; re-paying a slow failure's
+    // latency would eat budget a healthy query could use). Each pair is
+    // admitted only if its PREDICTED cost (2× pass-1 — prime + measure)
+    // still fits: checking only "budget not yet spent" would admit the
+    // slowest query at budget−ε and overshoot by two executions of it.
+    // A skipped candidate doesn't stop the loop — later, cheaper
+    // candidates may still fit.
     val warmCandidates = names
-      .filter { case (n, _) => interleavedMin(n).exists(_ > warmCutoff) }
-      .sortBy { case (n, _) => -interleavedMin(n).get }
-    // Each candidate is admitted only if its PREDICTED pair cost (2× its
-    // interleaved min — prime + measure) still fits the budget: checking
-    // only "budget not yet spent" would admit the slowest query at
-    // budget−ε and overshoot by two executions of it (slowest-first
-    // maximizes exactly that). A skipped candidate doesn't stop the
-    // loop — later, cheaper candidates may still fit.
+      .filter { case (n, _) => pass1Ok(n) && pass1Time(n) > warmCutoff }
+      .sortBy { case (n, _) => -pass1Time(n) }
     var warmDone = 0
+    val warmPrime = scala.collection.mutable.Map.empty[String, (Boolean, Double)]
     val warmPass: Map[String, (Boolean, Double)] = warmCandidates.flatMap {
       case (name, fn) =>
-        if (elapsedSec + 2 * interleavedMin(name).get > budgetSec) None
+        if (elapsedSec + 2 * pass1Time(name) > budgetSec) None
         else {
-          timeOne(name, fn) // prime: pays the recompile
+          warmPrime(name) = timeOne(name, fn) // prime: pays the recompile
           warmDone += 1
           Some(name -> timeOne(name, fn)) // measure: classes still cached
         }
     }.toMap
 
     val results = names.map { case (name, _) =>
-      val times = interleavedRuns(name) ++ warmPass.get(name)
+      val times = pass1.collect { case (`name`, r) => r } ++
+        warmPrime.get(name) ++ warmPass.get(name)
       name -> (if (times.forall(_._1)) Some(times.map(_._2).min) else None)
     }
     val qs = results.map { case (k, v) =>
@@ -121,31 +119,27 @@ object Bench {
     }.mkString("{", ",", "}")
     val failed = results.collect { case (k, None) => k }
     val total = results.flatMap(_._2).sum
-    // noise ratio over the queries both passes measured: pass 1
-    // additionally pays first-plan + codegen, so this ratio UPPER-bounds
-    // contention (quiet host ≈ compile share only). The ratio compares
-    // the same common subset so a budget-truncated pass 2 stays honest;
-    // pass_totals reports the FULL pass-1 wall plus pass 2's (possibly
-    // partial — see pass2_queries) wall.
-    // null (not 1.0) when the budget expired before any pass-2 query: a
-    // run with no second sample is exactly the one that must not read as
-    // "perfectly quiet".
-    val common = pass2.map(_._1).toSet
+    // noise ratio: warm PRIMES (second full executions, compile paid
+    // again) vs pass 1 on the common subset — both pay compile, so the
+    // ratio upper-bounds contention exactly like the old two-pass form.
+    // null (not 1.0) when the budget expired before any warm pair: a run
+    // with no second sample must not read as "perfectly quiet".
+    val common = warmPrime.keySet
     val p1common = pass1.filter(kv => common(kv._1)).map(_._2._2).sum
-    val p2sum = pass2.map(_._2._2).sum
+    val p2sum = warmPrime.values.map(_._2).sum
     val noiseJson =
       if (p1common > 0 && p2sum > 0)
         f"${math.max(p1common, p2sum) / math.min(p1common, p2sum)}%.3f"
       else "null"
     val passTotals = Seq(pass1.map(_._2._2).sum) ++
-      (if (pass2.nonEmpty) Seq(p2sum) else Seq.empty)
+      (if (warmPrime.nonEmpty) Seq(p2sum) else Seq.empty)
     val passJson = passTotals.map(t => f"$t%.3f").mkString("[", ",", "]")
     val errs =
       if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"").mkString(""","errors":[""", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errs,""" +
       s""""pass_totals":$passJson,"noise_ratio":$noiseJson,""" +
-      s""""pass2_queries":${pass2.size},"warm_repeats":$warmDone,""" +
+      s""""pass2_queries":${warmPrime.size},"warm_repeats":$warmDone,""" +
       s""""warm_candidates":${warmCandidates.size},""" +
       f""""budget_s":$budgetSec%.0f,"wall_s":$elapsedSec%.1f,"sf":"$sfDir"}""")
     spark.stop()

@@ -172,15 +172,18 @@ object ArrayTimeQueries {
         |FROM events WINDOW w AS (PARTITION BY event_type ORDER BY ts
         |  RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("event_type")
-        .orderBy(unix_micros(col("ts")))
-        .rangeBetween(-7L * 86400L * 1000000L, 0L)
-      Tables(s, dir, "events")
-        .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+      // engine path: Stats.trailingSums (cumulative frames + one as-of
+      // boundary lookup, O(n log n)) — a sliding RANGE frame here is
+      // re-evaluated per row by Spark (no retraction), O(rows × frame):
+      // 9 s vs <1 s at sf0.1. The oracle keeps the sliding-window
+      // formulation — an independent derivation of the same numbers.
+      Stats.trailingSums(
+          Tables(s, dir, "events")
+            .withColumn("cents", round(col("value") * 100, 0).cast("long")),
+          Seq("event_type"), "ts", "cents", 7L * 86400L * 1000000L)
         .select(col("event_id"),
-          sum("cents").over(w).as("sum_cents"),
-          count(lit(1)).over(w).as("n_win"))
+          col("win_sum").cast("long").as("sum_cents"),
+          col("win_n").as("n_win"))
         .orderBy("event_id")
     },
 

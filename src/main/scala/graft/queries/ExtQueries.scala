@@ -238,15 +238,22 @@ object ExtQueries {
         |FROM events WINDOW w AS (PARTITION BY event_type ORDER BY ts
         |  RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin) { (s, dir) =>
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("event_type")
-        .orderBy(unix_micros(col("ts")))
-        .rangeBetween(-7L * 86400L * 1000000L, 0L)
-      Tables(s, dir, "events")
-        .select(col("event_id"),
-          count(lit(1)).over(w).as("n_win"),
-          (round((col("value") - avg("value").over(w))
-            / stddev_samp(col("value")).over(w), 4) + lit(0.0)).as("z"))
+      // engine path: O(n log n) trailing sums (Stats.trailingSums — a
+      // sliding RANGE frame with THREE aggregates re-evaluates the frame
+      // per row per aggregate: 31.8 s at sf0.1 vs <1 s for this form);
+      // mean/stddev derive from (n, Σv, Σv²). The oracle keeps the
+      // independent sliding-window stddev_samp formulation; round-4
+      // absorbs the two algorithms' last-ulp drift.
+      val t = graft.ops.Stats.trailingSums(
+        Tables(s, dir, "events"), Seq("event_type"), "ts", "value",
+        7L * 86400L * 1000000L)
+      val mean = col("win_sum") / col("win_n")
+      val varS = (col("win_sum2") - col("win_sum") * col("win_sum") / col("win_n")) /
+        (col("win_n") - 1)
+      t.select(col("event_id"), col("win_n").as("n_win"),
+          when(col("win_n") > 1,
+            round((col("value") - mean) / sqrt(varS), 4) + lit(0.0))
+            .otherwise(lit(null).cast("double")).as("z"))
         .orderBy("event_id")
     },
 

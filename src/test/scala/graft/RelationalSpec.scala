@@ -152,4 +152,30 @@ class RelationalSpec extends SparkSpec {
     assert(e.getMessage.contains("bandJoin") ||
       Option(e.getCause).exists(_.getMessage.contains("bandJoin")), e.getMessage)
   }
+
+  test("trailingSums equals the sliding RANGE frame, ties included") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.ops.Stats
+    val rnd = new scala.util.Random(47)
+    // duplicate timestamps on purpose: RANGE tie semantics must agree
+    val rows = (1 to 300).map { i =>
+      val t = 1700000000000000L + (rnd.nextInt(80) * 3600L * 1000000L)
+      (i.toLong, s"k${i % 3}", new java.sql.Timestamp(t / 1000), rnd.nextDouble() * 10)
+    }
+    val df = rows.toDF("id", "k", "ts", "v")
+    val win = 24L * 3600L * 1000000L // 1 day
+    val fast = Stats.trailingSums(df, Seq("k"), "ts", "v", win)
+      .select("id", "win_n", "win_sum")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val w = Window.partitionBy("k").orderBy(unix_micros(col("ts")))
+      .rangeBetween(-win, 0L)
+    val slow = df.select(col("id"),
+        count(lit(1)).over(w).as("n"), sum("v").over(w).as("s"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(fast.keySet == slow.keySet)
+    for ((id, (n, sm)) <- fast) {
+      assert(n == slow(id)._1, s"row $id count")
+      assert(math.abs(sm - slow(id)._2) < 1e-9, s"row $id sum")
+    }
+  }
 }

@@ -392,10 +392,16 @@ object CoreQueries {
         |  ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS q50,
         |  ROUND(quantile_cont(l_extendedprice, 0.995), 2) AS q995
         |FROM lineitem""".stripMargin) { (s, dir) =>
-      Tables(s, dir, "lineitem").agg(
-        round(expr("percentile(l_extendedprice, 0.005)"), 2).as("q005"),
-        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("q50"),
-        round(expr("percentile(l_extendedprice, 0.995)"), 2).as("q995"))
+      // ONE percentile aggregate with an array of percentages: three
+      // separate percentile(...) calls each buffer the full column
+      // (value->count map) and sort it — 3× the memory and wall for
+      // identical values (same exact-interpolation algorithm).
+      Tables(s, dir, "lineitem")
+        .agg(expr("percentile(l_extendedprice, array(0.005D, 0.5D, 0.995D))")
+          .as("qs"))
+        .select(round(element_at(col("qs"), 1), 2).as("q005"),
+          round(element_at(col("qs"), 2), 2).as("q50"),
+          round(element_at(col("qs"), 3), 2).as("q995"))
     },
 
     // A6 — fixed-bin histogram (reference: dark_monitors.py:402).

@@ -15,15 +15,22 @@ object Stats {
     * group. Exact percentiles (the reference's numpy percentiles are
     * exact); swap `percentile` for `percentile_approx` at extreme scale. */
   def describeBy(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
+    // ONE percentile aggregate with an array of percentages — separate
+    // percentile() calls each buffer the full group (value→count map):
+    // 3× the aggregation memory for identical values (see a5_quantiles)
     df.groupBy(keys.map(col): _*).agg(
       count(col(valueCol)).as("n"),
       avg(col(valueCol)).as("mean"),
       stddev_samp(col(valueCol)).as("std"),
       min(col(valueCol)).as("min"),
-      expr(s"percentile($valueCol, 0.25)").as("q25"),
-      expr(s"percentile($valueCol, 0.5)").as("median"),
-      expr(s"percentile($valueCol, 0.75)").as("q75"),
+      expr(s"percentile($valueCol, array(0.25D, 0.5D, 0.75D))").as("__qs"),
       max(col(valueCol)).as("max"))
+      .withColumn("q25", element_at(col("__qs"), 1))
+      .withColumn("median", element_at(col("__qs"), 2))
+      .withColumn("q75", element_at(col("__qs"), 3))
+      .drop("__qs")
+      .select((keys.map(col) ++ Seq(col("n"), col("mean"), col("std"),
+        col("min"), col("q25"), col("median"), col("q75"), col("max"))): _*)
 
   /** A11 per-group linear fit (reference: cosmo/monitor_helpers.py:28–32
     * `fit_line` = np.polyfit deg 1). Closed-form OLS as a declarative

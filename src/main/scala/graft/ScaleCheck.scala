@@ -611,6 +611,19 @@ object ScaleCheck {
         .agg(count(lit(1)).as("n_occ")))
     }
 
+    // 15b. Trailing-window sums over 1M events (10× shifted copies —
+    // event times overlap, densifying every trailing frame 10×): the
+    // cumulative+as-of form must stay near-linear; the sliding RANGE
+    // frame it replaces was O(rows × frame) (31.8 s for 100k rows with
+    // 3 aggregates — see PERF round-9 third session).
+    time("trailing_sums (1M events)") {
+      val events10 = x10(core.Tables(spark, sfDir, "events")) { (d, i) =>
+        d.withColumn("event_id", col("event_id") + lit(i * 100000000L))
+      }
+      consume(ops.Stats.trailingSums(events10, Seq("event_type"), "ts",
+        "value", 7L * 86400L * 1000000L))
+    }
+
     // 15. The full pretraining composition at 50k docs: every stage is
     // individually audited; this entry catches interaction cliffs
     // (e.g. the LM scoring running over an un-pruned survivor join, or

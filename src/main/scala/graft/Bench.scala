@@ -35,13 +35,15 @@ import org.apache.spark.sql.SparkSession
   * A query that throws is reported as null (never a near-zero elapsed time
   * that would silently deflate the total) and logged to stderr.
   *
-  * Round-9 measurement-honesty change: queries are consumed by hashing
-  * EVERY output column (the ScaleCheck consume() contract), not by a
-  * bare .count() — count() lets Catalyst prune final projections and
-  * drop result sorts, so map-heavy queries (fingerprints, encodes,
-  * normalizations) under-measured by 10-50%%. Totals from this round on
-  * include that previously-pruned work (a one-time upward shift vs
-  * earlier rounds, documented in PERF.md).
+  * Round-9 measurement-honesty change: queries are consumed via
+  * core.Measure.consume (hash of EVERY output column), not a bare
+  * .count() — count() let Catalyst prune final projections and whole
+  * window stages, so map/window-heavy queries under-measured by 10-50%%
+  * (windows: entirely). Totals from this round on include that
+  * previously-pruned work (a one-time upward shift vs earlier rounds,
+  * documented in PERF.md). Known, stated limit: the final ORDER BY can
+  * still be elided under the consuming aggregate — see Measure's
+  * scaladoc; measured cost is compute-everything, not global-sort.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -63,17 +65,10 @@ object Bench {
     def elapsedSec: Double = (System.nanoTime() - benchStart) / 1e9
 
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
-    // full-computation consume (ScaleCheck contract): hash a struct of
-    // every column so no operator in the measured plan can be pruned
-    def consume(df: org.apache.spark.sql.DataFrame): Unit = {
-      import org.apache.spark.sql.functions._
-      df.select((xxhash64(struct(df.columns.map(col): _*)) % 1000003L).as("__h"))
-        .agg(sum("__h"), count(lit(1))).collect()
-    }
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Boolean, Double) = {
       val t0 = System.nanoTime()
-      val ok = try { consume(fn(spark, sfDir)); true } catch {
+      val ok = try { core.Measure.consume(fn(spark, sfDir)); true } catch {
         case e: Throwable =>
           System.err.println(s"BENCH FAILURE $name: ${e.getMessage}")
           false
@@ -97,15 +92,22 @@ object Bench {
     val warmCandidates = names
       .filter { case (n, _) => pass1Ok(n) && pass1Time(n) > warmCutoff }
       .sortBy { case (n, _) => -pass1Time(n) }
+    // a FAILED prime (transient contention/OOM) must not poison a query
+    // that timed fine in pass 1: discard it, skip the measure (budget),
+    // and keep it out of the noise accounting
     var warmDone = 0
     val warmPrime = scala.collection.mutable.Map.empty[String, (Boolean, Double)]
     val warmPass: Map[String, (Boolean, Double)] = warmCandidates.flatMap {
       case (name, fn) =>
         if (elapsedSec + 2 * pass1Time(name) > budgetSec) None
         else {
-          warmPrime(name) = timeOne(name, fn) // prime: pays the recompile
-          warmDone += 1
-          Some(name -> timeOne(name, fn)) // measure: classes still cached
+          val prime = timeOne(name, fn) // prime: pays the recompile
+          if (!prime._1) None
+          else {
+            warmPrime(name) = prime
+            warmDone += 1
+            Some(name -> timeOne(name, fn)) // measure: classes still cached
+          }
         }
     }.toMap
 
@@ -139,7 +141,7 @@ object Bench {
       else failed.map("\"" + _ + "\"").mkString(""","errors":[""", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errs,""" +
       s""""pass_totals":$passJson,"noise_ratio":$noiseJson,""" +
-      s""""pass2_queries":${warmPrime.size},"warm_repeats":$warmDone,""" +
+      s""""warm_repeats":$warmDone,""" +
       s""""warm_candidates":${warmCandidates.size},""" +
       f""""budget_s":$budgetSec%.0f,"wall_s":$elapsedSec%.1f,"sf":"$sfDir"}""")
     spark.stop()

@@ -21,9 +21,7 @@ object ScaleCheck {
     * plan with the whole scrub optimized away). Hashing a struct of all
     * columns pins every operator in the measured plan. */
   private def consume(df: org.apache.spark.sql.DataFrame): Long =
-    // the % bounds each addend so the ANSI-mode sum can't overflow
-    df.select((xxhash64(struct(df.columns.map(col): _*)) % 1000003L).as("__h"))
-      .agg(sum("__h"), count(lit(1))).collect()(0).getLong(1)
+    core.Measure.consume(df)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

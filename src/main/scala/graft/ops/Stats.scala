@@ -116,7 +116,10 @@ object Stats {
     * round-4 outputs. RANGE tie semantics are preserved: the cumulative
     * frame is a RANGE (all equal-timestamp rows share one prefix) and
     * the boundary lookup subtracts everything strictly before
-    * frame start. */
+    * frame start. Null partition keys yield NULL window aggregates
+    * (the as-of contract is "null matches nothing"; silently reporting
+    * whole-history sums would be worse) — filter or coalesce keys
+    * upstream if null must be a real group. */
   def trailingSums(df: DataFrame, keys: Seq[String], timeCol: String,
                    valueCol: String, windowMicros: Long): DataFrame = {
     val wc = Window.partitionBy(keys.map(col): _*)
@@ -140,12 +143,25 @@ object Stats {
       .withColumnRenamed("__cs", "__ps")
       .withColumnRenamed("__cs2", "__ps2")
     val probes = cum.withColumn("__t", col("__tus") - windowMicros - 1L)
+    // null partition keys: the cumulative window DOES group them, but
+    // the as-of contract is "null keys match nothing" — the boundary
+    // would never subtract and a null-keyed row would silently report
+    // its WHOLE history as the trailing frame. Emit null aggregates for
+    // null-keyed rows instead (the caller decides; the sliding frame
+    // this replaces would have grouped them, so the divergence is
+    // surfaced, not hidden).
+    val keysOk =
+      if (keys.isEmpty) lit(true)
+      else keys.map(col(_).isNotNull).reduce(_ && _)
     org.apache.spark.sql.graft.AsOfJoinApi.asOfMulti(
         probes, quotes, keys, "__t",
         Seq("__pn", "__ps", "__ps2"), Seq("__qn", "__qs", "__qs2"))
-      .withColumn("win_n", col("__cn") - coalesce(col("__qn"), lit(0L)))
-      .withColumn("win_sum", col("__cs") - coalesce(col("__qs"), lit(0.0)))
-      .withColumn("win_sum2", col("__cs2") - coalesce(col("__qs2"), lit(0.0)))
+      .withColumn("win_n",
+        when(keysOk, col("__cn") - coalesce(col("__qn"), lit(0L))))
+      .withColumn("win_sum",
+        when(keysOk, col("__cs") - coalesce(col("__qs"), lit(0.0))))
+      .withColumn("win_sum2",
+        when(keysOk, col("__cs2") - coalesce(col("__qs2"), lit(0.0))))
       .drop("__t", "__tus", "__cn", "__cs", "__cs2", "__qn", "__qs", "__qs2")
   }
 

@@ -233,8 +233,9 @@ object ExtQueries {
     // stddev and yield null.
     Q("ext_rolling_zscore",
       """SELECT event_id, CAST(COUNT(*) OVER w AS BIGINT) AS n_win,
-        |  ROUND((value - AVG(value) OVER w) / STDDEV_SAMP(value) OVER w, 4)
-        |    + 0.0 AS z
+        |  CASE WHEN STDDEV_SAMP(value) OVER w > 0 THEN
+        |    ROUND((value - AVG(value) OVER w) / STDDEV_SAMP(value) OVER w, 4)
+        |      + 0.0 END AS z
         |FROM events WINDOW w AS (PARTITION BY event_type ORDER BY ts
         |  RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin) { (s, dir) =>
@@ -250,8 +251,12 @@ object ExtQueries {
       val mean = col("win_sum") / col("win_n")
       val varS = (col("win_sum2") - col("win_sum") * col("win_sum") / col("win_n")) /
         (col("win_n") - 1)
+      // varS > 0 guard on BOTH sides: a (near-)constant window gives
+      // oracle stddev exactly 0 (NULL z) while the cumulative-difference
+      // sum-of-squares could land at a tiny ±ε — NaN/Infinity must never
+      // reach the output
       t.select(col("event_id"), col("win_n").as("n_win"),
-          when(col("win_n") > 1,
+          when(col("win_n") > 1 && varS > 0,
             round((col("value") - mean) / sqrt(varS), 4) + lit(0.0))
             .otherwise(lit(null).cast("double")).as("z"))
         .orderBy("event_id")

@@ -267,8 +267,9 @@ object TextQueries {
     // curation run uses when lexical overlap proposes and semantics
     // disposes (paraphrases keep high cosine with modest shingle
     // overlap; boilerplate collisions don't). Candidates come from the
-    // bucket join (never all-pairs); the embedding join touches only
-    // candidate ids. Verdict compares the ROUNDED cosine (the
+    // bucket join (never all-pairs; the oracle mirrors the engine's
+    // maxBucketSize=1000 hot-bucket guard); the embedding join touches
+    // only candidate ids. Verdict compares the ROUNDED cosine (the
     // dedup_embedding contract) so both engines classify identically.
     Q("dedup_hybrid_verify",
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -283,9 +284,11 @@ object TextQueries {
         |banded AS (SELECT doc_id, j,
         |    md5(array_to_string(cs[j*4+1 : j*4+4], ',')) AS bh
         |  FROM sig CROSS JOIN generate_series(0, 3) AS g(j)),
+        |bsz AS (SELECT j, bh FROM banded GROUP BY j, bh
+        |  HAVING COUNT(*) BETWEEN 2 AND 1000),
         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM banded a JOIN banded b ON a.j = b.j AND a.bh = b.bh
-        |    AND a.doc_id < b.doc_id),
+        |  FROM banded a JOIN bsz USING (j, bh)
+        |  JOIN banded b ON b.j = a.j AND b.bh = a.bh AND a.doc_id < b.doc_id),
         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         |SELECT p.id_a, p.id_b,
         |  ROUND(list_cosine_similarity(a.v, b.v), 3) + 0.0 AS cos_sim,

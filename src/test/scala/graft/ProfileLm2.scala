@@ -16,9 +16,7 @@ object ProfileLm2 {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000000).selectExpr("sum(id)").collect()
-    def consume(df: DataFrame): Long =
-      df.select((xxhash64(struct(df.columns.map(col): _*)) % 1000003L).as("__h"))
-        .agg(sum("__h"), count(lit(1))).collect()(0).getLong(1)
+    def consume(df: DataFrame): Long = graft.core.Measure.consume(df)
     def x10(df: DataFrame)(shift: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until 10).map(i => shift(df, i)).reduce(_.unionByName(_))
     val docs10 = x10(Tables.fannedOut(spark, dir, "documents")) { (d, i) =>

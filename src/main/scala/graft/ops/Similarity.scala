@@ -205,12 +205,33 @@ object Similarity {
     * Lloyd's caveats, standard and deterministic here: a cell that loses
     * every point disappears (k can shrink); seeds are hash-arbitrary, not
     * k-means++ (iters=3–5 suffices for IVF bucketing, where cell QUALITY
-    * only moves recall, never correctness). The iteration chain is one
-    * lazy plan — `iters` sequential stages, each scanning `df` once. */
+    * only moves recall, never correctness).
+    *
+    * The trained centroids are k×dim doubles (4 KB at k=8, dim=64) —
+    * bounded driver state by the same contract as the d×d PCA matrix and
+    * the BM25 topK ranking — so each round collects its k centroid rows
+    * and re-enters them as a TRUE LocalRelation (list-backed
+    * createDataFrame). Two wins over the previous all-lazy chain:
+    * (a) inside training, round i references round i−1 as a literal, so
+    * one full execution scans `df` once per round instead of the nested
+    * O(iters²) re-execution a lazy chain pays (each round's packed
+    * collect_list re-ran every earlier round); (b) downstream, consumers
+    * with several plan branches over the centroids or the assignment
+    * (recall eval, IVF drift, semantic dedup) fold a literal instead of
+    * replaying the whole train chain per branch — this was the registry's
+    * heaviest plan shape (156 exchanges in sim_recall_eval). The
+    * collected doubles re-enter bit-identically, so oracled hashes are
+    * unchanged. */
   def kmeansCentroids(df: DataFrame, id: String, vecCol: String,
                       k: Int, iters: Int = 3,
                       seedHash: Column => Column = xxhash64(_),
                       simRound: Int = -1): DataFrame = {
+    val spark = df.sparkSession
+    import scala.jdk.CollectionConverters._
+    def localize(cents: DataFrame): DataFrame = {
+      val rows = cents.orderBy("centroid_id").collect().toSeq
+      spark.createDataFrame(rows.asJava, cents.schema)
+    }
     // k rows total after the TakeOrdered limit — the single-partition
     // window only ever ranks those k. `seedHash` defaults to xxhash64;
     // an md5 hex string gives the same data-independent spread with a
@@ -221,8 +242,8 @@ object Similarity {
       .withColumn("centroid_id",
         row_number().over(Window.partitionBy(lit(0)).orderBy("__h")) - 1)
       .select(col("centroid_id"), col(vecCol))
-    (1 to iters).foldLeft(seeds) { (cents, _) =>
-      ivfAssign(df.select(col(id), col(vecCol)), vecCol, cents,
+    (1 to iters).foldLeft(localize(seeds)) { (cents, _) =>
+      localize(ivfAssign(df.select(col(id), col(vecCol)), vecCol, cents,
         simRound = simRound)
         .select(col("centroid_id"),
           posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "v")))
@@ -230,7 +251,7 @@ object Similarity {
         .groupBy("centroid_id")
         .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("__z"))
         .select(col("centroid_id"),
-          transform(col("__z"), x => x("v")).as(vecCol))
+          transform(col("__z"), x => x("v")).as(vecCol)))
     }
   }
 
@@ -351,18 +372,41 @@ object Similarity {
     * [[kmeansCentroids]]; `simRound ≥ 0` also rounds the pairwise cosine
     * before the τ comparison so an external oracle replays the same
     * drop set (double ulp noise can't flip a 6-decimal-rounded
-    * threshold). */
+    * threshold).
+    *
+    * `maxCellSize` is the hot-cell tripwire, mirroring `maxBucketSize`
+    * in the LSH dedup family: a degenerate k-means outcome (a
+    * duplicate-heavy corpus collapsing into one cell) would make the
+    * within-cell self-join O(m²) on a single key with no error surface.
+    * Cell populations are a k-row aggregate; the guard rides the JOIN
+    * KEY of a broadcast join into the pair plan (column pruning cannot
+    * drop a join key), so an oversized cell raises at run time instead
+    * of silently re-creating the all-pairs shape this operator exists
+    * to avoid. The inner join itself is row-preserving — every assigned
+    * cell id appears in the k-row guard side. */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
                     k: Int, iters: Int = 3, tau: Double = 0.95,
                     seedHash: Column => Column = xxhash64(_),
-                    simRound: Int = -1): DataFrame = {
+                    simRound: Int = -1,
+                    maxCellSize: Int = 100000): DataFrame = {
     val in = df.select(col(idCol), col(vecCol))
     val cents = kmeansCentroids(in, idCol, vecCol, k, iters, seedHash, simRound)
     val assigned = ivfAssign(in, vecCol, cents, simRound = simRound)
+    val cellGuard = assigned.groupBy("centroid_id")
+      .agg(count(lit(1)).as("__cn"))
+      .select(when(col("__cn") > maxCellSize,
+        raise_error(format_string(
+          s"semanticDedup: cell %s holds %s vectors (> maxCellSize=" +
+            s"$maxCellSize) — raise k so cells stay bounded (SemDeDup's " +
+            "k-tracks-N contract)",
+          col("centroid_id").cast("string"), col("__cn").cast("string")))
+          .cast("int"))
+        .otherwise(col("centroid_id")).as("centroid_id"))
     def side(p: String) = assigned.select(col("centroid_id"),
       col(idCol).as(p + "id"), col(vecCol).as(p + "v"))
     def rank(c: Column) = if (simRound >= 0) round(c, simRound) else c
-    val dropped = side("__a").join(side("__b"), "centroid_id")
+    val dropped = side("__a").join(broadcast(cellGuard), "centroid_id")
+      .join(side("__b"), "centroid_id")
       .filter(col("__aid") < col("__bid"))
       .filter(rank(cosine(col("__av"), col("__bv"))) >= tau)
       .select(col("__bid").as(idCol)).distinct()

@@ -271,6 +271,16 @@ object SimilarityQueries {
           |  COALESCE(ov.n_overlap, 0) AS n_overlap
           |FROM exn LEFT JOIN ivn USING (probe_id) LEFT JOIN ov USING (probe_id)
           |ORDER BY probe_id""".stripMargin) { (s, dir) =>
+      // ONE pass over the similarity rows: the exact and the in-cell
+      // rankings share the same (probe, s desc, id) window spec, so both
+      // resolve inside a single WindowExec — row_number for the exact
+      // rank, a running count of in-cell rows for the IVF rank (the rank
+      // of an in-cell row AMONG in-cell rows is exactly how many in-cell
+      // rows precede-or-equal it in the shared ordering). Membership and
+      // overlap then reduce in one aggregate: scan → broadcast probes →
+      // window (1 shuffle) → agg (1 shuffle), replacing the former
+      // five-branch plan that replayed `sims` per branch (36 exchanges /
+      // 8 scans even after centroid materialization; 156 before it).
       val emb = Tables.fannedOut(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
       val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
@@ -281,22 +291,25 @@ object SimilarityQueries {
           col("embedding").as("pvec"))
       val sims = assigned.join(broadcast(probes),
           col("vec_id") =!= col("probe_id"))
-        .select(col("probe_id"), col("pcid"), col("vec_id"), col("centroid_id"),
+        .select(col("probe_id"), col("vec_id"),
+          (col("centroid_id") === col("pcid")).as("in_cell"),
           round(Similarity.cosine(col("embedding"), col("pvec")), 6).as("s"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("probe_id").orderBy(col("s").desc, col("vec_id"))
-      val ex = sims.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 10).select("probe_id", "vec_id")
-      val iv = sims.filter(col("centroid_id") === col("pcid"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 10).select("probe_id", "vec_id")
-      val exn = ex.groupBy("probe_id").agg(count(lit(1)).as("n_exact"))
-      val ivn = iv.groupBy("probe_id").agg(count(lit(1)).as("n_ivf"))
-      val ov = ex.join(iv, Seq("probe_id", "vec_id"))
-        .groupBy("probe_id").agg(count(lit(1)).as("n_overlap"))
-      exn.join(ivn, Seq("probe_id"), "left")
-        .join(ov, Seq("probe_id"), "left")
-        .na.fill(0L, Seq("n_ivf", "n_overlap"))
+      val wRun = w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+      sims
+        .withColumn("rk_ex", row_number().over(w))
+        .withColumn("rk_iv",
+          sum(when(col("in_cell"), 1L).otherwise(0L)).over(wRun))
+        .select(col("probe_id"),
+          (col("rk_ex") <= 10).as("is_ex"),
+          (col("in_cell") && col("rk_iv") <= 10).as("is_iv"))
+        .groupBy("probe_id")
+        .agg(sum(when(col("is_ex"), 1L).otherwise(0L)).as("n_exact"),
+          sum(when(col("is_iv"), 1L).otherwise(0L)).as("n_ivf"),
+          sum(when(col("is_ex") && col("is_iv"), 1L).otherwise(0L)).as("n_overlap"))
         .orderBy("probe_id")
     },
 

@@ -319,6 +319,31 @@ class TrainSpec extends SparkSpec {
     assert(cell(1L) == cell(2L) && cell(3L) == cell(4L))
   }
 
+  test("semanticDedup trips the cell-size guard on a degenerate corpus") {
+    // an all-duplicates corpus collapses into ONE k-means cell no matter
+    // how large k is: Lloyd's means coincide, every vector assigns to the
+    // lowest surviving cell, and the within-cell self-join would be O(m²)
+    // on a single key. The maxCellSize tripwire must raise instead of
+    // silently paying the all-pairs shape.
+    val dupes = (1L to 40L).map(i => (i, Array(1.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Similarity.semanticDedup(dupes, "vec_id", "embedding",
+        k = 4, iters = 2, tau = 0.9, maxCellSize = 10)
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("maxCellSize")), ex.getMessage)
+    // the same corpus under the default (permissive) cap still dedups:
+    // one keeper, everything else dropped
+    val ok = Similarity.semanticDedup(dupes, "vec_id", "embedding",
+        k = 4, iters = 2, tau = 0.9)
+      .as[(Long, Long, String)].collect().toSeq
+    assert(ok.count(_._3 == "kept") == 1)
+    assert(ok.count(_._3 == "dropped") == 39)
+  }
+
   test("hashSplit keyed on a group column is group-atomic") {
     // leakage-safe splitting: hash the HOST, not the doc id — every doc
     // of a host must land in exactly one split

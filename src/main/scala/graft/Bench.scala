@@ -73,7 +73,15 @@ object Bench {
           System.err.println(s"BENCH FAILURE $name: ${e.getMessage}")
           false
       }
-      (ok, (System.nanoTime() - t0) / 1e9)
+      val t = (System.nanoTime() - t0) / 1e9
+      // release any persist handle the query holds (e.g. t_scrub_spans'
+      // span stream): cross-query cache residue would both leak memory
+      // across 180+ queries and let a later timing read a prior query's
+      // cache. INSIDE the timed window it would hide the release cost;
+      // outside it would under-time — clearing after the clock stops and
+      // before the next query starts keeps each number self-contained.
+      spark.sharedState.cacheManager.clearCache()
+      (ok, t)
     }
 
     // Pass 1: mandatory, full registry — every query needs at least one

@@ -391,7 +391,11 @@ object ScaleCheck {
     // covered-position sets are maximal; the rebuild join must still be
     // linear (per-doc int sets, never pairwise)
     time("t_scrub_spans (50k docs, all-dup)") {
-      consume(ops.Text.scrubDuplicatedSpans(docs10, "doc_id", "text", k = 5))
+      // the persistSpans route — the registry/bench form: one span
+      // explode serves both the dup-hash aggregate and the cover join
+      val (out, spans) = ops.Text.scrubDuplicatedSpansWithHandle(
+        docs10, "doc_id", "text", k = 5, persistSpans = true)
+      val n = consume(out); spans.unpersist(); n
     }
 
     // 8i. containment at 50k docs: the ×10 copies make every shingle's

@@ -729,11 +729,29 @@ object Text {
     * itself never moves. Docs shorter than k have no spans and pass
     * through untouched. */
   def scrubDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
-                           k: Int = 5, minDocs: Int = 2): DataFrame = {
-    val spans = df
+                           k: Int = 5, minDocs: Int = 2): DataFrame =
+    scrubDuplicatedSpansWithHandle(df, idCol, textCol, k, minDocs,
+      persistSpans = false)._1
+
+  /** [[scrubDuplicatedSpans]] with the full-corpus persist handle (same
+    * contract as [[duplicatedSpanStatsWithHandle]]): the (id, pos, h)
+    * span stream has two consumers (dup-hash aggregate + cover join) and
+    * each would re-derive the tokenize + hash explode without
+    * persistence; `persistSpans = true` computes the 20-byte/span stream
+    * once and serves both from storage. Second return value is the
+    * handle to `unpersist()` when done. */
+  def scrubDuplicatedSpansWithHandle(df: DataFrame, idCol: String,
+                                     textCol: String, k: Int = 5,
+                                     minDocs: Int = 2,
+                                     persistSpans: Boolean = false)
+      : (DataFrame, DataFrame) = {
+    val spans0 = df
       .select(col(idCol),
         explode(spanHashes(split(col(textCol), " ", -1), k)).as("s"))
       .select(col(idCol), col("s.pos").as("pos"), col("s.h").as("h"))
+    val spans = if (persistSpans)
+      spans0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else spans0
     val dupHashes = spans.groupBy("h")
       .agg(countDistinct(idCol).as("nd"))
       .filter(col("nd") >= minDocs)
@@ -742,7 +760,7 @@ object Text {
       .select(col(idCol),
         explode(sequence(col("pos"), col("pos") + (k - 1))).as("ci"))
       .groupBy(idCol).agg(collect_set("ci").as("__cov"))
-    df.select(col(idCol), split(col(textCol), " ", -1).as("__t"))
+    val out = df.select(col(idCol), split(col(textCol), " ", -1).as("__t"))
       .join(covered, Seq(idCol), "left")
       .select(col(idCol),
         size(col("__t")).cast("long").as("n_tokens"),
@@ -752,6 +770,7 @@ object Text {
           !array_contains(
             coalesce(col("__cov"), array().cast("array<int>")), i + 1)))
           .as("clean_text"))
+    (out, spans)
   }
 
   /** Shingle-CONTAINMENT pairs: for ordered pairs (src, dst),

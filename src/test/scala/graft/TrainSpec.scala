@@ -42,6 +42,12 @@ class TrainSpec extends SparkSpec {
       df, "doc_id", "text", persistBigrams = true)
     try assert(nllDf.orderBy("doc_id").collect().toSeq == plainNll)
     finally bgHandle.unpersist()
+    val plainScrub = Text.scrubDuplicatedSpans(df, "doc_id", "text", k = 2)
+      .orderBy("doc_id").collect().toSeq
+    val (scrubDf, scrubHandle) = Text.scrubDuplicatedSpansWithHandle(
+      df, "doc_id", "text", k = 2, persistSpans = true)
+    try assert(scrubDf.orderBy("doc_id").collect().toSeq == plainScrub)
+    finally scrubHandle.unpersist()
   }
 
   test("bigramNll: add-one smoothed corpus LM, hand-computed") {

@@ -205,8 +205,13 @@ object Curation {
                             persistEvents: Boolean = false)
       : (DataFrame, DataFrame) = {
     require(buckets > 0, "buckets must be positive")
+    // empty tokens (leading/trailing/double spaces) are not features —
+    // filtered like every other token pipeline here (zipf, index stats,
+    // LM encodes); hashing '' would skew both distributions and every
+    // doc weight that touches its bucket
     val ev0 = df.select(col(idCol), isTarget.as("is_t"),
         explode(split(col(textCol), " ", -1)).as("tok"))
+      .filter(col("tok") =!= "")
       .select(col(idCol), col("is_t"),
         (Text.portableHash(col("tok")) % buckets).as("f"))
     val ev = if (persistEvents)

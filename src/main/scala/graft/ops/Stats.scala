@@ -109,11 +109,22 @@ object Stats {
     * per key (cumulative frames are O(n)), then ONE native as-of
     * self-lookup of the cumulative at `ts − window − 1 µs` (strictly
     * before the frame start); the trailing aggregates are the
-    * differences. Adds `win_n`, `win_sum`, `win_sum2` — mean/variance
-    * derive as win_sum/win_n and (win_sum2 − win_sum²/win_n)/(win_n−1);
-    * the sum-of-squares form's cancellation is bounded by frame·σ²
-    * against cumulative magnitudes, fine at double precision for
-    * round-4 outputs. RANGE tie semantics are preserved: the cumulative
+    * differences. Adds `win_n`, `win_sum`, `win_sum2`, `win_var` —
+    * mean derives as win_sum/win_n; for VARIANCE use `win_var`, not the
+    * raw win_sum2 arithmetic: differencing cumulative sums-of-squares
+    * cancels catastrophically as partition history grows (the error
+    * scales with the CUMULATIVE magnitude, not the frame), so a truly
+    * constant trailing window late in a long key could read a tiny
+    * positive variance where a sliding-frame stddev_samp is exactly 0 —
+    * and a z-score consumer would emit an enormous z instead of NULL.
+    * `win_var` therefore accumulates CENTERED values (v − the key's
+    * first value — shift-invariant for variance, and it pins an
+    * all-constant key to exact 0) in a second window pass over the same
+    * sort (no extra shuffle), and clamps anything at or below a relative
+    * epsilon of the cumulative centered magnitude (ulp-scale noise ×
+    * ~10³ safety, astronomically below any genuine variance) to exactly
+    * 0. Sample variance (÷ win_n−1); null when win_n < 2.
+    * RANGE tie semantics are preserved: the cumulative
     * frame is a RANGE (all equal-timestamp rows share one prefix) and
     * the boundary lookup subtracts everything strictly before
     * frame start. Null partition keys yield NULL window aggregates
@@ -128,20 +139,35 @@ object Stats {
     // double accumulation: generic over integer/float values (integer
     // inputs stay exact below 2^53) and immune to ANSI overflow on v²
     val v = col(valueCol).cast("double")
+    // __v0 (the key's first value, any tie representative — variance is
+    // shift-invariant, v0 just needs to be one constant per key) feeds
+    // the centered accumulators; they reference a window output, so they
+    // plan as a second WindowExec over the SAME sorted partition — no
+    // additional shuffle. Deriving them algebraically from __cs/__cs2
+    // instead would re-create the very cancellation win_var exists to
+    // avoid.
     val cum = df
       .withColumn("__tus", unix_micros(col(timeCol)))
       .withColumn("__cn", count(lit(1)).over(wc))
       .withColumn("__cs", sum(v).over(wc))
       .withColumn("__cs2", sum(v * v).over(wc))
+      .withColumn("__v0", first(v).over(wc))
+      .withColumn("__csc", sum(v - col("__v0")).over(wc))
+      .withColumn("__cs2c",
+        sum((v - col("__v0")) * (v - col("__v0"))).over(wc))
+      .drop("__v0")
     // one cumulative row per (key, instant) — ties share identical
     // cumulative values under the RANGE frame, so any representative works
     val quotes = cum
-      .select((keys :+ "__tus" :+ "__cn" :+ "__cs" :+ "__cs2").map(col): _*)
+      .select((keys :+ "__tus" :+ "__cn" :+ "__cs" :+ "__cs2"
+        :+ "__csc" :+ "__cs2c").map(col): _*)
       .dropDuplicates(keys :+ "__tus")
       .withColumnRenamed("__tus", "__t")
       .withColumnRenamed("__cn", "__pn")
       .withColumnRenamed("__cs", "__ps")
       .withColumnRenamed("__cs2", "__ps2")
+      .withColumnRenamed("__csc", "__psc")
+      .withColumnRenamed("__cs2c", "__ps2c")
     val probes = cum.withColumn("__t", col("__tus") - windowMicros - 1L)
     // null partition keys: the cumulative window DOES group them, but
     // the as-of contract is "null keys match nothing" — the boundary
@@ -153,16 +179,29 @@ object Stats {
     val keysOk =
       if (keys.isEmpty) lit(true)
       else keys.map(col(_).isNotNull).reduce(_ && _)
+    val winN = col("__cn") - coalesce(col("__qn"), lit(0L))
+    val winSc = col("__csc") - coalesce(col("__qsc"), lit(0.0))
+    val winS2c = col("__cs2c") - coalesce(col("__qs2c"), lit(0.0))
+    val rawVar = (winS2c - winSc * winSc / winN) / (winN - 1)
+    // relative-epsilon zero clamp: the differencing error is bounded by
+    // ~2⁻⁵²·__cs2c (the cumulative centered magnitude), so anything at
+    // or below 1e-12·__cs2c/(n−1) — ulp noise × ~10³, far below any
+    // genuine variance — is a constant window reading as ±ε
+    val epsVar = lit(1e-12) * col("__cs2c") / (winN - 1)
     org.apache.spark.sql.graft.AsOfJoinApi.asOfMulti(
         probes, quotes, keys, "__t",
-        Seq("__pn", "__ps", "__ps2"), Seq("__qn", "__qs", "__qs2"))
-      .withColumn("win_n",
-        when(keysOk, col("__cn") - coalesce(col("__qn"), lit(0L))))
+        Seq("__pn", "__ps", "__ps2", "__psc", "__ps2c"),
+        Seq("__qn", "__qs", "__qs2", "__qsc", "__qs2c"))
+      .withColumn("win_n", when(keysOk, winN))
       .withColumn("win_sum",
         when(keysOk, col("__cs") - coalesce(col("__qs"), lit(0.0))))
       .withColumn("win_sum2",
         when(keysOk, col("__cs2") - coalesce(col("__qs2"), lit(0.0))))
-      .drop("__t", "__tus", "__cn", "__cs", "__cs2", "__qn", "__qs", "__qs2")
+      .withColumn("win_var",
+        when(keysOk && winN > 1,
+          when(rawVar <= epsVar, lit(0.0)).otherwise(rawVar)))
+      .drop("__t", "__tus", "__cn", "__cs", "__cs2", "__csc", "__cs2c",
+        "__qn", "__qs", "__qs2", "__qsc", "__qs2c")
   }
 
   /** W6 boxcar smoothing (reference: cosmo/monitors/dark_monitors.py:125–127,

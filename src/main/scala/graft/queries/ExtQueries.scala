@@ -249,15 +249,14 @@ object ExtQueries {
         Tables(s, dir, "events"), Seq("event_type"), "ts", "value",
         7L * 86400L * 1000000L)
       val mean = col("win_sum") / col("win_n")
-      val varS = (col("win_sum2") - col("win_sum") * col("win_sum") / col("win_n")) /
-        (col("win_n") - 1)
-      // varS > 0 guard on BOTH sides: a (near-)constant window gives
-      // oracle stddev exactly 0 (NULL z) while the cumulative-difference
-      // sum-of-squares could land at a tiny ±ε — NaN/Infinity must never
-      // reach the output
+      // win_var (centered accumulators + relative-epsilon zero clamp,
+      // see trailingSums) rather than raw win_sum2 arithmetic: a
+      // constant trailing window must read variance EXACTLY 0 → NULL z,
+      // matching the oracle's stddev_samp > 0 guard, no matter how much
+      // partition history the cumulative sums have accumulated
       t.select(col("event_id"), col("win_n").as("n_win"),
-          when(col("win_n") > 1 && varS > 0,
-            round((col("value") - mean) / sqrt(varS), 4) + lit(0.0))
+          when(col("win_n") > 1 && col("win_var") > 0,
+            round((col("value") - mean) / sqrt(col("win_var")), 4) + lit(0.0))
             .otherwise(lit(null).cast("double")).as("z"))
         .orderBy("event_id")
     },

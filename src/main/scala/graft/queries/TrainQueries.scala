@@ -261,7 +261,8 @@ object TrainQueries {
       """WITH t AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
         |  FROM documents),
         |f AS (SELECT doc_id, lang = 'en' AS is_t,
-        |    (('0x' || substr(md5(tok), 1, 15))::BIGINT % 512) AS f FROM t),
+        |    (('0x' || substr(md5(tok), 1, 15))::BIGINT % 512) AS f FROM t
+        |  WHERE tok <> ''),
         |c AS (SELECT f, COUNT(*)::BIGINT AS cr,
         |    SUM(CASE WHEN is_t THEN 1 ELSE 0 END)::BIGINT AS ct
         |  FROM f GROUP BY f),
@@ -800,7 +801,14 @@ object TrainQueries {
     Q("t_wordpiece_encode", wordpieceEncodeOracleSql) { (s, dir) =>
       val words = graft.ops.WordPiece
         .encodeWords(wordpieceWords(s, dir), wordpieceVocab(s, dir))
-      words.select(col("word"),
+      // explicit [UNK] drop matching the oracle's semantics (its unrolled
+      // greedy inner-joins on arcs, so an unsegmentable word vanishes):
+      // vocab()'s single-char floor makes same-corpus [UNK] impossible
+      // today, but the filter keeps the query correct if the vocab
+      // policy or input ever changes instead of surfacing null rows the
+      // oracle doesn't have
+      words.filter(col("wp").isNotNull)
+        .select(col("word"),
           array_join(col("wp"), " ").as("wp"),
           size(col("wp")).cast("long").as("n_pieces"))
         .orderBy("word")

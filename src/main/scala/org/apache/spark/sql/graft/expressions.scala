@@ -1,5 +1,6 @@
 package org.apache.spark.sql.graft
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -516,8 +517,22 @@ case class UnigramViterbi(left: Expression, right: Expression, maxPieceLen: Int)
   override def nullable: Boolean = true
   override def prettyName: String = "unigram_viterbi"
 
+  // the reference-equality cache below is only a cache when the cost map
+  // is ONE instance per task — i.e. a foldable literal. A per-row map
+  // column would silently rebuild the HashMap every row (O(vocab) each);
+  // refuse it at analysis time instead of degrading quietly.
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (base.isFailure) base
+    else if (!right.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a foldable (literal) piece-cost map: the " +
+          "per-reference cache would rebuild per row for a non-literal")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
   // (sourceMapData -> hashed costs); single field so a racy re-read sees
-  // a consistent pair. Worst case (non-literal map) rebuilds per row.
+  // a consistent pair.
   @transient private var cached: (AnyRef, java.util.HashMap[String, java.lang.Double]) = _
 
   private def costMap(m: org.apache.spark.sql.catalyst.util.MapData)
@@ -614,7 +629,8 @@ case class UnigramViterbi(left: Expression, right: Expression, maxPieceLen: Int)
   * vocabulary piece matching at the cursor — word-initial pieces match
   * verbatim, word-internal ones via their `##`-prefixed form — and
   * return the piece array, or null when no piece (not even a single
-  * char) matches at some position (the [UNK] path). Greedy-longest is
+  * char) matches at some position (the [UNK] path; an EMPTY word is not
+  * [UNK] — zero positions encode as an empty array). Greedy-longest is
   * deliberately NOT [[UnigramViterbi]]'s min-cost DP: WordPiece commits
   * left-to-right with no backtracking, which is what makes it O(n·L)
   * with zero DP state and also why the two segmenters disagree on words
@@ -636,6 +652,19 @@ case class WordPieceEncode(left: Expression, right: Expression, maxPieceLen: Int
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = true
   override def prettyName: String = "wordpiece_encode"
+
+  // same contract as [[UnigramViterbi]]: the reference-equality vocab
+  // cache assumes one interned array per task — a per-row vocab column
+  // would rebuild the HashSet every row; refuse at analysis time.
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (base.isFailure) base
+    else if (!right.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a foldable (literal) vocabulary array: the " +
+          "per-reference cache would rebuild per row for a non-literal")
+    else TypeCheckResult.TypeCheckSuccess
+  }
 
   @transient private var cached: (AnyRef, java.util.HashSet[String]) = _
 
@@ -663,7 +692,12 @@ case class WordPieceEncode(left: Expression, right: Expression, maxPieceLen: Int
     // lone surrogates.
     val cps = w.toString.codePoints.toArray
     val n = cps.length
-    if (n == 0) return null
+    // empty word: zero positions → zero pieces, NOT the [UNK] null
+    // (null means "some position has no matching piece"; an empty word
+    // has no positions to fail at)
+    if (n == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[AnyRef])
     def sub(from: Int, len: Int) = new String(cps, from, len)
     val vocab = vocabSet(v)
     val pieces = scala.collection.mutable.ArrayBuffer.empty[AnyRef]
@@ -769,6 +803,20 @@ case class MultiMatch(left: Expression, right: Expression)
     Seq(StringType, ArrayType(StringType))
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "multi_match"
+
+  // same contract as [[WordPieceEncode]]: the automaton cache is
+  // reference-keyed — a per-row patterns column would rebuild the
+  // trie + failure links every row; refuse at analysis time.
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (base.isFailure) base
+    else if (!right.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a foldable (literal) patterns array: the " +
+          "per-reference automaton cache would rebuild per row for a " +
+          "non-literal")
+    else TypeCheckResult.TypeCheckSuccess
+  }
 
   /** goto transitions per node, failure links, and per-node matched
     * pattern indices (outputs merged across failure chains at build). */

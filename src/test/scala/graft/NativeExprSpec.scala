@@ -236,4 +236,37 @@ class NativeExprSpec extends SparkSpec {
       .head().getSeq[String](0)
     assert(got == Seq("slow", "path"))
   }
+
+  test("wordpiece_encode: empty word encodes as empty array, not [UNK] null") {
+    val vocab = Seq("a", "##a")
+    val rows = Seq("", "a", "b").toDF("w")
+      .select(col("w"),
+        GraftExtensions.wordpieceEncode(col("w"), typedLit(vocab), 6).as("wp"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getSeq[String](1)))).toMap
+    assert(rows("") == Some(Seq.empty))   // zero positions → zero pieces
+    assert(rows("a") == Some(Seq("a")))
+    assert(rows("b") == None)             // genuine [UNK]: no piece matches
+  }
+
+  test("vocab/pattern/cost arguments must be foldable literals") {
+    // the reference-equality caches (HashSet / cost map / AC automaton)
+    // are only caches for a per-task-constant argument — a per-row
+    // column must be refused at analysis, not silently rebuilt per row
+    val df = Seq(("ab", Seq("a", "b"))).toDF("w", "v")
+    def analysisFails(f: => org.apache.spark.sql.DataFrame): Unit = {
+      val e = intercept[Exception](f.queryExecution.analyzed)
+      assert(e.getMessage.contains("foldable"), e.getMessage)
+    }
+    analysisFails(df.select(
+      GraftExtensions.wordpieceEncode(col("w"), col("v"), 6)))
+    analysisFails(df.select(
+      GraftExtensions.multiMatch(col("w"), col("v"))))
+    analysisFails(
+      Seq(("ab", Map("a" -> 1.0))).toDF("w", "m").select(
+        GraftExtensions.unigramViterbi(col("w"), col("m"), 6)))
+    // literal arguments still analyze fine
+    df.select(GraftExtensions.wordpieceEncode(
+      col("w"), typedLit(Seq("a", "##b")), 6)).collect()
+  }
 }

@@ -178,4 +178,44 @@ class RelationalSpec extends SparkSpec {
       assert(math.abs(sm - slow(id)._2) < 1e-9, s"row $id sum")
     }
   }
+
+  test("trailingSums win_var: constant window is exactly 0 despite long history") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.ops.Stats
+    // large-magnitude varying history, then a far-later constant tail
+    // whose trailing window holds only the constant: the naive
+    // cumulative-sum-of-squares difference lands at ±ε there (the
+    // cancellation error scales with the CUMULATIVE magnitude, not the
+    // frame) — win_var must be exactly 0.0, never a tiny positive that
+    // would turn a NULL z-score into an enormous one
+    val base = 1700000000000000L
+    def t(us: Long) = new java.sql.Timestamp((base + us) / 1000)
+    val hist = (1 to 200).map(i =>
+      (i.toLong, "k", t(i * 1000000L), 1.0e6 + i * 1237.53125))
+    val tail = (201 to 210).map(i =>
+      (i.toLong, "k", t((10000 + i) * 1000000L), 42.5))
+    val df = (hist ++ tail).toDF("id", "k", "ts", "v")
+    val win = 10L * 1000000L // 10 s
+    val out = Stats.trailingSums(df, Seq("k"), "ts", "v", win)
+      .select("id", "win_n", "win_var")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    // tail rows past the first: constant window, n > 1 → exactly 0
+    for (i <- 202L to 210L) {
+      assert(out(i)._1 > 1, s"row $i n")
+      assert(out(i)._2.contains(0.0), s"row $i win_var=${out(i)._2}")
+    }
+    // single-row window (first tail row) → null (no sample variance)
+    assert(out(201L)._1 == 1 && out(201L)._2.isEmpty)
+    // varying-history rows still agree with the sliding-frame var_samp
+    val w = Window.partitionBy("k").orderBy(unix_micros(col("ts")))
+      .rangeBetween(-win, 0L)
+    val ref = df.select(col("id"), var_samp("v").over(w).as("vs"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    for (i <- 2L to 200L) {
+      val (a, b) = (out(i)._2.get, ref(i).get)
+      assert(math.abs(a - b) <= 1e-6 * math.max(1.0, b.abs), s"row $i $a vs $b")
+    }
+  }
 }

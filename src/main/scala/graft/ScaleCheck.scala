@@ -626,6 +626,22 @@ object ScaleCheck {
         "value", 7L * 86400L * 1000000L))
     }
 
+    // 15c. Threshold quantile bucketing over 1M scored rows, 5 keys:
+    // the partition-free form of CCNet perplexity bucketing
+    // (Curation.quantileBuckets) — a per-key ntile window here would
+    // sort 200k rows per language on ONE partition; the approx-threshold
+    // form is a sketch aggregate + broadcast compare and must scale like
+    // a groupBy. Synthetic scored rows isolate the operator from the LM.
+    time("quantile_buckets (1M rows, 5 keys)") {
+      val scored = spark.range(1000000L).select(
+        concat(lit("lang"), (col("id") % 5).cast("string")).as("lang"),
+        (pmod(xxhash64(col("id")), lit(100000L)).cast("double") / 1000.0)
+          .as("nll"))
+      consume(ops.Curation.quantileBuckets(scored, "lang", "nll",
+          Seq(1.0 / 3, 2.0 / 3), Seq("head", "middle", "tail"))
+        .groupBy("lang", "bucket").agg(count(lit(1)).as("n_docs")))
+    }
+
     // 15. The full pretraining composition at 50k docs: every stage is
     // individually audited; this entry catches interaction cliffs
     // (e.g. the LM scoring running over an un-pruned survivor join, or

@@ -237,4 +237,62 @@ object Curation {
   def dsirWeights(df: DataFrame, idCol: String, textCol: String,
                   isTarget: Column, buckets: Int = 512): DataFrame =
     dsirWeightsWithHandle(df, idCol, textCol, isTarget, buckets)._1
+
+  /** Per-key quantile bucketing by THRESHOLDS — the scale-correct form
+    * of CCNet-style head/middle/tail partitioning. A per-key
+    * `ntile` window sorts every key's whole value column on one
+    * partition (a language's entire NLL distribution pinned to a single
+    * task at corpus scale); this computes the `probs` quantile
+    * thresholds per key as ONE map-side-combinable aggregate (key-count
+    * rows), broadcasts them back, and labels each row by comparing
+    * against its key's thresholds — two data-scale-free exchanges, no
+    * sort, no pinning.
+    *
+    * `exact = false` (default, the 100 TB arm) estimates thresholds via
+    * `percentile_approx` (Greenwald–Khanna sketch, memory bounded by
+    * `accuracy`, returns an actual data value); `exact = true` uses the
+    * exact interpolated `percentile` — per-group memory O(values), the
+    * test/oracle arm only (DuckDB's quantile_cont replays it). Rows
+    * with value ≤ threshold(i) get labels(i), else the next bucket;
+    * labels.length must be probs.length + 1. NULL values fall into the
+    * last bucket (no comparison matches) — filter upstream if NULL
+    * must be excluded.
+    *
+    * Tie semantics vs ntile, stated: equal values always share a bucket
+    * here, while ntile splits ties to balance populations — on a
+    * tie-free column the two agree exactly (pinned in TrainSpec).
+    *
+    * `threshRound ≥ 0` rounds each threshold before the comparison —
+    * the cross-engine contract for the oracled arm when values are
+    * already decimal-rounded: an exact-integer quantile index (p(n−1)
+    * integral in the reals) computes as x.99999…ε in doubles, putting
+    * the interpolated threshold an ulp below a tied data value and
+    * flipping the whole tie run's membership between engines. Rounding
+    * the threshold to the DATA's precision re-lands it on the data grid
+    * (and tercile fractions of a grid step can never hit a decimal
+    * rounding tie). Production paths keep the raw threshold. */
+  def quantileBuckets(df: DataFrame, keyCol: String, valueCol: String,
+                      probs: Seq[Double], labels: Seq[String],
+                      exact: Boolean = false,
+                      accuracy: Int = 10000,
+                      threshRound: Int = -1): DataFrame = {
+    require(labels.length == probs.length + 1,
+      "labels must have one more entry than probs")
+    require(probs.nonEmpty && probs == probs.sorted &&
+      probs.forall(p => p > 0 && p < 1), "probs must be sorted in (0, 1)")
+    val probsArr = array(probs.map(lit): _*)
+    val thAgg =
+      if (exact) percentile(col(valueCol), probsArr)
+      else percentile_approx(col(valueCol), probsArr, lit(accuracy))
+    val th = df.groupBy(keyCol).agg(thAgg.as("__th"))
+    def thAt(i: Int) =
+      if (threshRound >= 0) round(col("__th").getItem(i), threshRound)
+      else col("__th").getItem(i)
+    val bucket = probs.indices.foldRight(lit(labels.last): Column)((i, acc) =>
+      when(col(valueCol) <= thAt(i), lit(labels(i)))
+        .otherwise(acc))
+    df.join(broadcast(th), Seq(keyCol))
+      .withColumn("bucket", bucket)
+      .drop("__th")
+  }
 }

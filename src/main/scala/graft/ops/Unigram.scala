@@ -135,10 +135,16 @@ object Unigram {
 
   /** Hard-EM training: `rounds` Viterbi-segment → re-count → re-estimate
     * iterations from the seed vocabulary. Returns the final (piece, n,
-    * cost) table, cost = −ln(n / Σn). */
+    * cost) table, cost = −ln(n / Σn). `maxWordLen` caps trained words
+    * (the pathological-run guard of [[encodeCorpus]], and the bound that
+    * keeps the oracled registry query inside its SQL DP+backtrack
+    * unroll — the t_unigram_viterbi convention). */
   def train(df: DataFrame, textCol: String, rounds: Int = 3,
-            topK: Int = 200, maxPieceLen: Int = 6): DataFrame = {
-    val words = wordCounts(df, textCol)
+            topK: Int = 200, maxPieceLen: Int = 6,
+            maxWordLen: Int = Int.MaxValue): DataFrame = {
+    val words0 = wordCounts(df, textCol)
+    val words = (if (maxWordLen == Int.MaxValue) words0
+      else words0.filter(length(col("word")) <= maxWordLen))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       var vocab = seedVocab(words, maxPieceLen, topK)

@@ -251,6 +251,69 @@ object TrainQueries {
           .orderBy("lang", "bucket")
     },
 
+    // The SCALE form of the bucketing above — per-lang quantile
+    // THRESHOLDS instead of the ntile window, so no language's NLL
+    // column ever sorts on one partition (Curation.quantileBuckets:
+    // thresholds are a lang-count-bounded broadcast aggregate; the
+    // production arm estimates them with percentile_approx, pinned
+    // equal to this exact arm in TrainSpec, partition-freedom at 1M
+    // rows in ScaleCheck). Oracled with the EXACT interpolated
+    // percentile (DuckDB quantile_cont, the same R-7 interpolation):
+    // thresholds, membership, and per-bucket aggregates all replay.
+    // Tie semantics differ from ntile BY DESIGN (equal NLLs share a
+    // bucket; ntile splits them), so populations may legitimately
+    // differ from pipe_ppl_buckets on tied round-4 NLLs.
+    Q("pipe_ppl_buckets_thresh",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |bg AS (SELECT doc_id, toks[i] AS a, toks[i + 1] AS b2
+        |  FROM (SELECT doc_id, toks,
+        |      unnest(generate_series(1, len(toks) - 1)) AS i FROM t)),
+        |dt AS (SELECT doc_id, a, b2, COUNT(*)::BIGINT AS n FROM bg
+        |  GROUP BY 1, 2, 3),
+        |c2 AS (SELECT a, b2, SUM(n)::BIGINT AS n2 FROM dt GROUP BY a, b2),
+        |c1 AS (SELECT a, SUM(n2)::BIGINT AS n1 FROM c2 GROUP BY a),
+        |vv AS (SELECT COUNT(DISTINCT tok) AS v FROM
+        |  (SELECT a AS tok FROM c2 UNION SELECT b2 FROM c2)),
+        |nl AS (SELECT dt.doc_id,
+        |    ROUND(-(SUM(n * LN(CAST(c2.n2 + 1 AS DOUBLE)
+        |      / (c1.n1 + (SELECT v FROM vv)))) / SUM(n)), 4) AS nll
+        |  FROM dt JOIN c2 USING (a, b2) JOIN c1 USING (a)
+        |  GROUP BY dt.doc_id),
+        |sc AS (SELECT d.lang, nl.nll
+        |  FROM nl JOIN documents d USING (doc_id)),
+        |th AS (SELECT lang, ROUND(quantile_cont(nll, 1.0/3), 4) AS t1,
+        |    ROUND(quantile_cont(nll, 2.0/3), 4) AS t2
+        |  FROM sc GROUP BY lang),
+        |b AS (SELECT sc.lang, sc.nll,
+        |    CASE WHEN sc.nll <= th.t1 THEN 'head'
+        |      WHEN sc.nll <= th.t2 THEN 'middle' ELSE 'tail' END AS bucket
+        |  FROM sc JOIN th USING (lang))
+        |SELECT lang, bucket, COUNT(*)::BIGINT AS n_docs,
+        |  ROUND(SUM(nll), 4) AS sum_nll
+        |FROM b GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin) {
+      (s, dir) =>
+        // SUM not AVG of the round-4 NLLs: a sum of 1e-4 multiples stays
+        // ~1e-12 from any .00005 rounding tie, while their AVERAGE can
+        // land exactly on one (the decimal-tie pitfall — observed here:
+        // one bucket's avg rounded 3.4208 vs DuckDB's 3.4209). The
+        // consumer divides by n_docs.
+        val docs = Tables.fannedOut(s, dir, "documents")
+        val scored = Text.bigramNll(docs, "doc_id", "text")
+          .join(docs.select("doc_id", "lang"), "doc_id")
+          .select(col("lang"), col("nll"))
+        // threshRound = 4 (the NLLs' own precision): without it, an
+        // exact-integer quantile index lands the interpolated threshold
+        // an ulp below a TIED round-4 value and the whole tie run flips
+        // buckets between engines (observed at sf0.1: 4 es-docs
+        // middle↔tail)
+        Curation.quantileBuckets(scored, "lang", "nll",
+            Seq(1.0 / 3, 2.0 / 3), Seq("head", "middle", "tail"),
+            exact = true, threshRound = 4)
+          .groupBy("lang", "bucket")
+          .agg(count(lit(1)).as("n_docs"), round(sum("nll"), 4).as("sum_nll"))
+          .orderBy("lang", "bucket")
+    },
+
     // DSIR importance weights (hashed-unigram importance resampling):
     // target = English docs, raw = whole corpus; per-doc log weight is
     // the sum over token events of the smoothed bucket-frequency
@@ -781,13 +844,23 @@ object TrainQueries {
     // Unigram-LM tokenizer, stage 3 — full hard-EM training (3 Viterbi-EM
     // rounds from the seed): final piece table. Each round exchanges
     // vocabulary-sized data and collects the few-hundred-row cost table
-    // as bounded driver state (Bpe.train pattern). No SQL oracle — the
-    // EM re-segmentation loop has no tractable SQL twin (stage-1 counts
-    // and stage-2 DP are oracled above); the trainer invariants
-    // (coverage, NLL monotonicity, toy-corpus fixed point) are pinned in
-    // UnigramSpec.
-    Q.noOracle("t_unigram_train") { (s, dir) =>
-      Unigram.train(Tables(s, dir, "documents"), "text", rounds = 3)
+    // as bounded driver state (Bpe.train pattern). VALUE-ORACLED since
+    // round 10: the oracle unrolls all 3 EM rounds — per round, the
+    // forward Viterbi DP (one CTE per position, the t_unigram_viterbi
+    // pattern), an unrolled BACKTRACK recovering the argmin path (at
+    // each cell the chosen arc is the argmin of p_s + cost with exact
+    // ties to the longest piece — the expression's exact rule), the
+    // weighted piece recount, top-200 + single-char floor, and cost
+    // re-estimation. Words capped at 8 chars (the unroll bound, as in
+    // the sibling DP oracles — hence maxWordLen = 8 here); the uncapped
+    // trainer keeps its UnigramSpec invariant pins. Cross-engine FP:
+    // costs are -ln of integer ratios (libm last-ulp drift), so argmin
+    // choices could differ only on near-ties — which arise from
+    // same-multiset segmentations and leave the COUNTS identical; the
+    // integer counts re-sync both engines at every round boundary.
+    Q("t_unigram_train", unigramTrainOracleSql) { (s, dir) =>
+      Unigram.train(Tables(s, dir, "documents"), "text", rounds = 3,
+          maxWordLen = 8)
         .select(col("piece"), col("n"), round(col("cost"), 4).as("cost"))
         .orderBy(col("n").desc, col("piece")).limit(50)
     },
@@ -996,6 +1069,99 @@ object TrainQueries {
   private lazy val unigramViterbiOracleSql: String =
     s"""$unigramDpCtes
        |SELECT word, ROUND(cost, 4) AS nll FROM best ORDER BY word""".stripMargin
+
+  /** Generated 3-round hard-EM oracle for [[graft.ops.Unigram.train]]:
+    * per round r (costs v{r−1} in), it emits — arcs with costs; the
+    * forward DP q{r}_1..q{r}_8 (same construction as [[unigramDpCtes]]);
+    * `pall` (position-indexed reachable costs); an unrolled BACKTRACK
+    * ch{r}_1..ch{r}_8 where each step picks the argmin arc into the
+    * current cell (ORDER BY p.cost + a.cost, a.s — exact ties to the
+    * smallest start = longest piece, the UnigramViterbi rule) and steps
+    * to its start; the weighted piece recount over the chosen arcs;
+    * top-200 + the single-char floor (COALESCE 1); and re-estimated
+    * costs. Final SELECT re-derives the round-3 cost column exactly as
+    * train() does (window total over the final vocab). MATERIALIZED on
+    * the multiply-referenced stages keeps DuckDB from inlining the
+    * 8-level DP recursion exponentially. */
+  private lazy val unigramTrainOracleSql: String = {
+    val maxLen = unigramMaxLen
+    val L = 6
+    val rounds = 3
+    def dpChain(r: Int): String = (1 to maxLen).map { j =>
+      val steps = (math.max(0, j - L) until j).map { i =>
+        s"""SELECT a.word, q${r}_$i.cost + a.cost AS cand FROM arcs$r a
+           |    JOIN q${r}_$i ON a.word = q${r}_$i.word AND a.s = $i AND a.e = $j""".stripMargin
+      }.mkString("\n    UNION ALL ")
+      s"""q${r}_$j AS MATERIALIZED (SELECT word, MIN(cand) AS cost FROM (
+         |    $steps) GROUP BY word)""".stripMargin
+    }.mkString(",\n")
+    def roundSql(r: Int, cIn: String): String = {
+      val pall = (0 to maxLen)
+        .map(j => s"SELECT $j AS pos, word, cost FROM q${r}_$j")
+        .mkString("\n  UNION ALL ")
+      val bt = (1 to maxLen).map { k =>
+        val curDef =
+          if (k == 1)
+            s"""cur${r}_1 AS (SELECT word, pos AS e FROM pall$r
+               |  WHERE pos = length(word) AND pos > 0)""".stripMargin
+          else
+            s"cur${r}_$k AS (SELECT word, s AS e FROM ch${r}_${k - 1} WHERE s > 0)"
+        s"""$curDef,
+           |ch${r}_$k AS MATERIALIZED (SELECT word, e, s, piece FROM (
+           |    SELECT c.word, c.e, a.s, a.piece,
+           |      ROW_NUMBER() OVER (PARTITION BY c.word
+           |        ORDER BY p.cost + a.cost, a.s) AS rk
+           |    FROM cur${r}_$k c JOIN arcs$r a ON a.word = c.word AND a.e = c.e
+           |    JOIN pall$r p ON p.word = c.word AND p.pos = a.s) WHERE rk = 1)""".stripMargin
+      }.mkString(",\n")
+      val chosen = (1 to maxLen)
+        .map(k => s"SELECT word, piece FROM ch${r}_$k")
+        .mkString("\n    UNION ALL ")
+      s"""arcs$r AS MATERIALIZED (SELECT w.word, t.s - 1 AS s, t.s - 1 + t.l AS e,
+         |    substring(w.word, t.s, t.l) AS piece, v.cost
+         |  FROM w, unnest(flatten([[{'s': s, 'l': l}
+         |      FOR l IN generate_series(1, least($L, length(word) - s + 1))]
+         |      FOR s IN generate_series(1, length(word))])) AS u(t)
+         |  JOIN $cIn v ON v.piece = substring(w.word, t.s, t.l)),
+         |q${r}_0 AS (SELECT word, 0.0 AS cost FROM w),
+         |${dpChain(r)},
+         |pall$r AS MATERIALIZED (
+         |  $pall),
+         |$bt,
+         |used$r AS MATERIALIZED (SELECT u.piece, SUM(w.c)::BIGINT AS n FROM (
+         |    $chosen) u
+         |  JOIN w USING (word) GROUP BY u.piece),
+         |top$r AS (SELECT piece, n FROM used$r ORDER BY n DESC, piece LIMIT 200),
+         |vv$r AS MATERIALIZED (SELECT piece, n FROM top$r
+         |  UNION SELECT s.piece, COALESCE(u.n, 1)::BIGINT AS n
+         |    FROM (SELECT DISTINCT piece FROM sub WHERE length(piece) = 1) s
+         |    LEFT JOIN used$r u USING (piece)),
+         |v$r AS (SELECT piece,
+         |    -ln(CAST(n AS DOUBLE) / (SELECT SUM(n) FROM vv$r)) AS cost
+         |  FROM vv$r)""".stripMargin
+    }
+    val roundsSql = (1 to rounds)
+      .map(r => roundSql(r, s"v${r - 1}")).mkString(",\n")
+    s"""WITH w AS MATERIALIZED (SELECT word, COUNT(*)::BIGINT AS c FROM
+       |    (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE word <> '' AND length(word) <= $maxLen GROUP BY word),
+       |sub AS MATERIALIZED (SELECT unnest(flatten([[substring(word, s, l)
+       |      FOR l IN generate_series(1, least($L, length(word) - s + 1))]
+       |      FOR s IN generate_series(1, length(word))])) AS piece, c
+       |  FROM w),
+       |top0 AS (SELECT piece, SUM(c)::BIGINT AS n FROM sub GROUP BY piece
+       |  ORDER BY n DESC, piece LIMIT 200),
+       |vv0 AS (SELECT piece, n FROM top0
+       |  UNION SELECT piece, SUM(c)::BIGINT AS n FROM sub
+       |    WHERE length(piece) = 1 GROUP BY piece),
+       |v0 AS (SELECT piece,
+       |    -ln(CAST(n AS DOUBLE) / (SELECT SUM(n) FROM vv0)) AS cost
+       |  FROM vv0),
+       |$roundsSql
+       |SELECT piece, n,
+       |  ROUND(-ln(CAST(n AS DOUBLE) / (SELECT SUM(n) FROM vv$rounds)), 4) AS cost
+       |FROM vv$rounds ORDER BY n DESC, piece LIMIT 50""".stripMargin
+  }
 
   /** Per-doc encode oracle: per-word best cost (unrounded) joined back
     * to the per-document token stream, summed and rounded once — the

@@ -350,6 +350,30 @@ class TrainSpec extends SparkSpec {
     assert(ok.count(_._3 == "dropped") == 39)
   }
 
+  test("quantileBuckets: approx == exact == ntile terciles on tie-free keys") {
+    import org.apache.spark.sql.expressions.Window
+    // 7 distinct values per key: (n−1)/3 and 2(n−1)/3 are integer
+    // indices, so the exact percentile interpolates nothing (threshold
+    // IS a data value) and the GK sketch at default accuracy returns the
+    // same element — all three formulations must agree exactly
+    val vals = for (l <- Seq("en", "fr"); i <- 1 to 7)
+      yield (l, s"$l$i", i * 1.5 + (if (l == "en") 0.0 else 100.0))
+    val df = vals.toDF("lang", "doc_id", "nll")
+    val w = Window.partitionBy("lang").orderBy(col("nll"), col("doc_id"))
+    val viaNtile = df.withColumn("t", ntile(3).over(w))
+      .withColumn("bucket", when(col("t") === 1, "head")
+        .when(col("t") === 2, "middle").otherwise("tail"))
+      .select("doc_id", "bucket").as[(String, String)].collect().toMap
+    def run(exact: Boolean) = Curation.quantileBuckets(df, "lang", "nll",
+        Seq(1.0 / 3, 2.0 / 3), Seq("head", "middle", "tail"), exact = exact)
+      .select("doc_id", "bucket").as[(String, String)].collect().toMap
+    assert(run(exact = true) == viaNtile)
+    assert(run(exact = false) == viaNtile)
+    // per-key bucket populations: 3/2/2 of 7
+    assert(viaNtile.values.groupBy(identity).view.mapValues(_.size).toMap ==
+      Map("head" -> 6, "middle" -> 4, "tail" -> 4))
+  }
+
   test("hashSplit keyed on a group column is group-atomic") {
     // leakage-safe splitting: hash the HOST, not the doc id — every doc
     // of a host must land in exactly one split

@@ -8,6 +8,21 @@ import org.apache.spark.sql.SparkSession
   * Usage: runMain graft.Explain [queryName ...] (default: headline set)
   */
 object Explain {
+  /** Exchange count above which a registered query's plan MUST carry a
+    * note in [[heavyPlanNotes]] — the audit prints an UNDOCUMENTED
+    * marker otherwise. */
+  val heavyThreshold = 20
+
+  /** Justifications for plans over [[heavyThreshold]] exchanges. Keep a
+    * note here for each deliberately-deep composition; anything heavy
+    * and unlisted is flagged by --audit-all. Entries whose plans have
+    * since collapsed below the threshold are harmless (never printed). */
+  val heavyPlanNotes: Map[String, String] = Map(
+    "pipe_ppl_buckets_thresh" -> ("composes the full bigram-LM chain " +
+      "with two consumers of the scored stream; the (lang, nll) stream " +
+      "is persisted so neither branch replays the LM derivation — if " +
+      "this row is printed, the persist stopped collapsing the plan"))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val spark = SparkSession.builder()
@@ -20,6 +35,7 @@ object Explain {
     if (args.headOption.contains("--audit-all")) {
       // one summary line per registered query: the shuffle/broadcast/scan
       // shape a reviewer needs to judge 100 TB readiness at a glance
+      val heavy = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
       println("| query | exchanges | broadcasts | scans | pushed filters | full plan ok |")
       println("|---|---|---|---|---|---|")
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
@@ -27,15 +43,43 @@ object Explain {
           val plan = fn(spark, sfDir).queryExecution.explainString(
             org.apache.spark.sql.execution.FormattedMode)
           // tree nodes print as "Name (id)"; details as "(id) Name" —
-          // match the tree form only so each operator counts once
-          val nEx = "Exchange \\(\\d+\\)".r.findAllIn(plan).length
-          val nBc = "BroadcastExchange \\(\\d+\\)".r.findAllIn(plan).length
-          val nScan = "Scan parquet\\s+\\(\\d+\\)".r.findAllIn(plan).length
+          // match the tree form only, and dedupe by NODE ID: a cached
+          // subtree (persist handle) is expanded verbatim under every
+          // InMemoryTableScan that reads it, with the SAME ids — at
+          // runtime it executes once, so occurrence-counting would
+          // charge a persist-collapsed plan for the branches the
+          // persist exists to eliminate
+          def distinctIds(re: String): Int =
+            re.r.findAllMatchIn(plan).map(_.group(1)).toSet.size
+          val nEx = distinctIds("Exchange \\((\\d+)\\)")
+          val nBc = distinctIds("BroadcastExchange \\((\\d+)\\)")
+          val nScan = distinctIds("Scan parquet\\s+\\((\\d+)\\)")
           val pushed = "PushedFilters: \\[[^\\]]".r.findAllIn(plan).nonEmpty
           println(s"| $name | $nEx | $nBc | $nScan | $pushed | true |")
+          if (nEx > heavyThreshold) heavy += name -> nEx
         } catch {
           case e: Throwable => println(s"| $name | - | - | - | - | ERROR ${e.getClass.getSimpleName} |")
+        } finally {
+          // a query that registers a persist handle (e.g. the ppl-thresh
+          // scored stream) must not leave cache entries that rewrite
+          // LATER rows' plans into InMemoryTableScans
+          spark.sharedState.cacheManager.clearCache()
         }
+      }
+      // The audit REFUSES SILENCE on its heaviest plans: every row over
+      // the exchange threshold must carry a justification, or the
+      // section prints an UNDOCUMENTED marker that the round checklist
+      // (and any grep for it) treats as a failure. Round-9 lesson: the
+      // one row the hand-written notes skipped (sim_recall_eval, 156
+      // exchanges) was exactly the one that most needed a note.
+      println()
+      println(s"## Heavy-plan notes (every query with > $heavyThreshold exchanges)")
+      if (heavy.isEmpty)
+        println(s"(none — no registered query exceeds $heavyThreshold exchanges)")
+      else heavy.sortBy(-_._2).foreach { case (name, nEx) =>
+        val note = heavyPlanNotes.getOrElse(name,
+          "UNDOCUMENTED — add a justification to Explain.heavyPlanNotes")
+        println(s"- **$name** ($nEx exchanges): $note")
       }
       spark.stop(); return
     }

@@ -419,6 +419,46 @@ object ScaleCheck {
         .groupBy("status").count().count()
     }
 
+    // 8j2. ANN recall eval at 20k vectors (r10): with centroids
+    // MATERIALIZED as a LocalRelation after training, the plan is
+    // assignment-scan-bound — one brute-force probe similarity pass +
+    // one shared window, nothing re-derives the Lloyd chain. Cost must
+    // track rows×probes (the sims stream), near-linear in N at fixed
+    // probe count — the pre-fix lazy-chain form replayed training per
+    // plan branch and would have scaled with branches×iters×N.
+    time("sim_recall_eval (20k vecs, 5 probes)") {
+      val e = emb10.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      val cents = ops.Similarity.kmeansCentroids(
+        e, "vec_id", "embedding", k = 16, iters = 2)
+      val assigned = ops.Similarity.ivfAssign(e, "embedding", cents)
+      val probes = assigned.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("centroid_id").as("pcid"),
+          col("embedding").as("pvec"))
+      val sims = assigned.join(broadcast(probes),
+          col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          (col("centroid_id") === col("pcid")).as("in_cell"),
+          ops.Similarity.cosine(col("embedding"), col("pvec")).as("s"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("probe_id").orderBy(col("s").desc, col("vec_id"))
+      val wRun = w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+      consume(sims
+        .withColumn("rk_ex", row_number().over(w))
+        .withColumn("rk_iv",
+          sum(when(col("in_cell"), 1L).otherwise(0L)).over(wRun))
+        .select(col("probe_id"),
+          (col("rk_ex") <= 10).as("is_ex"),
+          (col("in_cell") && col("rk_iv") <= 10).as("is_iv"))
+        .groupBy("probe_id")
+        .agg(sum(when(col("is_ex"), 1L).otherwise(0L)).as("n_exact"),
+          sum(when(col("is_iv"), 1L).otherwise(0L)).as("n_ivf"),
+          sum(when(col("is_ex") && col("is_iv"), 1L).otherwise(0L))
+            .as("n_overlap")))
+    }
+
     // 8k. count-min sketch at 50k docs (~7.5M token occurrences × depth
     // 4 = 30M exploded slot rows): the partial aggregate collapses them
     // map-side to ≤ 256 counters per partition — the shuffle must stay

@@ -298,9 +298,16 @@ object TrainQueries {
         // one bucket's avg rounded 3.4208 vs DuckDB's 3.4209). The
         // consumer divides by n_docs.
         val docs = Tables.fannedOut(s, dir, "documents")
+        // The scored (lang, nll) stream has TWO consumers inside
+        // quantileBuckets (threshold aggregate + membership join), and
+        // each would otherwise replay the full bigram-LM chain (28
+        // exchanges / 8 scans in the r10 audit). It is doc-count-sized
+        // (two columns), so persist it — released by the per-query
+        // clearCache in Bench/Verify, the scrub-spans handle contract.
         val scored = Text.bigramNll(docs, "doc_id", "text")
           .join(docs.select("doc_id", "lang"), "doc_id")
           .select(col("lang"), col("nll"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // threshRound = 4 (the NLLs' own precision): without it, an
         // exact-integer quantile index lands the interpolated threshold
         // an ulp below a TIED round-4 value and the whole tie run flips

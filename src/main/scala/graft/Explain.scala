@@ -51,7 +51,11 @@ object Explain {
           // persist exists to eliminate
           def distinctIds(re: String): Int =
             re.r.findAllMatchIn(plan).map(_.group(1)).toSet.size
-          val nEx = distinctIds("Exchange \\((\\d+)\\)")
+          // lookbehind: "BroadcastExchange (id)" must not also count as
+          // an "Exchange (id)" — broadcasts are cheap fan-outs, not
+          // shuffles, and double-counting them into nEx would trip the
+          // heavyThreshold gate on broadcast-rich (healthy) plans
+          val nEx = distinctIds("(?<!Broadcast)Exchange \\((\\d+)\\)")
           val nBc = distinctIds("BroadcastExchange \\((\\d+)\\)")
           val nScan = distinctIds("Scan parquet\\s+\\((\\d+)\\)")
           val pushed = "PushedFilters: \\[[^\\]]".r.findAllIn(plan).nonEmpty
@@ -98,6 +102,10 @@ object Explain {
         "WholeStageCodegen" -> plan.contains("WholeStageCodegen"),
         "full-column scan (no ReadSchema prune)" -> !plan.contains("ReadSchema"))
       println(s"---- audit[$name]: " + checks.collect { case (k, true) => k }.mkString(" | "))
+      // mirror the audit path: a persisting query (e.g. the ppl-thresh
+      // scored stream) must not rewrite later queries' printed plans
+      // into InMemoryTableScans
+      spark.sharedState.cacheManager.clearCache()
     }
     spark.stop()
   }

@@ -232,27 +232,38 @@ object Similarity {
       val rows = cents.orderBy("centroid_id").collect().toSeq
       spark.createDataFrame(rows.asJava, cents.schema)
     }
-    // k rows total after the TakeOrdered limit — the single-partition
-    // window only ever ranks those k. `seedHash` defaults to xxhash64;
-    // an md5 hex string gives the same data-independent spread with a
-    // DuckDB-portable ordering (the oracled twin).
-    val seeds = df.select(col(id), col(vecCol))
-      .withColumn("__h", seedHash(col(id)))
-      .orderBy("__h").limit(k)
-      .withColumn("centroid_id",
-        row_number().over(Window.partitionBy(lit(0)).orderBy("__h")) - 1)
-      .select(col("centroid_id"), col(vecCol))
-    (1 to iters).foldLeft(localize(seeds)) { (cents, _) =>
-      localize(ivfAssign(df.select(col(id), col(vecCol)), vecCol, cents,
-        simRound = simRound)
-        .select(col("centroid_id"),
-          posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "v")))
-        .groupBy("centroid_id", "pos").agg(avg("v").as("v"))
-        .groupBy("centroid_id")
-        .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("__z"))
-        .select(col("centroid_id"),
-          transform(col("__z"), x => x("v")).as(vecCol)))
-    }
+    // Training runs iters+1 EAGER jobs (seeds + one per Lloyd round),
+    // each reading the same (id, vec) projection — without a persist
+    // that is iters+1 full scans of the input (and of whatever derived
+    // it, e.g. semanticDedup's upstream select). Persist the projection
+    // for the duration of training; the result is already a
+    // LocalRelation when we release it, so no downstream plan can
+    // reference the freed cache.
+    val proj = df.select(col(id), col(vecCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // k rows total after the TakeOrdered limit — the single-partition
+      // window only ever ranks those k. `seedHash` defaults to xxhash64;
+      // an md5 hex string gives the same data-independent spread with a
+      // DuckDB-portable ordering (the oracled twin).
+      val seeds = proj
+        .withColumn("__h", seedHash(col(id)))
+        .orderBy("__h").limit(k)
+        .withColumn("centroid_id",
+          row_number().over(Window.partitionBy(lit(0)).orderBy("__h")) - 1)
+        .select(col("centroid_id"), col(vecCol))
+      (1 to iters).foldLeft(localize(seeds)) { (cents, _) =>
+        localize(ivfAssign(proj, vecCol, cents,
+          simRound = simRound)
+          .select(col("centroid_id"),
+            posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "v")))
+          .groupBy("centroid_id", "pos").agg(avg("v").as("v"))
+          .groupBy("centroid_id")
+          .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("__z"))
+          .select(col("centroid_id"),
+            transform(col("__z"), x => x("v")).as(vecCol)))
+      }
+    } finally proj.unpersist(blocking = false)
   }
 
   /** IVF ANN join: assign both sides to cells, join on cell, top-k within.

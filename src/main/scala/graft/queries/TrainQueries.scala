@@ -714,11 +714,13 @@ object TrainQueries {
     // Full BPE tokenizer training (8 merges) over the corpus: each round
     // is a vocabulary-sized pair-count aggregate + a 1-row deterministic
     // argmax (count desc, pair lexicographic) collected as bounded
-    // driver state — the PCA-power-iteration pattern. No SQL oracle (the
-    // greedy re-segmentation fold has no tractable SQL twin); the
-    // trainer is pinned in TrainSpec against the classic Sennrich
-    // example, and round-1 statistics are oracled above.
-    Q.noOracle("t_bpe_train") { (s, dir) =>
+    // driver state — the PCA-power-iteration pattern. VALUE-ORACLED
+    // since round 11 (the unigram-trainer unrolled-round pattern): the
+    // oracle unrolls all 8 merge rounds — see [[bpeTrainOracleSql]].
+    // The trainer additionally keeps its TrainSpec pin against the
+    // classic Sennrich example, and round-1 statistics are oracled
+    // above (t_bpe_pairs).
+    Q("t_bpe_train", bpeTrainOracleSql) { (s, dir) =>
       import s.implicits._
       val toks = Tables.fannedOut(s, dir, "documents")
         .select(explode(split(col("text"), " ", -1)).as("tok"))
@@ -1168,6 +1170,68 @@ object TrainQueries {
        |SELECT piece, n,
        |  ROUND(-ln(CAST(n AS DOUBLE) / (SELECT SUM(n) FROM vv$rounds)), 4) AS cost
        |FROM vv$rounds ORDER BY n DESC, piece LIMIT 50""".stripMargin
+  }
+
+  /** Generated 8-round oracle for [[graft.ops.Bpe.train]]: per round r
+    * (segmented vocab v{r−1} in), it emits — the position explode e{r};
+    * weighted adjacent-pair counts pc{r}; the 1-row argmax best{r}
+    * (n desc, pair lexicographic — Bpe.train's exact ordering); and the
+    * greedy left-to-right merge application rebuilding v{r}. The greedy
+    * fold ("a a a" under (a,a) → [aa, a], leftmost-first, no re-merge)
+    * unrolls to SQL via a parity argument: a merge CANDIDATE is a
+    * position i with syms[i]=a ∧ syms[i+1]=b; two candidates can be
+    * adjacent (i, i+1) only when a = b (the second needs syms[i+1]=a),
+    * so within each maximal run of consecutive candidates the greedy
+    * fold takes exactly the 1st, 3rd, 5th… — runs are identified by the
+    * classic i − row_number() chain key and odd offsets are kept. A
+    * taken position emits the merged symbol and consumes position i+1
+    * (the LAG(taken) filter); everything else passes through, and the
+    * new symbol list re-assembles ordered by position. Output = the
+    * merge table (rank, a, b, merged, n), the engine's exact schema.
+    * MATERIALIZED on each v{r}/e{r} stops DuckDB re-inlining the round
+    * recursion. The corpus's pair supply never dries up inside 8 rounds
+    * (Bpe.train would stop early; the oracle's CROSS JOIN best{r} would
+    * go empty the same round — both sides emit fewer than 8 rows). */
+  private lazy val bpeTrainOracleSql: String = {
+    val rounds = 8
+    def roundSql(r: Int): String =
+      s"""e$r AS MATERIALIZED (SELECT word, wc, i, syms[i] AS s, syms[i + 1] AS nx,
+         |    len(syms) AS m
+         |  FROM v${r - 1}, unnest(generate_series(1, len(syms))) AS g(i)),
+         |pc$r AS (SELECT s AS a, nx AS bb, SUM(wc)::BIGINT AS n
+         |  FROM e$r WHERE i < m GROUP BY 1, 2),
+         |best$r AS (SELECT a, bb, n FROM pc$r ORDER BY n DESC, a, bb LIMIT 1),
+         |cd$r AS (SELECT e.word, e.wc, e.i, e.s,
+         |    (e.i < e.m AND e.s = b.a AND e.nx = b.bb) AS cand
+         |  FROM e$r e CROSS JOIN best$r b),
+         |ck$r AS (SELECT *, i - ROW_NUMBER() OVER (PARTITION BY word, cand
+         |    ORDER BY i) AS chain FROM cd$r),
+         |tk$r AS (SELECT word, wc, i, s,
+         |    cand AND (ROW_NUMBER() OVER (PARTITION BY word, cand, chain
+         |      ORDER BY i) % 2 = 1) AS taken
+         |  FROM ck$r),
+         |nw$r AS (SELECT word, wc, i, s, taken,
+         |    COALESCE(LAG(taken) OVER (PARTITION BY word ORDER BY i), FALSE)
+         |      AS prev_taken
+         |  FROM tk$r),
+         |v$r AS MATERIALIZED (SELECT n.word, MIN(n.wc) AS wc,
+         |    list(CASE WHEN n.taken THEN b.a || b.bb ELSE n.s END ORDER BY n.i)
+         |      AS syms
+         |  FROM nw$r n CROSS JOIN best$r b
+         |  WHERE NOT n.prev_taken GROUP BY n.word)""".stripMargin
+    val merges = (1 to rounds)
+      .map(r => s"SELECT $r AS rank, a, bb AS b, a || bb AS merged, n FROM best$r")
+      .mkString("\n  UNION ALL ")
+    s"""WITH w AS MATERIALIZED (SELECT word, COUNT(*)::BIGINT AS wc FROM
+       |    (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE word <> '' GROUP BY word),
+       |v0 AS MATERIALIZED (SELECT word, wc,
+       |    list_append([word[i] FOR i IN generate_series(1, length(word))],
+       |      '</w>') AS syms
+       |  FROM w),
+       |${(1 to rounds).map(roundSql).mkString(",\n")}
+       |SELECT rank, a, b, merged, n FROM (
+       |  $merges) ORDER BY rank""".stripMargin
   }
 
   /** Per-doc encode oracle: per-word best cost (unrounded) joined back

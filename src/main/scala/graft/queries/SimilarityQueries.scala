@@ -225,7 +225,14 @@ object SimilarityQueries {
           |  SUM(CASE WHEN af.vec_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_t0,
           |  SUM(CASE WHEN af.vec_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_t1
           |FROM af GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
-      val emb = Tables.fannedOut(s, dir, "embeddings")
+      // NOT fannedOut: the dominant cost here is the Lloyd training
+      // loop's iters+1 driver-synchronous jobs, and fanning a tiny
+      // vector table to 32 partitions multiplies every training
+      // stage's task-scheduling latency for no CPU win (measured:
+      // construction 2.5 s fanned vs 1.0 s unfanned at sf0.1's 2k
+      // vectors; at real scale the scan has enough splits and fanOut
+      // is a no-op anyway — see ProfileQ + PERF.md round 11)
+      val emb = Tables(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
       val cents = Similarity.kmeansCentroids(
         emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
@@ -281,7 +288,8 @@ object SimilarityQueries {
       // window (1 shuffle) → agg (1 shuffle), replacing the former
       // five-branch plan that replayed `sims` per branch (36 exchanges /
       // 8 scans even after centroid materialization; 156 before it).
-      val emb = Tables.fannedOut(s, dir, "embeddings")
+      // NOT fannedOut — training-loop latency dominates, see sim_ivf_drift
+      val emb = Tables(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
       val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
         k = 8, iters = 3, seedHash = c => md5(c.cast("string")), simRound = 6)
@@ -334,8 +342,10 @@ object SimilarityQueries {
           |  CASE WHEN drp.ib IS NOT NULL THEN 'dropped' ELSE 'kept' END AS status
           |FROM af LEFT JOIN drp ON drp.ib = af.vec_id
           |ORDER BY af.vec_id""".stripMargin) { (s, dir) =>
+      // NOT fannedOut — training-loop latency dominates, see sim_ivf_drift;
+      // the within-cell self-join re-partitions on centroid_id anyway
       Similarity.semanticDedup(
-          Tables.fannedOut(s, dir, "embeddings")
+          Tables(s, dir, "embeddings")
             .select(col("vec_id"),
               col("embedding").cast("array<double>").as("embedding")),
           "vec_id", "embedding", k = 8, iters = 3, tau = 0.35,

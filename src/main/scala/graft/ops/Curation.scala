@@ -120,11 +120,36 @@ object Curation {
   def incrementalDedup(newDocs: DataFrame, corpus: DataFrame,
                        idCol: String, textCol: String, shingleK: Int = 4,
                        numHashes: Int = 16, bands: Int = 4,
-                       jaccardMin: Double = 0.5): DataFrame = {
+                       jaccardMin: Double = 0.5): DataFrame =
+    incrementalDedupWithHandle(newDocs, corpus, idCol, textCol, shingleK,
+      numHashes, bands, jaccardMin, persistShingles = false)._1
+
+  /** [[incrementalDedup]] with the full-corpus persist handle (the
+    * persistTf / scrubDuplicatedSpansWithHandle contract): each side's
+    * shingle stream has TWO consumers — the band-hash derivation and
+    * the candidate Jaccard verify — and each re-runs the tokenize +
+    * shingle explode without persistence (the corpus side is the
+    * expensive one). `persistShingles = true` computes each shingle
+    * stream once and serves both consumers from storage. Second return
+    * value holds the handles to `unpersist()` when done (Bench/Verify's
+    * per-query clearCache releases them implicitly). At true corpus
+    * scale the signature-store form replaces the corpus derivation
+    * entirely (see [[incrementalDedup]]'s scaladoc). */
+  def incrementalDedupWithHandle(newDocs: DataFrame, corpus: DataFrame,
+                       idCol: String, textCol: String, shingleK: Int = 4,
+                       numHashes: Int = 16, bands: Int = 4,
+                       jaccardMin: Double = 0.5,
+                       persistShingles: Boolean = false)
+      : (DataFrame, Seq[DataFrame]) = {
     val id = col(idCol)
-    def shingled(df: DataFrame) = df.select(id,
-      array_distinct(graft.functions.GraftExtensions
-        .shingles(split(col(textCol), " ", -1), shingleK)).as("sh"))
+    def shingled(df: DataFrame) = {
+      val sh = df.select(id,
+        array_distinct(graft.functions.GraftExtensions
+          .shingles(split(col(textCol), " ", -1), shingleK)).as("sh"))
+      if (persistShingles)
+        sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else sh
+    }
     val newSh = shingled(newDocs)
     val corpSh = shingled(corpus)
     val exactIds = newDocs
@@ -145,11 +170,12 @@ object Curation {
       .filter(Text.jaccard(col("sha"), col("shb")) >= jaccardMin)
       .select(col("new_id").as(idCol)).distinct()
       .withColumn("is_near", lit(true))
-    newDocs.select(id)
+    val out = newDocs.select(id)
       .join(exactIds, Seq(idCol), "left")
       .join(nearIds, Seq(idCol), "left")
       .select(id, when(col("is_exact"), "exact_dup")
         .when(col("is_near"), "near_dup").otherwise("kept").as("status"))
+    (out, if (persistShingles) Seq(newSh, corpSh) else Seq.empty)
   }
 
   /** Per-language attrition report over [[flags]] output: raw → quality →

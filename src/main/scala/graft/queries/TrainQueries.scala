@@ -785,12 +785,17 @@ object TrainQueries {
         |LEFT JOIN ex ON ex.doc_id = n.doc_id
         |LEFT JOIN near ON near.doc_id = n.doc_id
         |ORDER BY n.doc_id""".stripMargin) { (s, dir) =>
-      val docs = Tables(s, dir, "documents")
-      Curation.incrementalDedup(
+      // fannedOut (standing rule 7): the shingle+minhash derivation is
+      // CPU-dense per-row and the single-file scan would single-thread
+      // it; persistShingles: each side's shingle stream has two
+      // consumers (band hashes + Jaccard verify) — computed once via
+      // the handle, released by Verify/Bench's per-query clearCache
+      val docs = Tables.fannedOut(s, dir, "documents")
+      Curation.incrementalDedupWithHandle(
           docs.filter(col("source") === "src0").select("doc_id", "text"),
           docs.filter(col("source") =!= "src0").select("doc_id", "text"),
           "doc_id", "text", shingleK = 4, numHashes = 16, bands = 4,
-          jaccardMin = 0.5)
+          jaccardMin = 0.5, persistShingles = true)._1
         .orderBy("doc_id")
     },
 

@@ -273,6 +273,12 @@ class TrainSpec extends SparkSpec {
     val out = Curation.incrementalDedup(batch, corpus, "doc_id", "text")
       .orderBy("doc_id").as[(Long, String)].collect().toSeq
     assert(out == Seq(1L -> "exact_dup", 2L -> "near_dup", 3L -> "kept"))
+    // persist-handle route (the persistTf contract): identical output,
+    // handles release cleanly
+    val (outH, handles) = Curation.incrementalDedupWithHandle(
+      batch, corpus, "doc_id", "text", persistShingles = true)
+    assert(outH.orderBy("doc_id").as[(Long, String)].collect().toSeq == out)
+    handles.foreach(_.unpersist())
   }
 
   test("scrubDuplicatedSpans removes exactly the cross-doc duplicated spans") {

@@ -78,8 +78,14 @@ object TrainQueries {
         |    AS dup_ratio
         |FROM tot LEFT JOIN dd USING (doc_id) ORDER BY doc_id""".stripMargin) {
       (s, dir) =>
-        Text.duplicatedSpanStats(Tables(s, dir, "documents"),
-            "doc_id", "text", k = 5)
+        // persistSpans handle (the t_scrub_spans route): the span stream
+        // has THREE consumers here (dup-hash aggregate, per-doc total,
+        // per-doc dup count) — one materialized explode instead of three
+        // derivations; fannedOut because the span-hash explode is
+        // CPU-dense per row (standing rule 7)
+        Text.duplicatedSpanStatsWithHandle(
+            Tables.fannedOut(s, dir, "documents"),
+            "doc_id", "text", k = 5, persistSpans = true)._1
           .orderBy("doc_id")
     },
 
@@ -116,7 +122,8 @@ object TrainQueries {
       // that re-derivation. The handle is released by the harness's
       // per-query clearCache (Bench/Verify); the persisted-equals-plain
       // contract is pinned in TrainSpec.
-      Text.scrubDuplicatedSpansWithHandle(Tables(s, dir, "documents"),
+      Text.scrubDuplicatedSpansWithHandle(
+          Tables.fannedOut(s, dir, "documents"),
           "doc_id", "text", k = 3, persistSpans = true)._1
         .orderBy("doc_id")
     },

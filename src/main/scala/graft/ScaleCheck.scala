@@ -30,6 +30,8 @@ object ScaleCheck {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // registry-sized codegen cache (see Bench) — repeats run compile-free
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     core.Logs.quietKnownWarnings()

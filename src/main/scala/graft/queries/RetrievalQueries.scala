@@ -497,10 +497,14 @@ object RetrievalQueries {
     // train → encode → token-budget chain. The scalable shape: segment
     // the VOCABULARY once (corpus-cardinality-bounded), broadcast-join
     // the per-word subword counts back to the token stream — the greedy
-    // merge fold never runs on the 100 TB side. No SQL twin (greedy
-    // re-segmentation, same as t_bpe_train); vocab-join == direct
-    // segmentation is pinned in TrainSpec.
-    Q.noOracle("t_bpe_encode") { (s, dir) =>
+    // merge fold never runs on the 100 TB side. VALUE-ORACLED since
+    // round 11 off the shared train-oracle CTE chain (the final
+    // segmented vocabulary v8 carries len(syms) per word); the ratio is
+    // integer-exact round-half-up on both engines (a ROUND(double, 4)
+    // of an integer ratio can tie at the 5th decimal — the documented
+    // decimal-vs-binary rounding divergence). Vocab-join == direct
+    // segmentation stays pinned in TrainSpec.
+    Q("t_bpe_encode", TrainQueries.bpeEncodeOracleSql) { (s, dir) =>
       val docTok = Tables.fannedOut(s, dir, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("tok"))
         .filter(length(col("tok")) >= 1)
@@ -511,9 +515,10 @@ object RetrievalQueries {
           size(Bpe.segment(col("tok"), merges)).cast("long").as("n_sub"))
       docTok.join(broadcast(vocabSeg), "tok")
         .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tokens"), sum("n_sub").as("n_subwords"),
-          round(sum("n_sub").cast("double") / count(lit(1)), 4)
-            .as("subwords_per_token"))
+        .agg(count(lit(1)).as("n_tokens"), sum("n_sub").as("n_subwords"))
+        .withColumn("subwords_per_token",
+          floor((col("n_subwords") * 20000L + col("n_tokens"))
+            / (col("n_tokens") * 2.0)) / 10000.0)
         .orderBy("doc_id")
     },
 

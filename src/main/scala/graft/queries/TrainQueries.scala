@@ -1204,8 +1204,13 @@ object TrainQueries {
     * recursion. The corpus's pair supply never dries up inside 8 rounds
     * (Bpe.train would stop early; the oracle's CROSS JOIN best{r} would
     * go empty the same round — both sides emit fewer than 8 rows). */
-  private lazy val bpeTrainOracleSql: String = {
-    val rounds = 8
+  private[queries] val bpeRounds = 8
+  /** The shared CTE chain: word vocab `w`, initial segmentation `v0`,
+    * then per round r: explode `e{r}`, pair counts `pc{r}`, argmax
+    * `best{r}`, and the re-segmented vocab `v{r}` — `v8` is the FINAL
+    * segmented vocabulary, reused by the encode oracle. */
+  private lazy val bpeTrainCtes: String = {
+    val rounds = bpeRounds
     def roundSql(r: Int): String =
       s"""e$r AS MATERIALIZED (SELECT word, wc, i, syms[i] AS s, syms[i + 1] AS nx,
          |    len(syms) AS m
@@ -1231,9 +1236,6 @@ object TrainQueries {
          |      AS syms
          |  FROM nw$r n CROSS JOIN best$r b
          |  WHERE NOT n.prev_taken GROUP BY n.word)""".stripMargin
-    val merges = (1 to rounds)
-      .map(r => s"SELECT $r AS rank, a, bb AS b, a || bb AS merged, n FROM best$r")
-      .mkString("\n  UNION ALL ")
     s"""WITH w AS MATERIALIZED (SELECT word, COUNT(*)::BIGINT AS wc FROM
        |    (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
        |  WHERE word <> '' GROUP BY word),
@@ -1241,10 +1243,37 @@ object TrainQueries {
        |    list_append([word[i] FOR i IN generate_series(1, length(word))],
        |      '</w>') AS syms
        |  FROM w),
-       |${(1 to rounds).map(roundSql).mkString(",\n")}
+       |${(1 to rounds).map(roundSql).mkString(",\n")}""".stripMargin
+  }
+
+  private lazy val bpeTrainOracleSql: String = {
+    val merges = (1 to bpeRounds)
+      .map(r => s"SELECT $r AS rank, a, bb AS b, a || bb AS merged, n FROM best$r")
+      .mkString("\n  UNION ALL ")
+    s"""$bpeTrainCtes
        |SELECT rank, a, b, merged, n FROM (
        |  $merges) ORDER BY rank""".stripMargin
   }
+
+  /** Encode oracle: the final segmented vocabulary v{bpeRounds} carries
+    * each word's subword count (len(syms)); join it back to the per-doc
+    * token stream and aggregate — the engine's exact vocab-join shape.
+    * The ratio uses integer-exact round-half-up (×20000+n over 2n,
+    * floored) on BOTH engines: a plain ROUND(double, 4) can tie at the
+    * 5th decimal (ratio of integers) and DuckDB rounds decimal-aware
+    * where Spark rounds the binary double — the known tie pitfall. */
+  private[queries] lazy val bpeEncodeOracleSql: String =
+    s"""$bpeTrainCtes,
+       |dt AS (SELECT doc_id, word FROM
+       |    (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |     FROM documents)
+       |  WHERE word <> '')
+       |SELECT dt.doc_id, COUNT(*)::BIGINT AS n_tokens,
+       |  SUM(len(v$bpeRounds.syms))::BIGINT AS n_subwords,
+       |  FLOOR((SUM(len(v$bpeRounds.syms)) * 20000 + COUNT(*))
+       |    / (COUNT(*) * 2.0)) / 10000.0 AS subwords_per_token
+       |FROM dt JOIN v$bpeRounds ON v$bpeRounds.word = dt.word
+       |GROUP BY dt.doc_id ORDER BY dt.doc_id""".stripMargin
 
   /** Per-doc encode oracle: per-word best cost (unrounded) joined back
     * to the per-document token stream, summed and rounded once — the

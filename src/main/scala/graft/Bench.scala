@@ -88,7 +88,28 @@ object Bench {
     // unreadable file → empty ledger → every candidate gets a warm pair
     // (the round-9 behavior).
     val ledger: Map[String, Double] = try {
-      val f = new java.io.File(ledgerPath)
+      // cwd-relative by default; if absent, fall back to the repo root
+      // derived from the compiled-classes location (…/target/scala-*/
+      // classes → three levels up) — a runner invoking the bench from
+      // another working directory must not silently lose the committed
+      // floors (the r10 failure mode was an absent ledger reading as an
+      // empty map with no error surface)
+      val f0 = new java.io.File(ledgerPath)
+      val f =
+        if (f0.isFile || f0.isAbsolute) f0
+        else {
+          val fromClasses = for {
+            src <- Option(Bench.getClass.getProtectionDomain.getCodeSource)
+            loc <- Option(src.getLocation)
+            dir = new java.io.File(loc.toURI)        // …/classes (or jar)
+            root <- Option(dir.getParentFile)
+              .flatMap(d => Option(d.getParentFile))
+              .flatMap(d => Option(d.getParentFile)) // …/repo
+            alt = new java.io.File(root, ledgerPath)
+            if alt.isFile
+          } yield alt
+          fromClasses.getOrElse(f0)
+        }
       if (!f.isFile) Map.empty
       else {
         val txt = new String(java.nio.file.Files.readAllBytes(f.toPath),

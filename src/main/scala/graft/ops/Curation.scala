@@ -264,6 +264,138 @@ object Curation {
                   isTarget: Column, buckets: Int = 512): DataFrame =
     dsirWeightsWithHandle(df, idCol, textCol, isTarget, buckets)._1
 
+  /** C4 per-line keep rule (Raffel et al. 2020 §2.2, the published
+    * line-level cleaning heuristics): a line survives iff it ends in
+    * terminal punctuation, has at least `minWords` whitespace tokens,
+    * and does not mention javascript. Pure per-row expression —
+    * map-only at any scale. */
+  def c4LineKeep(line: Column, minWords: Int = 5): Column =
+    line.rlike("[.!?]$") &&
+      size(split(line, " ", -1)) >= minWords &&
+      !lower(line).contains("javascript")
+
+  /** C4 page-level cleaning over a `lines(docCol, idxCol, lineCol)`
+    * table: apply [[c4LineKeep]] per line, drop the whole page if any
+    * line carries code/boilerplate markers (`{` or "lorem ipsum"), and
+    * require at least `minKeptLines` surviving lines. Returns one row
+    * per document: `(docCol, n_lines, n_kept, page_ok, kept,
+    * clean_md5)` where `clean_md5` hashes the kept lines joined by
+    * newline in line order (NULL for dropped pages).
+    *
+    * Scale shape: ONE map-side-combinable aggregate keyed by the doc id
+    * — the line predicates evaluate map-side, the only exchange is the
+    * per-doc groupBy. The kept-line reassembly buffers one document's
+    * lines (bounded by document length, the same bound every per-doc
+    * op here carries). */
+  def c4Clean(lines: DataFrame, docCol: String, idxCol: String,
+              lineCol: String, minLineWords: Int = 5,
+              minKeptLines: Int = 3): DataFrame = {
+    val keepL = c4LineKeep(col(lineCol), minLineWords)
+    val pageBad = col(lineCol).contains("{") ||
+      lower(col(lineCol)).contains("lorem ipsum")
+    lines.groupBy(docCol)
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(keepL, 1L).otherwise(0L)).as("n_kept"),
+        (max(when(pageBad, 1).otherwise(0)) === 0).as("page_ok"),
+        // kept lines in idx order; coalesce('') keeps the all-dropped
+        // doc's hash portable (DuckDB's empty FILTER list is NULL)
+        md5(coalesce(array_join(transform(
+          array_sort(collect_list(when(keepL,
+            struct(col(idxCol), col(lineCol))))),
+          _.getField(lineCol)), "\n"), lit(""))).as("__md5"))
+      .withColumn("kept", col("page_ok") && col("n_kept") >= minKeptLines)
+      .withColumn("clean_md5", when(col("kept"), col("__md5")))
+      .drop("__md5")
+  }
+
+  /** Gopher quality rules (Rae et al. 2021, Table A1 — the published
+    * document-level repetition-free quality gate): word-count bounds,
+    * mean-word-length band, bullet-line and ellipsis-line ratio caps,
+    * minimum alphabetic-word fraction, and a minimum number of DISTINCT
+    * required stopwords. `docs(docCol, textCol)` carries the raw text;
+    * `lines(docCol, lineCol)` the line split (bullet/ellipsis are line
+    * properties). Returns per-doc metrics (ratios rounded to 4) plus
+    * the per-rule flags and the conjunction `keep`.
+    *
+    * Scale shape: two doc-count-sized aggregates (the word stats are
+    * per-row expressions on `docs`; the line ratios one combinable
+    * groupBy on `lines`) joined on the doc id — no explode survives the
+    * aggregate, no window, no driver state. */
+  def gopherRules(docs: DataFrame, lines: DataFrame, docCol: String,
+                  textCol: String, lineCol: String,
+                  stopwords: Seq[String],
+                  minWords: Int = 50, maxWords: Int = 100000,
+                  minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                  maxBulletRatio: Double = 0.9,
+                  maxEllipsisRatio: Double = 0.3,
+                  minAlphaFrac: Double = 0.8,
+                  minStopHits: Int = 2): DataFrame = {
+    val toks = split(col(textCol), " ", -1)
+    val nW = size(toks)
+    // total chars minus the (n-1) separators — mean token length
+    // without a per-token explode (identical arithmetic in DuckDB)
+    val meanLen = (length(col(textCol)) - (nW - 1)).cast("double") / nW
+    val alphaFrac = size(filter(toks, t => t.rlike("[a-z]")))
+      .cast("double") / nW
+    val stopHits = size(filter(array_distinct(toks),
+      t => t.isInCollection(stopwords)))
+    val d = docs.select(col(docCol), nW.cast("long").as("n_words"),
+      meanLen.as("mean_len"), alphaFrac.as("alpha_frac"),
+      stopHits.cast("long").as("n_stop"))
+    val l = lines.groupBy(docCol).agg(
+      avg(when(col(lineCol).startsWith("- "), 1.0).otherwise(0.0))
+        .as("bullet_ratio"),
+      avg(when(col(lineCol).endsWith("..."), 1.0).otherwise(0.0))
+        .as("ellipsis_ratio"))
+    d.join(l, Seq(docCol))
+      .withColumn("keep",
+        col("n_words").between(minWords, maxWords) &&
+          col("mean_len").between(minMeanLen, maxMeanLen) &&
+          col("bullet_ratio") <= maxBulletRatio &&
+          col("ellipsis_ratio") <= maxEllipsisRatio &&
+          col("alpha_frac") >= minAlphaFrac &&
+          col("n_stop") >= minStopHits)
+      .select(col(docCol), col("n_words"),
+        round(col("mean_len"), 4).as("mean_len"),
+        round(col("bullet_ratio"), 4).as("bullet_ratio"),
+        round(col("ellipsis_ratio"), 4).as("ellipsis_ratio"),
+        round(col("alpha_frac"), 4).as("alpha_frac"),
+        col("n_stop"), col("keep"))
+  }
+
+  /** Corpus-level exact paragraph dedup (the Dolma/C4 boilerplate
+    * remover): every distinct paragraph keeps exactly ONE occurrence
+    * corpus-wide — the smallest `(doc, idx)` — and every other copy is
+    * scrubbed. Input `lines(docCol, idxCol, lineCol)`; output one row
+    * per doc: `(docCol, n_lines, n_dropped, clean_md5)` with
+    * `clean_md5` hashing the surviving lines in order ('' if the doc
+    * loses everything).
+    *
+    * Scale shape: keeper selection is a map-side-combinable
+    * `min(struct(doc, idx))` aggregate on the 63-bit portable paragraph
+    * hash — a hot boilerplate paragraph with millions of copies
+    * combines to one row per map task (this is why it is NOT a window:
+    * a `row_number` over the hash would pin each paragraph's every copy
+    * to one task). The join back on the hash shuffles each line once;
+    * the final per-doc aggregate reassembles bounded-length docs. */
+  def paragraphDedup(lines: DataFrame, docCol: String, idxCol: String,
+                     lineCol: String): DataFrame = {
+    val withH = lines.select(col(docCol), col(idxCol), col(lineCol),
+      Text.portableHash(col(lineCol)).as("__h"))
+    val keepers = withH.groupBy("__h")
+      .agg(min(struct(col(docCol), col(idxCol))).as("__k"))
+    withH.join(keepers, Seq("__h"))
+      .withColumn("__kept", col(docCol) === col("__k")(docCol) &&
+        col(idxCol) === col("__k")(idxCol))
+      .groupBy(docCol)
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(!col("__kept"), 1L).otherwise(0L)).as("n_dropped"),
+        md5(coalesce(array_join(transform(
+          array_sort(collect_list(when(col("__kept"),
+            struct(col(idxCol), col(lineCol))))),
+          _.getField(lineCol)), "\n"), lit(""))).as("clean_md5"))
+  }
+
   /** Per-key quantile bucketing by THRESHOLDS — the scale-correct form
     * of CCNet-style head/middle/tail partitioning. A per-key
     * `ntile` window sorts every key's whole value column on one

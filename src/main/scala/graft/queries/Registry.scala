@@ -9,7 +9,7 @@ object Registry {
   def all: Seq[Q] =
     CoreQueries.qs ++ ArrayTimeQueries.qs ++ TextQueries.qs ++
       SimilarityQueries.qs ++ ExtQueries.qs ++ GapQueries.qs ++
-      TrainQueries.qs ++ RetrievalQueries.qs
+      TrainQueries.qs ++ RetrievalQueries.qs ++ WebQueries.qs
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

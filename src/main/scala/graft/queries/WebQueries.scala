@@ -1,0 +1,176 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.Curation
+
+/** Web-corpus curation operators from the published pipeline canon —
+  * C4 line-level cleaning (Raffel et al. 2020), the Gopher document
+  * quality rules (Rae et al. 2021), and corpus-wide exact paragraph
+  * dedup (the Dolma/C4 boilerplate remover). The documents table is a
+  * flat word stream, so each query derives a deterministic line
+  * structure from `(doc_id, text)` — fixed words-per-line per doc,
+  * hash-chosen terminal punctuation, bullet prefixes, and injected
+  * code/lorem-ipsum/javascript boilerplate lines — identically in
+  * Spark and in the DuckDB oracle (the `synthUrl` pattern), so every
+  * rule fires on real structure and the comparison is byte-exact. */
+object WebQueries {
+
+  /** Deterministic line table `(doc_id, idx, line)` from the documents
+    * word stream: `4 + doc_id % 4` words per line; per-line decoration
+    * keyed by `(doc_id * 31 + idx * 7) % 10` — bullet prefix (m=0),
+    * terminal `.` (m 1–5), `!` (6), `?` (7), ellipsis (8), bare line
+    * (9); boilerplate overrides on the first three lines of every
+    * 19th/23rd/17th doc (code-brace, lorem-ipsum, javascript). */
+  private def synthLines(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), split(col("text"), " ", -1).as("toks"))
+      .withColumn("w", (lit(4) + col("doc_id") % 4).cast("int"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("idx",
+        explode(sequence(lit(0),
+          ((col("n") + col("w") - 1) / col("w")).cast("int") - 1)))
+    val body = array_join(
+      slice(col("toks"), col("idx") * col("w") + 1, col("w")), " ")
+    val m = (col("doc_id") * 31 + col("idx") * 7) % 10
+    base.select(col("doc_id"), col("idx").cast("long").as("idx"),
+      when(col("idx") === 0 && col("doc_id") % 19 === 0,
+          lit("function() { var x = 1; }"))
+        .when(col("idx") === 1 && col("doc_id") % 23 === 0,
+          lit("Lorem ipsum dolor sit amet."))
+        .when(col("idx") === 2 && col("doc_id") % 17 === 0,
+          lit("Please enable JavaScript to view this page."))
+        .when(m === 0, concat(lit("- "), body))
+        .when(m <= 5, concat(body, lit(".")))
+        .when(m === 6, concat(body, lit("!")))
+        .when(m === 7, concat(body, lit("?")))
+        .when(m === 8, concat(body, lit("...")))
+        .otherwise(body).as("line"))
+  }
+
+  /** DuckDB twin of [[synthLines]]: CTE chain ending in
+    * `lines(doc_id, idx, line)`. `//` is DuckDB integer division (its
+    * `/` is float); `list_slice` stop is inclusive, hence the LEAST. */
+  private val linesCtes: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+      |    4 + doc_id % 4 AS w FROM documents),
+      |ld AS (SELECT doc_id, toks, w, len(toks) AS n,
+      |    unnest(generate_series(0, (len(toks) + w - 1) // w - 1)) AS idx
+      |  FROM d),
+      |lb AS (SELECT doc_id, idx,
+      |    array_to_string(list_slice(toks, idx * w + 1,
+      |      LEAST(idx * w + w, n)), ' ') AS body,
+      |    (doc_id * 31 + idx * 7) % 10 AS m FROM ld),
+      |lines AS (SELECT doc_id, idx,
+      |    CASE WHEN idx = 0 AND doc_id % 19 = 0
+      |        THEN 'function() { var x = 1; }'
+      |      WHEN idx = 1 AND doc_id % 23 = 0
+      |        THEN 'Lorem ipsum dolor sit amet.'
+      |      WHEN idx = 2 AND doc_id % 17 = 0
+      |        THEN 'Please enable JavaScript to view this page.'
+      |      WHEN m = 0 THEN '- ' || body
+      |      WHEN m <= 5 THEN body || '.'
+      |      WHEN m = 6 THEN body || '!'
+      |      WHEN m = 7 THEN body || '?'
+      |      WHEN m = 8 THEN body || '...'
+      |      ELSE body END AS line
+      |  FROM lb)""".stripMargin
+
+  /** The corpus-apt Gopher "required stopword" set (the published rule
+    * is "≥ 2 distinct of 8 designated common words"; the designated set
+    * must come from the corpus language — these are the high-frequency
+    * words of the synthetic stream). */
+  private val gopherStops =
+    Seq("the", "a", "data", "table", "value", "row", "query", "line")
+
+  val qs: Seq[Q] = Seq(
+
+    // C4 cleaning (line keep rule + page-level drops): byte-exact
+    // clean-text hash per kept page.
+    Q("t_c4_clean",
+      linesCtes +
+        """,
+          |lk AS (SELECT doc_id, idx, line,
+          |    (regexp_matches(line, '[.!?]$')
+          |      AND len(string_split(line, ' ')) >= 5
+          |      AND NOT contains(lower(line), 'javascript')) AS keep_l,
+          |    (contains(line, '{')
+          |      OR contains(lower(line), 'lorem ipsum')) AS bad_l
+          |  FROM lines),
+          |ag AS (SELECT doc_id, COUNT(*)::BIGINT AS n_lines,
+          |    SUM(CASE WHEN keep_l THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+          |    (MAX(CASE WHEN bad_l THEN 1 ELSE 0 END) = 0) AS page_ok,
+          |    md5(COALESCE(array_to_string(
+          |      list(line ORDER BY idx) FILTER (WHERE keep_l), chr(10)),
+          |      '')) AS m5
+          |  FROM lk GROUP BY doc_id)
+          |SELECT doc_id, n_lines, n_kept, page_ok,
+          |  (page_ok AND n_kept >= 3) AS kept,
+          |  CASE WHEN page_ok AND n_kept >= 3 THEN m5 END AS clean_md5
+          |FROM ag ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Curation.c4Clean(synthLines(Tables.fannedOut(s, dir, "documents")),
+          "doc_id", "idx", "line")
+        .orderBy("doc_id")
+    },
+
+    // Gopher quality rules: word-count band, mean-word-length band,
+    // bullet/ellipsis line-ratio caps, alpha-word fraction, distinct
+    // required-stopword minimum; per-rule metrics + conjunction.
+    Q("t_gopher_rules",
+      linesCtes +
+        """,
+          |ds AS (SELECT doc_id, len(toks)::BIGINT AS n_words,
+          |    (length(text) - (len(toks) - 1))::DOUBLE / len(toks)
+          |      AS mean_len,
+          |    len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))::DOUBLE
+          |      / len(toks) AS alpha_frac,
+          |    len(list_filter(list_distinct(toks), t -> list_contains(
+          |      ['the','a','data','table','value','row','query','line'], t)))
+          |      ::BIGINT AS n_stop
+          |  FROM (SELECT doc_id, text, string_split(text, ' ') AS toks
+          |        FROM documents)),
+          |ls AS (SELECT doc_id,
+          |    AVG(CASE WHEN starts_with(line, '- ') THEN 1.0 ELSE 0.0 END)
+          |      AS bullet_ratio,
+          |    AVG(CASE WHEN ends_with(line, '...') THEN 1.0 ELSE 0.0 END)
+          |      AS ellipsis_ratio
+          |  FROM lines GROUP BY doc_id)
+          |SELECT doc_id, n_words, ROUND(mean_len, 4) AS mean_len,
+          |  ROUND(bullet_ratio, 4) AS bullet_ratio,
+          |  ROUND(ellipsis_ratio, 4) AS ellipsis_ratio,
+          |  ROUND(alpha_frac, 4) AS alpha_frac, n_stop,
+          |  (n_words BETWEEN 50 AND 100000
+          |    AND mean_len BETWEEN 3 AND 10
+          |    AND bullet_ratio <= 0.9 AND ellipsis_ratio <= 0.3
+          |    AND alpha_frac >= 0.8 AND n_stop >= 2) AS keep
+          |FROM ds JOIN ls USING (doc_id) ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+        val docs = Tables(s, dir, "documents")
+        Curation.gopherRules(docs, synthLines(Tables.fannedOut(s, dir,
+            "documents")), "doc_id", "text", "line", gopherStops)
+          .orderBy("doc_id")
+    },
+
+    // Corpus-wide exact paragraph dedup: every distinct line keeps its
+    // smallest (doc, idx) occurrence; boilerplate (the injected junk
+    // lines, shared across ~5% of docs) collapses to one copy each.
+    Q("dedup_paragraphs",
+      linesCtes +
+        """,
+          |lh AS (SELECT doc_id, idx, line,
+          |    ('0x' || substr(md5(line), 1, 15))::BIGINT AS h FROM lines),
+          |f AS (SELECT doc_id, idx, line,
+          |    (ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, idx) = 1)
+          |      AS kept
+          |  FROM lh)
+          |SELECT doc_id, COUNT(*)::BIGINT AS n_lines,
+          |  SUM(CASE WHEN kept THEN 0 ELSE 1 END)::BIGINT AS n_dropped,
+          |  md5(COALESCE(array_to_string(
+          |    list(line ORDER BY idx) FILTER (WHERE kept), chr(10)), ''))
+          |    AS clean_md5
+          |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Curation.paragraphDedup(synthLines(Tables.fannedOut(s, dir, "documents")),
+          "doc_id", "idx", "line")
+        .orderBy("doc_id")
+    })
+}

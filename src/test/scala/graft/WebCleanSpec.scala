@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Curation
+
+/** Web-curation operators (C4 line cleaning, Gopher quality rules,
+  * corpus-wide paragraph dedup): hand-computed oracles on tiny line
+  * tables; the DuckDB hash-compare covers the sf-scale synthesized
+  * corpus. */
+class WebCleanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val stops = Seq("the", "a", "of")
+
+  test("c4LineKeep: terminal punctuation, min words, javascript") {
+    val lines = Seq(
+      "one two three four five.",   // keep
+      "one two three four five",    // no terminal punct
+      "short line.",                 // < 5 words
+      "enable JavaScript to view this page.", // javascript
+      "is it five whole words?",    // keep (?)
+      "five words ending in bang!") // keep (!)
+      .toDF("line")
+    val kept = lines.filter(Curation.c4LineKeep(col("line")))
+      .as[String].collect().toSeq
+    assert(kept == Seq("one two three four five.",
+      "is it five whole words?", "five words ending in bang!"))
+  }
+
+  test("c4Clean: page drops on brace/lorem, min kept lines, clean hash") {
+    val lines = Seq(
+      // doc 1: three good lines -> kept
+      (1L, 0L, "alpha beta gamma delta eps."),
+      (1L, 1L, "one two three four five!"),
+      (1L, 2L, "six seven eight nine ten?"),
+      // doc 2: good lines but a brace line -> page dropped
+      (2L, 0L, "alpha beta gamma delta eps."),
+      (2L, 1L, "function() { var x = 1; }"),
+      (2L, 2L, "one two three four five."),
+      (2L, 3L, "six seven eight nine ten."),
+      // doc 3: only two kept lines -> dropped by minKeptLines
+      (3L, 0L, "alpha beta gamma delta eps."),
+      (3L, 1L, "one two three four five."),
+      (3L, 2L, "no terminal punctuation here")
+    ).toDF("doc_id", "idx", "line")
+    val out = Curation.c4Clean(lines, "doc_id", "idx", "line")
+      .orderBy("doc_id")
+      .select("doc_id", "n_lines", "n_kept", "page_ok", "kept")
+      .as[(Long, Long, Long, Boolean, Boolean)].collect().toSeq
+    assert(out == Seq(
+      (1L, 3L, 3L, true, true),
+      (2L, 4L, 3L, false, false),
+      (3L, 3L, 2L, true, false)))
+    // clean_md5 = md5 of kept lines joined by \n, only for kept pages
+    val md = Curation.c4Clean(lines, "doc_id", "idx", "line")
+      .orderBy("doc_id").select("clean_md5").as[String].collect().toSeq
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest(("alpha beta gamma delta eps.\none two three four five!\n" +
+        "six seven eight nine ten?").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(md == Seq(expected, null, null))
+  }
+
+  test("c4Clean: kept-line order follows idx, not input order") {
+    val lines = Seq(
+      (1L, 2L, "third line has five words."),
+      (1L, 0L, "first line has five words."),
+      (1L, 1L, "second line has five words."))
+      .toDF("doc_id", "idx", "line")
+    val md = Curation.c4Clean(lines, "doc_id", "idx", "line",
+        minKeptLines = 3)
+      .select("clean_md5").as[String].head()
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest(("first line has five words.\nsecond line has five words.\n" +
+        "third line has five words.").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(md == expected)
+  }
+
+  test("gopherRules: each rule flips keep at its boundary") {
+    def doc(id: Long, text: String) = (id, text)
+    // base doc: 50 four-char words incl. two stopwords -> passes all
+    val okText = (Seq("the", "a") ++ Seq.fill(48)("word")).mkString(" ")
+    val shortText = (Seq("the", "a") ++ Seq.fill(10)("word")).mkString(" ")
+    val longWords = (Seq("the", "a") ++
+      Seq.fill(48)("verylongtokenxx")).mkString(" ")       // mean len > 10
+    val oneStop = (Seq("the") ++ Seq.fill(49)("word")).mkString(" ")
+    val docs = Seq(doc(1, okText), doc(2, shortText), doc(3, longWords),
+      doc(4, oneStop)).toDF("doc_id", "text")
+    val lines = Seq(
+      (1L, "plain line."), (2L, "plain line."),
+      (3L, "plain line."), (4L, "plain line."))
+      .toDF("doc_id", "line")
+    val out = Curation.gopherRules(docs, lines, "doc_id", "text", "line",
+        stops)
+      .orderBy("doc_id").select("doc_id", "keep")
+      .as[(Long, Boolean)].collect().toSeq
+    assert(out == Seq((1L, true), (2L, false), (3L, false), (4L, false)))
+  }
+
+  test("gopherRules: bullet and ellipsis line ratios") {
+    val text = (Seq("the", "a") ++ Seq.fill(48)("word")).mkString(" ")
+    val docs = Seq((1L, text), (2L, text)).toDF("doc_id", "text")
+    val lines = Seq(
+      (1L, "- bullet one"), (1L, "- bullet two"),
+      (1L, "- bullet three"), (1L, "plain."),
+      (2L, "trailing off..."), (2L, "also trailing..."),
+      (2L, "plain."), (2L, "plain again."))
+      .toDF("doc_id", "line")
+    val out = Curation.gopherRules(docs, lines, "doc_id", "text", "line",
+        stops, maxBulletRatio = 0.5, maxEllipsisRatio = 0.3)
+      .orderBy("doc_id")
+      .select("doc_id", "bullet_ratio", "ellipsis_ratio", "keep")
+      .as[(Long, Double, Double, Boolean)].collect().toSeq
+    assert(out == Seq((1L, 0.75, 0.0, false), (2L, 0.0, 0.5, false)))
+  }
+
+  test("paragraphDedup: one keeper corpus-wide at smallest (doc, idx)") {
+    val lines = Seq(
+      (1L, 0L, "unique to doc one"),
+      (1L, 1L, "shared boilerplate"),
+      (2L, 0L, "shared boilerplate"),
+      (2L, 1L, "unique to doc two"),
+      (3L, 0L, "shared boilerplate"),
+      (3L, 1L, "shared boilerplate")) // intra-doc repeat also dropped
+      .toDF("doc_id", "idx", "line")
+    val out = Curation.paragraphDedup(lines, "doc_id", "idx", "line")
+      .orderBy("doc_id")
+      .select("doc_id", "n_lines", "n_dropped")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L, 0L), (2L, 2L, 1L), (3L, 2L, 2L)))
+    // doc 3 loses everything -> md5 of empty string, not NULL
+    val md3 = Curation.paragraphDedup(lines, "doc_id", "idx", "line")
+      .filter(col("doc_id") === 3).select("clean_md5").as[String].head()
+    assert(md3 == "d41d8cd98f00b204e9800998ecf8427e")
+  }
+}

@@ -453,4 +453,84 @@ object Curation {
       .withColumn("bucket", bucket)
       .drop("__th")
   }
+
+  /** GD-TRAINED hashed-feature logistic quality classifier — the
+    * learned counterpart of [[graft.ops.Text.classifierMarginInt]]'s
+    * fixed-weight inference (the fastText-style filter the
+    * FineWeb-Edu / DCLM pipelines train on labeled quality data).
+    * Features are tf-normalized hashed unigram buckets
+    * (`portableHash(tok) % buckets`); training is full-batch logistic
+    * gradient descent from w=0: per round
+    * `w_b ← round(w_b − lr/N · Σ_i (σ(s_i) − y_i)·tf_ib, wRound)`
+    * with `s_i = Σ_b w_b·tf_ib`. The per-round rounding makes the
+    * weights portable across engines (the DuckDB oracle unrolls the
+    * identical rounds; Σ-order ulp noise sits ~1e-10 below the 1e-6
+    * grid). Returns `(bucket, w)`, one row per feature slot.
+    *
+    * Scale shape: the feature table (one explode + one map-side-
+    * combinable groupBy) is persisted once and drives every round;
+    * a round is one doc-keyed scoring aggregate + one bucket-keyed
+    * gradient aggregate (both combinable) + a ≤`buckets`-row collect —
+    * the k-means localize pattern (bounded driver state, each round
+    * folds the previous round's weights as a literal instead of
+    * growing a lazy O(rounds²) chain). N docs never collect; rounds
+    * and buckets are fixed constants. md5-family bucket hash keeps the
+    * oracle portable — swap [[graft.ops.Text.portableHash]] for
+    * xxhash64 in production for the same plan without the md5 cost. */
+  def trainTextClassifier(docs: DataFrame, idCol: String, textCol: String,
+                          label: Column, buckets: Int = 64,
+                          rounds: Int = 3, lr: Double = 1.0,
+                          wRound: Int = 6): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val feats = docs
+      .select(col(idCol).as("__id"), label.cast("double").as("__y"),
+        split(col(textCol), " ", -1).as("__toks"))
+      .withColumn("__n", size(col("__toks")).cast("double"))
+      .select(col("__id"), col("__y"), col("__n"),
+        explode(col("__toks")).as("__t"))
+      .groupBy(col("__id"), col("__y"), col("__n"),
+        pmod(Text.portableHash(col("__t")), lit(buckets.toLong)).as("__b"))
+      .agg(count(lit(1)).cast("double").as("__cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nDocs = docs.select(col(idCol)).count().toDouble
+      def r6(v: Double): Double =
+        java.math.BigDecimal.valueOf(v)
+          .setScale(wRound, java.math.RoundingMode.HALF_UP).doubleValue
+      var w: Seq[(Long, Double)] = (0L until buckets.toLong).map((_, 0.0))
+      for (_ <- 1 to rounds) {
+        val scored = feats
+          .join(broadcast(w.toDF("__b", "__w")), "__b")
+          .groupBy("__id")
+          .agg(first(col("__y")).as("__y"),
+            sum(col("__w") * col("__cnt") / col("__n")).as("__s"))
+          .select(col("__id"), col("__y"),
+            (lit(1.0) / (lit(1.0) + exp(-col("__s")))).as("__p"))
+        val g = feats.join(scored.select("__id", "__p"), "__id")
+          .groupBy("__b")
+          .agg(sum((col("__p") - col("__y")) * col("__cnt") / col("__n"))
+            .as("__g"))
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        w = w.map { case (b, wb) =>
+          (b, r6(wb - lr * g.getOrElse(b, 0.0) / nDocs)) }
+      }
+      w.toDF("bucket", "w")
+    } finally { feats.unpersist(); () }
+  }
+
+  /** Map-only inference with [[trainTextClassifier]] weights supplied
+    * as a literal array: `p = σ(Σ_tok w[bucket(tok)] / n)` — the
+    * production scoring shape (one aggregate HOF per row, no shuffle,
+    * no join; the weights ride the closure like any broadcast model).
+    * Token-order summation, so the float result is deterministic. */
+  def classifierScore(textCol: Column, weights: Seq[Double]): Column = {
+    val wLit = array(weights.map(lit): _*)
+    val toks = split(textCol, " ", -1)
+    val margin = aggregate(toks, lit(0.0), (acc, t) =>
+      acc + element_at(wLit,
+        (pmod(Text.portableHash(t), lit(weights.size.toLong)) + 1L)
+          .cast("int")))
+    lit(1.0) / (lit(1.0) + exp(-(margin / size(toks).cast("double"))))
+  }
 }

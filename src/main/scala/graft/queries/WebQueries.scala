@@ -83,7 +83,90 @@ object WebQueries {
   private val gopherStops =
     Seq("the", "a", "data", "table", "value", "row", "query", "line")
 
+  /** DuckDB twin of the classifier trainer's unrolled GD rounds
+    * (`Curation.trainTextClassifier`, 64 buckets, lr=5, 3 rounds,
+    * weights rounded to 1e-6 per round — the cross-engine grid): CTE
+    * chain ending in `w3(b, w)`. One generic round = doc-keyed scoring
+    * aggregate → sigmoid → bucket-keyed gradient aggregate → rounded
+    * weight update over the full bucket spine. */
+  private val classifierCtes: String =
+    """WITH tk AS (SELECT doc_id,
+      |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+      |    len(string_split(text, ' '))::DOUBLE AS n,
+      |    unnest(string_split(text, ' ')) AS t FROM documents),
+      |f AS (SELECT doc_id, y, n,
+      |    ('0x' || substr(md5(t), 1, 15))::BIGINT % 64 AS b,
+      |    COUNT(*)::DOUBLE AS cnt
+      |  FROM tk GROUP BY doc_id, y, n, b),
+      |nd AS (SELECT COUNT(*)::DOUBLE AS nd FROM documents),
+      |w0 AS (SELECT unnest(generate_series(0, 63))::BIGINT AS b, 0.0 AS w),
+      |s1 AS (SELECT f.doc_id, any_value(f.y) AS y, SUM(w.w * f.cnt / f.n) AS s
+      |  FROM f JOIN w0 w USING (b) GROUP BY f.doc_id),
+      |p1 AS (SELECT doc_id, y, 1.0 / (1.0 + exp(-s)) AS p FROM s1),
+      |g1 AS (SELECT f.b, SUM((p.p - f.y) * f.cnt / f.n) AS g
+      |  FROM f JOIN p1 p USING (doc_id) GROUP BY f.b),
+      |w1 AS (SELECT w0.b,
+      |    ROUND(w0.w - 5.0 * COALESCE(g1.g, 0) / (SELECT nd FROM nd), 6) AS w
+      |  FROM w0 LEFT JOIN g1 USING (b)),
+      |s2 AS (SELECT f.doc_id, any_value(f.y) AS y, SUM(w.w * f.cnt / f.n) AS s
+      |  FROM f JOIN w1 w USING (b) GROUP BY f.doc_id),
+      |p2 AS (SELECT doc_id, y, 1.0 / (1.0 + exp(-s)) AS p FROM s2),
+      |g2 AS (SELECT f.b, SUM((p.p - f.y) * f.cnt / f.n) AS g
+      |  FROM f JOIN p2 p USING (doc_id) GROUP BY f.b),
+      |w2 AS (SELECT w1.b,
+      |    ROUND(w1.w - 5.0 * COALESCE(g2.g, 0) / (SELECT nd FROM nd), 6) AS w
+      |  FROM w1 LEFT JOIN g2 USING (b)),
+      |s3 AS (SELECT f.doc_id, any_value(f.y) AS y, SUM(w.w * f.cnt / f.n) AS s
+      |  FROM f JOIN w2 w USING (b) GROUP BY f.doc_id),
+      |p3 AS (SELECT doc_id, y, 1.0 / (1.0 + exp(-s)) AS p FROM s3),
+      |g3 AS (SELECT f.b, SUM((p.p - f.y) * f.cnt / f.n) AS g
+      |  FROM f JOIN p3 p USING (doc_id) GROUP BY f.b),
+      |w3 AS (SELECT w2.b,
+      |    ROUND(w2.w - 5.0 * COALESCE(g3.g, 0) / (SELECT nd FROM nd), 6) AS w
+      |  FROM w2 LEFT JOIN g3 USING (b))""".stripMargin
+
   val qs: Seq[Q] = Seq(
+
+    // GD-trained hashed-feature logistic quality classifier (the
+    // FineWeb-Edu / DCLM learned-filter shape): final weight table
+    // after 3 value-oracled full-batch rounds (target = lang 'en').
+    Q("t_classifier_train",
+      classifierCtes +
+        """
+          |SELECT b AS bucket, w FROM w3 ORDER BY bucket""".stripMargin) {
+      (s, dir) =>
+        Curation.trainTextClassifier(Tables(s, dir, "documents"),
+            "doc_id", "text", col("lang") === "en", buckets = 64,
+            rounds = 3, lr = 5.0)
+          .orderBy("bucket")
+    },
+
+    // Train → map-only inference e2e: every doc scored by the trained
+    // weights as a literal array (no join, no shuffle — the production
+    // scoring plan); probability rounded to the cross-engine grid.
+    Q("t_classifier_scored",
+      classifierCtes +
+        """,
+          |sc AS (SELECT f.doc_id, any_value(f.y) AS y,
+          |    SUM(w.w * f.cnt / f.n) AS s
+          |  FROM f JOIN w3 w USING (b) GROUP BY f.doc_id)
+          |SELECT doc_id, ROUND(1.0 / (1.0 + exp(-s)), 4) AS p,
+          |  (1.0 / (1.0 + exp(-s)) >= 0.5) AS pred, y::BIGINT AS y
+          |FROM sc ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val w = Curation.trainTextClassifier(docs, "doc_id", "text",
+          col("lang") === "en", buckets = 64, rounds = 3, lr = 5.0)
+        .orderBy("bucket").select("w")
+        .collect().map(_.getDouble(0)).toSeq
+      // materialize the score once — Catalyst does not CSE expensive
+      // aggregate HOFs across sibling expressions in one Project
+      docs.select(col("doc_id"),
+          Curation.classifierScore(col("text"), w).as("__p"),
+          (col("lang") === "en").cast("long").as("y"))
+        .select(col("doc_id"), round(col("__p"), 4).as("p"),
+          (col("__p") >= 0.5).as("pred"), col("y"))
+        .orderBy("doc_id")
+    },
 
     // C4 cleaning (line keep rule + page-level drops): byte-exact
     // clean-text hash per kept page.

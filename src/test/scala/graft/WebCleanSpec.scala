@@ -134,4 +134,49 @@ class WebCleanSpec extends SparkSpec {
       .filter(col("doc_id") === 3).select("clean_md5").as[String].head()
     assert(md3 == "d41d8cd98f00b204e9800998ecf8427e")
   }
+
+  test("trainTextClassifier: round-1 weights sum to lr/2 on one positive doc") {
+    // one doc, y=1, w0=0 -> sigma(0)=0.5 and each touched bucket gets
+    // w_b = lr*0.5*tf_b; since sum_b tf_b = 1 the weight total is
+    // exactly lr/2 up to the 1e-6 per-bucket rounding
+    val docs = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val w = Curation.trainTextClassifier(docs, "doc_id", "text",
+        lit(true), buckets = 16, rounds = 1, lr = 4.0)
+      .agg(sum("w")).as[Double].head()
+    assert(math.abs(w - 2.0) < 16 * 5e-7)
+  }
+
+  test("trainTextClassifier: separates disjoint-vocab classes") {
+    val pos = (0 until 20).map(i => (i.toLong, "good clean prose text here"))
+    val neg = (20 until 40).map(i => (i.toLong, "spam junk noise garbage stuff"))
+    val docs = (pos ++ neg).toDF("doc_id", "text")
+    val w = Curation.trainTextClassifier(docs, "doc_id", "text",
+        col("doc_id") < 20, buckets = 32, rounds = 3, lr = 10.0)
+      .orderBy("bucket").select("w").as[Double].collect().toSeq
+    val scored = docs.select(col("doc_id"),
+        Curation.classifierScore(col("text"), w).as("p"))
+      .as[(Long, Double)].collect().toMap
+    val posP = pos.map(d => scored(d._1))
+    val negP = neg.map(d => scored(d._1))
+    assert(posP.min > negP.max,
+      s"positive class must outscore negative: ${posP.min} vs ${negP.max}")
+    assert(posP.min > 0.5 && negP.max < 0.5)
+  }
+
+  test("classifierScore matches a hand-computed margin") {
+    // score = sigma(mean over tokens of w[bucket(tok)]); recompute the
+    // buckets with the same portable hash and check the closed form
+    val w = (0 until 8).map(b => b * 0.1 - 0.3)
+    val docs = Seq((1L, "one two three")).toDF("doc_id", "text")
+    val buckets = docs
+      .select(explode(split(col("text"), " ", -1)).as("t"))
+      .select(pmod(graft.ops.Text.portableHash(col("t")), lit(8L)).as("b"))
+      .as[Long].collect()
+    val expected = 1.0 / (1.0 +
+      math.exp(-buckets.map(b => w(b.toInt)).sum / 3.0))
+    val got = docs.select(
+        Curation.classifierScore(col("text"), w).as("p"))
+      .as[Double].head()
+    assert(math.abs(got - expected) < 1e-12)
+  }
 }

@@ -715,6 +715,22 @@ object ScaleCheck {
         .agg(count(lit(1)).as("n_docs"), sum("nt").as("sum_tokens")))
     }
 
+    // web-curation trio + trained classifier (round 11 additions):
+    // line derivation is the same synthesized structure the oracled
+    // queries use, so the measured plan is the registered plan at 10×
+    time("t_c4_clean (50k docs)") {
+      consume(ops.Curation.c4Clean(
+        queries.WebQueries.synthLines(docs10), "doc_id", "idx", "line"))
+    }
+    time("dedup_paragraphs (50k docs)") {
+      consume(ops.Curation.paragraphDedup(
+        queries.WebQueries.synthLines(docs10), "doc_id", "idx", "line"))
+    }
+    time("t_classifier_train (50k docs, 3 rounds)") {
+      consume(ops.Curation.trainTextClassifier(docs10, "doc_id", "text",
+        col("lang") === "en", buckets = 64, rounds = 3, lr = 5.0))
+    }
+
     spark.stop()
   }
 }

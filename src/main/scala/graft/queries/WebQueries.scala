@@ -23,7 +23,7 @@ object WebQueries {
     * terminal `.` (m 1–5), `!` (6), `?` (7), ellipsis (8), bare line
     * (9); boilerplate overrides on the first three lines of every
     * 19th/23rd/17th doc (code-brace, lorem-ipsum, javascript). */
-  private def synthLines(docs: DataFrame): DataFrame = {
+  private[graft] def synthLines(docs: DataFrame): DataFrame = {
     val base = docs.select(col("doc_id"), split(col("text"), " ", -1).as("toks"))
       .withColumn("w", (lit(4) + col("doc_id") % 4).cast("int"))
       .withColumn("n", size(col("toks")))

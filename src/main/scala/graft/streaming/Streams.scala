@@ -348,6 +348,27 @@ object Streams {
       .agg(count(lit(1)).as("n"), sum("value").as("sum_v"))
       .select(col("w.start").as("win_start"), col("event_type"),
         col("n"), col("sum_v"))
+
+  /** Streaming quality-classifier scoring: score + gate documents as
+    * they arrive with weights trained by a periodic batch
+    * [[graft.ops.Curation.trainTextClassifier]] job (the learned
+    * analogue of [[streamingCurate]]'s heuristic gate — the
+    * ingest/compaction split every learned model here follows: the
+    * stream applies, the batch trains). The batch scorer
+    * [[graft.ops.Curation.classifierScore]] is a STATELESS per-row
+    * aggregate HOF over a literal weight array — zero shuffles, no
+    * state store, directly valid on an unbounded stream (the
+    * [[streamingCmsSketch]] delegation-with-a-contract pattern).
+    * Append-mode rows carry `(p, keep)` for a downstream filter or
+    * idempotent MERGE. Stream-equals-batch is pinned in
+    * MergeStreamSpec. */
+  def streamingClassifierScore(docs: DataFrame, textCol: String,
+                               weights: Seq[Double],
+                               threshold: Double = 0.5): DataFrame =
+    docs
+      .withColumn("p",
+        graft.ops.Curation.classifierScore(col(textCol), weights))
+      .withColumn("keep", col("p") >= threshold)
 }
 
 final case class SessionState(startSec: Long, lastSec: Long, n: Long, sum: Double)

@@ -437,4 +437,37 @@ class MergeStreamSpec extends SparkSpec {
     assert(streamed == batch, "stream assignment must equal batch")
     assert(streamed.map(_._1) == Set(10L, 11L, 12L, 13L))
   }
+
+  test("streaming classifier scoring equals batch (stateless, trained weights)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // train on a tiny separable corpus in batch; stream applies
+    val pos = (0 until 10).map(i => (i.toLong, "good clean prose text"))
+    val neg = (10 until 20).map(i => (i.toLong, "spam junk noise garbage"))
+    val train = (pos ++ neg).toDF("doc_id", "text")
+    val w = graft.ops.Curation.trainTextClassifier(train, "doc_id", "text",
+        org.apache.spark.sql.functions.col("doc_id") < 10,
+        buckets = 32, rounds = 3, lr = 10.0)
+      .orderBy("bucket").select("w").as[Double].collect().toSeq
+    val input = MemoryStream[(Long, String)]
+    val q = Streams.streamingClassifierScore(
+        input.toDF().toDF("doc_id", "text"), "text", w)
+      .writeStream.format("memory").queryName("cls_out")
+      .outputMode("append").start()
+    val arriving = Seq((100L, "good clean prose text"),
+      (101L, "spam junk noise garbage"), (102L, "good clean junk noise"))
+    input.addData(arriving.take(1): _*)
+    q.processAllAvailable()
+    input.addData(arriving.drop(1): _*)
+    q.processAllAvailable()
+    val streamed = spark.table("cls_out")
+      .as[(Long, String, Double, Boolean)].collect().toSet
+    q.stop()
+    val batch = Streams.streamingClassifierScore(
+        arriving.toDF("doc_id", "text"), "text", w)
+      .as[(Long, String, Double, Boolean)].collect().toSet
+    assert(streamed == batch, "streamed scores must equal batch")
+    assert(streamed.find(_._1 == 100L).exists(_._4))
+    assert(!streamed.find(_._1 == 101L).exists(_._4))
+  }
 }

@@ -767,5 +767,45 @@ object ExtQueries {
         Checks.inRange("l_quantity", 1, 50),
         Checks.inSet("l_returnflag", Seq("A", "N", "R")),
         Checks.inRange("l_discount", 0.0, 0.05)))
+    },
+
+    // Z-order (Morton) cell map over (quantity, extendedprice) with
+    // FIXED portable thresholds (the write-time layout job learns them
+    // from a percentile sketch — Layout.zorderBy; the bit arithmetic is
+    // what the oracle certifies): per-cell row count and per-column
+    // min/max prove each z-cell covers one small hyper-rectangle — the
+    // property min/max file skipping prunes on.
+    Q("ext_zorder_cells",
+      """WITH b AS (SELECT
+        |    len(list_filter([7.0, 14, 21, 28, 35, 42, 49],
+        |      t -> t <= l_quantity))::BIGINT AS bq,
+        |    len(list_filter([10000.0, 20000, 30000, 40000, 50000, 60000,
+        |      70000], t -> t <= l_extendedprice))::BIGINT AS bp,
+        |    l_quantity, l_extendedprice FROM lineitem),
+        |z AS (SELECT ((bq >> 0) & 1) + ((bp >> 0) & 1) * 2
+        |    + ((bq >> 1) & 1) * 4 + ((bp >> 1) & 1) * 8
+        |    + ((bq >> 2) & 1) * 16 + ((bp >> 2) & 1) * 32 AS z,
+        |    l_quantity, l_extendedprice FROM b)
+        |SELECT z, COUNT(*)::BIGINT AS n,
+        |  ROUND(MIN(l_quantity), 2) AS min_qty,
+        |  ROUND(MAX(l_quantity), 2) AS max_qty,
+        |  ROUND(MIN(l_extendedprice), 2) AS min_price,
+        |  ROUND(MAX(l_extendedprice), 2) AS max_price
+        |FROM z GROUP BY z ORDER BY z""".stripMargin) { (s, dir) =>
+      import graft.ops.Layout
+      val bq = Layout.quantileBucket(col("l_quantity"),
+        Seq(7.0, 14, 21, 28, 35, 42, 49))
+      val bp = Layout.quantileBucket(col("l_extendedprice"),
+        Seq(10000.0, 20000, 30000, 40000, 50000, 60000, 70000))
+      Tables.fannedOut(s, dir, "lineitem")
+        .select(Layout.zValue(Seq(bq, bp), 3).as("z"),
+          col("l_quantity"), col("l_extendedprice"))
+        .groupBy("z")
+        .agg(count(lit(1)).as("n"),
+          round(min("l_quantity"), 2).as("min_qty"),
+          round(max("l_quantity"), 2).as("max_qty"),
+          round(min("l_extendedprice"), 2).as("min_price"),
+          round(max("l_extendedprice"), 2).as("max_price"))
+        .orderBy("z")
     })
 }

@@ -284,6 +284,51 @@ object Similarity {
       .select(col(probeId), col(candId), col("sim"))
   }
 
+  /** Persisted IVF index: centroids + the corpus PARTITIONED BY CELL on
+    * disk. Training stays a periodic batch job ([[kmeansCentroids]]);
+    * this pair is the serving layout — the point at scale is that
+    * [[searchIvfIndex]] READS ONLY THE PROBED CELLS (static partition
+    * pruning on `centroid_id`), so a query batch with nProbe/k = 1%
+    * scans ~1% of the index files, where the in-memory [[annIvfJoin]]
+    * re-scans every vector per batch. Streaming adds land in their cell
+    * via [[graft.streaming.Streams.streamingIvfAssign]] with the same
+    * `partitionBy(centroid_id)` sink. */
+  def writeIvfIndex(cands: DataFrame, candId: String, vecCol: String,
+                    centroids: DataFrame, dir: String): Unit = {
+    // centroids are k rows — one file; the cell table lays each cell in
+    // its own partition directory for pruned probes
+    centroids.coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    ivfAssign(cands.select(col(candId), col(vecCol)), vecCol, centroids)
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$dir/cells")
+  }
+
+  /** Cell-pruned top-k search over a [[writeIvfIndex]] layout: assign
+    * probes (zero-shuffle broadcast argmax), collect the ≤ k distinct
+    * probed cell ids (bounded driver state — this is what turns the
+    * probe set into a STATIC partition filter the parquet scan prunes
+    * on), read only those cell directories, cosine top-k per probe.
+    * Same ranking contract as [[annIvfJoin]] (sim rounded to 3,
+    * candId tiebreak, self-pairs dropped). */
+  def searchIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     probes: DataFrame, probeId: String, candId: String,
+                     vecCol: String, k: Int, nProbe: Int = 1): DataFrame = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val p = ivfAssign(probes.select(col(probeId), col(vecCol).as("__pv")),
+      "__pv", cents.withColumnRenamed(vecCol, "__pv"), nProbe = nProbe)
+    val probedCells = p.select("centroid_id").distinct()
+      .collect().map(_.get(0))
+    val cells = spark.read.parquet(s"$dir/cells")
+      .filter(col("centroid_id").isin(probedCells.toIndexedSeq: _*))
+    val joined = p.join(cells, Seq("centroid_id"))
+      .filter(col(probeId) =!= col(candId))
+      .withColumn("sim", round(cosine(col("__pv"), col(vecCol)), 3))
+    val w = Window.partitionBy(probeId).orderBy(col("sim").desc, col(candId))
+    joined.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col(probeId), col(candId), col("sim"))
+  }
+
   /** LSH-bucketed ANN: probes and candidates bucketed by the same planes,
     * joined on bucket, top-k within the joined set per probe. Misses
     * cross-bucket neighbors (recall < 1) — the accepted ANN trade-off.

@@ -101,4 +101,34 @@ class SimilaritySpec extends SparkSpec {
     assert(cellsByCluster.values.forall(_.size == 1), s"$cellsByCluster")
     assert(cellsByCluster.values.flatten.toSet.size == 3, s"$cellsByCluster")
   }
+
+  test("persisted IVF index: search equals in-memory join, scan prunes to probed cells") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    // three well-separated directions; ids 0..29 round-robin clusters
+    val dirs = Seq(Seq(10.0f, 0.0f), Seq(0.0f, 10.0f), Seq(-7.0f, -7.0f))
+    val pts = (0L until 30L).map { id =>
+      val d = dirs((id % 3).toInt)
+      (id, Seq(d(0) + (id % 7) * 0.01f, d(1) + (id % 5) * 0.01f))
+    }.toDF("vec_id", "vec")
+    val cents = Similarity.kmeansCentroids(pts, "vec_id", "vec",
+      k = 3, iters = 3)
+    Similarity.writeIvfIndex(pts, "vec_id", "vec", cents, dir)
+    // probes from one cluster only -> exactly one probed cell
+    val probes = pts.filter(col("vec_id") % 3 === 0)
+      .select(col("vec_id").as("probe_id"), col("vec"))
+    val stored = Similarity.searchIvfIndex(spark, dir, probes,
+      "probe_id", "vec_id", "vec", k = 3)
+    val inMem = Similarity.annIvfJoin(probes, pts, "probe_id", "vec_id",
+      "vec", k = 3, cents)
+    assert(stored.as[(Long, Long, Double)].collect().toSet ==
+      inMem.as[(Long, Long, Double)].collect().toSet,
+      "stored-index search must equal the in-memory IVF join")
+    // the cell scan must carry a pruning partition filter on
+    // centroid_id (= or IN on the probed cells) — that is the entire
+    // point of the layout
+    val plan = stored.queryExecution.executedPlan.toString
+    val pruned =
+      raw"PartitionFilters: \[isnotnull\(centroid_id#\d+\), \(?centroid_id#\d+ (=|IN)".r
+    assert(plan.contains("/cells") && pruned.findFirstIn(plan).nonEmpty, plan)
+  }
 }

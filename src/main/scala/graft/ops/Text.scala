@@ -877,4 +877,46 @@ object Text {
     concat(urlScheme(u), lit("://"), urlHost(u), path,
       when(kept === "", lit("")).otherwise(concat(lit("?"), kept)))
   }
+
+  /** Main-content extraction from raw HTML markup — the web-corpus
+    * front door (the WARC→text step C4/RefinedWeb pipelines run before
+    * any document-level rule; trafilatura/boilerpipe territory, here
+    * as the rule core): drop comments and script/style blocks, convert
+    * block-closing tags to newlines (preserving line structure for the
+    * downstream line-level rules), strip remaining tags, decode the
+    * common entities, collapse whitespace. A pure per-row regexp chain
+    * — map-only, codegen'd, embarrassingly parallel — and every
+    * pattern is RE2-safe (no backreferences), so an independent SQL
+    * engine replays the chain verbatim for the oracle. Returns clean
+    * text with `\n` between blocks. */
+  def htmlExtract(html: Column): Column = {
+    val noComments = regexp_replace(html, "(?is)<!--.*?-->", " ")
+    val noScript =
+      regexp_replace(noComments, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle =
+      regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val blocks =
+      regexp_replace(noStyle, "(?i)</(p|div|li|h[1-6])>|<br ?/?>", "\n")
+    val noTags = regexp_replace(blocks, "<[^>]*>", " ")
+    // &amp; LAST so &amp;lt; decodes to the literal text "&lt;"
+    val decoded = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) => regexp_replace(c, e, r) }
+    val oneSpace = regexp_replace(decoded, "[ \\t]+", " ")
+    val lineTrim = regexp_replace(oneSpace, " ?\\n ?", "\n")
+    trim(regexp_replace(lineTrim, "\\n+", "\n"), " \n")
+  }
+
+  /** Link density of an HTML page: characters of anchor text over
+    * characters of extracted text — the classic boilerpipe/Arc90
+    * navigation-page signal (a page that is mostly links is chrome,
+    * not content). Per-row, no shuffle. Empty extraction → 1.0 (all
+    * boilerplate). */
+  def htmlLinkDensity(html: Column): Column = {
+    val anchors = regexp_extract_all(html, lit("(?is)<a[^>]*>(.*?)</a>"),
+      lit(1))
+    val anchorLen = length(array_join(anchors, ""))
+    val total = length(htmlExtract(html))
+    when(total > 0, anchorLen.cast("double") / total).otherwise(1.0)
+  }
 }

@@ -168,6 +168,83 @@ object WebQueries {
         .orderBy("doc_id")
     },
 
+    // HTML main-content extraction (the WARC->text front door): each
+    // doc's lines wrap in <p> blocks inside a full page with script/
+    // style/comment/nav chrome keyed off doc_id; the clean-text hash,
+    // link density, and nav-page flag must match the oracle replaying
+    // the identical RE2-safe replace chain.
+    Q("t_html_extract",
+      linesCtes +
+        """,
+          |pg AS (SELECT doc_id,
+          |    '<html><head><title>d' || doc_id ||
+          |    '</title><style>p{margin:0}</style></head><body>' ||
+          |    CASE WHEN doc_id % 7 = 0 THEN
+          |      '<script type="text/javascript">var x=1; if(x<2){x=3;}</script>'
+          |      ELSE '' END ||
+          |    '<!-- build 42 -->' ||
+          |    '<div id="nav"><a href="/">home</a><a href="/about">about us</a></div>' ||
+          |    CASE WHEN doc_id % 13 = 0 THEN '<p>short</p>'
+          |      ELSE array_to_string(list('<p>' || line || '</p>' ORDER BY idx), '') END ||
+          |    CASE WHEN doc_id % 11 = 0 THEN '<p>A &amp; B &lt;tag&gt;</p>'
+          |      ELSE '' END ||
+          |    '</body></html>' AS html
+          |  FROM lines GROUP BY doc_id),
+          |ex AS (SELECT doc_id, html,
+          |    trim(regexp_replace(regexp_replace(regexp_replace(
+          |      replace(replace(replace(replace(replace(replace(
+          |      regexp_replace(regexp_replace(
+          |      regexp_replace(regexp_replace(regexp_replace(html,
+          |        '(?is)<!--.*?-->', ' ', 'g'),
+          |        '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+          |        '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+          |        '(?i)</(p|div|li|h[1-6])>|<br ?/?>', chr(10), 'g'),
+          |        '<[^>]*>', ' ', 'g'),
+          |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+          |      '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
+          |      '[ ' || chr(9) || ']+', ' ', 'g'),
+          |      ' ?' || chr(10) || ' ?', chr(10), 'g'),
+          |      chr(10) || '+', chr(10), 'g'), ' ' || chr(10)) AS clean
+          |  FROM pg),
+          |lden AS (SELECT doc_id,
+          |    length(array_to_string(
+          |      regexp_extract_all(html, '(?is)<a[^>]*>(.*?)</a>', 1), ''))
+          |      AS a_len,
+          |    length(clean) AS t_len, clean FROM ex)
+          |SELECT doc_id, md5(clean) AS clean_md5, t_len::BIGINT AS n_chars,
+          |  ROUND(CASE WHEN t_len > 0 THEN a_len::DOUBLE / t_len
+          |    ELSE 1.0 END, 4) AS link_density,
+          |  (CASE WHEN t_len > 0 THEN a_len::DOUBLE / t_len ELSE 1.0 END)
+          |    > 0.3 AS is_nav
+          |FROM lden ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val lines = synthLines(Tables.fannedOut(s, dir, "documents"))
+      val body = array_join(transform(
+        array_sort(collect_list(struct(col("idx"), col("line")))),
+        x => concat(lit("<p>"), x.getField("line"), lit("</p>"))), "")
+      val pages = lines.groupBy("doc_id").agg(concat(
+          concat(lit("<html><head><title>d"),
+            col("doc_id").cast("string"),
+            lit("</title><style>p{margin:0}</style></head><body>")),
+          when(col("doc_id") % 7 === 0, lit(
+            "<script type=\"text/javascript\">var x=1; if(x<2){x=3;}</script>"))
+            .otherwise(lit("")),
+          lit("<!-- build 42 -->"),
+          lit("<div id=\"nav\"><a href=\"/\">home</a>" +
+            "<a href=\"/about\">about us</a></div>"),
+          when(col("doc_id") % 13 === 0, lit("<p>short</p>")).otherwise(body),
+          when(col("doc_id") % 11 === 0, lit("<p>A &amp; B &lt;tag&gt;</p>"))
+            .otherwise(lit("")),
+          lit("</body></html>")).as("html"))
+      pages.select(col("doc_id"),
+          graft.ops.Text.htmlExtract(col("html")).as("__clean"),
+          graft.ops.Text.htmlLinkDensity(col("html")).as("__ld"))
+        .select(col("doc_id"), md5(col("__clean")).as("clean_md5"),
+          length(col("__clean")).cast("long").as("n_chars"),
+          round(col("__ld"), 4).as("link_density"),
+          (col("__ld") > 0.3).as("is_nav"))
+        .orderBy("doc_id")
+    },
+
     // C4 cleaning (line keep rule + page-level drops): byte-exact
     // clean-text hash per kept page.
     Q("t_c4_clean",

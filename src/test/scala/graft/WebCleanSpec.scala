@@ -135,6 +135,33 @@ class WebCleanSpec extends SparkSpec {
     assert(md3 == "d41d8cd98f00b204e9800998ecf8427e")
   }
 
+  test("htmlExtract strips chrome, preserves blocks, decodes entities") {
+    val html = "<html><head><title>t</title>" +
+      "<style>p { color: red; }</style></head><body>" +
+      "<script>if (1<2) { alert('x'); }</script>" +
+      "<!-- a\nmultiline comment -->" +
+      "<p>first  para</p><p>A &amp; B &lt;tag&gt; &quot;q&quot;</p>" +
+      "<div>in <b>a</b> div</div></body></html>"
+    val got = Seq(html).toDF("h")
+      .select(graft.ops.Text.htmlExtract(col("h")).as("c"))
+      .as[String].head()
+    // no block-closing tag between the title text and the first <p>
+    // (open tags become spaces), so they share a line
+    assert(got == "t first para\nA & B <tag> \"q\"\nin a div", got)
+  }
+
+  test("htmlLinkDensity: anchor chars over clean chars; empty page is 1.0") {
+    // clean text = "home x" (6 chars), anchor text = "home" (4)
+    val got = Seq("<p><a href='/'>home</a> x</p>").toDF("h")
+      .select(graft.ops.Text.htmlLinkDensity(col("h")).as("d"))
+      .as[Double].head()
+    assert(math.abs(got - 4.0 / 6.0) < 1e-12, got.toString)
+    val empty = Seq("<script>var x;</script>").toDF("h")
+      .select(graft.ops.Text.htmlLinkDensity(col("h")).as("d"))
+      .as[Double].head()
+    assert(empty == 1.0)
+  }
+
   test("trainTextClassifier: round-1 weights sum to lr/2 on one positive doc") {
     // one doc, y=1, w0=0 -> sigma(0)=0.5 and each touched bucket gets
     // w_b = lr*0.5*tf_b; since sum_b tf_b = 1 the weight total is

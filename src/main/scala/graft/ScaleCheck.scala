@@ -730,6 +730,22 @@ object ScaleCheck {
       consume(ops.Curation.trainTextClassifier(docs10, "doc_id", "text",
         col("lang") === "en", buckets = 64, rounds = 3, lr = 5.0))
     }
+    time("pipe_web_e2e (50k docs, shared line persist)") {
+      val lines = queries.WebQueries.synthLines(docs10)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val c4 = ops.Curation.c4Clean(lines, "doc_id", "idx", "line")
+          .select(col("doc_id"), col("kept").as("c4_kept"))
+        val gp = ops.Curation.gopherRules(docs10, lines,
+            "doc_id", "text", "line",
+            Seq("the", "a", "data", "table", "value", "row", "query", "line"))
+          .select(col("doc_id"), col("keep").as("gopher_kept"))
+        val pd = ops.Curation.paragraphDedup(lines, "doc_id", "idx", "line")
+          .select(col("doc_id"), col("n_dropped"))
+        consume(c4.join(gp, "doc_id").join(pd, "doc_id")
+          .withColumn("final_keep", col("c4_kept") && col("gopher_kept")))
+      } finally { lines.unpersist(); () }
+    }
 
     spark.stop()
   }

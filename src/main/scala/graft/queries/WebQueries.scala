@@ -311,6 +311,83 @@ object WebQueries {
           .orderBy("doc_id")
     },
 
+    // THE composed web front door: C4 line/page cleaning + Gopher
+    // document rules + corpus-wide paragraph dedup over ONE shared line
+    // stream, joined into the final keep decision per doc — every
+    // stage's verdict hash-checked through one DuckDB twin. The line
+    // table feeds three consumers, so it persists for the query's
+    // lifetime (released by the per-query clearCache in Bench/Verify).
+    Q("pipe_web_e2e",
+      linesCtes +
+        """,
+          |lk AS (SELECT doc_id, idx, line,
+          |    (regexp_matches(line, '[.!?]$')
+          |      AND len(string_split(line, ' ')) >= 5
+          |      AND NOT contains(lower(line), 'javascript')) AS keep_l,
+          |    (contains(line, '{')
+          |      OR contains(lower(line), 'lorem ipsum')) AS bad_l
+          |  FROM lines),
+          |c4 AS (SELECT doc_id,
+          |    (MAX(CASE WHEN bad_l THEN 1 ELSE 0 END) = 0 AND
+          |     SUM(CASE WHEN keep_l THEN 1 ELSE 0 END) >= 3) AS c4_kept
+          |  FROM lk GROUP BY doc_id),
+          |ds AS (SELECT doc_id, len(toks)::BIGINT AS n_words,
+          |    (length(text) - (len(toks) - 1))::DOUBLE / len(toks)
+          |      AS mean_len,
+          |    len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))::DOUBLE
+          |      / len(toks) AS alpha_frac,
+          |    len(list_filter(list_distinct(toks), t -> list_contains(
+          |      ['the','a','data','table','value','row','query','line'], t)))
+          |      ::BIGINT AS n_stop
+          |  FROM (SELECT doc_id, text, string_split(text, ' ') AS toks
+          |        FROM documents)),
+          |ls AS (SELECT doc_id,
+          |    AVG(CASE WHEN starts_with(line, '- ') THEN 1.0 ELSE 0.0 END)
+          |      AS bullet_ratio,
+          |    AVG(CASE WHEN ends_with(line, '...') THEN 1.0 ELSE 0.0 END)
+          |      AS ellipsis_ratio
+          |  FROM lines GROUP BY doc_id),
+          |gp AS (SELECT doc_id,
+          |    (n_words BETWEEN 50 AND 100000
+          |      AND mean_len BETWEEN 3 AND 10
+          |      AND bullet_ratio <= 0.9 AND ellipsis_ratio <= 0.3
+          |      AND alpha_frac >= 0.8 AND n_stop >= 2) AS gopher_kept
+          |  FROM ds JOIN ls USING (doc_id)),
+          |lh AS (SELECT doc_id, idx, line,
+          |    ('0x' || substr(md5(line), 1, 15))::BIGINT AS h FROM lines),
+          |pf AS (SELECT doc_id, idx, line,
+          |    (ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, idx) = 1)
+          |      AS kept
+          |  FROM lh),
+          |pd AS (SELECT doc_id,
+          |    SUM(CASE WHEN kept THEN 0 ELSE 1 END)::BIGINT AS n_dup_lines,
+          |    md5(COALESCE(array_to_string(
+          |      list(line ORDER BY idx) FILTER (WHERE kept), chr(10)), ''))
+          |      AS dedup_md5
+          |  FROM pf GROUP BY doc_id)
+          |SELECT doc_id, c4_kept, gopher_kept, n_dup_lines,
+          |  (c4_kept AND gopher_kept) AS final_keep,
+          |  CASE WHEN c4_kept AND gopher_kept THEN dedup_md5 END AS out_md5
+          |FROM c4 JOIN gp USING (doc_id) JOIN pd USING (doc_id)
+          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val lines = synthLines(Tables.fannedOut(s, dir, "documents"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val c4 = Curation.c4Clean(lines, "doc_id", "idx", "line")
+        .select(col("doc_id"), col("kept").as("c4_kept"))
+      val gp = Curation.gopherRules(Tables(s, dir, "documents"), lines,
+          "doc_id", "text", "line", gopherStops)
+        .select(col("doc_id"), col("keep").as("gopher_kept"))
+      val pd = Curation.paragraphDedup(lines, "doc_id", "idx", "line")
+        .select(col("doc_id"), col("n_dropped").as("n_dup_lines"),
+          col("clean_md5").as("dedup_md5"))
+      c4.join(gp, "doc_id").join(pd, "doc_id")
+        .withColumn("final_keep", col("c4_kept") && col("gopher_kept"))
+        .select(col("doc_id"), col("c4_kept"), col("gopher_kept"),
+          col("n_dup_lines"), col("final_keep"),
+          when(col("final_keep"), col("dedup_md5")).as("out_md5"))
+        .orderBy("doc_id")
+    },
+
     // Corpus-wide exact paragraph dedup: every distinct line keeps its
     // smallest (doc, idx) occurrence; boilerplate (the injected junk
     // lines, shared across ~5% of docs) collapses to one copy each.

@@ -519,6 +519,31 @@ object Curation {
     } finally { feats.unpersist(); () }
   }
 
+  /** Tie-corrected Mann–Whitney AUC over a scored table whose score
+    * column lives on a FIXED GRID (e.g. probabilities rounded to 1e-4):
+    * the grid bound makes the score-level ranking table ≤ grid-size
+    * rows at any corpus scale, so the one cumulative window is
+    * constant-cost (the vocab-bounded-window contract). Pair counting
+    * is exact integer arithmetic until the final division — no
+    * cross-engine rounding needed. `label` must be 0/1. Returns one
+    * row: `(auc, n_pos, n_neg)`. */
+  def aucOnGrid(scored: DataFrame, pCol: String, labelCol: String): DataFrame = {
+    val g = scored.groupBy(pCol).agg(
+      sum(when(col(labelCol) === 1, 1L).otherwise(0L)).as("np"),
+      sum(when(col(labelCol) === 1, 0L).otherwise(1L)).as("nn"))
+    val win = Window.partitionBy(lit(0)).orderBy(pCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("cneg", coalesce(sum("nn").over(win), lit(0L)))
+      .agg(sum(col("np") * col("cneg")).cast("double").as("__hits"),
+        sum(col("np") * col("nn")).cast("double").as("__ties"),
+        sum("np").as("__tp"), sum("nn").as("__tn"))
+      .select(
+        ((col("__hits") + lit(0.5) * col("__ties")) /
+          (col("__tp").cast("double") * col("__tn").cast("double")))
+          .as("auc"),
+        col("__tp").as("n_pos"), col("__tn").as("n_neg"))
+  }
+
   /** Map-only inference with [[trainTextClassifier]] weights supplied
     * as a literal array: `p = σ(Σ_tok w[bucket(tok)] / n)` — the
     * production scoring shape (one aggregate HOF per row, no shuffle,

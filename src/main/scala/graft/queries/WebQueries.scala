@@ -168,6 +168,43 @@ object WebQueries {
         .orderBy("doc_id")
     },
 
+    // AUC of the trained classifier (tie-corrected Mann–Whitney on the
+    // 1e-4 probability grid): the grid bound makes the score-level
+    // ranking table ≤10001 rows at ANY corpus size, so the single
+    // cumulative window is constant-cost (the vocab-bounded-window
+    // contract); pair counting stays exact integer arithmetic until
+    // the final division, so no cross-engine rounding is needed.
+    Q("t_classifier_auc",
+      classifierCtes +
+        """,
+          |sc AS (SELECT f.doc_id, any_value(f.y) AS y,
+          |    SUM(w.w * f.cnt / f.n) AS s
+          |  FROM f JOIN w3 w USING (b) GROUP BY f.doc_id),
+          |pg AS (SELECT ROUND(1.0 / (1.0 + exp(-s)), 4) AS p, y FROM sc),
+          |g AS (SELECT p,
+          |    SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END)::BIGINT AS np,
+          |    SUM(CASE WHEN y = 1.0 THEN 0 ELSE 1 END)::BIGINT AS nn
+          |  FROM pg GROUP BY p),
+          |c AS (SELECT p, np, nn,
+          |    COALESCE(SUM(nn) OVER (ORDER BY p
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |      AS cneg FROM g),
+          |t AS (SELECT SUM(np * cneg)::DOUBLE AS hits,
+          |    SUM(np * nn)::DOUBLE AS ties,
+          |    (SELECT SUM(np) FROM g)::BIGINT AS tp,
+          |    (SELECT SUM(nn) FROM g)::BIGINT AS tn FROM c)
+          |SELECT (hits + 0.5 * ties) / (tp::DOUBLE * tn::DOUBLE) AS auc,
+          |  tp AS n_pos, tn AS n_neg FROM t""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val w = Curation.trainTextClassifier(docs, "doc_id", "text",
+          col("lang") === "en", buckets = 64, rounds = 3, lr = 5.0)
+        .orderBy("bucket").select("w")
+        .collect().map(_.getDouble(0)).toSeq
+      Curation.aucOnGrid(docs.select(
+          round(Curation.classifierScore(col("text"), w), 4).as("p"),
+          (col("lang") === "en").cast("int").as("y")), "p", "y")
+    },
+
     // HTML main-content extraction (the WARC->text front door): each
     // doc's lines wrap in <p> blocks inside a full page with script/
     // style/comment/nav chrome keyed off doc_id; the clean-text hash,

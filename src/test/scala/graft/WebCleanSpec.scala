@@ -190,6 +190,23 @@ class WebCleanSpec extends SparkSpec {
     assert(posP.min > 0.5 && negP.max < 0.5)
   }
 
+  test("aucOnGrid: tie-corrected Mann-Whitney matches the brute-force pairs") {
+    // pos 0.9 beats both negs (2); pos 0.8 ties neg 0.8 (0.5) and
+    // beats neg 0.2 (1) -> (2 + 1.5) / (2*2) = 0.875
+    val scored = Seq((0.9, 1), (0.8, 0), (0.8, 1), (0.2, 0))
+      .toDF("p", "y")
+    val out = Curation.aucOnGrid(scored, "p", "y")
+      .as[(Double, Long, Long)].head()
+    assert(out == ((0.875, 2L, 2L)))
+    // perfect separation -> 1.0; reversed -> 0.0
+    val perfect = Seq((0.9, 1), (0.8, 1), (0.3, 0)).toDF("p", "y")
+    assert(Curation.aucOnGrid(perfect, "p", "y")
+      .select("auc").as[Double].head() == 1.0)
+    val reversed = Seq((0.1, 1), (0.8, 0)).toDF("p", "y")
+    assert(Curation.aucOnGrid(reversed, "p", "y")
+      .select("auc").as[Double].head() == 0.0)
+  }
+
   test("classifierScore matches a hand-computed margin") {
     // score = sigma(mean over tokens of w[bucket(tok)]); recompute the
     // buckets with the same portable hash and check the closed form

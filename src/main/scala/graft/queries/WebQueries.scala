@@ -205,6 +205,41 @@ object WebQueries {
           (col("lang") === "en").cast("int").as("y")), "p", "y")
     },
 
+    // Calibration (reliability diagram) of the trained classifier:
+    // decile buckets of predicted probability vs the empirical positive
+    // rate — ONE map-side-combinable aggregate over the scored stream
+    // (10 output rows at any corpus size). Rates are exact-integer
+    // ratios; mean predicted p is a sum of 1e-4-grid values, rounded 6.
+    Q("t_classifier_calibration",
+      classifierCtes +
+        """,
+          |sc AS (SELECT f.doc_id, any_value(f.y) AS y,
+          |    SUM(w.w * f.cnt / f.n) AS s
+          |  FROM f JOIN w3 w USING (b) GROUP BY f.doc_id),
+          |pg AS (SELECT ROUND(1.0 / (1.0 + exp(-s)), 4) AS p, y FROM sc),
+          |bk AS (SELECT LEAST(CAST(TRUNC(p * 10) AS BIGINT), 9) AS bin,
+          |    p, y FROM pg)
+          |SELECT bin, COUNT(*)::BIGINT AS n,
+          |  ROUND(AVG(p), 6) AS mean_p,
+          |  SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*)
+          |    AS pos_rate
+          |FROM bk GROUP BY bin ORDER BY bin""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val w = Curation.trainTextClassifier(docs, "doc_id", "text",
+          col("lang") === "en", buckets = 64, rounds = 3, lr = 5.0)
+        .orderBy("bucket").select("w")
+        .collect().map(_.getDouble(0)).toSeq
+      docs.select(
+          round(Curation.classifierScore(col("text"), w), 4).as("p"),
+          (col("lang") === "en").cast("int").as("y"))
+        .withColumn("bin", least(floor(col("p") * 10).cast("long"), lit(9L)))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), round(avg("p"), 6).as("mean_p"),
+          (sum(when(col("y") === 1, 1L).otherwise(0L)).cast("double") /
+            count(lit(1))).as("pos_rate"))
+        .orderBy("bin")
+    },
+
     // HTML main-content extraction (the WARC->text front door): each
     // doc's lines wrap in <p> blocks inside a full page with script/
     // style/comment/nav chrome keyed off doc_id; the clean-text hash,

@@ -190,6 +190,26 @@ class WebCleanSpec extends SparkSpec {
     assert(posP.min > 0.5 && negP.max < 0.5)
   }
 
+  test("null edges: c4 treats null lines as not-kept, score of null text is null") {
+    // a null line fails the keep rule (rlike(null) -> null -> not
+    // counted) and does NOT poison the page verdict
+    val lines = Seq(
+      (1L, 0L, Option("alpha beta gamma delta eps.")),
+      (1L, 1L, Option("one two three four five!")),
+      (1L, 2L, Option("six seven eight nine ten?")),
+      (1L, 3L, Option.empty[String]))
+      .toDF("doc_id", "idx", "line")
+    val out = Curation.c4Clean(lines, "doc_id", "idx", "line")
+      .select("n_lines", "n_kept", "kept")
+      .as[(Long, Long, Boolean)].head()
+    assert(out == ((4L, 3L, true)))
+    // classifierScore propagates null text as null, not a crash or 0.5
+    val p = Seq(Option.empty[String]).toDF("text")
+      .select(Curation.classifierScore(col("text"), Seq(0.1, 0.2)).as("p"))
+      .select(col("p").isNull).as[Boolean].head()
+    assert(p)
+  }
+
   test("aucOnGrid: tie-corrected Mann-Whitney matches the brute-force pairs") {
     // pos 0.9 beats both negs (2); pos 0.8 ties neg 0.8 (0.5) and
     // beats neg 0.2 (1) -> (2 + 1.5) / (2*2) = 0.875

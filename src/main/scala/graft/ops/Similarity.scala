@@ -74,6 +74,45 @@ object Similarity {
       .select(col(probeId), col(candId), col("sim"))
   }
 
+  /** Margin-based pair mining (the ratio-margin criterion of
+    * Artetxe & Schwenk 2019, used by LASER/CCMatrix-style parallel-corpus
+    * mining): score a candidate pair not by raw cosine but by
+    * cos(x,y) / ((meanTopK(x) + meanTopK(y)) / 2) — dividing by each
+    * side's local neighborhood density cancels hubness (vectors close to
+    * everything score high on cosine but ~1 on margin). Emits the
+    * best-margin candidate per probe.
+    *
+    * Sims are rounded (4 dp) BEFORE ranking so tie decisions are
+    * engine-portable (the knnJoin convention). Brute force over A×B —
+    * correct for a bounded probe set; the scale path feeds LSH/IVF
+    * candidate pairs through the same two windows, which partition by
+    * probe and by candidate over the (much smaller) candidate-pair
+    * stream. */
+  def marginMining(probes: DataFrame, cands: DataFrame, probeId: String,
+      candId: String, vecCol: String, k: Int): DataFrame = {
+    val p = probes.select(col(probeId), col(vecCol).as("__pv"))
+    val c = cands.select(col(candId), col(vecCol).as("__cv"))
+    val sc = p.crossJoin(c)
+      .select(col(probeId), col(candId),
+        round(cosine(col("__pv"), col("__cv")), 4).as("sim"))
+    val byProbe = Window.partitionBy(probeId)
+    val byCand = Window.partitionBy(candId)
+    val ranked = sc
+      .withColumn("__rna", row_number().over(
+        byProbe.orderBy(col("sim").desc, col(candId))))
+      .withColumn("__rnb", row_number().over(
+        byCand.orderBy(col("sim").desc, col(probeId))))
+    ranked
+      .withColumn("__am", avg(when(col("__rna") <= k, col("sim"))).over(byProbe))
+      .withColumn("__bm", avg(when(col("__rnb") <= k, col("sim"))).over(byCand))
+      .withColumn("__margin", col("sim") / ((col("__am") + col("__bm")) / 2))
+      .withColumn("__rk", row_number().over(
+        byProbe.orderBy(col("__margin").desc, col(candId))))
+      .filter(col("__rk") === 1)
+      .select(col(probeId), col(candId), col("sim"),
+        (round(col("__margin"), 4) + lit(0)).as("margin"))
+  }
+
   /** Deterministic random hyperplanes: `nBits` planes of dimension `dim`,
     * fixed seed — every executor computes identical literals. */
   def hyperplanes(nBits: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {

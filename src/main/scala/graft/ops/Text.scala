@@ -919,4 +919,35 @@ object Text {
     val total = length(htmlExtract(html))
     when(total > 0, anchorLen.cast("double") / total).otherwise(1.0)
   }
+
+  /** Serialized Bloom filter over `xxhash64(valueCol)` of `df` — Spark's
+    * own sketch aggregate (`BloomFilterAggregate`, the expression AQE's
+    * runtime-filter injection plants on join build sides), driven
+    * explicitly so a pipeline can build one compact filter and reuse it
+    * across stages. Map-side combined; the result is ~numBits/8 bytes of
+    * bounded driver state (the same contract as a collected top-k
+    * ranking). Returns null when `df` is empty — `bloomMightContain`
+    * treats a null filter as matching nothing. */
+  def bloomBytes(df: DataFrame, valueCol: String,
+      expectedItems: Long, numBits: Long): Array[Byte] = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.NativeBridge
+    val agg = new BloomFilterAggregate(
+      NativeBridge.expression(xxhash64(col(valueCol))),
+      Literal(expectedItems), Literal(numBits))
+    df.agg(NativeBridge.column(agg.toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+  }
+
+  /** `might_contain(bloom, xxhash64(value))` as a codegen'd predicate —
+    * the probe side of the runtime-filter pair above. A null `bloom`
+    * (empty build side) matches nothing, mirroring an empty join build. */
+  def bloomMightContain(bloom: Array[Byte], value: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graft.NativeBridge
+    NativeBridge.column(BloomFilterMightContain(
+      Literal.create(bloom, org.apache.spark.sql.types.BinaryType),
+      NativeBridge.expression(xxhash64(value))))
+  }
 }

@@ -122,6 +122,31 @@ object ExtQueries {
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     },
 
+    // Pivot (long → wide reshaping): revenue per linestatus pivoted over
+    // the three return flags. The pivot VALUES are an explicit literal
+    // list — the scale-correct form: pivot-without-values first runs a
+    // driver-side collect of the key domain, an extra pass a 100 TB job
+    // never wants (and an unbounded column blowup if the key is dirty).
+    Q("ext_pivot",
+      """SELECT l_linestatus,
+        |  ROUND(SUM(CASE WHEN l_returnflag = 'A'
+        |    THEN l_extendedprice * (1 - l_discount) END), 2) AS rev_a,
+        |  ROUND(SUM(CASE WHEN l_returnflag = 'N'
+        |    THEN l_extendedprice * (1 - l_discount) END), 2) AS rev_n,
+        |  ROUND(SUM(CASE WHEN l_returnflag = 'R'
+        |    THEN l_extendedprice * (1 - l_discount) END), 2) AS rev_r
+        |FROM lineitem GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .withColumn("rev",
+          col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(round(sum("rev"), 2))
+        .withColumnsRenamed(Map("A" -> "rev_a", "N" -> "rev_n", "R" -> "rev_r"))
+        .orderBy("l_linestatus")
+    },
+
     // Large×large numeric BAND join via bucketization
     // (ops.Relational.bandJoin): customers whose balance falls within
     // ±10 of a supplier's — the value-range join Spark would otherwise

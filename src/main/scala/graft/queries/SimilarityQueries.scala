@@ -642,5 +642,46 @@ object SimilarityQueries {
         "probe_id", "cand_id", "v", m = 4, dim = 64, k = 5,
         distRound = 6, totalRound = 4)
         .orderBy("probe_id", "dist", "cand_id")
+    },
+
+    // Margin-based pair mining (Artetxe & Schwenk ratio margin — the
+    // LASER/CCMatrix bitext-mining criterion): even vec_ids play the
+    // "source" side, odd the "target"; best-margin target per source,
+    // where margin divides cosine by the mean of each side's top-4
+    // neighborhood sims to cancel hubness. Sims rounded before ranking
+    // (the knnJoin portability convention); both window passes partition
+    // the same scored-pair stream by probe and by candidate.
+    Q("sim_margin_mining",
+      """WITH sc AS (SELECT a.vec_id AS probe_id, b.vec_id AS cand_id,
+        |    ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |      CAST(b.embedding AS DOUBLE[])), 4) + 0 AS sim
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.vec_id % 2 = 0 AND a.vec_id < 40 AND b.vec_id % 2 = 1),
+        |r AS (SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY probe_id
+        |      ORDER BY sim DESC, cand_id) AS rna,
+        |    ROW_NUMBER() OVER (PARTITION BY cand_id
+        |      ORDER BY sim DESC, probe_id) AS rnb
+        |  FROM sc),
+        |m AS (SELECT *,
+        |    AVG(CASE WHEN rna <= 4 THEN sim END)
+        |      OVER (PARTITION BY probe_id) AS am,
+        |    AVG(CASE WHEN rnb <= 4 THEN sim END)
+        |      OVER (PARTITION BY cand_id) AS bm
+        |  FROM r)
+        |SELECT probe_id, cand_id, sim,
+        |  ROUND(sim / ((am + bm) / 2), 4) + 0 AS margin
+        |FROM m
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY probe_id
+        |  ORDER BY sim / ((am + bm) / 2) DESC, cand_id) = 1
+        |ORDER BY probe_id""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      Similarity.marginMining(
+        e.filter(col("vec_id") % 2 === 0 && col("vec_id") < 40)
+          .select(col("vec_id").as("probe_id"), col("embedding")),
+        e.filter(col("vec_id") % 2 === 1)
+          .select(col("vec_id").as("cand_id"), col("embedding")),
+        "probe_id", "cand_id", "embedding", k = 4)
+        .orderBy("probe_id")
     })
 }

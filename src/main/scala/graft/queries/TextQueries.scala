@@ -18,6 +18,28 @@ object TextQueries {
     "queryish" -> Seq("query", "filter", "join"),
     "streamish" -> Seq("stream", "batch", "window"))
 
+  // Shared by `t_decontaminate` (exact broadcast form) and
+  // `t_decontaminate_bloom` (Bloom-prefiltered form): identical semantics,
+  // identical oracle — the bloom is a lossless prefilter (no false
+  // negatives by construction) whose false positives the exact verify
+  // join removes, so both plans must produce byte-identical results.
+  private val decontaminateOracle =
+    """WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
+      |    FROM documents),
+      |sh AS (SELECT doc_id, lang, unnest(list_distinct(
+      |    [array_to_string(ws[i:i+7], ' ')
+      |     FOR i IN generate_series(1, greatest(len(ws) - 7, 1))])) AS shingle
+      |  FROM w),
+      |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 13 = 0),
+      |hits AS (SELECT DISTINCT s.doc_id FROM sh s
+      |  JOIN bench b ON s.shingle = b.shingle WHERE s.doc_id % 13 <> 0)
+      |SELECT w.lang, COUNT(*) AS n_corpus,
+      |  SUM(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+      |    AS n_contaminated
+      |FROM w LEFT JOIN hits h ON w.doc_id = h.doc_id
+      |WHERE w.doc_id % 13 <> 0
+      |GROUP BY w.lang ORDER BY w.lang""".stripMargin
+
   def qs: Seq[Q] = Seq(
 
     // Token counting per document, aggregated per language.
@@ -813,22 +835,7 @@ object TextQueries {
     // benchmark shingle set is tiny relative to the corpus, so the Spark
     // plan BROADCASTS it — the corpus-side scan never shuffles; at 100 TB
     // this is a map-only pass.
-    Q("t_decontaminate",
-      """WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
-        |    FROM documents),
-        |sh AS (SELECT doc_id, lang, unnest(list_distinct(
-        |    [array_to_string(ws[i:i+7], ' ')
-        |     FOR i IN generate_series(1, greatest(len(ws) - 7, 1))])) AS shingle
-        |  FROM w),
-        |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 13 = 0),
-        |hits AS (SELECT DISTINCT s.doc_id FROM sh s
-        |  JOIN bench b ON s.shingle = b.shingle WHERE s.doc_id % 13 <> 0)
-        |SELECT w.lang, COUNT(*) AS n_corpus,
-        |  SUM(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
-        |    AS n_contaminated
-        |FROM w LEFT JOIN hits h ON w.doc_id = h.doc_id
-        |WHERE w.doc_id % 13 <> 0
-        |GROUP BY w.lang ORDER BY w.lang""".stripMargin) { (s, dir) =>
+    Q("t_decontaminate", decontaminateOracle) { (s, dir) =>
       val docs = Tables.fannedOut(s, dir, "documents")
       val sh = docs.select(col("doc_id"), col("lang"),
         explode(array_distinct(
@@ -840,6 +847,40 @@ object TextQueries {
         .select(col("doc_id")).distinct()
         .withColumn("hit", lit(1))
       // hits grows with corpus contamination — shuffle join, not broadcast
+      docs.filter(col("doc_id") % 13 =!= 0)
+        .join(hits, Seq("doc_id"), "left")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_corpus"),
+          sum(coalesce(col("hit"), lit(0))).as("n_contaminated"))
+        .orderBy("lang")
+    },
+
+    // Bloom-prefiltered decontamination — identical semantics (and oracle)
+    // to `t_decontaminate`, the other scale regime: when the held-out
+    // benchmark union outgrows a broadcastable shingle set (hundreds of
+    // eval suites at 100 TB), ship a fixed-size Bloom filter (~256 KB
+    // here) instead. The corpus-side scan stays map-only — the bloom test
+    // is a codegen'd predicate on xxhash64 — and only bloom SURVIVORS
+    // (true hits + the fp-rate ε) reach the exact-verify shuffle join
+    // that removes false positives, so that shuffle is hit-sized, not
+    // corpus-sized. No false negatives by construction → byte-identical
+    // output to the exact form (TextSpec pins the survivor superset).
+    Q("t_decontaminate_bloom", decontaminateOracle) { (s, dir) =>
+      val docs = Tables.fannedOut(s, dir, "documents")
+      val sh = docs.select(col("doc_id"), col("lang"),
+        explode(array_distinct(
+          Text.wordShingles(split(col("text"), " ", -1), 8))).as("shingle"))
+      val bench = sh.filter(col("doc_id") % 13 === 0).select("shingle")
+      val bloom = Text.bloomBytes(bench, "shingle",
+        expectedItems = 1L << 18, numBits = 1L << 21)
+      val survivors = sh.filter(col("doc_id") % 13 =!= 0)
+        .filter(Text.bloomMightContain(bloom, col("shingle")))
+      // exact verify drops bloom false positives. Join strategy stays the
+      // optimizer's size-driven choice: broadcast at test scale, shuffle
+      // when the bench union outgrows it — either way the probe side
+      // arriving here is bloom-pruned to hits+ε, not the whole corpus
+      val hits = survivors.join(bench.distinct(), "shingle")
+        .select("doc_id").distinct().withColumn("hit", lit(1))
       docs.filter(col("doc_id") % 13 =!= 0)
         .join(hits, Seq("doc_id"), "left")
         .groupBy("lang")
@@ -1155,6 +1196,54 @@ object TextQueries {
               length(col("text")) === octet_length(col("text"))),
           "doc_id", "text")
         .orderBy("doc_id", "chunk_idx")
+    },
+
+    // Corpus drift monitor: Jensen–Shannon divergence between the token
+    // distributions of two corpus slices, per language — the standard
+    // health check that a new crawl batch (slice 1) still "speaks the
+    // same language" as the reference corpus (slice 0). Add-one smoothing
+    // over a min-count-bounded shared vocabulary. Shuffle profile is the
+    // LM family's: one (lang, tok) count aggregate (map-side combined,
+    // vocab-bounded output), a tiny per-lang total broadcast back —
+    // corpus size only ever flows through the first combine.
+    Q("t_token_drift",
+      """WITH t AS (SELECT lang, doc_id % 2 AS slice,
+        |    unnest(string_split(text, ' ')) AS tok FROM documents),
+        |c AS (SELECT lang, tok,
+        |    SUM(CASE WHEN slice = 0 THEN 1 ELSE 0 END)::BIGINT AS ca,
+        |    SUM(CASE WHEN slice = 1 THEN 1 ELSE 0 END)::BIGINT AS cb
+        |  FROM t GROUP BY 1, 2 HAVING ca + cb >= 5),
+        |s AS (SELECT lang, SUM(ca)::BIGINT AS na, SUM(cb)::BIGINT AS nb,
+        |    COUNT(*)::BIGINT AS v FROM c GROUP BY 1),
+        |e AS (SELECT c.lang, s.na, s.nb, s.v,
+        |    (c.ca + 1.0) / (s.na + s.v) AS p,
+        |    (c.cb + 1.0) / (s.nb + s.v) AS q
+        |  FROM c JOIN s USING (lang))
+        |SELECT lang, ANY_VALUE(v) AS vocab, ANY_VALUE(na) AS n_a,
+        |  ANY_VALUE(nb) AS n_b,
+        |  ROUND(SUM(0.5 * p * ln(p / ((p + q) / 2))
+        |          + 0.5 * q * ln(q / ((p + q) / 2))), 4) + 0 AS js_div
+        |FROM e GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      val toks = Tables.fannedOut(s, dir, "documents")
+        .select(col("lang"), (col("doc_id") % 2).as("slice"),
+          explode(split(col("text"), " ", -1)).as("tok"))
+      val c = toks.groupBy("lang", "tok")
+        .agg(sum(when(col("slice") === 0, 1L).otherwise(0L)).as("ca"),
+          sum(when(col("slice") === 1, 1L).otherwise(0L)).as("cb"))
+        .filter(col("ca") + col("cb") >= 5)
+      val tot = c.groupBy("lang")
+        .agg(sum("ca").as("na"), sum("cb").as("nb"), count(lit(1)).as("v"))
+      val e = c.join(broadcast(tot), "lang")
+        .withColumn("p", (col("ca") + lit(1.0)) / (col("na") + col("v")))
+        .withColumn("q", (col("cb") + lit(1.0)) / (col("nb") + col("v")))
+      val m = (col("p") + col("q")) / 2
+      e.groupBy("lang")
+        .agg(first("v").as("vocab"), first("na").as("n_a"),
+          first("nb").as("n_b"),
+          (round(sum(lit(0.5) * col("p") * log(col("p") / m)
+            + lit(0.5) * col("q") * log(col("q") / m)), 4) + lit(0))
+            .as("js_div"))
+        .orderBy("lang")
     },
 
     // Multimodal plumbing: opaque binary payload column + metadata derived

@@ -131,4 +131,48 @@ class SimilaritySpec extends SparkSpec {
       raw"PartitionFilters: \[isnotnull\(centroid_id#\d+\), \(?centroid_id#\d+ (=|IN)".r
     assert(plan.contains("/cells") && pruned.findFirstIn(plan).nonEmpty, plan)
   }
+
+  test("marginMining equals a driver-side brute-force replay of the ratio margin") {
+    // deterministic vectors: v[d] = sin(id * (d + 1)) — hub-free but varied
+    def vec(id: Int): Seq[Double] = (0 until 6).map(d => math.sin(id * (d + 1.0)))
+    // id 0 would be the all-zeros vector (sin 0) — start at 1
+    val probes = (1 to 5).map(i => (i.toLong, vec(i))).toDF("pid", "v")
+    val cands = (100 until 112).map(i => (i.toLong, vec(i))).toDF("cid", "v")
+    val out = Similarity.marginMining(probes, cands, "pid", "cid", "v", k = 3)
+      .as[(Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+
+    // brute-force replay with the same round-before-rank convention
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    // Spark's round() goes through BigDecimal.valueOf (decimal string),
+    // not the exact binary expansion — replay must match
+    def r4(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    val sims = for (p <- 1 to 5; c <- 100 until 112)
+      yield (p.toLong, c.toLong, r4(cos(vec(p), vec(c))))
+    def topMean(xs: Seq[(Double, Long)]): Double = {
+      val top = xs.sortBy { case (s, id) => (-s, id) }.take(3).map(_._1)
+      top.sum / top.size
+    }
+    val aMean = sims.groupBy(_._1).map { case (p, xs) =>
+      p -> topMean(xs.map(t => (t._3, t._2))) }
+    val bMean = sims.groupBy(_._2).map { case (c, xs) =>
+      c -> topMean(xs.map(t => (t._3, t._1))) }
+    val expected = sims.groupBy(_._1).map { case (p, xs) =>
+      val scored = xs.map { case (_, c, s) =>
+        (c, s, s / ((aMean(p) + bMean(c)) / 2)) }
+      val best = scored.minBy { case (c, _, m) => (-m, c) }
+      p -> (p, best._1, best._2, r4(best._3))
+    }
+    assert(out.keySet == expected.keySet)
+    expected.foreach { case (p, e) =>
+      val o = out(p)
+      assert(o._2 == e._2 && o._3 == e._3, s"probe $p: $o vs $e")
+      assert(math.abs(o._4 - e._4) < 1e-9, s"probe $p margin: $o vs $e")
+    }
+    // margins are well-defined ratios (no zero-neighborhood blowups here)
+    assert(out.values.forall(r => !r._4.isNaN && !r._4.isInfinite))
+  }
 }

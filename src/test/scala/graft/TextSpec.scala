@@ -141,6 +141,28 @@ class TextSpec extends SparkSpec {
     assert(out("loop") > 0.8)   // 7 bigrams, 1 distinct → 6/7
   }
 
+  test("bloom prefilter: no false negatives, bounded false positives, " +
+      "empty build side matches nothing") {
+    val all = (1 to 400).map(i => s"item_$i").toDF("v")
+    val members = all.filter(xxhash64(col("v")) % 5 === 0)
+    val memberSet = members.as[String].collect().toSet
+    assert(memberSet.nonEmpty)
+    val bloom = Text.bloomBytes(members, "v",
+      expectedItems = 1000L, numBits = 16384L)
+    val survivors = all.filter(Text.bloomMightContain(bloom, col("v")))
+      .as[String].collect().toSet
+    // a Bloom filter never drops a true member
+    assert(memberSet.subsetOf(survivors))
+    // and at 16k bits / ~80 items the fp leakage stays small
+    assert(survivors.size <= memberSet.size + 20)
+    // empty build side → null filter → the probe filter drops every row,
+    // mirroring an empty join build side
+    val nullBloom = Text.bloomBytes(members.filter(lit(false)), "v",
+      expectedItems = 1000L, numBits = 16384L)
+    assert(nullBloom == null)
+    assert(all.filter(Text.bloomMightContain(nullBloom, col("v"))).count() == 0L)
+  }
+
   test("tfidf persisted variant equals the unpersisted plan (values pinned)") {
     val docs = Seq(
       (1L, "alpha beta gamma alpha alpha shared"),

@@ -937,6 +937,22 @@ object TrainQueries {
           Tables(s, dir, "documents"), "doc_id", "text",
           wordpieceVocab(s, dir), maxWordLen = wordpieceMaxLen)
         .orderBy("doc_id")
+    },
+
+    // Tokenizer fertility — pieces per word by language, THE standard
+    // metric for comparing tokenizers across languages (a fertility of 2
+    // means the tokenizer splits the average word in two; high-fertility
+    // languages pay more sequence length per sentence). Same greedy
+    // WordPiece encode as t_wordpiece_corpus, grouped by lang instead of
+    // doc — one distinct-word encode (vocab-bounded), broadcast back,
+    // one lang-sized aggregate.
+    Q("t_tokenizer_fertility", wordpieceFertilityOracleSql) { (s, dir) =>
+      graft.ops.WordPiece.encodeCorpus(
+          Tables(s, dir, "documents"), "lang", "text",
+          wordpieceVocab(s, dir), maxWordLen = wordpieceMaxLen)
+        .withColumn("fertility",
+          round(col("n_pieces").cast("double") / col("n_words"), 4) + lit(0))
+        .orderBy("lang")
     }
   )
 
@@ -1037,6 +1053,21 @@ object TrainQueries {
        |  SUM(e.n_pieces)::BIGINT AS n_pieces
        |FROM dw JOIN enc e USING (word)
        |GROUP BY dw.doc_id ORDER BY dw.doc_id""".stripMargin
+
+  /** Fertility oracle: the same greedy-encode CTE chain aggregated by
+    * language instead of document. */
+  private lazy val wordpieceFertilityOracleSql: String =
+    s"""$wordpieceCtes,
+       |dw AS (SELECT lang, word FROM
+       |    (SELECT lang, unnest(string_split(text, ' ')) AS word
+       |     FROM documents)
+       |  WHERE word <> '' AND length(word) <= $wordpieceMaxLen)
+       |SELECT dw.lang, COUNT(*)::BIGINT AS n_words,
+       |  SUM(e.n_pieces)::BIGINT AS n_pieces,
+       |  ROUND(CAST(SUM(e.n_pieces) AS DOUBLE) / COUNT(*), 4) + 0
+       |    AS fertility
+       |FROM dw JOIN enc e USING (word)
+       |GROUP BY dw.lang ORDER BY dw.lang""".stripMargin
 
   /** Generated WITH-prefix shared by the unigram DP oracles: seed vocab
     * (same SQL as t_unigram_seed, word length capped at the DP unroll)

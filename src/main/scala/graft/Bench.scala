@@ -87,6 +87,11 @@ object Bench {
     // parsed with a regex (no JSON dependency in scope). Missing or
     // unreadable file → empty ledger → every candidate gets a warm pair
     // (the round-9 behavior).
+    // which ledger file actually fed the gate — reported in the output
+    // JSON (advisor r11: the class-location fallback can mis-derive the
+    // root when classes load from a jar; a silently-wrong ledger source
+    // must be visible in the artifact, not just absent)
+    var ledgerFileUsed: Option[String] = None
     val ledger: Map[String, Double] = try {
       // cwd-relative by default; if absent, fall back to the repo root
       // derived from the compiled-classes location (…/target/scala-*/
@@ -114,10 +119,12 @@ object Bench {
       else {
         val txt = new String(java.nio.file.Files.readAllBytes(f.toPath),
           java.nio.charset.StandardCharsets.UTF_8)
+        ledgerFileUsed = Some(f.getAbsolutePath)
         """"([^"]+)"\s*:\s*([0-9.eE+-]+)""".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       }
     } catch { case _: Throwable => Map.empty }
+    System.err.println(s"ledger source: ${ledgerFileUsed.getOrElse("(none — empty ledger)")}")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -261,12 +268,26 @@ object Bench {
     val errs =
       if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"").mkString(""","errors":[""", ",", "]")
+    // noise_basis: self-describing tag for the r10→r11 semantic shift
+    // (judge r11) — since the registry-sized codegen cache, warm samples
+    // run compile-free while pass 1 pays each query's one-time compile,
+    // so noise_ratio upper-bounds contention PLUS compile share; the
+    // clean contention index is ledger_ratio. ledger_coverage counts the
+    // registered queries the loaded ledger has floors for — coverage
+    // below the registry size means the newest queries burn pass-1
+    // budget un-gated (the r11 evidence-gap failure mode).
+    val ledgerCoverage = names.count { case (n, _) => ledger.contains(n) }
+    val ledgerFileJson = ledgerFileUsed.map("\"" + _ + "\"").getOrElse("null")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errs,""" +
       s""""pass_totals":$passJson,"noise_ratio":$noiseJson,""" +
+      s""""noise_basis":"pass1_vs_compile_free",""" +
       s""""ledger_ratio":$ledgerRatioJson,""" +
       s""""warm_repeats":$warmDone,""" +
       s""""warm_candidates":${warmCandidates.size},""" +
       s""""ledger_skips":$ledgerSkips,""" +
+      s""""ledger_coverage":$ledgerCoverage,""" +
+      s""""registry_size":${names.size},""" +
+      s""""ledger_file":$ledgerFileJson,""" +
       s""""budget_s":${num(budgetSec, 0)},"wall_s":${num(elapsedSec, 1)},"sf":"$sfDir"}""")
     // Ledger regeneration (quiet local runs only — never the driver's):
     // records quiet PASS-1 times (same compile-laden basis the gate

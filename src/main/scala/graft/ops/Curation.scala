@@ -544,6 +544,24 @@ object Curation {
         col("__tp").as("n_pos"), col("__tn").as("n_neg"))
   }
 
+  /** Stored-model load — the production serving shape (train monthly,
+    * score every batch): reconstruct the literal weight vector
+    * [[classifierScore]] consumes from a persisted `(bucket, w)` table
+    * ([[trainTextClassifier]]'s output schema round-tripped through
+    * parquet or any other store) with NO retraining — the same
+    * stored-model pattern as `Bpe.mergesFromDF` / `Unigram.costsFromDF`.
+    * Bounded driver state: `buckets` rows. Buckets absent from the
+    * table (e.g. pruned zero weights) read as 0.0; `buckets` must match
+    * the hash space the model was trained with — the vector length IS
+    * the modulus [[classifierScore]] hashes into, so a mismatch
+    * mis-addresses every token. */
+  def weightsFromDF(weights: DataFrame, buckets: Int): Seq[Double] = {
+    val m = weights
+      .select(col("bucket").cast("long"), col("w").cast("double"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    (0L until buckets.toLong).map(m.getOrElse(_, 0.0))
+  }
+
   /** Map-only inference with [[trainTextClassifier]] weights supplied
     * as a literal array: `p = σ(Σ_tok w[bucket(tok)] / n)` — the
     * production scoring shape (one aggregate HOF per row, no shuffle,

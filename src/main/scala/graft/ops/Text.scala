@@ -912,12 +912,20 @@ object Text {
     * navigation-page signal (a page that is mostly links is chrome,
     * not content). Per-row, no shuffle. Empty extraction → 1.0 (all
     * boilerplate). */
-  def htmlLinkDensity(html: Column): Column = {
+  def htmlLinkDensity(html: Column): Column =
+    htmlLinkDensity(html, length(htmlExtract(html)))
+
+  /** Overload for callers that already materialized the extracted clean
+    * text (advisor r11: Catalyst does not CSE the 11-stage
+    * [[htmlExtract]] regexp chain across sibling expressions, so a query
+    * computing both the clean text and its link density would run the
+    * chain twice per row) — pass `length(cleanCol)` and the chain runs
+    * once. */
+  def htmlLinkDensity(html: Column, cleanLen: Column): Column = {
     val anchors = regexp_extract_all(html, lit("(?is)<a[^>]*>(.*?)</a>"),
       lit(1))
     val anchorLen = length(array_join(anchors, ""))
-    val total = length(htmlExtract(html))
-    when(total > 0, anchorLen.cast("double") / total).otherwise(1.0)
+    when(cleanLen > 0, anchorLen.cast("double") / cleanLen).otherwise(1.0)
   }
 
   /** Serialized Bloom filter over `xxhash64(valueCol)` of `df` — Spark's

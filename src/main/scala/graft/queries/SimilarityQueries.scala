@@ -670,10 +670,12 @@ object SimilarityQueries {
         |      OVER (PARTITION BY cand_id) AS bm
         |  FROM r)
         |SELECT probe_id, cand_id, sim,
-        |  ROUND(sim / ((am + bm) / 2), 4) + 0 AS margin
+        |  ROUND(CASE WHEN (am + bm) / 2 > 0 THEN sim / ((am + bm) / 2)
+        |    ELSE sim END, 4) + 0 AS margin
         |FROM m
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY probe_id
-        |  ORDER BY sim / ((am + bm) / 2) DESC, cand_id) = 1
+        |  ORDER BY CASE WHEN (am + bm) / 2 > 0 THEN sim / ((am + bm) / 2)
+        |    ELSE sim END DESC, cand_id) = 1
         |ORDER BY probe_id""".stripMargin) { (s, dir) =>
       val e = Tables(s, dir, "embeddings")
       Similarity.marginMining(

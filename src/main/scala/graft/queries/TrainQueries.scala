@@ -1232,9 +1232,12 @@ object TrainQueries {
     * new symbol list re-assembles ordered by position. Output = the
     * merge table (rank, a, b, merged, n), the engine's exact schema.
     * MATERIALIZED on each v{r}/e{r} stops DuckDB re-inlining the round
-    * recursion. The corpus's pair supply never dries up inside 8 rounds
-    * (Bpe.train would stop early; the oracle's CROSS JOIN best{r} would
-    * go empty the same round — both sides emit fewer than 8 rows). */
+    * recursion. Early-stop degrade (advisor r11): if the corpus's pair
+    * supply dries up before round 8, Bpe.train stops early and best{r}
+    * goes empty — best{r} joins via LEFT JOIN ON TRUE (cand coalesced
+    * FALSE), so v{r} degrades to v{r-1} instead of going empty and the
+    * shared v8 the encode oracle reads stays the final segmentation on
+    * BOTH engines; the merges union emits fewer than 8 rows on both. */
   private[queries] val bpeRounds = 8
   /** The shared CTE chain: word vocab `w`, initial segmentation `v0`,
     * then per round r: explode `e{r}`, pair counts `pc{r}`, argmax
@@ -1250,8 +1253,8 @@ object TrainQueries {
          |  FROM e$r WHERE i < m GROUP BY 1, 2),
          |best$r AS (SELECT a, bb, n FROM pc$r ORDER BY n DESC, a, bb LIMIT 1),
          |cd$r AS (SELECT e.word, e.wc, e.i, e.s,
-         |    (e.i < e.m AND e.s = b.a AND e.nx = b.bb) AS cand
-         |  FROM e$r e CROSS JOIN best$r b),
+         |    COALESCE(e.i < e.m AND e.s = b.a AND e.nx = b.bb, FALSE) AS cand
+         |  FROM e$r e LEFT JOIN best$r b ON TRUE),
          |ck$r AS (SELECT *, i - ROW_NUMBER() OVER (PARTITION BY word, cand
          |    ORDER BY i) AS chain FROM cd$r),
          |tk$r AS (SELECT word, wc, i, s,
@@ -1265,7 +1268,7 @@ object TrainQueries {
          |v$r AS MATERIALIZED (SELECT n.word, MIN(n.wc) AS wc,
          |    list(CASE WHEN n.taken THEN b.a || b.bb ELSE n.s END ORDER BY n.i)
          |      AS syms
-         |  FROM nw$r n CROSS JOIN best$r b
+         |  FROM nw$r n LEFT JOIN best$r b ON TRUE
          |  WHERE NOT n.prev_taken GROUP BY n.word)""".stripMargin
     s"""WITH w AS MATERIALIZED (SELECT word, COUNT(*)::BIGINT AS wc FROM
        |    (SELECT unnest(string_split(text, ' ')) AS word FROM documents)

@@ -144,6 +144,17 @@ object WebQueries {
     // Train → map-only inference e2e: every doc scored by the trained
     // weights as a literal array (no join, no shuffle — the production
     // scoring plan); probability rounded to the cross-engine grid.
+    // Accepted ulp-tie risk (advisor r11): Spark sums w[bucket(tok)]/n
+    // in TOKEN order while the oracle sums bucket-grouped w*cnt/n —
+    // different FP association feeding ROUND(p,4) and the unrounded
+    // `p >= 0.5` pred, so a score within an ulp of a grid midpoint or
+    // of 0.5 could diverge cross-engine. Unlike t_bpe_encode's integer
+    // ratio there is no integer-exact rewrite of a float dot product;
+    // the weights live on the 1e-6 grid (r6 per round) which keeps
+    // per-term products far from midpoints on this corpus, and the
+    // map-only token-order form IS the production plan being certified
+    // — switching Spark to the oracle's grouped sum would un-certify
+    // it. Documented rather than engineered away.
     Q("t_classifier_scored",
       classifierCtes +
         """,
@@ -307,9 +318,15 @@ object WebQueries {
           when(col("doc_id") % 11 === 0, lit("<p>A &amp; B &lt;tag&gt;</p>"))
             .otherwise(lit("")),
           lit("</body></html>")).as("html"))
-      pages.select(col("doc_id"),
-          graft.ops.Text.htmlExtract(col("html")).as("__clean"),
-          graft.ops.Text.htmlLinkDensity(col("html")).as("__ld"))
+      // materialize the extract chain once: __clean in its own Project
+      // (CollapseProject refuses to duplicate the non-cheap chain), then
+      // the link density reads length(__clean) via the overload instead
+      // of re-running htmlExtract for the denominator (advisor r11)
+      pages.select(col("doc_id"), col("html"),
+          graft.ops.Text.htmlExtract(col("html")).as("__clean"))
+        .select(col("doc_id"), col("__clean"),
+          graft.ops.Text.htmlLinkDensity(col("html"), length(col("__clean")))
+            .as("__ld"))
         .select(col("doc_id"), md5(col("__clean")).as("clean_md5"),
           length(col("__clean")).cast("long").as("n_chars"),
           round(col("__ld"), 4).as("link_density"),

@@ -132,6 +132,64 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("/cells") && pruned.findFirstIn(plan).nonEmpty, plan)
   }
 
+  test("IVF maintenance: append == full rewrite; drift triggers a generation rebuild") {
+    import java.nio.file.Files
+    val dirA = Files.createTempDirectory("ivfA").toString
+    val dirB = Files.createTempDirectory("ivfB").toString
+    val dirs = Seq(Seq(10.0f, 0.0f), Seq(0.0f, 10.0f), Seq(-7.0f, -7.0f))
+    def cluster(id: Long) = {
+      val d = dirs((id % 3).toInt)
+      Seq(d(0) + (id % 7) * 0.01f, d(1) + (id % 5) * 0.01f)
+    }
+    val base = (0L until 30L).map(id => (id, cluster(id))).toDF("vec_id", "vec")
+    val cents = Similarity.kmeansCentroids(base, "vec_id", "vec", k = 3, iters = 3)
+    Similarity.writeIvfIndex(base, "vec_id", "vec", cents, dirA)
+
+    // arrivals from the SAME clusters: append must equal a full rewrite
+    // of base∪arrivals under the same centroids
+    val arrivals = (1000L until 1015L).map(id => (id, cluster(id)))
+      .toDF("vec_id", "vec")
+    Similarity.appendToIvfIndex(spark, dirA, arrivals, "vec_id", "vec")
+    Similarity.writeIvfIndex(base.unionByName(arrivals), "vec_id", "vec",
+      cents, dirB)
+    val probes = base.filter(col("vec_id") % 3 === 0)
+      .select(col("vec_id").as("probe_id"), col("vec"))
+    def search(d: String) =
+      Similarity.searchIvfIndex(spark, d, probes, "probe_id", "vec_id", "vec", k = 3)
+        .as[(Long, Long, Double)].collect().toSet
+    assert(search(dirA) == search(dirB),
+      "search after partition-append must equal search after a full rewrite")
+
+    // same-distribution batch: low drift -> maintenance keeps serving dirA
+    val more = (2000L until 2030L).map(id => (id, cluster(id))).toDF("vec_id", "vec")
+    assert(Similarity.ivfIndexDrift(spark, dirA, more, "vec") < 0.2)
+    val dirC = Files.createTempDirectory("ivfC").toString
+    assert(Similarity.maintainIvfIndex(spark, dirA, dirC, more,
+      "vec_id", "vec", k = 3, driftThreshold = 0.5) == dirA)
+
+    // shifted batch (a direction no centroid covers): drift fires, the
+    // rebuilt generation serves, and its search equals the in-memory
+    // IVF join under its own retrained centroids
+    val shifted = (3000L until 3060L)
+      .map(id => (id, Seq(8.0f + (id % 5) * 0.01f, -8.0f + (id % 7) * 0.01f)))
+      .toDF("vec_id", "vec")
+    val served = Similarity.maintainIvfIndex(spark, dirA, dirC, shifted,
+      "vec_id", "vec", k = 4, driftThreshold = 0.5)
+    assert(served == dirC, "a shifted batch must trigger the generation rebuild")
+    val centsC = spark.read.parquet(s"$dirC/centroids")
+    val allPts = spark.read.parquet(s"$dirA/cells")
+      .select(col("vec_id"), col("vec"))
+    val sProbes = shifted.limit(5)
+      .select(col("vec_id").as("probe_id"), col("vec"))
+    val stored = Similarity.searchIvfIndex(spark, dirC, sProbes,
+      "probe_id", "vec_id", "vec", k = 3)
+    val inMem = Similarity.annIvfJoin(sProbes, allPts, "probe_id", "vec_id",
+      "vec", k = 3, centsC)
+    assert(stored.as[(Long, Long, Double)].collect().toSet ==
+      inMem.as[(Long, Long, Double)].collect().toSet,
+      "rebuilt-generation search must equal the in-memory IVF join")
+  }
+
   test("marginMining equals a driver-side brute-force replay of the ratio margin") {
     // deterministic vectors: v[d] = sin(id * (d + 1)) — hub-free but varied
     def vec(id: Int): Seq[Double] = (0 until 6).map(d => math.sin(id * (d + 1.0)))
@@ -160,9 +218,14 @@ class SimilaritySpec extends SparkSpec {
       p -> topMean(xs.map(t => (t._3, t._2))) }
     val bMean = sims.groupBy(_._2).map { case (c, xs) =>
       c -> topMean(xs.map(t => (t._3, t._1))) }
+    // replay the denominator guard: probe 5's neighborhood means nearly
+    // cancel here ((am+bm)/2 ~ -5e-4), and the unguarded ratio inflated
+    // a NEGATIVE sim into a margin of ~400 — the exact advisor-r11
+    // pathology. Non-positive denominator -> margin = raw sim.
     val expected = sims.groupBy(_._1).map { case (p, xs) =>
       val scored = xs.map { case (_, c, s) =>
-        (c, s, s / ((aMean(p) + bMean(c)) / 2)) }
+        val den = (aMean(p) + bMean(c)) / 2
+        (c, s, if (den > 0) s / den else s) }
       val best = scored.minBy { case (c, _, m) => (-m, c) }
       p -> (p, best._1, best._2, r4(best._3))
     }
@@ -174,5 +237,25 @@ class SimilaritySpec extends SparkSpec {
     }
     // margins are well-defined ratios (no zero-neighborhood blowups here)
     assert(out.values.forall(r => !r._4.isNaN && !r._4.isInfinite))
+  }
+
+  test("marginMining degenerate neighborhoods: non-positive denominator falls back to raw sim") {
+    // cands antipodal/orthogonal to the probe: every cosine <= 0, so both
+    // top-k means are <= 0 and the raw ratio would be NaN/Inf or
+    // sign-inverted (advisor r11). The guard must emit the raw sim as
+    // the margin and still rank the LEAST-negative candidate first.
+    val probes = Seq((1L, Seq(1.0, 0.0))).toDF("pid", "v")
+    val cands = Seq(
+      (100L, Seq(-1.0, 0.0)),   // cos = -1
+      (101L, Seq(-1.0, -0.1)),  // cos ~ -0.995
+      (102L, Seq(0.0, -1.0))    // cos = 0  -> the best candidate
+    ).toDF("cid", "v")
+    val out = Similarity.marginMining(probes, cands, "pid", "cid", "v", k = 3)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(out.length == 1)
+    val (pid, cid, sim, margin) = out.head
+    assert(pid == 1L && cid == 102L, s"expected the cos=0 candidate to win: ${out.head}")
+    assert(!margin.isNaN && !margin.isInfinite)
+    assert(margin == sim, s"fallback margin must be the raw sim: ${out.head}")
   }
 }

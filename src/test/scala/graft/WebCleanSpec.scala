@@ -243,4 +243,34 @@ class WebCleanSpec extends SparkSpec {
       .as[Double].head()
     assert(math.abs(got - expected) < 1e-12)
   }
+
+  test("stored-model round trip: score from a parquet weight table == t_classifier_scored") {
+    // the production serving shape (judge r11): train once, persist the
+    // (bucket, w) table, score every later batch from the STORED model
+    // with no retraining. Scored-from-stored must reproduce the
+    // registered t_classifier_scored query byte-for-byte.
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = graft.core.Tables(spark, sfDir, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("clfw").toString
+    Curation.trainTextClassifier(docs, "doc_id", "text",
+        col("lang") === "en", buckets = 64, rounds = 3, lr = 5.0)
+      .write.mode("overwrite").parquet(dir)
+    val stored = Curation.weightsFromDF(spark.read.parquet(dir), buckets = 64)
+    val scored = docs.select(col("doc_id"),
+        Curation.classifierScore(col("text"), stored).as("__p"),
+        (col("lang") === "en").cast("long").as("y"))
+      .select(col("doc_id"), round(col("__p"), 4).as("p"),
+        (col("__p") >= 0.5).as("pred"), col("y"))
+      .orderBy("doc_id")
+      .as[(Long, Double, Boolean, Long)].collect().toSeq
+    val registered = queries.Registry.byName("t_classifier_scored")(spark, sfDir)
+      .as[(Long, Double, Boolean, Long)].collect().toSeq
+    assert(scored == registered,
+      "scoring from the stored weight table must match the trained-inline query")
+  }
+
+  test("weightsFromDF zero-fills buckets absent from the stored table") {
+    val sparse = Seq((1L, 0.5), (3L, -0.25)).toDF("bucket", "w")
+    assert(Curation.weightsFromDF(sparse, 5) == Seq(0.0, 0.5, 0.0, -0.25, 0.0))
+  }
 }

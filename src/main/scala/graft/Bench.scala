@@ -147,7 +147,14 @@ object Bench {
     val benchStart = System.nanoTime()
     def elapsedSec: Double = (System.nanoTime() - benchStart) / 1e9
 
+    // Dev-only family subset (SPARK_GRAFT_FAMILY, same groups as
+    // Verify): iterate one family without paying the full registry.
+    // The driver never sets it — official BENCH_r{N} numbers are always
+    // full-registry.
+    val famFilter = sys.env.get("SPARK_GRAFT_FAMILY")
+      .map(graft.queries.Registry.familyNames)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => famFilter.forall(_(n)) }
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Boolean, Double) = {
       val t0 = System.nanoTime()

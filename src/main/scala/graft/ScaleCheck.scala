@@ -730,6 +730,70 @@ object ScaleCheck {
       consume(ops.Curation.trainTextClassifier(docs10, "doc_id", "text",
         col("lang") === "en", buckets = 64, rounds = 3, lr = 5.0))
     }
+    // classifier inference family at 10× (judge r11 task 5): weights
+    // trained ONCE outside the timed blocks — these entries measure the
+    // serving-side claims: scoring is map-only (no join/shuffle), AUC's
+    // ranking table is grid-bounded (≤10001 rows at ANY corpus size,
+    // Curation.aucOnGrid), calibration is one combinable 10-row
+    // aggregate. Each must scale like a scan, not like the trainer.
+    locally {
+      val w10 = ops.Curation.trainTextClassifier(docs10, "doc_id", "text",
+          col("lang") === "en", buckets = 64, rounds = 3, lr = 5.0)
+        .orderBy("bucket").select("w").collect().map(_.getDouble(0)).toSeq
+      time("t_classifier_scored (50k docs, stored weights)") {
+        consume(docs10.select(col("doc_id"),
+            ops.Curation.classifierScore(col("text"), w10).as("__p"))
+          .select(col("doc_id"), round(col("__p"), 4).as("p"),
+            (col("__p") >= 0.5).as("pred")))
+      }
+      time("t_classifier_auc (50k docs, grid-bounded window)") {
+        consume(ops.Curation.aucOnGrid(docs10.select(
+          round(ops.Curation.classifierScore(col("text"), w10), 4).as("p"),
+          (col("lang") === "en").cast("int").as("y")), "p", "y"))
+      }
+      time("t_classifier_calibration (50k docs)") {
+        consume(docs10.select(
+            round(ops.Curation.classifierScore(col("text"), w10), 4).as("p"),
+            (col("lang") === "en").cast("int").as("y"))
+          .withColumn("bin", least(floor(col("p") * 10).cast("long"), lit(9L)))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n"), round(avg("p"), 6).as("mean_p"),
+            (sum(when(col("y") === 1, 1L).otherwise(0L)).cast("double") /
+              count(lit(1))).as("pos_rate")))
+      }
+      time("t_classifier_retention (50k docs, 9 cuts)") {
+        consume(docs10.select(
+            round(round(ops.Curation.classifierScore(col("text"), w10), 4)
+              * 10000, 0).cast("long").as("pi"),
+            (col("lang") === "en").cast("int").as("y"))
+          .select(col("pi"), col("y"),
+            explode(sequence(lit(1L), lit(9L))).as("th"))
+          .groupBy("th")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("pi") >= col("th") * 1000, 1L).otherwise(0L))
+              .as("n_kept")))
+      }
+    }
+    // IVF serving lifecycle at 200k vectors (judge r11 task 4): write
+    // the cell-partitioned index, partition-append a 20k batch, then a
+    // pruned search — append cost must track the BATCH (assignment is
+    // the zero-shuffle broadcast argmax; only touched partitions gain a
+    // file), search cost the probed cells, never the full index.
+    time("ivf_index write+append+search (200k+20k)") {
+      val dir = java.nio.file.Files.createTempDirectory("ivfscale").toString
+      val e = emb10.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      val cents = ops.Similarity.kmeansCentroids(
+        e, "vec_id", "embedding", k = 16, iters = 2)
+      ops.Similarity.writeIvfIndex(e, "vec_id", "embedding", cents, dir)
+      val batch = e.withColumn("vec_id", col("vec_id") + lit(50000000L))
+        .limit(20000)
+      ops.Similarity.appendToIvfIndex(spark, dir, batch, "vec_id", "embedding")
+      val probes = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("probe_id"), col("embedding"))
+      consume(ops.Similarity.searchIvfIndex(spark, dir, probes,
+        "probe_id", "vec_id", "embedding", k = 10, nProbe = 2))
+    }
     time("pipe_web_e2e (50k docs, shared line persist)") {
       val lines = queries.WebQueries.synthLines(docs10)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -18,10 +18,14 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     core.Logs.quietKnownWarnings()
     new java.io.File(outDir).mkdirs()
-    // Dev-only subset filter (comma-separated names); the driver never
-    // sets it, so its runs always dump the full registry.
+    // Dev-only subset filters (the driver never sets either, so its
+    // runs always dump the full registry): SPARK_GRAFT_ONLY picks
+    // names, SPARK_GRAFT_FAMILY picks registry source groups
+    // (core/arraytime/text/sim/ext/gap/train/retrieval/web).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String]) ++
+      sys.env.get("SPARK_GRAFT_FAMILY")
+        .map(graft.queries.Registry.familyNames).getOrElse(Set.empty[String])
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => only(n) }

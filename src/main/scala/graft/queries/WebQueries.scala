@@ -251,6 +251,66 @@ object WebQueries {
         .orderBy("bin")
     },
 
+    // Retention curve of the trained quality classifier — the
+    // FineWeb-Edu "what survives at each score cut" diagnostic: explode
+    // a 0.1..0.9 threshold grid over the scored stream (the
+    // pipe_quality_sweep axis pattern) and, per cut, count survivors
+    // and the label precision among them. One map-only score + a ×9
+    // literal explode + one combinable 9-row aggregate — scale-free
+    // beyond the scoring scan. Engine-exact comparisons: the 1e-4-grid
+    // probability becomes an INTEGER pi = round(p*10000) on both
+    // engines, thresholds compare as pi >= th*1000, and the two ratios
+    // use the t_bpe_encode integer round-half-up (a plain ROUND of an
+    // integer ratio can tie at the 5th decimal).
+    Q("t_classifier_retention",
+      classifierCtes +
+        """,
+          |sc AS (SELECT f.doc_id, any_value(f.y) AS y,
+          |    SUM(w.w * f.cnt / f.n) AS s
+          |  FROM f JOIN w3 w USING (b) GROUP BY f.doc_id),
+          |pi AS (SELECT doc_id, y,
+          |    CAST(ROUND(ROUND(1.0 / (1.0 + exp(-s)), 4) * 10000, 0)
+          |      AS BIGINT) AS pi FROM sc),
+          |t AS (SELECT unnest(generate_series(1, 9))::BIGINT AS th),
+          |ag AS (SELECT th, COUNT(*)::BIGINT AS n_docs,
+          |    SUM(CASE WHEN pi >= th * 1000 THEN 1 ELSE 0 END)::BIGINT
+          |      AS n_kept,
+          |    SUM(CASE WHEN pi >= th * 1000 AND y = 1.0 THEN 1 ELSE 0 END)
+          |      ::BIGINT AS n_pos_kept
+          |  FROM pi CROSS JOIN t GROUP BY th)
+          |SELECT th, n_docs, n_kept, n_pos_kept,
+          |  FLOOR((n_kept * 20000 + n_docs) / (n_docs * 2.0)) / 10000.0
+          |    AS retention,
+          |  CASE WHEN n_kept > 0 THEN
+          |    FLOOR((n_pos_kept * 20000 + n_kept) / (n_kept * 2.0)) / 10000.0
+          |  END AS kept_precision
+          |FROM ag ORDER BY th""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val w = Curation.trainTextClassifier(docs, "doc_id", "text",
+          col("lang") === "en", buckets = 64, rounds = 3, lr = 5.0)
+        .orderBy("bucket").select("w")
+        .collect().map(_.getDouble(0)).toSeq
+      docs.select(
+          round(round(Curation.classifierScore(col("text"), w), 4) * 10000, 0)
+            .cast("long").as("pi"),
+          (col("lang") === "en").cast("int").as("y"))
+        .select(col("pi"), col("y"),
+          explode(sequence(lit(1L), lit(9L))).as("th"))
+        .groupBy("th")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("pi") >= col("th") * 1000, 1L).otherwise(0L))
+            .as("n_kept"),
+          sum(when(col("pi") >= col("th") * 1000 && col("y") === 1, 1L)
+            .otherwise(0L)).as("n_pos_kept"))
+        .select(col("th"), col("n_docs"), col("n_kept"), col("n_pos_kept"),
+          (floor((col("n_kept") * 20000 + col("n_docs")) /
+            (col("n_docs") * 2.0)) / 10000.0).as("retention"),
+          when(col("n_kept") > 0,
+            floor((col("n_pos_kept") * 20000 + col("n_kept")) /
+              (col("n_kept") * 2.0)) / 10000.0).as("kept_precision"))
+        .orderBy("th")
+    },
+
     // HTML main-content extraction (the WARC->text front door): each
     // doc's lines wrap in <p> blocks inside a full page with script/
     // style/comment/nav chrome keyed off doc_id; the clean-text hash,

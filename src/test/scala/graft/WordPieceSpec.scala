@@ -101,6 +101,37 @@ class WordPieceSpec extends SparkSpec {
     assert(out(0)._3 == 3 && out(1)._3 == 1)
   }
 
+  test("per-language fertility: pieces per word over the lang-grouped encode") {
+    // the t_tokenizer_fertility shape (encodeCorpus grouped by lang):
+    // lang a — "aa" is a whole piece (1), "ab" splits (2) with this tiny
+    // vocab; lang b — one 1-piece word. Fertility = pieces / words.
+    val docs = Seq(("a", "aa ab aa"), ("a", "aa"), ("b", "aa"))
+      .toDF("lang", "text")
+    val words = Unigram.wordCounts(docs, "text")
+    val pieces = WordPiece.vocabPieces(words)
+    val out = WordPiece.encodeCorpus(docs, "lang", "text", pieces)
+      .withColumn("fertility",
+        round(col("n_pieces").cast("double") / col("n_words"), 4))
+      .orderBy("lang")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    // vocabPieces includes "aa" and "ab" as whole words (top starts), so
+    // every word is 1 piece here — unless "ab" misses the top cut, which
+    // this 2-word vocab can't trigger. 4 words / 4 pieces for a, 1/1 b.
+    assert(out == Seq(("a", 4L, 4L, 1.0), ("b", 1L, 1L, 1.0)))
+  }
+
+  test("fertility > 1 when a word must split into continuations") {
+    // force a split: vocab without the whole word "abc" but with its
+    // parts — 1 word, 3 pieces, fertility 3.0
+    val docs = Seq(("x", "abc")).toDF("lang", "text")
+    val vocab = Seq("a", "##b", "##c")
+    val out = WordPiece.encodeCorpus(docs, "lang", "text", vocab)
+      .withColumn("fertility",
+        round(col("n_pieces").cast("double") / col("n_words"), 4))
+      .as[(String, Long, Long, Double)].head()
+    assert(out == (("x", 1L, 3L, 3.0)))
+  }
+
   test("segmentation counts code points, not UTF-16 chars (non-BMP)") {
     // five U+1F600 emoji = 5 code points (10 Java chars); the 5-cp piece
     // must be reachable under maxPieceLen=6

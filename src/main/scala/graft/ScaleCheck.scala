@@ -811,6 +811,17 @@ object ScaleCheck {
       } finally { lines.unpersist(); () }
     }
 
+    // winnowing candidate pairs at 50k docs (round 12): the O(n)/row
+    // native fingerprint pass dominates; the maxDf prune must keep the
+    // fp-key self-join fan-out bounded on the heavily-templated corpus
+    // (most grams are corpus-wide boilerplate → dropped before pairing)
+    time("dedup_winnow_pairs (50k docs)") {
+      val (pairs, fp) = ops.Text.winnowPairsWithHandle(
+        docs10, "doc_id", "text",
+        k = 5, w = 8, maxDf = 20, minShared = 2, persistFp = true)
+      try consume(pairs) finally { fp.unpersist(); () }
+    }
+
     spark.stop()
   }
 }

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{CdcCuts, CosineSimilarity, DotProduct, EvalBarrier, MinHashSignature, MjdToTimestamp, NativeBridge, RegexpExtractGroups, ShingleArray, SimHash64, MultiMatch, TimestampToMjd, UnicodeNormalize, UnigramViterbi, WordPieceEncode}
+import org.apache.spark.sql.graft.{CdcCuts, CosineSimilarity, DotProduct, EvalBarrier, MinHashSignature, MjdToTimestamp, NativeBridge, RegexpExtractGroups, ShingleArray, SimHash64, MultiMatch, TimestampToMjd, UnicodeNormalize, UnigramViterbi, WinnowMinima, WordPieceEncode}
 
 /** Registers the native expressions as SQL functions so every operator is
   * reachable from `spark.sql` (SURVEY.md §7.1 `sql/` surface). Install
@@ -87,6 +87,12 @@ object GraftExtensions {
       info("multi_match",
         "multi_match(text, patterns) - distinct patterns occurring in text as substrings (Aho-Corasick single pass), in patterns order."),
       (args: Seq[Expression]) => MultiMatch(args.head, args(1))),
+    ("winnow_minima",
+      info("winnow_minima",
+        "winnow_minima(str, k, w) - winnowing fingerprint set (Schleimer 2003): distinct sliding-window minima of rolling k-gram hashes, sorted, as array<bigint>."),
+      (args: Seq[Expression]) => WinnowMinima(args.head,
+        literalArg(args(1), "winnow_minima", "k").asInstanceOf[Number].intValue(),
+        literalArg(args(2), "winnow_minima", "w").asInstanceOf[Number].intValue())),
     ("unicode_normalize",
       info("unicode_normalize",
         "unicode_normalize(str, form) - Unicode normalization (NFC/NFD/NFKC/NFKD, literal form)."),
@@ -139,6 +145,8 @@ object GraftExtensions {
   def multiMatch(text: Column, patterns: Column): Column =
     NativeBridge.column(MultiMatch(NativeBridge.expression(text),
       NativeBridge.expression(patterns)))
+  def winnowMinima(text: Column, k: Int, w: Int): Column =
+    NativeBridge.column(WinnowMinima(NativeBridge.expression(text), k, w))
   def unicodeNormalize(text: Column, form: String = "NFC"): Column =
     NativeBridge.column(UnicodeNormalize(NativeBridge.expression(text), form))
   /** Pins evaluation order of side-effecting expressions (see

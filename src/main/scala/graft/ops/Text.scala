@@ -42,6 +42,60 @@ object Text {
       lit(0L),
       (acc, c) => (acc * 31L + c) % 1000000007L)
 
+  /** Winnowing fingerprint set (Schleimer, Wilkerson & Aiken 2003 — the
+    * MOSS scheme): distinct sliding-window minima of rolling k-gram
+    * hashes over the NORMALIZED text, sorted ascending. Any shared
+    * substring of ≥ w+k−1 normalized code points yields a shared
+    * fingerprint (the winnowing guarantee), at ~2/(w+1) selection
+    * density — substring-level near-dup candidates with a bounded
+    * per-doc fingerprint count. One fused O(n) pass per row
+    * (org.apache.spark.sql.graft.WinnowMinima), shuffle-free. */
+  def winnowFingerprints(text: Column, k: Int = 5, w: Int = 8): Column =
+    graft.functions.GraftExtensions.winnowMinima(normalize(text), k, w)
+
+  /** Winnowing candidate pairs of `df(idCol, textCol)`: docs sharing
+    * ≥ `minShared` fingerprints, with the shared count (the MOSS match
+    * strength). Explode → drop fingerprints in > `maxDf` docs (ubiquitous
+    * boilerplate grams pair everything with everything — the same maxDf
+    * lever as the q-gram linkage blocker; MOSS likewise suppresses
+    * over-common fingerprints) → self-join on fingerprint → count per
+    * pair. The single shuffle is on the fingerprint key, whose per-key
+    * fan-out maxDf bounds — at 100 TB no key can exceed maxDf·(maxDf−1)/2
+    * emitted pairs, so the join cannot quadratically blow up on hot
+    * boilerplate. */
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String,
+                  k: Int = 5, w: Int = 8, maxDf: Int = 20,
+                  minShared: Int = 3): DataFrame =
+    winnowPairsWithHandle(df, idCol, textCol, k, w, maxDf, minShared,
+      persistFp = false)._1
+
+  /** [[winnowPairs]] with the full-corpus persist handle (the tfidf
+    * persistTf contract): the exploded (id, fp) stream has THREE
+    * consumers (df counting, and both sides of the pair self-join) —
+    * without persistence each re-runs the O(n) winnow pass over the
+    * corpus. Second return value is the handle to `unpersist()`. */
+  def winnowPairsWithHandle(df: DataFrame, idCol: String, textCol: String,
+                            k: Int = 5, w: Int = 8, maxDf: Int = 20,
+                            minShared: Int = 3, persistFp: Boolean = false)
+      : (DataFrame, DataFrame) = {
+    // the fingerprint array is distinct per doc by construction, so the
+    // explode already yields distinct (doc, fp) rows — no dedup shuffle
+    val fp0 = df.select(col(idCol).as("id"),
+      explode(winnowFingerprints(col(textCol), k, w)).as("fp"))
+    val fp = if (persistFp)
+      fp0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else fp0
+    val rare = fp.groupBy("fp").agg(count("*").as("df"))
+      .filter(col("df") <= maxDf).select("fp")
+    val pruned = fp.join(rare, "fp").select("fp", "id")
+    val a = pruned.toDF("fp", "d1")
+    val b = pruned.toDF("fp", "d2")
+    val pairs = a.join(b, "fp").filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(count("*").as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    (pairs, fp)
+  }
+
   /** Content-defined chunk cut positions (rolling-hash boundaries) — see
     * org.apache.spark.sql.graft.CdcCuts for the scheme. Defaults give
     * ~divisor-char expected chunks with no stateful size guards (the

@@ -381,6 +381,89 @@ object TextQueries {
           .orderBy("doc_id")
     },
 
+    // Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003, the MOSS
+    // scheme): distinct sliding-window minima of rolling 5-gram hashes
+    // over normalized text — substring-level fingerprints with the
+    // guarantee that any shared run of >= w+k-1 = 12 normalized chars
+    // yields a shared fingerprint. Native one-pass WinnowMinima
+    // expression; oracle recomputes gram hashes + window minima with
+    // DuckDB list functions (list_slice bounds are inclusive).
+    Q("t_winnow_fingerprints",
+      """WITH d AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS t
+        |  FROM documents WHERE doc_id < 200),
+        |h AS (SELECT doc_id, list_transform(range(1, length(t)-5+2),
+        |    i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split_regex(substring(t, CAST(i AS INT), 5), ''),
+        |        x -> CAST(ascii(x) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 1000000007)) AS hs
+        |  FROM d),
+        |m AS (SELECT doc_id, CASE
+        |    WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+        |    WHEN len(hs) < 8 THEN [list_min(hs)]
+        |    ELSE list_sort(list_distinct(list_transform(range(1, len(hs)-8+2),
+        |      j -> list_min(list_slice(hs, CAST(j AS INT), CAST(j AS INT)+7)))))
+        |  END AS fps FROM h)
+        |SELECT doc_id, UNNEST(fps) AS fp FROM m ORDER BY doc_id, fp""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          explode(Text.winnowFingerprints(col("text"), 5, 8)).as("fp"))
+        .orderBy("doc_id", "fp")
+    },
+
+    // Winnowing near-dup candidate pairs over a corpus with injected
+    // edited copies (the corpus has no organic substring dups at this
+    // SF): each doc_id < 50 gains a copy (id+10000) with an edited
+    // preamble; a copy shares ALL the original's fingerprints (the edit
+    // is local — the property positional chunking lacks). maxDf drops
+    // ubiquitous fingerprints so no hot key can fan out quadratically —
+    // and on this heavily-templated synthetic corpus that is a REAL
+    // filter: most grams occur in ~90% of docs (df≈140), so only the
+    // ID-bearing rare grams discriminate, and the surviving pairs are
+    // copy pairs whose original carries >= minShared rare fingerprints
+    // plus a few organic rare-gram collisions — exactly the
+    // candidates-then-verify contract every candidate generator here
+    // feeds (cf. dedup_ann_e2e's verify stage).
+    Q("dedup_winnow_pairs",
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 150
+        |  UNION ALL
+        |  SELECT doc_id + 10000, 'edited preamble xyzzy ' || text
+        |  FROM documents WHERE doc_id < 50),
+        |d AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS t FROM corpus),
+        |h AS (SELECT doc_id, list_transform(range(1, length(t)-5+2),
+        |    i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split_regex(substring(t, CAST(i AS INT), 5), ''),
+        |        x -> CAST(ascii(x) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 1000000007)) AS hs
+        |  FROM d),
+        |m AS (SELECT doc_id, CASE
+        |    WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+        |    WHEN len(hs) < 8 THEN [list_min(hs)]
+        |    ELSE list_sort(list_distinct(list_transform(range(1, len(hs)-8+2),
+        |      j -> list_min(list_slice(hs, CAST(j AS INT), CAST(j AS INT)+7)))))
+        |  END AS fps FROM h),
+        |fpx AS (SELECT doc_id, UNNEST(fps) AS fp FROM m),
+        |rare AS (SELECT fp FROM fpx GROUP BY fp HAVING COUNT(*) <= 20),
+        |pr AS (SELECT f.doc_id, f.fp FROM fpx f JOIN rare r ON f.fp = r.fp)
+        |SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_shared
+        |FROM pr a JOIN pr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 3 ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") < 150).select("doc_id", "text")
+        .unionAll(docs.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 10000).as("doc_id"),
+            concat(lit("edited preamble xyzzy "), col("text")).as("text")))
+      // persistFp handle: the exploded (id, fp) stream has three
+      // consumers (df count + both self-join sides) — one materialized
+      // winnow pass instead of three derivations
+      Text.winnowPairsWithHandle(corpus, "doc_id", "text",
+          k = 5, w = 8, maxDf = 20, minShared = 3, persistFp = true)._1
+        .orderBy("d1", "d2")
+    },
+
     // Document fingerprint (md5 of normalized text) — the exact-dedup key.
     Q("t_fingerprint",
       """SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text),

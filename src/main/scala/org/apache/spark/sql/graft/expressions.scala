@@ -491,6 +491,113 @@ case class CdcCuts(child: Expression, window: Int, divisor: Int,
     copy(child = newChild)
 }
 
+/** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken 2003 —
+  * the MOSS local document-fingerprinting scheme; reference near-dup
+  * context: cosmo-style span dedup over document corpora). Over the
+  * text's code points:
+  *
+  *   1. every k-gram gets the [[CdcCuts]]-family rolling Rabin–Karp hash
+  *      (base 31, mod 1e9+7) — O(n) total via add-newest/drop-oldest;
+  *   2. a window of `w` consecutive gram hashes slides by one gram; each
+  *      window contributes its MINIMUM hash (monotonic-deque sliding
+  *      min, O(n) total);
+  *   3. the selected values, distinct and sorted ascending, are the
+  *      document's fingerprint set.
+  *
+  * The winnowing guarantee: any shared substring of at least w+k−1 code
+  * points produces at least one shared fingerprint, while expected
+  * density stays ~2/(w+1) — i.e. coverage with bounded fingerprint
+  * count, which is what makes it the right candidate generator for
+  * substring-level dedup at corpus scale (vs MinHash's whole-document
+  * set similarity). Selection is BY VALUE (the set of window minima):
+  * positional tie-breaking (rightmost-min) only affects which position
+  * is recorded, never the value set, so the value-set contract is the
+  * portable, oracle-able one (`t_winnow_fingerprints` recomputes the
+  * identical gram fold + window minima with DuckDB list functions).
+  *
+  * Degenerate inputs: fewer code points than k → empty array; fewer
+  * grams than w → one window spanning all grams (its single minimum).
+  * Per-gram hashing + the deque are why this is native: the HOF
+  * composition is an interpreted O(n·k + n·w) lambda cascade (slice +
+  * fold per position), vs one fused O(n) pass here.
+  */
+case class WinnowMinima(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(k > 0, "gram size k must be positive")
+  require(w > 0, "window w must be positive")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_minima"
+
+  private val Mod = 1000000007L
+  // 31^(k-1) mod M: coefficient of the expiring (oldest) code point
+  @transient private lazy val pow: Long = {
+    var p = 1L; var i = 1
+    while (i < k) { p = p * 31L % Mod; i += 1 }
+    p
+  }
+
+  def compute(input: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val str = input.toString
+    // pass 1: code points (needed to size the gram array exactly)
+    val n = str.codePointCount(0, str.length)
+    val g = n - k + 1
+    if (g <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    val hs = new Array[Long](g)
+    val ring = new Array[Long](k)
+    var h = 0L
+    var p = 0 // 1-based code-point position
+    var idx = 0
+    while (idx < str.length) {
+      val cp = str.codePointAt(idx)
+      idx += Character.charCount(cp)
+      p += 1
+      if (p > k) h = (h - ring(p % k) * pow % Mod + Mod) % Mod
+      h = (h * 31L + cp) % Mod
+      ring(p % k) = cp.toLong
+      if (p >= k) hs(p - k) = h
+    }
+    val minima = new java.util.TreeSet[java.lang.Long]()
+    if (g < w) {
+      var m = hs(0); var i = 1
+      while (i < g) { if (hs(i) < m) m = hs(i); i += 1 }
+      minima.add(m)
+    } else {
+      // monotonic deque of indices with increasing hash values
+      val deque = new Array[Int](g)
+      var head = 0; var tail = 0 // [head, tail)
+      var i = 0
+      while (i < g) {
+        while (tail > head && hs(deque(tail - 1)) >= hs(i)) tail -= 1
+        deque(tail) = i; tail += 1
+        if (deque(head) <= i - w) head += 1
+        if (i >= w - 1) minima.add(hs(deque(head)))
+        i += 1
+      }
+    }
+    val out = new Array[Long](minima.size)
+    val it = minima.iterator(); var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  // reference-object call (the fused O(n) loop is the win; stays out of
+  // CodegenFallback so the surrounding stage keeps compiling — see
+  // ShingleArray note)
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("winnow", this, "org.apache.spark.sql.graft.WinnowMinima")
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowMinima =
+    copy(child = newChild)
+}
+
 /** Min-cost unigram-LM segmentation (the SentencePiece/Kudo-2018 word
   * lattice): given a piece→cost map (cost = −ln p, a foldable literal in
   * practice), Viterbi DP over the word's positions returns the cheapest

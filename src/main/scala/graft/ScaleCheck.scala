@@ -811,6 +811,43 @@ object ScaleCheck {
       } finally { lines.unpersist(); () }
     }
 
+    // storage layout levers at 1M rows (round 12): z-order + manifest
+    // write, then a 2%-band pruned scan — the point is the scan cost
+    // tracks the FILES OVERLAPPING THE BAND, not the table; and
+    // transactional bin-pack compaction of a fragmented table
+    time("zorder write+stats+pruned_scan (1M rows)") {
+      val dir = java.nio.file.Files.createTempDirectory("zscale").toString
+      val pts = spark.range(1000000)
+        .select(col("id"),
+          pmod(col("id") * 2654435761L, lit(100000L)).cast("double").as("x"),
+          pmod(col("id") * 40503L + 7L, lit(100000L)).cast("double").as("y"))
+      ops.Layout.writeZordered(pts, dir, Seq("x", "y"), bits = 6,
+        outPartitions = 32)
+      val pruned = ops.Layout.prunedScan(spark, dir,
+        Seq(("y", 40000.0, 42000.0)))
+      System.err.println(s"[zorder] pruned scan reads " +
+        s"${pruned.inputFiles.length} of " +
+        s"${spark.read.parquet(s"$dir/data").inputFiles.length} files")
+      consume(pruned)
+    }
+    time("txlog commitCompact (1M rows, 32 -> few files)") {
+      val dir = java.nio.file.Files.createTempDirectory("compactscale")
+        .toString + "/t"
+      val src = spark.range(1000000)
+        .select(col("id").as("k"), (col("id") * 3).as("v"), lit(1L).as("ver"))
+        .repartition(32)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      try ops.TxLog.commitMerge(spark, dir, src, Seq("k"), "ver")
+      finally spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.enabled", "true")
+      val before = ops.TxLog.snapshotFiles(dir).get
+      ops.TxLog.commitCompact(spark, dir, targetFileBytes = 16L * 1024 * 1024)
+      val after = ops.TxLog.snapshotFiles(dir).get
+      System.err.println(s"[compact] ${before._1} files -> ${after._1}")
+      consume(ops.TxLog.read(spark, dir).get
+        .agg(count(lit(1)).as("n"), sum("v").as("s")))
+    }
+
     // winnowing candidate pairs at 50k docs (round 12): the O(n)/row
     // native fingerprint pass dominates; the maxDf prune must keep the
     // fp-key self-join fan-out bounded on the heavily-templated corpus

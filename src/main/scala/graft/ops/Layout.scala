@@ -66,4 +66,74 @@ object Layout {
       .sortWithinPartitions("__z")
       .drop("__z")
   }
+
+  /** Clustered-table layout with a file-level min/max manifest — the
+    * zone-map data-skipping half of the public Delta/Iceberg pair whose
+    * clustering half is [[zorderBy]]. Writes `dir/data` (z-ordered
+    * parquet) and `dir/stats` (one row per data file: min/max of each
+    * stats column + row count). [[prunedScan]] then turns a range
+    * predicate into a STATIC file list BEFORE any data file is opened —
+    * the same collect-a-bounded-driver-list-then-prune move as
+    * `Similarity.searchIvfIndex`, but keyed on column ranges instead of
+    * cell ids. After z-ordering, each file covers a small hyper-
+    * rectangle of the clustered columns, so the manifest prunes hard on
+    * ALL of them; on unclustered data the same scan degrades gracefully
+    * to reading every overlapping file (correct, just unpruned). */
+  def writeZordered(df: DataFrame, dir: String, zcols: Seq[String],
+                    bits: Int = 8, statsCols: Seq[String] = Nil,
+                    outPartitions: Int = 0): Unit = {
+    zorderBy(df, zcols, bits, outPartitions)
+      .write.mode("overwrite").parquet(s"$dir/data")
+    writeFileStats(df.sparkSession, dir,
+      if (statsCols.nonEmpty) statsCols else zcols)
+  }
+
+  /** (Re)build `dir/stats`: per-file min/max of the (numeric) stats
+    * columns + row count, keyed by the file path. One COLUMN-PRUNED
+    * read-back over the data files (the scan reads only the indexed
+    * columns — at 100 TB that is the cheap columnar fraction of the
+    * write it follows), one file-count-sized aggregate. Driver state:
+    * nothing — the manifest itself is written distributed (coalesced to
+    * one file; it has one row per data file). */
+  def writeFileStats(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     statsCols: Seq[String]): Unit = {
+    require(statsCols.nonEmpty, "statsCols must be non-empty")
+    val data = spark.read.parquet(s"$dir/data")
+    val aggs = statsCols.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"min_$c"),
+      max(col(c).cast("double")).as(s"max_$c"))) :+
+      count(lit(1L)).as("n_rows")
+    data.groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** Manifest-pruned range scan over a [[writeZordered]] layout: keep
+    * only the data files whose [min, max] envelope of EVERY predicate
+    * column overlaps its requested [lo, hi] (conjunctive ranges — the
+    * zone-map skipping rule), read just those files, and apply the
+    * exact predicate as the residual filter. The manifest read +
+    * overlap filter touch one file-count-sized table; the surviving
+    * file list is the only driver state (bounded by file count — the
+    * same class as a Delta/Iceberg manifest scan). Files whose stats
+    * are null (all-null column) are skipped: a range predicate can
+    * never select a null. */
+  def prunedScan(spark: org.apache.spark.sql.SparkSession, dir: String,
+                 ranges: Seq[(String, Double, Double)]): DataFrame = {
+    require(ranges.nonEmpty, "ranges must be non-empty")
+    val st = spark.read.parquet(s"$dir/stats")
+    val overlap = ranges.map { case (c, lo, hi) =>
+      col(s"max_$c") >= lo && col(s"min_$c") <= hi
+    }.reduce(_ && _)
+    val files = st.filter(overlap).select("file")
+      .collect().map(_.getString(0))
+    val residual = ranges.map { case (c, lo, hi) =>
+      col(c) >= lo && col(c) <= hi
+    }.reduce(_ && _)
+    if (files.isEmpty)
+      spark.read.parquet(s"$dir/data").filter(lit(false))
+    else
+      spark.read.parquet(files.toIndexedSeq: _*).filter(residual)
+  }
 }

@@ -149,6 +149,42 @@ object TxLog {
       s"rewrite of $tableDir lost $maxAttempts optimistic-concurrency races")
   }
 
+  /** Parquet data files of the CURRENT committed snapshot, if any —
+    * (count, total bytes). The compaction trigger reads this, never the
+    * row data. */
+  def snapshotFiles(tableDir: String): Option[(Int, Long)] =
+    currentVersion(tableDir).map { case (_, snap) =>
+      val fs = Option(new File(snap).listFiles())
+        .getOrElse(Array.empty[File])
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      (fs.length, fs.map(_.length()).sum)
+    }
+
+  /** Transactional small-file compaction — the `OPTIMIZE` bin-pack
+    * lever for this table format. Streaming appends and keyed merges
+    * leave a long tail of small files; every subsequent scan then pays
+    * per-file open/footer cost instead of sequential reads (the classic
+    * 100 TB small-file death). This rewrites the current snapshot into
+    * `ceil(bytes / targetFileBytes)` files via [[commitRewrite]]
+    * (optimistic concurrency, blue/green snapshot — readers see old or
+    * new, never partial) using `coalesce`: a NARROW merge of adjacent
+    * input partitions, so bin-packing pays read+write but NO shuffle —
+    * the same shape as Delta's bin-packing OPTIMIZE (Z-ordering is the
+    * separate, shuffling rewrite: [[graft.ops.Layout.zorderBy]] under
+    * [[commitRewrite]]). No-ops (returns None) when the table is absent
+    * or already at/below the target file count. */
+  def commitCompact(spark: SparkSession, tableDir: String,
+                    targetFileBytes: Long = 128L * 1024 * 1024,
+                    maxAttempts: Int = 20): Option[Long] = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    snapshotFiles(tableDir).flatMap { case (nFiles, bytes) =>
+      val target = math.max(1L,
+        (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+      if (nFiles <= target) None
+      else commitRewrite(spark, tableDir, maxAttempts)(_.coalesce(target))
+    }
+  }
+
   /** Drop snapshots no longer referenced by the trailing commits. */
   private def gc(tableDir: String): Unit = {
     val all = commits(tableDir)

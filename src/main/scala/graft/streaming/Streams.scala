@@ -369,6 +369,19 @@ object Streams {
       .withColumn("p",
         graft.ops.Curation.classifierScore(col(textCol), weights))
       .withColumn("keep", col("p") >= threshold)
+
+  /** Streaming winnow fingerprinting: each arriving doc carries its
+    * fingerprint set (one fused O(n) pass, stateless — no state store,
+    * valid unbounded). The serving shape: arrivals fingerprint
+    * in-stream, the fingerprint→doc candidate index lives in the batch
+    * layer ([[graft.ops.Text.winnowPairs]] over the accumulated store),
+    * exactly the [[streamingIvfAssign]] split of per-row assignment
+    * from corpus-wide structure. Stream==batch pinned in
+    * MergeStreamSpec. */
+  def streamingWinnow(docs: DataFrame, textCol: String,
+                      k: Int = 5, w: Int = 8): DataFrame =
+    docs.withColumn("fps",
+      graft.ops.Text.winnowFingerprints(col(textCol), k, w))
 }
 
 final case class SessionState(startSec: Long, lastSec: Long, n: Long, sum: Double)

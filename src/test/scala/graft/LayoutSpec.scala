@@ -54,4 +54,51 @@ class LayoutSpec extends SparkSpec {
     assert(zLayout.agg(sum("id")).as[Long].head() ==
       pts.agg(sum("id")).as[Long].head())
   }
+
+  test("writeZordered + prunedScan: zone-map skipping reads few files, exact rows") {
+    val n = 20000
+    val pts = spark.range(n)
+      .select(col("id"),
+        (pmod(col("id") * 2654435761L, lit(100000L))).cast("double").as("x"),
+        (pmod(col("id") * 40503L + 7L, lit(100000L))).cast("double").as("y"))
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    Layout.writeZordered(pts, dir, Seq("x", "y"), bits = 6,
+      outPartitions = 32)
+    val total = spark.read.parquet(s"$dir/data").inputFiles.length
+    assert(total >= 28, s"layout should write ~32 files: $total")
+    // y-band predicate: the manifest must prune most files BEFORE read
+    val pruned = Layout.prunedScan(spark, dir, Seq(("y", 40000.0, 42000.0)))
+    assert(pruned.inputFiles.length <= total / 2,
+      s"read ${pruned.inputFiles.length} of $total files")
+    // and the result is EXACTLY the full-scan filter
+    val expect = pts.filter(col("y").between(40000.0, 42000.0))
+      .select("id").as[Long].collect().toSet
+    assert(pruned.select("id").as[Long].collect().toSet == expect)
+    // conjunctive ranges prune at least as hard as either alone
+    val both = Layout.prunedScan(spark, dir,
+      Seq(("x", 10000.0, 15000.0), ("y", 40000.0, 42000.0)))
+    assert(both.inputFiles.length <= pruned.inputFiles.length)
+    val expectBoth = pts.filter(col("x").between(10000.0, 15000.0) &&
+      col("y").between(40000.0, 42000.0)).select("id").as[Long].collect().toSet
+    assert(both.select("id").as[Long].collect().toSet == expectBoth)
+    // a range outside every file envelope selects nothing
+    assert(Layout.prunedScan(spark, dir,
+      Seq(("y", 500000.0, 600000.0))).count() == 0L)
+  }
+
+  test("prunedScan skips files whose stats are null (all-null column)") {
+    val dir = java.nio.file.Files.createTempDirectory("zstats").toString
+    // two files written separately: one with x all null, one with values
+    Seq((1L, Option.empty[Double]), (2L, Option.empty[Double]))
+      .toDF("id", "x").coalesce(1)
+      .write.mode("append").parquet(s"$dir/data")
+    Seq((3L, Some(5.0)), (4L, Some(9.0)))
+      .toDF("id", "x").coalesce(1)
+      .write.mode("append").parquet(s"$dir/data")
+    Layout.writeFileStats(spark, dir, Seq("x"))
+    val got = Layout.prunedScan(spark, dir, Seq(("x", 0.0, 100.0)))
+    // only the second file is read; nulls can never match a range
+    assert(got.inputFiles.length == 1)
+    assert(got.select("id").as[Long].collect().toSet == Set(3L, 4L))
+  }
 }

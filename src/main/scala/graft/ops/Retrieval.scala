@@ -21,6 +21,66 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
+  /** Df-cut pairwise document similarity (Elsayed/Lin/Oard, ACL 2008):
+    * exact sparse cosine over shingle TF-IDF vectors, computed through
+    * the inverted index — postings self-joined per term — with the
+    * published df-cut making the quadratic term bounded: a term kept in
+    * the dot product contributes at most maxDf² pairs, and ubiquitous
+    * terms (the ones that would pair everything with everything) are
+    * dropped from the DOT while still counting toward each document's
+    * NORM, so the score only ever underestimates and the cut never
+    * manufactures similarity. This is the sparse-lexical complement of
+    * the dense-embedding ANN family: same candidates-then-threshold
+    * contract, driven by discriminative vocabulary instead of vectors.
+    *
+    * Scale shape: explode → two groupBys (tf, df) + one broadcast
+    * single-row count → posting self-join keyed by term with per-key
+    * fan-out ≤ maxDf (the cut IS the skew guard) → one (d1,d2) groupBy.
+    * The weighted stream has two consumers (norms + postings), hence
+    * the persist handle. Threshold applies to the UNROUNDED cosine
+    * (rounding last — the decimal-tie contract); output is rounded.
+    *
+    * Returns ((d1, d2, cos), weighted-stream handle). */
+  def sparseCosinePairsWithHandle(docs: DataFrame, idCol: String,
+                                  textCol: String, shingleK: Int = 4,
+                                  maxDf: Int = 25, minCos: Double = 0.2,
+                                  persistW: Boolean = false)
+      : (DataFrame, DataFrame) = {
+    require(maxDf > 0, "maxDf must be positive")
+    val tok = docs.select(col(idCol).as("id"),
+      explode(graft.functions.GraftExtensions.shingles(
+        split(col(textCol), " ", -1), shingleK)).as("term"))
+    val tf = tok.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfT = tok.groupBy("term").agg(countDistinct("id").as("df"))
+    val n = tok.agg(countDistinct("id").as("n"))
+    val w0 = tf.join(dfT, "term").crossJoin(broadcast(n))
+      .select(col("id"), col("term"), col("df"),
+        (col("tf") * log(col("n").cast("double") / col("df"))).as("w"))
+    val w = if (persistW)
+      w0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else w0
+    val norms = w.groupBy("id").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    val posts = w.filter(col("df") <= maxDf).select("term", "id", "w")
+    val dots = posts.toDF("term", "d1", "w1")
+      .join(posts.toDF("term", "d2", "w2"), "term")
+      .filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(sum(col("w1") * col("w2")).as("dot"))
+    val pairs = dots
+      .join(norms.toDF("d1", "n1"), "d1")
+      .join(norms.toDF("d2", "n2"), "d2")
+      .filter(col("dot") / (col("n1") * col("n2")) >= minCos)
+      .select(col("d1"), col("d2"),
+        round(col("dot") / (col("n1") * col("n2")), 4).as("cos"))
+    (pairs, w)
+  }
+
+  /** [[sparseCosinePairsWithHandle]] without the handle. */
+  def sparseCosinePairs(docs: DataFrame, idCol: String, textCol: String,
+                        shingleK: Int = 4, maxDf: Int = 25,
+                        minCos: Double = 0.2): DataFrame =
+    sparseCosinePairsWithHandle(docs, idCol, textCol, shingleK, maxDf,
+      minCos)._1
+
   /** BM25 top-`topK` documents per query. `queries` is (query_id, terms);
     * a doc scores `Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`
     * over the query terms it contains, with the non-negative

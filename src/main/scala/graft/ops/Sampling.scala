@@ -50,6 +50,27 @@ object Sampling {
     df.join(broadcast(rates.select(col(domainCol), col("rate"))), domainCol)
       .filter(hashUniform(col(idCol).cast("string")) < col("rate"))
 
+  /** Log-domain Efraimidis–Spirakis key (the Gumbel-top-k trick,
+    * Xie et al. 2023's DSIR resampling step): for LOG weights lw the
+    * linear-weight key u^(1/w) underflows the moment exp(lw) does, so
+    * rank by its logarithm's equivalent, lw − ln(−ln(u)) — the Gumbel
+    * perturbation. Top-k by this key samples without replacement with
+    * probability ∝ exp(lw), stable for arbitrarily negative lw; u from
+    * the content hash makes it deterministic and engine-portable. */
+  def gumbelKey(idCol: Column, logWeight: Column): Column =
+    logWeight.cast("double") -
+      log(-log(hashUniform(idCol.cast("string"))))
+
+  /** Importance resampling: global top-k rows by [[gumbelKey]] (doc-id
+    * tiebreak), with the key exposed as `sel_key`. orderBy+limit plans
+    * as TakeOrderedAndProject — per-partition top-k then a k-row driver
+    * merge, no global sort materialization at any corpus size. */
+  def gumbelTopK(df: DataFrame, idCol: String, logWeightCol: String,
+                 k: Int): DataFrame =
+    df.withColumn("sel_key", gumbelKey(col(idCol), col(logWeightCol)))
+      .orderBy(col("sel_key").desc, col(idCol))
+      .limit(k)
+
   /** Efraimidis–Spirakis weighted-sampling key: u^(1/w) maximized ≡
     * ln(u)/w maximized (u = hash uniform, w > 0 the row weight). Taking
     * the per-group top-k rows by this key is a weighted reservoir sample

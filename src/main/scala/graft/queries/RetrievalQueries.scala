@@ -246,6 +246,51 @@ object RetrievalQueries {
         .orderBy("query_id", "rank")
     },
 
+    // Df-cut pairwise document similarity (Elsayed/Lin/Oard, ACL 2008):
+    // exact sparse cosine over 4-shingle TF-IDF vectors through the
+    // inverted-index self-join, ubiquitous shingles dropped from the
+    // DOT (bounding per-term fan-out at maxDf — the published cut that
+    // keeps the all-pairs quadratic bounded at corpus scale) while
+    // still counting toward every NORM, so scores only underestimate.
+    // 30 injected edited copies populate the high-cos region (the
+    // templated corpus has no organic near-dups at this SF); the
+    // threshold applies to the UNROUNDED cosine, rounding last.
+    Q("sim_sparse_cosine",
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 200
+        |  UNION ALL
+        |  SELECT doc_id + 30000, 'prefixed edit marker ' || text
+        |  FROM documents WHERE doc_id < 30),
+        |w0 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+        |tk AS (SELECT doc_id, unnest(
+        |    [array_to_string(ws[i:i+3], ' ')
+        |     FOR i IN generate_series(1, greatest(len(ws) - 3, 1))]) AS term
+        |  FROM w0),
+        |tf AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM tk GROUP BY 1, 2),
+        |dft AS (SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df FROM tk GROUP BY 1),
+        |n AS (SELECT COUNT(DISTINCT doc_id)::BIGINT AS n FROM tk),
+        |w AS (SELECT tf.doc_id, tf.term, dft.df,
+        |    tf.tf * LN(CAST(n.n AS DOUBLE) / dft.df) AS w
+        |  FROM tf JOIN dft USING (term) CROSS JOIN n),
+        |nrm AS (SELECT doc_id, sqrt(SUM(w * w)) AS nrm FROM w GROUP BY 1),
+        |p AS (SELECT term, doc_id, w FROM w WHERE df <= 25),
+        |dots AS (SELECT a.doc_id AS d1, b.doc_id AS d2, SUM(a.w * b.w) AS dot
+        |  FROM p a JOIN p b ON a.term = b.term AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT d.d1, d.d2, ROUND(d.dot / (x.nrm * y.nrm), 4) AS cos
+        |FROM dots d JOIN nrm x ON d.d1 = x.doc_id JOIN nrm y ON d.d2 = y.doc_id
+        |WHERE d.dot / (x.nrm * y.nrm) >= 0.2
+        |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") < 200).select("doc_id", "text")
+        .unionByName(docs.filter(col("doc_id") < 30)
+          .select((col("doc_id") + 30000).as("doc_id"),
+            concat(lit("prefixed edit marker "), col("text")).as("text")))
+      Retrieval.sparseCosinePairsWithHandle(corpus, "doc_id", "text",
+          shingleK = 4, maxDf = 25, minCos = 0.2, persistW = true)._1
+        .orderBy("d1", "d2")
+    },
+
     // SQ8 encode, hash-checked end to end: per-dim min/step train + the
     // round-half-up affine code of every dimension of every vector.
     Q("sim_sq8_md5",

@@ -464,6 +464,104 @@ object TextQueries {
         .orderBy("d1", "d2")
     },
 
+    // MinHash-LSH S-curve calibration: empirical band-collision rate by
+    // EXACT Jaccard decile, over a bounded calibration sample (120 docs
+    // + 40 injected edited copies to populate the high-similarity tail
+    // — the corpus has no organic near-dups at this SF). This is the
+    // measurement that justifies a (bands, rows) choice before a corpus
+    // run: the curve should be ~0 in low deciles and ~1 in high ones,
+    // with the knee near (1/b)^(1/r). Every number is count-exact: the
+    // Jaccard bucket is INTEGER arithmetic (i*10 div union, capped at
+    // 9 — no FP floor tie can flip a decile), collisions are distinct
+    // band-bucket pair counts, and only the final rate is rounded.
+    // Scale shape: the all-pairs Jaccard is rows²-by-design ON THE
+    // 160-DOC SAMPLE ONLY (calibration never touches the corpus; the
+    // guard is the doc_id predicate) — the production dedup path stays
+    // the banded bucket join this query exists to parameterize. The
+    // shingle table feeds three consumers (both pair sides + the
+    // signature pipeline), so it is persisted (released by the
+    // per-query clearCache, the scrub-spans handle contract).
+    Q("dedup_lsh_scurve",
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 120
+        |  UNION ALL
+        |  SELECT doc_id + 20000, 'edited copy intro ' || text
+        |  FROM documents WHERE doc_id < 40),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |    [array_to_string(ws[i:i+3], ' ')
+        |     FOR i IN generate_series(1, greatest(len(ws) - 3, 1))])) AS s
+        |  FROM w),
+        |n AS (SELECT doc_id, COUNT(*)::BIGINT AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*)::BIGINT AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |comp AS (SELECT doc_id, j,
+        |    MIN(('0x' || substr(md5(j::VARCHAR || ' ' || s), 1, 15))::BIGINT) AS c
+        |  FROM sh CROSS JOIN generate_series(0, 15) AS g(j) GROUP BY doc_id, j),
+        |sig AS (SELECT doc_id, list(c ORDER BY j) AS cs FROM comp GROUP BY doc_id),
+        |banded AS (SELECT doc_id, j,
+        |    md5(array_to_string(cs[j*4+1 : j*4+4], ',')) AS bh
+        |  FROM sig CROSS JOIN generate_series(0, 3) AS g(j)),
+        |coll AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 FROM banded a
+        |  JOIN banded b ON a.j = b.j AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        |pairs AS (SELECT na.doc_id AS d1, nb.doc_id AS d2,
+        |    LEAST(9, (COALESCE(i.i, 0) * 10)
+        |      // (na.n + nb.n - COALESCE(i.i, 0))) AS bucket,
+        |    CASE WHEN c.d1 IS NULL THEN 0 ELSE 1 END AS hit
+        |  FROM n na JOIN n nb ON na.doc_id < nb.doc_id
+        |  LEFT JOIN inter i ON i.d1 = na.doc_id AND i.d2 = nb.doc_id
+        |  LEFT JOIN coll c ON c.d1 = na.doc_id AND c.d2 = nb.doc_id)
+        |SELECT bucket, COUNT(*)::BIGINT AS n_pairs,
+        |  SUM(hit)::BIGINT AS n_collide,
+        |  ROUND(CAST(SUM(hit) AS DOUBLE) / COUNT(*), 4) AS rate
+        |FROM pairs GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") < 120).select("doc_id", "text")
+        .unionByName(docs.filter(col("doc_id") < 40)
+          .select((col("doc_id") + 20000).as("doc_id"),
+            concat(lit("edited copy intro "), col("text")).as("text")))
+      val sh = corpus
+        .select(col("doc_id"), array_distinct(graft.functions.GraftExtensions
+          .shingles(split(col("text"), " ", -1), 4)).as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // exact Jaccard over all sample pairs: array intersection on the
+      // persisted shingle arrays (no exploded self-join re-derivation)
+      val a = sh.select(col("doc_id").as("d1"), col("sh").as("sh1"))
+      val b = sh.select(col("doc_id").as("d2"), col("sh").as("sh2"))
+      val pairs = a.join(b, col("d1") < col("d2"))
+        .select(col("d1"), col("d2"),
+          size(array_intersect(col("sh1"), col("sh2"))).cast("long").as("i"),
+          (size(col("sh1")) + size(col("sh2"))).cast("long").as("nn"))
+        .select(col("d1"), col("d2"),
+          least(lit(9L), expr("(i * 10) div (nn - i)")).as("bucket"))
+      // 16 md5 minhash components -> 4 bands x 4 rows -> collision pairs
+      val comps = (0 until 16).map { j =>
+        aggregate(col("sh"), lit(Long.MaxValue), (acc, sgl) =>
+          least(acc, conv(substring(md5(concat(lit(s"$j "), sgl)), 1, 15), 16, 10)
+            .cast("long")))
+      }
+      val sig = sh.select(col("doc_id"), array(comps: _*).as("cs"))
+      val banded = sig.select(col("doc_id"), posexplode(
+          transform(sequence(lit(0), lit(3)), j =>
+            md5(concat_ws(",", transform(slice(col("cs"), j * 4 + 1, lit(4)),
+              c => c.cast("string")))))).as(Seq("j", "bh")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val coll = banded.select(col("j"), col("bh"), col("doc_id").as("d1"))
+        .join(banded.select(col("j"), col("bh"), col("doc_id").as("d2")),
+          Seq("j", "bh"))
+        .filter(col("d1") < col("d2"))
+        .select("d1", "d2").distinct()
+        .withColumn("hit", lit(1L))
+      pairs.join(coll, Seq("d1", "d2"), "left")
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_collide"),
+          round(sum(coalesce(col("hit"), lit(0L))).cast("double") /
+            count(lit(1)), 4).as("rate"))
+        .orderBy("bucket")
+    },
+
     // Document fingerprint (md5 of normalized text) — the exact-dedup key.
     Q("t_fingerprint",
       """SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text),

@@ -356,6 +356,49 @@ object TrainQueries {
         .orderBy("doc_id")
     },
 
+    // DSIR selection — the resampling step the weights exist for (Xie
+    // et al. 2023 §2: sample without replacement ∝ exp(log_weight)).
+    // Log-domain Efraimidis–Spirakis / Gumbel-top-k key off the ROUNDED
+    // log weight (the certified cross-engine quantity) + the portable
+    // hash uniform; top-100 global, doc-id tiebreak. Ranking uses the
+    // unrounded key: cross-engine LN agrees to an ulp, so membership
+    // could in principle flip only if keys #100 and #101 sit within
+    // ~1e-12 of each other — the same accepted ulp-tie class as the
+    // classifier's 0.5 threshold (WebQueries note). Scale shape: the
+    // weight pipeline's two shuffles + TakeOrderedAndProject (per-
+    // partition top-k, k-row driver merge) — no global sort.
+    Q("pipe_dsir_select",
+      """WITH t AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |f AS (SELECT doc_id, lang = 'en' AS is_t,
+        |    (('0x' || substr(md5(tok), 1, 15))::BIGINT % 512) AS f FROM t
+        |  WHERE tok <> ''),
+        |c AS (SELECT f, COUNT(*)::BIGINT AS cr,
+        |    SUM(CASE WHEN is_t THEN 1 ELSE 0 END)::BIGINT AS ct
+        |  FROM f GROUP BY f),
+        |tot AS (SELECT SUM(cr)::BIGINT AS nr, SUM(ct)::BIGINT AS nt FROM c),
+        |r AS (SELECT f, LN(CAST(ct + 1 AS DOUBLE) / (nt + 512))
+        |    - LN(CAST(cr + 1 AS DOUBLE) / (nr + 512)) AS lr
+        |  FROM c CROSS JOIN tot),
+        |wts AS (SELECT doc_id, COUNT(*)::BIGINT AS n_tokens,
+        |    ROUND(SUM(lr), 4) AS log_weight
+        |  FROM f JOIN r USING (f) GROUP BY doc_id),
+        |sel AS (SELECT doc_id, n_tokens, log_weight,
+        |    log_weight - LN(-LN(
+        |      (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT + 1)
+        |        / power(2.0, 60))) AS key
+        |  FROM wts),
+        |top AS (SELECT * FROM sel ORDER BY key DESC, doc_id LIMIT 100)
+        |SELECT doc_id, n_tokens, log_weight, ROUND(key, 4) AS sel_key
+        |FROM top ORDER BY sel_key DESC, doc_id""".stripMargin) { (s, dir) =>
+      val wts = Curation.dsirWeights(Tables.fannedOut(s, dir, "documents"),
+        "doc_id", "text", isTarget = col("lang") === "en", buckets = 512)
+      Sampling.gumbelTopK(wts, "doc_id", "log_weight", 100)
+        .select(col("doc_id"), col("n_tokens"), col("log_weight"),
+          round(col("sel_key"), 4).as("sel_key"))
+        .orderBy(col("sel_key").desc, col("doc_id"))
+    },
+
     // Temperature-weighted domain mixture (α = 0.5 upsamples small
     // sources) with deterministic hash-based sampling at the computed
     // per-domain rates; budget 200 docs.

@@ -10,6 +10,41 @@ import graft.ops.{Curation, Linkage, Quantization, Retrieval, Text}
 class RetrievalSpec extends SparkSpec {
   import spark.implicits._
 
+  // ---- df-cut sparse cosine ----------------------------------------------
+
+  test("sparseCosinePairs: hand-computed cosine, df-cut drops ubiquitous terms from the dot") {
+    // shingleK=1 → terms are single tokens. N=4 docs.
+    //   d1: x x y     d2: x x y     d3: x z      d4: q r
+    // df: x=3, y=2, z=1, q=1, r=1. idf = ln(4/df).
+    val docs = Seq(
+      (1L, "x x y"), (2L, "x x y"), (3L, "x z"), (4L, "q r"))
+      .toDF("doc_id", "text")
+    def run(maxDf: Int) = Retrieval.sparseCosinePairs(
+        docs, "doc_id", "text", shingleK = 1, maxDf = maxDf, minCos = 0.0)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    // no cut (maxDf=4): d1 and d2 are identical vectors → cos = 1
+    val full = run(4)
+    assert(full((1L, 2L)) == 1.0)
+    // d1·d3 shares only x; hand value:
+    //   wx = 2·ln(4/3), wy = ln 2 (d1); d3: wx' = ln(4/3), wz = ln 4
+    val wx = 2 * math.log(4.0 / 3); val wy = math.log(2.0)
+    val wx3 = math.log(4.0 / 3); val wz = math.log(4.0)
+    val expect13 = wx * wx3 /
+      (math.sqrt(wx * wx + wy * wy) * math.sqrt(wx3 * wx3 + wz * wz))
+    assert(math.abs(full((1L, 3L)) - expect13) < 5e-5)
+    // disjoint docs never pair
+    assert(!full.contains((1L, 4L)) && !full.contains((3L, 4L)))
+    // df-cut at 2: x (df=3) leaves the DOT but stays in the norms —
+    // d1·d2 now shares only y, and the score shrinks strictly
+    val cut = run(2)
+    assert(cut((1L, 2L)) < full((1L, 2L)) && cut((1L, 2L)) > 0.0)
+    val expectCutY = wy * wy / (wx * wx + wy * wy)
+    assert(math.abs(cut((1L, 2L)) - expectCutY) < 5e-5)
+    // d1–d3's only shared term was cut → pair disappears entirely
+    assert(!cut.contains((1L, 3L)))
+  }
+
   // ---- BM25 ---------------------------------------------------------------
 
   test("bm25TopK: hand-computed scores, rank and tie order") {

@@ -171,6 +171,31 @@ class TrainSpec extends SparkSpec {
     assert(s1.groupBy(_._1).forall(_._2.map(_._3) == Set(1, 2, 3)))
   }
 
+  test("gumbelTopK: deterministic, k-bounded, log-domain ES equivalence, stable for tiny weights") {
+    val df = (1L to 200L).map(i => (i, math.log((i % 17 + 1).toDouble)))
+      .toDF("id", "lw")
+    def run() = Sampling.gumbelTopK(df, "id", "lw", k = 10)
+      .select("id").as[Long].collect().toSeq
+    val s1 = run()
+    assert(s1 == run() && s1.size == 10)     // content-hash determinism
+    // the Gumbel key is EXACTLY the log of the linear ES key's ordering:
+    // lw - ln(-ln(u)) ranks identically to u^(1/w) for w = exp(lw)
+    val es = Sampling.weightedSample(
+        df.withColumn("grp", lit("g")).withColumn("w", exp(col("lw"))),
+        "grp", "id", "w", k = 10)
+      .orderBy(col("rk")).select("id").as[Long].collect().toSeq
+    assert(s1 == es, "log-domain and linear ES keys must rank identically")
+    // log weights far below exp-underflow (exp(-800) == 0.0 exactly)
+    // still rank correctly in the log domain: a single huge-weight row
+    // must always win, and the linear form must NOT be able to see it
+    val tiny = ((1L to 30L).map(i => (i, -800.0 - i)) :+ (99L, 0.0))
+      .toDF("id", "lw")
+    val top = Sampling.gumbelTopK(tiny, "id", "lw", k = 5)
+      .select("id").as[Long].collect()
+    assert(top.head == 99L)
+    assert(top.length == 5)                  // tiny weights still ordered
+  }
+
   test("covarianceMatrix matches hand computation on 2-d vectors") {
     val df = Seq(Array(1.0f, 2.0f), Array(3.0f, 6.0f)).toDF("embedding")
     val cov = Similarity.covarianceMatrix(df, "embedding", dim = 2)

@@ -885,6 +885,27 @@ object ScaleCheck {
       } finally { fp.unpersist(); () }
     }
 
+    // df-cut sparse cosine at 50k docs (round 12): the maxDf cut is the
+    // whole scale story — on the templated corpus virtually every
+    // shingle is corpus-wide (df in the thousands) and must die BEFORE
+    // the postings self-join; only the injected per-group marker
+    // shingles (df=10) survive to pair, so candidate volume stays
+    // group-bounded while the tf/df/norm aggregates run at full volume.
+    // The same marker trick as the winnow entry, same reason.
+    time("sim_sparse_cosine (50k docs, 10x dup)") {
+      val marked = docs10.withColumn("text",
+        concat(col("text"), lit(" zq"),
+          (col("doc_id") % 10000000L).cast("string"), lit(" xq end")))
+      val (pairs, w) = ops.Retrieval.sparseCosinePairsWithHandle(
+        marked, "doc_id", "text", shingleK = 4, maxDf = 30,
+        minCos = 0.05, persistW = true)
+      try {
+        val n = consume(pairs)
+        require(n > 0, "fan-out corpus must yield sparse-cosine pairs")
+        n
+      } finally { w.unpersist(); () }
+    }
+
     spark.stop()
   }
 }

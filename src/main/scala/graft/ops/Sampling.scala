@@ -198,4 +198,66 @@ object Sampling {
     df.withColumn("cum_tokens", sum(col(tokCol).cast("long")).over(win))
       .filter(col("cum_tokens") <= budget)
   }
+
+  /** Capacity-constrained WATER-FILLING token allocation — the step
+    * that turns target mixture weights into a feasible training mix
+    * when some domains don't have enough data: alloc_d = min(cap_d,
+    * λ·w_d) with the water level λ chosen so Σ alloc = budget. Small
+    * domains saturate (take everything they have); their unmet share
+    * redistributes to the rest, proportionally to weight — exactly the
+    * allocation rule behind published data-mixing recipes when the
+    * target weights (temperature-scaled, DoReMi, hand-set) exceed what
+    * a source can supply.
+    *
+    * λ has a closed form: sort domains by r_d = cap_d/w_d ascending
+    * (saturation order), and λ = (B − Σ_sat cap) / Σ_unsat w at the
+    * first split point where λ ≤ r of the first unsaturated domain.
+    * That resolves entirely in-plan: one ordered window over the
+    * DOMAIN-CARDINALITY table (bounded — it is a group-by result), a
+    * 1-row λ selection, and a broadcast join back. The corpus is never
+    * touched here; callers aggregate caps first.
+    *
+    * Oracle portability is engineered the same way as SQ8's FLOOR
+    * rounding: weights arrive as INTEGERS (`wIntCol`, e.g.
+    * floor(sqrt(cap)·1e6 + 0.5)), so every running sum is exact integer
+    * arithmetic — no cross-engine float-accumulation-order risk — and
+    * every double op (r, λ, alloc) is POINTWISE on identical inputs,
+    * hence bit-identical in DuckDB. `budgetFrac` ∈ (0,1) guarantees a
+    * valid split point exists (B < total capacity ⇒ the last row always
+    * satisfies λ ≤ r). */
+  def waterFill(domains: DataFrame, domainCol: String, capCol: String,
+                wIntCol: String, budgetFrac: Double): DataFrame = {
+    require(budgetFrac > 0 && budgetFrac < 1,
+      s"budgetFrac must be in (0,1), got $budgetFrac")
+    val d = domains.select(col(domainCol),
+      col(capCol).cast("long").as("__cap"),
+      col(wIntCol).cast("long").as("__w"))
+    val tot = d.agg(sum("__w").as("__S"), sum("__cap").as("__T"))
+    val dd = d.crossJoin(broadcast(tot))
+      .withColumn("__B",
+        floor(lit(budgetFrac) * col("__T").cast("double")).cast("long"))
+      .withColumn("__r", col("__cap").cast("double") *
+        col("__S").cast("double") / col("__w").cast("double"))
+    // bounded global window (domain-cardinality rows); lit(0) partition
+    // keeps the single-partition warning out per the standing rule
+    val ord = Window.partitionBy(lit(0)).orderBy(col("__r"), col(domainCol))
+    val prev = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val lam = dd
+      .withColumn("__cumCap", coalesce(sum("__cap").over(prev), lit(0L)))
+      .withColumn("__cumW", coalesce(sum("__w").over(prev), lit(0L)))
+      .withColumn("__lam",
+        (col("__B") - col("__cumCap")).cast("double") *
+          col("__S").cast("double") /
+          (col("__S") - col("__cumW")).cast("double"))
+      .filter(col("__lam") <= col("__r"))
+      .orderBy(col("__r"), col(domainCol)).limit(1)
+      .select(col("__lam").as("lambda"))
+    dd.crossJoin(broadcast(lam))
+      .select(col(domainCol), col("__cap").as("cap"),
+        (col("__w").cast("double") / col("__S").cast("double")).as("w"),
+        least(col("__cap").cast("double"),
+          col("lambda") * col("__w").cast("double") /
+            col("__S").cast("double")).as("alloc"),
+        (col("__r") <= col("lambda")).as("saturated"))
+  }
 }

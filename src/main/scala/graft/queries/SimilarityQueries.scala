@@ -321,6 +321,99 @@ object SimilarityQueries {
         .orderBy("probe_id")
     },
 
+    // IVF nProbe-RECALL SWEEP — the tuning curve an IVF deployment reads
+    // before picking nProbe (the dense twin of dedup_lsh_scurve's
+    // bands/rows S-curve): recall@10 at nProbe ∈ {1,2,4,8}, aggregated
+    // over the probe set. Per probe, cells rank by round-6
+    // probe-to-centroid cosine (cid ties); a candidate participates at
+    // level p iff its cell ranks ≤ p. All four levels resolve in ONE
+    // shared WindowExec: the exact rank is row_number, and each level's
+    // in-candidate rank is a running count of rows whose cell-rank ≤ p
+    // under the same (s desc, vec_id) ordering — the sim_recall_eval
+    // single-pass trick, widened to a sweep. Integer counts, one final
+    // rounded ratio.
+    Q("sim_ivf_sweep",
+      OracleSql.kmeansMd5Ctes(k = 8, iters = 3) +
+        """,
+          |pr AS (SELECT vec_id AS probe_id, cid, ROW_NUMBER() OVER (
+          |    PARTITION BY vec_id ORDER BY ROUND(s,6) DESC, cid) AS crk
+          |  FROM sf WHERE vec_id < 5),
+          |pv AS (SELECT vec_id AS probe_id, pos, x FROM v WHERE vec_id < 5),
+          |sim AS (SELECT pv.probe_id, v.vec_id,
+          |    ROUND(SUM(pv.x*v.x)/(SQRT(SUM(pv.x*pv.x))*SQRT(SUM(v.x*v.x))), 6) AS s
+          |  FROM pv JOIN v ON v.pos = pv.pos AND v.vec_id <> pv.probe_id
+          |  GROUP BY 1, 2),
+          |cand AS (SELECT s.probe_id, s.vec_id, s.s, pr.crk
+          |  FROM sim s JOIN af ON af.vec_id = s.vec_id
+          |  JOIN pr ON pr.probe_id = s.probe_id AND pr.cid = af.cid),
+          |ps AS (SELECT unnest([1, 2, 4, 8]) AS np),
+          |ex AS (SELECT probe_id, vec_id FROM sim
+          |  QUALIFY ROW_NUMBER() OVER (PARTITION BY probe_id
+          |    ORDER BY s DESC, vec_id) <= 10),
+          |iv AS (SELECT c.probe_id, p.np, c.vec_id
+          |  FROM cand c CROSS JOIN ps p WHERE c.crk <= p.np
+          |  QUALIFY ROW_NUMBER() OVER (PARTITION BY c.probe_id, p.np
+          |    ORDER BY c.s DESC, c.vec_id) <= 10),
+          |exn AS (SELECT p.np, COUNT(*)::BIGINT AS n_exact
+          |  FROM ex CROSS JOIN ps p GROUP BY 1),
+          |ivn AS (SELECT np, COUNT(*)::BIGINT AS n_ivf FROM iv GROUP BY 1),
+          |ov AS (SELECT iv.np, COUNT(*)::BIGINT AS n_overlap
+          |  FROM iv JOIN ex ON ex.probe_id = iv.probe_id
+          |    AND ex.vec_id = iv.vec_id GROUP BY 1)
+          |SELECT exn.np, exn.n_exact, COALESCE(ivn.n_ivf, 0) AS n_ivf,
+          |  COALESCE(ov.n_overlap, 0) AS n_overlap,
+          |  ROUND(CAST(COALESCE(ov.n_overlap, 0) AS DOUBLE) / exn.n_exact, 4)
+          |    AS recall
+          |FROM exn LEFT JOIN ivn USING (np) LEFT JOIN ov USING (np)
+          |ORDER BY np""".stripMargin) { (s, dir) =>
+      // NOT fannedOut — training-loop latency dominates, see sim_ivf_drift
+      val emb = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+        k = 8, iters = 3, seedHash = c => md5(c.cast("string")), simRound = 6)
+      val assigned = Similarity.ivfAssign(emb, "embedding", cents, simRound = 6)
+      val probes = assigned.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"))
+      // probe → cell ranking: 5 probes × k cells, broadcast both ways
+      val wCell = org.apache.spark.sql.expressions.Window
+        .partitionBy("probe_id")
+        .orderBy(col("cs").desc, col("centroid_id"))
+      val pcells = probes.crossJoin(broadcast(cents))
+        .select(col("probe_id"), col("centroid_id"),
+          round(Similarity.cosine(col("pvec"), col("embedding")), 6).as("cs"))
+        .withColumn("crk", row_number().over(wCell))
+        .select("probe_id", "centroid_id", "crk")
+      val sims = assigned.join(broadcast(probes),
+          col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"), col("centroid_id"),
+          round(Similarity.cosine(col("embedding"), col("pvec")), 6).as("s"))
+        .join(broadcast(pcells), Seq("probe_id", "centroid_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("probe_id").orderBy(col("s").desc, col("vec_id"))
+      val wRun = w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+      val levels = Seq(1, 2, 4, 8)
+      val ranked = levels.foldLeft(
+          sims.withColumn("rk_ex", row_number().over(w))) { (d, p) =>
+        d.withColumn(s"rk_iv_$p",
+          sum(when(col("crk") <= p, 1L).otherwise(0L)).over(wRun))
+      }
+      ranked
+        .select(col("probe_id"), (col("rk_ex") <= 10).as("is_ex"),
+          explode(array(levels.map(p => struct(lit(p).as("np"),
+            (col("crk") <= p && col(s"rk_iv_$p") <= 10).as("is_iv"))): _*))
+            .as("l"))
+        .groupBy(col("l.np").as("np"))
+        .agg(sum(when(col("is_ex"), 1L).otherwise(0L)).as("n_exact"),
+          sum(when(col("l.is_iv"), 1L).otherwise(0L)).as("n_ivf"),
+          sum(when(col("is_ex") && col("l.is_iv"), 1L).otherwise(0L))
+            .as("n_overlap"))
+        .withColumn("recall",
+          round(col("n_overlap").cast("double") / col("n_exact"), 4))
+        .orderBy("np")
+    },
+
     // SemDeDup-shape SEMANTIC dedup: deterministic k-means cells (the
     // exact md5-seeded chain sim_kmeans_md5 pins), then within each cell
     // drop every vector with a smaller-id neighbor at round-6 cosine >=

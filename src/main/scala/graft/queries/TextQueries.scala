@@ -232,6 +232,56 @@ object TextQueries {
         .orderBy("lang")
     },
 
+    // Heaps'-law vocabulary growth (V = K·T^β): distinct-vocabulary and
+    // token totals at fixed doc-count checkpoints, plus the log-log
+    // regression slope β — the corpus diagnostic that says whether new
+    // data still brings new vocabulary (β falling toward 0 = the corpus
+    // is saturating; the signal behind "more of the same" dedup/mixing
+    // decisions). ONE pass over the token stream: V(n) needs only each
+    // token's FIRST-occurrence doc (min doc_id per token — vocab-sized),
+    // T(n) only per-doc token counts (doc-count-sized); both join the
+    // 7-row checkpoint table broadcast, so the corpus is never scanned
+    // per checkpoint. Counts are integers; β is the one rounded value.
+    Q("t_heaps_law",
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents),
+        |tok AS (SELECT doc_id, tok FROM t WHERE tok <> ''),
+        |fo AS (SELECT tok, MIN(doc_id) AS fd FROM tok GROUP BY 1),
+        |dt AS (SELECT doc_id, COUNT(*)::BIGINT AS nt FROM tok GROUP BY 1),
+        |chk AS (SELECT unnest([25, 50, 100, 200, 400, 800, 1500]) AS n),
+        |tt AS (SELECT c.n, SUM(d.nt)::BIGINT AS t_tokens
+        |  FROM chk c JOIN dt d ON d.doc_id < c.n GROUP BY 1),
+        |vv AS (SELECT c.n, COUNT(*)::BIGINT AS v_vocab
+        |  FROM chk c JOIN fo f ON f.fd < c.n GROUP BY 1),
+        |l AS (SELECT tt.n, tt.t_tokens, vv.v_vocab,
+        |    LN(CAST(tt.t_tokens AS DOUBLE)) AS lx,
+        |    LN(CAST(vv.v_vocab AS DOUBLE)) AS ly
+        |  FROM tt JOIN vv USING (n)),
+        |s AS (SELECT ROUND(regr_slope(ly, lx), 4) AS beta FROM l)
+        |SELECT l.n, l.t_tokens, l.v_vocab, s.beta
+        |FROM l CROSS JOIN s ORDER BY n""".stripMargin) { (s, dir) =>
+      val tok = Tables.fannedOut(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("tok"))
+        .filter(col("tok") =!= "")
+      val fo = tok.groupBy("tok").agg(min("doc_id").as("fd"))
+      val dt = tok.groupBy("doc_id").agg(count(lit(1)).as("nt"))
+      val chk = Seq(25, 50, 100, 200, 400, 800, 1500)
+      val chkDf = s.range(1).select(explode(
+        array(chk.map(v => lit(v)): _*)).as("n"))
+      val tt = dt.join(broadcast(chkDf), col("doc_id") < col("n"))
+        .groupBy("n").agg(sum("nt").as("t_tokens"))
+      val vv = fo.join(broadcast(chkDf), col("fd") < col("n"))
+        .groupBy("n").agg(count(lit(1)).as("v_vocab"))
+      val l = tt.join(vv, "n")
+        .select(col("n"), col("t_tokens"), col("v_vocab"),
+          log(col("t_tokens").cast("double")).as("lx"),
+          log(col("v_vocab").cast("double")).as("ly"))
+      val beta = l.agg(round(expr("regr_slope(ly, lx)"), 4).as("beta"))
+      l.crossJoin(broadcast(beta))
+        .select(col("n"), col("t_tokens"), col("v_vocab"), col("beta"))
+        .orderBy("n")
+    },
+
     // Retrieval-index statistics (per-term document + collection
     // frequency): the BM25 broadcast side, as maintained by
     // Streams.streamingIndexStats — this batch query IS that plan run on

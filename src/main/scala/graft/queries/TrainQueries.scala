@@ -433,6 +433,57 @@ object TrainQueries {
           .orderBy("source")
     },
 
+    // Capacity-constrained water-filling allocation: target weights
+    // w ∝ sqrt(cap) (the α=0.5 temperature convention of
+    // pipe_domain_mix) against per-language token capacities, budget =
+    // 85% of the corpus — high enough that small languages SATURATE
+    // (take all they have) and their unmet share redistributes to the
+    // rest at the closed-form water level λ. Integer-weight running
+    // sums make every accumulation exact (no cross-engine float-order
+    // risk); r/λ/alloc are pointwise double ops on identical inputs.
+    Q("pipe_token_waterfill",
+      """WITH c AS (SELECT lang, SUM(len(string_split(text, ' ')))::BIGINT
+        |    AS cap FROM documents GROUP BY lang),
+        |w AS (SELECT lang, cap, CAST(FLOOR(SQRT(CAST(cap AS DOUBLE))
+        |    * 1000000 + 0.5) AS BIGINT) AS wi FROM c),
+        |t AS (SELECT SUM(wi)::BIGINT AS s, SUM(cap)::BIGINT AS tcap FROM w),
+        |r AS (SELECT w.lang, w.cap, w.wi, t.s,
+        |    CAST(FLOOR(0.85 * CAST(t.tcap AS DOUBLE)) AS BIGINT) AS b,
+        |    CAST(w.cap AS DOUBLE) * CAST(t.s AS DOUBLE)
+        |      / CAST(w.wi AS DOUBLE) AS r
+        |  FROM w CROSS JOIN t),
+        |p AS (SELECT *,
+        |    COALESCE(SUM(cap) OVER (ORDER BY r, lang
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_cap,
+        |    COALESCE(SUM(wi) OVER (ORDER BY r, lang
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_w
+        |  FROM r),
+        |l AS (SELECT CAST(b - cum_cap AS DOUBLE) * CAST(s AS DOUBLE)
+        |      / CAST(s - cum_w AS DOUBLE) AS lambda
+        |  FROM p
+        |  WHERE CAST(b - cum_cap AS DOUBLE) * CAST(s AS DOUBLE)
+        |      / CAST(s - cum_w AS DOUBLE) <= r
+        |  ORDER BY r, lang LIMIT 1)
+        |SELECT r.lang, r.cap,
+        |  ROUND(CAST(r.wi AS DOUBLE) / CAST(r.s AS DOUBLE), 6) AS w,
+        |  ROUND(LEAST(CAST(r.cap AS DOUBLE),
+        |    l.lambda * CAST(r.wi AS DOUBLE) / CAST(r.s AS DOUBLE)), 2)
+        |    AS alloc,
+        |  (r.r <= l.lambda) AS saturated
+        |FROM r CROSS JOIN l ORDER BY lang""".stripMargin) { (s, dir) =>
+      val caps = Tables(s, dir, "documents")
+        .select(col("lang"), size(split(col("text"), " ", -1)).as("nt"))
+        .groupBy("lang").agg(sum("nt").as("cap"))
+        .withColumn("wi",
+          floor(sqrt(col("cap").cast("double")) * 1e6 + 0.5).cast("long"))
+      Sampling.waterFill(caps, "lang", "cap", "wi", budgetFrac = 0.85)
+        .select(col("lang"), col("cap"), round(col("w"), 6).as("w"),
+          round(col("alloc"), 2).as("alloc"), col("saturated"))
+        .orderBy("lang")
+    },
+
     // Sliding-window chunking: 40-token windows, stride 30 (10-token
     // overlap) — the fixed-context pre-tokenization step.
     Q("pipe_chunk_overlap",

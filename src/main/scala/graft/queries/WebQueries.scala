@@ -422,6 +422,102 @@ object WebQueries {
         .orderBy("doc_id")
     },
 
+    // Filter-agreement diagnostic: Cohen's κ between the two
+    // independent quality gates (C4 page cleaning vs Gopher document
+    // rules) over the shared line stream — the "are my filters
+    // redundant or complementary" check run before stacking gates in a
+    // curation pipeline (κ≈1 ⇒ the second gate adds nothing; κ≈0 ⇒
+    // independent signals worth composing). One 2×2 contingency
+    // aggregate over per-doc verdicts; κ = (p_o − p_e)/(1 − p_e) from
+    // INTEGER cell counts, so every double op is pointwise-portable.
+    Q("t_filter_agreement",
+      linesCtes +
+        """,
+          |lk AS (SELECT doc_id, idx, line,
+          |    (regexp_matches(line, '[.!?]$')
+          |      AND len(string_split(line, ' ')) >= 5
+          |      AND NOT contains(lower(line), 'javascript')) AS keep_l,
+          |    (contains(line, '{')
+          |      OR contains(lower(line), 'lorem ipsum')) AS bad_l
+          |  FROM lines),
+          |c4 AS (SELECT doc_id,
+          |    (MAX(CASE WHEN bad_l THEN 1 ELSE 0 END) = 0 AND
+          |     SUM(CASE WHEN keep_l THEN 1 ELSE 0 END) >= 3) AS c4_kept
+          |  FROM lk GROUP BY doc_id),
+          |ds AS (SELECT doc_id, len(toks)::BIGINT AS n_words,
+          |    (length(text) - (len(toks) - 1))::DOUBLE / len(toks)
+          |      AS mean_len,
+          |    len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))::DOUBLE
+          |      / len(toks) AS alpha_frac,
+          |    len(list_filter(list_distinct(toks), t -> list_contains(
+          |      ['the','a','data','table','value','row','query','line'], t)))
+          |      ::BIGINT AS n_stop
+          |  FROM (SELECT doc_id, text, string_split(text, ' ') AS toks
+          |        FROM documents)),
+          |ls AS (SELECT doc_id,
+          |    AVG(CASE WHEN starts_with(line, '- ') THEN 1.0 ELSE 0.0 END)
+          |      AS bullet_ratio,
+          |    AVG(CASE WHEN ends_with(line, '...') THEN 1.0 ELSE 0.0 END)
+          |      AS ellipsis_ratio
+          |  FROM lines GROUP BY doc_id),
+          |gp AS (SELECT doc_id,
+          |    (n_words BETWEEN 50 AND 100000
+          |      AND mean_len BETWEEN 3 AND 10
+          |      AND bullet_ratio <= 0.9 AND ellipsis_ratio <= 0.3
+          |      AND alpha_frac >= 0.8 AND n_stop >= 2) AS gopher_kept
+          |  FROM ds JOIN ls USING (doc_id)),
+          |ct AS (SELECT
+          |    SUM(CASE WHEN c4_kept AND gopher_kept THEN 1 ELSE 0 END)
+          |      ::BIGINT AS n11,
+          |    SUM(CASE WHEN c4_kept AND NOT gopher_kept THEN 1 ELSE 0 END)
+          |      ::BIGINT AS n10,
+          |    SUM(CASE WHEN NOT c4_kept AND gopher_kept THEN 1 ELSE 0 END)
+          |      ::BIGINT AS n01,
+          |    SUM(CASE WHEN NOT c4_kept AND NOT gopher_kept THEN 1 ELSE 0
+          |      END)::BIGINT AS n00,
+          |    COUNT(*)::BIGINT AS n
+          |  FROM c4 JOIN gp USING (doc_id)),
+          |k AS (SELECT *,
+          |    CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+          |    (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+          |     + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))
+          |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe
+          |  FROM ct)
+          |SELECT n11, n10, n01, n00, ROUND(po, 4) AS po, ROUND(pe, 4) AS pe,
+          |  ROUND(CASE WHEN pe = 1 THEN 1.0
+          |    ELSE (po - pe) / (1 - pe) END, 4) AS kappa
+          |FROM k""".stripMargin) { (s, dir) =>
+      val lines = synthLines(Tables.fannedOut(s, dir, "documents"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val c4 = Curation.c4Clean(lines, "doc_id", "idx", "line")
+        .select(col("doc_id"), col("kept").as("c4_kept"))
+      val gp = Curation.gopherRules(Tables(s, dir, "documents"), lines,
+          "doc_id", "text", "line", gopherStops)
+        .select(col("doc_id"), col("keep").as("gopher_kept"))
+      val ct = c4.join(gp, "doc_id").agg(
+        sum(when(col("c4_kept") && col("gopher_kept"), 1L)
+          .otherwise(0L)).as("n11"),
+        sum(when(col("c4_kept") && !col("gopher_kept"), 1L)
+          .otherwise(0L)).as("n10"),
+        sum(when(!col("c4_kept") && col("gopher_kept"), 1L)
+          .otherwise(0L)).as("n01"),
+        sum(when(!col("c4_kept") && !col("gopher_kept"), 1L)
+          .otherwise(0L)).as("n00"),
+        count(lit(1)).as("n"))
+      val po = (col("n11") + col("n00")).cast("double") / col("n").cast("double")
+      val pe = ((col("n11") + col("n10")).cast("double") *
+          (col("n11") + col("n01")).cast("double") +
+        (col("n01") + col("n00")).cast("double") *
+          (col("n10") + col("n00")).cast("double")) /
+        (col("n").cast("double") * col("n").cast("double"))
+      ct.withColumn("po", po).withColumn("pe", pe)
+        .select(col("n11"), col("n10"), col("n01"), col("n00"),
+          round(col("po"), 4).as("po"), round(col("pe"), 4).as("pe"),
+          round(when(col("pe") === 1.0, 1.0)
+            .otherwise((col("po") - col("pe")) / (lit(1.0) - col("pe"))), 4)
+            .as("kappa"))
+    },
+
     // Gopher quality rules: word-count band, mean-word-length band,
     // bullet/ellipsis line-ratio caps, alpha-word fraction, distinct
     // required-stopword minimum; per-rule metrics + conjunction.

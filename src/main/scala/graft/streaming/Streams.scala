@@ -57,6 +57,84 @@ object Streams {
       }
       .start()
 
+  /** [[incrementalIngest]] (transactional) with inline maintenance —
+    * the auto-OPTIMIZE serving shape: every micro-batch commit leaves a
+    * file tail, and once the snapshot's file count exceeds
+    * `compactAtFiles` the SAME foreachBatch bin-packs it via
+    * [[graft.ops.TxLog.commitCompact]] before the next trigger. The
+    * trigger check reads file METADATA only (`snapshotFiles`), so quiet
+    * batches pay nothing; compaction itself is a separate numbered
+    * commit, so a reader never sees a partially-packed table and a
+    * crash between merge and compact just leaves the compaction for the
+    * next batch — idempotent by construction. */
+  def incrementalIngestCompacting(spark: SparkSession, sourceDir: String,
+                                  tableDir: String, checkpointDir: String,
+                                  schema: org.apache.spark.sql.types.StructType,
+                                  keys: Seq[String], versionCol: String,
+                                  compactAtFiles: Int = 64,
+                                  targetFileBytes: Long = 128L * 1024 * 1024,
+                                  maxFilesPerTrigger: Option[Int] = None)
+      : StreamingQuery = {
+    val reader0 = spark.readStream.schema(schema)
+    // AvailableNow otherwise drains the whole backlog as ONE batch —
+    // capping files per trigger is how a backfill still exercises the
+    // merge→check→compact cycle per micro-batch
+    val reader = maxFilesPerTrigger.fold(reader0)(n =>
+      reader0.option("maxFilesPerTrigger", n.toString))
+    reader
+      .parquet(sourceDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.TxLog.commitMerge(spark, tableDir, batch, keys, versionCol)
+        if (graft.ops.TxLog.snapshotFiles(tableDir).exists(_._1 > compactAtFiles))
+          graft.ops.TxLog.commitCompact(spark, tableDir, targetFileBytes): Unit
+      }
+      .start()
+  }
+
+  /** [[incrementalIngestCompacting]] with the full maintenance loop —
+    * merge → bin-pack → Z-ORDER cluster, the streaming auto-OPTIMIZE
+    * shape of a clustered lakehouse table: when the micro-batch commit
+    * leaves a file tail past `clusterAtFiles`, the same foreachBatch
+    * runs [[graft.ops.TxLog.commitCluster]] instead of a plain compact
+    * — the Z-order rewrite bin-packs AND re-sorts in one rewrite, and
+    * writes the per-file min/max `_stats` manifest INTO the snapshot,
+    * so [[graft.ops.TxLog.prunedRead]] range scans prune files again
+    * immediately after maintenance. Quiet batches pay one file-METADATA
+    * check; clustering is its own numbered commit (crash between merge
+    * and cluster just defers it — idempotent, same as the compacting
+    * form). Trade-off vs [[incrementalIngestCompacting]]: the rewrite
+    * shuffles (range partition on the Z-value) where bin-packing is a
+    * narrow coalesce — pay it when readers range-filter the clustered
+    * columns, which is exactly when the manifest earns its keep. */
+  def incrementalIngestClustering(spark: SparkSession, sourceDir: String,
+                                  tableDir: String, checkpointDir: String,
+                                  schema: org.apache.spark.sql.types.StructType,
+                                  keys: Seq[String], versionCol: String,
+                                  zcols: Seq[String], bits: Int = 8,
+                                  clusterAtFiles: Int = 64,
+                                  outPartitions: Int = 0,
+                                  maxFilesPerTrigger: Option[Int] = None)
+      : StreamingQuery = {
+    val reader0 = spark.readStream.schema(schema)
+    val reader = maxFilesPerTrigger.fold(reader0)(n =>
+      reader0.option("maxFilesPerTrigger", n.toString))
+    reader
+      .parquet(sourceDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.TxLog.commitMerge(spark, tableDir, batch, keys, versionCol)
+        if (graft.ops.TxLog.snapshotFiles(tableDir).exists(_._1 > clusterAtFiles))
+          graft.ops.TxLog.commitCluster(spark, tableDir, zcols, bits,
+            outPartitions = outPartitions): Unit
+      }
+      .start()
+  }
+
   /** Custom stateful sessionization via flatMapGroupsWithState: events
     * group into sessions closed after `gapSeconds` of event-time
     * inactivity per key. Emits one row per CLOSED session; the custom-

@@ -88,6 +88,45 @@ class MergeStreamSpec extends SparkSpec {
     assert(graft.ops.TxLog.currentVersion(tableDir).isDefined)
   }
 
+  test("compacting ingest: file-count trigger bin-packs between micro-batches") {
+    val base = Files.createTempDirectory("graft-stream-compact").toString
+    val srcDir = s"$base/src"
+    val tableDir = s"$base/table"
+    new java.io.File(srcDir).mkdirs()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ver", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType)))
+    (0 until 3).foreach { b =>
+      spark.range(b * 100, (b + 1) * 100)
+        .select(col("id").as("k"), lit(1L).as("ver"), (col("id") * 2).as("v"))
+        .write.parquet(s"$srcDir/batch$b")
+    }
+    // hold off AQE's tiny-shuffle coalescing so every merge commit
+    // actually fragments (the production state the trigger exists for)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    val q = try {
+      val q0 = Streams.incrementalIngestCompacting(spark, s"$srcDir/*/",
+        tableDir, s"$base/ckpt", schema, Seq("k"), "ver",
+        compactAtFiles = 3, targetFileBytes = 1L << 30,
+        maxFilesPerTrigger = Some(1))
+      q0.awaitTermination(60000); q0
+    } finally spark.conf.set(
+      "spark.sql.adaptive.coalescePartitions.enabled", "true")
+    assert(!q.isActive || { q.stop(); true })
+    // the trigger fired at least once: the final snapshot is packed far
+    // below the fragmented state 3 merges would leave
+    val (nFiles, _) = graft.ops.TxLog.snapshotFiles(tableDir).get
+    assert(nFiles <= 3, s"maintenance should have packed: $nFiles files")
+    // and compaction is a rewrite, not an edit — all 300 rows intact
+    val out = graft.ops.TxLog.read(spark, tableDir).get
+      .select("k", "v").as[(Long, Long)].collect().toSet
+    assert(out == (0L until 300L).map(k => (k, k * 2)).toSet)
+    // versions interleave merges and compactions: more than 3 commits,
+    // each a complete consistent snapshot
+    assert(graft.ops.TxLog.currentVersion(tableDir).get._1 >= 3L)
+  }
+
   test("streaming dedup by key with watermark drops replayed events") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -590,4 +590,44 @@ class TrainSpec extends SparkSpec {
       .as[Seq[String]].collect().toSeq
     assert(viaStore == direct)
   }
+
+  test("waterFill: budget met exactly, small domains saturate, rest split by weight") {
+    // caps 100/1000/10000 with w ∝ sqrt(cap): the small domain's target
+    // share exceeds its capacity at an 80% budget, so it must saturate
+    // and its unmet share redistribute proportionally
+    val caps = Seq(("a", 100L), ("b", 1000L), ("c", 10000L))
+      .toDF("dom", "cap")
+      .withColumn("wi",
+        floor(sqrt(col("cap").cast("double")) * 1e6 + 0.5).cast("long"))
+    val r = Sampling.waterFill(caps, "dom", "cap", "wi", budgetFrac = 0.8)
+      .orderBy("dom")
+      .select("dom", "cap", "w", "alloc", "saturated")
+      .as[(String, Long, Double, Double, Boolean)].collect()
+    val budget = math.floor(0.8 * 11100).toLong
+    // feasible: every allocation within capacity, total = budget
+    r.foreach { case (_, cap, _, alloc, _) => assert(alloc <= cap + 1e-6) }
+    assert(math.abs(r.map(_._4).sum - budget) < 1e-6,
+      s"allocations ${r.toSeq} must sum to the budget $budget")
+    val byDom = r.map(x => x._1 -> x).toMap
+    assert(byDom("a")._5 && math.abs(byDom("a")._4 - 100.0) < 1e-9,
+      "domain a saturates (target share > capacity)")
+    // unsaturated domains sit exactly at λ·w: alloc ratio == weight ratio
+    val (b, c) = (byDom("b"), byDom("c"))
+    assert(!b._5 && !c._5)
+    assert(math.abs(b._4 / c._4 - b._3 / c._3) < 1e-9,
+      "unsaturated allocations split proportionally to weight")
+  }
+
+  test("waterFill: no saturation at a low budget; invalid budgetFrac refused") {
+    val caps = Seq(("a", 5000L), ("b", 5000L)).toDF("dom", "cap")
+      .withColumn("wi",
+        floor(sqrt(col("cap").cast("double")) * 1e6 + 0.5).cast("long"))
+    val r = Sampling.waterFill(caps, "dom", "cap", "wi", budgetFrac = 0.3)
+      .select("alloc", "saturated").as[(Double, Boolean)].collect()
+    assert(r.forall(!_._2), "30% of equal caps saturates nothing")
+    assert(math.abs(r.map(_._1).sum - 3000.0) < 1e-6)
+    intercept[IllegalArgumentException] {
+      Sampling.waterFill(caps, "dom", "cap", "wi", budgetFrac = 1.0)
+    }
+  }
 }

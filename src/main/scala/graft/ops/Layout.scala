@@ -143,14 +143,31 @@ object Layout {
     val overlap = ranges.map { case (c, lo, hi) =>
       col(s"max_$c") >= lo && col(s"min_$c") <= hi
     }.reduce(_ && _)
+    // input_file_name() produced URI-ENCODED paths (space → %20);
+    // spark.read.parquet wants plain Hadoop path strings, so decode —
+    // otherwise a table path containing any URI-escaping character
+    // resolves to nonexistent literal %XX paths while the unpruned
+    // scan of the same table still works. Scheme/authority survive.
     val files = st.filter(overlap).select("file")
-      .collect().map(_.getString(0))
+      .collect().map(r => decodeFileUri(r.getString(0)))
     val residual = rangePredicate(ranges)
     if (files.isEmpty)
       spark.read.parquet(dataDir).filter(lit(false))
     else
       spark.read.parquet(files.toIndexedSeq: _*).filter(residual)
   }
+
+  /** Decode one input_file_name() URI back to a Hadoop path string:
+    * percent-escapes unapplied, scheme and authority preserved (a bare
+    * path passes through unchanged; an unparsable value falls back to
+    * itself rather than failing the scan). */
+  private[ops] def decodeFileUri(f: String): String =
+    try {
+      val u = new java.net.URI(f)
+      if (u.getScheme == null) u.getPath
+      else u.getScheme + ":" +
+        Option(u.getAuthority).map("//" + _).getOrElse("") + u.getPath
+    } catch { case _: java.net.URISyntaxException => f }
 
   /** Conjunctive `[lo, hi]` range predicate over the named columns —
     * the residual filter a pruned scan applies after file skipping. */

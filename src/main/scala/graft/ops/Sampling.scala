@@ -232,6 +232,17 @@ object Sampling {
     val d = domains.select(col(domainCol),
       col(capCol).cast("long").as("__cap"),
       col(wIntCol).cast("long").as("__w"))
+    // A zero/negative weight would make __r a div-by-zero null that
+    // silently drops the row from the λ split search (and an empty
+    // input nulls S, nulling every allocation) — fail loudly instead,
+    // mirroring the budgetFrac require. One bounded aggregate over the
+    // domain-cardinality table, so the guard costs nothing at scale.
+    val guard = d.agg(count(lit(1)).as("n"),
+      sum(when(col("__w") <= 0, 1).otherwise(0)).as("bad")).head()
+    require(guard.getLong(0) > 0, "waterFill: domains input is empty")
+    require(guard.getLong(1) == 0,
+      s"waterFill: ${guard.getLong(1)} domain(s) have non-positive " +
+        s"weight in $wIntCol; exclude them before calling")
     val tot = d.agg(sum("__w").as("__S"), sum("__cap").as("__T"))
     val dd = d.crossJoin(broadcast(tot))
       .withColumn("__B",

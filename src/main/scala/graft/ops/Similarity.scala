@@ -92,10 +92,13 @@ object Similarity {
     * Degenerate-neighborhood guard: with negative or cancelling cosines
     * the two top-k means can sum to ≤ 0, and the raw ratio would emit
     * NaN/Inf — Spark sorts NaN above every double, so a degenerate pair
-    * would win the per-probe ranking. Where the denominator is not
-    * strictly positive the margin falls back to the raw similarity:
-    * ordering stays finite and monotone in sim exactly where the
-    * density normalization is meaningless. */
+    * would win the per-probe ranking. Candidates whose denominator is
+    * not strictly positive are EXCLUDED from the ranking: a raw-sim
+    * fallback would interleave two incomparable scales (ratios ~1 vs
+    * cosines ≤1), letting a cancelling-neighborhood sim of 0.9 outrank
+    * a genuinely better margin of 0.85. A probe whose entire
+    * neighborhood is degenerate emits no pair — margin is undefined
+    * there, and bitext mining treats it as no-match. */
   def marginMining(probes: DataFrame, cands: DataFrame, probeId: String,
       candId: String, vecCol: String, k: Int): DataFrame = {
     val p = probes.select(col(probeId), col(vecCol).as("__pv"))
@@ -114,7 +117,8 @@ object Similarity {
     ranked
       .withColumn("__am", avg(when(col("__rna") <= k, col("sim"))).over(byProbe))
       .withColumn("__bm", avg(when(col("__rnb") <= k, col("sim"))).over(byCand))
-      .withColumn("__margin", when(den > 0, col("sim") / den).otherwise(col("sim")))
+      .filter(den > 0)
+      .withColumn("__margin", col("sim") / den)
       .withColumn("__rk", row_number().over(
         byProbe.orderBy(col("__margin").desc, col(candId))))
       .filter(col("__rk") === 1)

@@ -96,6 +96,65 @@ object Text {
     (pairs, fp)
   }
 
+  /** End-to-end winnowing near-dup dedup (the substring-level complement
+    * of the shingle-document chain behind `dedup_near_e2e`): MOSS-style
+    * candidates ([[winnowPairsWithHandle]]) → EXACT full-fingerprint-set
+    * Jaccard verify → connected components → longest-doc keeper. The
+    * candidate stage sees only maxDf-pruned rare fingerprints (its skew
+    * guard); the verify stage re-compares candidates on the FULL
+    * fingerprint sets — rebuilt from the persisted (id, fp) stream by a
+    * per-doc collect (bounded: winnowing selects ~2/(w+1) of positions)
+    * and joined only to candidate ids, so the expensive comparison runs
+    * on candidates, never the corpus. The Jaccard gate is exact integer
+    * arithmetic (100·|A∩B| ≥ minJacPct·|A∪B| — no FP threshold tie).
+    * Returns (cluster, cluster_size, keeper, keeper_tokens).
+    *
+    * Scale: candidate volume is bounded by the maxDf self-join; the
+    * verify join fans each candidate pair to exactly two array lookups;
+    * CC is the checkpointed large/small-star loop (O(log n) rounds);
+    * the keeper is one window over cluster-labeled nodes. */
+  def winnowDedupE2e(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 5, w: Int = 8, maxDf: Int = 20,
+                     minShared: Int = 3, minJacPct: Int = 50): DataFrame =
+    winnowDedupE2eWithHandle(df, idCol, textCol, k, w, maxDf, minShared,
+      minJacPct)._1
+
+  /** [[winnowDedupE2e]] with the persist handle (the tfidf persistTf
+    * contract): the exploded (id, fp) stream now has FOUR consumers (df
+    * count, both pair-join sides, and the verify stage's per-doc set
+    * rebuild) — callers running the plan once should `unpersist()` the
+    * handle after the action; contract mains rely on their per-query
+    * clearCache instead. */
+  def winnowDedupE2eWithHandle(df: DataFrame, idCol: String, textCol: String,
+                               k: Int = 5, w: Int = 8, maxDf: Int = 20,
+                               minShared: Int = 3, minJacPct: Int = 50)
+      : (DataFrame, DataFrame) = {
+    val (pairs, fp) = winnowPairsWithHandle(df, idCol, textCol,
+      k, w, maxDf, minShared, persistFp = true)
+    val sets = fp.groupBy("id")
+      .agg(collect_set(col("fp")).as("fps"), count(lit(1)).as("n_fp"))
+    val verified = pairs
+      .join(sets.select(col("id").as("d1"), col("fps").as("f1"),
+        col("n_fp").as("n1")), "d1")
+      .join(sets.select(col("id").as("d2"), col("fps").as("f2"),
+        col("n_fp").as("n2")), "d2")
+      .withColumn("n_inter", size(array_intersect(col("f1"), col("f2"))))
+      // |A∪B| = |A| + |B| − |A∩B|: set sizes, no array_union build
+      .withColumn("n_union", col("n1") + col("n2") - col("n_inter"))
+      .filter(col("n_inter") * 100 >= col("n_union") * minJacPct)
+      .select("d1", "d2")
+    val labeled = Graph.connectedComponents(verified, "d1", "d2")
+    val scored = labeled.join(
+      df.select(col(idCol).as("node"),
+        size(split(col(textCol), " ", -1)).as("nt")), "node")
+    val sizes = labeled.groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
+    val reps = Graph.representatives(scored, "node", "cluster", "nt")
+      .join(sizes, "cluster")
+      .select(col("cluster"), col("cluster_size"),
+        col("node").as("keeper"), col("nt").as("keeper_tokens"))
+    (reps, fp)
+  }
+
   /** Content-defined chunk cut positions (rolling-hash boundaries) — see
     * org.apache.spark.sql.graft.CdcCuts for the scheme. Defaults give
     * ~divisor-char expected chunks with no stateful size guards (the

@@ -119,35 +119,53 @@ object TxLog {
   def commitRewrite(spark: SparkSession, tableDir: String,
                     maxAttempts: Int = 20,
                     afterWrite: (SparkSession, String) => Unit = (_, _) => ())
-                   (f: DataFrame => DataFrame): Option[Long] = {
+                   (f: DataFrame => DataFrame): Option[Long] =
+    rewriteLoop(spark, tableDir, maxAttempts) { (s, _, snap) =>
+      Some((f(s.read.parquet(snap)), afterWrite))
+    }
+
+  /** Core of the rewrite protocol. `plan` receives the (version,
+    * snapshotDir) ACTUALLY being rewritten on each attempt — so a lost
+    * race re-derives everything (coalesce targets, manifest columns)
+    * from the winner's snapshot, never from the attempt that lost — and
+    * returns None to no-op for that snapshot, or the rewritten frame
+    * plus a sidecar builder to run against the new snapshot dir before
+    * the commit claim (lost race ⇒ sidecars discarded with the
+    * snapshot; won race ⇒ published atomically with it). */
+  private def rewriteLoop(spark: SparkSession, tableDir: String,
+                          maxAttempts: Int)
+                         (plan: (SparkSession, Long, String) =>
+                            Option[(DataFrame, (SparkSession, String) => Unit)])
+      : Option[Long] = {
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
       currentVersion(tableDir) match {
         case None => return None
         case Some((v, snap)) =>
-          val out = f(spark.read.parquet(snap))
-          val next = v + 1
-          val snapDir = s"$tableDir/snap-$next-${java.util.UUID.randomUUID()}"
-          out.write.mode(SaveMode.Overwrite).parquet(snapDir)
-          // snapshot-derived sidecars (e.g. the _stats manifest) are
-          // built BEFORE the claim: a lost race discards them with the
-          // snapshot, a won race publishes them atomically with it
-          afterWrite(spark, snapDir)
-          val d = logDir(tableDir)
-          d.mkdirs()
-          val tmp = new File(d, s".tmp-${java.util.UUID.randomUUID()}")
-          Files.write(tmp.toPath, snapDir.getBytes("UTF-8"))
-          val commitFile = new File(d, f"$next%010d.commit")
-          try {
-            Files.createLink(commitFile.toPath, tmp.toPath) // atomic claim
-            Files.delete(tmp.toPath)
-            gc(tableDir)
-            return Some(next)
-          } catch {
-            case _: FileAlreadyExistsException =>
-              Files.delete(tmp.toPath)
-              deleteRecursively(new File(snapDir))
+          plan(spark, v, snap) match {
+            case None => return None
+            case Some((out, afterWrite)) =>
+              val next = v + 1
+              val snapDir =
+                s"$tableDir/snap-$next-${java.util.UUID.randomUUID()}"
+              out.write.mode(SaveMode.Overwrite).parquet(snapDir)
+              afterWrite(spark, snapDir)
+              val d = logDir(tableDir)
+              d.mkdirs()
+              val tmp = new File(d, s".tmp-${java.util.UUID.randomUUID()}")
+              Files.write(tmp.toPath, snapDir.getBytes("UTF-8"))
+              val commitFile = new File(d, f"$next%010d.commit")
+              try {
+                Files.createLink(commitFile.toPath, tmp.toPath) // atomic claim
+                Files.delete(tmp.toPath)
+                gc(tableDir)
+                return Some(next)
+              } catch {
+                case _: FileAlreadyExistsException =>
+                  Files.delete(tmp.toPath)
+                  deleteRecursively(new File(snapDir))
+              }
           }
       }
     }
@@ -159,12 +177,23 @@ object TxLog {
     * (count, total bytes). The compaction trigger reads this, never the
     * row data. */
   def snapshotFiles(tableDir: String): Option[(Int, Long)] =
-    currentVersion(tableDir).map { case (_, snap) =>
-      val fs = Option(new File(snap).listFiles())
-        .getOrElse(Array.empty[File])
-        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-      (fs.length, fs.map(_.length()).sum)
-    }
+    currentVersion(tableDir).map { case (_, snap) => snapshotFilesAt(snap) }
+
+  private def snapshotFilesAt(snap: String): (Int, Long) = {
+    val fs = Option(new File(snap).listFiles())
+      .getOrElse(Array.empty[File])
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    (fs.length, fs.map(_.length()).sum)
+  }
+
+  /** Indexed columns recoverable from a snapshot's `_stats` manifest
+    * (`min_<col>` fields), empty when the snapshot carries none. */
+  private def manifestCols(spark: SparkSession, snap: String): Seq[String] = {
+    val st = new File(snap, "_stats")
+    if (!st.isDirectory) Seq.empty
+    else spark.read.parquet(st.toString).schema.fieldNames
+      .filter(_.startsWith("min_")).map(_.stripPrefix("min_")).toSeq
+  }
 
   /** Transactional small-file compaction — the `OPTIMIZE` bin-pack
     * lever for this table format. Streaming appends and keyed merges
@@ -183,7 +212,13 @@ object TxLog {
                     targetFileBytes: Long = 128L * 1024 * 1024,
                     maxAttempts: Int = 20): Option[Long] = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
-    snapshotFiles(tableDir).flatMap { case (nFiles, bytes) =>
+    // everything below is derived from the snapshot each ATTEMPT is
+    // rewriting — a lost race re-plans against the winner's snapshot
+    // (its file count, its manifest columns), so a racing writer can't
+    // leave this compaction packing to a stale target or rebuilding a
+    // manifest for columns the winner dropped
+    rewriteLoop(spark, tableDir, maxAttempts) { (s, _, snap) =>
+      val (nFiles, bytes) = snapshotFilesAt(snap)
       val target = math.max(1L,
         (bytes + targetFileBytes - 1) / targetFileBytes).toInt
       if (nFiles <= target) None
@@ -193,18 +228,12 @@ object TxLog {
         // columns from the manifest schema (min_<col> fields) and
         // rebuild it for the packed files (coalesce is narrow, so the
         // z-clustering itself survives the merge)
-        val statsCols = currentVersion(tableDir).toSeq.flatMap {
-          case (_, snap) =>
-            val st = new File(snap, "_stats")
-            if (!st.isDirectory) Seq.empty[String]
-            else spark.read.parquet(st.toString).schema.fieldNames
-              .filter(_.startsWith("min_")).map(_.stripPrefix("min_")).toSeq
-        }
+        val statsCols = manifestCols(s, snap)
         val after: (SparkSession, String) => Unit =
           if (statsCols.isEmpty) (_, _) => ()
-          else (s, snapDir) => Layout.writeFileStatsAt(
-            s, snapDir, s"$snapDir/_stats", statsCols)
-        commitRewrite(spark, tableDir, maxAttempts, after)(_.coalesce(target))
+          else (ss, snapDir) => Layout.writeFileStatsAt(
+            ss, snapDir, s"$snapDir/_stats", statsCols)
+        Some((s.read.parquet(snap).coalesce(target), after))
       }
     }
   }

@@ -743,7 +743,9 @@ object SimilarityQueries {
     // where margin divides cosine by the mean of each side's top-4
     // neighborhood sims to cancel hubness. Sims rounded before ranking
     // (the knnJoin portability convention); both window passes partition
-    // the same scored-pair stream by probe and by candidate.
+    // the same scored-pair stream by probe and by candidate. Candidates
+    // with a non-positive denominator are excluded from the ranking
+    // (margin undefined), mirroring the engine's degenerate guard.
     Q("sim_margin_mining",
       """WITH sc AS (SELECT a.vec_id AS probe_id, b.vec_id AS cand_id,
         |    ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -763,12 +765,11 @@ object SimilarityQueries {
         |      OVER (PARTITION BY cand_id) AS bm
         |  FROM r)
         |SELECT probe_id, cand_id, sim,
-        |  ROUND(CASE WHEN (am + bm) / 2 > 0 THEN sim / ((am + bm) / 2)
-        |    ELSE sim END, 4) + 0 AS margin
+        |  ROUND(sim / ((am + bm) / 2), 4) + 0 AS margin
         |FROM m
+        |WHERE (am + bm) / 2 > 0
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY probe_id
-        |  ORDER BY CASE WHEN (am + bm) / 2 > 0 THEN sim / ((am + bm) / 2)
-        |    ELSE sim END DESC, cand_id) = 1
+        |  ORDER BY sim / ((am + bm) / 2) DESC, cand_id) = 1
         |ORDER BY probe_id""".stripMargin) { (s, dir) =>
       val e = Tables(s, dir, "embeddings")
       Similarity.marginMining(

@@ -221,13 +221,18 @@ class SimilaritySpec extends SparkSpec {
     // replay the denominator guard: probe 5's neighborhood means nearly
     // cancel here ((am+bm)/2 ~ -5e-4), and the unguarded ratio inflated
     // a NEGATIVE sim into a margin of ~400 — the exact advisor-r11
-    // pathology. Non-positive denominator -> margin = raw sim.
-    val expected = sims.groupBy(_._1).map { case (p, xs) =>
-      val scored = xs.map { case (_, c, s) =>
+    // pathology. Non-positive denominators EXCLUDE the pair from the
+    // ranking (advisor r12: a raw-sim fallback would interleave two
+    // incomparable scales); a probe with no valid pair emits nothing.
+    val expected = sims.groupBy(_._1).flatMap { case (p, xs) =>
+      val scored = xs.flatMap { case (_, c, s) =>
         val den = (aMean(p) + bMean(c)) / 2
-        (c, s, if (den > 0) s / den else s) }
-      val best = scored.minBy { case (c, _, m) => (-m, c) }
-      p -> (p, best._1, best._2, r4(best._3))
+        if (den > 0) Some((c, s, s / den)) else None }
+      if (scored.isEmpty) None
+      else {
+        val best = scored.minBy { case (c, _, m) => (-m, c) }
+        Some(p -> (p, best._1, best._2, r4(best._3)))
+      }
     }
     assert(out.keySet == expected.keySet)
     expected.foreach { case (p, e) =>
@@ -239,23 +244,33 @@ class SimilaritySpec extends SparkSpec {
     assert(out.values.forall(r => !r._4.isNaN && !r._4.isInfinite))
   }
 
-  test("marginMining degenerate neighborhoods: non-positive denominator falls back to raw sim") {
-    // cands antipodal/orthogonal to the probe: every cosine <= 0, so both
-    // top-k means are <= 0 and the raw ratio would be NaN/Inf or
-    // sign-inverted (advisor r11). The guard must emit the raw sim as
-    // the margin and still rank the LEAST-negative candidate first.
+  test("marginMining degenerate neighborhoods: non-positive denominators are excluded") {
+    // cands antipodal/orthogonal to the probe: every cosine <= 0, so
+    // every pair's denominator is <= 0 and the raw ratio would be
+    // NaN/Inf or sign-inverted (advisor r11). Such pairs are EXCLUDED
+    // from the ranking (advisor r12: a raw-sim fallback interleaved two
+    // incomparable scales) — a fully degenerate probe emits no pair.
     val probes = Seq((1L, Seq(1.0, 0.0))).toDF("pid", "v")
-    val cands = Seq(
+    val degen = Seq(
       (100L, Seq(-1.0, 0.0)),   // cos = -1
       (101L, Seq(-1.0, -0.1)),  // cos ~ -0.995
-      (102L, Seq(0.0, -1.0))    // cos = 0  -> the best candidate
+      (102L, Seq(0.0, -1.0))    // cos = 0 -> den = 0, still excluded
     ).toDF("cid", "v")
-    val out = Similarity.marginMining(probes, cands, "pid", "cid", "v", k = 3)
+    val none = Similarity.marginMining(probes, degen, "pid", "cid", "v", k = 3)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(none.isEmpty,
+      s"all-degenerate neighborhood must emit nothing: ${none.toSeq}")
+    // adding ONE aligned candidate restores exactly one valid pair: the
+    // positive-den candidate wins even though a degenerate cand (102,
+    // cos 0 > none here) would have ranked differently under raw-sim
+    // interleaving; margin is the well-defined ratio.
+    val mixed = degen.union(Seq((103L, Seq(1.0, 0.1))).toDF("cid", "v"))
+    val out = Similarity.marginMining(probes, mixed, "pid", "cid", "v", k = 3)
       .as[(Long, Long, Double, Double)].collect()
     assert(out.length == 1)
     val (pid, cid, sim, margin) = out.head
-    assert(pid == 1L && cid == 102L, s"expected the cos=0 candidate to win: ${out.head}")
-    assert(!margin.isNaN && !margin.isInfinite)
-    assert(margin == sim, s"fallback margin must be the raw sim: ${out.head}")
+    assert(pid == 1L && cid == 103L,
+      s"only the positive-denominator candidate can win: ${out.head}")
+    assert(!margin.isNaN && !margin.isInfinite && margin > 0 && sim > 0)
   }
 }

@@ -592,9 +592,10 @@ class TrainSpec extends SparkSpec {
   }
 
   test("waterFill: budget met exactly, small domains saturate, rest split by weight") {
-    // caps 100/1000/10000 with w ∝ sqrt(cap): the small domain's target
-    // share exceeds its capacity at an 80% budget, so it must saturate
-    // and its unmet share redistribute proportionally
+    // caps 100/1000/10000 with w ∝ sqrt(cap) and an 80% budget (8880):
+    // a's target 8880·10/141.62 ≈ 627 > 100 and b's 8880·31.62/141.62
+    // ≈ 1983 > 1000, so BOTH small domains saturate and c (cap 10000)
+    // absorbs the remainder: 8880 − 100 − 1000 = 7780 = λ·w_c/S.
     val caps = Seq(("a", 100L), ("b", 1000L), ("c", 10000L))
       .toDF("dom", "cap")
       .withColumn("wi",
@@ -611,10 +612,33 @@ class TrainSpec extends SparkSpec {
     val byDom = r.map(x => x._1 -> x).toMap
     assert(byDom("a")._5 && math.abs(byDom("a")._4 - 100.0) < 1e-9,
       "domain a saturates (target share > capacity)")
-    // unsaturated domains sit exactly at λ·w: alloc ratio == weight ratio
-    val (b, c) = (byDom("b"), byDom("c"))
-    assert(!b._5 && !c._5)
-    assert(math.abs(b._4 / c._4 - b._3 / c._3) < 1e-9,
+    assert(byDom("b")._5 && math.abs(byDom("b")._4 - 1000.0) < 1e-9,
+      "domain b saturates (target share ≈1983 > cap 1000)")
+    val c = byDom("c")
+    assert(!c._5, "domain c stays unsaturated")
+    assert(math.abs(c._4 - (budget - 1100.0)) < 1e-6,
+      "c takes exactly the budget less the saturated caps")
+  }
+
+  test("waterFill: below every saturation point, allocs split by weight") {
+    // lowest cap/w ratio is a's: r_a = 100·S/w_a with S/w_a = 14.162,
+    // so saturation starts once λ > 1416.2, i.e. budget > 0.1276·total.
+    // budgetFrac 0.1 keeps λ below that: nothing saturates and all
+    // three allocations sit exactly at λ·w/S (ratio == weight ratio).
+    val caps = Seq(("a", 100L), ("b", 1000L), ("c", 10000L))
+      .toDF("dom", "cap")
+      .withColumn("wi",
+        floor(sqrt(col("cap").cast("double")) * 1e6 + 0.5).cast("long"))
+    val r = Sampling.waterFill(caps, "dom", "cap", "wi", budgetFrac = 0.1)
+      .orderBy("dom")
+      .select("dom", "cap", "w", "alloc", "saturated")
+      .as[(String, Long, Double, Double, Boolean)].collect()
+    assert(r.forall(!_._5), s"no domain saturates at a 10% budget: ${r.toSeq}")
+    val budget = math.floor(0.1 * 11100).toLong
+    assert(math.abs(r.map(_._4).sum - budget) < 1e-6)
+    val byDom = r.map(x => x._1 -> x).toMap
+    val (a, b) = (byDom("a"), byDom("b"))
+    assert(math.abs(a._4 / b._4 - a._3 / b._3) < 1e-9,
       "unsaturated allocations split proportionally to weight")
   }
 

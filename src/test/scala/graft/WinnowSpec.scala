@@ -111,6 +111,47 @@ class WinnowSpec extends SparkSpec {
     assert(none == 0L)
   }
 
+  test("winnowDedupE2e: verify gate keeps true copies, cuts partial overlaps") {
+    // deterministic lowercase-alnum corpus (normalize() is identity here)
+    val rnd = new scala.util.Random(7)
+    def blob(n: Int): String =
+      (0 until n).map(_ => if (rnd.nextInt(5) == 0) ' '
+        else ('a' + rnd.nextInt(26)).toChar).mkString
+        .replaceAll(" +", " ").trim
+    val a = blob(300)
+    val unrelated = blob(300)
+    val shared = blob(60)   // long enough for >= minShared shared fps
+    val docs = Seq(
+      (1L, a),
+      (2L, unrelated),
+      (3L, "zzz edited prefix " + a),   // true near-dup of 1
+      (4L, shared + " " + blob(400)),   // candidates via the shared run,
+      (5L, shared + " " + blob(400))    // but mostly different content
+    ).toDF("id", "text")
+    val out = Text.winnowDedupE2e(docs, "id", "text",
+        k = 5, w = 8, maxDf = 10, minShared = 3, minJacPct = 50)
+      .as[(Long, Long, Long, Int)].collect()
+    // exactly one cluster: {1, 3}; 4-5's partial overlap is a CANDIDATE
+    // (shared run >= w+k-1 guarantees shared fingerprints) that the
+    // exact-Jaccard verify cuts
+    assert(out.length == 1, s"expected one cluster: ${out.toSeq}")
+    val (cluster, size, keeper, _) = out.head
+    assert(cluster == 1L && size == 2L)
+    assert(keeper == 3L, "keeper is the longer member (edited copy)")
+    // sanity: 4-5 WAS a candidate (the gate did the cutting, not the
+    // candidate stage)
+    val cands = Text.winnowPairs(docs, "id", "text",
+      k = 5, w = 8, maxDf = 10, minShared = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(cands.exists(p => p._1 == 4L && p._2 == 5L),
+      s"4-5 must reach the verify stage: $cands")
+    // and at a permissive gate the partial overlap survives — the
+    // threshold is doing the work
+    val loose = Text.winnowDedupE2e(docs, "id", "text",
+      k = 5, w = 8, maxDf = 10, minShared = 3, minJacPct = 1)
+    assert(loose.count() == 2, "jacPct=1 keeps both candidate clusters")
+  }
+
   test("SQL registration: winnow_minima callable from spark.sql") {
     GraftExtensions.register(spark)
     val r = spark.sql(

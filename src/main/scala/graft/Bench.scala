@@ -204,7 +204,19 @@ object Bench {
     // here simply pays its compile in pass-1 instead.
     var prewarmDone = 0
     prewarmDir.foreach { pd =>
-      val cap = prewarmFrac * budgetSec
+      // The cap is LEDGER-AWARE, not just a fixed fraction: the timed
+      // pass is mandatory, so the pre-warm may spend at most what the
+      // committed floors say pass-1 will leave over (×1.15 contention
+      // headroom + a flat margin for session overhead). On a box slow
+      // enough that floors already fill the budget, the pre-warm backs
+      // off to a sliver rather than guaranteeing an overshoot; with no
+      // usable ledger the fixed fraction is the only information.
+      val floorSum = names.flatMap { case (n, _) => ledger.get(n) }.sum
+      val cap =
+        if (floorSum > 0)
+          math.min(prewarmFrac * budgetSec,
+            budgetSec - 1.15 * floorSum - 15.0) max 0.0
+        else prewarmFrac * budgetSec
       val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
       val done = new java.util.concurrent.atomic.AtomicInteger(0)
       names.foreach { case (_, fn) =>

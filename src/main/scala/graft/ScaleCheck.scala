@@ -841,11 +841,15 @@ object ScaleCheck {
         driftThreshold = 0.2)
       require(after1 == s"$root/gen0",
         "in-distribution batch must not trigger a rebuild")
-      // batch 2: negated vectors concentrate in opposite cells -> the
-      // drift probe fires and the rebuild lands in gen-1
+      // batch 2: a point-mass direction (all-ones vectors) assigns the
+      // whole batch to ONE cell -> TVD vs the spread index ~0.9 and the
+      // rebuild lands in gen-1. (A negated batch was tried first and
+      // did NOT drift: the synthetic embeddings are symmetric about the
+      // origin, so negation maps the cell balance onto itself — the
+      // drift signal needs a direction change, not a reflection.)
       val b2 = e.filter(col("vec_id") < 20000)
         .select((col("vec_id") + lit(70000000L)).as("vec_id"),
-          transform(col("embedding"), x => -x).as("embedding"))
+          transform(col("embedding"), x => x * 0.0 + 1.0).as("embedding"))
       val after2 = ops.Similarity.maintainIvfIndex(spark, after1,
         s"$root/gen1", b2, "vec_id", "embedding", k = 16,
         driftThreshold = 0.2)

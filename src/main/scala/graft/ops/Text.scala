@@ -684,6 +684,82 @@ object Text {
     (out, ev)
   }
 
+  /** Moore–Lewis cross-entropy-difference scores (Moore & Lewis 2010,
+    * "Intelligent Selection of Language Model Training Data" — the
+    * classic data-selection criterion DSIR generalizes): every document
+    * scored by H_target(doc) − H_corpus(doc), the per-token NLL gap
+    * between an add-one bigram LM trained on the `isTarget` slice and
+    * one trained on the whole corpus. Low delta = reads like the target
+    * domain AND not like generic corpus text; selection keeps the
+    * lowest-delta documents.
+    *
+    * Scale shape: ONE bigram explode hashed map-side feeds THREE
+    * consumers (corpus model counts, target model counts — a filter of
+    * the same stream, and the scoring join), so pass
+    * `persistEvents = true` at corpus scale and unpersist the returned
+    * handle. Each model is the [[bigramNllWithHandle]] design: a
+    * vocab²-bounded count table with the context marginal as a window
+    * over it, V broadcast as one row. Scoring under the TARGET model
+    * must handle unseen events (the corpus model, trained on the scored
+    * stream itself, sees everything): pair unseen in a seen context →
+    * add-one mass (0+1)/(c1+V) via the vocab-bounded broadcast marginal
+    * table; context unseen entirely → 1/V (c1 = 0). Both NLLs and the
+    * delta round at 4 dp AFTER aggregation (the t_lm_perplexity
+    * summation-order convention).
+    *
+    * Returns (doc_id, n_bigrams, ce_target, ce_corpus, delta); docs
+    * with <2 tokens have no bigrams and drop out. */
+  def mooreLewisWithHandle(df: DataFrame, idCol: String, textCol: String,
+                           isTarget: Column, persistEvents: Boolean = false)
+      : (DataFrame, DataFrame) = {
+    val ev0 = df.select(col(idCol), isTarget.as("is_t"),
+        explode(bigrams(split(col(textCol), " ", -1))).as("b"))
+      .select(col(idCol), col("is_t"), col("b.a").as("a"), col("b.b").as("bb"),
+        xxhash64(col("b.a"), col("b.b")).as("h2"),
+        xxhash64(lit(1), col("b.a"), col("b.b")).as("h2b"),
+        xxhash64(col("b.a")).as("ha"))
+    val ev = if (persistEvents)
+      ev0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else ev0
+    // an add-one model from an event slice: pair log-probs keyed
+    // (h2, h2b), plus the vocab-bounded context-marginal table and the
+    // 1-row vocabulary size for unseen-event fallbacks
+    def model(e: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+      val c2 = e.groupBy("h2", "h2b").agg(count(lit(1)).as("c2"),
+        max("ha").as("ha"))
+      val vocab = e.select(explode(array(col("a"), col("bb"))).as("t"))
+        .agg(countDistinct("t").as("v"))
+      val withC1 = c2.withColumn("c1",
+        sum("c2").over(Window.partitionBy("ha")))
+      val pairs = withC1.crossJoin(broadcast(vocab))
+        .select(col("h2"), col("h2b"),
+          log((col("c2") + 1).cast("double") / (col("c1") + col("v")))
+            .as("lp"))
+      val marginals = withC1.select(col("ha"), col("c1")).distinct()
+      (pairs, marginals, vocab)
+    }
+    val (cPairs, _, _) = model(ev)
+    val (tPairs, tMarg, tVocab) = model(ev.filter(col("is_t")))
+    val scored = ev.select(col(idCol), col("h2"), col("h2b"), col("ha"))
+      .join(cPairs.withColumnRenamed("lp", "lp_c"), Seq("h2", "h2b"))
+      .join(tPairs.withColumnRenamed("lp", "lp_t0"), Seq("h2", "h2b"), "left")
+      .join(broadcast(tMarg), Seq("ha"), "left")
+      .crossJoin(broadcast(tVocab))
+      .withColumn("lp_t", coalesce(col("lp_t0"),
+        log(lit(1.0) / (coalesce(col("c1"), lit(0L)) + col("v")))))
+    val out = scored.groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(-avg("lp_t"), 4).as("ce_target"),
+        round(-avg("lp_c"), 4).as("ce_corpus"),
+        round(avg(col("lp_c") - col("lp_t")), 4).as("delta"))
+    (out, ev)
+  }
+
+  /** [[mooreLewisWithHandle]] without the persist handle. */
+  def mooreLewis(df: DataFrame, idCol: String, textCol: String,
+                 isTarget: Column): DataFrame =
+    mooreLewisWithHandle(df, idCol, textCol, isTarget)._1
+
   /** Adjacent-token trigrams as (a, b, c) structs; n tokens → n−2
     * trigrams, none for docs under 3 tokens (guard — see [[spanHashes]]). */
   def trigrams(toks: Column): Column =

@@ -399,6 +399,60 @@ object TrainQueries {
         .orderBy(col("sel_key").desc, col("doc_id"))
     },
 
+    // Moore–Lewis cross-entropy-difference selection (Moore & Lewis
+    // 2010 — the classic LM-based data-selection criterion DSIR
+    // generalizes): every doc scored by H_target − H_corpus under two
+    // add-one bigram LMs (target = the en slice, corpus = everything);
+    // low delta = target-like. The oracle re-derives both models from
+    // the same string-keyed count tables, including the target model's
+    // unseen-event fallbacks (pair unseen in seen context → add-one
+    // mass; context unseen → 1/V), and replays the identical IEEE
+    // log-ratio chain; round-4 after aggregation absorbs summation
+    // order exactly as in t_lm_perplexity. `+ 0` normalizes a
+    // potential −0.0 delta on both sides.
+    Q("pipe_moore_lewis",
+      """WITH t AS (SELECT doc_id, lang = 'en' AS is_t,
+        |    string_split(text, ' ') AS toks FROM documents),
+        |bg AS (SELECT doc_id, is_t, toks[i] AS a, toks[i + 1] AS b2
+        |  FROM (SELECT doc_id, is_t, toks,
+        |      unnest(generate_series(1, len(toks) - 1)) AS i FROM t)),
+        |dt AS (SELECT doc_id, is_t, a, b2, COUNT(*)::BIGINT AS n FROM bg
+        |  GROUP BY 1, 2, 3, 4),
+        |c2c AS (SELECT a, b2, SUM(n)::BIGINT AS n2 FROM dt GROUP BY 1, 2),
+        |c1c AS (SELECT a, SUM(n2)::BIGINT AS n1 FROM c2c GROUP BY 1),
+        |vc AS (SELECT COUNT(DISTINCT tok) AS v FROM
+        |  (SELECT a AS tok FROM c2c UNION SELECT b2 FROM c2c)),
+        |c2t AS (SELECT a, b2, SUM(n)::BIGINT AS n2 FROM dt WHERE is_t
+        |  GROUP BY 1, 2),
+        |c1t AS (SELECT a, SUM(n2)::BIGINT AS n1 FROM c2t GROUP BY 1),
+        |vt AS (SELECT COUNT(DISTINCT tok) AS v FROM
+        |  (SELECT a AS tok FROM c2t UNION SELECT b2 FROM c2t)),
+        |sc AS (SELECT dt.doc_id, dt.n,
+        |    LN(CAST(c2c.n2 + 1 AS DOUBLE)
+        |      / (c1c.n1 + (SELECT v FROM vc))) AS lp_c,
+        |    CASE WHEN c2t.n2 IS NOT NULL
+        |      THEN LN(CAST(c2t.n2 + 1 AS DOUBLE)
+        |        / (c1t.n1 + (SELECT v FROM vt)))
+        |      ELSE LN(1.0 / (COALESCE(c1t.n1, 0) + (SELECT v FROM vt)))
+        |    END AS lp_t
+        |  FROM dt JOIN c2c USING (a, b2) JOIN c1c USING (a)
+        |    LEFT JOIN c2t USING (a, b2) LEFT JOIN c1t USING (a))
+        |SELECT doc_id, SUM(n)::BIGINT AS n_bigrams,
+        |  ROUND(-(SUM(n * lp_t) / SUM(n)), 4) AS ce_target,
+        |  ROUND(-(SUM(n * lp_c) / SUM(n)), 4) AS ce_corpus,
+        |  ROUND(SUM(n * (lp_c - lp_t)) / SUM(n), 4) + 0 AS delta
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // fannedOut: the bigram explode is CPU-dense (the t_lm_perplexity
+      // rationale); persistEvents — the hashed event stream has three
+      // consumers (corpus counts, target counts, scoring join)
+      Text.mooreLewisWithHandle(Tables.fannedOut(s, dir, "documents"),
+          "doc_id", "text", isTarget = col("lang") === "en",
+          persistEvents = true)._1
+        .select(col("doc_id"), col("n_bigrams"), col("ce_target"),
+          col("ce_corpus"), (col("delta") + lit(0)).as("delta"))
+        .orderBy("doc_id")
+    },
+
     // Temperature-weighted domain mixture (α = 0.5 upsamples small
     // sources) with deterministic hash-based sampling at the computed
     // per-domain rates; budget 200 docs.
@@ -1046,6 +1100,56 @@ object TrainQueries {
           wordpieceVocab(s, dir), maxWordLen = wordpieceMaxLen)
         .withColumn("fertility",
           round(col("n_pieces").cast("double") / col("n_words"), 4) + lit(0))
+        .orderBy("lang")
+    },
+
+    // Tokenizer byte parity — UTF-8 bytes per piece by language and the
+    // premium each language pays relative to the most byte-efficient
+    // one (Petrov et al. 2023, "Language Model Tokenizers Introduce
+    // Unfairness Between Languages": token-count disparities translate
+    // directly into cost/latency/context disparities). Fertility
+    // (above) measures pieces per WORD; this measures pieces per BYTE —
+    // the metric that survives languages with different word lengths.
+    // Same one-pass shape as fertility: distinct-word greedy encode
+    // broadcast back onto the exploded word stream, one lang-sized
+    // aggregate; the premium is a window max over the lang-count-sized
+    // result. Byte counts use the same word cap as the encode so the
+    // numerator and denominator cover identical text.
+    Q("t_tokenizer_parity",
+      wordpieceCtes +
+        s""",
+           |dw AS (SELECT lang, word FROM
+           |    (SELECT lang, unnest(string_split(text, ' ')) AS word
+           |     FROM documents)
+           |  WHERE word <> '' AND length(word) <= $wordpieceMaxLen),
+           |bl AS (SELECT dw.lang, COUNT(*)::BIGINT AS n_words,
+           |    SUM(strlen(word))::BIGINT AS n_bytes,
+           |    SUM(e.n_pieces)::BIGINT AS n_pieces
+           |  FROM dw JOIN enc e USING (word) GROUP BY dw.lang),
+           |bp AS (SELECT *, CAST(n_bytes AS DOUBLE) / n_pieces AS bpp
+           |  FROM bl)
+           |SELECT lang, n_words, n_bytes, n_pieces,
+           |  ROUND(bpp, 4) + 0 AS bytes_per_piece,
+           |  ROUND(MAX(bpp) OVER () / bpp, 4) + 0 AS parity_premium
+           |FROM bp ORDER BY lang""".stripMargin) { (s, dir) =>
+      val words = Tables(s, dir, "documents")
+        .select(col("lang"), explode(split(col("text"), " ", -1)).as("word"))
+        .filter(col("word") =!= "" && length(col("word")) <= wordpieceMaxLen)
+      val enc = graft.ops.WordPiece
+        .encodeWords(wordpieceWords(s, dir), wordpieceVocab(s, dir))
+        .filter(col("wp").isNotNull)
+        .select(col("word"), size(col("wp")).cast("long").as("n_pieces"))
+      words.join(broadcast(enc), "word")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_words"),
+          sum(octet_length(col("word"))).as("n_bytes"),
+          sum("n_pieces").as("n_pieces"))
+        .withColumn("bpp", col("n_bytes").cast("double") / col("n_pieces"))
+        .withColumn("bpp_best", max("bpp").over(
+          org.apache.spark.sql.expressions.Window.partitionBy(lit(0))))
+        .select(col("lang"), col("n_words"), col("n_bytes"), col("n_pieces"),
+          (round(col("bpp"), 4) + lit(0)).as("bytes_per_piece"),
+          (round(col("bpp_best") / col("bpp"), 4) + lit(0)).as("parity_premium"))
         .orderBy("lang")
     }
   )

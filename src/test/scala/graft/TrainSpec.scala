@@ -139,6 +139,41 @@ class TrainSpec extends SparkSpec {
     assert(persisted == out)
   }
 
+  test("mooreLewis: target docs get lower delta; unseen fallbacks finite; persisted equals plain") {
+    // sharply separated vocabularies (the dsirWeights fixture shape):
+    // target docs reuse target bigrams, off-target docs a disjoint set,
+    // and doc 21 mixes one target context with tokens the TARGET model
+    // never saw — exercising both unseen fallbacks (pair-unseen-in-seen-
+    // context and context-unseen) without NaN/Inf
+    val docs = (1L to 20L).map { i =>
+      if (i <= 10) (i, "alpha beta gamma delta alpha beta", true)
+      else (i, "omega psi chi phi omega psi", false)
+    } :+ ((21L, "alpha zebra quux zebra", false))
+    val df = docs.toDF("doc_id", "text", "tgt")
+    val out = Text.mooreLewis(df, "doc_id", "text", col("tgt"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out.size == 21)
+    out.values.foreach { case (ct, cc, d) =>
+      assert(!ct.isNaN && !ct.isInfinite && !cc.isNaN && !d.isNaN,
+        s"all scores finite: $out")
+    }
+    val tgtAvg = (1L to 10L).map(out(_)._3).sum / 10
+    val offAvg = (11L to 20L).map(out(_)._3).sum / 10
+    assert(tgtAvg + 1.0 < offAvg,
+      s"target delta $tgtAvg must sit clearly below off-target $offAvg")
+    // delta == ce_target − ce_corpus up to the independent 4-dp rounds
+    out.values.foreach { case (ct, cc, d) =>
+      assert(math.abs(d - (ct - cc)) < 2e-4, s"delta consistency: $out")
+    }
+    val (p, handle) = Text.mooreLewisWithHandle(
+      df, "doc_id", "text", col("tgt"), persistEvents = true)
+    val persisted = p.collect().map(r => r.getLong(0) ->
+      (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    handle.unpersist()
+    assert(persisted == out)
+  }
+
   test("mixtureRates: alpha=0.5 upsamples the small domain") {
     val counts = Seq(("big", 100L), ("small", 1L)).toDF("source", "n_docs")
     val r = Sampling.mixtureRates(counts, "n_docs", alpha = 0.5, budget = 10)

@@ -783,6 +783,33 @@ object ScaleCheck {
               .as("n_kept")))
       }
     }
+    // LM stored-model serving (round 13 — the classifier
+    // scored-from-stored story for the LM family). The serving scenario
+    // is a 5k-doc BATCH arriving against a model trained on the 50k
+    // corpus: from the STORE, scoring is batch-sized work (one explode
+    // + a join to the stored pair table + broadcast fallbacks); without
+    // the store, every serving batch re-pays the corpus-sized model
+    // derivation. The 10× input gap between the two timed blocks is the
+    // win — and it grows with corpus/batch ratio, unlike the
+    // same-corpus self-train comparison (measured first: retraining an
+    // add-one model on its own scoring corpus costs about the same as a
+    // stored-model pass, because add-one "training" is just the count
+    // aggregate — the store pays off exactly when the scored batch is
+    // much smaller than the training corpus, which is the serving case).
+    locally {
+      val dir = java.nio.file.Files
+        .createTempDirectory("lmstore").toString + "/model"
+      ops.Text.bigramModelDF(docs10, "doc_id", "text").write.parquet(dir)
+      val model = spark.read.parquet(dir)
+      val batch = docs10.filter(col("doc_id") % 10 === 3)
+      time("t_lm_score_stored (5k batch | 50k model)") {
+        consume(ops.Text.bigramNllFromModel(batch, "doc_id", "text", model))
+      }
+      time("t_lm_score_retrain (5k batch, re-derived model)") {
+        consume(ops.Text.bigramNllFromModel(batch, "doc_id", "text",
+          ops.Text.bigramModelDF(docs10, "doc_id", "text")))
+      }
+    }
     // IVF serving lifecycle at 200k vectors (judge r11 task 4): write
     // the cell-partitioned index, partition-append a 20k batch, then a
     // pruned search — append cost must track the BATCH (assignment is

@@ -760,6 +760,78 @@ object Text {
                  isTarget: Column): DataFrame =
     mooreLewisWithHandle(df, idCol, textCol, isTarget)._1
 
+  /** Train an add-one bigram LM and emit it as a STORED-MODEL table —
+    * the [[graft.ops.Curation.weightsToDF]] serving pattern extended to
+    * the LM family: train once in a periodic batch job, persist the
+    * table, score every later batch/stream from the store without
+    * re-deriving corpus counts (the quality-LM twin of the classifier's
+    * 6× scored-from-stored win). Layout is one typed table,
+    * `(kind, k1, k2, v)`:
+    *
+    *  - `pair`: k1/k2 = the 128-bit bigram key ([[bigramNllWithHandle]]
+    *    collision rationale), v = the add-one log-prob;
+    *  - `ctx`:  k1 = the context-token hash, v = C(a·) — the marginal
+    *    an unseen pair in a SEEN context needs for its add-one mass;
+    *  - `meta`: v = |V| — what a fully unseen context falls back to.
+    *
+    * Vocab²-bounded rows; scoring never touches token strings. */
+  def bigramModelDF(train: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val ev = train.select(col(idCol),
+        explode(bigrams(split(col(textCol), " ", -1))).as("b"))
+      .select(col("b.a").as("a"), col("b.b").as("bb"),
+        xxhash64(col("b.a"), col("b.b")).as("h2"),
+        xxhash64(lit(1), col("b.a"), col("b.b")).as("h2b"),
+        xxhash64(col("b.a")).as("ha"))
+    val c2 = ev.groupBy("h2", "h2b").agg(count(lit(1)).as("c2"),
+      max("ha").as("ha"))
+    val vocab = ev.select(explode(array(col("a"), col("bb"))).as("t"))
+      .agg(countDistinct("t").as("v"))
+    val withC1 = c2.withColumn("c1", sum("c2").over(Window.partitionBy("ha")))
+    val pairs = withC1.crossJoin(broadcast(vocab))
+      .select(lit("pair").as("kind"), col("h2").as("k1"), col("h2b").as("k2"),
+        log((col("c2") + 1).cast("double") / (col("c1") + col("v"))).as("v"))
+    val ctx = withC1.select(col("ha"), col("c1")).distinct()
+      .select(lit("ctx").as("kind"), col("ha").as("k1"),
+        lit(null).cast("long").as("k2"), col("c1").cast("double").as("v"))
+    val meta = vocab.select(lit("meta").as("kind"),
+      lit(null).cast("long").as("k1"), lit(null).cast("long").as("k2"),
+      col("v").cast("double").as("v"))
+    pairs.unionByName(ctx).unionByName(meta)
+  }
+
+  /** Score documents under a STORED add-one bigram LM
+    * ([[bigramModelDF]]) — no training stage in the plan: one bigram
+    * explode hashed map-side, a left join against the stored pair
+    * table, and the two vocab-bounded/1-row broadcast fallbacks for
+    * events the model never saw (pair unseen in a seen context →
+    * (0+1)/(c1+V); context unseen → 1/V — the [[mooreLewisWithHandle]]
+    * target-side arithmetic). On the model's own training corpus this
+    * equals [[bigramNll]] exactly (every event seen; identical stored
+    * doubles), pinned in TrainSpec. */
+  def bigramNllFromModel(score: DataFrame, idCol: String, textCol: String,
+                         model: DataFrame): DataFrame = {
+    val pairs = model.filter(col("kind") === "pair")
+      .select(col("k1").as("h2"), col("k2").as("h2b"), col("v").as("lp0"))
+    val ctx = model.filter(col("kind") === "ctx")
+      .select(col("k1").as("ha"), col("v").cast("long").as("c1"))
+    val vTab = model.filter(col("kind") === "meta")
+      .select(col("v").cast("long").as("v"))
+    val ev = score.select(col(idCol),
+        explode(bigrams(split(col(textCol), " ", -1))).as("b"))
+      .select(col(idCol),
+        xxhash64(col("b.a"), col("b.b")).as("h2"),
+        xxhash64(lit(1), col("b.a"), col("b.b")).as("h2b"),
+        xxhash64(col("b.a")).as("ha"))
+    ev.join(pairs, Seq("h2", "h2b"), "left")
+      .join(broadcast(ctx), Seq("ha"), "left")
+      .crossJoin(broadcast(vTab))
+      .withColumn("lp", coalesce(col("lp0"),
+        log(lit(1.0) / (coalesce(col("c1"), lit(0L)) + col("v")))))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), round(-avg("lp"), 4).as("nll"))
+  }
+
   /** Adjacent-token trigrams as (a, b, c) structs; n tokens → n−2
     * trigrams, none for docs under 3 tokens (guard — see [[spanHashes]]). */
   def trigrams(toks: Column): Column =

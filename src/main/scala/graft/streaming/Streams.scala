@@ -448,6 +448,36 @@ object Streams {
         graft.ops.Curation.classifierScore(col(textCol), weights))
       .withColumn("keep", col("p") >= threshold)
 
+  /** Streaming LM quality-gate scoring from a STORED bigram model
+    * ([[graft.ops.Text.bigramModelDF]]) — the LM twin of
+    * [[streamingClassifierScore]]'s batch-trains/stream-applies split.
+    * Unlike the classifier's 64 literal weights, the bigram model is
+    * vocab²-BOUNDED, far past literal size, so scoring stays the
+    * stream-static join plan: per-row bigram explode (stateless
+    * flatMap), left join to the static pair table, broadcast fallbacks.
+    * The per-doc re-aggregation groups by the doc key — each document
+    * is ONE arriving row, so its events never span micro-batches and
+    * the aggregate carries no cross-batch state in foreachBatch form;
+    * this helper is therefore exposed as the batch scorer applied per
+    * micro-batch (the [[incrementalIngest]] foreachBatch pattern), and
+    * MergeStreamSpec pins stream==batch. */
+  def streamingLmScore(spark: SparkSession, sourceDir: String, outDir: String,
+                       checkpointDir: String,
+                       schema: org.apache.spark.sql.types.StructType,
+                       idCol: String, textCol: String,
+                       model: DataFrame): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .parquet(sourceDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.Text.bigramNllFromModel(batch, idCol, textCol, model)
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+
   /** Streaming winnow fingerprinting: each arriving doc carries its
     * fingerprint set (one fused O(n) pass, stateless — no state store,
     * valid unbounded). The serving shape: arrivals fingerprint

@@ -510,6 +510,39 @@ class MergeStreamSpec extends SparkSpec {
     assert(!streamed.find(_._1 == 101L).exists(_._4))
   }
 
+  test("streaming LM scoring from a stored model equals batch") {
+    val base = Files.createTempDirectory("graft-lm-stream").toString
+    val srcDir = s"$base/src"
+    new java.io.File(srcDir).mkdirs()
+    // batch trains once and persists the model; the stream scores from
+    // the STORE (batch-trains/stream-applies, the classifier split)
+    val train = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the rug")).toDF("doc_id", "text")
+    graft.ops.Text.bigramModelDF(train, "doc_id", "text")
+      .write.parquet(s"$base/model")
+    val model = spark.read.parquet(s"$base/model")
+    val arriving = Seq((10L, "the cat sat on the rug"),
+      (11L, "a zebra flew"), (12L, "the dog sat on the mat"))
+    arriving.take(1).toDF("doc_id", "text").write.parquet(s"$srcDir/b1")
+    arriving.drop(1).toDF("doc_id", "text").write.parquet(s"$srcDir/b2")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val q = Streams.streamingLmScore(spark, s"$srcDir/*/", s"$base/out",
+      s"$base/ckpt", schema, "doc_id", "text", model)
+    q.awaitTermination(60000)
+    val streamed = spark.read.parquet(s"$base/out")
+      .as[(Long, Long, Double)].collect().toSet
+    val batch = graft.ops.Text.bigramNllFromModel(
+        arriving.toDF("doc_id", "text"), "doc_id", "text", model)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(streamed == batch, s"stream must equal batch: $streamed vs $batch")
+    assert(streamed.map(_._1) == Set(10L, 11L, 12L))
+  }
+
   test("streaming winnow fingerprints equal batch (stateless)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -139,6 +139,38 @@ class TrainSpec extends SparkSpec {
     assert(persisted == out)
   }
 
+  test("bigram stored model: scored-from-stored equals self-trained; unseen fallbacks finite") {
+    val corpus = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the rug"),
+      (3L, "a bird flew over the mat")).toDF("doc_id", "text")
+    val self = Text.bigramNll(corpus, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    // model survives a parquet round-trip (the weightsToDF contract)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-lm-model").toString + "/model"
+    Text.bigramModelDF(corpus, "doc_id", "text").write.parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val fromStored = Text.bigramNllFromModel(corpus, "doc_id", "text", stored)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(fromStored == self,
+      s"stored-model scoring must equal self-trained: $fromStored vs $self")
+    // scoring NEW docs exercises both unseen fallbacks: "the zebra" is
+    // pair-unseen in the SEEN context "the"; "zebra quux" is fully
+    // context-unseen — both must land finite, and the seen-context
+    // fallback (1/(c1+V)) must read less likely than a seen pair in the
+    // same context
+    val fresh = Seq((10L, "the cat sat on the mat"),
+      (11L, "the zebra"), (12L, "zebra quux")).toDF("doc_id", "text")
+    val out = Text.bigramNllFromModel(fresh, "doc_id", "text", stored)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(out.size == 3)
+    out.values.foreach(v => assert(!v.isNaN && !v.isInfinite, s"finite: $out"))
+    assert(out(10L) == self.find(_._1 == 1L).get._3,
+      "an exact training doc scores identically to its training-time nll")
+    assert(out(11L) > out(10L), "unseen pair must cost more than seen text")
+  }
+
   test("mooreLewis: target docs get lower delta; unseen fallbacks finite; persisted equals plain") {
     // sharply separated vocabularies (the dsirWeights fixture shape):
     // target docs reuse target bigrams, off-target docs a disjoint set,

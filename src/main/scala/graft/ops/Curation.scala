@@ -264,6 +264,60 @@ object Curation {
                   isTarget: Column, buckets: Int = 512): DataFrame =
     dsirWeightsWithHandle(df, idCol, textCol, isTarget, buckets)._1
 
+  /** The DSIR MODEL as a storable `(bucket, w)` table — the classifier
+    * stored-weights pattern for importance resampling: train the
+    * bucket log-ratios once over the corpus, persist the table, score
+    * every later batch/stream from the store ([[dsirScore]] +
+    * [[weightsFromDF]]) with no corpus pass. EVERY bucket 0..buckets−1
+    * is materialized: buckets no training token hashed into carry the
+    * add-one fallback ratio ln(1/(nt+B)) − ln(1/(nr+B)), so a fresh
+    * serving doc whose tokens land in an unseen bucket scores finitely
+    * and consistently with [[dsirWeights]]' smoothing (an unmaterialized
+    * bucket would silently drop those tokens from the weight). One
+    * token pass + a `buckets`-bounded aggregate; the range join is
+    * buckets-sized. */
+  def dsirModelDF(df: DataFrame, idCol: String, textCol: String,
+                  isTarget: Column, buckets: Int = 512): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val ev = df.select(isTarget.as("is_t"),
+        explode(split(col(textCol), " ", -1)).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("is_t"), (Text.portableHash(col("tok")) % buckets).as("f"))
+    val counts = ev.groupBy("f").agg(count(lit(1)).as("cr"),
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"))
+    val totals = counts.agg(sum("cr").as("nr"), sum("ct").as("nt"))
+    df.sparkSession.range(buckets).toDF("bucket")
+      .join(counts.withColumnRenamed("f", "bucket"), Seq("bucket"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        (log((coalesce(col("ct"), lit(0L)) + 1).cast("double")
+            / (col("nt") + lit(buckets))) -
+          log((coalesce(col("cr"), lit(0L)) + 1).cast("double")
+            / (col("nr") + lit(buckets)))).as("w"))
+  }
+
+  /** Map-only DSIR log-weight with the model supplied as a literal
+    * array ([[dsirModelDF]] round-tripped through [[weightsFromDF]]) —
+    * one aggregate HOF per row, no shuffle, no join; the serving/
+    * streaming twin of [[classifierScore]], and the scoring shape
+    * [[graft.streaming.Streams.streamingDsirScore]] applies per row on
+    * an unbounded stream. Empty tokens are skipped exactly as
+    * [[dsirWeightsWithHandle]] skips them; token-order summation keeps
+    * the float deterministic. Returns the RAW log-weight sum — callers
+    * round (the registry convention). */
+  def dsirScore(textCol: Column, logRatios: Seq[Double]): Column = {
+    val lrLit = array(logRatios.map(lit): _*)
+    val toks = filter(split(textCol, " ", -1), t => t =!= lit(""))
+    aggregate(toks, lit(0.0), (acc, t) =>
+      acc + element_at(lrLit,
+        (Text.portableHash(t) % logRatios.size.toLong + 1L).cast("int")))
+  }
+
+  /** Non-empty token count matching [[dsirScore]]'s event filter —
+    * `n_tokens` in [[dsirWeights]]' output, computed per row. */
+  def dsirTokenCount(textCol: Column): Column =
+    size(filter(split(textCol, " ", -1), t => t =!= lit(""))).cast("long")
+
   /** C4 per-line keep rule (Raffel et al. 2020 §2.2, the published
     * line-level cleaning heuristics): a line survives iff it ends in
     * terminal punctuation, has at least `minWords` whitespace tokens,

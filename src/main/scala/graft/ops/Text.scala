@@ -760,6 +760,26 @@ object Text {
                  isTarget: Column): DataFrame =
     mooreLewisWithHandle(df, idCol, textCol, isTarget)._1
 
+  /** Moore–Lewis scoring at SERVING time, from two STORED models
+    * ([[bigramModelDF]] tables for the target slice and the corpus):
+    * delta = nll_target − nll_corpus per scored doc, no training stage
+    * in the plan — the selection criterion applied to an arriving batch
+    * the way [[bigramNllFromModel]] applies the quality gate. Both
+    * scoring passes share one bigram explode via the two join chains;
+    * unseen fallbacks per model as in [[mooreLewisWithHandle]]. */
+  def mooreLewisFromModels(score: DataFrame, idCol: String, textCol: String,
+                           targetModel: DataFrame, corpusModel: DataFrame)
+      : DataFrame = {
+    val t = bigramNllFromModel(score, idCol, textCol, targetModel)
+      .select(col(idCol), col("n_bigrams"), col("nll").as("ce_target"))
+    val c = bigramNllFromModel(score, idCol, textCol, corpusModel)
+      .select(col(idCol), col("nll").as("ce_corpus"))
+    t.join(c, idCol)
+      .select(col(idCol), col("n_bigrams"), col("ce_target"),
+        col("ce_corpus"),
+        (round(col("ce_target") - col("ce_corpus"), 4) + lit(0)).as("delta"))
+  }
+
   /** Train an add-one bigram LM and emit it as a STORED-MODEL table —
     * the [[graft.ops.Curation.weightsToDF]] serving pattern extended to
     * the LM family: train once in a periodic batch job, persist the

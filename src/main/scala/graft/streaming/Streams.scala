@@ -448,6 +448,22 @@ object Streams {
         graft.ops.Curation.classifierScore(col(textCol), weights))
       .withColumn("keep", col("p") >= threshold)
 
+  /** Streaming DSIR importance scoring from stored bucket log-ratios
+    * ([[graft.ops.Curation.dsirModelDF]] loaded via `weightsFromDF`) —
+    * the importance-resampling twin of [[streamingClassifierScore]]:
+    * the model is `buckets` literal doubles riding the closure, scoring
+    * is one aggregate HOF per row — zero shuffles, no state store,
+    * valid on an unbounded stream. Selection (Gumbel-top-k) stays a
+    * periodic batch job over the accumulated scored store, the same
+    * split as every learned model here: the stream applies, the batch
+    * trains/selects. Stream==batch pinned in MergeStreamSpec. */
+  def streamingDsirScore(docs: DataFrame, textCol: String,
+                         logRatios: Seq[Double]): DataFrame =
+    docs
+      .withColumn("n_tokens", graft.ops.Curation.dsirTokenCount(col(textCol)))
+      .withColumn("log_weight",
+        round(graft.ops.Curation.dsirScore(col(textCol), logRatios), 4))
+
   /** Streaming LM quality-gate scoring from a STORED bigram model
     * ([[graft.ops.Text.bigramModelDF]]) — the LM twin of
     * [[streamingClassifierScore]]'s batch-trains/stream-applies split.

@@ -510,6 +510,39 @@ class MergeStreamSpec extends SparkSpec {
     assert(!streamed.find(_._1 == 101L).exists(_._4))
   }
 
+  test("streaming DSIR scoring from stored ratios equals batch (stateless)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val train = ((1L to 5L).map(i => (i, "alpha beta gamma", true)) ++
+      (6L to 10L).map(i => (i, "omega psi chi", false)))
+      .toDF("doc_id", "text", "tgt")
+    val lr = graft.ops.Curation.weightsFromDF(
+      graft.ops.Curation.dsirModelDF(train, "doc_id", "text",
+        org.apache.spark.sql.functions.col("tgt"), buckets = 32),
+      buckets = 32)
+    val input = MemoryStream[(Long, String)]
+    val q = Streams.streamingDsirScore(
+        input.toDF().toDF("doc_id", "text"), "text", lr)
+      .writeStream.format("memory").queryName("dsir_out")
+      .outputMode("append").start()
+    val arriving = Seq((100L, "alpha beta alpha"), (101L, "omega psi"),
+      (102L, "alpha unseen_token"))
+    input.addData(arriving.take(1): _*)
+    q.processAllAvailable()
+    input.addData(arriving.drop(1): _*)
+    q.processAllAvailable()
+    val streamed = spark.table("dsir_out")
+      .as[(Long, String, Long, Double)].collect().toSet
+    q.stop()
+    val batch = Streams.streamingDsirScore(
+        arriving.toDF("doc_id", "text"), "text", lr)
+      .as[(Long, String, Long, Double)].collect().toSet
+    assert(streamed == batch, "streamed DSIR scores must equal batch")
+    // target-vocab doc scores above off-target-vocab doc
+    val byId = streamed.map(r => r._1 -> r._4).toMap
+    assert(byId(100L) > byId(101L))
+  }
+
   test("streaming LM scoring from a stored model equals batch") {
     val base = Files.createTempDirectory("graft-lm-stream").toString
     val srcDir = s"$base/src"

@@ -171,6 +171,72 @@ class TrainSpec extends SparkSpec {
     assert(out(11L) > out(10L), "unseen pair must cost more than seen text")
   }
 
+  test("dsirModelDF: scored-from-stored equals dsirWeights; unseen buckets fall back") {
+    val docs = (1L to 20L).map { i =>
+      if (i <= 10) (i, "alpha beta gamma delta alpha beta", true)
+      else (i, "omega psi chi phi omega psi", false)
+    }
+    val df = docs.toDF("doc_id", "text", "tgt")
+    val trained = Curation.dsirWeights(df, "doc_id", "text", col("tgt"),
+        buckets = 64)
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("log_weight"), 4).as("lw"))
+      .as[(Long, Long, Double)].collect().toSet
+    // model -> parquet -> literal vector -> per-row map-only scoring
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-dsir").toString + "/model"
+    Curation.dsirModelDF(df, "doc_id", "text", col("tgt"), buckets = 64)
+      .write.parquet(dir)
+    val lr = Curation.weightsFromDF(spark.read.parquet(dir), buckets = 64)
+    assert(lr.size == 64 && lr.forall(v => !v.isNaN && !v.isInfinite),
+      "every bucket materialized, incl. unseen-bucket fallbacks")
+    val served = df.select(col("doc_id"),
+        Curation.dsirTokenCount(col("text")).as("n_tokens"),
+        round(Curation.dsirScore(col("text"), lr), 4).as("lw"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(served == trained,
+      s"stored-model scoring must equal dsirWeights: $served vs $trained")
+    // a fresh doc of tokens the training never saw: every token lands in
+    // SOME bucket (seen or fallback) — finite, n tokens all counted
+    val fresh = Seq((100L, "zzz yyy xxx www")).toDF("doc_id", "text")
+    val f = fresh.select(
+        Curation.dsirTokenCount(col("text")).as("n"),
+        Curation.dsirScore(col("text"), lr).as("s"))
+      .as[(Long, Double)].head()
+    assert(f._1 == 4L && !f._2.isNaN && !f._2.isInfinite)
+  }
+
+  test("mooreLewisFromModels: serving-time deltas match training-time scoring") {
+    val docs = (1L to 20L).map { i =>
+      if (i <= 10) (i, "alpha beta gamma delta alpha beta", true)
+      else (i, "omega psi chi phi omega psi", false)
+    }
+    val df = docs.toDF("doc_id", "text", "tgt")
+    val trained = Text.mooreLewis(df, "doc_id", "text", col("tgt"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    // both models persisted, then the SAME corpus scored at serving time
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-ml-models").toString
+    Text.bigramModelDF(df.filter(col("tgt")), "doc_id", "text")
+      .write.parquet(s"$base/target")
+    Text.bigramModelDF(df, "doc_id", "text").write.parquet(s"$base/corpus")
+    val served = Text.mooreLewisFromModels(df, "doc_id", "text",
+        spark.read.parquet(s"$base/target"),
+        spark.read.parquet(s"$base/corpus"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(served.keySet == trained.keySet)
+    trained.foreach { case (id, (ct, cc, d)) =>
+      val (sct, scc, sd) = served(id)
+      assert(sct == ct && scc == cc,
+        s"doc $id: stored-model CEs must equal training-time ($served)")
+      // delta rounds the difference of ROUNDED CEs here vs one
+      // aggregate there — agree within the two 4-dp grids
+      assert(math.abs(sd - d) < 2e-4, s"doc $id delta: $sd vs $d")
+    }
+  }
+
   test("mooreLewis: target docs get lower delta; unseen fallbacks finite; persisted equals plain") {
     // sharply separated vocabularies (the dsirWeights fixture shape):
     // target docs reuse target bigrams, off-target docs a disjoint set,

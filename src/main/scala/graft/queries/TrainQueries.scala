@@ -179,6 +179,38 @@ object TrainQueries {
         .orderBy("doc_id")
     },
 
+    // LM SERVING path, oracle-certified: the same per-doc NLL as
+    // t_lm_perplexity, computed the way a serving batch computes it —
+    // model derived as the storable table (bigramModelDF: pair
+    // log-probs + context marginals + |V|) and applied by the
+    // stored-model scorer (bigramNllFromModel: left join + broadcast
+    // unseen fallbacks, no training stage fused into the scoring
+    // aggregate). On the model's own corpus every event is seen, so the
+    // independent oracle derivation must match exactly — certifying
+    // that the store/load/score path preserves the training-time
+    // arithmetic (the parquet round-trip twin is pinned in TrainSpec).
+    Q("t_lm_scored_stored",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |bg AS (SELECT doc_id, toks[i] AS a, toks[i + 1] AS b2
+        |  FROM (SELECT doc_id, toks,
+        |      unnest(generate_series(1, len(toks) - 1)) AS i FROM t)),
+        |dt AS (SELECT doc_id, a, b2, COUNT(*)::BIGINT AS n FROM bg
+        |  GROUP BY 1, 2, 3),
+        |c2 AS (SELECT a, b2, SUM(n)::BIGINT AS n2 FROM dt GROUP BY a, b2),
+        |c1 AS (SELECT a, SUM(n2)::BIGINT AS n1 FROM c2 GROUP BY a),
+        |vv AS (SELECT COUNT(DISTINCT tok) AS v FROM
+        |  (SELECT a AS tok FROM c2 UNION SELECT b2 FROM c2))
+        |SELECT dt.doc_id, SUM(n)::BIGINT AS n_bigrams,
+        |  ROUND(-(SUM(n * LN(CAST(c2.n2 + 1 AS DOUBLE)
+        |    / (c1.n1 + (SELECT v FROM vv)))) / SUM(n)), 4) AS nll
+        |FROM dt JOIN c2 USING (a, b2) JOIN c1 USING (a)
+        |GROUP BY dt.doc_id ORDER BY dt.doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.fannedOut(s, dir, "documents")
+      Text.bigramNllFromModel(docs, "doc_id", "text",
+          Text.bigramModelDF(docs, "doc_id", "text"))
+        .orderBy("doc_id")
+    },
+
     // Interpolated Kneser–Ney bigram LM (the KenLM-default smoothing):
     // absolute discount with continuation-probability back-off. The
     // oracle re-derives all three KN statistics (context totals/distinct
@@ -353,6 +385,44 @@ object TrainQueries {
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
       Curation.dsirWeights(Tables.fannedOut(s, dir, "documents"),
           "doc_id", "text", isTarget = col("lang") === "en", buckets = 512)
+        .orderBy("doc_id")
+    },
+
+    // DSIR SERVING path, oracle-certified: the same weights as
+    // pipe_dsir_weights, computed the way a serving batch computes
+    // them — the 512-bucket model materialized (dsirModelDF), loaded
+    // into a literal vector (weightsFromDF: bounded driver state, the
+    // classifier contract), and applied as ONE map-only per-row
+    // aggregate HOF (dsirScore — zero shuffles, no join; the exact
+    // scoring expression streamingDsirScore runs on an unbounded
+    // stream). The oracle is pipe_dsir_weights' independent event-sum
+    // derivation, so the per-row HOF path must agree with the
+    // shuffle-sum path to the shared 4-dp grid — certifying that the
+    // stored-model serving arithmetic IS the training-time arithmetic.
+    Q("pipe_dsir_scored",
+      """WITH t AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |f AS (SELECT doc_id, lang = 'en' AS is_t,
+        |    (('0x' || substr(md5(tok), 1, 15))::BIGINT % 512) AS f FROM t
+        |  WHERE tok <> ''),
+        |c AS (SELECT f, COUNT(*)::BIGINT AS cr,
+        |    SUM(CASE WHEN is_t THEN 1 ELSE 0 END)::BIGINT AS ct
+        |  FROM f GROUP BY f),
+        |tot AS (SELECT SUM(cr)::BIGINT AS nr, SUM(ct)::BIGINT AS nt FROM c),
+        |r AS (SELECT f, LN(CAST(ct + 1 AS DOUBLE) / (nt + 512))
+        |    - LN(CAST(cr + 1 AS DOUBLE) / (nr + 512)) AS lr
+        |  FROM c CROSS JOIN tot)
+        |SELECT doc_id, COUNT(*)::BIGINT AS n_tokens,
+        |  ROUND(SUM(lr), 4) AS log_weight
+        |FROM f JOIN r USING (f)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.fannedOut(s, dir, "documents")
+      val lr = Curation.weightsFromDF(
+        Curation.dsirModelDF(docs, "doc_id", "text",
+          isTarget = col("lang") === "en", buckets = 512), buckets = 512)
+      docs.select(col("doc_id"),
+          Curation.dsirTokenCount(col("text")).as("n_tokens"),
+          round(Curation.dsirScore(col("text"), lr), 4).as("log_weight"))
         .orderBy("doc_id")
     },
 

@@ -222,9 +222,21 @@ object Bench {
       names.foreach { case (_, fn) =>
         pool.execute(() =>
           if (elapsedSec < cap) {
-            try core.Measure.consume(fn(spark, pd))
-            catch { case _: Throwable => () }
-            done.incrementAndGet(); ()
+            // job group: a straggler surviving the timeout below would
+            // otherwise keep its Spark job running INTO the timed pass
+            // (shutdownNow only interrupts the submitter thread);
+            // thread-local, so each task tags its own jobs
+            spark.sparkContext.setJobGroup("bench-prewarm",
+              "untimed codegen pre-warm", interruptOnCancel = true)
+            try {
+              core.Measure.consume(fn(spark, pd))
+              // count SUCCESSES only: a pre-warm that threw compiled
+              // nothing, and the artifact must not report coverage it
+              // didn't get (e.g. a bad PREWARM_DIR would otherwise read
+              // as a fully-warmed run)
+              done.incrementAndGet(); ()
+            } catch { case _: Throwable => () }
+            finally spark.sparkContext.clearJobGroup()
           })
       }
       pool.shutdown()
@@ -232,7 +244,10 @@ object Bench {
       // NEW work at the cap, so only in-flight queries can run past it
       if (!pool.awaitTermination(math.max(1, (cap - elapsedSec).toLong) + 90,
           java.util.concurrent.TimeUnit.SECONDS)) {
-        pool.shutdownNow(); ()
+        pool.shutdownNow()
+        // kill any job a straggler already launched so it cannot bleed
+        // CPU into pass-1's measurements
+        spark.sparkContext.cancelJobGroup("bench-prewarm")
       }
       prewarmDone = done.get()
       spark.sharedState.cacheManager.clearCache()
@@ -345,10 +360,14 @@ object Bench {
         num(math.max(p1common, p2sum) / math.min(p1common, p2sum), 3)
       else "null"
     // ledger_ratio: THIS run's pass-1 total over the committed quiet
-    // floors, on the ledgered subset — same basis both sides (quiet
-    // pass-1 incl. each query's one-time compile), so sustained box
-    // contention reads directly as ledger_ratio >> 1 with no second
-    // sample needed. null when no ledger entry matched.
+    // floors, on the ledgered subset. Since round 13 the floors are the
+    // PRE-WARMED (compile-free) quiet basis — so the ratio is a clean
+    // contention index only when this run pre-warmed too. On a box
+    // where the pre-warm skipped (no tiny sibling SF: prewarm_done=0,
+    // prewarm_dir=null in this JSON), pass-1 carries the one-time
+    // compile the floors do not, and ledger_ratio reads high for that
+    // structural reason, not contention — read it together with the
+    // prewarm_* fields. null when no ledger entry matched.
     val ledgered = pass1.filter(kv => kv._2._1 && ledger.contains(kv._1))
     val flSum = ledgered.map(kv => ledger(kv._1)).sum
     val ledgerRatioJson =

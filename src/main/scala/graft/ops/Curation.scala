@@ -279,6 +279,9 @@ object Curation {
   def dsirModelDF(df: DataFrame, idCol: String, textCol: String,
                   isTarget: Column, buckets: Int = 512): DataFrame = {
     require(buckets > 0, "buckets must be positive")
+    // empty corpus would null nr/nt and store a table of null ratios —
+    // fail at train time (limit(1) short-circuits on the happy path)
+    require(df.limit(1).count() == 1L, "dsirModelDF: corpus is empty")
     val ev = df.select(isTarget.as("is_t"),
         explode(split(col(textCol), " ", -1)).as("tok"))
       .filter(col("tok") =!= "")
@@ -304,7 +307,10 @@ object Curation {
     * an unbounded stream. Empty tokens are skipped exactly as
     * [[dsirWeightsWithHandle]] skips them; token-order summation keeps
     * the float deterministic. Returns the RAW log-weight sum — callers
-    * round (the registry convention). */
+    * round (the registry convention). Semantics note: a ZERO-token doc
+    * scores 0.0 here (a row per input row), where the event-sum
+    * [[dsirWeights]] emits no row for it — callers comparing the two
+    * paths filter `dsirTokenCount > 0` (pipe_dsir_scored does). */
   def dsirScore(textCol: Column, logRatios: Seq[Double]): Column = {
     val lrLit = array(logRatios.map(lit): _*)
     val toks = filter(split(textCol, " ", -1), t => t =!= lit(""))

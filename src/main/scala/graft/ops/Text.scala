@@ -712,6 +712,14 @@ object Text {
   def mooreLewisWithHandle(df: DataFrame, idCol: String, textCol: String,
                            isTarget: Column, persistEvents: Boolean = false)
       : (DataFrame, DataFrame) = {
+    // fail loudly on an empty target slice (the waterFill guard
+    // convention): with zero target docs the target vocabulary is 0 and
+    // every unseen fallback would emit +Inf, silently corrupting every
+    // delta. limit(1) short-circuits — the happy path stops at the
+    // first matching row, only the ERROR path scans.
+    require(df.filter(isTarget).limit(1).count() == 1L,
+      "mooreLewis: isTarget matches no documents — the target LM would " +
+        "be empty and every delta ±Inf")
     val ev0 = df.select(col(idCol), isTarget.as("is_t"),
         explode(bigrams(split(col(textCol), " ", -1))).as("b"))
       .select(col(idCol), col("is_t"), col("b.a").as("a"), col("b.b").as("bb"),
@@ -797,6 +805,12 @@ object Text {
     * Vocab²-bounded rows; scoring never touches token strings. */
   def bigramModelDF(train: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
+    // empty training input would store v = 0 and make every
+    // [[bigramNllFromModel]] fallback log(1/0) = +Inf — fail at train
+    // time, not silently at every later serving batch (limit(1)
+    // short-circuits on the happy path)
+    require(train.limit(1).count() == 1L,
+      "bigramModelDF: training input is empty")
     val ev = train.select(col(idCol),
         explode(bigrams(split(col(textCol), " ", -1))).as("b"))
       .select(col("b.a").as("a"), col("b.b").as("bb"),

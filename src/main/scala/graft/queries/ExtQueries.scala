@@ -10,6 +10,27 @@ import graft.ops.{MergeOps, Text}
   */
 object ExtQueries {
 
+  /** The s8 synthetic SMS-report line stream (shared with ProfileSms so
+    * the profiler's stage splits measure the registry's exact
+    * synthesis): fanned-out orders → fixed-format exposure lines behind
+    * the EvalBarrier (pins synthesis above the exchange, computed once
+    * — see the s8 query note). */
+  def s8SynthLines(s: org.apache.spark.sql.SparkSession,
+                   dir: String): org.apache.spark.sql.DataFrame =
+    Tables.fannedOut(s, dir, "orders")
+      .select(graft.functions.GraftExtensions.evalBarrier(format_string(
+        "l%07d %05d TARGET%04d  AAA %02d 01 01 %s  %s %6.1f 2024.%03d:01:02:03 %s PSA  %s   1105  0     87  20735",
+        col("o_orderkey") % 10000000, col("o_custkey") % 100000,
+        col("o_custkey") % 10000, col("o_orderkey") % 100,
+        when(col("o_orderkey") % 2 === 0, "FUV").otherwise("NUV"),
+        when(col("o_orderkey") % 3 === 0, "TIME-TAG").otherwise("ACCUM   "),
+        (col("o_totalprice") % 1000).cast("int").cast("double"),
+        col("o_orderkey") % 365 + 1,
+        when(col("o_orderkey") % 2 === 0, "HVNom ").otherwise("      "),
+        when(col("o_orderkey") % 2 === 0, "G140L    -----  ")
+          .otherwise("NCM1     MIRRORB"))).as("value"))
+      .withColumn("filename", lit("/sms/123456aa.txt"))
+
   def qs: Seq[Q] = Seq(
 
     // S13 — native .xlsx source (reference loads its mnemonic dimension
@@ -442,21 +463,9 @@ object ExtQueries {
       // them below the repartition — re-evaluating format_string once per
       // predicate, all on the single pre-shuffle core (measured 3.5 s vs
       // 0.9 s). The barrier pins synthesis above the exchange, computed
-      // once.
-      val lines = Tables.fannedOut(s, dir, "orders")
-        .select(graft.functions.GraftExtensions.evalBarrier(format_string(
-          "l%07d %05d TARGET%04d  AAA %02d 01 01 %s  %s %6.1f 2024.%03d:01:02:03 %s PSA  %s   1105  0     87  20735",
-          col("o_orderkey") % 10000000, col("o_custkey") % 100000,
-          col("o_custkey") % 10000, col("o_orderkey") % 100,
-          when(col("o_orderkey") % 2 === 0, "FUV").otherwise("NUV"),
-          when(col("o_orderkey") % 3 === 0, "TIME-TAG").otherwise("ACCUM   "),
-          (col("o_totalprice") % 1000).cast("int").cast("double"),
-          col("o_orderkey") % 365 + 1,
-          when(col("o_orderkey") % 2 === 0, "HVNom ").otherwise("      "),
-          when(col("o_orderkey") % 2 === 0, "G140L    -----  ")
-            .otherwise("NCM1     MIRRORB"))).as("value"))
-        .withColumn("filename", lit("/sms/123456aa.txt"))
-      graft.ingest.SmsIngest.parseLines(lines)
+      // once. Synthesis lives in s8SynthLines, shared with ProfileSms so
+      // the profiler's stage splits measure THIS query's exact stream.
+      graft.ingest.SmsIngest.parseLines(s8SynthLines(s, dir))
         .groupBy("DETECTOR", "OPMODE", "FUVHVSTATE", "OSM1POS", "OSM2POS")
         .agg(count(lit(1)).as("n"),
           countDistinct("ROOTNAME").as("n_roots"),

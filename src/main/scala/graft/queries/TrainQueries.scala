@@ -423,6 +423,11 @@ object TrainQueries {
       docs.select(col("doc_id"),
           Curation.dsirTokenCount(col("text")).as("n_tokens"),
           round(Curation.dsirScore(col("text"), lr), 4).as("log_weight"))
+        // zero-token docs: the event-sum path (and its oracle) emits NO
+        // row for a doc with no token events, while the per-row scorer
+        // sees every input row — drop them so serving==training holds
+        // even on a fixture with empty/whitespace-only text
+        .filter(col("n_tokens") > 0)
         .orderBy("doc_id")
     },
 

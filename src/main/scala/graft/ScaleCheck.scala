@@ -1000,6 +1000,35 @@ object ScaleCheck {
       } finally { fp.unpersist(); () }
     }
 
+    // incremental winnow GATE at 50k stored docs + 5k arrivals (round
+    // 14, judge r13 task 5): the serving path — index built once from
+    // the marker-group store (persisted, standing in for the parquet a
+    // periodic batch job would write), then an arriving batch matched
+    // per row: in-row fingerprints → rare-fp candidate join → integer
+    // Jaccard verify. Each arrival is an edited copy of a stored doc,
+    // sharing its group's marker grams (df=10 ≤ maxDf=30), so every
+    // arrival must match its 10 group members — the guard asserts
+    // real matched volume, not an empty join.
+    time("dedup_winnow_gate (50k store+5k arr)") {
+      val marked = docs10.withColumn("text",
+        concat(col("text"), lit(" zq"),
+          (col("doc_id") % 10000000L).cast("string"), lit("xq")))
+      val (sets0, rare0) = ops.Text.winnowIndex(
+        marked, "doc_id", "text", k = 5, w = 8, maxDf = 30)
+      val sets = sets0.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val arrivals = marked.filter(col("doc_id") % 10000000L < 500)
+          .select((col("doc_id") + 900000000L).as("doc_id"),
+            concat(lit("edited preamble "), col("text")).as("text"))
+        val n = consume(ops.Text.winnowGateFromIndex(
+          arrivals, "doc_id", "text", sets, rare0,
+          k = 5, w = 8, minShared = 2, minJacPct = 50))
+        require(n > 0, "every edited arrival must match its marker group")
+        n
+      } finally { sets.unpersist(); () }
+    }
+
     // df-cut sparse cosine at 50k docs (round 12): the maxDf cut is the
     // whole scale story — on the templated corpus virtually every
     // shingle is corpus-wide (df in the thousands) and must die BEFORE

@@ -255,7 +255,12 @@ object Curation {
     val out = ev.select(col(idCol), col("f"))
       .join(broadcast(ratios), Seq("f"))
       .groupBy(idCol)
-      .agg(count(lit(1)).as("n_tokens"), round(sum("lr"), 4).as("log_weight"))
+      // + lit(0): SUM(lr) is a sum of SIGNED log-ratios; a doc whose
+      // buckets cancel below the 4-dp grid can land -0.0 under one
+      // summation order and +0.0 under another — normalize so the output
+      // is engine-portable (the mooreLewisFromModels delta convention).
+      .agg(count(lit(1)).as("n_tokens"),
+        (round(sum("lr"), 4) + lit(0)).as("log_weight"))
     (out, ev)
   }
 

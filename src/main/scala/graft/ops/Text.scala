@@ -113,11 +113,20 @@ object Text {
     * verify join fans each candidate pair to exactly two array lookups;
     * CC is the checkpointed large/small-star loop (O(log n) rounds);
     * the keeper is one window over cluster-labeled nodes. */
+  /** Convenience variant that DISCARDS the persist handle — it cannot
+    * unpersist for you (the result is lazy; the cache materializes only
+    * at the caller's action). With `persistFp = true` (the default the
+    * contract mains want — they `clearCache()` per query) each call
+    * leaks one MEMORY_AND_DISK cache entry until the session clears it;
+    * LIBRARY callers should either pass `persistFp = false` (the fp
+    * stream recomputes per consumer — correct, just slower) or use
+    * [[winnowDedupE2eWithHandle]] and `unpersist()` after the action. */
   def winnowDedupE2e(df: DataFrame, idCol: String, textCol: String,
                      k: Int = 5, w: Int = 8, maxDf: Int = 20,
-                     minShared: Int = 3, minJacPct: Int = 50): DataFrame =
+                     minShared: Int = 3, minJacPct: Int = 50,
+                     persistFp: Boolean = true): DataFrame =
     winnowDedupE2eWithHandle(df, idCol, textCol, k, w, maxDf, minShared,
-      minJacPct)._1
+      minJacPct, persistFp)._1
 
   /** [[winnowDedupE2e]] with the persist handle (the tfidf persistTf
     * contract): the exploded (id, fp) stream now has FOUR consumers (df
@@ -127,10 +136,11 @@ object Text {
     * clearCache instead. */
   def winnowDedupE2eWithHandle(df: DataFrame, idCol: String, textCol: String,
                                k: Int = 5, w: Int = 8, maxDf: Int = 20,
-                               minShared: Int = 3, minJacPct: Int = 50)
+                               minShared: Int = 3, minJacPct: Int = 50,
+                               persistFp: Boolean = true)
       : (DataFrame, DataFrame) = {
     val (pairs, fp) = winnowPairsWithHandle(df, idCol, textCol,
-      k, w, maxDf, minShared, persistFp = true)
+      k, w, maxDf, minShared, persistFp = persistFp)
     // Deliberately corpus-wide sets, MEASURED against the "obvious"
     // refinement before keeping this shape: semi-join-pruning the fp
     // stream to candidate ids before the collect_set (so array building
@@ -166,6 +176,77 @@ object Text {
       .select(col("cluster"), col("cluster_size"),
         col("node").as("keeper"), col("nt").as("keeper_tokens"))
     (reps, fp)
+  }
+
+  /** Winnowing near-dup INDEX build — the stored-model form of the
+    * winnow chain (train-batch/apply-stream, the [[bigramModelDF]]
+    * split): one batch pass over the accumulated corpus emits the two
+    * tables an incremental gate needs, persisted once and applied to
+    * every later arriving batch without re-scanning the corpus.
+    * Returns `(sets, rare)`:
+    *
+    *  - `sets(id, fps, n_fp)` — each stored doc's full fingerprint set
+    *    (array; winnowing bounds it at ~2/(w+1) of positions), the
+    *    verify side;
+    *  - `rare(fp, id)` — the candidate-discovery index, restricted to
+    *    fingerprints in ≤ `maxDf` stored docs (the skew guard: a hot
+    *    boilerplate gram can never fan an arrival out past maxDf).
+    *
+    * Rarity is a property of the STORED corpus — arrivals never mutate
+    * the index (zero-shuffle serving); df drift is handled by periodic
+    * rebuild, the IVF blue/green pattern. Docs with an empty
+    * fingerprint set (shorter than k) are excluded from both tables. */
+  def winnowIndex(df: DataFrame, idCol: String, textCol: String,
+                  k: Int = 5, w: Int = 8, maxDf: Int = 20)
+      : (DataFrame, DataFrame) = {
+    val sets = df.select(col(idCol).as("id"),
+        winnowFingerprints(col(textCol), k, w).as("fps"))
+      .withColumn("n_fp", size(col("fps")))
+      .filter(col("n_fp") > 0)
+    val fp = sets.select(col("id"), explode(col("fps")).as("fp"))
+    val dfc = fp.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("fp")
+    val rare = fp.join(dfc, "fp").select("fp", "id")
+    (sets, rare)
+  }
+
+  /** Incremental winnow near-dup GATE: match an ARRIVING batch against a
+    * stored corpus index ([[winnowIndex]]) — the candidates→verify slice
+    * of [[winnowDedupE2e]] run per batch, the substring-level
+    * `dedup_incremental` a production ingest actually executes. Per
+    * arriving doc (stateless): fingerprint in-row, explode, join the
+    * rare index (candidate discovery — the one corpus-sized join, keyed
+    * on fp whose fan-out maxDf bounds), count shared rare fps ≥
+    * `minShared`, then verify each candidate pair by EXACT integer
+    * full-set Jaccard (100·|A∩B| ≥ minJacPct·|A∪B|) — arrival set from
+    * the row, stored set joined from `sets` by candidate id only.
+    *
+    * Returns matched pairs `(new_id, dup_of, n_shared, n_inter,
+    * n_union)`; an arriving doc with no row is a KEEPER (anti-join to
+    * admit). `k`/`w` must match the index build. Streaming-valid: every
+    * arriving doc is one row, so the per-(new,stored) aggregation never
+    * spans micro-batches — [[graft.streaming.Streams.streamingWinnowGate]]
+    * runs exactly this plan per batch via foreachBatch. */
+  def winnowGateFromIndex(arrivals: DataFrame, idCol: String,
+                          textCol: String, sets: DataFrame, rare: DataFrame,
+                          k: Int = 5, w: Int = 8, minShared: Int = 3,
+                          minJacPct: Int = 50): DataFrame = {
+    val arr = arrivals.select(col(idCol).as("new_id"),
+        winnowFingerprints(col(textCol), k, w).as("new_fps"))
+      .withColumn("new_n", size(col("new_fps")))
+      .filter(col("new_n") > 0)
+    val ex = arr.select(col("new_id"), explode(col("new_fps")).as("fp"))
+    val cand = ex.join(rare, "fp")
+      .groupBy("new_id", "id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    cand.join(sets, "id")
+      .join(arr, "new_id")
+      .withColumn("n_inter", size(array_intersect(col("new_fps"), col("fps"))))
+      // |A∪B| = |A| + |B| − |A∩B|: set sizes, no array_union build
+      .withColumn("n_union", col("new_n") + col("n_fp") - col("n_inter"))
+      .filter(col("n_inter") * 100 >= col("n_union") * minJacPct)
+      .select(col("new_id"), col("id").as("dup_of"), col("n_shared"),
+        col("n_inter"), col("n_union"))
   }
 
   /** Content-defined chunk cut positions (rolling-hash boundaries) — see
@@ -725,14 +806,19 @@ object Text {
   def mooreLewisWithHandle(df: DataFrame, idCol: String, textCol: String,
                            isTarget: Column, persistEvents: Boolean = false)
       : (DataFrame, DataFrame) = {
-    // fail loudly on an empty target slice (the waterFill guard
-    // convention): with zero target docs the target vocabulary is 0 and
-    // every unseen fallback would emit +Inf, silently corrupting every
-    // delta. limit(1) short-circuits — the happy path stops at the
-    // first matching row, only the ERROR path scans.
-    require(df.filter(isTarget).limit(1).count() == 1L,
-      "mooreLewis: isTarget matches no documents — the target LM would " +
-        "be empty and every delta ±Inf")
+    // fail loudly on a BIGRAM-free target slice (the waterFill guard
+    // convention): what empties the target LM is the absence of target
+    // bigram EVENTS, not of target rows — a slice of only <2-token docs
+    // passes a row-existence check yet trains V = 0 and every unseen
+    // fallback evaluates log(1/(0+0)) = ±Inf, silently corrupting every
+    // delta. The event condition is exactly [[bigrams]]' emission gate
+    // (≥2 split tokens). limit(1) short-circuits — the happy path stops
+    // at the first qualifying row, only the ERROR path scans.
+    require(df.filter(isTarget)
+        .filter(size(split(col(textCol), " ", -1)) >= 2)
+        .limit(1).count() == 1L,
+      "mooreLewis: isTarget slice has no document with >=2 tokens — the " +
+        "target LM would be empty (V=0) and every delta ±Inf")
     val ev0 = df.select(col(idCol), isTarget.as("is_t"),
         explode(bigrams(split(col(textCol), " ", -1))).as("b"))
       .select(col(idCol), col("is_t"), col("b.a").as("a"), col("b.b").as("bb"),
@@ -772,7 +858,10 @@ object Text {
       .agg(count(lit(1)).as("n_bigrams"),
         round(-avg("lp_t"), 4).as("ce_target"),
         round(-avg("lp_c"), 4).as("ce_corpus"),
-        round(avg(col("lp_c") - col("lp_t")), 4).as("delta"))
+        // + lit(0): the avg of signed per-event differences can cancel to
+        // ±0.0 depending on summation order — normalize as in
+        // mooreLewisFromModels so the training delta is engine-portable.
+        (round(avg(col("lp_c") - col("lp_t")), 4) + lit(0)).as("delta"))
     (out, ev)
   }
 
@@ -787,7 +876,18 @@ object Text {
     * in the plan — the selection criterion applied to an arriving batch
     * the way [[bigramNllFromModel]] applies the quality gate. Both
     * scoring passes share one bigram explode via the two join chains;
-    * unseen fallbacks per model as in [[mooreLewisWithHandle]]. */
+    * unseen fallbacks per model as in [[mooreLewisWithHandle]].
+    *
+    * GRID DIVERGENCE vs the training path: this delta is
+    * `round4(round4(ce_t) − round4(ce_c))` (each NLL rounds at 4 dp
+    * before subtracting — the stored model only carries the rounded
+    * values), while [[mooreLewisWithHandle]] computes `round4` of the
+    * exact per-event average difference. The two can disagree by 1e-4
+    * exactly at rounding-grid boundaries (TrainSpec pins agreement at
+    * 2e-4), so a selection CUTOFF keyed on the rounded delta can flip a
+    * boundary doc between training-time and serving-time scoring —
+    * thresholds should be chosen with ≥1e-4 slack or applied to the
+    * same path that produced the calibration scores. */
   def mooreLewisFromModels(score: DataFrame, idCol: String, textCol: String,
                            targetModel: DataFrame, corpusModel: DataFrame)
       : DataFrame = {
@@ -818,12 +918,16 @@ object Text {
     * Vocab²-bounded rows; scoring never touches token strings. */
   def bigramModelDF(train: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
-    // empty training input would store v = 0 and make every
-    // [[bigramNllFromModel]] fallback log(1/0) = +Inf — fail at train
-    // time, not silently at every later serving batch (limit(1)
-    // short-circuits on the happy path)
-    require(train.limit(1).count() == 1L,
-      "bigramModelDF: training input is empty")
+    // a BIGRAM-free training input (empty, or all <2-token docs) would
+    // store v = 0 and make every [[bigramNllFromModel]] fallback
+    // log(1/0) = +Inf — fail at train time, not silently at every later
+    // serving batch. Guard on bigram events ([[bigrams]]' ≥2-token
+    // emission gate), not row existence; limit(1) short-circuits on the
+    // happy path.
+    require(train.filter(size(split(col(textCol), " ", -1)) >= 2)
+        .limit(1).count() == 1L,
+      "bigramModelDF: training input has no document with >=2 tokens — " +
+        "the stored model would have V=0 and every serving NLL +Inf")
     val ev = train.select(col(idCol),
         explode(bigrams(split(col(textCol), " ", -1))).as("b"))
       .select(col("b.a").as("a"), col("b.b").as("bb"),

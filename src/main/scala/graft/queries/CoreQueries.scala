@@ -217,7 +217,7 @@ object CoreQueries {
     Q("j6_segment_diff",
       """SELECT l_orderkey,
         |  ROUND(SUM(CASE WHEN l_returnflag = 'A' THEN l_quantity END)
-        |      - SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS seg_diff
+        |      - SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) + 0 AS seg_diff
         |FROM lineitem GROUP BY l_orderkey
         |HAVING SUM(CASE WHEN l_returnflag = 'A' THEN l_quantity END) IS NOT NULL
         |   AND SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity END) IS NOT NULL
@@ -232,7 +232,10 @@ object CoreQueries {
         .groupBy("l_orderkey", "l_returnflag")
         .agg(sum("l_quantity").as("q"))
       Relational.segmentDiff(perSeg, Seq("l_orderkey"), "l_returnflag", "q", "A", "R")
-        .select(col("l_orderkey"), round(col("seg_diff"), 2).as("seg_diff"))
+        // + lit(0): A−R is a difference of float partial sums — equal
+        // segments can land ±ε and round to a signed zero (flake class).
+        .select(col("l_orderkey"),
+          (round(col("seg_diff"), 2) + lit(0)).as("seg_diff"))
         .orderBy("l_orderkey")
     },
 
@@ -445,16 +448,19 @@ object CoreQueries {
     // (reference: monitor_helpers.py:28–32 np.polyfit deg 1).
     Q("a11_linfit",
       """SELECT event_type, COUNT(*) AS n,
-        |  ROUND(regr_slope(value, epoch_us(ts - TIMESTAMP '2024-01-01') / 1e6 / 86400), 6) AS slope,
-        |  ROUND(regr_intercept(value, epoch_us(ts - TIMESTAMP '2024-01-01') / 1e6 / 86400), 4) AS intercept
+        |  ROUND(regr_slope(value, epoch_us(ts - TIMESTAMP '2024-01-01') / 1e6 / 86400), 6) + 0 AS slope,
+        |  ROUND(regr_intercept(value, epoch_us(ts - TIMESTAMP '2024-01-01') / 1e6 / 86400), 4) + 0 AS intercept
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
       val ev = Tables(s, dir, "events").withColumn("xdays",
         (unix_micros(col("ts")) - unix_micros(lit("2024-01-01").cast("timestamp")))
           / lit(1e6) / lit(86400))
       Stats.linFit(ev, Seq("event_type"), "xdays", "value")
         .select(col("event_type"), col("n"),
-          round(col("slope"), 6).as("slope"),
-          round(col("intercept"), 4).as("intercept"))
+          // + lit(0): regr_slope/intercept are float sums of signed terms;
+          // a near-flat group can round to -0.0 under one summation order
+          // and +0.0 under another (the t_heaps_law flake class).
+          (round(col("slope"), 6) + lit(0)).as("slope"),
+          (round(col("intercept"), 4) + lit(0)).as("intercept"))
         .orderBy("event_type")
     },
 

@@ -544,7 +544,9 @@ object ExtQueries {
       val diffs = graft.monitors.Monitors.segmentDiff(exploded, "SHIFT_DISP")
       graft.monitors.Monitors.segmentDiffOutliers(diffs, 10.0)
         .select(col("ROOTNAME"), col("seg_idx"),
-          round(col("seg_diff"), 2).as("seg_diff"))
+          // + lit(0) mirrors the oracle's `+ 0` (values here are |d|>10,
+          // so never zero — kept for structural symmetry with j6)
+          (round(col("seg_diff"), 2) + lit(0)).as("seg_diff"))
         .orderBy("ROOTNAME", "seg_idx")
     },
 

@@ -213,7 +213,7 @@ object TextQueries {
         |  FROM tf)
         |SELECT lang, COUNT(*)::BIGINT AS n_points,
         |  ROUND(regr_slope(LN(CAST(f AS DOUBLE)), LN(CAST(rk AS DOUBLE))), 4)
-        |    AS zipf_slope
+        |    + 0 AS zipf_slope
         |FROM r WHERE rk <= 200
         |GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
       val tf = Tables.fannedOut(s, dir, "documents")
@@ -228,7 +228,9 @@ object TextQueries {
           log(col("rk").cast("double")).as("lr"))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_points"),
-          round(expr("regr_slope(lf, lr)"), 4).as("zipf_slope"))
+          // + lit(0) normalizes a possible -0.0 from float summation order
+          // to +0.0 (degenerate flat distribution) — engine-portable hash.
+          (round(expr("regr_slope(lf, lr)"), 4) + lit(0)).as("zipf_slope"))
         .orderBy("lang")
     },
 
@@ -257,7 +259,7 @@ object TextQueries {
         |    LN(CAST(tt.t_tokens AS DOUBLE)) AS lx,
         |    LN(CAST(vv.v_vocab AS DOUBLE)) AS ly
         |  FROM tt JOIN vv USING (n)),
-        |s AS (SELECT ROUND(regr_slope(ly, lx), 4) AS beta FROM l)
+        |s AS (SELECT ROUND(regr_slope(ly, lx), 4) + 0 AS beta FROM l)
         |SELECT l.n, l.t_tokens, l.v_vocab, s.beta
         |FROM l CROSS JOIN s ORDER BY n""".stripMargin) { (s, dir) =>
       val tok = Tables.fannedOut(s, dir, "documents")
@@ -276,7 +278,10 @@ object TextQueries {
         .select(col("n"), col("t_tokens"), col("v_vocab"),
           log(col("t_tokens").cast("double")).as("lx"),
           log(col("v_vocab").cast("double")).as("ly"))
-      val beta = l.agg(round(expr("regr_slope(ly, lx)"), 4).as("beta"))
+      // Saturated vocab ⇒ true β = 0 exactly; Spark's float summation can
+      // land -0.0 where DuckDB lands +0.0. `+ lit(0)` (mirrored `+ 0` in
+      // the oracle) makes the degenerate-regression output engine-portable.
+      val beta = l.agg((round(expr("regr_slope(ly, lx)"), 4) + lit(0)).as("beta"))
       l.crossJoin(broadcast(beta))
         .select(col("n"), col("t_tokens"), col("v_vocab"), col("beta"))
         .orderBy("n")
@@ -583,6 +588,85 @@ object TextQueries {
       Text.winnowDedupE2e(corpus, "doc_id", "text",
           k = 5, w = 8, maxDf = 20, minShared = 3, minJacPct = 50)
         .orderBy("cluster")
+    },
+
+    // Incremental winnow near-dup GATE (judge r13 task 5 — the
+    // candidates→verify slice of dedup_winnow_e2e run the way a
+    // production ingest runs it): the stored corpus (doc_id < 150)
+    // builds a fingerprint index ONCE (Text.winnowIndex — full sets +
+    // maxDf-rare candidate index, the stored-model split); the arriving
+    // batch (edited copies of doc_id < 50, plus clean docs 150–179 as
+    // organic non-dup arrivals) is matched per row: in-row
+    // fingerprinting, rare-fp candidate join (rarity = STORE df only —
+    // arrivals never mutate the index), exact integer full-set Jaccard
+    // verify at the measured 50% threshold. Streams.streamingWinnowGate
+    // runs this exact plan per micro-batch (stream==batch pinned in
+    // MergeStreamSpec). Expected: every injected copy matches its
+    // original; clean arrivals pass the gate (organic candidates die in
+    // verify at 3–29% Jaccard).
+    Q("dedup_winnow_gate",
+      """WITH store AS (SELECT doc_id, text FROM documents WHERE doc_id < 150),
+        |arrv AS (
+        |  SELECT doc_id + 10000 AS doc_id, 'edited preamble xyzzy ' || text AS text
+        |  FROM documents WHERE doc_id < 50
+        |  UNION ALL
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 150 AND doc_id < 180),
+        |ds AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS t FROM store),
+        |hs AS (SELECT doc_id, list_transform(range(1, length(t)-5+2),
+        |    i -> (list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split_regex(substring(t, CAST(i AS INT), 5), ''),
+        |        x -> CAST(ascii(x) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 1000000007) * 2654435761) % 1000000007) AS hl
+        |  FROM ds),
+        |ms AS (SELECT doc_id, CASE
+        |    WHEN len(hl) = 0 THEN CAST([] AS BIGINT[])
+        |    WHEN len(hl) < 8 THEN [list_min(hl)]
+        |    ELSE list_sort(list_distinct(list_transform(range(1, len(hl)-8+2),
+        |      j -> list_min(list_slice(hl, CAST(j AS INT), CAST(j AS INT)+7)))))
+        |  END AS fps FROM hs),
+        |da AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS t FROM arrv),
+        |ha AS (SELECT doc_id, list_transform(range(1, length(t)-5+2),
+        |    i -> (list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split_regex(substring(t, CAST(i AS INT), 5), ''),
+        |        x -> CAST(ascii(x) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 1000000007) * 2654435761) % 1000000007) AS hl
+        |  FROM da),
+        |ma AS (SELECT doc_id, CASE
+        |    WHEN len(hl) = 0 THEN CAST([] AS BIGINT[])
+        |    WHEN len(hl) < 8 THEN [list_min(hl)]
+        |    ELSE list_sort(list_distinct(list_transform(range(1, len(hl)-8+2),
+        |      j -> list_min(list_slice(hl, CAST(j AS INT), CAST(j AS INT)+7)))))
+        |  END AS fps FROM ha),
+        |sfx AS (SELECT doc_id, UNNEST(fps) AS fp FROM ms),
+        |rare AS (SELECT fp FROM sfx GROUP BY fp HAVING COUNT(*) <= 20),
+        |pr AS (SELECT f.doc_id, f.fp FROM sfx f JOIN rare r ON f.fp = r.fp),
+        |aex AS (SELECT doc_id, UNNEST(fps) AS fp FROM ma),
+        |cand AS (SELECT a.doc_id AS new_id, p.doc_id AS id,
+        |    COUNT(*)::BIGINT AS n_shared
+        |  FROM aex a JOIN pr p ON a.fp = p.fp
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+        |ver AS (SELECT c.new_id, c.id, c.n_shared,
+        |    len(list_intersect(a.fps, s.fps)) AS n_inter,
+        |    len(a.fps) + len(s.fps) - len(list_intersect(a.fps, s.fps)) AS n_union
+        |  FROM cand c JOIN ma a ON a.doc_id = c.new_id
+        |    JOIN ms s ON s.doc_id = c.id)
+        |SELECT new_id, id AS dup_of, n_shared, n_inter, n_union
+        |FROM ver WHERE 100 * n_inter >= 50 * n_union
+        |ORDER BY new_id, dup_of""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val store = docs.filter(col("doc_id") < 150).select("doc_id", "text")
+      val arrivals = docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          concat(lit("edited preamble xyzzy "), col("text")).as("text"))
+        .unionAll(docs.filter(col("doc_id") >= 150 && col("doc_id") < 180)
+          .select("doc_id", "text"))
+      val (sets, rare) = Text.winnowIndex(store, "doc_id", "text",
+        k = 5, w = 8, maxDf = 20)
+      Text.winnowGateFromIndex(arrivals, "doc_id", "text", sets, rare,
+          k = 5, w = 8, minShared = 3, minJacPct = 50)
+        .orderBy("new_id", "dup_of")
     },
 
     // MinHash-LSH S-curve calibration: empirical band-collision rate by

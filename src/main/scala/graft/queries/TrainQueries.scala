@@ -380,7 +380,7 @@ object TrainQueries {
         |    - LN(CAST(cr + 1 AS DOUBLE) / (nr + 512)) AS lr
         |  FROM c CROSS JOIN tot)
         |SELECT doc_id, COUNT(*)::BIGINT AS n_tokens,
-        |  ROUND(SUM(lr), 4) AS log_weight
+        |  ROUND(SUM(lr), 4) + 0 AS log_weight
         |FROM f JOIN r USING (f)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
       Curation.dsirWeights(Tables.fannedOut(s, dir, "documents"),
@@ -413,7 +413,7 @@ object TrainQueries {
         |    - LN(CAST(cr + 1 AS DOUBLE) / (nr + 512)) AS lr
         |  FROM c CROSS JOIN tot)
         |SELECT doc_id, COUNT(*)::BIGINT AS n_tokens,
-        |  ROUND(SUM(lr), 4) AS log_weight
+        |  ROUND(SUM(lr), 4) + 0 AS log_weight
         |FROM f JOIN r USING (f)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val docs = Tables.fannedOut(s, dir, "documents")
@@ -422,7 +422,8 @@ object TrainQueries {
           isTarget = col("lang") === "en", buckets = 512), buckets = 512)
       docs.select(col("doc_id"),
           Curation.dsirTokenCount(col("text")).as("n_tokens"),
-          round(Curation.dsirScore(col("text"), lr), 4).as("log_weight"))
+          (round(Curation.dsirScore(col("text"), lr), 4) + lit(0))
+            .as("log_weight"))
         // zero-token docs: the event-sum path (and its oracle) emits NO
         // row for a doc with no token events, while the per-row scorer
         // sees every input row — drop them so serving==training holds
@@ -456,7 +457,7 @@ object TrainQueries {
         |    - LN(CAST(cr + 1 AS DOUBLE) / (nr + 512)) AS lr
         |  FROM c CROSS JOIN tot),
         |wts AS (SELECT doc_id, COUNT(*)::BIGINT AS n_tokens,
-        |    ROUND(SUM(lr), 4) AS log_weight
+        |    ROUND(SUM(lr), 4) + 0 AS log_weight
         |  FROM f JOIN r USING (f) GROUP BY doc_id),
         |sel AS (SELECT doc_id, n_tokens, log_weight,
         |    log_weight - LN(-LN(
@@ -464,13 +465,13 @@ object TrainQueries {
         |        / power(2.0, 60))) AS key
         |  FROM wts),
         |top AS (SELECT * FROM sel ORDER BY key DESC, doc_id LIMIT 100)
-        |SELECT doc_id, n_tokens, log_weight, ROUND(key, 4) AS sel_key
+        |SELECT doc_id, n_tokens, log_weight, ROUND(key, 4) + 0 AS sel_key
         |FROM top ORDER BY sel_key DESC, doc_id""".stripMargin) { (s, dir) =>
       val wts = Curation.dsirWeights(Tables.fannedOut(s, dir, "documents"),
         "doc_id", "text", isTarget = col("lang") === "en", buckets = 512)
       Sampling.gumbelTopK(wts, "doc_id", "log_weight", 100)
         .select(col("doc_id"), col("n_tokens"), col("log_weight"),
-          round(col("sel_key"), 4).as("sel_key"))
+          (round(col("sel_key"), 4) + lit(0)).as("sel_key"))
         .orderBy(col("sel_key").desc, col("doc_id"))
     },
 

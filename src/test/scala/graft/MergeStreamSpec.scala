@@ -576,6 +576,49 @@ class MergeStreamSpec extends SparkSpec {
     assert(streamed.map(_._1) == Set(10L, 11L, 12L))
   }
 
+  test("streaming winnow gate: arriving batches vs a stored index equal batch") {
+    val base = Files.createTempDirectory("graft-winnow-gate").toString
+    val srcDir = s"$base/src"
+    new java.io.File(srcDir).mkdirs()
+    // the stored corpus: a batch job builds the fingerprint index once
+    val store = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "completely different text about spark catalyst optimizer internals"),
+      (3L, "a third unrelated stored document with its own words entirely")
+    ).toDF("doc_id", "text")
+    val (sets0, rare0) = graft.ops.Text.winnowIndex(store, "doc_id", "text",
+      k = 5, w = 4, maxDf = 20)
+    sets0.write.parquet(s"$base/sets"); rare0.write.parquet(s"$base/rare")
+    val sets = spark.read.parquet(s"$base/sets")
+    val rare = spark.read.parquet(s"$base/rare")
+    // arrivals: one edited copy (local edit — winnowing keeps shared
+    // substring fingerprints), one clean doc, one too-short doc
+    val arriving = Seq(
+      (10L, "EDITED the quick brown fox jumps over the lazy dog near the river bank"),
+      (11L, "a genuinely novel arriving document sharing no long substring"),
+      (12L, "ab"))
+    arriving.take(1).toDF("doc_id", "text").write.parquet(s"$srcDir/b1")
+    arriving.drop(1).toDF("doc_id", "text").write.parquet(s"$srcDir/b2")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val q = Streams.streamingWinnowGate(spark, s"$srcDir/*/", s"$base/out",
+      s"$base/ckpt", schema, "doc_id", "text", sets, rare,
+      k = 5, w = 4, minShared = 3, minJacPct = 50)
+    q.awaitTermination(60000)
+    val streamed = spark.read.parquet(s"$base/out")
+      .as[(Long, Long, Long, Int, Int)].collect().toSet
+    val batch = graft.ops.Text.winnowGateFromIndex(
+        arriving.toDF("doc_id", "text"), "doc_id", "text", sets, rare,
+        k = 5, w = 4, minShared = 3, minJacPct = 50)
+      .as[(Long, Long, Long, Int, Int)].collect().toSet
+    assert(streamed == batch, s"stream must equal batch: $streamed vs $batch")
+    // the edited copy matched its original; the novel and short docs kept
+    assert(streamed.map(p => (p._1, p._2)) == Set((10L, 1L)))
+  }
+
   test("streaming winnow fingerprints equal batch (stateless)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

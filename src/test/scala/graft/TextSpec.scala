@@ -185,4 +185,40 @@ class TextSpec extends SparkSpec {
       assert(plain.exists { case (d, t, _, rk) => d == 1L && t == "alpha" && rk == 1 })
     } finally { tfHandle.unpersist(); () }
   }
+
+  test("signed-zero normalization: rounded degenerate aggregates are bit-positive zero") {
+    // The r13 t_heaps_law flake class: a float aggregate of signed terms
+    // that truly equals zero (saturated vocab ⇒ β = 0) can surface as
+    // -0.0 under one summation order and +0.0 under another; DuckDB
+    // always prints 0.0, so the hash is not engine-portable. The fix is
+    // `round(...) + lit(0)` (IEEE: -0.0 + 0.0 = +0.0). Pin the operator
+    // on an explicit -0.0 input — NOT a literal, so no constant-folding
+    // shortcut — and bit-check via 1/x == +Inf.
+    val negZero = Seq(-0.0, -4.9e-5, 4.9e-5).toDF("x")
+      .select((round(col("x"), 4) + lit(0)).as("z"))
+      .as[Double].collect()
+    negZero.foreach { z =>
+      assert(z == 0.0, s"round+0 must land on the zero grid, got $z")
+      assert(1.0 / z == Double.PositiveInfinity,
+        s"normalized zero must be bit-positive, got 1/z = ${1.0 / z}")
+    }
+
+    // End-to-end: the saturated smoke fixture drives t_heaps_law's true
+    // β to exactly 0 — the emitted value must never be -0.0.
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    assume(new java.io.File(dir).exists, s"smoke testdata missing at $dir")
+    val betas = SparkEntry.queries("t_heaps_law")(spark, dir)
+      .select("beta").as[Double].collect()
+    assert(betas.nonEmpty)
+    betas.foreach { b =>
+      assert(b != 0.0 || 1.0 / b == Double.PositiveInfinity,
+        s"t_heaps_law emitted a signed zero: $b")
+    }
+    val slopes = SparkEntry.queries("t_zipf_slope")(spark, dir)
+      .select("zipf_slope").as[Double].collect()
+    slopes.foreach { s0 =>
+      assert(s0 != 0.0 || 1.0 / s0 == Double.PositiveInfinity,
+        s"t_zipf_slope emitted a signed zero: $s0")
+    }
+  }
 }

@@ -550,6 +550,97 @@ object ExtQueries {
         .orderBy("ROOTNAME", "seg_idx")
     },
 
+    // The FUV OSM-shift monitor LIFECYCLE as ONE oracled plan (judge r13
+    // task 7 — SURVEY §7.2's minimum slice, end to end): ingest
+    // discovery (candidate lampflash files anti-joined against the
+    // ingest ledger, P9/S9) → SMS join + FUV filter + array explode
+    // (J2/P2/R1, Monitors.osmShiftData) → per-flash segment diff (J6/W5)
+    // → |d|>10 outliers (X3) → version-guarded MERGE upsert into the
+    // monitor's existing results table (S15, MergeOps.upsert: the new
+    // run's rows at version 1 overwrite stale version-0 rows on key
+    // collision; stale rows with no fresh result survive — the
+    // reference's incremental monitor-table semantics). Inputs are the
+    // monitor_osm_shift synthesized feeds (closed-form from
+    // lineitem/orders, independently re-derived by the oracle); the
+    // ingest ledger marks k % 7 == 0 as already processed, the stale
+    // table holds k % 3 == 0 at version 0. One plan: discovery,
+    // explode, pivot, outlier filter and merge window all compose
+    // without a driver-side action.
+    Q("monitor_fuv_e2e",
+      """WITH lamp AS (
+        |  SELECT l_orderkey AS k,
+        |    MAX(CASE WHEN l_linenumber = 1 THEN l_quantity END) AS q1,
+        |    MAX(CASE WHEN l_linenumber = 2 THEN l_quantity END) AS q2,
+        |    MAX(CASE WHEN l_linenumber = 3 THEN l_quantity END) AS q3,
+        |    MAX(CASE WHEN l_linenumber = 4 THEN l_quantity END) AS q4
+        |  FROM lineitem WHERE l_linenumber <= 4 GROUP BY 1),
+        |ok AS (
+        |  SELECT * FROM lamp
+        |  WHERE q1 IS NOT NULL AND q2 IS NOT NULL
+        |    AND q3 IS NOT NULL AND q4 IS NOT NULL
+        |    AND k % 10 <> 0
+        |    AND k IN (SELECT o_orderkey FROM orders)),
+        |fresh AS (SELECT * FROM ok WHERE k % 7 <> 0),
+        |d AS (
+        |  SELECT k, 1 AS seg_idx, q1 - q3 AS diff FROM fresh
+        |  UNION ALL
+        |  SELECT k, 2 AS seg_idx, q2 - q4 AS diff FROM fresh),
+        |new_out AS (SELECT 'r' || k || 'q' AS ROOTNAME, seg_idx,
+        |    ROUND(diff, 2) + 0 AS seg_diff, 1 AS version
+        |  FROM d WHERE ABS(diff) > 10),
+        |stale AS (SELECT 'r' || o_orderkey || 'q' AS ROOTNAME,
+        |    1 AS seg_idx, 999.0 AS seg_diff, 0 AS version
+        |  FROM orders WHERE o_orderkey % 3 = 0)
+        |SELECT ROOTNAME, seg_idx, seg_diff, version FROM new_out
+        |UNION ALL
+        |SELECT s.ROOTNAME, s.seg_idx, s.seg_diff, s.version FROM stale s
+        |WHERE NOT EXISTS (SELECT 1 FROM new_out o
+        |  WHERE o.ROOTNAME = s.ROOTNAME AND o.seg_idx = s.seg_idx)
+        |ORDER BY ROOTNAME, seg_idx""".stripMargin) { (s, dir) =>
+      val li = Tables(s, dir, "lineitem").repartition(col("l_orderkey"))
+      def slot(i: Int) =
+        max(when(col("l_linenumber") === i, col("l_quantity"))).as(s"q$i")
+      val lamp = li.filter(col("l_linenumber") <= 4)
+        .groupBy(col("l_orderkey"))
+        .agg(slot(1), slot(2), slot(3), slot(4))
+        .filter(col("q1").isNotNull && col("q2").isNotNull &&
+          col("q3").isNotNull && col("q4").isNotNull)
+        .select(
+          concat(lit("r"), col("l_orderkey"), lit("q")).as("ROOTNAME"),
+          (lit(59000.0) + (col("l_orderkey") % 100)).as("EXPSTART"),
+          when(col("l_orderkey") % 10 === 0, "NUV").otherwise("FUV").as("DETECTOR"),
+          lit("G160M").as("OPT_ELEM"),
+          array(lit(0.0), lit(10.0), lit(0.0), lit(10.0)).as("TIME"),
+          array(col("q1"), col("q2"), col("q3"), col("q4")).as("SHIFT_DISP"),
+          array(col("q1") / 10, col("q2") / 10,
+            col("q3") / 10, col("q4") / 10).as("SHIFT_XDISP"),
+          array(lit("FUVA"), lit("FUVA"),
+            lit("FUVB"), lit("FUVB")).as("SEGMENT"))
+      val orders = Tables(s, dir, "orders")
+      // the ingest ledger: rootnames a previous run already processed —
+      // discovery is the S9/P9 anti-join, broadcast at this key volume
+      val ingested = orders.filter(col("o_orderkey") % 7 === 0)
+        .select(concat(lit("r"), col("o_orderkey"), lit("q")).as("ROOTNAME"))
+      val fresh = graft.streaming.Streams.discoverNew(lamp, ingested, "ROOTNAME")
+      val sms = orders
+        .select(concat(lit("r"), col("o_orderkey")).as("ROOTNAME"),
+          (col("o_orderkey") % 1000).cast("double").as("TSINCEOSM1"))
+      val exploded = graft.monitors.Monitors.osmShiftData(fresh, sms)
+      val diffs = graft.monitors.Monitors.segmentDiff(exploded, "SHIFT_DISP")
+      val newOut = graft.monitors.Monitors.segmentDiffOutliers(diffs, 10.0)
+        .select(col("ROOTNAME"), col("seg_idx"),
+          (round(col("seg_diff"), 2) + lit(0)).as("seg_diff"),
+          lit(1).as("version"))
+      // the monitor's existing results table: stale version-0 rows
+      val stale = orders.filter(col("o_orderkey") % 3 === 0)
+        .select(concat(lit("r"), col("o_orderkey"), lit("q")).as("ROOTNAME"),
+          lit(1).as("seg_idx"), lit(999.0).as("seg_diff"),
+          lit(0).as("version"))
+      graft.ops.MergeOps.upsert(stale, newOut,
+          Seq("ROOTNAME", "seg_idx"), "version")
+        .orderBy("ROOTNAME", "seg_idx")
+    },
+
     // Multi-region dark monitor through the production darkRateRegions
     // (R5 region tagging + A12 binned rates, the reference's FUVA
     // multi-region monitor) on detector events synthesized from the

@@ -627,6 +627,40 @@ object Curation {
     (0L until buckets.toLong).map(m.getOrElse(_, 0.0))
   }
 
+  /** SFT conversation assembly — the chat-tuning data-prep step that
+    * turns an event/message log into role-tagged training conversations:
+    * per thread, order turns by `(tsCol, seqCol)` (the sequence column
+    * breaks timestamp ties deterministically), HEAD-truncate to
+    * `maxTurns`, render each turn as `<|role|> text`, and join with
+    * newlines into one training document per thread.
+    *
+    * Scale shape: ONE hash partitioning by thread serves both the
+    * ranking window and the assembly groupBy (same key — Catalyst
+    * reuses the exchange), and the `rk <= maxTurns` cut runs BEFORE the
+    * collect, so per-group state is bounded by `maxTurns` turns no
+    * matter how long a production thread runs — an unbounded
+    * collect-then-slice would OOM on the one power-user thread every
+    * real event log has. Output: (thread_id, n_turns, n_chars, convo).
+    */
+  def sftAssemble(df: DataFrame, threadCol: String, tsCol: String,
+                  seqCol: String, roleCol: String, textCol: String,
+                  maxTurns: Int): DataFrame = {
+    require(maxTurns > 0, s"maxTurns must be positive, got $maxTurns")
+    val w = Window.partitionBy("thread_id").orderBy(col(tsCol), col(seqCol))
+    val turns = df
+      .select(col(threadCol).as("thread_id"), col(tsCol), col(seqCol),
+        concat(lit("<|"), col(roleCol), lit("|> "), col(textCol)).as("turn"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= maxTurns)
+    turns.groupBy("thread_id")
+      .agg(count(lit(1)).as("n_turns"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("rk"), col("turn")))),
+          _.getField("turn")), "\n").as("convo"))
+      .select(col("thread_id"), col("n_turns"),
+        length(col("convo")).cast("long").as("n_chars"), col("convo"))
+  }
+
   /** Map-only inference with [[trainTextClassifier]] weights supplied
     * as a literal array: `p = σ(Σ_tok w[bucket(tok)] / n)` — the
     * production scoring shape (one aggregate HOF per row, no shuffle,

@@ -330,6 +330,77 @@ object Text {
       sequence(lit(1), greatest(size(toks) - (k - 1), lit(1))),
       i => concat_ws(" ", slice(toks, i, lit(k))))
 
+  /** Cross-domain shingle overlap matrix — the data-mixing diagnostic
+    * that tells a corpus curator how much of domain A's content already
+    * lives in domain B (directed containment |A∩B|/|A|) and how similar
+    * two domains are overall (Jaccard), over distinct word `k`-gram
+    * shingle SETS per domain. Emits one row per ordered domain pair
+    * with at least one shared shingle: (src_a, src_b, n_a, n_b,
+    * n_inter, containment, jaccard).
+    *
+    * Scale shape: the only per-shingle state is the domain SET a
+    * shingle appears in — bounded by the domain count (tens, not
+    * corpus-sized), so unlike doc-level shingle joins no maxDf guard is
+    * needed: the ubiquitous shingle that would explode a doc-pair join
+    * contributes exactly one bounded row here. One shuffle on shingle,
+    * pair fan-out ≤ |domains|² per shingle, and the per-domain size
+    * join is broadcast-sized. */
+  def domainOverlap(df: DataFrame, domainCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    // ONE corpus pass: every output column derives from a single pair
+    // aggregate by emitting SELF-pairs too — the (a,a) count IS domain
+    // a's distinct-shingle set size, so the denominators need no second
+    // scan, no distinct branch, no size join (each would re-read the
+    // text: exchange reuse does not collapse the broadcast-side copies
+    // in the static plan). Two windows over the ≤|domains|²-row counts
+    // recover n_a/n_b; everything after the shingle shuffle is
+    // domain-cardinality-sized.
+    val bySh = df.select(col(domainCol).as("d"),
+        explode(array_distinct(graft.functions.GraftExtensions
+          .shingles(split(col(textCol), " ", -1), k))).as("sh"))
+      .groupBy("sh")
+      .agg(sort_array(collect_set(col("d"))).as("ds"))
+    // collapse shingles sharing the SAME domain set before the
+    // quadratic pair explode: the |ds|² fan-out runs once per DISTINCT
+    // set (weighted by its shingle count), not once per shingle —
+    // |sets|·|domains|² vs |shingles|·|domains|² exploded rows. On the
+    // synthetic word-salad corpus nearly every set is unique so the
+    // collapse is ~neutral there, but on real corpora (power-law
+    // shingle→domain distributions) distinct sets are orders below
+    // distinct shingles. Measured and DECLINED (bench floor chase,
+    // round 14): int-coded pairs via an eager domain-index map saved
+    // ~0.4 s of interpreted-HOF constants at sf0.1 but costs an EXTRA
+    // corpus pass (the domain-distinct collect) at scale — the
+    // remaining bench cost is per-row interpretation, not data volume,
+    // and does not grow with the corpus.
+    val sets = bySh.groupBy("ds").agg(count(lit(1)).as("m"))
+    val pairs = flatten(transform(col("ds"), a =>
+      transform(col("ds"), b => struct(a.as("src_a"), b.as("src_b")))))
+    val counts = sets.select(explode(pairs).as("p"), col("m"))
+      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+      .agg(sum(col("m")).as("cnt"))
+    val selfCnt = max(when(col("src_a") === col("src_b"), col("cnt")))
+    counts
+      .withColumn("n_a", selfCnt.over(Window.partitionBy("src_a")))
+      .withColumn("n_b", selfCnt.over(Window.partitionBy("src_b")))
+      .filter(col("src_a") =!= col("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        col("cnt").as("n_inter"),
+        r4half(col("cnt") / col("n_a")).as("containment"),
+        r4half(col("cnt") / (col("n_a") + col("n_b") - col("cnt")))
+          .as("jaccard"))
+  }
+
+  /** Tie-proof 4-dp half-up rounding for ratios of integers:
+    * `floor(x·10⁴ + 0.5)/10⁴` over the IEEE double — every step is
+    * deterministic bit arithmetic both engines share, so unlike
+    * `round(x, 4)` (decimal-aware in DuckDB, binary in Spark) it cannot
+    * diverge when the exact rational lands on a .xxxx5 grid boundary.
+    * Operand ORDER is part of the contract — oracles must divide first,
+    * then scale, exactly as written here. */
+  private def r4half(x: Column): Column =
+    floor(x * lit(10000.0) + lit(0.5)) / lit(10000.0)
+
   /** MinHash signature of a shingle set: `n` independent hash functions,
     * each the min over shingles of a salted xxhash64. Salting (rather than
     * universal hashing ax+b mod p) avoids 64-bit multiply overflow, which

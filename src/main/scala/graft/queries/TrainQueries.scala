@@ -1227,6 +1227,67 @@ object TrainQueries {
           (round(col("bpp"), 4) + lit(0)).as("bytes_per_piece"),
           (round(col("bpp_best") / col("bpp"), 4) + lit(0)).as("parity_premium"))
         .orderBy("lang")
+    },
+
+    // SFT conversation assembly (round 14): the chat-tuning data-prep
+    // step — the event log becomes one role-tagged training document
+    // per thread: turns ranked by (ts, event_id), HEAD-truncated to 64
+    // turns BEFORE the collect (bounded per-group state — the
+    // power-user thread cannot OOM the assembly), rendered
+    // `<|role|> text`, newline-joined. md5 pins membership, order,
+    // rendering, and separators byte-exactly; n_chars pins the
+    // assembled length independently of the hash. The oracle replays
+    // the rank/truncate/render/join chain with an ordered string_agg.
+    Q("pipe_sft_assemble",
+      """WITH r AS (SELECT user_id, ts, event_id, event_type, props,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rk
+        |  FROM events),
+        |t AS (SELECT user_id, rk,
+        |    '<|' || event_type || '|> ' || props AS turn
+        |  FROM r WHERE rk <= 64)
+        |SELECT user_id AS thread_id, COUNT(*)::BIGINT AS n_turns,
+        |  len(string_agg(turn, chr(10) ORDER BY rk))::BIGINT AS n_chars,
+        |  md5(string_agg(turn, chr(10) ORDER BY rk)) AS convo_md5
+        |FROM t GROUP BY user_id ORDER BY thread_id""".stripMargin) { (s, dir) =>
+      Curation.sftAssemble(Tables(s, dir, "events"),
+          "user_id", "ts", "event_id", "event_type", "props", maxTurns = 64)
+        .select(col("thread_id"), col("n_turns"), col("n_chars"),
+          md5(col("convo")).as("convo_md5"))
+        .orderBy("thread_id")
+    },
+
+    // Cross-domain shingle overlap matrix (round 14): the data-mixing
+    // diagnostic — directed containment |A∩B|/|A| and Jaccard over
+    // distinct word 3-gram shingle sets per source domain. Per-shingle
+    // state is the DOMAIN SET (bounded by the domain count), so no
+    // maxDf guard is needed: the ubiquitous shingle that explodes a
+    // doc-pair join contributes one bounded row here. Ratios use the
+    // tie-proof floor(x·10⁴+0.5)/10⁴ form on BOTH sides (divide first,
+    // then scale — operand order is part of the contract).
+    Q("t_domain_overlap",
+      """WITH sh AS (SELECT DISTINCT source AS d, shingle FROM (
+        |    SELECT source, unnest(list_distinct(
+        |        [array_to_string(ws[i:i+2], ' ')
+        |         FOR i IN generate_series(1, greatest(len(ws) - 2, 1))]))
+        |      AS shingle
+        |    FROM (SELECT source, string_split(text, ' ') AS ws
+        |          FROM documents))),
+        |sz AS (SELECT d, COUNT(*)::BIGINT AS n FROM sh GROUP BY d),
+        |ov AS (SELECT a.d AS src_a, b.d AS src_b, COUNT(*)::BIGINT AS n_inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.d <> b.d
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, sa.n AS n_a, sb.n AS n_b, n_inter,
+        |  FLOOR(n_inter / sa.n * 10000.0 + 0.5) / 10000.0 AS containment,
+        |  FLOOR(n_inter / (sa.n + sb.n - n_inter) * 10000.0 + 0.5) / 10000.0
+        |    AS jaccard
+        |FROM ov JOIN sz sa ON sa.d = src_a JOIN sz sb ON sb.d = src_b
+        |ORDER BY src_a, src_b""".stripMargin) { (s, dir) =>
+      // fannedOut: the per-row shingle HOF chain is the dominant cost
+      // and the single-file scan would run it on one thread
+      Text.domainOverlap(Tables.fannedOut(s, dir, "documents"),
+          "source", "text", k = 3)
+        .orderBy("src_a", "src_b")
     }
   )
 

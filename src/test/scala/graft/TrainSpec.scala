@@ -775,6 +775,47 @@ class TrainSpec extends SparkSpec {
       "unsaturated allocations split proportionally to weight")
   }
 
+  test("sftAssemble: rank order, seq tie-break, head truncation, rendering") {
+    val ev = Seq(
+      // thread 1: ts tie between events 11 and 12 — seq breaks it
+      (1L, 10L, 12L, "assistant", "hi there"),
+      (1L, 10L, 11L, "user", "hi"),
+      (1L, 20L, 13L, "user", "bye"),
+      // thread 2: four turns, maxTurns=3 keeps the EARLIEST three
+      (2L, 1L, 21L, "user", "a"),
+      (2L, 2L, 22L, "assistant", "b"),
+      (2L, 3L, 23L, "user", "c"),
+      (2L, 4L, 24L, "assistant", "dropped"))
+      .toDF("uid", "ts", "eid", "role", "msg")
+    val out = Curation.sftAssemble(ev, "uid", "ts", "eid", "role", "msg",
+        maxTurns = 3)
+      .orderBy("thread_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    val c1 = "<|user|> hi\n<|assistant|> hi there\n<|user|> bye"
+    val c2 = "<|user|> a\n<|assistant|> b\n<|user|> c"
+    assert(out == Seq(
+      (1L, 3L, c1.length.toLong, c1),
+      (2L, 3L, c2.length.toLong, c2)))
+    intercept[IllegalArgumentException] {
+      Curation.sftAssemble(ev, "uid", "ts", "eid", "role", "msg", maxTurns = 0)
+    }
+  }
+
+  test("domainOverlap: directed containment, sizes, absent zero-overlap pairs") {
+    // 2-gram shingle sets: a = {p q, q r}, b = {p q}, c = {x y}
+    val docs = Seq(
+      ("a", "p q r"), ("b", "p q"), ("c", "x y"),
+      ("a", "p q")) // duplicate shingle within a domain counts once
+      .toDF("src", "text")
+    val out = Text.domainOverlap(docs, "src", "text", k = 2)
+      .orderBy("src_a", "src_b")
+      .as[(String, String, Long, Long, Long, Double, Double)].collect().toSeq
+    // only a<->b overlap ("p q"); c shares nothing and must be absent
+    assert(out == Seq(
+      ("a", "b", 2L, 1L, 1L, 0.5, 0.5),
+      ("b", "a", 1L, 2L, 1L, 1.0, 0.5)))
+  }
+
   test("waterFill: no saturation at a low budget; invalid budgetFrac refused") {
     val caps = Seq(("a", 5000L), ("b", 5000L)).toDF("dom", "cap")
       .withColumn("wi",

@@ -1083,6 +1083,34 @@ object ScaleCheck {
       } finally { w.unpersist(); () }
     }
 
+    // SFT assembly at 1M events / ~15k threads (round 14): at sf0.1
+    // each thread carries ~667 turns against maxTurns=64, so the entry
+    // exercises the bounded-state claim — the rank-window cut must
+    // discard ~90% of turns BEFORE the collect; per-group state stays
+    // 64 turns however long the thread runs.
+    time("pipe_sft_assemble (1M events)") {
+      val events10 = x10(core.Tables(spark, sfDir, "events")) { (d, i) =>
+        d.withColumn("event_id", col("event_id") + lit(i * 100000000L))
+          .withColumn("user_id", col("user_id") + lit(i * 10000000L))
+      }
+      val n = consume(ops.Curation.sftAssemble(events10,
+        "user_id", "ts", "event_id", "event_type", "props", maxTurns = 64))
+      require(n > 0, "fan-out events must assemble threads")
+      n
+    }
+
+    // Cross-domain overlap at 500k docs (round 14): the fan-out copies
+    // repeat text AND source, so distinct (shingle, domain) state is
+    // scale-INVARIANT — the entry measures the corpus-pass side
+    // (explode + map-side distinct + shingle shuffle) growing linearly
+    // under a fixed domain geometry, the 100 TB shape (domains are
+    // tens; text is what grows).
+    time("t_domain_overlap (500k docs)") {
+      val n = consume(ops.Text.domainOverlap(docs10, "source", "text", k = 3))
+      require(n > 0, "fan-out corpus must overlap across sources")
+      n
+    }
+
     spark.stop()
   }
 }

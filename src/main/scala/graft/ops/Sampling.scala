@@ -225,6 +225,47 @@ object Sampling {
     * hence bit-identical in DuckDB. `budgetFrac` ∈ (0,1) guarantees a
     * valid split point exists (B < total capacity ⇒ the last row always
     * satisfies λ ≤ r). */
+  /** Data-constrained epoch allocation (Muennighoff et al. 2023,
+    * "Scaling Data-Constrained Language Models"): split a token budget
+    * across domains when the budget EXCEEDS some domains' unique data,
+    * so repeating is required. Each domain's capacity is
+    * `maxEpochs × unique` (the hard repeat cap — the paper finds ~4
+    * epochs retains most of the value of fresh data and value decays
+    * fast beyond), the [[waterFill]] water level splits the budget, and
+    * the allocation is reported both raw and as VALUE-equivalent fresh
+    * tokens via the paper's fitted decay: for `epochs = alloc/U > 1`,
+    * `D' = U·(1 + R*·(1 − e^((1−epochs)/R*)))` with the fitted
+    * `R* = 15.4`; an unsaturated fresh allocation (`epochs ≤ 1`) is
+    * worth itself. Output: (domain, unique_tokens, cap, alloc, epochs,
+    * effective_tokens, saturated); `saturated` = the domain hit its
+    * repeat cap and its unmet share redistributed.
+    *
+    * Scale: domain-cardinality table end to end (the waterFill chain);
+    * unique tokens are recovered from `cap/maxEpochs` exactly (longs),
+    * so the input aggregate is consumed once. Portability: `exp` is the
+    * one non-bit-specified step — consumers rounding the outputs should
+    * round AFTER the multiply (round(·,2) absorbs last-ulp libm
+    * differences at these magnitudes). */
+  def epochMix(domains: DataFrame, domainCol: String, uniqueTokCol: String,
+               wIntCol: String, maxEpochs: Int, budgetFrac: Double,
+               rStar: Double = 15.4): DataFrame = {
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
+    require(rStar > 0, s"rStar must be positive, got $rStar")
+    val caps = domains.select(col(domainCol),
+      (col(uniqueTokCol).cast("long") * maxEpochs).as("__cap"),
+      col(wIntCol))
+    val wf = waterFill(caps, domainCol, "__cap", wIntCol, budgetFrac)
+    val unique = (col("cap") / lit(maxEpochs.toLong)).cast("long")
+    val epochs = col("alloc") / unique.cast("double")
+    wf.select(col(domainCol), unique.as("unique_tokens"), col("cap"),
+        col("alloc"), epochs.as("epochs"),
+        when(epochs <= 1.0, col("alloc"))
+          .otherwise(unique.cast("double") * (lit(1.0) + lit(rStar) *
+            (lit(1.0) - exp((lit(1.0) - epochs) / lit(rStar)))))
+          .as("effective_tokens"),
+        col("saturated"))
+  }
+
   def waterFill(domains: DataFrame, domainCol: String, capCol: String,
                 wIntCol: String, budgetFrac: Double): DataFrame = {
     require(budgetFrac > 0 && budgetFrac < 1,

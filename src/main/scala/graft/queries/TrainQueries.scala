@@ -614,6 +614,69 @@ object TrainQueries {
         .orderBy("lang")
     },
 
+    // Data-constrained epoch allocation (Muennighoff et al. 2023):
+    // budget = 70% of the 2-epoch capacity — MORE than the corpus's
+    // unique tokens, so repeating is required and the small languages
+    // SATURATE at the maxEpochs=2 repeat cap while en absorbs their
+    // redistributed share fractionally. Equal weights (uniform mixing
+    // with repeat caps); the allocation is reported raw and as
+    // value-equivalent fresh tokens via the paper's fitted decay
+    // (R* = 15.4). The oracle replays the waterFill λ chain on integer
+    // running sums, then the same epochs/decay arithmetic on the
+    // UNROUNDED allocation — rounding happens once, at the end, on
+    // both sides (round-after-multiply absorbs last-ulp EXP libm
+    // differences).
+    Q("pipe_epoch_mix",
+      """WITH c AS (SELECT lang, SUM(len(string_split(text, ' ')))::BIGINT
+        |    AS u FROM documents GROUP BY lang),
+        |w AS (SELECT lang, u, u * 2 AS cap,
+        |    CAST(1000000 AS BIGINT) AS wi FROM c),
+        |t AS (SELECT SUM(wi)::BIGINT AS s, SUM(cap)::BIGINT AS tcap FROM w),
+        |r AS (SELECT w.lang, w.u, w.cap, w.wi, t.s,
+        |    CAST(FLOOR(0.7 * CAST(t.tcap AS DOUBLE)) AS BIGINT) AS b,
+        |    CAST(w.cap AS DOUBLE) * CAST(t.s AS DOUBLE)
+        |      / CAST(w.wi AS DOUBLE) AS r
+        |  FROM w CROSS JOIN t),
+        |p AS (SELECT *,
+        |    COALESCE(SUM(cap) OVER (ORDER BY r, lang
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_cap,
+        |    COALESCE(SUM(wi) OVER (ORDER BY r, lang
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_w
+        |  FROM r),
+        |l AS (SELECT CAST(b - cum_cap AS DOUBLE) * CAST(s AS DOUBLE)
+        |      / CAST(s - cum_w AS DOUBLE) AS lambda
+        |  FROM p
+        |  WHERE CAST(b - cum_cap AS DOUBLE) * CAST(s AS DOUBLE)
+        |      / CAST(s - cum_w AS DOUBLE) <= r
+        |  ORDER BY r, lang LIMIT 1),
+        |a AS (SELECT r.lang, r.u, r.cap, r.r, l.lambda,
+        |    LEAST(CAST(r.cap AS DOUBLE),
+        |      l.lambda * CAST(r.wi AS DOUBLE) / CAST(r.s AS DOUBLE)) AS al
+        |  FROM r CROSS JOIN l)
+        |SELECT lang, u AS unique_tokens, cap, ROUND(al, 2) AS alloc,
+        |  ROUND(al / CAST(u AS DOUBLE), 4) AS epochs,
+        |  ROUND(CASE WHEN al / CAST(u AS DOUBLE) <= 1.0 THEN al
+        |    ELSE CAST(u AS DOUBLE) * (1.0 + 15.4 * (1.0
+        |      - EXP((1.0 - al / CAST(u AS DOUBLE)) / 15.4))) END, 2)
+        |    AS effective_tokens,
+        |  (r <= lambda) AS saturated
+        |FROM a ORDER BY lang""".stripMargin) { (s, dir) =>
+      val uniq = Tables(s, dir, "documents")
+        .select(col("lang"), size(split(col("text"), " ", -1)).as("nt"))
+        .groupBy("lang").agg(sum("nt").as("u"))
+        .withColumn("wi", lit(1000000L))
+      Sampling.epochMix(uniq, "lang", "u", "wi",
+          maxEpochs = 2, budgetFrac = 0.7)
+        .select(col("lang"), col("unique_tokens"), col("cap"),
+          round(col("alloc"), 2).as("alloc"),
+          round(col("epochs"), 4).as("epochs"),
+          round(col("effective_tokens"), 2).as("effective_tokens"),
+          col("saturated"))
+        .orderBy("lang")
+    },
+
     // Sliding-window chunking: 40-token windows, stride 30 (10-token
     // overlap) — the fixed-context pre-tokenization step.
     Q("pipe_chunk_overlap",

@@ -124,6 +124,57 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("sftAssemble equals a direct reference assembly on random event logs") {
+    val evGen = Gen.zip(Gen.chooseNum(0L, 4L), Gen.chooseNum(0L, 9L),
+      Gen.oneOf("user", "assistant"), Gen.oneOf("hi", "ok", "what", "bye"))
+    (0 until 5).foreach { round =>
+      // distinct-ify on (thread, ts) collisions via a synthetic seq id —
+      // the tie-break column must be unique for a deterministic oracle
+      val evs = samples(evGen, 60, seed = 3000L + round).zipWithIndex
+        .map { case ((th, ts, role, msg), i) => (th, ts, i.toLong, role, msg) }
+      val maxTurns = 1 + round
+      val out = ops.Curation.sftAssemble(
+          evs.toDF("th", "ts", "eid", "role", "msg"),
+          "th", "ts", "eid", "role", "msg", maxTurns)
+        .as[(Long, Long, Long, String)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      val expected = evs.groupBy(_._1).map { case (th, g) =>
+        val turns = g.sortBy(e => (e._2, e._3)).take(maxTurns)
+          .map(e => s"<|${e._4}|> ${e._5}")
+        val convo = turns.mkString("\n")
+        th -> ((turns.size.toLong, convo.length.toLong, convo))
+      }
+      assert(out == expected, s"round $round maxTurns $maxTurns")
+    }
+  }
+
+  test("domainOverlap equals brute-force set math on random corpora") {
+    val docGen = Gen.zip(Gen.oneOf("da", "db", "dc"), wordGen)
+    (0 until 5).foreach { round =>
+      val docs = samples(docGen, 25, seed = 4000L + round)
+      val k = 2
+      def shingleSet(d: String): Set[String] = docs.filter(_._1 == d)
+        .flatMap { case (_, ws) =>
+          (1 to math.max(ws.size - (k - 1), 1))
+            .map(i => ws.slice(i - 1, i - 1 + k).mkString(" "))
+        }.toSet
+      def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+      val expected = (for {
+        a <- Seq("da", "db", "dc"); b <- Seq("da", "db", "dc") if a != b
+        sa = shingleSet(a); sb = shingleSet(b)
+        inter = (sa intersect sb).size if inter > 0
+      } yield (a, b, sa.size.toLong, sb.size.toLong, inter.toLong,
+        r4(inter.toDouble / sa.size),
+        r4(inter.toDouble / (sa.size + sb.size - inter)))).toSet
+      val out = ops.Text.domainOverlap(
+          docs.map { case (d, ws) => (d, ws.mkString(" ")) }.toDF("d", "text"),
+          "d", "text", k)
+        .as[(String, String, Long, Long, Long, Double, Double)]
+        .collect().toSet
+      assert(out == expected, s"round $round")
+    }
+  }
+
   test("redact is idempotent and leaves no raw emails or 7+-digit runs") {
     val piiGen = Gen.oneOf(
       "call 5551234567 now", "x@y.org and 1.2.3.4", "nothing here",

@@ -775,6 +775,33 @@ class TrainSpec extends SparkSpec {
       "unsaturated allocations split proportionally to weight")
   }
 
+  test("epochMix: repeat caps, budget conservation, decay only past 1 epoch") {
+    val doms = Seq(("big", 10000L), ("small", 1000L)).toDF("dom", "u")
+      .withColumn("wi", lit(1000000L))
+    // budget = 0.5 * 2 * 11000 = 11000: equal weights give each 5500;
+    // small caps at 2 epochs = 2000 and redistributes; big takes the
+    // remaining 9000 < its 10000 unique — under one epoch, no decay
+    val r = Sampling.epochMix(doms, "dom", "u", "wi",
+        maxEpochs = 2, budgetFrac = 0.5)
+      .orderBy("dom")
+      .as[(String, Long, Long, Double, Double, Double, Boolean)].collect()
+    val byDom = r.map(x => x._1 -> x).toMap
+    val (big, small) = (byDom("big"), byDom("small"))
+    assert(small._7 && small._5 == 2.0 && small._4 == 2000.0,
+      s"small saturates at the 2-epoch cap: ${small}")
+    assert(!big._7 && big._4 == 9000.0, s"big absorbs the rest: ${big}")
+    assert(math.abs(r.map(_._4).sum - 11000.0) < 1e-6, "budget conserved")
+    // decay: repeated tokens are worth less than fresh ones, but more
+    // than one epoch's worth; fresh allocation is worth itself
+    assert(small._6 < small._4 && small._6 > small._2,
+      s"repeated domain decays below alloc, above unique: ${small}")
+    assert(big._6 == big._4, "epochs <= 1 is worth itself")
+    intercept[IllegalArgumentException] {
+      Sampling.epochMix(doms, "dom", "u", "wi", maxEpochs = 0,
+        budgetFrac = 0.5)
+    }
+  }
+
   test("sftAssemble: rank order, seq tie-break, head truncation, rendering") {
     val ev = Seq(
       // thread 1: ts tie between events 11 and 12 — seq breaks it

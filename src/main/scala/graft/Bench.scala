@@ -392,8 +392,13 @@ object Bench {
         // admit only while the predicted pair cost fits 0.9× of the
         // REMAINING budget: the 2×pass-1 predictor underestimates under
         // load (the r10 judge's run overshot 310.8 of 300 s with the
-        // exact-fit rule), so keep a 10% safety margin per admission
-        if (2 * pass1Time(name) > 0.9 * (budgetSec - elapsedSec)) None
+        // exact-fit rule), so keep a 10% safety margin per admission.
+        // A further flat 3 s is held back: without it the loop keeps
+        // admitting ever-smaller pairs until remaining ≈ 0, so wall_s
+        // converges to exactly the budget and the LAST pair's prediction
+        // error decides over/under (the r14 quiet run read 300.1 of 300
+        // that way). The reserve guarantees the sign of the slack.
+        if (2 * pass1Time(name) > 0.9 * (budgetSec - elapsedSec - 3.0)) None
         else {
           val prime = timeOne(name, fn) // prime: warms any evicted state
           if (!prime._1) None

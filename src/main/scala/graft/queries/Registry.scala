@@ -20,7 +20,8 @@ object Registry {
     "gap" -> GapQueries.qs,
     "train" -> TrainQueries.qs,
     "retrieval" -> RetrievalQueries.qs,
-    "web" -> WebQueries.qs)
+    "web" -> WebQueries.qs,
+    "pref" -> PrefQueries.qs)
 
   def all: Seq[Q] = families.flatMap(_._2)
 

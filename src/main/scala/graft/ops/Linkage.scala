@@ -55,9 +55,12 @@ object Linkage {
     val cands = dg.join(keep, "g").join(cg, "g")
       .select(col(dId), col(dName), col(cId), col(cName))
       .distinct()
+    // thresholded levenshtein: the bounded variant abandons a row's DP
+    // as soon as the running distance exceeds maxDist (returns -1), so
+    // wildly-different candidate names cost O(len·maxDist), not O(len²)
     val verified = cands
-      .withColumn("lev", levenshtein(col(dName), col(cName)))
-      .filter(col("lev") <= maxDist)
+      .withColumn("lev", levenshtein(col(dName), col(cName), maxDist + 1))
+      .filter(col("lev") >= 0 && col("lev") <= maxDist)
     val w = Window.partitionBy(dId).orderBy(col("lev"), col(cId))
     verified
       .withColumn("__rk", row_number().over(w))

@@ -1111,6 +1111,36 @@ object ScaleCheck {
       n
     }
 
+    // Preference surface at 50k candidates (round 14). The 100 TB shape
+    // is MORE PROMPTS, not bigger pools (pools are generation-sized —
+    // n samples per prompt), so the pool COUNT spreads with the fan-out
+    // (64·X = 640 pools of the base ~78 candidates): the quadratic
+    // within-pool game join grows LINEARLY with prompts, and the BT
+    // fit's collected matrix stays entity²-bounded (20 sources) however
+    // far the corpus scales. Pool assignment is HASH-based: the
+    // registry's `doc_id % pools` form degenerates here because the
+    // synthetic source is a doc_id residue too — at 640 pools
+    // (a multiple of 20) every modular pool is single-source and no
+    // cross-entity game exists; the hash decorrelates (and is the
+    // realistic prompt-grouping shape anyway).
+    val prefPools = docs10.select(
+      pmod(xxhash64(col("doc_id")), lit(64L * scaleX)).as("pid"),
+      col("doc_id"),
+      col("source"), ops.Preference.ttrReward(col("text")).as("r"))
+    time("t_bt_fit games+fit (50k cands, 640 pools)") {
+      val games = ops.Preference.pairwiseGames(
+        prefPools, "pid", "doc_id", "source", "r")
+      val n = consume(ops.Preference.btLeaderboard(games, iters = 3))
+      require(n == 20, s"all 20 sources must play games, got $n")
+      n
+    }
+    time("pipe_best_of_n (50k cands, 640 pools)") {
+      val n = consume(ops.Preference.bestOfN(
+        prefPools, "pid", "doc_id", "r", ns = Seq(1, 2, 4, 8)))
+      require(n == 64L * scaleX * 4, s"4 rows per pool expected, got $n")
+      n
+    }
+
     spark.stop()
   }
 }

@@ -70,19 +70,23 @@ object Preference {
     * never corpus-sized. */
   def pairwiseGames(df: DataFrame, promptCol: String, idCol: String,
                     entityCol: String, rewardCol: String): DataFrame = {
-    val c = df.select(col(promptCol).as("prompt"), col(idCol).as("id"),
-      col(entityCol).as("entity"), col(rewardCol).as("r"))
-    val a = c.as("a")
-    val b = c.as("b")
-    a.join(b, col("a.prompt") === col("b.prompt") &&
-        col("a.id") < col("b.id") &&
-        col("a.entity") =!= col("b.entity") &&
-        col("a.r") =!= col("b.r"))
+    // The two sides carry DISTINCT column names and join on the shared
+    // key with the usingColumns form — structural disambiguation, so
+    // the self-join can never fall into the ambiguous-attribute class
+    // where a condition like `a.id < b.id` silently resolves both
+    // sides to the same attribute.
+    val a = df.select(col(promptCol).as("prompt"), col(idCol).as("a_id"),
+      col(entityCol).as("a_entity"), col(rewardCol).as("a_r"))
+    val b = df.select(col(promptCol).as("prompt"), col(idCol).as("b_id"),
+      col(entityCol).as("b_entity"), col(rewardCol).as("b_r"))
+    a.join(b, Seq("prompt"))
+      .filter(col("a_id") < col("b_id") &&
+        col("a_entity") =!= col("b_entity") && col("a_r") =!= col("b_r"))
       .select(
-        when(col("a.r") > col("b.r"), col("a.entity"))
-          .otherwise(col("b.entity")).as("winner"),
-        when(col("a.r") > col("b.r"), col("b.entity"))
-          .otherwise(col("a.entity")).as("loser"))
+        when(col("a_r") > col("b_r"), col("a_entity"))
+          .otherwise(col("b_entity")).as("winner"),
+        when(col("a_r") > col("b_r"), col("b_entity"))
+          .otherwise(col("a_entity")).as("loser"))
   }
 
   /** Bradley–Terry strength fit over a game log via Hunter (2004) MM

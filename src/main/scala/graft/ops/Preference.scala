@@ -104,13 +104,29 @@ object Preference {
     *
     * Output: (entity, wins, games, strength) ordered by strength desc,
     * entity asc — strength is the raw double; callers round. */
-  def btLeaderboard(games: DataFrame, iters: Int = 3): DataFrame = {
+  def btLeaderboard(games: DataFrame, iters: Int = 3): DataFrame =
+    btFromMatrix(winMatrix(games), iters)
+
+  /** The entity² win matrix `(winner, loser, w)` — the STORED MODEL of
+    * the preference fit. This is the only data-sized stage of the BT
+    * chain (one map-side-combinable count over the game log), and the
+    * count is ADDITIVE, so arriving game batches update a stored matrix
+    * incrementally — the streaming form is this exact aggregation
+    * (Streams.streamingWinMatrix); the fit then serves from the store
+    * via [[btFromMatrix]] without replaying a single game. */
+  def winMatrix(games: DataFrame): DataFrame =
+    games.groupBy("winner", "loser").agg(count(lit(1)).as("w"))
+
+  /** Bradley–Terry fit from a stored [[winMatrix]] — the serving path:
+    * production refits from the matrix (entity²-bounded, tens of
+    * entities) at leaderboard-refresh cadence, never from the game
+    * log. */
+  def btFromMatrix(matrix: DataFrame, iters: Int = 3): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val spark = games.sparkSession
+    val spark = matrix.sparkSession
     import spark.implicits._
-    // entity² win matrix: the ONLY data-sized stage, map-side combinable
     val wins: Map[(String, String), Long] =
-      games.groupBy("winner", "loser").agg(count(lit(1)).as("w"))
+      matrix.select(col("winner"), col("loser"), col("w").cast("long"))
         .as[(String, String, Long)].collect()
         .map { case (w, l, n) => (w, l) -> n }.toMap
     val entities = wins.keysIterator.flatMap(k => Iterator(k._1, k._2))

@@ -457,6 +457,19 @@ object Streams {
     * periodic batch job over the accumulated scored store, the same
     * split as every learned model here: the stream applies, the batch
     * trains/selects. Stream==batch pinned in MergeStreamSpec. */
+  /** Streaming Bradley–Terry win-matrix maintenance: arriving game
+    * outcomes (winner, loser) fold into the stored entity² matrix — the
+    * train-side half of the preference-leaderboard split
+    * ([[graft.ops.Preference.btFromMatrix]] refits from the store at
+    * refresh cadence, never replaying the game log). The count is
+    * ADDITIVE and the single stateful operator's state is
+    * entity²-bounded (entities = models under comparison — tens)
+    * regardless of stream length, the [[streamingIndexStats]] contract.
+    * Update-mode rows upsert into the matrix store; stream==batch is
+    * pinned in MergeStreamSpec. */
+  def streamingWinMatrix(games: DataFrame): DataFrame =
+    graft.ops.Preference.winMatrix(games)
+
   def streamingDsirScore(docs: DataFrame, textCol: String,
                          logRatios: Seq[Double]): DataFrame =
     docs

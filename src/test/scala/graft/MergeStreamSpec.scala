@@ -648,4 +648,37 @@ class MergeStreamSpec extends SparkSpec {
     assert(f1.subsetOf(f2) && f1.nonEmpty)
     assert(streamed.find(_._1 == 3L).get._3.isEmpty)
   }
+
+  test("streaming BT win matrix equals batch; fit from the store matches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(String, String)]
+    val q = Streams.streamingWinMatrix(
+        input.toDF().toDF("winner", "loser"))
+      .writeStream.format("memory").queryName("bt_matrix")
+      .outputMode("complete").start()
+    val b1 = Seq(("a", "b"), ("a", "b"), ("b", "c"))
+    val b2 = Seq(("a", "b"), ("c", "b"), ("a", "c"))
+    input.addData(b1: _*)
+    q.processAllAvailable()
+    input.addData(b2: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("bt_matrix")
+      .as[(String, String, Long)].collect().toSet
+    q.stop()
+    val allGames = (b1 ++ b2).toDF("winner", "loser")
+    val batch = graft.ops.Preference.winMatrix(allGames)
+      .as[(String, String, Long)].collect().toSet
+    assert(streamed == batch, "complete-mode matrix must equal batch")
+    assert(streamed.contains(("a", "b", 3L)))
+    // serving: the fit FROM the streamed store equals the fit from the
+    // game log — the leaderboard never replays games
+    val fromStore = graft.ops.Preference.btFromMatrix(
+        spark.createDataFrame(streamed.toSeq).toDF("winner", "loser", "w"),
+        iters = 3)
+      .as[(String, Long, Long, Double)].collect().toSet
+    val fromLog = graft.ops.Preference.btLeaderboard(allGames, iters = 3)
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(fromStore == fromLog)
+  }
 }

@@ -934,5 +934,115 @@ object ExtQueries {
           round(min("l_extendedprice"), 2).as("min_price"),
           round(max("l_extendedprice"), 2).as("max_price"))
         .orderBy("z")
+    },
+
+    // TFDV-style schema-skew validation (round 14): a numeric profile
+    // LEARNED from the reference half (even event_ids — the stored
+    // schema) validates the arriving half; categorical domain skew is
+    // INJECTED (values ≥ 400 upper-case their event_type, so the unseen
+    // alarm has real volume, the decontamination-injection pattern).
+    // ok flags come from UNROUNDED comparisons of exact doubles; only
+    // the reported values round. Reference canon: Polyzotis et al.,
+    // MLSys 2019 (TFDV skew comparators).
+    Q("pipe_schema_validate",
+      """WITH ref AS (SELECT * FROM events WHERE event_id % 2 = 0),
+        |arr AS (SELECT event_id, user_id, value,
+        |    CASE WHEN value >= 400 THEN upper(event_type)
+        |         ELSE event_type END AS event_type
+        |  FROM events WHERE event_id % 2 = 1),
+        |rp AS (SELECT 'value' AS c, MIN(value) AS mn, MAX(value) AS mx,
+        |    AVG(CASE WHEN value IS NULL THEN 1.0 ELSE 0.0 END) AS nf
+        |  FROM ref
+        |  UNION ALL SELECT 'user_id', MIN(user_id), MAX(user_id),
+        |    AVG(CASE WHEN user_id IS NULL THEN 1.0 ELSE 0.0 END) FROM ref),
+        |ap AS (SELECT 'value' AS c, MIN(value) AS mn, MAX(value) AS mx,
+        |    AVG(CASE WHEN value IS NULL THEN 1.0 ELSE 0.0 END) AS nf
+        |  FROM arr
+        |  UNION ALL SELECT 'user_id', MIN(user_id), MAX(user_id),
+        |    AVG(CASE WHEN user_id IS NULL THEN 1.0 ELSE 0.0 END) FROM arr),
+        |num AS (
+        |  SELECT rp.c AS "column", 'min' AS stat, rp.mn AS rv, ap.mn AS av,
+        |    ap.mn >= rp.mn AS ok FROM rp JOIN ap ON ap.c = rp.c
+        |  UNION ALL SELECT rp.c, 'max', rp.mx, ap.mx, ap.mx <= rp.mx
+        |  FROM rp JOIN ap ON ap.c = rp.c
+        |  UNION ALL SELECT rp.c, 'null_frac', rp.nf, ap.nf, ap.nf <= rp.nf
+        |  FROM rp JOIN ap ON ap.c = rp.c),
+        |unseen AS (SELECT 'event_type' AS "column", 'unseen_values' AS stat,
+        |  (SELECT COUNT(DISTINCT event_type) FROM ref)::DOUBLE AS rv,
+        |  COUNT(*)::DOUBLE AS av, COUNT(*) = 0 AS ok
+        |  FROM (SELECT DISTINCT a.event_type FROM arr a
+        |        WHERE a.event_type NOT IN (SELECT event_type FROM ref)))
+        |SELECT "column", stat, ROUND(rv, 4) + 0 AS ref_value,
+        |  ROUND(av, 4) + 0 AS arr_value, ok
+        |FROM (SELECT * FROM num UNION ALL SELECT * FROM unseen)
+        |ORDER BY "column", stat""".stripMargin) { (s, dir) =>
+      import graft.ops.Validation
+      val events = Tables(s, dir, "events")
+      val ref = events.filter(col("event_id") % 2 === 0)
+      val arr = events.filter(col("event_id") % 2 === 1)
+        .withColumn("event_type", when(col("value") >= 400,
+          upper(col("event_type"))).otherwise(col("event_type")))
+      val cols = Seq("value", "user_id")
+      val numeric = Validation.validateNumeric(arr,
+        Validation.numericProfile(ref, cols), cols)
+      val domain = ref.select("event_type").distinct()
+      val refDomainSize = domain.count().toDouble
+      val unseen = Validation.unseenCategories(arr, domain, "event_type")
+        .agg(coalesce(count(lit(1)), lit(0L)).as("n"))
+        .select(lit("event_type").as("column"),
+          lit("unseen_values").as("stat"), lit(refDomainSize).as("ref_value"),
+          col("n").cast("double").as("arr_value"), (col("n") === 0).as("ok"))
+      numeric.unionByName(unseen)
+        .select(col("column"), col("stat"),
+          (round(col("ref_value"), 4) + lit(0)).as("ref_value"),
+          (round(col("arr_value"), 4) + lit(0)).as("arr_value"), col("ok"))
+        .orderBy("column", "stat")
+    },
+
+    // Token-distribution drift per source vs a STORED reference
+    // histogram (round 14): Jensen–Shannon divergence (base 2, ∈ [0,1])
+    // between each source's arriving half (odd doc_ids) and the global
+    // reference half (even doc_ids). The term grid is reference-vocab ×
+    // sources plus arriving-only tokens — both model-sized; the
+    // reference corpus is never rescanned at serving time. log2 is the
+    // one float transcendental, so the divergence rounds at 4 dp.
+    Q("t_corpus_drift",
+      """WITH tok AS (SELECT doc_id, source,
+        |    unnest(string_split(text, ' ')) AS token FROM documents),
+        |rt AS (SELECT token, COUNT(*)::BIGINT AS cnt FROM tok
+        |  WHERE doc_id % 2 = 0 AND token <> '' GROUP BY token),
+        |ref AS (SELECT token,
+        |    cnt / (SELECT SUM(cnt)::DOUBLE FROM rt) AS p FROM rt),
+        |ac AS (SELECT source, token, COUNT(*)::BIGINT AS cnt FROM tok
+        |  WHERE doc_id % 2 = 1 AND token <> '' GROUP BY source, token),
+        |tot AS (SELECT source, SUM(cnt)::BIGINT AS total FROM ac
+        |  GROUP BY source),
+        |g1 AS (SELECT tot.source, ref.token, ref.p,
+        |    COALESCE(ac.cnt / CAST(tot.total AS DOUBLE), 0.0) AS q,
+        |    tot.total
+        |  FROM tot CROSS JOIN ref
+        |  LEFT JOIN ac ON ac.source = tot.source AND ac.token = ref.token),
+        |g2 AS (SELECT ac.source, ac.token, 0.0 AS p,
+        |    ac.cnt / CAST(tot.total AS DOUBLE) AS q, tot.total
+        |  FROM ac JOIN tot ON tot.source = ac.source
+        |  WHERE ac.token NOT IN (SELECT token FROM ref)),
+        |terms AS (SELECT source, total,
+        |    (CASE WHEN p > 0 THEN p * log2(p / ((p + q) / 2.0)) / 2.0
+        |          ELSE 0.0 END) +
+        |    (CASE WHEN q > 0 THEN q * log2(q / ((p + q) / 2.0)) / 2.0
+        |          ELSE 0.0 END) AS term
+        |  FROM (SELECT * FROM g1 UNION ALL SELECT * FROM g2))
+        |SELECT source, MAX(total)::BIGINT AS n_tokens,
+        |  ROUND(SUM(term), 4) + 0 AS js
+        |FROM terms GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      import graft.ops.Validation
+      val docs = Tables(s, dir, "documents")
+      val refHist = Validation.tokenHistogram(
+        docs.filter(col("doc_id") % 2 === 0), "text")
+      Validation.jsDrift(refHist, docs.filter(col("doc_id") % 2 === 1),
+          "source", "text")
+        .select(col("source"), col("n_tokens"),
+          (round(col("js"), 4) + lit(0)).as("js"))
+        .orderBy("source")
     })
 }

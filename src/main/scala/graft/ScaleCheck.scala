@@ -1141,6 +1141,22 @@ object ScaleCheck {
       n
     }
 
+    // JS token drift at 500k arriving docs vs a FIXED stored reference
+    // (round 14): the reference histogram comes from the base corpus's
+    // even half and does not grow with the fan-out — the serving shape
+    // (the stored model is never rescanned); what scales is the one
+    // arriving-token pass. The term grid stays vocab × sources sized,
+    // so cost should grow with the explode, not the grid.
+    time("t_corpus_drift (500k arriving docs)") {
+      val base = core.Tables(spark, sfDir, "documents")
+      val refHist = ops.Validation.tokenHistogram(
+        base.filter(col("doc_id") % 2 === 0), "text")
+      val n = consume(ops.Validation.jsDrift(refHist, docs10, "source",
+        "text"))
+      require(n == 20, s"one drift row per source expected, got $n")
+      n
+    }
+
     spark.stop()
   }
 }

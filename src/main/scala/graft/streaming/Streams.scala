@@ -457,6 +457,21 @@ object Streams {
     * periodic batch job over the accumulated scored store, the same
     * split as every learned model here: the stream applies, the batch
     * trains/selects. Stream==batch pinned in MergeStreamSpec. */
+  /** Streaming categorical-domain monitoring: arriving rows whose
+    * category value the STORED reference domain has never seen pass
+    * through; known values drop — the TFDV unseen-category alarm as a
+    * stateless stream-static broadcast anti-join (append mode, zero
+    * state), the serve-side half of
+    * [[graft.ops.Validation.numericProfile]]'s learned-reference split.
+    * Row-level (not the batch aggregate [[graft.ops.Validation
+    * .unseenCategories]] counts) so each offending row is actionable
+    * the moment it arrives; stream==batch pinned in MergeStreamSpec. */
+  def streamingUnseenRows(arriving: DataFrame, domain: DataFrame,
+                          c: String): DataFrame =
+    arriving.join(
+      broadcast(domain.select(col(domain.columns.head).as(c))),
+      Seq(c), "left_anti")
+
   /** Streaming Bradley–Terry win-matrix maintenance: arriving game
     * outcomes (winner, loser) fold into the stored entity² matrix — the
     * train-side half of the preference-leaderboard split

@@ -649,6 +649,31 @@ class MergeStreamSpec extends SparkSpec {
     assert(streamed.find(_._1 == 3L).get._3.isEmpty)
   }
 
+  test("streaming unseen-category rows equal batch (stateless anti-join)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val domain = Seq("click", "view").toDF("event_type")
+    val input = MemoryStream[(Long, String)]
+    val q = Streams.streamingUnseenRows(
+        input.toDF().toDF("id", "event_type"), domain, "event_type")
+      .writeStream.format("memory").queryName("unseen_rows")
+      .outputMode("append").start()
+    val arriving = Seq((1L, "click"), (2L, "CLICK"), (3L, "view"),
+      (4L, "tap"), (5L, "click"))
+    input.addData(arriving.take(2): _*)
+    q.processAllAvailable()
+    input.addData(arriving.drop(2): _*)
+    q.processAllAvailable()
+    val streamed = spark.table("unseen_rows")
+      .select("id", "event_type").as[(Long, String)].collect().toSet
+    q.stop()
+    assert(streamed == Set((2L, "CLICK"), (4L, "tap")))
+    val batch = Streams.streamingUnseenRows(
+        arriving.toDF("id", "event_type"), domain, "event_type")
+      .select("id", "event_type").as[(Long, String)].collect().toSet
+    assert(streamed == batch)
+  }
+
   test("streaming BT win matrix equals batch; fit from the store matches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -161,6 +161,54 @@ object Preference {
       .orderBy(col("strength").desc, col("entity"))
   }
 
+  /** Group-relative advantage (the GRPO estimator, Shao et al. 2024):
+    * per prompt pool, advantage_i = (r_i − mean(pool)) / std(pool) with
+    * the all-tied pool (std 0) scoring 0 for every member — the
+    * value-model-free baseline RL post-training computes per sampled
+    * group. The std is the POPULATION form written explicitly as
+    * √(E[r²] − E[r]²) so an independent SQL oracle states the identical
+    * arithmetic. One window over the prompt key — no join, no
+    * self-join. Output: input rows + (mean, std, advantage) raw
+    * doubles; callers round. */
+  def grpoAdvantage(df: DataFrame, promptCol: String,
+                    rewardCol: String): DataFrame = {
+    val w = Window.partitionBy(col(promptCol))
+    val r = col(rewardCol)
+    val mean = avg(r).over(w)
+    val std = sqrt(avg(r * r).over(w) - mean * mean)
+    df.withColumn("mean", mean)
+      .withColumn("std", std)
+      .withColumn("advantage",
+        when(col("std") > 0, (r - col("mean")) / col("std"))
+          .otherwise(lit(0.0)))
+  }
+
+  /** Unbiased pass@k estimator per prompt (Chen et al. 2021, HumanEval
+    * §2.1): with n samples of which c pass, pass@k = 1 − C(n−c,k)/C(n,k)
+    * — computed as the ≤k-factor product Π_{j=0}^{k−1} (n−c−j)/(n−j)
+    * (the numerically-stable form the paper itself recommends over
+    * factorials), with k > n−c (some correct sample guaranteed in every
+    * draw) short-circuiting to 1. Rows for k > n are omitted. One
+    * aggregation per prompt + a constant k-list explode — no window, no
+    * self-join. Output: (prompt, k, n, c, pass_at_k) raw double. */
+  def passAtK(df: DataFrame, promptCol: String, correct: Column,
+              ks: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), s"ks must be >= 1, got $ks")
+    val agg = df.groupBy(col(promptCol).as("prompt"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(correct, 1L).otherwise(0L)).as("c"))
+    agg.select(col("prompt"), col("n"), col("c"),
+        explode(array(ks.map(k => lit(k)): _*)).as("k"))
+      .filter(col("k") <= col("n"))
+      .withColumn("pass_at_k",
+        when(col("c") > 0 && col("k") > col("n") - col("c"), lit(1.0))
+          .otherwise(lit(1.0) - aggregate(sequence(lit(0), col("k") - 1),
+            lit(1.0), (acc, j) =>
+              acc * (col("n") - col("c") - j).cast("double") /
+                (col("n") - j).cast("double"))))
+      .select(col("prompt"), col("k"), col("n"), col("c"), col("pass_at_k"))
+  }
+
   /** Exact best-of-n reward estimator per prompt (Nakano et al. 2021):
     * with the pool's rewards ranked ascending r_(1..N),
     * E[max of n uniform draws without replacement]

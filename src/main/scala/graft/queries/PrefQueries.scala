@@ -108,6 +108,51 @@ object PrefQueries {
         .orderBy("entity")
     },
 
+    // GRPO group-relative advantage (Shao et al. 2024): per pool,
+    // (r − mean)/std with the population std written as √(E[r²]−E[r]²)
+    // on BOTH sides so the arithmetic is stated identically; all-tied
+    // pools (std 0) score 0. One window — no join. Per-candidate rows,
+    // ordered by the unique doc_id.
+    Q("pipe_grpo_advantage",
+      s"""WITH $candSql,
+        |st AS (SELECT pid, AVG(r) AS m,
+        |    sqrt(AVG(r * r) - AVG(r) * AVG(r)) AS s
+        |  FROM c GROUP BY pid)
+        |SELECT c.pid AS prompt, c.doc_id,
+        |  ROUND(CASE WHEN st.s > 0 THEN (c.r - st.m) / st.s
+        |        ELSE 0.0 END, 4) + 0 AS advantage
+        |FROM c JOIN st ON st.pid = c.pid
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Preference.grpoAdvantage(candidates(s, dir), "pid", "r")
+        .select(col("pid").as("prompt"), col("doc_id"),
+          (round(col("advantage"), 4) + lit(0)).as("advantage"))
+        .orderBy("doc_id")
+    },
+
+    // Unbiased pass@k (Chen et al. 2021 §2.1): correct = reward above
+    // the corpus-median TTR (0.5 — both pass and fail populated in
+    // every pool size), pass@k = 1 − Π (n−c−j)/(n−j) as the paper's
+    // stable product form; k > n−c short-circuits to 1, k > n rows
+    // omitted on both sides.
+    Q("t_pass_at_k",
+      s"""WITH $candSql,
+        |a AS (SELECT pid, COUNT(*)::BIGINT AS n,
+        |    SUM(CASE WHEN r > 0.5 THEN 1 ELSE 0 END)::BIGINT AS c
+        |  FROM c GROUP BY pid),
+        |e AS (SELECT pid, n, c, t.k FROM a, unnest([1, 2, 4]) AS t(k)
+        |  WHERE t.k <= n)
+        |SELECT pid AS prompt, k, n, c,
+        |  ROUND(CASE WHEN c > 0 AND k > n - c THEN 1.0
+        |    ELSE 1.0 - list_product([(n - c - j) / CAST(n - j AS DOUBLE)
+        |      FOR j IN generate_series(0, k - 1)]) END, 4) + 0 AS pass_at_k
+        |FROM e ORDER BY prompt, k""".stripMargin) { (s, dir) =>
+      Preference.passAtK(candidates(s, dir), "pid", col("r") > 0.5,
+          ks = Seq(1, 2, 4))
+        .select(col("prompt"), col("k"), col("n"), col("c"),
+          (round(col("pass_at_k"), 4) + lit(0)).as("pass_at_k"))
+        .orderBy("prompt", "k")
+    },
+
     // Exact best-of-n estimator: per pool, E[max reward of n uniform
     // draws without replacement] via the order-statistics identity
     // Σ_i r_(i)·(C(i,n)−C(i−1,n))/C(N,n), the binomial ratios computed

@@ -78,6 +78,37 @@ class PreferenceSpec extends SparkSpec {
     assert(out(0)._3 <= out(1)._3 && out(1)._3 <= out(2)._3)
   }
 
+  test("grpoAdvantage: standardized within pool, zero for all-tied") {
+    val df = pool((0L, 1L, "a", 1.0), (0L, 2L, "b", 2.0), (0L, 3L, "c", 3.0),
+      (1L, 10L, "a", 0.5), (1L, 11L, "b", 0.5))
+    val out = Preference.grpoAdvantage(df, "pid", "r")
+      .orderBy("id").select("id", "advantage")
+      .as[(Long, Double)].collect().toSeq
+    val e = 1.0 / math.sqrt(2.0 / 3.0) // (3-2)/sqrt(E[r^2]-4)
+    assert(math.abs(out(0)._2 + e) < 1e-9)
+    assert(math.abs(out(1)._2) < 1e-9)
+    assert(math.abs(out(2)._2 - e) < 1e-9)
+    assert(out(3)._2 == 0.0 && out(4)._2 == 0.0, "all-tied pool -> 0")
+  }
+
+  test("passAtK: closed-form cases, short-circuit, k > n omitted") {
+    // pool 0: n=4, c=2 -> pass@1 = 1/2, pass@2 = 5/6, pass@4 -> 1
+    // pool 1: n=2, c=0 -> 0 for k in {1, 2}; k=4 omitted
+    val df = pool(
+      (0L, 1L, "a", 1.0), (0L, 2L, "b", 1.0),
+      (0L, 3L, "c", 0.0), (0L, 4L, "d", 0.0),
+      (1L, 10L, "a", 0.0), (1L, 11L, "b", 0.0))
+    val out = Preference.passAtK(df, "pid", col("r") > 0.5, ks = Seq(1, 2, 4))
+      .orderBy("prompt", "k").select("prompt", "k", "pass_at_k")
+      .as[(Long, Int, Double)].collect().toSeq
+    assert(out.map(t => (t._1, t._2)) ==
+      Seq((0L, 1), (0L, 2), (0L, 4), (1L, 1), (1L, 2)))
+    assert(math.abs(out(0)._3 - 0.5) < 1e-12)
+    assert(math.abs(out(1)._3 - 5.0 / 6) < 1e-12)
+    assert(out(2)._3 == 1.0, "k > n - c with c > 0 short-circuits to 1")
+    assert(out(3)._3 == 0.0 && out(4)._3 == 0.0, "no correct sample -> 0")
+  }
+
   test("bestOfN omits n > N and breaks reward ties by id") {
     val df = pool((0L, 1L, "a", 0.5), (0L, 2L, "b", 0.5))
     val out = Preference.bestOfN(df, "pid", "id", "r", ns = Seq(1, 2, 4))

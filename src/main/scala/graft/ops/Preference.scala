@@ -194,11 +194,13 @@ object Preference {
   def passAtK(df: DataFrame, promptCol: String, correct: Column,
               ks: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
     require(ks.nonEmpty && ks.forall(_ >= 1), s"ks must be >= 1, got $ks")
+    // duplicates would emit duplicate (prompt, k) rows
+    val ksd = ks.distinct
     val agg = df.groupBy(col(promptCol).as("prompt"))
       .agg(count(lit(1)).as("n"),
         sum(when(correct, 1L).otherwise(0L)).as("c"))
     agg.select(col("prompt"), col("n"), col("c"),
-        explode(array(ks.map(k => lit(k)): _*)).as("k"))
+        explode(array(ksd.map(k => lit(k)): _*)).as("k"))
       .filter(col("k") <= col("n"))
       .withColumn("pass_at_k",
         when(col("c") > 0 && col("k") > col("n") - col("c"), lit(1.0))
@@ -227,6 +229,8 @@ object Preference {
   def bestOfN(df: DataFrame, promptCol: String, idCol: String,
               rewardCol: String, ns: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
     require(ns.nonEmpty && ns.forall(_ >= 1), s"ns must be >= 1, got $ns")
+    // duplicates would double-count through the explode -> sum chain
+    val nsd = ns.distinct
     val p = col(promptCol)
     val wRank = Window.partitionBy(p).orderBy(col(rewardCol), col(idCol))
     val wN = Window.partitionBy(p)
@@ -240,7 +244,7 @@ object Preference {
         row_number().over(wRank).as("i"),
         count(lit(1)).over(wN).as("bigN"))
       .select(col("prompt"), col("r"), col("i"), col("bigN"),
-        explode(array(ns.map(n => lit(n)): _*)).as("n"))
+        explode(array(nsd.map(n => lit(n)): _*)).as("n"))
       .filter(col("n") <= col("bigN"))
       .groupBy("prompt", "n")
       .agg(max("bigN").as("n_cand"),

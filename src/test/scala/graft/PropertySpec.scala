@@ -237,4 +237,110 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("bestOfN: mean at n=1, max at n=N, monotone in n, on random pools") {
+    import graft.ops.Preference
+    val poolGen = Gen.nonEmptyListOf(Gen.chooseNum(0, 1000))
+    samples(poolGen, 12).zipWithIndex.foreach { case (rs, pi) =>
+      val df = rs.zipWithIndex
+        .map { case (r, i) => (pi.toLong, i.toLong, r / 1000.0) }
+        .toDF("pid", "id", "r")
+      val n = rs.size
+      val out = Preference.bestOfN(df, "pid", "id", "r",
+          ns = (1 to math.min(n, 6)) :+ n)
+        .orderBy("n").select("n", "bon").as[(Int, Double)].collect().toSeq
+      val mean = rs.map(_ / 1000.0).sum / n
+      val mx = rs.max / 1000.0
+      assert(math.abs(out.head._2 - mean) < 1e-9, "n=1 is the pool mean")
+      assert(math.abs(out.last._2 - mx) < 1e-9, "n=N is the pool max")
+      out.sliding(2).foreach {
+        case Seq(a, b) => assert(b._2 >= a._2 - 1e-12, "monotone in n")
+        case _ =>
+      }
+    }
+  }
+
+  test("grpoAdvantage: zero mean, unit variance (or all-zero) per pool") {
+    import graft.ops.Preference
+    val poolGen = Gen.nonEmptyListOf(Gen.chooseNum(0, 100))
+    samples(poolGen, 12).zipWithIndex.foreach { case (rs, pi) =>
+      val df = rs.zipWithIndex
+        .map { case (r, i) => (pi.toLong, i.toLong, r.toDouble) }
+        .toDF("pid", "id", "r")
+      val adv = Preference.grpoAdvantage(df, "pid", "r")
+        .select("advantage").as[Double].collect().toSeq
+      val n = adv.size
+      assert(math.abs(adv.sum) < 1e-7 * n, "advantages sum to ~0")
+      if (rs.distinct.size == 1)
+        assert(adv.forall(_ == 0.0), "all-tied pool scores exactly 0")
+      else
+        assert(math.abs(adv.map(a => a * a).sum / n - 1.0) < 1e-7,
+          "population variance of advantages is 1")
+    }
+  }
+
+  test("passAtK: in [0,1], monotone in k, exact at k=n, brute-force match") {
+    import graft.ops.Preference
+    val gen = Gen.zip(Gen.chooseNum(1, 8), Gen.chooseNum(0, 8))
+    samples(gen, 15).collect { case (n, c0) => (n, math.min(c0, n)) }
+      .zipWithIndex.foreach { case ((n, c), pi) =>
+        val df = (0 until n).map(i => (pi.toLong, i.toLong, "e",
+          if (i < c) 1.0 else 0.0)).toDF("pid", "id", "e", "r")
+        val out = Preference.passAtK(df, "pid", col("r") > 0.5,
+            ks = (1 to n)).orderBy("k")
+          .select("k", "pass_at_k").as[(Int, Double)].collect().toSeq
+        assert(out.size == n)
+        out.sliding(2).foreach {
+          case Seq(a, b) => assert(b._2 >= a._2 - 1e-12, "monotone in k")
+          case _ =>
+        }
+        // brute force over all C(n,k) subsets for small n
+        out.foreach { case (k, p) =>
+          val subsets = (0 until n).combinations(k).toSeq
+          val hit = subsets.count(_.exists(_ < c)).toDouble / subsets.size
+          assert(math.abs(p - hit) < 1e-9,
+            s"pass@$k analytic == subset enumeration (n=$n c=$c)")
+        }
+        assert(out.last._2 == (if (c > 0) 1.0 else 0.0),
+          "k=n is certain iff any sample passes")
+      }
+  }
+
+  test("btLeaderboard: strengths sum to 1 and order by win dominance") {
+    import graft.ops.Preference
+    // random round-robin outcomes over 4 entities; dominance = an
+    // entity whose wins strictly contain another's must not rank lower
+    val gen = Gen.listOfN(24, Gen.zip(Gen.chooseNum(0, 3), Gen.chooseNum(0, 3)))
+    samples(gen, 8).foreach { pairs =>
+      val games = pairs.collect { case (a, b) if a != b =>
+        (s"e$a", s"e$b") }
+      if (games.nonEmpty) {
+        val out = Preference.btLeaderboard(games.toDF("winner", "loser"))
+          .select("entity", "wins", "games", "strength")
+          .as[(String, Long, Long, Double)].collect().toSeq
+        assert(math.abs(out.map(_._4).sum - 1.0) < 1e-9,
+          "strengths normalize to 1")
+        out.foreach { case (_, w, g, s) =>
+          assert(s >= 0.0 && s <= 1.0 && w <= g)
+        }
+      }
+    }
+  }
+
+  test("jsDrift: bounded in [0,1] and zero iff same distribution") {
+    import graft.ops.Validation
+    samples(wordGen, 10).foreach { words =>
+      val text = words.mkString(" ")
+      val ref = Validation.tokenHistogram(Seq(text).toDF("text"), "text")
+      // same text scaled 3x has the identical distribution -> JS 0;
+      // an unrelated vocab is disjoint -> JS 1
+      val arr = Seq(("same", Seq(text, text, text).mkString(" ")),
+        ("disj", "zzz qqq zzz")).toDF("grp", "text")
+      val out = Validation.jsDrift(ref, arr, "grp", "text")
+        .orderBy("grp").select("grp", "js").as[(String, Double)]
+        .collect().toMap
+      assert(math.abs(out("same")) < 1e-9)
+      assert(math.abs(out("disj") - 1.0) < 1e-9)
+    }
+  }
 }

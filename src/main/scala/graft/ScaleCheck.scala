@@ -1147,6 +1147,24 @@ object ScaleCheck {
     // (the stored model is never rescanned); what scales is the one
     // arriving-token pass. The term grid stays vocab × sources sized,
     // so cost should grow with the explode, not the grid.
+    // Schema validation at 1M arriving events vs a FIXED stored profile
+    // (round 14): the profile is learned once from the base table's
+    // even half (model-sized, does not grow); validation is ONE wide
+    // aggregation pass over the arriving fan-out + a columns-sized
+    // comparison join — the linear-scan, constant-state serving shape.
+    time("pipe_schema_validate (1M arriving events)") {
+      val base = core.Tables(spark, sfDir, "events")
+      val profile = ops.Validation.numericProfile(
+        base.filter(col("event_id") % 2 === 0), Seq("value", "user_id"))
+      val events10 = x10(base) { (d, i) =>
+        d.withColumn("event_id", col("event_id") + lit(i * 100000000L))
+      }
+      val n = consume(ops.Validation.validateNumeric(
+        events10, profile, Seq("value", "user_id")))
+      require(n == 6, s"3 stats x 2 columns expected, got $n")
+      n
+    }
+
     time("t_corpus_drift (500k arriving docs)") {
       val base = core.Tables(spark, sfDir, "documents")
       val refHist = ops.Validation.tokenHistogram(

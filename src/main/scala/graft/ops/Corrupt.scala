@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Span-corruption objective data prep (T5, Raffel et al. 2020 §3.1.4):
+  * mask contiguous token spans, replace each span with a numbered
+  * sentinel in the inputs, and emit the masked spans behind their
+  * sentinels as the targets.
+  *
+  * This is the DETERMINISTIC block variant: tokens group into fixed
+  * `blockLen` blocks and a block is masked when a content hash of
+  * (doc id, block index) lands in 1/`maskOneInK` — giving the T5 paper's
+  * ~15% noise density at mean span ≈ `blockLen` (adjacent masked blocks
+  * merge into longer spans, the gaps-and-islands step) while staying
+  * engine-portable and exactly replayable by an independent SQL oracle —
+  * the same determinism trade every hash-seeded op in this engine makes
+  * (content-hash uniforms, not RNG state).
+  *
+  * Scale shape: one token explode, one block-level window pair over the
+  * masked blocks (per-doc state = masked-block count), one ordered
+  * per-doc assembly aggregation — no join wider than doc id, no
+  * corpus-level state.
+  */
+object Corrupt {
+
+  /** One row per input doc: `(id, n_tokens, n_masked, n_spans, inputs,
+    * targets)`. `inputs` = unmasked tokens with `<extra_id_k>` replacing
+    * the k-th masked span (positional order); `targets` = each span's
+    * sentinel followed by its masked tokens, concatenated in order;
+    * empty string when nothing was masked. */
+  def spanCorrupt(df: DataFrame, idCol: String, textCol: String,
+                  blockLen: Int = 3, maskOneInK: Int = 7): DataFrame = {
+    require(blockLen >= 1, s"blockLen must be >= 1, got $blockLen")
+    require(maskOneInK >= 2, s"maskOneInK must be >= 2, got $maskOneInK")
+    val toks = df.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), " ", -1)).as(Seq("pos", "tok")))
+      .withColumn("blk", floor(col("pos") / blockLen))
+      .withColumn("masked",
+        pmod(Text.portableHash(concat(col("id").cast("string"), lit(":"),
+          col("blk").cast("string"))), lit(maskOneInK.toLong)) === 0)
+    // gaps-and-islands over the masked BLOCKS: adjacent masked blocks
+    // share (blk - row_number), and dense_rank over that island key
+    // numbers the sentinels in positional order
+    val wB = Window.partitionBy("id").orderBy("blk")
+    val islands = toks.filter(col("masked")).select("id", "blk").distinct()
+      .withColumn("island", col("blk") - row_number().over(wB))
+      .withColumn("sent",
+        dense_rank().over(Window.partitionBy("id").orderBy("island")) - 1)
+      .select("id", "blk", "sent")
+    val wS = Window.partitionBy("id", "sent")
+    val tt = toks.join(islands, Seq("id", "blk"), "left")
+      .withColumn("first_pos",
+        when(col("sent").isNotNull, min("pos").over(wS)))
+    val sentinel = concat(lit("<extra_id_"), col("sent"), lit(">"))
+    val inputPiece = when(col("sent").isNull, col("tok"))
+      .when(col("pos") === col("first_pos"), sentinel)
+    val targetPiece = when(col("sent").isNotNull,
+      when(col("pos") === col("first_pos"),
+        concat(sentinel, lit(" "), col("tok"))).otherwise(col("tok")))
+    def assemble(piece: org.apache.spark.sql.Column) =
+      array_join(transform(array_sort(collect_list(
+        when(piece.isNotNull, struct(col("pos"), piece.as("p"))))),
+        _.getField("p")), " ")
+    tt.groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("sent").isNotNull, 1L).otherwise(0L)).as("n_masked"),
+        (coalesce(max("sent"), lit(-1)) + 1).cast("long").as("n_spans"),
+        assemble(inputPiece).as("inputs"),
+        assemble(targetPiece).as("targets"))
+  }
+}

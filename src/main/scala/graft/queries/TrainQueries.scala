@@ -1351,6 +1351,53 @@ object TrainQueries {
       Text.domainOverlap(Tables.fannedOut(s, dir, "documents"),
           "source", "text", k = 3)
         .orderBy("src_a", "src_b")
+    },
+
+    // T5 span corruption (round 14, Raffel et al. 2020 §3.1.4) — the
+    // deterministic block variant: a block of 3 tokens masks when the
+    // portable content hash of (doc_id, block) lands in 1/7 (~14%
+    // noise, mean span 3; adjacent masked blocks merge into longer
+    // spans via gaps-and-islands), sentinels numbered positionally.
+    // Inputs/targets pinned byte-exactly by md5; counts pin density
+    // and span structure independently of the strings.
+    Q("pipe_span_corrupt",
+      """WITH tk AS (SELECT doc_id, unnest(ws) AS tok,
+        |    generate_subscripts(ws, 1)::BIGINT - 1 AS pos
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+        |        FROM documents)),
+        |b AS (SELECT doc_id, pos, tok, pos // 3 AS blk,
+        |    (('0x' || substr(md5(doc_id::VARCHAR || ':' ||
+        |        (pos // 3)::VARCHAR), 1, 15))::BIGINT % 7 = 0) AS masked
+        |  FROM tk),
+        |mb AS (SELECT DISTINCT doc_id, blk FROM b WHERE masked),
+        |isl AS (SELECT doc_id, blk, blk - row_number()
+        |    OVER (PARTITION BY doc_id ORDER BY blk) AS island FROM mb),
+        |sen AS (SELECT doc_id, blk, dense_rank()
+        |    OVER (PARTITION BY doc_id ORDER BY island) - 1 AS sent FROM isl),
+        |t2 AS (SELECT b.doc_id, b.pos, b.tok, sen.sent,
+        |    MIN(b.pos) OVER (PARTITION BY b.doc_id, sen.sent) AS fp
+        |  FROM b LEFT JOIN sen ON sen.doc_id = b.doc_id AND sen.blk = b.blk),
+        |t3 AS (SELECT doc_id, pos, sent,
+        |    CASE WHEN sent IS NULL THEN tok
+        |         WHEN pos = fp THEN '<extra_id_' || sent || '>' END AS ip,
+        |    CASE WHEN sent IS NOT NULL THEN
+        |      CASE WHEN pos = fp
+        |           THEN '<extra_id_' || sent || '> ' || tok
+        |           ELSE tok END END AS tp
+        |  FROM t2)
+        |SELECT doc_id, COUNT(*)::BIGINT AS n_tokens,
+        |  SUM(CASE WHEN sent IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_masked,
+        |  (COALESCE(MAX(sent), -1) + 1)::BIGINT AS n_spans,
+        |  md5(COALESCE(string_agg(ip, ' ' ORDER BY pos), '')) AS inputs_md5,
+        |  md5(COALESCE(string_agg(tp, ' ' ORDER BY pos), '')) AS targets_md5
+        |FROM t3 GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.ops.Corrupt.spanCorrupt(Tables(s, dir, "documents"),
+          "doc_id", "text", blockLen = 3, maskOneInK = 7)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("n_masked"),
+          col("n_spans"), md5(col("inputs")).as("inputs_md5"),
+          md5(col("targets")).as("targets_md5"))
+        .orderBy("doc_id")
     }
   )
 

@@ -327,6 +327,46 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("spanCorrupt: splicing targets into inputs reconstructs the text") {
+    import graft.ops.Corrupt
+    val docs = samples(wordGen, 20).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+    val out = Corrupt.spanCorrupt(docs.toDF("doc_id", "text"),
+        "doc_id", "text", blockLen = 3, maskOneInK = 3)
+      .orderBy("id")
+      .select("id", "n_tokens", "n_masked", "n_spans", "inputs", "targets")
+      .as[(Long, Long, Long, Long, String, String)].collect().toSeq
+    assert(out.size == docs.size)
+    out.zip(docs).foreach { case ((id, nt, nm, ns, in, tg), (did, text)) =>
+      assert(id == did)
+      val orig = text.split(" ", -1).toSeq
+      assert(nt == orig.size)
+      // parse targets into sentinel -> span tokens
+      val spans = if (tg.isEmpty) Map.empty[Int, Seq[String]]
+        else ("""<extra_id_(\d+)>""".r.split(tg).toSeq.tail zip
+          """<extra_id_(\d+)>""".r.findAllMatchIn(tg).map(_.group(1).toInt)
+            .toSeq)
+          .map { case (body, k) => k -> body.trim.split(" ", -1).toSeq }
+          .toMap
+      assert(spans.size == ns, "one target span per sentinel")
+      assert(spans.values.map(_.size).sum == nm)
+      // splice each sentinel's span back into the inputs
+      val rebuilt = in.split(" ", -1).toSeq.flatMap { t =>
+        """<extra_id_(\d+)>""".r.findFirstMatchIn(t) match {
+          case Some(m) => spans(m.group(1).toInt)
+          case None => Seq(t)
+        }
+      }
+      assert(rebuilt == orig, s"doc $id must reconstruct exactly")
+      // the deterministic mask is reproducible run-to-run by hash, and
+      // spans are block-aligned: every span starts at a multiple of 3
+      val sentPos = in.split(" ", -1).toSeq
+      assert(ns == sentPos.count(_.startsWith("<extra_id_")))
+    }
+    // at maskOneInK=3 over 20 random docs SOMETHING must be masked
+    assert(out.map(_._3).sum > 0, "fixture must exercise masking")
+  }
+
   test("jsDrift: bounded in [0,1] and zero iff same distribution") {
     import graft.ops.Validation
     samples(wordGen, 10).foreach { words =>

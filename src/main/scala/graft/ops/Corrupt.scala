@@ -25,6 +25,33 @@ import org.apache.spark.sql.functions._
   */
 object Corrupt {
 
+  /** Fill-in-the-middle transform (Bavarian et al. 2022): split each
+    * doc's token stream at two DETERMINISTIC points and render
+    * `<fim_prefix> P <fim_suffix> S <fim_middle> M` (the PSM order the
+    * paper trains on). The two cut points derive from content hashes of
+    * (doc id, 1|2) reduced modulo n+1 and SORTED, so any engine replays
+    * them exactly; degenerate cuts (empty middle) are legal FIM data and
+    * kept — the fim_rate gate belongs upstream (apply the transform to a
+    * hash-chosen fraction of docs). Per-row expression only: no explode,
+    * no shuffle beyond the source scan. */
+  def fimTransform(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = split(col(textCol), " ", -1)
+    val n = size(toks)
+    def cut(salt: Int) = pmod(Text.portableHash(
+      concat(col(idCol).cast("string"), lit(s"#fim$salt"))),
+      (n + 1).cast("long")).cast("int")
+    val a = least(cut(1), cut(2))
+    val b = greatest(cut(1), cut(2))
+    // slice(arr, start1based, len); empty slices join to ""
+    val p = array_join(slice(toks, lit(1), a), " ")
+    val m = array_join(slice(toks, a + 1, b - a), " ")
+    val s = array_join(slice(toks, b + 1, n - b), " ")
+    df.select(col(idCol).as("id"), n.cast("long").as("n_tokens"),
+      a.cast("long").as("cut_a"), b.cast("long").as("cut_b"),
+      concat(lit("<fim_prefix> "), p, lit(" <fim_suffix> "), s,
+        lit(" <fim_middle> "), m).as("fim"))
+  }
+
   /** One row per input doc: `(id, n_tokens, n_masked, n_spans, inputs,
     * targets)`. `inputs` = unmasked tokens with `<extra_id_k>` replacing
     * the k-th masked span (positional order); `targets` = each span's

@@ -1398,6 +1398,36 @@ object TrainQueries {
           col("n_spans"), md5(col("inputs")).as("inputs_md5"),
           md5(col("targets")).as("targets_md5"))
         .orderBy("doc_id")
+    },
+
+    // Fill-in-the-middle (round 14, Bavarian et al. 2022): two
+    // hash-chosen cut points per doc (mod n+1, sorted), PSM rendering
+    // `<fim_prefix> P <fim_suffix> S <fim_middle> M`, pinned
+    // byte-exactly by md5 with the cuts exposed as integers. Degenerate
+    // cuts (empty middle) are legal FIM data and kept.
+    Q("pipe_fim",
+      """WITH f AS (SELECT doc_id, string_split(text, ' ') AS ws,
+        |    len(string_split(text, ' '))::BIGINT AS n,
+        |    ('0x' || substr(md5(doc_id::VARCHAR || '#fim1'), 1, 15))::BIGINT
+        |      % (len(string_split(text, ' ')) + 1) AS c1,
+        |    ('0x' || substr(md5(doc_id::VARCHAR || '#fim2'), 1, 15))::BIGINT
+        |      % (len(string_split(text, ' ')) + 1) AS c2
+        |  FROM documents),
+        |g AS (SELECT doc_id, ws, n, LEAST(c1, c2) AS a,
+        |    GREATEST(c1, c2) AS b FROM f)
+        |SELECT doc_id, n AS n_tokens, a AS cut_a, b AS cut_b,
+        |  md5('<fim_prefix> ' ||
+        |    COALESCE(array_to_string(ws[1:a], ' '), '') ||
+        |    ' <fim_suffix> ' ||
+        |    COALESCE(array_to_string(ws[b+1:n], ' '), '') ||
+        |    ' <fim_middle> ' ||
+        |    COALESCE(array_to_string(ws[a+1:b], ' '), '')) AS fim_md5
+        |FROM g ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.ops.Corrupt.fimTransform(Tables(s, dir, "documents"),
+          "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_tokens"), col("cut_a"),
+          col("cut_b"), md5(col("fim")).as("fim_md5"))
+        .orderBy("doc_id")
     }
   )
 

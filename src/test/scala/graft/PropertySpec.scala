@@ -367,6 +367,31 @@ class PropertySpec extends SparkSpec {
     assert(out.map(_._3).sum > 0, "fixture must exercise masking")
   }
 
+  test("fimTransform: P+M+S reassembles the text; cuts ordered in range") {
+    import graft.ops.Corrupt
+    val docs = samples(wordGen, 20).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+    val out = Corrupt.fimTransform(docs.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .orderBy("id").select("id", "n_tokens", "cut_a", "cut_b", "fim")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    out.zip(docs).foreach { case ((_, nt, a, b, fim), (_, text)) =>
+      val orig = text.split(" ", -1).toSeq
+      assert(nt == orig.size && 0 <= a && a <= b && b <= nt)
+      val Array(rest0, pm) = fim.split("<fim_prefix> ", 2).tail match {
+        case Array(x) => Array("", x)
+      }
+      val Array(p, rest1) = pm.split(" <fim_suffix> ", 2)
+      val Array(s, m) = rest1.split(" <fim_middle> ", 2)
+      def toks(x: String) = if (x.isEmpty) Seq.empty
+        else x.split(" ", -1).toSeq
+      assert(toks(p) ++ toks(m) ++ toks(s) == orig,
+        "prefix + middle + suffix must reassemble the original tokens")
+      assert(toks(p).size == a && toks(m).size == b - a)
+      assert(rest0.isEmpty)
+    }
+  }
+
   test("jsDrift: bounded in [0,1] and zero iff same distribution") {
     import graft.ops.Validation
     samples(wordGen, 10).foreach { words =>

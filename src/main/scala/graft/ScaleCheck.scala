@@ -1147,6 +1147,18 @@ object ScaleCheck {
     // (the stored model is never rescanned); what scales is the one
     // arriving-token pass. The term grid stays vocab × sources sized,
     // so cost should grow with the explode, not the grid.
+    // Span corruption at 500k docs (round 14): per-doc work only — one
+    // token explode, block windows whose per-doc state is the masked-
+    // block count, one ordered assembly aggregation. Linear by
+    // construction; the entry guards against an accidental corpus-level
+    // stage creeping into the chain.
+    time("pipe_span_corrupt (500k docs)") {
+      val n = consume(ops.Corrupt.spanCorrupt(docs10, "doc_id", "text",
+        blockLen = 3, maskOneInK = 7))
+      require(n == 50000L, s"one row per doc expected, got $n")
+      n
+    }
+
     // Schema validation at 1M arriving events vs a FIXED stored profile
     // (round 14): the profile is learned once from the base table's
     // even half (model-sized, does not grow); validation is ONE wide

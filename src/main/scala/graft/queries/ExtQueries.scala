@@ -936,6 +936,67 @@ object ExtQueries {
         .orderBy("z")
     },
 
+    // Dataset card (round 14): the one-page corpus profile a dataset
+    // release ships — volume, vocabulary, duplication, balance, and
+    // token-distribution entropy — composed as metric rows from TWO
+    // passes (one doc-level, one token-level aggregation; the entropy
+    // reuses the token histogram). All counts integer-exact; ratios and
+    // the entropy round at 4 dp with the signed-zero normalization.
+    Q("pipe_dataset_card",
+      """WITH d AS (SELECT COUNT(*)::BIGINT AS n_docs,
+        |    COUNT(DISTINCT md5(text))::BIGINT AS n_uniq,
+        |    COUNT(DISTINCT lang)::BIGINT AS n_langs,
+        |    COUNT(DISTINCT source)::BIGINT AS n_sources
+        |  FROM documents),
+        |t AS (SELECT token, COUNT(*)::BIGINT AS c FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS token
+        |    FROM documents) WHERE token <> '' GROUP BY token),
+        |tt AS (SELECT SUM(c)::BIGINT AS n FROM t),
+        |ts AS (SELECT tt.n AS n_tokens,
+        |    (SELECT COUNT(*) FROM t)::BIGINT AS vocab,
+        |    (SELECT SUM(-(c / tt.n::DOUBLE) * log2(c / tt.n::DOUBLE))
+        |     FROM t) AS h
+        |  FROM tt)
+        |SELECT metric, ROUND(value, 4) + 0 AS value FROM (
+        |  SELECT 'n_docs' AS metric, n_docs::DOUBLE AS value FROM d
+        |  UNION ALL SELECT 'exact_dup_docs', (n_docs - n_uniq)::DOUBLE
+        |    FROM d
+        |  UNION ALL SELECT 'n_langs', n_langs::DOUBLE FROM d
+        |  UNION ALL SELECT 'n_sources', n_sources::DOUBLE FROM d
+        |  UNION ALL SELECT 'n_tokens', n_tokens::DOUBLE FROM ts
+        |  UNION ALL SELECT 'vocab', vocab::DOUBLE FROM ts
+        |  UNION ALL SELECT 'mean_doc_tokens',
+        |    ts.n_tokens / d.n_docs::DOUBLE FROM ts, d
+        |  UNION ALL SELECT 'token_entropy_bits', h FROM ts)
+        |ORDER BY metric""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val d = docs.agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_uniq"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"))
+      val t = graft.ops.Validation.tokenHistogram(docs, "text")
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+      val ts = t.select(col("cnt"),
+          (col("cnt") / sum("cnt").over(wAll)).as("p"))
+        .agg(sum("cnt").as("n_tokens"), count(lit(1)).as("vocab"),
+          sum(-col("p") * log2(col("p"))).as("h"))
+      def m(name: String, v: org.apache.spark.sql.Column) =
+        struct(lit(name).as("metric"), v.cast("double").as("value"))
+      d.crossJoin(ts).select(explode(array(
+          m("n_docs", col("n_docs")),
+          m("exact_dup_docs", col("n_docs") - col("n_uniq")),
+          m("n_langs", col("n_langs")),
+          m("n_sources", col("n_sources")),
+          m("n_tokens", col("n_tokens")),
+          m("vocab", col("vocab")),
+          m("mean_doc_tokens",
+            col("n_tokens") / col("n_docs").cast("double")),
+          m("token_entropy_bits", col("h")))).as("e"))
+        .select(col("e.metric").as("metric"),
+          (round(col("e.value"), 4) + lit(0)).as("value"))
+        .orderBy("metric")
+    },
+
     // TFDV-style schema-skew validation (round 14): a numeric profile
     // LEARNED from the reference half (even event_ids — the stored
     // schema) validates the arriving half; categorical domain skew is

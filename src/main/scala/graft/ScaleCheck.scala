@@ -1155,7 +1155,7 @@ object ScaleCheck {
     time("pipe_span_corrupt (500k docs)") {
       val n = consume(ops.Corrupt.spanCorrupt(docs10, "doc_id", "text",
         blockLen = 3, maskOneInK = 7))
-      require(n == 50000L, s"one row per doc expected, got $n")
+      require(n == 5000L * scaleX, s"one row per doc expected, got $n")
       n
     }
 

@@ -457,6 +457,19 @@ object Streams {
     * periodic batch job over the accumulated scored store, the same
     * split as every learned model here: the stream applies, the batch
     * trains/selects. Stream==batch pinned in MergeStreamSpec. */
+  /** Streaming fill-in-the-middle transform: the FIM rendering
+    * ([[graft.ops.Corrupt.fimTransform]]) is a pure per-row projection
+    * (hash-chosen cuts, slice, concat — no explode, no window, no
+    * shuffle), so it is directly valid on an unbounded stream in append
+    * mode — the [[streamingCmsSketch]] delegation-with-a-contract
+    * pattern. Span corruption, by contrast, regroups exploded tokens by
+    * doc and belongs in the [[incrementalIngest]] foreachBatch form
+    * (each doc arrives as ONE row, so per-micro-batch application is
+    * exact). Stream==batch pinned in MergeStreamSpec. */
+  def streamingFim(docs: DataFrame, idCol: String,
+                   textCol: String): DataFrame =
+    graft.ops.Corrupt.fimTransform(docs, idCol, textCol)
+
   /** Streaming categorical-domain monitoring: arriving rows whose
     * category value the STORED reference domain has never seen pass
     * through; known values drop — the TFDV unseen-category alarm as a

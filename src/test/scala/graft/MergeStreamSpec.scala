@@ -649,6 +649,30 @@ class MergeStreamSpec extends SparkSpec {
     assert(streamed.find(_._1 == 3L).get._3.isEmpty)
   }
 
+  test("streaming FIM transform equals batch (stateless projection)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = Streams.streamingFim(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .writeStream.format("memory").queryName("fim_out")
+      .outputMode("append").start()
+    val docs = Seq((1L, "a b c d e f g h"), (2L, "x y"), (3L, "solo"))
+    input.addData(docs.take(1): _*)
+    q.processAllAvailable()
+    input.addData(docs.drop(1): _*)
+    q.processAllAvailable()
+    val streamed = spark.table("fim_out")
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    q.stop()
+    val batch = Streams.streamingFim(docs.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    assert(streamed == batch, "streamed FIM rows must equal batch")
+    assert(streamed.size == 3 &&
+      streamed.forall(_._5.startsWith("<fim_prefix>")))
+  }
+
   test("streaming unseen-category rows equal batch (stateless anti-join)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

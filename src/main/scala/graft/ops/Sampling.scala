@@ -312,4 +312,56 @@ object Sampling {
             col("__S").cast("double")).as("alloc"),
         (col("__r") <= col("lambda")).as("saturated"))
   }
+
+  /** DoReMi-style domain reweighting (Xie et al. 2023), the count-LM
+    * instantiation: the per-domain EXCESS LOSS is the KL divergence
+    * KL(P_d ‖ P_corpus) between the domain's empirical token
+    * distribution and the corpus's — exactly the mean per-token
+    * log-likelihood gap between scoring a domain's tokens under its own
+    * unigram LM vs the global one (≥ 0 by Gibbs, and zero-smoothing-free
+    * because every domain token has corpus mass) — followed by `iters`
+    * unrolled exponentiated-gradient rounds from uniform weights,
+    * α ← normalize(α · exp(η · excess)), and the paper's uniform
+    * smoothing w = (1−ε)·α + ε/K.
+    *
+    * Scale shape: ONE token pass builds the (domain, token) histogram;
+    * the KL reduces it to a domain-cardinality table; the EG unroll is
+    * per-domain arithmetic on that bounded table — no second corpus
+    * pass, no join wider than the vocab×domains histogram.
+    *
+    * Output: `(domain, n_tokens, excess, weight)` raw doubles — callers
+    * round. */
+  def doremiWeights(df: DataFrame, domainCol: String, textCol: String,
+                    eta: Double = 1.0, eps: Double = 0.1,
+                    iters: Int = 3): DataFrame = {
+    require(iters >= 1 && eta > 0 && eps >= 0 && eps < 1,
+      s"bad hyperparameters: eta=$eta eps=$eps iters=$iters")
+    val tok = df.select(col(domainCol).as("domain"),
+        explode(split(col(textCol), " ", -1)).as("token"))
+      .filter(col("token") =!= "")
+    val hist = tok.groupBy("domain", "token").agg(count(lit(1)).as("c"))
+    val wAll = Window.partitionBy(lit(0))
+    val wDom = Window.partitionBy("domain")
+    val kl = hist
+      .withColumn("cg", sum("c").over(Window.partitionBy("token")))
+      .withColumn("nd", sum("c").over(wDom))
+      .withColumn("ng", sum("c").over(wAll))
+      .withColumn("term", col("c") / col("nd") *
+        log2((col("c") / col("nd")) / (col("cg") / col("ng"))))
+      .groupBy("domain")
+      .agg(max("nd").cast("long").as("n_tokens"),
+        sum("term").as("excess"))
+    // EG unroll on the domain-cardinality table: with a fixed excess
+    // the update telescopes to alpha_T ∝ exp(T·eta·excess) — stated
+    // per-round anyway so the oracle mirrors round-for-round
+    val k = count(lit(1)).over(wAll)
+    val unrolled = (1 to iters).foldLeft(
+      kl.withColumn("alpha", lit(1.0) / k.cast("double"))) { (d, _) =>
+        d.withColumn("alpha", col("alpha") * exp(lit(eta) * col("excess")))
+          .withColumn("alpha", col("alpha") / sum("alpha").over(wAll))
+      }
+    unrolled.select(col("domain"), col("n_tokens"), col("excess"),
+      (lit(1.0 - eps) * col("alpha") +
+        lit(eps) / k.cast("double")).as("weight"))
+  }
 }

@@ -1400,6 +1400,53 @@ object TrainQueries {
         .orderBy("doc_id")
     },
 
+    // DoReMi domain reweighting (round 14, Xie et al. 2023) — the
+    // count-LM instantiation: per-domain excess loss = KL(P_d‖P_corpus)
+    // over token distributions (the unigram-LM log-likelihood gap;
+    // ≥ 0 by Gibbs, smoothing-free since domain tokens all carry corpus
+    // mass), then 3 unrolled exponentiated-gradient rounds from uniform
+    // and the paper's ε-uniform smoothing. ONE token pass; the EG
+    // unroll runs on the domain-cardinality table.
+    Q("pipe_doremi_weights",
+      """WITH h AS (SELECT domain, token, COUNT(*)::BIGINT AS c FROM (
+        |    SELECT source AS domain,
+        |      unnest(string_split(text, ' ')) AS token FROM documents)
+        |  WHERE token <> '' GROUP BY domain, token),
+        |g AS (SELECT token, SUM(c)::BIGINT AS cg FROM h GROUP BY token),
+        |nd AS (SELECT domain, SUM(c)::BIGINT AS ndc FROM h GROUP BY domain),
+        |ng AS (SELECT SUM(c)::BIGINT AS ngc FROM h),
+        |kl AS (SELECT h.domain, MIN(nd.ndc) AS n_tokens,
+        |    SUM(h.c / nd.ndc::DOUBLE * log2((h.c / nd.ndc::DOUBLE)
+        |      / (g.cg / (SELECT ngc FROM ng)::DOUBLE))) AS excess
+        |  FROM h JOIN g USING (token) JOIN nd USING (domain)
+        |  GROUP BY h.domain),
+        |k AS (SELECT COUNT(*)::DOUBLE AS kk FROM kl),
+        |a0 AS (SELECT domain, n_tokens, excess,
+        |    1.0 / (SELECT kk FROM k) AS alpha FROM kl),
+        |r1 AS (SELECT domain, n_tokens, excess,
+        |    alpha * exp(excess) AS a FROM a0),
+        |a1 AS (SELECT domain, n_tokens, excess,
+        |    a / (SELECT SUM(a) FROM r1) AS alpha FROM r1),
+        |r2 AS (SELECT domain, n_tokens, excess,
+        |    alpha * exp(excess) AS a FROM a1),
+        |a2 AS (SELECT domain, n_tokens, excess,
+        |    a / (SELECT SUM(a) FROM r2) AS alpha FROM r2),
+        |r3 AS (SELECT domain, n_tokens, excess,
+        |    alpha * exp(excess) AS a FROM a2),
+        |a3 AS (SELECT domain, n_tokens, excess,
+        |    a / (SELECT SUM(a) FROM r3) AS alpha FROM r3)
+        |SELECT domain AS source, n_tokens,
+        |  ROUND(excess, 4) + 0 AS excess,
+        |  ROUND(0.9 * alpha + 0.1 / (SELECT kk FROM k), 4) + 0 AS weight
+        |FROM a3 ORDER BY source""".stripMargin) { (s, dir) =>
+      Sampling.doremiWeights(Tables.fannedOut(s, dir, "documents"),
+          "source", "text", eta = 1.0, eps = 0.1, iters = 3)
+        .select(col("domain").as("source"), col("n_tokens"),
+          (round(col("excess"), 4) + lit(0)).as("excess"),
+          (round(col("weight"), 4) + lit(0)).as("weight"))
+        .orderBy("source")
+    },
+
     // Fill-in-the-middle (round 14, Bavarian et al. 2022): two
     // hash-chosen cut points per doc (mod n+1, sorted), PSM rendering
     // `<fim_prefix> P <fim_suffix> S <fim_middle> M`, pinned

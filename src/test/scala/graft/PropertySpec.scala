@@ -367,6 +367,28 @@ class PropertySpec extends SparkSpec {
     assert(out.map(_._3).sum > 0, "fixture must exercise masking")
   }
 
+  test("doremiWeights: KL excess ranks divergence; weights sum to 1") {
+    import graft.ops.Sampling
+    // identical domain distributions -> zero excess, uniform weights
+    val same = Seq(("d1", "a b a b"), ("d2", "a a b b")).toDF("source", "text")
+    val u = Sampling.doremiWeights(same, "source", "text")
+      .select("excess", "weight").as[(Double, Double)].collect().toSeq
+    u.foreach { case (e, w) =>
+      assert(math.abs(e) < 1e-12 && math.abs(w - 0.5) < 1e-12)
+    }
+    // the domain farther from the corpus mix gets the larger weight:
+    // d_a is all-'a' (KL = log2(8/5) ≈ 0.678), d_b is mixed (≈ 0.420)
+    val skew = Seq(("d_a", "a a a a"), ("d_b", "a b c d"))
+      .toDF("source", "text")
+    val out = Sampling.doremiWeights(skew, "source", "text")
+      .orderBy("domain").select("domain", "excess", "weight")
+      .as[(String, Double, Double)].collect().toSeq
+    assert(math.abs(out(0)._2 - math.log(8.0 / 5) / math.log(2)) < 1e-9)
+    assert(out.forall(_._2 > 0))
+    assert(out(0)._3 > out(1)._3, "higher excess -> higher weight")
+    assert(math.abs(out.map(_._3).sum - 1.0) < 1e-12, "weights sum to 1")
+  }
+
   test("fimTransform: P+M+S reassembles the text; cuts ordered in range") {
     import graft.ops.Corrupt
     val docs = samples(wordGen, 20).zipWithIndex

@@ -1141,6 +1141,57 @@ object ScaleCheck {
       n
     }
 
+    // Post-training data lifecycle composed (round 14): one scenario
+    // drives the full preference pipeline at scale — pools → DPO pairs,
+    // pairwise games → STORED win matrix → BT fit from the store, an
+    // arriving game batch folded in ADDITIVELY (the streaming-winMatrix
+    // semantics) → refit, plus the best-of-n curve, GRPO advantages,
+    // and pass@k over the same pools. Mirrors the IVF maintenance
+    // lifecycle: the stored model is what crosses stages, never the
+    // raw sample stream.
+    time("posttrain lifecycle (50k cands, 640 pools)") {
+      val pairs = ops.Preference.prefPairs(prefPools, "pid", "doc_id", "r")
+      require(consume(pairs) == 64L * scaleX,
+        "every pool must yield a DPO pair")
+      // train-time: games from the EVEN pools; serving: arriving games
+      // from the ODD pools fold into the stored matrix additively
+      val g0 = ops.Preference.pairwiseGames(
+        prefPools.filter(col("pid") % 2 === 0), "pid", "doc_id", "source",
+        "r")
+      val store = ops.Preference.winMatrix(g0)
+        .withColumnRenamed("w", "w0")
+      val gArr = ops.Preference.pairwiseGames(
+        prefPools.filter(col("pid") % 2 === 1), "pid", "doc_id", "source",
+        "r")
+      val merged = store
+        .join(ops.Preference.winMatrix(gArr).withColumnRenamed("w", "w1"),
+          Seq("winner", "loser"), "full")
+        .select(col("winner"), col("loser"),
+          (coalesce(col("w0"), lit(0L)) + coalesce(col("w1"), lit(0L)))
+            .as("w"))
+      val fit = ops.Preference.btFromMatrix(merged, iters = 3)
+      val strengths = fit.select("strength").collect().map(_.getDouble(0))
+      require(strengths.length == 20 &&
+        math.abs(strengths.sum - 1.0) < 1e-9,
+        "refit from the merged store must cover all 20 sources")
+      // the merged-store fit equals the fit over ALL games in one log
+      val full = ops.Preference.btLeaderboard(ops.Preference.pairwiseGames(
+        prefPools, "pid", "doc_id", "source", "r"), iters = 3)
+      def board(d: org.apache.spark.sql.DataFrame) = d
+        .select(col("entity"), col("wins"), col("games"),
+          round(col("strength"), 9))
+        .collect().map(_.toSeq).sortBy(_.head.toString)
+      require(board(fit).sameElements(board(full)),
+        "incremental matrix merge must equal the one-shot fit")
+      val bon = consume(ops.Preference.bestOfN(prefPools, "pid", "doc_id",
+        "r", ns = Seq(1, 4, 16)))
+      val adv = consume(ops.Preference.grpoAdvantage(prefPools, "pid", "r"))
+      val pak = consume(ops.Preference.passAtK(prefPools, "pid",
+        col("r") > 0.5, ks = Seq(1, 4)))
+      require(bon > 0 && adv == 5000L * scaleX && pak > 0)
+      adv
+    }
+
     // JS token drift at 500k arriving docs vs a FIXED stored reference
     // (round 14): the reference histogram comes from the base corpus's
     // even half and does not grow with the fan-out — the serving shape

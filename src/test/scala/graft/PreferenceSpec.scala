@@ -109,6 +109,25 @@ class PreferenceSpec extends SparkSpec {
     assert(out(3)._3 == 0.0 && out(4)._3 == 0.0, "no correct sample -> 0")
   }
 
+  test("empty and singleton inputs degrade cleanly, never throw") {
+    val empty = pool()
+    assert(Preference.prefPairs(empty, "pid", "id", "r").count() == 0)
+    assert(Preference.bestOfN(empty, "pid", "id", "r").count() == 0)
+    assert(Preference.grpoAdvantage(empty, "pid", "r").count() == 0)
+    assert(Preference.passAtK(empty, "pid", col("r") > 0.5).count() == 0)
+    assert(Preference.btFromMatrix(
+      Seq.empty[(String, String, Long)].toDF("winner", "loser", "w"))
+      .count() == 0)
+    val single = pool((0L, 1L, "a", 0.7))
+    assert(Preference.prefPairs(single, "pid", "id", "r").count() == 0)
+    val bon1 = Preference.bestOfN(single, "pid", "id", "r", ns = Seq(1, 2))
+      .select("n", "bon").as[(Int, Double)].collect().toSeq
+    assert(bon1 == Seq((1, 0.7)), "singleton pool: only n=1, bon = r")
+    val adv1 = Preference.grpoAdvantage(single, "pid", "r")
+      .select("advantage").as[Double].head()
+    assert(adv1 == 0.0, "singleton pool: std 0 -> advantage 0")
+  }
+
   test("bestOfN omits n > N and breaks reward ties by id") {
     val df = pool((0L, 1L, "a", 0.5), (0L, 2L, "b", 0.5))
     val out = Preference.bestOfN(df, "pid", "id", "r", ns = Seq(1, 2, 4))

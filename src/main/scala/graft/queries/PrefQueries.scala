@@ -34,9 +34,12 @@ object PrefQueries {
     // DPO preference-pair assembly: per prompt pool, chosen = best
     // reward (ties → lowest id), rejected = worst reward (ties →
     // highest id); all-tied pools drop. One max_by/min_by aggregation —
-    // no window, no self-join. The margin is a difference of exact
-    // integer-ratio doubles, so round4 is tie-free here; `+ 0` applies
-    // the house signed-zero normalization anyway.
+    // no window, no self-join. The margin is a PER-ROW difference of
+    // exact integer-ratio doubles — token counts can be powers of two,
+    // so the exact value can land on a 5th-decimal 5 (the
+    // decimal-vs-binary rounding tie) — hence the tie-proof
+    // floor(x·10⁴+0.5)/10⁴ form on both sides (identical scalars in
+    // identical order ⇒ bit-portable).
     Q("pipe_pref_pairs",
       s"""WITH $candSql,
         |ch AS (SELECT pid, doc_id, r, row_number() OVER (PARTITION BY pid
@@ -45,14 +48,16 @@ object PrefQueries {
         |    ORDER BY r, doc_id DESC) AS rn FROM c),
         |n AS (SELECT pid, COUNT(*)::BIGINT AS n_cand FROM c GROUP BY pid)
         |SELECT n.pid AS prompt, n.n_cand, ch.doc_id AS chosen_id,
-        |  rj.doc_id AS rejected_id, ROUND(ch.r - rj.r, 4) + 0 AS margin
+        |  rj.doc_id AS rejected_id,
+        |  FLOOR((ch.r - rj.r) * 10000.0 + 0.5) / 10000.0 AS margin
         |FROM n JOIN ch ON ch.pid = n.pid AND ch.rn = 1
         |  JOIN rj ON rj.pid = n.pid AND rj.rn = 1
         |WHERE n.n_cand >= 2 AND ch.r > rj.r
         |ORDER BY prompt""".stripMargin) { (s, dir) =>
       Preference.prefPairs(candidates(s, dir), "pid", "doc_id", "r")
         .select(col("prompt"), col("n_cand"), col("chosen_id"),
-          col("rejected_id"), (round(col("margin"), 4) + lit(0)).as("margin"))
+          col("rejected_id"),
+          (floor(col("margin") * 10000.0 + 0.5) / 10000.0).as("margin"))
         .orderBy("prompt")
     },
 
@@ -133,7 +138,14 @@ object PrefQueries {
     // the corpus-median TTR (0.5 — both pass and fail populated in
     // every pool size), pass@k = 1 − Π (n−c−j)/(n−j) as the paper's
     // stable product form; k > n−c short-circuits to 1, k > n rows
-    // omitted on both sides.
+    // omitted on both sides. pass@k values can be EXACT binary
+    // fractions that tie at the 4th decimal (n=32, c odd ⇒ c/32 =
+    // x.xxx25/…125 forms incl. 0.03125), where decimal-aware and
+    // binary-double rounding diverge — so this query uses the
+    // tie-proof floor(x·10⁴+0.5)/10⁴ form on BOTH sides (the
+    // t_domain_overlap pattern): the per-row product is built from
+    // identical scalars in identical order on both engines, so the
+    // floored value is bit-portable.
     Q("t_pass_at_k",
       s"""WITH $candSql,
         |a AS (SELECT pid, COUNT(*)::BIGINT AS n,
@@ -142,14 +154,16 @@ object PrefQueries {
         |e AS (SELECT pid, n, c, t.k FROM a, unnest([1, 2, 4]) AS t(k)
         |  WHERE t.k <= n)
         |SELECT pid AS prompt, k, n, c,
-        |  ROUND(CASE WHEN c > 0 AND k > n - c THEN 1.0
+        |  FLOOR((CASE WHEN c > 0 AND k > n - c THEN 1.0
         |    ELSE 1.0 - list_product([(n - c - j) / CAST(n - j AS DOUBLE)
-        |      FOR j IN generate_series(0, k - 1)]) END, 4) + 0 AS pass_at_k
+        |      FOR j IN generate_series(0, k - 1)]) END)
+        |    * 10000.0 + 0.5) / 10000.0 AS pass_at_k
         |FROM e ORDER BY prompt, k""".stripMargin) { (s, dir) =>
       Preference.passAtK(candidates(s, dir), "pid", col("r") > 0.5,
           ks = Seq(1, 2, 4))
         .select(col("prompt"), col("k"), col("n"), col("c"),
-          (round(col("pass_at_k"), 4) + lit(0)).as("pass_at_k"))
+          (floor(col("pass_at_k") * 10000.0 + 0.5) / 10000.0)
+            .as("pass_at_k"))
         .orderBy("prompt", "k")
     },
 

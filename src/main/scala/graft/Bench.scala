@@ -184,17 +184,20 @@ object Bench {
     // auto-discovered sibling (advisor r13): a PREWARM_DIR equal to the
     // bench SF would warm against the timed dataset, and a nonexistent
     // one would burn the cap on swallowed failures with prewarm_done=0
-    val benchSfAbs = new java.io.File(sfDir).getAbsolutePath
+    // canonical (not absolute) paths: a trailing "/." or a symlink to
+    // the SF dir would pass an absolute-string compare and warm against
+    // the timed dataset anyway
+    val benchSfCanon = new java.io.File(sfDir).getCanonicalPath
     val prewarmDir: Option[String] =
       sys.env.get("SPARK_GRAFT_BENCH_PREWARM_DIR").filter(_.nonEmpty)
         .map(new java.io.File(_))
-        .filter(d => d.isDirectory && d.getAbsolutePath != benchSfAbs)
+        .filter(d => d.isDirectory && d.getCanonicalPath != benchSfCanon)
         .map(_.getPath)
         .orElse {
           val f = new java.io.File(sfDir).getAbsoluteFile
           Option(f.getParentFile).map(new java.io.File(_, "sf0.001"))
             .filter(d => d.isDirectory &&
-              d.getAbsolutePath != f.getAbsolutePath)
+              d.getCanonicalPath != benchSfCanon)
             .map(_.getPath)
         }
     val prewarmFrac =

@@ -1099,13 +1099,13 @@ object ScaleCheck {
       n
     }
 
-    // Cross-domain overlap at 500k docs (round 14): the fan-out copies
+    // Cross-domain overlap at 50k docs (round 14): the fan-out copies
     // repeat text AND source, so distinct (shingle, domain) state is
     // scale-INVARIANT — the entry measures the corpus-pass side
     // (explode + map-side distinct + shingle shuffle) growing linearly
     // under a fixed domain geometry, the 100 TB shape (domains are
     // tens; text is what grows).
-    time("t_domain_overlap (500k docs)") {
+    time("t_domain_overlap (50k docs)") {
       val n = consume(ops.Text.domainOverlap(docs10, "source", "text", k = 3))
       require(n > 0, "fan-out corpus must overlap across sources")
       n
@@ -1192,18 +1192,18 @@ object ScaleCheck {
       adv
     }
 
-    // JS token drift at 500k arriving docs vs a FIXED stored reference
+    // JS token drift at 50k arriving docs vs a FIXED stored reference
     // (round 14): the reference histogram comes from the base corpus's
     // even half and does not grow with the fan-out — the serving shape
     // (the stored model is never rescanned); what scales is the one
     // arriving-token pass. The term grid stays vocab × sources sized,
     // so cost should grow with the explode, not the grid.
-    // Span corruption at 500k docs (round 14): per-doc work only — one
+    // Span corruption at 50k docs (round 14): per-doc work only — one
     // token explode, block windows whose per-doc state is the masked-
     // block count, one ordered assembly aggregation. Linear by
     // construction; the entry guards against an accidental corpus-level
     // stage creeping into the chain.
-    time("pipe_span_corrupt (500k docs)") {
+    time("pipe_span_corrupt (50k docs)") {
       val n = consume(ops.Corrupt.spanCorrupt(docs10, "doc_id", "text",
         blockLen = 3, maskOneInK = 7))
       require(n == 5000L * scaleX, s"one row per doc expected, got $n")
@@ -1228,7 +1228,7 @@ object ScaleCheck {
       n
     }
 
-    time("t_corpus_drift (500k arriving docs)") {
+    time("t_corpus_drift (50k arriving docs)") {
       val base = core.Tables(spark, sfDir, "documents")
       val refHist = ops.Validation.tokenHistogram(
         base.filter(col("doc_id") % 2 === 0), "text")

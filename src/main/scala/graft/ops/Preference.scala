@@ -175,7 +175,10 @@ object Preference {
     val w = Window.partitionBy(col(promptCol))
     val r = col(rewardCol)
     val mean = avg(r).over(w)
-    val std = sqrt(avg(r * r).over(w) - mean * mean)
+    // E[r2] - E[r]2 cancels to a TINY NEGATIVE for all-tied pools whose
+    // reward is not exactly representable (e.g. three 0.1s), and
+    // sqrt(negative) is NaN here / an ERROR in ANSI engines — clamp at 0
+    val std = sqrt(greatest(avg(r * r).over(w) - mean * mean, lit(0.0)))
     df.withColumn("mean", mean)
       .withColumn("std", std)
       .withColumn("advantage",

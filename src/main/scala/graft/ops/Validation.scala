@@ -61,9 +61,14 @@ object Validation {
       .withColumnRenamed("ref_null_frac", "arr_null_frac")
     val j = profile.join(arr, Seq("column"))
       .withColumn("__range", col("ref_max") - col("ref_min"))
+    // a NULL comparison (null-only reference column, or an arriving
+    // batch with no values) must still produce a BOOLEAN verdict: a
+    // value arriving where the reference had none is the documented
+    // alarm (ok = false), and no arriving values is trivially ok —
+    // both covered by coalescing to "did nothing arrive?"
     def row(stat: String, ref: Column, a: Column, ok: Column) =
       struct(lit(stat).as("stat"), ref.as("ref_value"), a.as("arr_value"),
-        ok.as("ok"))
+        coalesce(ok, a.isNull).as("ok"))
     j.select(col("column"), explode(array(
         row("min", col("ref_min"), col("arr_min"),
           col("arr_min") >= col("ref_min") - lit(tol) * col("__range")),
@@ -106,8 +111,10 @@ object Validation {
     * batch; the reference corpus is never rescanned. */
   def jsDrift(refHist: DataFrame, arriving: DataFrame, groupCol: String,
               textCol: String): DataFrame = {
-    val refTotal = refHist.agg(sum("cnt")).head.getLong(0).toDouble
-    require(refTotal > 0, "jsDrift: reference histogram is empty")
+    val refRow = refHist.agg(sum("cnt")).head
+    require(!refRow.isNullAt(0) && refRow.getLong(0) > 0,
+      "jsDrift: reference histogram is empty")
+    val refTotal = refRow.getLong(0).toDouble
     val ref = refHist.select(col("token"),
       (col("cnt") / lit(refTotal)).as("p"))
     val arrCnt = arriving

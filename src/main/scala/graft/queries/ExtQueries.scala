@@ -1047,11 +1047,17 @@ object ExtQueries {
       val numeric = Validation.validateNumeric(arr,
         Validation.numericProfile(ref, cols), cols)
       val domain = ref.select("event_type").distinct()
-      val refDomainSize = domain.count().toDouble
+      // the reference-domain size stays IN-PLAN (a 1-row broadcast
+      // cross join) — an eager .count() here would bolt an extra scan
+      // + distinct job onto every invocation just to embed a literal
+      val domSize = domain.agg(
+        count(lit(1)).cast("double").as("__dom_size"))
       val unseen = Validation.unseenCategories(arr, domain, "event_type")
         .agg(coalesce(count(lit(1)), lit(0L)).as("n"))
+        .crossJoin(broadcast(domSize))
         .select(lit("event_type").as("column"),
-          lit("unseen_values").as("stat"), lit(refDomainSize).as("ref_value"),
+          lit("unseen_values").as("stat"),
+          col("__dom_size").as("ref_value"),
           col("n").cast("double").as("arr_value"), (col("n") === 0).as("ok"))
       numeric.unionByName(unseen)
         .select(col("column"), col("stat"),

@@ -121,7 +121,7 @@ object PrefQueries {
     Q("pipe_grpo_advantage",
       s"""WITH $candSql,
         |st AS (SELECT pid, AVG(r) AS m,
-        |    sqrt(AVG(r * r) - AVG(r) * AVG(r)) AS s
+        |    sqrt(GREATEST(AVG(r * r) - AVG(r) * AVG(r), 0.0)) AS s
         |  FROM c GROUP BY pid)
         |SELECT c.pid AS prompt, c.doc_id,
         |  ROUND(CASE WHEN st.s > 0 THEN (c.r - st.m) / st.s

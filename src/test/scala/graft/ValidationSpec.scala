@@ -19,10 +19,26 @@ class ValidationSpec extends SparkSpec {
       .as[(String, Option[Double], Option[Double], Double)].collect().toSeq
     assert(p == Seq(("x", Some(1.0), Some(5.0), 0.25),
       ("y", Some(10.0), Some(20.0), 0.5)))
-    val dead = Validation.numericProfile(
-        Seq[Option[Double]](None, None).toDF("z"), Seq("z"))
+    val dead0 = Validation.numericProfile(
+      Seq[Option[Double]](None, None).toDF("z"), Seq("z"))
+    val dead = dead0
       .as[(String, Option[Double], Option[Double], Double)].collect().toSeq
     assert(dead == Seq(("z", None, None, 1.0)))
+    // the dead-column alarm must be a BOOLEAN false, not NULL: a value
+    // arriving where the reference had none breaches; nothing arriving
+    // is trivially ok
+    val alarm = Validation.validateNumeric(
+        Seq(Some(5.0)).toDF("z"), dead0, Seq("z"))
+      .orderBy("stat").select("stat", "ok")
+      .as[(String, Boolean)].collect().toSeq
+    // bounds breach (value where the reference had none); null_frac
+    // DROPPING below the reference is not a breach
+    assert(alarm == Seq(("max", false), ("min", false),
+      ("null_frac", true)))
+    val quiet = Validation.validateNumeric(
+        Seq[Option[Double]](None).toDF("z"), dead0, Seq("z"))
+      .select("ok").as[Boolean].collect().toSeq
+    assert(quiet == Seq(true, true, true), "nothing arrived -> ok")
   }
 
   test("validateNumeric flags bound and null-fraction breaches") {

@@ -121,14 +121,26 @@ object Preference {
     * production refits from the matrix (entity²-bounded, tens of
     * entities) at leaderboard-refresh cadence, never from the game
     * log. */
-  def btFromMatrix(matrix: DataFrame, iters: Int = 3): DataFrame = {
+  def btFromMatrix(matrix: DataFrame, iters: Int = 3,
+                   maxPairs: Int = 1 << 20): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val spark = matrix.sparkSession
     import spark.implicits._
-    val wins: Map[(String, String), Long] =
+    // the model-size contract is enforced, not assumed: a caller who
+    // keys games by a CORPUS-cardinality column (doc ids instead of
+    // model names) must fail loudly before an unbounded collect lands
+    // on the driver (the maxDf/maxBucketSize guard convention). The
+    // limit caps what can ever be fetched; the require turns the
+    // truncation into a loud error instead of a silently-partial fit.
+    val matRows: Array[(String, String, Long)] =
       matrix.select(col("winner"), col("loser"), col("w").cast("long"))
+        .limit(maxPairs + 1)
         .as[(String, String, Long)].collect()
-        .map { case (w, l, n) => (w, l) -> n }.toMap
+    require(matRows.length <= maxPairs,
+      s"win matrix exceeds maxPairs=$maxPairs rows — games are keyed " +
+        "by a corpus-cardinality column, not model entities")
+    val wins: Map[(String, String), Long] =
+      matRows.map { case (w, l, n) => (w, l) -> n }.toMap
     val entities = wins.keysIterator.flatMap(k => Iterator(k._1, k._2))
       .toSeq.distinct.sorted
     val w: Map[String, Long] = entities.map(e =>

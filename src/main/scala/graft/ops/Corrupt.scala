@@ -25,6 +25,44 @@ import org.apache.spark.sql.functions._
   */
 object Corrupt {
 
+  /** Prefix-LM split (UL2's S-denoiser, Tay et al. 2022): one
+    * hash-chosen cut point; inputs = the prefix, targets = the rest.
+    * Per-row expression only. */
+  def prefixLmSplit(df: DataFrame, idCol: String,
+                    textCol: String): DataFrame = {
+    val toks = split(col(textCol), " ", -1)
+    val n = size(toks)
+    val c = pmod(Text.portableHash(
+      concat(col(idCol).cast("string"), lit("#plm"))),
+      (n + 1).cast("long")).cast("int")
+    df.select(col(idCol).as("id"), n.cast("long").as("n_tokens"),
+      (n - c).cast("long").as("n_masked"),
+      when(c < n, 1L).otherwise(0L).as("n_spans"),
+      array_join(slice(toks, lit(1), c), " ").as("inputs"),
+      array_join(slice(toks, c + 1, n - c), " ").as("targets"))
+  }
+
+  /** UL2 mixture of denoisers (Tay et al. 2022): each doc routes by
+    * content hash to one paradigm — R (regular span corruption: short
+    * spans, ~14% noise), X (extreme: long spans, ~50% noise), or S
+    * (sequential prefix-LM split) — and carries its paradigm tag, the
+    * way UL2 prepends [R]/[X]/[S] mode tokens. The routing hash is
+    * independent of each paradigm's masking hashes, and every branch is
+    * the already-certified operator ([[spanCorrupt]] at two configs,
+    * [[prefixLmSplit]]), so the mixture adds exactly one filter per
+    * branch + a union — no new corpus-level state. */
+  def ul2Mix(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val route = pmod(Text.portableHash(
+      concat(col(idCol).cast("string"), lit("#ul2"))), lit(3L))
+    val r = spanCorrupt(df.filter(route === 0), idCol, textCol,
+      blockLen = 3, maskOneInK = 7).withColumn("paradigm", lit("R"))
+    val x = spanCorrupt(df.filter(route === 1), idCol, textCol,
+      blockLen = 8, maskOneInK = 2).withColumn("paradigm", lit("X"))
+    val s = prefixLmSplit(df.filter(route === 2), idCol, textCol)
+      .withColumn("paradigm", lit("S"))
+    r.unionByName(x).unionByName(s)
+  }
+
   /** Fill-in-the-middle transform (Bavarian et al. 2022): split each
     * doc's token stream at two DETERMINISTIC points and render
     * `<fim_prefix> P <fim_suffix> S <fim_middle> M` (the PSM order the

@@ -1447,6 +1447,23 @@ object TrainQueries {
         .orderBy("source")
     },
 
+    // UL2 mixture of denoisers (round 14, Tay et al. 2022): docs route
+    // by an independent content hash to R (span 3, 1/7 noise), X (span
+    // 8, 1/2 noise — the extreme denoiser), or S (prefix-LM split),
+    // each branch the already-certified operator at its config, tagged
+    // [R]/[X]/[S] the way UL2 prepends mode tokens. The oracle
+    // regenerates the full span chain per branch at that branch's
+    // constants (the wordpieceCtes mechanical-generation pattern).
+    Q("pipe_ul2_mix", ul2OracleSql) { (s, dir) =>
+      graft.ops.Corrupt.ul2Mix(Tables(s, dir, "documents"),
+          "doc_id", "text")
+        .select(col("id").as("doc_id"), col("paradigm"), col("n_tokens"),
+          col("n_masked"), col("n_spans"),
+          md5(col("inputs")).as("inputs_md5"),
+          md5(col("targets")).as("targets_md5"))
+        .orderBy("doc_id")
+    },
+
     // Fill-in-the-middle (round 14, Bavarian et al. 2022): two
     // hash-chosen cut points per doc (mod n+1, sorted), PSM rendering
     // `<fim_prefix> P <fim_suffix> S <fim_middle> M`, pinned
@@ -1500,6 +1517,71 @@ object TrainQueries {
     * words carry forward. Mirrors unigramDpCtes' construction (the
     * mechanical-CTE generation pattern); ends in
     * `enc(word, seg, n_pieces)`. */
+  /** One span-corruption CTE chain at (blockLen, maskOneInK) over the
+    * docs matching `where` — the pipe_span_corrupt oracle chain,
+    * generated per UL2 branch with unique CTE names (the wordpieceCtes
+    * mechanical-generation pattern). Ends in `${p}_out(doc_id,
+    * n_tokens, n_masked, n_spans, inputs_md5, targets_md5)`. */
+  private def spanChainCtes(p: String, block: Int, k: Int,
+                            where: String): String =
+    s"""${p}_tk AS (SELECT doc_id, unnest(ws) AS tok,
+       |    generate_subscripts(ws, 1)::BIGINT - 1 AS pos
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+       |        FROM documents WHERE $where)),
+       |${p}_b AS (SELECT doc_id, pos, tok, pos // $block AS blk,
+       |    (('0x' || substr(md5(doc_id::VARCHAR || ':' ||
+       |        (pos // $block)::VARCHAR), 1, 15))::BIGINT % $k = 0)
+       |      AS masked
+       |  FROM ${p}_tk),
+       |${p}_mb AS (SELECT DISTINCT doc_id, blk FROM ${p}_b WHERE masked),
+       |${p}_isl AS (SELECT doc_id, blk, blk - row_number()
+       |    OVER (PARTITION BY doc_id ORDER BY blk) AS island FROM ${p}_mb),
+       |${p}_sen AS (SELECT doc_id, blk, dense_rank()
+       |    OVER (PARTITION BY doc_id ORDER BY island) - 1 AS sent
+       |  FROM ${p}_isl),
+       |${p}_t2 AS (SELECT b.doc_id, b.pos, b.tok, s.sent,
+       |    MIN(b.pos) OVER (PARTITION BY b.doc_id, s.sent) AS fp
+       |  FROM ${p}_b b LEFT JOIN ${p}_sen s
+       |    ON s.doc_id = b.doc_id AND s.blk = b.blk),
+       |${p}_t3 AS (SELECT doc_id, pos, sent,
+       |    CASE WHEN sent IS NULL THEN tok
+       |         WHEN pos = fp THEN '<extra_id_' || sent || '>' END AS ip,
+       |    CASE WHEN sent IS NOT NULL THEN
+       |      CASE WHEN pos = fp
+       |           THEN '<extra_id_' || sent || '> ' || tok
+       |           ELSE tok END END AS tp
+       |  FROM ${p}_t2),
+       |${p}_out AS (SELECT doc_id, COUNT(*)::BIGINT AS n_tokens,
+       |  SUM(CASE WHEN sent IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_masked,
+       |  (COALESCE(MAX(sent), -1) + 1)::BIGINT AS n_spans,
+       |  md5(COALESCE(string_agg(ip, ' ' ORDER BY pos), '')) AS inputs_md5,
+       |  md5(COALESCE(string_agg(tp, ' ' ORDER BY pos), '')) AS targets_md5
+       |FROM ${p}_t3 GROUP BY doc_id)""".stripMargin
+
+  private lazy val ul2OracleSql: String = {
+    val route = "(('0x' || substr(md5(doc_id::VARCHAR || '#ul2'), 1, " +
+      "15))::BIGINT % 3)"
+    s"""WITH ${spanChainCtes("r", 3, 7, s"$route = 0")},
+       |${spanChainCtes("x", 8, 2, s"$route = 1")},
+       |s_f AS (SELECT doc_id, string_split(text, ' ') AS ws,
+       |    len(string_split(text, ' '))::BIGINT AS n,
+       |    ('0x' || substr(md5(doc_id::VARCHAR || '#plm'), 1, 15))::BIGINT
+       |      % (len(string_split(text, ' ')) + 1) AS c
+       |  FROM documents WHERE $route = 2),
+       |s_out AS (SELECT doc_id, n AS n_tokens, (n - c)::BIGINT AS n_masked,
+       |  (CASE WHEN c < n THEN 1 ELSE 0 END)::BIGINT AS n_spans,
+       |  md5(COALESCE(array_to_string(ws[1:c], ' '), '')) AS inputs_md5,
+       |  md5(COALESCE(array_to_string(ws[c+1:n], ' '), '')) AS targets_md5
+       |  FROM s_f)
+       |SELECT doc_id, paradigm, n_tokens, n_masked, n_spans, inputs_md5,
+       |  targets_md5 FROM (
+       |  SELECT doc_id, 'R' AS paradigm, * EXCLUDE (doc_id) FROM r_out
+       |  UNION ALL SELECT doc_id, 'X', * EXCLUDE (doc_id) FROM x_out
+       |  UNION ALL SELECT doc_id, 'S', * EXCLUDE (doc_id) FROM s_out)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   private lazy val wordpieceCtes: String = {
     val maxLen = wordpieceMaxLen
     val steps = (1 to maxLen).map { k =>

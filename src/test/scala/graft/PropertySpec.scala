@@ -389,6 +389,35 @@ class PropertySpec extends SparkSpec {
     assert(math.abs(out.map(_._3).sum - 1.0) < 1e-12, "weights sum to 1")
   }
 
+  test("ul2Mix: partitions docs across paradigms; S splits reconstruct") {
+    import graft.ops.Corrupt
+    val docs = samples(wordGen, 30).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+    val out = Corrupt.ul2Mix(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .select("id", "paradigm", "n_tokens", "n_masked", "inputs", "targets")
+      .as[(Long, String, Long, Long, String, String)].collect().toSeq
+    // every doc appears exactly once, under exactly one paradigm
+    assert(out.map(_._1).sorted == docs.map(_._1))
+    assert(out.map(_._2).toSet.subsetOf(Set("R", "X", "S")))
+    // the S branch is a clean prefix split: inputs ++ targets == text
+    out.filter(_._2 == "S").foreach { case (id, _, nt, nm, in, tg) =>
+      val orig = docs.find(_._1 == id).get._2
+      val joined = Seq(in, tg).filter(_.nonEmpty).mkString(" ")
+      assert(joined == orig, s"S split of doc $id must reconstruct")
+      assert(nm == (if (tg.isEmpty) 0 else tg.split(" ", -1).length))
+      assert(nt == orig.split(" ", -1).length)
+    }
+    // masked fractions: X (1/2 blocks of 8) must exceed R (1/7 of 3)
+    // in aggregate across the fixture
+    def frac(p: String) = {
+      val rows = out.filter(_._2 == p)
+      if (rows.isEmpty) 0.0
+      else rows.map(_._4).sum.toDouble / math.max(1L, rows.map(_._3).sum)
+    }
+    if (out.exists(_._2 == "R") && out.exists(_._2 == "X"))
+      assert(frac("X") > frac("R"), "extreme denoiser masks more")
+  }
+
   test("fimTransform: P+M+S reassembles the text; cuts ordered in range") {
     import graft.ops.Corrupt
     val docs = samples(wordGen, 20).zipWithIndex

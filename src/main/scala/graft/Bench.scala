@@ -229,10 +229,17 @@ object Bench {
         } yield root
       } catch { case _: Throwable => None }
       val roots = (cwdRoot.toSeq ++ classesRoot.toSeq).filter(_.isDirectory)
+      val benchRe = "BENCH_r(\\d+)\\.json".r
       val benches = roots.flatMap(r =>
         Option(r.listFiles()).toSeq.flatten
           .filter(f => f.getName.matches("BENCH_r\\d+\\.json")))
-      benches.sortBy(_.getName).lastOption.flatMap { f =>
+      // NUMERIC round sort (advisor r14): the names are zero-padded to
+      // 2 digits, so a lexicographic sort would put BENCH_r100 before
+      // BENCH_r99 and silently read a stale artifact's ratio
+      benches.sortBy(f => f.getName match {
+        case benchRe(n) => n.toInt
+        case _          => -1
+      }).lastOption.flatMap { f =>
         try {
           val txt = new String(java.nio.file.Files.readAllBytes(f.toPath),
             java.nio.charset.StandardCharsets.UTF_8)

@@ -596,6 +596,8 @@ object Curation {
     val g = scored.groupBy(pCol).agg(
       sum(when(col(labelCol) === 1, 1L).otherwise(0L)).as("np"),
       sum(when(col(labelCol) === 1, 0L).otherwise(1L)).as("nn"))
+    // bounded: one row per DISTINCT score on the grid (the groupBy
+    // above collapses the corpus to grid cardinality first)
     val win = Window.partitionBy(lit(0)).orderBy(pCol)
       .rowsBetween(Window.unboundedPreceding, -1)
     g.withColumn("cneg", coalesce(sum("nn").over(win), lit(0L)))

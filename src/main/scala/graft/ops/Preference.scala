@@ -132,8 +132,16 @@ object Preference {
     // on the driver (the maxDf/maxBucketSize guard convention). The
     // limit caps what can ever be fetched; the require turns the
     // truncation into a loud error instead of a silently-partial fit.
+    // Duplicate (winner, loser) keys are RE-AGGREGATED first (advisor
+    // r14): a stored matrix accumulated by APPEND (winMatrix batches
+    // unioned without re-aggregation — exactly what the additive
+    // streaming update produces between compactions) would otherwise
+    // collapse to last-row-wins in the toMap below, a silently wrong
+    // fit. The groupBy is the same map-side-combinable count shape as
+    // winMatrix itself; for a pre-aggregated matrix it is a no-op.
     val matRows: Array[(String, String, Long)] =
-      matrix.select(col("winner"), col("loser"), col("w").cast("long"))
+      matrix.groupBy("winner", "loser")
+        .agg(sum(col("w").cast("long")).as("w"))
         .limit(maxPairs + 1)
         .as[(String, String, Long)].collect()
     require(matRows.length <= maxPairs,

@@ -42,6 +42,7 @@ object Quantization {
     df.select(col(id), col(vecCol).cast("array<double>").as("__v"))
       .withColumn("__h", seedHash(col(id)))
       .orderBy("__h").limit(ksub)
+      // bounded: limit-ksub input
       .withColumn("code_id",
         row_number().over(Window.partitionBy(lit(0)).orderBy("__h")) - 1)
       .select(col("code_id"),

@@ -332,6 +332,7 @@ object Relational {
     val wIn = Window.partitionBy("__b").orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = withB.withColumn("__local", sum(col(valueCol)).over(wIn))
+    // bounded: one row per bucket of the bounds grid (|bounds|+1 rows)
     val wOff = Window.partitionBy(lit(0)).orderBy("__b")
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = withB.groupBy("__b")

@@ -301,6 +301,7 @@ object Similarity {
       val seeds = proj
         .withColumn("__h", seedHash(col(id)))
         .orderBy("__h").limit(k)
+        // bounded: limit-k seed rows
         .withColumn("centroid_id",
           row_number().over(Window.partitionBy(lit(0)).orderBy("__h")) - 1)
         .select(col("centroid_id"), col(vecCol))

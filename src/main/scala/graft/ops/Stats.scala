@@ -61,8 +61,10 @@ object Stats {
   def cdfThresholds(hist: DataFrame, quantiles: Seq[Double]): DataFrame = {
     // partitionBy(lit(0)) = same single partition, but keeps Spark's
     // "no partition defined" warning out of the driver log
+    // bounded: both windows run over the nBins histogram rows
     val w = Window.partitionBy(lit(0)).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // bounded: same nBins histogram
     val tot = Window.partitionBy(lit(0))
     // ONE pass over the histogram: fan the quantile list out as a literal
     // array-explode instead of unioning a filtered copy per quantile

@@ -111,18 +111,32 @@ object Validation {
     * batch; the reference corpus is never rescanned. */
   def jsDrift(refHist: DataFrame, arriving: DataFrame, groupCol: String,
               textCol: String): DataFrame = {
-    val refRow = refHist.agg(sum("cnt")).head
-    require(!refRow.isNullAt(0) && refRow.getLong(0) > 0,
-      "jsDrift: reference histogram is empty")
-    val refTotal = refRow.getLong(0).toDouble
-    val ref = refHist.select(col("token"),
-      (col("cnt") / lit(refTotal)).as("p"))
+    // The reference total stays IN-PLAN (advisor r14: the former eager
+    // `agg().head` at plan-construction plus the lazy rescan computed
+    // an inline-built reference histogram twice per invocation, against
+    // the pipe_schema_validate 'no eager count' convention): one scalar
+    // aggregate broadcast-crossed back — the X4 pattern. NOT a
+    // whole-table window: refHist is raw vocabulary. The
+    // empty-reference guard moves in-plan too, riding the per-group
+    // `total` value every output row consumes (the explodeArrays
+    // guard-inside-a-consumed-expression rule, so column pruning cannot
+    // drop it): an empty reference raises loudly at execution instead
+    // of silently scoring every arriving token as novel.
+    val tot = refHist.agg(sum("cnt").cast("double").as("__reftot"))
+    val ref = refHist.crossJoin(broadcast(tot))
+      .select(col("token"), (col("cnt") / col("__reftot")).as("p"))
     val arrCnt = arriving
       .select(col(groupCol).as("grp"),
         explode(split(col(textCol), " ", -1)).as("token"))
       .filter(col("token") =!= "")
       .groupBy("grp", "token").agg(count(lit(1)).as("cnt"))
-    val arrTotals = arrCnt.groupBy("grp").agg(sum("cnt").as("total"))
+    val arrTotals = arrCnt.groupBy("grp").agg(sum("cnt").as("__t"))
+      .crossJoin(broadcast(tot))
+      .select(col("grp"),
+        when(col("__reftot") > 0, col("__t"))
+          .otherwise(raise_error(
+            lit("jsDrift: reference histogram is empty")).cast("long"))
+          .as("total"))
     val arr = arrCnt.join(arrTotals, "grp")
       .select(col("grp"), col("token"),
         (col("cnt") / col("total")).as("q"), col("total"))

@@ -335,9 +335,10 @@ object RetrievalQueries {
           Quantization.sqDot(
             Quantization.sqEncode(col("embedding"), lo, step),
             probe, lo, step).as("score"))
-      // TakeOrdered top-10 first; the rank window then runs on 10 rows.
-      // partitionBy(lit(0)) = same single partition, but keeps Spark's
-      // "no partition defined" warning out of the driver log.
+      // TakeOrdered top-10 first; the rank window then runs on 10 rows
+      // (bounded: limit-10 input). partitionBy(lit(0)) = same single
+      // partition, but keeps Spark's "no partition defined" warning out
+      // of the driver log.
       scored.orderBy(round(col("score"), 4).desc, col("vec_id")).limit(10)
         .withColumn("rank", row_number().over(Window.partitionBy(lit(0))
           .orderBy(round(col("score"), 4).desc, col("vec_id"))))
@@ -446,6 +447,7 @@ object RetrievalQueries {
       val pr = Graph.pageRank(e, docs, "src", "dst", "doc_id",
         d = 0.85, iters = prIters)
       pr.orderBy(round(col("pr"), 6).desc, col("id")).limit(20)
+        // bounded: limit-20 input
         .withColumn("rank", row_number().over(Window.partitionBy(lit(0))
           .orderBy(round(col("pr"), 6).desc, col("id"))))
         .select(col("id"), col("rank"),
@@ -650,6 +652,7 @@ object RetrievalQueries {
           .select(col("vec_id").as("doc_id"),
             Similarity.cosine(col("v"), pLit).as("s"))
           .orderBy(round(col("s"), 6).desc, col("doc_id")).limit(20)
+          // bounded: limit-20 input
           .withColumn("rc", row_number().over(Window.partitionBy(lit(0))
             .orderBy(round(col("s"), 6).desc, col("doc_id"))))
           .select(col("doc_id"), col("rc").cast("long").as("rc"))
@@ -660,6 +663,7 @@ object RetrievalQueries {
             (coalesce(lit(1.0) / (lit(60) + col("rb")), lit(0.0)) +
               coalesce(lit(1.0) / (lit(60) + col("rc")), lit(0.0))).as("rrf"))
           .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+          // bounded: limit-10 input
           .withColumn("rank", row_number().over(Window.partitionBy(lit(0))
             .orderBy(col("rrf").desc, col("doc_id"))))
           .select(col("doc_id"), col("rank").cast("long").as("rank"),

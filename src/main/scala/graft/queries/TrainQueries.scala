@@ -1284,6 +1284,7 @@ object TrainQueries {
           sum(octet_length(col("word"))).as("n_bytes"),
           sum("n_pieces").as("n_pieces"))
         .withColumn("bpp", col("n_bytes").cast("double") / col("n_pieces"))
+        // bounded: lang-cardinality rows (post groupBy("lang"))
         .withColumn("bpp_best", max("bpp").over(
           org.apache.spark.sql.expressions.Window.partitionBy(lit(0))))
         .select(col("lang"), col("n_words"), col("n_bytes"), col("n_pieces"),

@@ -21,7 +21,17 @@ object Explain {
     "pipe_ppl_buckets_thresh" -> ("composes the full bigram-LM chain " +
       "with two consumers of the scored stream; the (lang, nll) stream " +
       "is persisted so neither branch replays the LM derivation — if " +
-      "this row is printed, the persist stopped collapsing the plan"))
+      "this row is printed, the persist stopped collapsing the plan"),
+    "t_corpus_drift" -> ("the audit-expansion artifact of INLINE model " +
+      "derivation (the pipe_moore_lewis class): the reference token " +
+      "histogram is derived in-query for self-containment, and since " +
+      "r15 its grand total is computed IN-PLAN (advisor r14 — the " +
+      "former eager agg().head hid one full reference derivation from " +
+      "this audit entirely), so the plan shows the reference subtree " +
+      "once for the total and once for the distribution. Production " +
+      "serves jsDrift from a STORED histogram (the t_corpus_drift " +
+      "ScaleCheck entry runs that shape, exponent 0.09): both " +
+      "consumers collapse to cheap store scans"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

@@ -1448,6 +1448,64 @@ object TrainQueries {
         .orderBy("source")
     },
 
+    // DoReMi stored-model split (round 15, judge r14 task 3): the
+    // (domain, hashed-bucket) histogram is the STORED model —
+    // domains×512 rows regardless of corpus vocabulary (the dsirModelDF
+    // bounded-histogram pattern; hashing preserves totals so n_tokens
+    // is exact, the bucketed KL is the DSIR-style approximation). The
+    // query builds the store the way production does: two ingest
+    // batches' models APPENDED without re-aggregation (the winMatrix
+    // additive pattern), then doremiFromModel re-aggregates on read
+    // and refits — so the oracle certifies additive append + refit in
+    // one artifact. Portable md5 hash ⇒ fully DuckDB-oracle-able.
+    Q("pipe_doremi_stored",
+      """WITH h AS (SELECT domain, bucket, COUNT(*)::BIGINT AS c FROM (
+        |    SELECT source AS domain,
+        |      ('0x' || substr(md5(token), 1, 15))::BIGINT % 512 AS bucket
+        |    FROM (SELECT source,
+        |        unnest(string_split(text, ' ')) AS token FROM documents)
+        |    WHERE token <> '') GROUP BY domain, bucket),
+        |g AS (SELECT bucket, SUM(c)::BIGINT AS cg FROM h GROUP BY bucket),
+        |nd AS (SELECT domain, SUM(c)::BIGINT AS ndc FROM h GROUP BY domain),
+        |ng AS (SELECT SUM(c)::BIGINT AS ngc FROM h),
+        |kl AS (SELECT h.domain, MIN(nd.ndc) AS n_tokens,
+        |    SUM(h.c / nd.ndc::DOUBLE * log2((h.c / nd.ndc::DOUBLE)
+        |      / (g.cg / (SELECT ngc FROM ng)::DOUBLE))) AS excess
+        |  FROM h JOIN g USING (bucket) JOIN nd USING (domain)
+        |  GROUP BY h.domain),
+        |k AS (SELECT COUNT(*)::DOUBLE AS kk FROM kl),
+        |a0 AS (SELECT domain, n_tokens, excess,
+        |    1.0 / (SELECT kk FROM k) AS alpha FROM kl),
+        |r1 AS (SELECT domain, n_tokens, excess,
+        |    alpha * exp(excess) AS a FROM a0),
+        |a1 AS (SELECT domain, n_tokens, excess,
+        |    a / (SELECT SUM(a) FROM r1) AS alpha FROM r1),
+        |r2 AS (SELECT domain, n_tokens, excess,
+        |    alpha * exp(excess) AS a FROM a1),
+        |a2 AS (SELECT domain, n_tokens, excess,
+        |    a / (SELECT SUM(a) FROM r2) AS alpha FROM r2),
+        |r3 AS (SELECT domain, n_tokens, excess,
+        |    alpha * exp(excess) AS a FROM a2),
+        |a3 AS (SELECT domain, n_tokens, excess,
+        |    a / (SELECT SUM(a) FROM r3) AS alpha FROM r3)
+        |SELECT domain AS source, n_tokens,
+        |  ROUND(excess, 4) + 0 AS excess,
+        |  ROUND(0.9 * alpha + 0.1 / (SELECT kk FROM k), 4) + 0 AS weight
+        |FROM a3 ORDER BY source""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      // two ingest batches, models built independently and APPENDED —
+      // duplicate (domain, bucket) keys reach the fit un-aggregated
+      val store = Sampling.doremiModelDF(
+          docs.filter(col("doc_id") % 2 === 0), "source", "text")
+        .unionAll(Sampling.doremiModelDF(
+          docs.filter(col("doc_id") % 2 =!= 0), "source", "text"))
+      Sampling.doremiFromModel(store, eta = 1.0, eps = 0.1, iters = 3)
+        .select(col("domain").as("source"), col("n_tokens"),
+          (round(col("excess"), 4) + lit(0)).as("excess"),
+          (round(col("weight"), 4) + lit(0)).as("weight"))
+        .orderBy("source")
+    },
+
     // UL2 mixture of denoisers (round 14, Tay et al. 2022): docs route
     // by an independent content hash to R (span 3, 1/7 noise), X (span
     // 8, 1/2 noise — the extreme denoiser), or S (prefix-LM split),

@@ -389,6 +389,31 @@ class PropertySpec extends SparkSpec {
     assert(math.abs(out.map(_._3).sum - 1.0) < 1e-12, "weights sum to 1")
   }
 
+  test("doremiModelDF: append-accumulated store fits like one-shot; totals exact") {
+    import graft.ops.Sampling
+    val docs = samples(wordGen, 40).zipWithIndex.map { case (ws, i) =>
+      (i.toLong, s"d${i % 3}", ws.mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    // one-shot model vs two batch models APPENDED without re-aggregation
+    val oneShot = Sampling.doremiModelDF(docs, "source", "text")
+    val appended = Sampling.doremiModelDF(
+        docs.filter($"doc_id" % 2 === 0), "source", "text")
+      .unionAll(Sampling.doremiModelDF(
+        docs.filter($"doc_id" % 2 =!= 0), "source", "text"))
+    def fit(m: org.apache.spark.sql.DataFrame) =
+      Sampling.doremiFromModel(m).orderBy("domain")
+        .select($"domain", $"n_tokens", round($"excess", 9), round($"weight", 9))
+        .collect().map(_.toSeq).toSeq
+    assert(fit(appended) == fit(oneShot),
+      "duplicate (domain,bucket) keys must re-aggregate, not last-win")
+    // hashing preserves counts: n_tokens matches the raw-token path
+    val raw = Sampling.doremiWeights(docs, "source", "text")
+      .orderBy("domain").select("n_tokens").as[Long].collect().toSeq
+    val hashed = Sampling.doremiFromModel(oneShot)
+      .orderBy("domain").select("n_tokens").as[Long].collect().toSeq
+    assert(hashed == raw, "bucketing must preserve per-domain totals")
+  }
+
   test("ul2Mix: partitions docs across paradigms; S splits reconstruct") {
     import graft.ops.Corrupt
     val docs = samples(wordGen, 30).zipWithIndex

@@ -1301,6 +1301,39 @@ object ScaleCheck {
       n
     }
 
+    // Streaming JS drift serving shape at 50k arriving docs (round 15,
+    // judge r14 task 6): unlike the entry above (reference derived
+    // inline), the reference histogram here is WRITTEN ONCE and read
+    // back from its parquet store — exactly what streamingJsDrift's
+    // foreachBatch body sees — and the fan-out arrives as TWO
+    // micro-batches scored independently. Per-batch cost must be one
+    // token pass over the batch + the model-sized term grid; the store
+    // is scanned (cheaply), never re-derived, per batch.
+    val jsLabel = "streaming_js_drift (2 batches, stored ref)"
+    if (only.isEmpty || only.exists(jsLabel.contains)) {
+      // the store-write is the (untimed) periodic batch train job
+      val jsRefDir = java.nio.file.Files
+        .createTempDirectory("scale-refhist").toString
+      ops.Validation.tokenHistogram(
+          core.Tables(spark, sfDir, "documents")
+            .filter(col("doc_id") % 2 === 0), "text")
+        .write.mode("overwrite").parquet(jsRefDir)
+      time(jsLabel) {
+        val refHist = spark.read.parquet(jsRefDir)
+        // batch split on id BLOCKS (source is id-derived, so a parity
+        // split would halve the sources per batch)
+        val n1 = consume(ops.Validation.jsDrift(refHist,
+          docs10.filter(floor(col("doc_id") / 20) % 2 === 0),
+          "source", "text"))
+        val n2 = consume(ops.Validation.jsDrift(refHist,
+          docs10.filter(floor(col("doc_id") / 20) % 2 =!= 0),
+          "source", "text"))
+        require(n1 == 20 && n2 == 20,
+          s"one drift row per source per batch expected, got $n1/$n2")
+        n1 + n2
+      }
+    }
+
     // DoReMi bounded-histogram store + refit at 50k docs (round 15,
     // judge r14 task 3): the (domain × 512-bucket) hashed histogram is
     // the stored model — its size is FIXED regardless of corpus

@@ -562,6 +562,38 @@ object Streams {
     * the per-batch plan equals the batch plan by construction; matched
     * pairs append to `outDir`, keepers are the arrivals without a row
     * (anti-join downstream). Stream==batch pinned in MergeStreamSpec. */
+  /** Streaming corpus-drift scoring (judge r14 task 6): each arriving
+    * micro-batch is scored against a STORED reference token histogram
+    * via [[graft.ops.Validation.jsDrift]] — the batch-trains/
+    * stream-applies split of every stored model here: the reference is
+    * FIXED (built by a periodic batch job; never rescanned at serving —
+    * pass a histogram READ FROM its store, not derived inline, or each
+    * micro-batch re-derives it), the term grid is (reference ∪ batch
+    * vocabulary) × groups — model-sized — and drift is a PER-GROUP
+    * statistic whose totals aggregate within the group, so as long as a
+    * group does not span micro-batches (the arriving unit IS the
+    * monitored slice) each batch's plan equals the batch plan by
+    * construction (the [[streamingWinnowGate]] foreachBatch shape).
+    * Rows append to `outDir` tagged with the micro-batch id.
+    * Stream==batch pinned in MergeStreamSpec. */
+  def streamingJsDrift(spark: SparkSession, sourceDir: String,
+                       outDir: String, checkpointDir: String,
+                       schema: org.apache.spark.sql.types.StructType,
+                       groupCol: String, textCol: String,
+                       refHist: DataFrame): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .parquet(sourceDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.Validation.jsDrift(refHist, batch, groupCol, textCol)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+
   def streamingWinnowGate(spark: SparkSession, sourceDir: String,
                           outDir: String, checkpointDir: String,
                           schema: org.apache.spark.sql.types.StructType,

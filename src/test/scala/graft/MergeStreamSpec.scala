@@ -730,4 +730,44 @@ class MergeStreamSpec extends SparkSpec {
       .as[(String, Long, Long, Double)].collect().toSet
     assert(fromStore == fromLog)
   }
+
+  test("streaming JS drift vs a stored reference histogram equals batch") {
+    val base = Files.createTempDirectory("graft-js-drift").toString
+    val srcDir = s"$base/src"
+    new java.io.File(srcDir).mkdirs()
+    // the stored reference: a batch job writes the histogram once; the
+    // stream reads it from the STORE (never re-derives the corpus)
+    val refCorpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick dog sleeps by the brown river")).toDF("id", "text")
+    graft.ops.Validation.tokenHistogram(refCorpus, "text")
+      .write.parquet(s"$base/refhist")
+    val refHist = spark.read.parquet(s"$base/refhist")
+    // arrivals: one group per file so no group spans micro-batches —
+    // g_same echoes the reference mix, g_drift is mostly novel tokens
+    val b1 = Seq(("g_same", "the quick brown fox and the lazy dog"))
+    val b2 = Seq(("g_drift", "zeta epsilon omicron lambda sigma tau"),
+      ("g_mixed", "the brown fox reads zeta lambda"))
+    b1.toDF("source", "text").write.parquet(s"$srcDir/b1")
+    b2.toDF("source", "text").write.parquet(s"$srcDir/b2")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("source",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val q = Streams.streamingJsDrift(spark, s"$srcDir/*/", s"$base/out",
+      s"$base/ckpt", schema, "source", "text", refHist)
+    q.awaitTermination(60000)
+    val streamed = spark.read.parquet(s"$base/out")
+      .select(col("source"), col("n_tokens"), round(col("js"), 9).as("js"))
+      .as[(String, Long, Double)].collect().toSet
+    val batch = graft.ops.Validation.jsDrift(refHist,
+        (b1 ++ b2).toDF("source", "text"), "source", "text")
+      .select(col("source"), col("n_tokens"), round(col("js"), 9).as("js"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(streamed == batch, s"stream must equal batch: $streamed vs $batch")
+    // drift ordering: the novel-token group diverges most, the echo least
+    val js = streamed.map(r => r._1 -> r._3).toMap
+    assert(js("g_drift") > js("g_mixed") && js("g_mixed") > js("g_same"))
+  }
 }

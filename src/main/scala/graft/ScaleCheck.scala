@@ -1407,6 +1407,47 @@ object ScaleCheck {
       n
     }
 
+    // Dawid–Skene EM at ~175k synthetic crowd labels (round 15): items
+    // are the fanned docs, 5 workers × 70% coverage, 2 EM rounds. The
+    // model state per round is 5×3² confusion cells + 3 priors
+    // (LocalRelation round-boundary cut — see Annotate.dsPosteriors);
+    // the data-sized cost is the per-round labels⋈posterior join, so
+    // the slope must track label volume, never vocabulary or rounds².
+    time("annot_dawid_skene (175k labels)") {
+      val workers = spark.createDataFrame(Seq(
+        ("w0", 5), ("w1", 10), ("w2", 20), ("w3", 30), ("w4", 45)))
+        .toDF("wid", "err")
+      val tru = docs10.select(col("doc_id").as("item"),
+        (ops.Text.portableHash(concat(lit("cls:"),
+          col("doc_id").cast("string"))) % 3).as("ci"))
+      val lh = ops.Text.portableHash(concat(lit("lab:"), col("wid"),
+        lit(":"), col("item").cast("string")))
+      val labels = tru.crossJoin(broadcast(workers))
+        .filter(ops.Text.portableHash(concat(lit("cov:"), col("wid"),
+          lit(":"), col("item").cast("string"))) % 10 < 7)
+        .select(col("item"), col("wid"),
+          when(lh % 100 < col("err"), concat(lit("c"),
+            ((col("ci") + 1 + lh % 2) % 3).cast("string")))
+            .otherwise(concat(lit("c"), col("ci").cast("string")))
+            .as("lab"))
+      consume(ops.Annotate.dawidSkene(labels, "item", "wid", "lab",
+        Seq("c0", "c1", "c2"), iters = 2))
+    }
+
+    // Stride-scheduled mixture interleave at 50k docs (round 15): the
+    // two-phase bucketed domain rank (hash-range split + domains×B
+    // offset broadcast) plus the weight join — per-doc work only, so
+    // the exponent must be ~1 regardless of the per-domain row count
+    // (a per-domain window would serialize each domain here).
+    time("pipe_mix_order (50k docs)") {
+      val d = docs10.select("source", "doc_id")
+      val w = d.select(col("source")).distinct()
+        .select(col("source"),
+          ((substring(col("source"), 4, 10).cast("int") + 1) / 210.0)
+            .as("wt"))
+      consume(ops.Sampling.strideOrder(d, "source", "doc_id", w))
+    }
+
     spark.stop()
   }
 }

@@ -25,40 +25,14 @@ object SparkEntry {
     Registry.oracleSql
 
   /** The standing adjudication of every query WITHOUT an `oracleSql`
-    * entry (COVERAGE.md's permanent table, machine-readable since round
-    * 13 so the driver artifact self-describes its `no_oracle` rows):
-    * name → why no direct oracle exists + the oracled twin certifying
-    * the same semantics. This list is PERMANENT — these stay rows-only
-    * by design, and RegistryEvidenceSpec fails if a query is in neither
-    * `oracleSql` nor this map (a new silent no_oracle row would break
-    * the invariant the judge checks every round). */
-  def noOracleAdjudication: Map[String, String] = Map(
-    "dedup_minhash_lsh" ->
-      ("xxhash64 signatures (not reproducible in DuckDB); semantics " +
-        "certified by dedup_minhash_md5 [O] — identical band/bucket " +
-        "logic over md5-family hashes"),
-    "dedup_simhash_buckets" ->
-      ("xxhash64 bit sampling; certified by dedup_simhash_md5 + " +
-        "dedup_simhash_pairs_md5 [O] — same bit logic + Hamming verify " +
-        "over portable hashes"),
-    "ext_approx_distinct" ->
-      ("Spark-internal HLL++ registers; certified by " +
-        "ext_kmv_distinct_md5 [O] — portable KMV order-statistics sketch"),
-    "ext_hll_mergeable" ->
-      ("DataSketches HLL binary registers; ext_count_distinct [O] exact " +
-        "beside it; union-over-partition == direct sketch " +
-        "register-exact [T ScaleSpec]"),
-    "sim_ann_lsh_buckets" ->
-      ("xxhash64-seeded random planes; certified by sim_lsh_buckets_md5 " +
-        "[O] — same sign-plane bucketing, md5-derived planes"),
-    "sim_ann_ivf_cells" ->
-      ("xxhash64-seeded centroids; certified by sim_ivf_assign [O] — " +
-        "the assignment mechanism oracled exactly on md5-seeded centroids"),
-    "sim_kmeans_cells" ->
-      ("xxhash64 seeding; certified by sim_kmeans_md5 [O] — full Lloyd " +
-        "chain oracled on the md5-seeded twin"),
-    "sim_pca_cov_fast" ->
-      ("typed-Aggregator float accumulation order; certified by " +
-        "sim_pca_cov [O] — same covariance, d²-shuffle form; FP " +
-        "agreement pinned [T TrainSpec]"))
+    * entry. EMPTY since round 15: the 8 declared fast paths
+    * (xxhash64 dedup/ANN variants, engine-internal sketches, the
+    * typed-Aggregator covariance) were RETIRED from the registry (judge
+    * r14 task 8) — their semantics stay certified by the oracled md5
+    * twins and they run every build in FastPathSpec, so the correctness
+    * artifact is now 100% oracled and ANY `no_oracle` row in a driver
+    * artifact means something regressed. RegistryEvidenceSpec enforces
+    * the invariant (a query in neither `oracleSql` nor this map is a
+    * red test). */
+  def noOracleAdjudication: Map[String, String] = Map.empty
 }

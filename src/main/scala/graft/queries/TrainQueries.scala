@@ -757,18 +757,6 @@ object TrainQueries {
         .orderBy("i", "j")
     },
 
-    // Fast-path twin of sim_pca_cov: one-pass typed Aggregator
-    // (ObjectHashAggregate, primitive buffer, no d²-row fan-out) — rows
-    // only; merge-order FP round-off keeps it off the hash compare, the
-    // explode form above carries the oracle. Rounded to 6 decimals the
-    // two paths agree (pinned in TrainSpec).
-    Q.noOracle("sim_pca_cov_fast") { (s, dir) =>
-      Similarity.covarianceMatrixFast(Tables(s, dir, "embeddings"),
-          "embedding", dim = 64)
-        .select(col("i"), col("j"),
-          (round(col("cov"), 6) + lit(0.0)).as("cov"))
-        .orderBy("i", "j")
-    },
 
     // Top principal component by power iteration: the d×d covariance is
     // data-size-independent, so the iteration runs on collected driver
@@ -1506,6 +1494,42 @@ object TrainQueries {
         .orderBy("source")
     },
 
+    // Stride-scheduled mixture interleave (round 15): per-domain
+    // mixture weights become a DETERMINISTIC resumable global data
+    // order — domain d's r-th doc (seeded-hash shuffle within domain)
+    // trains at virtual time v = r / w_d, ascending v; prefix shares
+    // track the weights within one stride, resume is a filter on v.
+    // The Spark rank is the scale-safe two-phase bucketed form
+    // (Sampling.seededDomainRank — never a per-domain window); the
+    // oracle states the naive per-domain row_number it equals. Fixture
+    // weights ∝ source index + 1 (normalized by Σ = 210), so v =
+    // r·210/(i+1) — terminating decimals only, no 5th-decimal round
+    // ties; exact v collisions across domains break by (source, id) in
+    // both engines.
+    Q("pipe_mix_order",
+      """WITH w AS (SELECT source,
+        |    (CAST(substr(source, 4) AS INT) + 1) / 210.0 AS wt
+        |  FROM (SELECT DISTINCT source FROM documents)),
+        |r AS (SELECT d.source, d.doc_id, row_number() OVER (
+        |    PARTITION BY d.source ORDER BY
+        |      ('0x' || substr(md5('ord:' || d.doc_id::VARCHAR), 1,
+        |        15))::BIGINT, d.doc_id) AS mix_r
+        |  FROM documents d)
+        |SELECT r.source, r.doc_id, r.mix_r::BIGINT AS mix_r,
+        |  ROUND(r.mix_r / w.wt, 4) + 0 AS mix_v
+        |FROM r JOIN w USING (source)
+        |ORDER BY mix_v, source, doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents").select("source", "doc_id")
+      val w = docs.select(col("source")).distinct()
+        .select(col("source"),
+          ((substring(col("source"), 4, 10).cast("int") + 1) / 210.0)
+            .as("wt"))
+      Sampling.strideOrder(docs, "source", "doc_id", w, seed = "ord")
+        .select(col("source"), col("doc_id"), col("mix_r"),
+          (round(col("mix_v"), 4) + lit(0)).as("mix_v"))
+        .orderBy("mix_v", "source", "doc_id")
+    },
+
     // UL2 mixture of denoisers (round 14, Tay et al. 2022): docs route
     // by an independent content hash to R (span 3, 1/7 noise), X (span
     // 8, 1/2 noise — the extreme denoiser), or S (prefix-LM split),
@@ -1971,6 +1995,21 @@ object TrainQueries {
        |    / (COUNT(*) * 2.0)) / 10000.0 AS subwords_per_token
        |FROM dt JOIN v$bpeRounds ON v$bpeRounds.word = dt.word
        |GROUP BY dt.doc_id ORDER BY dt.doc_id""".stripMargin
+
+  /** Float-accumulation fast path RETIRED from the registry (round 15,
+    * judge r14 task 8): one-pass typed-Aggregator covariance whose
+    * merge-order FP round-off keeps it off the hash compare; the
+    * explode form sim_pca_cov carries the oracle and TrainSpec pins
+    * 6-decimal agreement between the two paths. Exercised every build
+    * by FastPathSpec. */
+  val fastPaths: Seq[Q] = Seq(
+    Q.noOracle("sim_pca_cov_fast") { (s, dir) =>
+      Similarity.covarianceMatrixFast(Tables(s, dir, "embeddings"),
+          "embedding", dim = 64)
+        .select(col("i"), col("j"),
+          (round(col("cov"), 6) + lit(0.0)).as("cov"))
+        .orderBy("i", "j")
+    })
 
   /** Per-doc encode oracle: per-word best cost (unrounded) joined back
     * to the per-document token stream, summed and rounded once — the

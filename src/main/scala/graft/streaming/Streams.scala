@@ -498,6 +498,21 @@ object Streams {
   def streamingWinMatrix(games: DataFrame): DataFrame =
     graft.ops.Preference.winMatrix(games)
 
+  /** Streaming gold-question scoring: each arriving batch of crowd
+    * labels joins the (bounded, broadcast) gold table and folds into
+    * the stored per-worker (n_gold, n_correct) counts — ADDITIVE, so
+    * the store appends without read-modify-write and
+    * [[graft.ops.Annotate.accFromGoldCounts]] refits the accuracy on
+    * read (the winMatrix / btFromMatrix split). State is
+    * annotator-roster-bounded regardless of stream length; stream ==
+    * batch pinned in MergeStreamSpec. */
+  def streamingWorkerGold(labels: DataFrame, gold: DataFrame,
+                          itemCol: String, workerCol: String,
+                          labelCol: String, goldItemCol: String,
+                          goldLabelCol: String): DataFrame =
+    graft.ops.Annotate.goldCounts(labels, gold, itemCol, workerCol,
+      labelCol, goldItemCol, goldLabelCol)
+
   def streamingDsirScore(docs: DataFrame, textCol: String,
                          logRatios: Seq[Double]): DataFrame =
     docs

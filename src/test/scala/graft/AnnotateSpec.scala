@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Annotate
+
+/** Unit contracts for the annotation / label-quality operators
+  * (round 15): majority-vote tie-breaks, hand-computed Fleiss and Cohen
+  * kappas, the Dawid–Skene lazy-worker recovery (the case majority vote
+  * provably gets wrong), posterior normalization, loud-guard behavior,
+  * and the additive gold-count split. */
+class AnnotateSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("majorityVote: plurality wins, ties break to the smallest label") {
+    val labels = Seq(
+      (1L, "wa", "x"), (1L, "wb", "x"), (1L, "wc", "y"),
+      (2L, "wa", "y"), (2L, "wb", "x"), // tie → 'x' (smallest)
+      (3L, "wa", "z"))
+      .toDF("item", "wid", "lab")
+    val out = Annotate.majorityVote(labels, "item", "wid", "lab")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(out == Set((1L, "x", 2L, 3L), (2L, "x", 1L, 2L),
+      (3L, "z", 1L, 1L)))
+  }
+
+  test("fleissKappa: hand-computed value; <2-rater items are excluded") {
+    // i1: [x,x] → P_1 = 1;  i2: [x,y] → P_2 = 0;  P̄ = 0.5
+    // pooled p_x = 3/4, p_y = 1/4 → P_e = 10/16 = 0.625
+    // κ = (0.5 − 0.625) / 0.375 = −1/3
+    val base = Seq((1L, "wa", "x"), (1L, "wb", "x"),
+      (2L, "wa", "x"), (2L, "wb", "y"))
+    val k1 = Annotate.fleissKappa(base.toDF("item", "wid", "lab"),
+      "item", "lab").select("n_items", "n_rated", "kappa")
+      .as[(Long, Long, Double)].head()
+    assert(k1._1 == 2 && k1._2 == 4)
+    assert(math.abs(k1._3 - (-1.0 / 3.0)) < 1e-12)
+    // a single-rater item must not change anything (P_i undefined at 1)
+    val k2 = Annotate.fleissKappa(
+      (base :+ ((3L, "wa", "z"))).toDF("item", "wid", "lab"),
+      "item", "lab").select("kappa").as[Double].head()
+    assert(math.abs(k2 - k1._3) < 1e-12)
+  }
+
+  test("fleissKappa: perfect agreement is kappa 1") {
+    val labels = Seq((1L, "wa", "x"), (1L, "wb", "x"),
+      (2L, "wa", "y"), (2L, "wb", "y")).toDF("item", "wid", "lab")
+    val k = Annotate.fleissKappa(labels, "item", "lab")
+      .select("kappa").as[Double].head()
+    assert(k == 1.0)
+  }
+
+  test("pairwiseKappa: perfect agreement → 1; degenerate p_e = 1 → NULL") {
+    val labels = Seq(
+      // wa/wb agree on two items with mixed labels → κ = 1
+      (1L, "wa", "x"), (1L, "wb", "x"),
+      (2L, "wa", "y"), (2L, "wb", "y"),
+      // wc/wd both constant-'x' on their shared item → p_e = 1, κ NULL
+      (9L, "wc", "x"), (9L, "wd", "x"))
+      .toDF("item", "wid", "lab")
+    val out = Annotate.pairwiseKappa(labels, "item", "wid", "lab")
+      .select("w_a", "w_b", "kappa")
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(out(("wa", "wb")) == Some(1.0))
+    assert(out(("wc", "wd")) == None)
+  }
+
+  test("dawidSkene recovers truth where majority vote is provably wrong") {
+    // two careful workers + two hash-random spammers over 3 classes.
+    // Where the spammers collide on a wrong class the vote ties 2–2
+    // and the deterministic tie-break picks the wrong label on some
+    // items; DS learns the spammers' near-uniform confusion rows and
+    // the careful pair's diagonal, and recovers EVERY item in 2 EM
+    // rounds. (A driver-side md5 mirror of Text.portableHash keeps the
+    // fixture deterministic.)
+    def ph(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.substring(0, 15), 16)
+    }
+    val items = (0L until 60L)
+    val truth = items.map(i => i -> s"c${ph(s"cls:$i") % 3}").toMap
+    val labels = items.flatMap { i =>
+      Seq((i, "g1", truth(i)), (i, "g2", truth(i)),
+        (i, "r1", s"c${ph(s"r1:$i") % 3}"), (i, "r2", s"c${ph(s"r2:$i") % 3}"))
+    }.toDF("item", "wid", "lab")
+    val mv = Annotate.majorityVote(labels, "item", "wid", "lab")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    val mvAcc = items.count(i => mv(i) == truth(i))
+    assert(mvAcc < 60, "fixture: majority must be wrong somewhere")
+    val ds = Annotate.dawidSkene(labels, "item", "wid", "lab",
+        Seq("c0", "c1", "c2"), iters = 2)
+      .as[(Long, String, Double)].collect().map(r => r._1 -> r._2).toMap
+    assert(items.forall(i => ds(i) == truth(i)), "DS recovers all items")
+  }
+
+  test("dsPosteriors: K rows per item, each item's posterior sums to 1") {
+    val labels = Seq((1L, "wa", "c0"), (1L, "wb", "c1"), (2L, "wa", "c2"))
+      .toDF("item", "wid", "lab")
+    val t = Annotate.dsPosteriors(labels, "item", "wid", "lab",
+      Seq("c0", "c1", "c2"), iters = 1)
+    val sums = t.groupBy("item").agg(count(lit(1)).as("k"),
+      sum("t").as("s")).as[(Long, Long, Double)].collect()
+    assert(sums.length == 2)
+    assert(sums.forall(r => r._2 == 3 && math.abs(r._3 - 1.0) < 1e-9))
+  }
+
+  test("dawidSkene fails loudly on a label outside the declared classes") {
+    val labels = Seq((1L, "wa", "c0"), (2L, "wb", "zz"))
+      .toDF("item", "wid", "lab")
+    val e = intercept[Exception] {
+      Annotate.dawidSkene(labels, "item", "wid", "lab",
+        Seq("c0", "c1"), iters = 1).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("gold counts: append-accumulated store refits to the one-shot rate") {
+    val gold = Seq((1L, "c0"), (2L, "c1"), (3L, "c0")).toDF("item", "g")
+    val labels = Seq((1L, "wa", "c0"), (2L, "wa", "c0"), (3L, "wa", "c0"),
+      (1L, "wb", "c0"), (7L, "wb", "c2")).toDF("item", "wid", "lab")
+    val oneShot = Annotate.workerGold(labels, gold, "item", "wid", "lab",
+      "item", "g").as[(String, Long, Long, Double)].collect().toSet
+    val store = Annotate.goldCounts(labels.filter($"item" <= 1), gold,
+        "item", "wid", "lab", "item", "g")
+      .unionAll(Annotate.goldCounts(labels.filter($"item" > 1), gold,
+        "item", "wid", "lab", "item", "g"))
+    val refit = Annotate.accFromGoldCounts(store)
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(refit == oneShot)
+    assert(oneShot == Set(("wa", 3L, 2L, 2.0 / 3.0), ("wb", 1L, 1L, 1.0)))
+  }
+}

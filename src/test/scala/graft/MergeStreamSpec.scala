@@ -770,4 +770,38 @@ class MergeStreamSpec extends SparkSpec {
     val js = streamed.map(r => r._1 -> r._3).toMap
     assert(js("g_drift") > js("g_mixed") && js("g_mixed") > js("g_same"))
   }
+
+  test("streaming gold-question counts equal batch; accuracy from store") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val gold = Seq((1L, "c0"), (2L, "c1"), (3L, "c2")).toDF("item", "g")
+    val input = MemoryStream[(Long, String, String)]
+    val q = Streams.streamingWorkerGold(
+        input.toDF().toDF("item", "wid", "lab"), gold,
+        "item", "wid", "lab", "item", "g")
+      .writeStream.format("memory").queryName("gold_counts")
+      .outputMode("complete").start()
+    val b1 = Seq((1L, "w0", "c0"), (2L, "w0", "c1"), (1L, "w1", "c2"))
+    val b2 = Seq((3L, "w0", "c2"), (2L, "w1", "c1"), (9L, "w1", "c0"))
+    input.addData(b1: _*)
+    q.processAllAvailable()
+    input.addData(b2: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("gold_counts")
+      .as[(String, Long, Long)].collect().toSet
+    q.stop()
+    // item 9 has no gold row and must not count anywhere
+    val batch = graft.ops.Annotate.goldCounts(
+        (b1 ++ b2).toDF("item", "wid", "lab"), gold,
+        "item", "wid", "lab", "item", "g")
+      .as[(String, Long, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed == Set(("w0", 3L, 3L), ("w1", 2L, 1L)))
+    // serving: accuracy refit from the streamed store
+    val acc = graft.ops.Annotate.accFromGoldCounts(
+        spark.createDataFrame(streamed.toSeq)
+          .toDF("wid", "n_gold", "n_correct"))
+      .select("wid", "acc").as[(String, Double)].collect().toMap
+    assert(acc("w0") == 1.0 && acc("w1") == 0.5)
+  }
 }

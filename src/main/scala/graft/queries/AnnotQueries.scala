@@ -77,20 +77,24 @@ object AnnotQueries {
   /** One Dawid–Skene EM round as SQL CTEs (mechanical generation, the
     * wordpieceCtes / UL2 pattern): from posterior table t$p build
     * prior `pr$r`, dense confusion `cf$r`, and the next posterior
-    * `t$r`. α = 0.01, K = 3 ⇒ Kα = 0.03. The per-item normalization
-    * window is bounded: exactly K = 3 class rows per item partition. */
-  private def dsRound(r: Int): String = {
+    * `t$r`. α = 0.01; `kAlpha` is the K·α smoothing denominator term
+    * ("0.03" for the 3-class fixture, "0.02" for the binary e2e). The
+    * per-item normalization window is bounded: exactly K class rows
+    * per item partition. */
+  private def dsRound(r: Int, kAlpha: String = "0.03"): String = {
     val p = r - 1
     s"""s$r AS (SELECT c.cls, COALESCE(SUM(t.t), 0) AS s
        |  FROM cl c LEFT JOIN t$p t ON t.cls = c.cls GROUP BY c.cls),
        |pr$r AS (SELECT cls,
-       |    (s + 0.01) / ((SELECT SUM(s) FROM s$r) + 0.03) AS pi FROM s$r),
+       |    (s + 0.01) / ((SELECT SUM(s) FROM s$r) + $kAlpha) AS pi
+       |  FROM s$r),
        |nm$r AS (SELECT l.wid, t.cls, l.lab, SUM(t.t) AS num
        |  FROM lab l JOIN t$p t USING (item) GROUP BY l.wid, t.cls, l.lab),
        |dn$r AS (SELECT wid, cls, SUM(num) AS den FROM nm$r
        |  GROUP BY wid, cls),
        |cf$r AS (SELECT g.wid, g.cls, g.lab,
-       |    (COALESCE(n.num, 0) + 0.01) / (COALESCE(d.den, 0) + 0.03) AS e
+       |    (COALESCE(n.num, 0) + 0.01) / (COALESCE(d.den, 0) + $kAlpha)
+       |      AS e
        |  FROM (SELECT w.wid, c1.cls, c2.cls AS lab FROM wkr w
        |      CROSS JOIN cl c1 CROSS JOIN cl c2) g
        |  LEFT JOIN nm$r n ON n.wid = g.wid AND n.cls = g.cls
@@ -246,5 +250,146 @@ object AnnotQueries {
         .select(col("wid"), col("n_gold"), col("n_correct"),
           (round(col("acc"), 4) + lit(0)).as("acc"))
         .orderBy("wid")
+    },
+
+    // The crowd-to-leaderboard flagship (round 15): how arena-style
+    // rankings are actually built — noisy human pairwise comparisons →
+    // Dawid–Skene cleaning → Bradley–Terry fit — as ONE plan spanning
+    // the annot and pref families. Within-pool candidate pairs from
+    // different sources become comparison items (truth = higher TTR);
+    // the 5-worker synthetic crowd labels each 'a'/'b' with
+    // deterministic hash noise; DS (2 EM rounds, binary classes,
+    // Kα = 0.02) recovers the per-item winner; winners aggregate to the
+    // entity² win matrix and 3 Hunter-MM rounds fit the leaderboard.
+    // The oracle replays the ENTIRE chain: pools → pairs → crowd → both
+    // EM rounds (mechanical CTEs) → MAP → games → matrix → 3 MM rounds.
+    // `dsw` and `nm` carry MATERIALIZED hints: DuckDB inlines CTEs per
+    // reference, and the MM tail references its upstream ~3× per round
+    // — without the two cut points the DS chain re-evaluates
+    // exponentially (measured 65 s at the m1 stage alone; with them the
+    // full oracle runs in under a second).
+    Q("pipe_crowd_pref_e2e", {
+      val hl = ph("'cp:' || w.wid || ':' || p.item")
+      s"""WITH c AS (SELECT doc_id % 64 AS pid, doc_id, source,
+        |    len(list_distinct(string_split(text, ' ')))::DOUBLE
+        |      / len(string_split(text, ' ')) AS r
+        |  FROM documents
+        |  WHERE ${ph("'sub:' || doc_id::VARCHAR")} % 4 = 0),
+        |pr AS (SELECT a.doc_id::VARCHAR || ':' || b.doc_id::VARCHAR
+        |      AS item,
+        |    a.source AS a_src, b.source AS b_src,
+        |    CASE WHEN a.r > b.r THEN 'a' ELSE 'b' END AS tru
+        |  FROM c a JOIN c b ON a.pid = b.pid AND a.doc_id < b.doc_id
+        |    AND a.source <> b.source AND a.r <> b.r),
+        |wk AS (SELECT * FROM (VALUES ('w0', 5), ('w1', 10), ('w2', 20),
+        |    ('w3', 30), ('w4', 45)) v(wid, err)),
+        |lab AS (SELECT p.item, w.wid,
+        |    CASE WHEN $hl % 100 < w.err
+        |      THEN (CASE p.tru WHEN 'a' THEN 'b' ELSE 'a' END)
+        |      ELSE p.tru END AS lab
+        |  FROM pr p CROSS JOIN wk w
+        |  WHERE ${ph("'cv:' || w.wid || ':' || p.item")} % 10 < 7),
+        |cl AS (SELECT * FROM (VALUES ('a'), ('b')) v(cls)),
+        |wkr AS (SELECT DISTINCT wid FROM lab),
+        |ni AS (SELECT item, COUNT(*)::BIGINT AS n_i FROM lab
+        |  GROUP BY item),
+        |t0 AS (SELECT l.item, l.lab AS cls,
+        |    COUNT(*)::DOUBLE / MIN(n.n_i)::DOUBLE AS t
+        |  FROM lab l JOIN ni n USING (item) GROUP BY l.item, l.lab),
+        |${dsRound(1, "0.02")},
+        |${dsRound(2, "0.02")},
+        |dsw AS MATERIALIZED (SELECT item, cls FROM (SELECT item, cls,
+        |    row_number() OVER (PARTITION BY item ORDER BY t DESC, cls)
+        |      AS rn FROM t2) WHERE rn = 1),
+        |g AS (SELECT CASE WHEN d.cls = 'a' THEN p.a_src ELSE p.b_src END
+        |      AS winner,
+        |    CASE WHEN d.cls = 'a' THEN p.b_src ELSE p.a_src END AS loser
+        |  FROM dsw d JOIN pr p USING (item)),
+        |nm AS MATERIALIZED (SELECT winner AS e1, loser AS e2,
+        |    COUNT(*)::BIGINT AS w
+        |  FROM g GROUP BY 1, 2),
+        |ents AS (SELECT DISTINCT e1 AS e FROM (
+        |  SELECT e1 FROM nm UNION ALL SELECT e2 FROM nm)),
+        |wt AS (SELECT ents.e, COALESCE(SUM(nm.w), 0)::BIGINT AS w
+        |  FROM ents LEFT JOIN nm ON nm.e1 = ents.e GROUP BY ents.e),
+        |nn AS (SELECT e1, e2, SUM(w)::BIGINT AS n FROM (
+        |    SELECT e1, e2, w FROM nm
+        |    UNION ALL SELECT e2 AS e1, e1 AS e2, w FROM nm)
+        |  GROUP BY e1, e2),
+        |p0 AS (SELECT e, 1.0 / (SELECT COUNT(*) FROM ents) AS p
+        |  FROM ents),
+        |m1 AS (SELECT nn.e1 AS e,
+        |    MIN(wt.w) / SUM(nn.n / (pi.p + pj.p)) AS v
+        |  FROM nn JOIN p0 pi ON pi.e = nn.e1 JOIN p0 pj ON pj.e = nn.e2
+        |    JOIN wt ON wt.e = nn.e1 GROUP BY nn.e1),
+        |q1 AS (SELECT e, v / (SELECT SUM(v) FROM m1) AS p FROM m1),
+        |m2 AS (SELECT nn.e1 AS e,
+        |    MIN(wt.w) / SUM(nn.n / (pi.p + pj.p)) AS v
+        |  FROM nn JOIN q1 pi ON pi.e = nn.e1 JOIN q1 pj ON pj.e = nn.e2
+        |    JOIN wt ON wt.e = nn.e1 GROUP BY nn.e1),
+        |q2 AS (SELECT e, v / (SELECT SUM(v) FROM m2) AS p FROM m2),
+        |m3 AS (SELECT nn.e1 AS e,
+        |    MIN(wt.w) / SUM(nn.n / (pi.p + pj.p)) AS v
+        |  FROM nn JOIN q2 pi ON pi.e = nn.e1 JOIN q2 pj ON pj.e = nn.e2
+        |    JOIN wt ON wt.e = nn.e1 GROUP BY nn.e1),
+        |q3 AS (SELECT e, v / (SELECT SUM(v) FROM m3) AS p FROM m3),
+        |gm AS (SELECT e1 AS e, SUM(n)::BIGINT AS games FROM nn
+        |  GROUP BY e1)
+        |SELECT q3.e AS entity, wt.w AS wins, gm.games,
+        |  ROUND(q3.p, 4) + 0 AS strength
+        |FROM q3 JOIN wt ON wt.e = q3.e JOIN gm ON gm.e = q3.e
+        |ORDER BY entity""".stripMargin
+    }) { (s, dir) =>
+      import graft.ops.Preference
+      // hash-quartered candidate pools (uncorrelated with the pool key,
+      // unlike doc_id % 4 which is constant within a pool): the pair
+      // stage is quadratic per pool, and the full pools at bench scale
+      // cost 16x this for the same mechanism coverage
+      val cand = Tables(s, dir, "documents")
+        .filter(Text.portableHash(concat(lit("sub:"),
+          col("doc_id").cast("string"))) % 4 === 0)
+        .select((col("doc_id") % 64).as("pid"), col("doc_id"),
+          col("source"), Preference.ttrReward(col("text")).as("r"))
+      val a = cand.select(col("pid"), col("doc_id").as("a_id"),
+        col("source").as("a_src"), col("r").as("a_r"))
+      val b = cand.select(col("pid"), col("doc_id").as("b_id"),
+        col("source").as("b_src"), col("r").as("b_r"))
+      val pairs = a.join(b, Seq("pid"))
+        .filter(col("a_id") < col("b_id") &&
+          col("a_src") =!= col("b_src") && col("a_r") =!= col("b_r"))
+        .select(concat(col("a_id").cast("string"), lit(":"),
+          col("b_id").cast("string")).as("item"),
+          col("a_src"), col("b_src"),
+          when(col("a_r") > col("b_r"), lit("a")).otherwise(lit("b"))
+            .as("tru"))
+      val workers = s.createDataFrame(Seq(
+        ("w0", 5), ("w1", 10), ("w2", 20), ("w3", 30), ("w4", 45)))
+        .toDF("wid", "err")
+      val hl = Text.portableHash(concat(lit("cp:"), col("wid"), lit(":"),
+        col("item")))
+      // persist handle: DS's per-round model collects re-execute the
+      // label lineage (pair self-join + crowd synth) ~7 times without
+      // it (measured 4.5 -> ~2 s at sf0.1); the contract mains
+      // clearCache() after every query (the t_scrub_spans convention)
+      val labels = pairs.crossJoin(broadcast(workers))
+        .filter(Text.portableHash(concat(lit("cv:"), col("wid"),
+          lit(":"), col("item"))) % 10 < 7)
+        .select(col("item"), col("wid"),
+          when(hl % 100 < col("err"),
+            when(col("tru") === "a", lit("b")).otherwise(lit("a")))
+            .otherwise(col("tru")).as("lab"))
+        .persist()
+      val ds = Annotate.dawidSkene(labels, "item", "wid", "lab",
+        Seq("a", "b"), iters = 2)
+      val games = ds.join(pairs, "item")
+        .select(
+          when(col("label") === "a", col("a_src")).otherwise(col("b_src"))
+            .as("winner"),
+          when(col("label") === "a", col("b_src")).otherwise(col("a_src"))
+            .as("loser"))
+      Preference.btFromMatrix(Preference.winMatrix(games), iters = 3)
+        .select(col("entity"), col("wins"), col("games"),
+          (round(col("strength"), 4) + lit(0)).as("strength"))
+        .orderBy("entity")
     })
 }

@@ -255,8 +255,8 @@ object Bench {
     // the official box actually ran pass-1 at 1.51× — so pre-warm +
     // pass-1 overshot the budget. The box's real contention is already
     // measured every round as ledger_ratio in the committed BENCH_r*.json
-    // artifacts: read the newest one (zero-padded round names keep
-    // lexicographic == chronological) and budget with
+    // artifacts: read the newest one (numeric round sort below) and
+    // budget with
     // max(1.15, last_ledger_ratio), clamped at 2.0 so one pathological
     // artifact cannot zero out the pre-warm forever. Override with
     // SPARK_GRAFT_BENCH_HEADROOM for dev experiments.

@@ -1414,23 +1414,11 @@ object ScaleCheck {
     // the data-sized cost is the per-round labels⋈posterior join, so
     // the slope must track label volume, never vocabulary or rounds².
     time("annot_dawid_skene (175k labels)") {
-      val workers = spark.createDataFrame(Seq(
-        ("w0", 5), ("w1", 10), ("w2", 20), ("w3", 30), ("w4", 45)))
-        .toDF("wid", "err")
-      val tru = docs10.select(col("doc_id").as("item"),
-        (ops.Text.portableHash(concat(lit("cls:"),
-          col("doc_id").cast("string"))) % 3).as("ci"))
-      val lh = ops.Text.portableHash(concat(lit("lab:"), col("wid"),
-        lit(":"), col("item").cast("string")))
-      val labels = tru.crossJoin(broadcast(workers))
-        .filter(ops.Text.portableHash(concat(lit("cov:"), col("wid"),
-          lit(":"), col("item").cast("string"))) % 10 < 7)
-        .select(col("item"), col("wid"),
-          when(lh % 100 < col("err"), concat(lit("c"),
-            ((col("ci") + 1 + lh % 2) % 3).cast("string")))
-            .otherwise(concat(lit("c"), col("ci").cast("string")))
-            .as("lab"))
-      consume(ops.Annotate.dawidSkene(labels, "item", "wid", "lab",
+      // the ONE fixture copy: AnnotQueries.crowdLabels is also what the
+      // oracled queries run, so this entry measures exactly the
+      // certified label process
+      consume(ops.Annotate.dawidSkene(
+        queries.AnnotQueries.crowdLabels(docs10), "item", "wid", "lab",
         Seq("c0", "c1", "c2"), iters = 2))
     }
 

@@ -75,7 +75,51 @@ object Annotate {
       .agg(sum((col("vc") / col("nr")) * (col("vc") / col("nr"))).as("p_e"))
     tot.crossJoin(broadcast(pe))
       .select(col("n_items"), col("n_rated"), col("p_bar"), col("p_e"),
-        ((col("p_bar") - col("p_e")) / (lit(1.0) - col("p_e"))).as("kappa"))
+        // p_e = 1 (every kept rating in one class) makes kappa 0/0 —
+        // NULL on the degenerate case, the pairwiseKappa contract
+        when(col("p_e") < 1.0,
+          (col("p_bar") - col("p_e")) / (lit(1.0) - col("p_e")))
+          .as("kappa"))
+  }
+
+  /** Krippendorff's alpha (nominal data): the agreement coefficient
+    * that handles missing ratings natively — its chance model is drawn
+    * from the coincidence-matrix marginals WITHOUT replacement, unlike
+    * Fleiss' with-replacement P_e, so α and κ diverge on small/skewed
+    * crowds. Closed coincidence form (no pair join): per kept unit
+    * (n_u ≥ 2 ratings) the matched ordered pairs are
+    * Σ_c v_uc(v_uc−1)/(n_u−1), the class marginal n_c is the raw label
+    * count, A_o = Σ_u matched/n, A_e = Σ_c n_c(n_c−1)/(n(n−1)),
+    * α = (A_o − A_e)/(1 − A_e); A_e = 1 (single observed class) → NULL.
+    *
+    * Same aggregation shape as [[fleissKappa]]: one (item, class)
+    * count, one bounded per-item reduction, scalar totals — no window.
+    * Returns ONE row: (n_units, n_ratings, a_o, a_e, alpha), raw
+    * doubles. */
+  def krippendorffAlpha(labels: DataFrame, itemCol: String,
+                        labelCol: String): DataFrame = {
+    val nij = labels
+      .groupBy(col(itemCol).as("item"), col(labelCol).as("lab"))
+      .agg(count(lit(1)).as("v"))
+    val perItem = nij.groupBy("item")
+      .agg(sum(col("v")).as("n_i"), sum(col("v") * col("v")).as("sq"))
+      .filter(col("n_i") >= 2)
+      .select(col("item"), col("n_i"),
+        ((col("sq") - col("n_i")).cast("double") /
+          (col("n_i") - 1).cast("double")).as("matched"))
+    val kept = nij.join(perItem.select("item", "n_i"), "item")
+    val tot = perItem.agg(count(lit(1)).as("n_units"),
+      sum(col("n_i")).as("n_ratings"),
+      (sum(col("matched")) / sum(col("n_i")).cast("double")).as("a_o"))
+    val ae = kept.groupBy("lab").agg(sum(col("v")).as("nc"))
+      .crossJoin(broadcast(tot.select(col("n_ratings").as("nr"))))
+      .agg(sum((col("nc") * (col("nc") - 1)).cast("double") /
+        (col("nr") * (col("nr") - 1)).cast("double")).as("a_e"))
+    tot.crossJoin(broadcast(ae))
+      .select(col("n_units"), col("n_ratings"), col("a_o"), col("a_e"),
+        when(col("a_e") < 1.0,
+          (col("a_o") - col("a_e")) / (lit(1.0) - col("a_e")))
+          .as("alpha"))
   }
 
   /** Cohen's kappa (1960) for every annotator pair over their SHARED
@@ -107,7 +151,12 @@ object Annotate {
           ma("la") === mb("lb"))
       .select(ma("w_a"), ma("w_b"), (col("ca") * col("cb")).as("prod"))
       .groupBy("w_a", "w_b").agg(sum(col("prod")).as("sprod"))
-    base.join(pe, Seq("w_a", "w_b"))
+    // LEFT join + zero-fill: a pair whose label marginals are disjoint
+    // (a always says x, b always says y on the shared set) has no
+    // (la = lb) marginal match, so an inner join would silently DROP
+    // the pair — whose kappa is perfectly defined ((0−0)/(1−0) = 0)
+    base.join(pe, Seq("w_a", "w_b"), "left")
+      .na.fill(0L, Seq("sprod"))
       .select(col("w_a"), col("w_b"), col("n_shared"), col("p_o"),
         (col("sprod").cast("double") /
           (col("n_shared") * col("n_shared")).cast("double")).as("p_e"))
@@ -194,11 +243,20 @@ object Annotate {
         .toDF("cls", "pi"))
       // M-step confusion — sparse numerators aggregated DISTRIBUTED
       // (the only data-sized pass), then densified on the driver over
-      // the workers×K² grid so absent cells carry the smoothing mass;
-      // model-size contract enforced loudly before the collect
-      val num = guarded.join(t, "item")
+      // the workers×K² grid so absent cells carry the smoothing mass.
+      // Model-size contract: limit(max+1) BEFORE the collect (the
+      // btFromMatrix convention) so a corpus-cardinality workerCol
+      // fails loudly instead of OOMing the driver on the way to the
+      // require
+      val numRows = guarded.join(t, "item")
         .groupBy("wid", "cls", "lab").agg(sum(col("t")).as("num"))
+        .limit(maxModelRows + 1)
         .collect()
+      require(numRows.length <= maxModelRows,
+        s"dawidSkene: confusion grid exceeds maxModelRows=$maxModelRows " +
+          s"rows — workers x $k^2 classes must stay driver-sized " +
+          "(raise the cap only with the memory to back it)")
+      val num = numRows
         .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
           r.getDouble(3)).toMap
       val wids = num.keys.map(_._1).toSeq.distinct.sorted
@@ -215,7 +273,10 @@ object Annotate {
       val conf = broadcast(spark.createDataFrame(confRows)
         .toDF("wid", "cls", "lab", "e"))
       // E-step: per (item, class) log-likelihood, then per-item
-      // normalization in ONE window pass
+      // log-sum-exp normalization in ONE window pass (the per-item max
+      // shift keeps exp() finite for items with hundreds of labels —
+      // without it every class underflows to p = 0 and t = 0/0 = NaN
+      // silently, judge r15 review)
       // bounded: exactly K class rows per item partition
       val wItem = org.apache.spark.sql.expressions.Window
         .partitionBy("item")
@@ -223,9 +284,11 @@ object Annotate {
         .groupBy("item", "cls").agg(sum(log(col("e"))).as("ll"))
         .join(prior, "cls")
         .select(col("item"), col("cls"),
-          exp(col("ll") + log(col("pi"))).as("p"))
+          (col("ll") + log(col("pi"))).as("sc"))
+        .withColumn("mx", max(col("sc")).over(wItem))
       t = scored.select(col("item"), col("cls"),
-        (col("p") / sum(col("p")).over(wItem)).as("t"))
+        (exp(col("sc") - col("mx")) /
+          sum(exp(col("sc") - col("mx"))).over(wItem)).as("t"))
     }
     t
   }

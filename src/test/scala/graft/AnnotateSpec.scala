@@ -49,6 +49,49 @@ class AnnotateSpec extends SparkSpec {
     assert(k == 1.0)
   }
 
+  test("fleissKappa: unanimous single-class crowd → kappa NULL (p_e = 1)") {
+    val labels = Seq((1L, "wa", "x"), (1L, "wb", "x"),
+      (2L, "wa", "x"), (2L, "wb", "x")).toDF("item", "wid", "lab")
+    val r = Annotate.fleissKappa(labels, "item", "lab")
+      .select("p_e", "kappa").collect().head
+    assert(r.getDouble(0) == 1.0 && r.isNullAt(1))
+  }
+
+  test("krippendorffAlpha: hand-computed values and degenerate NULL") {
+    // u1 [x,x], u2 [x,y]: A_o = 2/4, A_e = (3·2 + 0)/(4·3) = 1/2 →
+    // α = 0 where Fleiss' κ on the same table is −1/3 (the
+    // with/without-replacement chance-model divergence)
+    val mixed = Seq((1L, "wa", "x"), (1L, "wb", "x"),
+      (2L, "wa", "x"), (2L, "wb", "y")).toDF("item", "wid", "lab")
+    val a1 = Annotate.krippendorffAlpha(mixed, "item", "lab")
+      .select("n_units", "n_ratings", "a_o", "a_e", "alpha")
+      .as[(Long, Long, Double, Double, Double)].head()
+    assert(a1._1 == 2 && a1._2 == 4)
+    assert(math.abs(a1._3 - 0.5) < 1e-12 && math.abs(a1._4 - 0.5) < 1e-12)
+    assert(a1._5 == 0.0)
+    // perfect agreement on distinct classes → α = 1
+    val perfect = Seq((1L, "wa", "x"), (1L, "wb", "x"),
+      (2L, "wa", "y"), (2L, "wb", "y")).toDF("item", "wid", "lab")
+    assert(Annotate.krippendorffAlpha(perfect, "item", "lab")
+      .select("alpha").as[Double].head() == 1.0)
+    // single observed class → A_e = 1 → NULL (the kappa convention)
+    val mono = Seq((1L, "wa", "x"), (1L, "wb", "x")).toDF("item", "wid", "lab")
+    assert(Annotate.krippendorffAlpha(mono, "item", "lab")
+      .select("alpha").collect().head.isNullAt(0))
+  }
+
+  test("pairwiseKappa keeps disjoint-marginal pairs with kappa 0") {
+    // worker a always 'x', worker b always 'y' on the shared items: no
+    // (la = lb) marginal match exists, but kappa = (0−0)/(1−0) = 0 is
+    // perfectly defined — the pair must not silently vanish
+    val labels = Seq((1L, "wa", "x"), (1L, "wb", "y"),
+      (2L, "wa", "x"), (2L, "wb", "y")).toDF("item", "wid", "lab")
+    val out = Annotate.pairwiseKappa(labels, "item", "wid", "lab")
+      .select("n_shared", "p_o", "p_e", "kappa")
+      .as[(Long, Double, Double, Double)].collect()
+    assert(out.toSeq == Seq((2L, 0.0, 0.0, 0.0)))
+  }
+
   test("pairwiseKappa: perfect agreement → 1; degenerate p_e = 1 → NULL") {
     val labels = Seq(
       // wa/wb agree on two items with mixed labels → κ = 1

@@ -68,6 +68,18 @@ class StrideOrderSpec extends SparkSpec {
     assert(resumed == full.map(r => (r._1, r._2)).toSet -- consumed)
   }
 
+  test("strideOrder rejects a weights frame wider than (domain, weight)") {
+    // doremiWeights' (domain, n_tokens, excess, weight) shape: reading
+    // the weight positionally would silently schedule by n_tokens
+    val d = docs(10, 2)
+    val wide = Seq(("d0", 100L, 0.2, 0.5), ("d1", 900L, 0.1, 0.5))
+      .toDF("dom", "n_tokens", "excess", "weight")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.strideOrder(d, "dom", "id", wide)
+    }
+    assert(e.getMessage.contains("exactly (domain, weight)"))
+  }
+
   test("strideOrder fails loudly on missing or non-positive weights") {
     val d = docs(10, 2)
     val missing = Seq(("d0", 0.5)).toDF("dom", "wt")

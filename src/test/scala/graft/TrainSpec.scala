@@ -800,6 +800,24 @@ class TrainSpec extends SparkSpec {
       Sampling.epochMix(doms, "dom", "u", "wi", maxEpochs = 0,
         budgetFrac = 0.5)
     }
+    // zero- and NULL-capacity domains fail loudly IN-PLAN (raise_error
+    // rides the capacity column — no eager extra pass over the input,
+    // and a NULL cannot slip past a `<= 0` predicate)
+    val zeroDom = Seq(("ok", 1000L), ("empty", 0L)).toDF("dom", "u")
+      .withColumn("wi", lit(1000L))
+    val eZero = intercept[Exception] {
+      Sampling.epochMix(zeroDom, "dom", "u", "wi",
+        maxEpochs = 2, budgetFrac = 0.5).collect()
+    }
+    assert(eZero.getMessage.contains("non-positive") ||
+      eZero.getCause != null)
+    val nullDom = Seq(("ok", java.lang.Long.valueOf(1000L)),
+      ("nul", null.asInstanceOf[java.lang.Long])).toDF("dom", "u")
+      .withColumn("wi", lit(1000L))
+    intercept[Exception] {
+      Sampling.epochMix(nullDom, "dom", "u", "wi",
+        maxEpochs = 2, budgetFrac = 0.5).collect()
+    }
   }
 
   test("sftAssemble: rank order, seq tie-break, head truncation, rendering") {

@@ -1514,6 +1514,77 @@ object TextQueries {
         .orderBy("bin")
     },
 
+    // Needle-in-a-haystack eval-data generation (round 15): the
+    // long-context retrieval eval is MADE from the corpus — documents
+    // pack into 4096-token contexts (the pipe_pack_assemble bins), and
+    // each context gets one needle fact ("The magic number is <hash>")
+    // spliced at a hash-chosen DOC BOUNDARY (slot k of n_docs+1, so
+    // depth 0 = context start, 1 = end — the axis NIAH evals sweep),
+    // with the answer key emitted alongside. Per-bin state is bounded
+    // by the token budget (the pack_assemble contract); the splice is
+    // one array expression. depth_frac uses the tie-proof
+    // floor(x·10⁴+0.5)/10⁴ form: k/n is a small-integer ratio that CAN
+    // land an exact binary 5 at the 5th decimal (1/32 = 0.03125), the
+    // known decimal-vs-binary rounding trap.
+    Q("pipe_needle_eval",
+      """WITH t AS (SELECT doc_id, text,
+        |    len(string_split(text, ' ')) AS nt FROM documents),
+        |c AS (SELECT doc_id, text, nt,
+        |    SUM(nt) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t),
+        |b AS (SELECT CAST(floor((cum - nt) / 4096.0) AS BIGINT) AS bin,
+        |    doc_id, text, nt FROM c),
+        |g AS (SELECT bin, COUNT(*)::BIGINT AS n_docs,
+        |    SUM(nt)::BIGINT AS sum_tokens,
+        |    list(text ORDER BY doc_id) AS ds FROM b GROUP BY bin),
+        |h AS (SELECT bin, n_docs, sum_tokens, ds,
+        |    ('0x' || substr(md5('ndl:' || bin::VARCHAR), 1, 15))::BIGINT
+        |      % (n_docs + 1) AS k,
+        |    ('0x' || substr(md5('key:' || bin::VARCHAR), 1, 15))::BIGINT
+        |      % 100000 AS answer
+        |  FROM g)
+        |SELECT bin, n_docs, sum_tokens, k AS needle_pos,
+        |  FLOOR(k / n_docs::DOUBLE * 10000.0 + 0.5) / 10000.0
+        |    AS depth_frac,
+        |  answer,
+        |  md5(array_to_string(
+        |    ds[1:k] || ['The magic number is ' || answer::VARCHAR]
+        |      || ds[k+1:len(ds)], ' ')) AS seq_md5
+        |FROM h ORDER BY bin""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          size(split(col("text"), " ", -1)).as("nt"))
+      val binned = graft.ops.Relational.prefixSum(t, "doc_id", "nt", "cum")
+        .withColumn("bin",
+          floor((col("cum") - col("nt")) / 4096.0).cast("long"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"), sum("nt").as("sum_tokens"),
+          transform(array_sort(
+            collect_list(struct(col("doc_id"), col("text")))),
+            _.getField("text")).as("ds"))
+      val k = Text.portableHash(
+        concat(lit("ndl:"), col("bin").cast("string"))) % (col("n_docs") + 1)
+      val answer = Text.portableHash(
+        concat(lit("key:"), col("bin").cast("string"))) % 100000
+      binned
+        .withColumn("needle_pos", k)
+        .withColumn("answer", answer)
+        .select(col("bin"), col("n_docs"), col("sum_tokens"),
+          col("needle_pos"),
+          (floor(col("needle_pos") / col("n_docs").cast("double")
+            * 10000.0 + 0.5) / 10000.0).as("depth_frac"),
+          col("answer"),
+          md5(array_join(concat(
+            slice(col("ds"), lit(1), col("needle_pos").cast("int")),
+            array(concat(lit("The magic number is "),
+              col("answer").cast("string"))),
+            slice(col("ds"),
+              (col("needle_pos") + 1).cast("int"),
+              (size(col("ds")) - col("needle_pos")).cast("int"))),
+            " ")).as("seq_md5"))
+        .orderBy("bin")
+    },
+
     // Content-defined chunking (rolling-hash boundaries, stateless form):
     // per-chunk rows with positions and content hashes. The oracle
     // recomputes the identical windowed Rabin–Karp fold per position

@@ -299,8 +299,14 @@ object Bench {
         } catch { case _: Throwable => None }
       }
     }
+    // clamp raised 2.0 → 2.5 in r15: the clamp existed so one
+    // pathological artifact could not zero the pre-warm forever, but
+    // with the registry TIERED the core floors are small enough that a
+    // truthful ≥2.2× headroom (r14's committed ratio was 2.228) still
+    // leaves a healthy pre-warm cap — understating it is what lets
+    // pass-1 spill past its planned share on a contended box
     val headroom = sys.env.get("SPARK_GRAFT_BENCH_HEADROOM").map(_.toDouble)
-      .getOrElse(math.min(2.0, math.max(1.15, lastLedgerRatio.getOrElse(1.15))))
+      .getOrElse(math.min(2.5, math.max(1.15, lastLedgerRatio.getOrElse(1.15))))
     // The pre-warm is CONCURRENT (measured: serial, the 209-query
     // pre-warm costs ~1.1 s/query — almost all driver-side janino
     // compile, which parallelizes perfectly across submitter threads
@@ -323,10 +329,18 @@ object Bench {
       // off to a sliver rather than guaranteeing an overshoot; with no
       // usable ledger the fixed fraction is the only information.
       val floorSum = floorSumAll
+      // 1.3× surcharge on the headroom (r15): the pre-warm spend is
+      // IRREVOCABLE — once pass-1 starts, a worse-than-committed box
+      // can only be absorbed by dropping warm pairs, never by clawing
+      // pre-warm back. Three rounds of artifacts show pass-1 running up
+      // to ~1.3× above the previous round's committed ratio (r14
+      // committed 2.228; an r15 local run measured 2.87), so the cap
+      // plans for that day and the quiet-day cost is only a smaller
+      // pre-warm
       val cap =
         if (floorSum > 0)
           math.min(prewarmFrac * budgetSec,
-            budgetSec - headroom * floorSum - 15.0) max 0.0
+            budgetSec - headroom * 1.3 * floorSum - 15.0) max 0.0
         else prewarmFrac * budgetSec
       System.err.println(f"prewarm cap: $cap%.1f s (headroom $headroom%.2f" +
         f", floors $floorSum%.1f s, last_ratio ${lastLedgerRatio.getOrElse(-1.0)}%.3f)")
@@ -451,12 +465,15 @@ object Bench {
         // REMAINING budget: the 2×pass-1 predictor underestimates under
         // load (the r10 judge's run overshot 310.8 of 300 s with the
         // exact-fit rule), so keep a 10% safety margin per admission.
-        // A further flat 3 s is held back: without it the loop keeps
+        // A further flat 10 s is held back: without it the loop keeps
         // admitting ever-smaller pairs until remaining ≈ 0, so wall_s
-        // converges to exactly the budget and the LAST pair's prediction
-        // error decides over/under (the r14 quiet run read 300.1 of 300
-        // that way). The reserve guarantees the sign of the slack.
-        if (2 * pass1Time(name) > 0.9 * (budgetSec - elapsedSec - 3.0)) None
+        // converges to exactly the budget and post-admission overhead
+        // (teardown, cache clear, JSON emission — measured ~5-15 s on a
+        // contended box) decides over/under: the r14 quiet run read
+        // 300.1 of 300 with a 3 s reserve, and an r15 2.87×-contended
+        // tiered run read 301.6. The reserve must cover the full
+        // after-the-last-pair tail, not just the prediction error.
+        if (2 * pass1Time(name) > 0.9 * (budgetSec - elapsedSec - 10.0)) None
         else {
           val prime = timeOne(name, fn) // prime: warms any evicted state
           if (!prime._1) None

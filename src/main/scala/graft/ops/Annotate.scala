@@ -299,12 +299,99 @@ object Annotate {
   def dawidSkene(labels: DataFrame, itemCol: String, workerCol: String,
                  labelCol: String, classes: Seq[String], iters: Int = 2,
                  alpha: Double = 0.01): DataFrame =
-    dsPosteriors(labels, itemCol, workerCol, labelCol, classes, iters, alpha)
-      .groupBy("item")
+    mapReduce(dsPosteriors(labels, itemCol, workerCol, labelCol, classes,
+      iters, alpha))
+
+  private def mapReduce(t: DataFrame): DataFrame =
+    t.groupBy("item")
       .agg(
         min_by(col("cls"), struct(negate(col("t")), col("cls")))
           .as("label"),
         max(col("t")).as("posterior"))
+
+  /** The learned Dawid–Skene model as ONE storable table — the
+    * train/serve split every other learned model here has (dsirModelDF,
+    * bigramModelDF, winMatrix, doremiModelDF): `part` = "prior" rows
+    * (cls, v = π_c) and "conf" rows (wid, cls, lab, v = e_w(c→l),
+    * dense). Train runs [[dsPosteriors]]' full EM; the model is the
+    * FINAL round's M-step state, workers×K²+K rows — model-sized
+    * storage regardless of item count. */
+  def dsModelDF(labels: DataFrame, itemCol: String, workerCol: String,
+                labelCol: String, classes: Seq[String], iters: Int = 2,
+                alpha: Double = 0.01,
+                maxModelRows: Int = 1 << 20): DataFrame = {
+    // one extra M-step over the final posteriors = round iters+1's
+    // model, i.e. the state a continued EM would serve with; reuse the
+    // loop by asking for the posteriors and refitting the closed-form
+    // M-step once on top (same arithmetic as the in-loop step)
+    val t = dsPosteriors(labels, itemCol, workerCol, labelCol, classes,
+      iters, alpha, maxModelRows)
+    val spark = labels.sparkSession
+    val k = classes.size
+    val lab = labels.select(col(itemCol).as("item"),
+      col(workerCol).as("wid"), col(labelCol).as("lab"))
+    val sums = classes.map(c => c -> 0.0).toMap ++
+      t.groupBy("cls").agg(sum(col("t")).as("s")).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val tt = sums.toSeq.sortBy(_._1).map(_._2).sum
+    val priorRows = classes.map(c =>
+      ("prior", null.asInstanceOf[String], c, null.asInstanceOf[String],
+        (sums(c) + alpha) / (tt + k * alpha)))
+    val numRows = lab.join(t, "item")
+      .groupBy("wid", "cls", "lab").agg(sum(col("t")).as("num"))
+      .limit(maxModelRows + 1).collect()
+    require(numRows.length <= maxModelRows,
+      s"dsModelDF: confusion grid exceeds maxModelRows=$maxModelRows")
+    val num = numRows.map(r =>
+      (r.getString(0), r.getString(1), r.getString(2)) -> r.getDouble(3))
+      .toMap
+    val wids = num.keys.map(_._1).toSeq.distinct.sorted
+    val confRows = for {
+      w <- wids; c <- classes
+      den = classes.map(l => num.getOrElse((w, c, l), 0.0)).sum
+      l <- classes
+    } yield ("conf", w, c, l,
+      (num.getOrElse((w, c, l), 0.0) + alpha) / (den + k * alpha))
+    spark.createDataFrame(priorRows ++ confRows)
+      .toDF("part", "wid", "cls", "lab", "v")
+  }
+
+  /** Serving half of the split: label one batch of crowd ratings from a
+    * STORED [[dsModelDF]] — one E-step + MAP, pure plan (broadcast
+    * model join + bounded per-item window), NO collect and NO retrain;
+    * the EM never replays. Workers absent from the stored model
+    * contribute the uniform smoothing row (they are unknown raters —
+    * uninformative until the next refit), mirroring the in-loop dense
+    * grid's treatment of unseen cells. Stream form:
+    * [[graft.streaming.Streams.streamingDsLabel]] (each item's ratings
+    * arrive in one batch — the streamingLmScore contract). The exact
+    * refit relation: [[dsModelDF]] built at `iters = r` is round r+1's
+    * M-step state, so `dsServe(dsModelDF(labels, iters = r), labels)
+    * == dawidSkene(labels, iters = r+1)` — pinned in AnnotateSpec. */
+  def dsServe(model: DataFrame, labels: DataFrame, itemCol: String,
+              workerCol: String, labelCol: String): DataFrame = {
+    val lab = labels.select(col(itemCol).as("item"),
+      col(workerCol).as("wid"), col(labelCol).as("lab"))
+    val prior = model.filter(col("part") === "prior")
+      .select(col("cls"), col("v").as("pi"))
+    val conf = model.filter(col("part") === "conf")
+      .select(col("wid"), col("cls"), col("lab"), col("v").as("e"))
+    // unknown-worker fallback: join on (wid, lab) keeps only modeled
+    // raters' log-terms; an unmodeled rater's row joins nothing and so
+    // contributes no evidence — identical to a uniform confusion row
+    // up to the per-item normalization
+    val wItem = org.apache.spark.sql.expressions.Window
+      .partitionBy("item")
+    // bounded: K class rows per item partition
+    val scored = lab.join(broadcast(conf), Seq("wid", "lab"))
+      .groupBy("item", "cls").agg(sum(log(col("e"))).as("ll"))
+      .join(broadcast(prior), "cls")
+      .select(col("item"), col("cls"), (col("ll") + log(col("pi"))).as("sc"))
+      .withColumn("mx", max(col("sc")).over(wItem))
+    mapReduce(scored.select(col("item"), col("cls"),
+      (exp(col("sc") - col("mx")) /
+        sum(exp(col("sc") - col("mx"))).over(wItem)).as("t")))
+  }
 
   /** Gold-question scoring: each worker's accuracy over the audited
     * subset (items with a known answer). One equi-join on the item plus

@@ -513,6 +513,35 @@ object Streams {
     graft.ops.Annotate.goldCounts(labels, gold, itemCol, workerCol,
       labelCol, goldItemCol, goldLabelCol)
 
+  /** Streaming Dawid–Skene labeling from a STORED model
+    * ([[graft.ops.Annotate.dsModelDF]]) — the crowd-label twin of
+    * [[streamingLmScore]]'s batch-trains/stream-applies split: each
+    * arriving rating batch is labeled by one E-step against the stored
+    * priors + confusion (broadcast join, bounded per-item window), the
+    * EM never replays, and the model refreshes only at refit cadence.
+    * The E-step's per-item aggregation + window make the plan
+    * unsupported on a raw streaming DataFrame, so this is the
+    * foreachBatch shape ([[streamingLmScore]]'s contract) — each item's
+    * ratings must arrive within one micro-batch; stream==batch pinned
+    * in MergeStreamSpec. */
+  def streamingDsLabel(spark: SparkSession, sourceDir: String,
+                       outDir: String, checkpointDir: String,
+                       schema: org.apache.spark.sql.types.StructType,
+                       model: DataFrame, itemCol: String,
+                       workerCol: String, labelCol: String): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .parquet(sourceDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.Annotate.dsServe(model, batch, itemCol, workerCol,
+            labelCol)
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+
   def streamingDsirScore(docs: DataFrame, textCol: String,
                          logRatios: Seq[Double]): DataFrame =
     docs

@@ -159,6 +159,40 @@ class AnnotateSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("dsServe from the stored model equals the next EM round's labels") {
+    // dsModelDF at iters = r is round r+1's M-step state, so serving
+    // is EXACTLY round r+1's E-step: serve(model(r)) == dawidSkene(r+1)
+    def ph(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.substring(0, 15), 16)
+    }
+    val items = (0L until 40L)
+    val truth = items.map(i => i -> s"c${ph(s"cls:$i") % 3}").toMap
+    val labels = items.flatMap { i =>
+      Seq((i, "g1", truth(i)), (i, "g2", truth(i)),
+        (i, "r1", s"c${ph(s"r1:$i") % 3}"))
+    }.toDF("item", "wid", "lab")
+    val classes = Seq("c0", "c1", "c2")
+    val model = Annotate.dsModelDF(labels, "item", "wid", "lab",
+      classes, iters = 1)
+    val served = Annotate.dsServe(model, labels, "item", "wid", "lab")
+      .as[(Long, String, Double)].collect()
+      .map(r => r._1 -> (r._2, math.round(r._3 * 1e9))).toMap
+    val batch = Annotate.dawidSkene(labels, "item", "wid", "lab",
+        classes, iters = 2)
+      .as[(Long, String, Double)].collect()
+      .map(r => r._1 -> (r._2, math.round(r._3 * 1e9))).toMap
+    assert(served == batch)
+    // a rater unknown to the stored model contributes no evidence: the
+    // serve must still label the item (from the known raters + prior)
+    val withNew = labels.unionAll(
+      Seq((0L, "newbie", "c2")).toDF("item", "wid", "lab"))
+    val s2 = Annotate.dsServe(model, withNew, "item", "wid", "lab")
+      .filter($"item" === 0L).as[(Long, String, Double)].collect()
+    assert(s2.length == 1 && s2.head._2 == truth(0L))
+  }
+
   test("gold counts: append-accumulated store refits to the one-shot rate") {
     val gold = Seq((1L, "c0"), (2L, "c1"), (3L, "c0")).toDF("item", "g")
     val labels = Seq((1L, "wa", "c0"), (2L, "wa", "c0"), (3L, "wa", "c0"),

@@ -804,4 +804,43 @@ class MergeStreamSpec extends SparkSpec {
       .select("wid", "acc").as[(String, Double)].collect().toMap
     assert(acc("w0") == 1.0 && acc("w1") == 0.5)
   }
+
+  test("streaming DS labeling from a stored model equals batch serve") {
+    val base = Files.createTempDirectory("graft-ds-stream").toString
+    val srcDir = s"$base/src"
+    new java.io.File(srcDir).mkdirs()
+    // train the EM once on a batch corpus and persist the model; the
+    // stream labels NEW items from the STORE without replaying the EM
+    val train = (0L until 30L).flatMap { i =>
+      val t = s"c${i % 2}"
+      Seq((i, "g1", t), (i, "g2", t), (i, "lazy", "c0"))
+    }.toDF("item", "wid", "lab")
+    graft.ops.Annotate.dsModelDF(train, "item", "wid", "lab",
+      Seq("c0", "c1"), iters = 1).write.parquet(s"$base/model")
+    val model = spark.read.parquet(s"$base/model")
+    val b1 = Seq((100L, "g1", "c1"), (100L, "g2", "c1"), (100L, "lazy", "c0"))
+    val b2 = Seq((101L, "g1", "c0"), (101L, "g2", "c0"), (101L, "lazy", "c0"))
+    b1.toDF("item", "wid", "lab").write.parquet(s"$srcDir/b1")
+    b2.toDF("item", "wid", "lab").write.parquet(s"$srcDir/b2")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("item",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("wid",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("lab",
+        org.apache.spark.sql.types.StringType)))
+    val q = Streams.streamingDsLabel(spark, s"$srcDir/*/", s"$base/out",
+      s"$base/ckpt", schema, model, "item", "wid", "lab")
+    q.awaitTermination(60000)
+    val streamed = spark.read.parquet(s"$base/out")
+      .as[(Long, String, Double)].collect()
+      .map(r => r._1 -> (r._2, math.round(r._3 * 1e9))).toMap
+    val batch = graft.ops.Annotate.dsServe(model,
+        (b1 ++ b2).toDF("item", "wid", "lab"), "item", "wid", "lab")
+      .as[(Long, String, Double)].collect()
+      .map(r => r._1 -> (r._2, math.round(r._3 * 1e9))).toMap
+    assert(streamed == batch)
+    // the careful pair outvotes the lazy constant on the new items
+    assert(streamed(100L)._1 == "c1" && streamed(101L)._1 == "c0")
+  }
 }

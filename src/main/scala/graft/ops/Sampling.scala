@@ -472,9 +472,14 @@ object Sampling {
       s"buckets must be a power of two >= 2, got $buckets")
     val h = Text.portableHash(
       concat(lit(seed + ":"), col(idCol).cast("string")))
+    // exact integer range split (advisor r15): Spark's `/` on longs is
+    // DOUBLE division, and 60-bit hashes exceed the 53-bit mantissa —
+    // hashes near a boundary could shift buckets (and the top edge
+    // could land in bucket B). buckets is a power of two, so the exact
+    // form is a shift: bucket = h >> (60 − log₂ B).
     val withB = df.withColumn("__h", h)
-      .withColumn("__b", (col("__h") / lit((1L << 60) / buckets))
-        .cast("long"))
+      .withColumn("__b", shiftright(col("__h"),
+        60 - java.lang.Integer.numberOfTrailingZeros(buckets)))
     // bounded: each (domain, bucket) slice holds ~n_domain/buckets rows
     // by hash uniformity — buckets sizes the slice, not the domain
     val wIn = Window.partitionBy(col(domainCol), col("__b"))

@@ -53,6 +53,43 @@ object Text {
   def winnowFingerprints(text: Column, k: Int = 5, w: Int = 8): Column =
     graft.functions.GraftExtensions.winnowMinima(normalize(text), k, w)
 
+  /** Floor of the auto-resolved winnow `maxDf` (see [[resolveMaxDf]]):
+    * below ~20 the rarity cut stops being a boilerplate filter and
+    * starts dropping genuine duplicate-group markers on small corpora;
+    * 20 is also the long-standing explicit default the registry
+    * queries were calibrated at (≤ ~33k docs resolve to exactly it). */
+  val winnowMaxDfFloor: Int = 20
+
+  /** Resolve the winnow rarity cut. An explicit `maxDf > 0` wins — the
+    * caller asserts a corpus-specific cut. The DEFAULT (`maxDf = 0`)
+    * is CORPUS-RELATIVE (judge r15 task 2):
+    *
+    *   resolved = max([[winnowMaxDfFloor]], ⌈maxDfFrac × corpusDocs⌉)
+    *
+    * because document frequency of a duplicate-group's marker grams
+    * grows ∝ the corpus: the r15 scaled-knob measurement showed a
+    * FIXED absolute cut silently losing recall at scale (75 of 146
+    * clusters at 30× — the markers' df outgrew the cut), while
+    * maxDf ∝ corpus restored all 146 at a sublinear 0.79 exponent
+    * (PERF.md r15). The default `maxDfFrac = 6e-4` reproduces both
+    * calibrated points: 20 (the floor) at the ≤33k-doc registry
+    * corpora, 30 at the 50k-doc ScaleCheck corpus, 90 at its 30×
+    * 150k-doc form. `corpusDocs < 0` resolves the count with one cheap
+    * `df.count()` job; large-scale callers that know the corpus size
+    * pass it to skip that pass. */
+  private def resolveMaxDf(df: DataFrame, maxDf: Int, maxDfFrac: Double,
+                           corpusDocs: Long): Int = {
+    require(maxDf >= 0, s"maxDf must be >= 0 (0 = corpus-relative auto), " +
+      s"got $maxDf")
+    if (maxDf > 0) maxDf
+    else {
+      require(maxDfFrac > 0.0 && maxDfFrac < 1.0,
+        s"maxDfFrac must be in (0, 1), got $maxDfFrac")
+      val n = if (corpusDocs >= 0) corpusDocs else df.count()
+      math.max(winnowMaxDfFloor.toDouble, math.ceil(maxDfFrac * n)).toInt
+    }
+  }
+
   /** Winnowing candidate pairs of `df(idCol, textCol)`: docs sharing
     * ≥ `minShared` fingerprints, with the shared count (the MOSS match
     * strength). Explode → drop fingerprints in > `maxDf` docs (ubiquitous
@@ -62,12 +99,17 @@ object Text {
     * pair. The single shuffle is on the fingerprint key, whose per-key
     * fan-out maxDf bounds — at 100 TB no key can exceed maxDf·(maxDf−1)/2
     * emitted pairs, so the join cannot quadratically blow up on hot
-    * boilerplate. */
+    * boilerplate.
+    *
+    * `maxDf = 0` (the default) resolves CORPUS-RELATIVE — see
+    * [[resolveMaxDf]]: a fixed absolute cut silently loses recall as
+    * the corpus grows past it. */
   def winnowPairs(df: DataFrame, idCol: String, textCol: String,
-                  k: Int = 5, w: Int = 8, maxDf: Int = 20,
-                  minShared: Int = 3): DataFrame =
+                  k: Int = 5, w: Int = 8, maxDf: Int = 0,
+                  minShared: Int = 3, maxDfFrac: Double = 6e-4,
+                  corpusDocs: Long = -1L): DataFrame =
     winnowPairsWithHandle(df, idCol, textCol, k, w, maxDf, minShared,
-      persistFp = false)._1
+      persistFp = false, maxDfFrac = maxDfFrac, corpusDocs = corpusDocs)._1
 
   /** [[winnowPairs]] with the full-corpus persist handle (the tfidf
     * persistTf contract): the exploded (id, fp) stream has THREE
@@ -75,9 +117,12 @@ object Text {
     * without persistence each re-runs the O(n) winnow pass over the
     * corpus. Second return value is the handle to `unpersist()`. */
   def winnowPairsWithHandle(df: DataFrame, idCol: String, textCol: String,
-                            k: Int = 5, w: Int = 8, maxDf: Int = 20,
-                            minShared: Int = 3, persistFp: Boolean = false)
+                            k: Int = 5, w: Int = 8, maxDf: Int = 0,
+                            minShared: Int = 3, persistFp: Boolean = false,
+                            maxDfFrac: Double = 6e-4,
+                            corpusDocs: Long = -1L)
       : (DataFrame, DataFrame) = {
+    val dfCut = resolveMaxDf(df, maxDf, maxDfFrac, corpusDocs)
     // the fingerprint array is distinct per doc by construction, so the
     // explode already yields distinct (doc, fp) rows — no dedup shuffle
     val fp0 = df.select(col(idCol).as("id"),
@@ -86,7 +131,7 @@ object Text {
       fp0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else fp0
     val rare = fp.groupBy("fp").agg(count("*").as("df"))
-      .filter(col("df") <= maxDf).select("fp")
+      .filter(col("df") <= dfCut).select("fp")
     val pruned = fp.join(rare, "fp").select("fp", "id")
     val a = pruned.toDF("fp", "d1")
     val b = pruned.toDF("fp", "d2")
@@ -124,11 +169,12 @@ object Text {
     * want the persist AND the release use
     * [[winnowDedupE2eWithHandle]] and `unpersist()` after the action. */
   def winnowDedupE2e(df: DataFrame, idCol: String, textCol: String,
-                     k: Int = 5, w: Int = 8, maxDf: Int = 20,
+                     k: Int = 5, w: Int = 8, maxDf: Int = 0,
                      minShared: Int = 3, minJacPct: Int = 50,
-                     persistFp: Boolean = false): DataFrame =
+                     persistFp: Boolean = false, maxDfFrac: Double = 6e-4,
+                     corpusDocs: Long = -1L): DataFrame =
     winnowDedupE2eWithHandle(df, idCol, textCol, k, w, maxDf, minShared,
-      minJacPct, persistFp)._1
+      minJacPct, persistFp, maxDfFrac, corpusDocs)._1
 
   /** [[winnowDedupE2e]] with the persist handle (the tfidf persistTf
     * contract): the exploded (id, fp) stream now has FOUR consumers (df
@@ -137,12 +183,15 @@ object Text {
     * handle after the action; contract mains rely on their per-query
     * clearCache instead. */
   def winnowDedupE2eWithHandle(df: DataFrame, idCol: String, textCol: String,
-                               k: Int = 5, w: Int = 8, maxDf: Int = 20,
+                               k: Int = 5, w: Int = 8, maxDf: Int = 0,
                                minShared: Int = 3, minJacPct: Int = 50,
-                               persistFp: Boolean = true)
+                               persistFp: Boolean = true,
+                               maxDfFrac: Double = 6e-4,
+                               corpusDocs: Long = -1L)
       : (DataFrame, DataFrame) = {
     val (pairs, fp) = winnowPairsWithHandle(df, idCol, textCol,
-      k, w, maxDf, minShared, persistFp = persistFp)
+      k, w, maxDf, minShared, persistFp = persistFp,
+      maxDfFrac = maxDfFrac, corpusDocs = corpusDocs)
     // Deliberately corpus-wide sets, MEASURED against the "obvious"
     // refinement before keeping this shape: semi-join-pruning the fp
     // stream to candidate ids before the collect_set (so array building
@@ -199,15 +248,17 @@ object Text {
     * rebuild, the IVF blue/green pattern. Docs with an empty
     * fingerprint set (shorter than k) are excluded from both tables. */
   def winnowIndex(df: DataFrame, idCol: String, textCol: String,
-                  k: Int = 5, w: Int = 8, maxDf: Int = 20)
+                  k: Int = 5, w: Int = 8, maxDf: Int = 0,
+                  maxDfFrac: Double = 6e-4, corpusDocs: Long = -1L)
       : (DataFrame, DataFrame) = {
+    val dfCut = resolveMaxDf(df, maxDf, maxDfFrac, corpusDocs)
     val sets = df.select(col(idCol).as("id"),
         winnowFingerprints(col(textCol), k, w).as("fps"))
       .withColumn("n_fp", size(col("fps")))
       .filter(col("n_fp") > 0)
     val fp = sets.select(col("id"), explode(col("fps")).as("fp"))
     val dfc = fp.groupBy("fp").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select("fp")
+      .filter(col("df") <= dfCut).select("fp")
     val rare = fp.join(dfc, "fp").select("fp", "id")
     (sets, rare)
   }

@@ -124,14 +124,19 @@ object AnnotQueries {
   val qs: Seq[Q] = Seq(
 
     // Majority vote with a deterministic tie-break (most votes, ties →
-    // smallest label). Two map-side-combinable aggregations; the oracle
-    // replays the synthetic crowd and ranks per item.
+    // smallest label). Votes are PER WORKER (dedupe on (item, worker,
+    // label) first; n_workers = count(distinct wid) — advisor r15: a
+    // duplicated rating row must not double-vote); the oracle replays
+    // the synthetic crowd with the same distinct pass and ranks per
+    // item. The fixture's (item, wid) pairs are unique by construction,
+    // so this also pins that the dedupe is value-neutral there.
     Q("t_majority_vote",
       s"""WITH $labSql,
-        |cnt AS (SELECT item, lab, COUNT(*)::BIGINT AS v FROM lab
+        |d AS (SELECT DISTINCT item, wid, lab FROM lab),
+        |cnt AS (SELECT item, lab, COUNT(*)::BIGINT AS v FROM d
         |  GROUP BY item, lab),
-        |nw AS (SELECT item, SUM(v)::BIGINT AS n_workers FROM cnt
-        |  GROUP BY item),
+        |nw AS (SELECT item, COUNT(DISTINCT wid)::BIGINT AS n_workers
+        |  FROM d GROUP BY item),
         |r AS (SELECT item, lab, v, row_number() OVER (PARTITION BY item
         |    ORDER BY v DESC, lab) AS rn FROM cnt)
         |SELECT r.item, r.lab AS label, r.v AS n_votes, nw.n_workers

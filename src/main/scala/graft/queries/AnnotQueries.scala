@@ -442,5 +442,183 @@ object AnnotQueries {
         .select(col("entity"), col("wins"), col("games"),
           (round(col("strength"), 4) + lit(0)).as("strength"))
         .orderBy("entity")
+    },
+
+    // Crowd-to-curation flagship (round 16, judge r15 task 7): how a
+    // production quality filter is actually bootstrapped — a crowd
+    // reviews a SAMPLE of the corpus (a quarter here), Dawid–Skene
+    // cleans the noisy ratings into per-doc quality labels, the
+    // hashed-feature logistic classifier trains on those crowd-cleaned
+    // labels (not on synthetic truth — the gap t_classifier_train
+    // leaves open), and the trained weights score the WHOLE corpus
+    // map-only into the 9-threshold retention sweep. The oracle replays
+    // the entire chain: sampled crowd → both EM rounds (mechanical
+    // CTEs, Kα = 0.02 binary) → MAP labels → 3 GD rounds over the
+    // labeled subset (cd* CTE names — the ds rounds own s1/p1) → score
+    // ALL docs → integer-grid retention. `dsw` and `cf` carry
+    // MATERIALIZED (the pipe_crowd_pref_e2e lesson: DuckDB re-inlines
+    // CTEs per reference and the GD tail references its feature table
+    // 6×). Spark plan shape: the DS model and the trained weights both
+    // leave the cluster as bounded literals, so the RETURNED plan is
+    // one map-only scoring scan + a 9-row explode aggregate — the
+    // production serving plan, nothing else.
+    Q("pipe_crowd_classifier", {
+      val hq = ph("'ql:' || w.wid || ':' || t.item::VARCHAR")
+      s"""WITH sub AS (SELECT doc_id, text, lang FROM documents
+        |  WHERE ${ph("'qc:' || doc_id::VARCHAR")} % 4 = 0),
+        |tru AS (SELECT doc_id AS item,
+        |    CASE WHEN lang = 'en' THEN 'good' ELSE 'bad' END AS tru
+        |  FROM sub),
+        |wk AS (SELECT * FROM (VALUES ('w0', 5), ('w1', 10), ('w2', 20),
+        |    ('w3', 30), ('w4', 45)) v(wid, err)),
+        |lab AS (SELECT t.item, w.wid,
+        |    CASE WHEN $hq % 100 < w.err
+        |      THEN (CASE t.tru WHEN 'good' THEN 'bad' ELSE 'good' END)
+        |      ELSE t.tru END AS lab
+        |  FROM tru t CROSS JOIN wk w
+        |  WHERE ${ph("'qv:' || w.wid || ':' || t.item::VARCHAR")} % 10 < 7),
+        |cl AS (SELECT * FROM (VALUES ('bad'), ('good')) v(cls)),
+        |wkr AS (SELECT DISTINCT wid FROM lab),
+        |ni AS (SELECT item, COUNT(*)::BIGINT AS n_i FROM lab
+        |  GROUP BY item),
+        |t0 AS (SELECT l.item, l.lab AS cls,
+        |    COUNT(*)::DOUBLE / MIN(n.n_i)::DOUBLE AS t
+        |  FROM lab l JOIN ni n USING (item) GROUP BY l.item, l.lab),
+        |${dsRound(1, "0.02")},
+        |${dsRound(2, "0.02")},
+        |dsw AS MATERIALIZED (SELECT item, cls FROM (SELECT item, cls,
+        |    row_number() OVER (PARTITION BY item ORDER BY t DESC, cls)
+        |      AS rn FROM t2) WHERE rn = 1),
+        |tk AS (SELECT d.doc_id,
+        |    CASE WHEN m.cls = 'good' THEN 1.0 ELSE 0.0 END AS y,
+        |    len(string_split(d.text, ' '))::DOUBLE AS n,
+        |    unnest(string_split(d.text, ' ')) AS t
+        |  FROM documents d JOIN dsw m ON m.item = d.doc_id),
+        |cf AS MATERIALIZED (SELECT doc_id, y, n,
+        |    ('0x' || substr(md5(t), 1, 15))::BIGINT % 64 AS b,
+        |    COUNT(*)::DOUBLE AS cnt
+        |  FROM tk GROUP BY doc_id, y, n, b),
+        |nd AS (SELECT COUNT(*)::DOUBLE AS nd FROM dsw),
+        |cw0 AS (SELECT unnest(generate_series(0, 63))::BIGINT AS b,
+        |  0.0 AS w),
+        |cs1 AS (SELECT f.doc_id, any_value(f.y) AS y,
+        |    SUM(w.w * f.cnt / f.n) AS s
+        |  FROM cf f JOIN cw0 w USING (b) GROUP BY f.doc_id),
+        |cp1 AS (SELECT doc_id, y, 1.0 / (1.0 + exp(-s)) AS p FROM cs1),
+        |cg1 AS (SELECT f.b, SUM((p.p - f.y) * f.cnt / f.n) AS g
+        |  FROM cf f JOIN cp1 p USING (doc_id) GROUP BY f.b),
+        |cw1 AS (SELECT cw0.b,
+        |    ROUND(cw0.w - 5.0 * COALESCE(cg1.g, 0) / (SELECT nd FROM nd),
+        |      6) AS w
+        |  FROM cw0 LEFT JOIN cg1 USING (b)),
+        |cs2 AS (SELECT f.doc_id, any_value(f.y) AS y,
+        |    SUM(w.w * f.cnt / f.n) AS s
+        |  FROM cf f JOIN cw1 w USING (b) GROUP BY f.doc_id),
+        |cp2 AS (SELECT doc_id, y, 1.0 / (1.0 + exp(-s)) AS p FROM cs2),
+        |cg2 AS (SELECT f.b, SUM((p.p - f.y) * f.cnt / f.n) AS g
+        |  FROM cf f JOIN cp2 p USING (doc_id) GROUP BY f.b),
+        |cw2 AS (SELECT cw1.b,
+        |    ROUND(cw1.w - 5.0 * COALESCE(cg2.g, 0) / (SELECT nd FROM nd),
+        |      6) AS w
+        |  FROM cw1 LEFT JOIN cg2 USING (b)),
+        |cs3 AS (SELECT f.doc_id, any_value(f.y) AS y,
+        |    SUM(w.w * f.cnt / f.n) AS s
+        |  FROM cf f JOIN cw2 w USING (b) GROUP BY f.doc_id),
+        |cp3 AS (SELECT doc_id, y, 1.0 / (1.0 + exp(-s)) AS p FROM cs3),
+        |cg3 AS (SELECT f.b, SUM((p.p - f.y) * f.cnt / f.n) AS g
+        |  FROM cf f JOIN cp3 p USING (doc_id) GROUP BY f.b),
+        |cw3 AS (SELECT cw2.b,
+        |    ROUND(cw2.w - 5.0 * COALESCE(cg3.g, 0) / (SELECT nd FROM nd),
+        |      6) AS w
+        |  FROM cw2 LEFT JOIN cg3 USING (b)),
+        |fa0 AS (SELECT doc_id,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+        |    len(string_split(text, ' '))::DOUBLE AS n,
+        |    unnest(string_split(text, ' ')) AS t FROM documents),
+        |fa AS (SELECT doc_id, y, n,
+        |    ('0x' || substr(md5(t), 1, 15))::BIGINT % 64 AS b,
+        |    COUNT(*)::DOUBLE AS cnt
+        |  FROM fa0 GROUP BY doc_id, y, n, b),
+        |sca AS (SELECT f.doc_id, any_value(f.y) AS y,
+        |    SUM(w.w * f.cnt / f.n) AS s
+        |  FROM fa f JOIN cw3 w USING (b) GROUP BY f.doc_id),
+        |pi AS (SELECT doc_id, y,
+        |    CAST(ROUND(ROUND(1.0 / (1.0 + exp(-s)), 4) * 10000, 0)
+        |      AS BIGINT) AS pi FROM sca),
+        |th AS (SELECT unnest(generate_series(1, 9))::BIGINT AS th),
+        |ag AS (SELECT th, COUNT(*)::BIGINT AS n_docs,
+        |    SUM(CASE WHEN pi >= th * 1000 THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_kept,
+        |    SUM(CASE WHEN pi >= th * 1000 AND y = 1 THEN 1 ELSE 0 END)
+        |      ::BIGINT AS n_pos_kept
+        |  FROM pi CROSS JOIN th GROUP BY th)
+        |SELECT th, n_docs, n_kept, n_pos_kept,
+        |  FLOOR((n_kept * 20000 + n_docs) / (n_docs * 2.0)) / 10000.0
+        |    AS retention,
+        |  CASE WHEN n_kept > 0 THEN
+        |    FLOOR((n_pos_kept * 20000 + n_kept) / (n_kept * 2.0)) / 10000.0
+        |  END AS kept_precision
+        |FROM ag ORDER BY th""".stripMargin
+    }) { (s, dir) =>
+      import graft.ops.Curation
+      val docs = Tables(s, dir, "documents")
+      // audited sample: a hash-chosen quarter of the corpus gets crowd
+      // quality review; truth = (lang = 'en') stands in for the human
+      // quality signal (the same target t_classifier_train certifies,
+      // so the two trained filters are directly comparable)
+      val tru = docs
+        .filter(Text.portableHash(concat(lit("qc:"),
+          col("doc_id").cast("string"))) % 4 === 0)
+        .select(col("doc_id").as("item"),
+          when(col("lang") === "en", lit("good")).otherwise(lit("bad"))
+            .as("tru"))
+      val workers = s.createDataFrame(Seq(
+        ("w0", 5), ("w1", 10), ("w2", 20), ("w3", 30), ("w4", 45)))
+        .toDF("wid", "err")
+      val hq = Text.portableHash(concat(lit("ql:"), col("wid"), lit(":"),
+        col("item").cast("string")))
+      // persist: DS's per-round model collects would re-run the crowd
+      // synth ~7× otherwise (the pipe_crowd_pref_e2e lesson); released
+      // below once the weights have left the cluster
+      val labels = tru.crossJoin(broadcast(workers))
+        .filter(Text.portableHash(concat(lit("qv:"), col("wid"),
+          lit(":"), col("item").cast("string"))) % 10 < 7)
+        .select(col("item"), col("wid"),
+          when(hq % 100 < col("err"),
+            when(col("tru") === "good", lit("bad")).otherwise(lit("good")))
+            .otherwise(col("tru")).as("lab"))
+        .persist()
+      val ds = Annotate.dawidSkene(labels, "item", "wid", "lab",
+        Seq("bad", "good"), iters = 2)
+      // train ONLY on the crowd-reviewed subset (inner join), then the
+      // weights leave the cluster as a 64-double literal
+      val train = docs.join(
+        ds.select(col("item").as("doc_id"), col("label")), "doc_id")
+      val w = Curation.trainTextClassifier(train, "doc_id", "text",
+          col("label") === "good", buckets = 64, rounds = 3, lr = 5.0)
+        .orderBy("bucket").select("w")
+        .collect().map(_.getDouble(0)).toSeq
+      labels.unpersist()
+      // returned plan: map-only score of the WHOLE corpus + 9-row
+      // explode aggregate — no DS or training lineage survives
+      docs.select(
+          round(round(Curation.classifierScore(col("text"), w), 4) * 10000,
+            0).cast("long").as("pi"),
+          (col("lang") === "en").cast("int").as("y"))
+        .select(col("pi"), col("y"),
+          explode(sequence(lit(1L), lit(9L))).as("th"))
+        .groupBy("th")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("pi") >= col("th") * 1000, 1L).otherwise(0L))
+            .as("n_kept"),
+          sum(when(col("pi") >= col("th") * 1000 && col("y") === 1, 1L)
+            .otherwise(0L)).as("n_pos_kept"))
+        .select(col("th"), col("n_docs"), col("n_kept"), col("n_pos_kept"),
+          (floor((col("n_kept") * 20000 + col("n_docs")) /
+            (col("n_docs") * 2.0)) / 10000.0).as("retention"),
+          when(col("n_kept") > 0,
+            floor((col("n_pos_kept") * 20000 + col("n_kept")) /
+              (col("n_kept") * 2.0)) / 10000.0).as("kept_precision"))
+        .orderBy("th")
     })
 }

@@ -407,6 +407,48 @@ object CoreQueries {
           round(element_at(col("qs"), 3), 2).as("q995"))
     },
 
+    // A5 serving twin (judge r15 task 4): `a5_quantiles`' exact
+    // `percentile` is the right oracle plan but buffers a value→count
+    // map per partition — unbounded on high-cardinality doubles, so the
+    // 100 TB serving answer is `approx_percentile` (GK sketch: bounded
+    // state, map-side combinable, rank error ≤ n/accuracy). A sketch
+    // value cannot hash-match a DuckDB re-derivation (different sketch,
+    // different collapse order), so the oracled contract is the
+    // GUARANTEE, not the sketch internals: for each percentile the plan
+    // re-derives the approx value's EXACT rank window (count(< q),
+    // count(≤ q) — one extra map-side pass with the 3 values broadcast)
+    // and emits whether the window intersects [p·n − n/acc − 1,
+    // p·n + n/acc + 1]. The oracle pins (pct, n, in_bound=true): a
+    // broken sketch fails the hash-compare through the bound flag while
+    // the approximate values themselves stay free to differ.
+    Q("a5_quantiles_approx",
+      """SELECT CAST(pct AS DOUBLE) AS pct,
+        |  (SELECT COUNT(*) FROM lineitem)::BIGINT AS n, true AS in_bound
+        |FROM (VALUES (0.005), (0.5), (0.995)) v(pct)
+        |ORDER BY pct""".stripMargin) { (s, dir) =>
+      val acc = 10000 // rank error guarantee: |rank(q) - p*n| <= n/acc
+      val x = Tables(s, dir, "lineitem").select(col("l_extendedprice").as("x"))
+      val sk = x.agg(
+        expr(s"approx_percentile(x, array(0.005D, 0.5D, 0.995D), $acc)")
+          .as("qs"),
+        count(lit(1)).as("n"))
+      val pcts = broadcast(sk.select(col("n"),
+        posexplode(col("qs")).as(Seq("i", "q")))
+        .select(element_at(array(lit(0.005), lit(0.5), lit(0.995)),
+          col("i") + 1).as("pct"), col("q"), col("n")))
+      x.crossJoin(pcts)
+        .groupBy("pct", "n", "q")
+        .agg(sum(when(col("x") < col("q"), 1L).otherwise(0L)).as("lt"),
+          sum(when(col("x") <= col("q"), 1L).otherwise(0L)).as("le"))
+        .select(col("pct"), col("n"),
+          // the rank window [lt+1, le] must intersect the guaranteed
+          // band around p·n (±n/acc, ±1 for ceil ties)
+          (col("lt") + 1 <= col("pct") * col("n") + col("n") / acc + 1 &&
+            col("le") >= col("pct") * col("n") - col("n") / acc - 1)
+            .as("in_bound"))
+        .orderBy("pct")
+    },
+
     // A6 — fixed-bin histogram (reference: dark_monitors.py:402).
     Q("a6_histogram",
       """SELECT CAST(LEAST(FLOOR(l_extendedprice / 5000), 21) AS INT) AS bucket,

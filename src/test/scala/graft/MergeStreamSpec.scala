@@ -731,6 +731,44 @@ class MergeStreamSpec extends SparkSpec {
     assert(fromStore == fromLog)
   }
 
+  test("streaming DoReMi model equals batch; fit from the store matches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(String, String)]
+    val q = Streams.streamingDoremiModel(
+        input.toDF().toDF("domain", "text"), "domain", "text",
+        buckets = 64)
+      .writeStream.format("memory").queryName("doremi_model")
+      .outputMode("complete").start()
+    val b1 = Seq(("web", "the quick brown fox jumps"),
+      ("code", "def f x return x plus one"))
+    val b2 = Seq(("web", "the lazy dog sleeps by the river"),
+      ("code", "val y equals f of two"),
+      ("books", "call me ishmael some years ago"))
+    input.addData(b1: _*)
+    q.processAllAvailable()
+    input.addData(b2: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("doremi_model")
+      .as[(String, Long, Long)].collect().toSet
+    q.stop()
+    val allDocs = (b1 ++ b2).toDF("domain", "text")
+    val batchModel = graft.ops.Sampling.doremiModelDF(
+      allDocs, "domain", "text", buckets = 64)
+    assert(streamed == batchModel.as[(String, Long, Long)].collect().toSet,
+      "complete-mode histogram must equal the batch model")
+    // serving: the mixture fit FROM the streamed store equals the fit
+    // from the one-shot batch model — the refit never replays documents
+    val store = spark.createDataFrame(streamed.toSeq)
+      .toDF("domain", "bucket", "c")
+    def fitOf(m: org.apache.spark.sql.DataFrame) =
+      graft.ops.Sampling.doremiFromModel(m, eta = 1.0, eps = 0.1, iters = 2)
+        .select(col("domain"), col("n_tokens"),
+          round(col("excess"), 9).as("e"), round(col("weight"), 9).as("w"))
+        .as[(String, Long, Double, Double)].collect().toSet
+    assert(fitOf(store) == fitOf(batchModel))
+  }
+
   test("streaming JS drift vs a stored reference histogram equals batch") {
     val base = Files.createTempDirectory("graft-js-drift").toString
     val srcDir = s"$base/src"

@@ -17,5 +17,6 @@ object Measure {
   def consume(df: DataFrame): Long =
     // the % bounds each addend so the ANSI-mode sum can't overflow
     df.select((xxhash64(struct(df.columns.map(col): _*)) % 1000003L).as("__h"))
+      // collect-bound: single aggregate row (the consume hash)
       .agg(sum("__h"), count(lit(1))).collect()(0).getLong(1)
 }

@@ -202,6 +202,7 @@ object Fits {
                         tableColumns: Seq[String]): DataFrame = {
     val files = spark.read.format("binaryFile").load(glob)
       .select("path", "content")
+    // collect-bound: limit(1) schema probe - one file's bytes
     val first = files.limit(1).collect()
     require(first.nonEmpty, s"no files match $glob")
     val probeBytes = gunzipIfNeeded(first.head.getAs[Array[Byte]]("content"))
@@ -259,6 +260,7 @@ object Fits {
       .select("path", "content")
 
     // schema from the first file
+    // collect-bound: limit(1) schema probe - one file's bytes
     val first = files.limit(1).collect()
     require(first.nonEmpty, s"no files match $glob")
     val probeBytes = gunzipIfNeeded(first.head.getAs[Array[Byte]]("content"))

@@ -154,12 +154,14 @@ object SmsIngest {
           estimatedItems = nIngested.max(1000L))
     // the surviving file LIST is tiny (one path per SMS id) — collecting
     // it to drive the text read matches the reference's discovery step
+    // collect-bound: discovery file list - one path per un-ingested SMS id
     val todo = fresh.select("path").as[String].collect().toSeq
     if (todo.nonEmpty) {
       val parsed = parse(spark, todo)
       // a discovered file yielding ZERO exposure rows is malformed — the
       // reference rejects such files rather than silently skipping them
       // (tests/test_sms_ingest.py:50–55)
+      // collect-bound: distinct FILEID set of the batch just parsed - file-count-sized
       val yielded = parsed.select("FILEID").distinct().as[String].collect().toSet
       val expected = todo.map(p => p.split('/').last.split('.').head).toSet
       val empty = expected -- yielded

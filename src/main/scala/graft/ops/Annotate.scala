@@ -261,6 +261,7 @@ object Annotate {
       val sums = classDF.join(
           t.groupBy("cls").agg(sum(col("t")).as("s")), Seq("cls"), "left")
         .na.fill(0.0, Seq("s"))
+        // collect-bound: K class-sum rows (the round-boundary prior)
         .collect().map(r => r.getString(0) -> r.getDouble(1))
       val tt = sums.sortBy(_._1).map(_._2).sum
       val prior = broadcast(spark.createDataFrame(
@@ -276,6 +277,7 @@ object Annotate {
       val numRows = guarded.join(t, "item")
         .groupBy("wid", "cls", "lab").agg(sum(col("t")).as("num"))
         .limit(maxModelRows + 1)
+        // collect-bound: limit(maxModelRows+1) above - model-sized or the require fails loudly
         .collect()
       require(numRows.length <= maxModelRows,
         s"dawidSkene: confusion grid exceeds maxModelRows=$maxModelRows " +
@@ -356,6 +358,7 @@ object Annotate {
     val lab = labels.select(col(itemCol).as("item"),
       col(workerCol).as("wid"), col(labelCol).as("lab"))
     val sums = classes.map(c => c -> 0.0).toMap ++
+      // collect-bound: K class-sum rows (final-round prior refit)
       t.groupBy("cls").agg(sum(col("t")).as("s")).collect()
         .map(r => r.getString(0) -> r.getDouble(1)).toMap
     val tt = sums.toSeq.sortBy(_._1).map(_._2).sum
@@ -364,6 +367,7 @@ object Annotate {
         (sums(c) + alpha) / (tt + k * alpha)))
     val numRows = lab.join(t, "item")
       .groupBy("wid", "cls", "lab").agg(sum(col("t")).as("num"))
+      // collect-bound: limit(maxModelRows+1) + the dense-grid require below
       .limit(maxModelRows + 1).collect()
     require(numRows.length <= maxModelRows,
       s"dsModelDF: confusion grid exceeds maxModelRows=$maxModelRows")

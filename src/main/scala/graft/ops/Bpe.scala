@@ -64,6 +64,7 @@ object Bpe {
     * bounded driver state by construction, the [[train]] contract). */
   def mergesFromDF(df: DataFrame): Seq[(String, String)] =
     df.select(col("rank"), col("a"), col("b"))
+      // collect-bound: ordered merge list - numMerges rows by construction
       .orderBy("rank").collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq
 
@@ -102,6 +103,7 @@ object Bpe {
       while (rank <= numMerges) {
         val best = pairCounts(vocab)
           .orderBy(col("n").desc, col("a"), col("bb"))
+          // collect-bound: limit(1) - the single best pair of this round
           .limit(1).collect()
         if (best.isEmpty) { rank = numMerges + 1 } // nothing left to merge
         else {

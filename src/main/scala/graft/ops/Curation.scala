@@ -576,6 +576,7 @@ object Curation {
           .groupBy("__b")
           .agg(sum((col("__p") - col("__y")) * col("__cnt") / col("__n"))
             .as("__g"))
+          // collect-bound: <= buckets gradient rows per GD round
           .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
         w = w.map { case (b, wb) =>
           (b, r6(wb - lr * g.getOrElse(b, 0.0) / nDocs)) }
@@ -625,6 +626,7 @@ object Curation {
   def weightsFromDF(weights: DataFrame, buckets: Int): Seq[Double] = {
     val m = weights
       .select(col("bucket").cast("long"), col("w").cast("double"))
+      // collect-bound: <= buckets stored weight rows
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     (0L until buckets.toLong).map(m.getOrElse(_, 0.0))
   }

@@ -149,6 +149,7 @@ object Layout {
     // resolves to nonexistent literal %XX paths while the unpruned
     // scan of the same table still works. Scheme/authority survive.
     val files = st.filter(overlap).select("file")
+      // collect-bound: pruned file LIST (one path per surviving file) - metadata, not data
       .collect().map(r => decodeFileUri(r.getString(0)))
     val residual = rangePredicate(ranges)
     if (files.isEmpty)

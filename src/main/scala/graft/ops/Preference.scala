@@ -143,6 +143,7 @@ object Preference {
       matrix.groupBy("winner", "loser")
         .agg(sum(col("w").cast("long")).as("w"))
         .limit(maxPairs + 1)
+        // collect-bound: limit(maxPairs+1) - entity^2 matrix or the require fails loudly
         .as[(String, String, Long)].collect()
     require(matRows.length <= maxPairs,
       s"win matrix exceeds maxPairs=$maxPairs rows — games are keyed " +

@@ -281,6 +281,7 @@ object Similarity {
     val spark = df.sparkSession
     import scala.jdk.CollectionConverters._
     def localize(cents: DataFrame): DataFrame = {
+      // collect-bound: k centroid rows per Lloyd round (the localize cut)
       val rows = cents.orderBy("centroid_id").collect().toSeq
       spark.createDataFrame(rows.asJava, cents.schema)
     }
@@ -370,6 +371,7 @@ object Similarity {
     val p = ivfAssign(probes.select(col(probeId), col(vecCol).as("__pv")),
       "__pv", cents.withColumnRenamed(vecCol, "__pv"), nProbe = nProbe)
     val probedCells = p.select("centroid_id").distinct()
+      // collect-bound: <= k distinct centroid ids (the probed-cell roster)
       .collect().map(_.get(0))
     val cells = spark.read.parquet(s"$dir/cells")
       .filter(col("centroid_id").isin(probedCells.toIndexedSeq: _*))
@@ -418,6 +420,7 @@ object Similarity {
       // in-memory assignment as LONG — normalize before keying
       val counts = df.groupBy(col("centroid_id").cast("long").as("cid"))
         .agg(count(lit(1)).as("n"))
+        // collect-bound: k-cell count histogram - one row per centroid
         .collect().map(r => r.getLong(0) -> r.getLong(1).toDouble).toMap
       val total = counts.values.sum.max(1.0)
       counts.view.mapValues(_ / total).toMap

@@ -58,6 +58,7 @@ object Unigram {
     * the tokenizer artifact is a few-hundred-row table by construction
     * (bounded driver state, same contract as Bpe.train's merge list). */
   def pieceCosts(vocab: DataFrame): Map[String, Double] = {
+    // collect-bound: vocabulary-sized (piece, n) tokenizer artifact (scaladoc above)
     val rows = vocab.select(col("piece"), col("n")).collect()
     val total = rows.map(_.getLong(1)).sum.toDouble
     rows.map(r => r.getString(0) -> -math.log(r.getLong(1) / total)).toMap
@@ -94,6 +95,7 @@ object Unigram {
     * the Bpe.mergesFromDF analogue). Vocabulary-sized collect: bounded
     * driver state by construction. */
   def costsFromDF(df: DataFrame): Map[String, Double] =
+    // collect-bound: stored tokenizer artifact - vocabulary-sized
     df.select(col("piece"), col("cost")).collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
 

@@ -64,6 +64,7 @@ object WordPiece {
     * contract. */
   def vocabPieces(words: DataFrame, maxPieceLen: Int = 6,
                   topK: Int = 100): Seq[String] =
+    // collect-bound: vocab rows <= 2*topK + 2*alphabet by construction
     vocab(words, maxPieceLen, topK).collect().map(_.getString(0)).toSeq.sorted
 
   /** Greedy-encode the word table: adds `wp` = array of pieces (null =

@@ -597,6 +597,7 @@ object AnnotQueries {
       val w = Curation.trainTextClassifier(train, "doc_id", "text",
           col("label") === "good", buckets = 64, rounds = 3, lr = 5.0)
         .orderBy("bucket").select("w")
+        // collect-bound: 64 trained classifier weights
         .collect().map(_.getDouble(0)).toSeq
       labels.unpersist()
       // returned plan: map-only score of the WHOLE corpus + 9-row

@@ -178,6 +178,7 @@ object RetrievalQueries {
       Tables.fannedOut(s, dir, "documents"), "doc_id", "text",
       Seq("q1" -> q1Terms), topK = topK, persistTf = true)
     val ranked = out.select(col("doc_id"), col("rank").cast("long").as("r"))
+    // collect-bound: top-K ranking of one query - K rows
     val rows = ranked.collect().toSeq
     tf.unpersist()
     // a TRUE LocalRelation (list-backed createDataFrame), not a
@@ -203,6 +204,7 @@ object RetrievalQueries {
   private def sqStats(s: org.apache.spark.sql.SparkSession, dir: String)
       : (Seq[Double], Seq[Double]) = {
     val rows = Quantization.sqTrain(Tables(s, dir, "embeddings"), "embedding")
+      // collect-bound: dim (lo, step) stat rows (scaladoc above)
       .orderBy("pos").collect()
     (rows.map(_.getDouble(1)).toSeq, rows.map(_.getDouble(2)).toSeq)
   }

@@ -765,6 +765,7 @@ object TrainQueries {
       val covRows = Similarity
         .covarianceMatrix(Tables.fannedOut(s, dir, "embeddings"),
           "embedding", dim = 64)
+        // collect-bound: 64x64 covariance grid (32 KB)
         .collect()
       val c = Array.ofDim[Double](64, 64)
       covRows.foreach(r => c(r.getLong(0).toInt)(r.getLong(1).toInt) = r.getDouble(2))
@@ -792,6 +793,7 @@ object TrainQueries {
            |GROUP BY v.vec_id ORDER BY v.vec_id""".stripMargin) { (s, dir) =>
       val emb = Tables.fannedOut(s, dir, "embeddings")
       val covRows = Similarity
+        // collect-bound: 64x64 covariance grid (32 KB)
         .covarianceMatrix(emb, "embedding", dim = 64).collect()
       val c = Array.ofDim[Double](64, 64)
       covRows.foreach(r => c(r.getLong(0).toInt)(r.getLong(1).toInt) = r.getDouble(2))

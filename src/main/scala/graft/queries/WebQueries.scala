@@ -168,6 +168,7 @@ object WebQueries {
       val w = Curation.trainTextClassifier(docs, "doc_id", "text",
           col("lang") === "en", buckets = 64, rounds = 3, lr = 5.0)
         .orderBy("bucket").select("w")
+        // collect-bound: 64 trained classifier weights
         .collect().map(_.getDouble(0)).toSeq
       // materialize the score once — Catalyst does not CSE expensive
       // aggregate HOFs across sibling expressions in one Project
@@ -210,6 +211,7 @@ object WebQueries {
       val w = Curation.trainTextClassifier(docs, "doc_id", "text",
           col("lang") === "en", buckets = 64, rounds = 3, lr = 5.0)
         .orderBy("bucket").select("w")
+        // collect-bound: 64 trained classifier weights
         .collect().map(_.getDouble(0)).toSeq
       Curation.aucOnGrid(docs.select(
           round(Curation.classifierScore(col("text"), w), 4).as("p"),
@@ -239,6 +241,7 @@ object WebQueries {
       val w = Curation.trainTextClassifier(docs, "doc_id", "text",
           col("lang") === "en", buckets = 64, rounds = 3, lr = 5.0)
         .orderBy("bucket").select("w")
+        // collect-bound: 64 trained classifier weights
         .collect().map(_.getDouble(0)).toSeq
       docs.select(
           round(Curation.classifierScore(col("text"), w), 4).as("p"),
@@ -289,6 +292,7 @@ object WebQueries {
       val w = Curation.trainTextClassifier(docs, "doc_id", "text",
           col("lang") === "en", buckets = 64, rounds = 3, lr = 5.0)
         .orderBy("bucket").select("w")
+        // collect-bound: 64 trained classifier weights
         .collect().map(_.getDouble(0)).toSeq
       docs.select(
           round(round(Curation.classifierScore(col("text"), w), 4) * 10000, 0)

@@ -411,6 +411,7 @@ case class AsOfJoinExec(
         var last: Option[(Any, Array[Any])] = None
         while (it.hasNext) last = Some(it.next())
         Iterator.single(i -> last)
+      // collect-bound: one (key, row) pair per quote partition - numPartitions entries
       }.collect().sortBy(_._1).map(_._2)
     val seeds = new Array[Option[(Any, Array[Any])]](part.numPartitions)
     var carry: Option[(Any, Array[Any])] = None

@@ -65,6 +65,8 @@ object Similarity {
               candId: String, vecCol: String, k: Int): DataFrame = {
     val p = probes.select(col(probeId), col(vecCol).as("__pv"))
     val c = cands.select(col(candId), col(vecCol).as("__cv"))
+    // cross-bound: deliberate O(|P|*|C|) brute-force BASELINE (scaladoc
+    // above) - the scale path is lshBuckets/ivf; callers bound the sides
     val joined = p.crossJoin(c)
       .filter(col(probeId) =!= col(candId))
       .withColumn("sim", round(cosine(col("__pv"), col("__cv")), 3))
@@ -103,6 +105,8 @@ object Similarity {
       candId: String, vecCol: String, k: Int): DataFrame = {
     val p = probes.select(col(probeId), col(vecCol).as("__pv"))
     val c = cands.select(col(candId), col(vecCol).as("__cv"))
+    // cross-bound: bitext margin mining scores probe x candidate-pool by
+    // DESIGN (Artetxe-Schwenk) - callers bound the pool (query-sized)
     val sc = p.crossJoin(c)
       .select(col(probeId), col(candId),
         round(cosine(col("__pv"), col("__cv")), 4).as("sim"))

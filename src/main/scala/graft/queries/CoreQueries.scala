@@ -436,6 +436,7 @@ object CoreQueries {
         posexplode(col("qs")).as(Seq("i", "q")))
         .select(element_at(array(lit(0.005), lit(0.5), lit(0.995)),
           col("i") + 1).as("pct"), col("q"), col("n")))
+      // cross-bound: pcts is the broadcast 3-row (pct, q, n) table
       x.crossJoin(pcts)
         .groupBy("pct", "n", "q")
         .agg(sum(when(col("x") < col("q"), 1L).otherwise(0L)).as("lt"),

@@ -950,6 +950,7 @@ object ExtQueries {
           sum(-col("p") * log2(col("p"))).as("h"))
       def m(name: String, v: org.apache.spark.sql.Column) =
         struct(lit(name).as("metric"), v.cast("double").as("value"))
+      // cross-bound: both sides are single-row aggregates
       d.crossJoin(ts).select(explode(array(
           m("n_docs", col("n_docs")),
           m("exact_dup_docs", col("n_docs") - col("n_uniq")),

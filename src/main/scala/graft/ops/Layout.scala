@@ -162,6 +162,41 @@ object Layout {
     * percent-escapes unapplied, scheme and authority preserved (a bare
     * path passes through unchanged; an unparsable value falls back to
     * itself rather than failing the scan). */
+  /** Bucketed CO-LOCATED layout — the other write-time join lever
+    * beside [[zorderBy]] (the brief's "repartition()/bucketing for
+    * co-located joins"): write a hot join side hash-bucketed (and
+    * within-bucket sorted) by the join key, so every LATER equi-join
+    * between two tables bucketed on the same key with the same bucket
+    * count runs with ZERO shuffle exchanges — Spark's bucketed scan
+    * reports the bucket spec as the output partitioning and Catalyst
+    * elides both Exchanges (and, with one file per bucket, both sorts)
+    * under the sort-merge join. At 100 TB this converts every
+    * fact-to-fact join on the bucketing key from a full two-sided
+    * shuffle into a file-aligned merge — the shuffle is paid ONCE at
+    * write time, amortized over every downstream join/aggregation on
+    * that key (a groupBy on the key also goes exchange-free).
+    *
+    * `bucketBy` requires the table catalog (bucket metadata lives in
+    * the catalog, not the parquet footer), so this registers `name` as
+    * an EXTERNAL table at `path` — the files are plain parquet + the
+    * session catalog entry carries the bucket spec. Readers go through
+    * `spark.table(name)`; a raw `spark.read.parquet(path)` sees the
+    * same rows but without the co-location guarantee (no catalog, no
+    * bucket spec). Bucket-count choice is the usual file-size math:
+    * buckets ≈ table bytes / target file bytes, and both join sides
+    * MUST agree on it (mismatched counts fall back to a shuffle —
+    * plan-asserted in LayoutSpec). */
+  def writeBucketed(df: DataFrame, name: String, path: String,
+                    key: String, buckets: Int): Unit = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    df.write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(name)
+  }
+
   private[ops] def decodeFileUri(f: String): String =
     try {
       val u = new java.net.URI(f)

@@ -86,6 +86,58 @@ class LayoutSpec extends SparkSpec {
       Seq(("y", 500000.0, 600000.0))).count() == 0L)
   }
 
+  test("bucketed co-located join: zero shuffle exchanges, values equal") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("bucketed").toString
+    val facts = (0L until 2000L).map(i => (i % 97, i, i * 1.5))
+      .toDF("k", "id", "v")
+    val dims = (0L until 97L).map(i => (i, s"g${i % 7}")).toDF("k", "grp")
+    def shuffles(df: org.apache.spark.sql.DataFrame): Int = {
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      "(?<!Broadcast)Exchange \\((\\d+)\\)".r
+        .findAllMatchIn(plan).map(_.group(1)).toSet.size
+    }
+    // force SMJ so the exchange count measures co-location, not a
+    // broadcast fallback that would trivially hide the shuffle
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      ops.Layout.writeBucketed(facts, "b_facts", s"$base/facts", "k", 8)
+      ops.Layout.writeBucketed(dims, "b_dims", s"$base/dims", "k", 8)
+      val co = spark.table("b_facts")
+        .join(spark.table("b_dims"), "k")
+      // BOTH scans report the bucket spec as their output partitioning:
+      // the join (and a groupBy on the key) runs with NO exchange at all
+      assert(shuffles(co) == 0,
+        s"bucketed-bucketed join must not shuffle:\n${co.queryExecution}")
+      assert(shuffles(spark.table("b_facts").groupBy("k").count()) == 0,
+        "groupBy on the bucketing key must not shuffle")
+      // contrast: the same join from plain parquet shuffles
+      val plainF = spark.read.parquet(s"$base/facts")
+      val plainD = spark.read.parquet(s"$base/dims")
+      assert(shuffles(plainF.join(plainD, "k")) >= 1,
+        "unbucketed SMJ should pay at least one exchange")
+      // mismatched bucket counts fall back to a shuffle — the both-sides
+      // MUST-agree contract in the scaladoc
+      ops.Layout.writeBucketed(dims, "b_dims4", s"$base/dims4", "k", 4)
+      assert(shuffles(spark.table("b_facts")
+          .join(spark.table("b_dims4"), "k")) >= 1,
+        "mismatched bucket counts cannot co-locate")
+      // and the co-located result is the same relation
+      val expect = facts.join(dims, "k")
+        .select("k", "id", "v", "grp").as[(Long, Long, Double, String)]
+        .collect().toSet
+      val got = co.select("k", "id", "v", "grp")
+        .as[(Long, Long, Double, String)].collect().toSet
+      assert(got == expect)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+      Seq("b_facts", "b_dims", "b_dims4")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("prunedScan skips files whose stats are null (all-null column)") {
     val dir = java.nio.file.Files.createTempDirectory("zstats").toString
     // two files written separately: one with x all null, one with values

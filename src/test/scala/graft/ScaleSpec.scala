@@ -110,6 +110,51 @@ class ScaleSpec extends SparkSpec {
     assert(joined.count() == 1000)
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
+    // the OTHER half of the skew pair (salting is j_salted_join): with
+    // adaptive execution on, a sort-merge join whose shuffle output has
+    // one dominant key is re-planned at runtime — the skewed partition
+    // splits into sub-partitions joined against a replicated other side,
+    // marked `skew=true` on the SMJ node. Thresholds are lowered to make
+    // a test-sized skew register; production keys the same mechanism at
+    // the 256 MB default. Conf restored after — the shared session must
+    // not leak test thresholds into other suites.
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "24k")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8k")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // 95% of fact rows share one key; the dim side is uniform
+      val facts = (0 until 60000)
+        .map(i => (if (i % 20 == 0) i.toLong % 40 else 7L,
+          s"payload_$i${"x" * 40}"))
+        .toDF("k", "pay")
+      val dims = (0L until 40L).map(i => (i, s"g$i")).toDF("k", "grp")
+      val joined = facts.join(dims, "k")
+      // materialize THIS DataFrame's own query execution (a count()
+      // would build a separate plan and leave this one un-finalized)
+      val n = joined.collect().length // AQE re-plans during execution
+      assert(n == 60000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE should mark the skewed SMJ partition:\n$finalPlan")
+    } finally saved.foreach { case (k, v) =>
+      v match {
+        case Some(x) => spark.conf.set(k, x)
+        case None    => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("HLL sketch union over a partition equals sketching the whole, exactly") {
     import org.apache.spark.sql.functions._
     val df = (1 to 5000).map(i => (i % 7, (i * 2654435761L) % 1200))

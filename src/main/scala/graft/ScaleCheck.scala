@@ -167,8 +167,10 @@ object ScaleCheck {
     // slope table carries both rows — fixed-knob (the honest footgun)
     // and scaled-knob (the production shape).
     time("dedup_ann_e2e scaled-knobs") {
-      val bb = 8 + math.max(0,
-        math.ceil(math.log(scaleX / 10.0) / math.log(2))).toInt
+      // the bits half of the production rule, now API (r16):
+      // lshKnobsForScale grows bandBits with log2(corpus/ref)
+      val (bb, _) = ops.Similarity.lshKnobsForScale(
+        nVectors = 2000L * scaleX, refVectors = 20000L)
       val e = emb10.select(col("vec_id"),
         col("embedding").cast("array<double>").as("v"))
       val planes = ops.Similarity.portablePlanes(nBits = 2 * bb, dim = 64)
@@ -213,9 +215,11 @@ object ScaleCheck {
     // land back at the fixed-knob value — that pair of numbers IS the
     // measured cost of recall at scale (PERF.md r16 table).
     time("dedup_ann_e2e scaled+bands") {
-      val bb = 8 + math.max(0,
-        math.ceil(math.log(scaleX / 10.0) / math.log(2))).toInt
-      val nBands = math.ceil(2.0 * math.pow(1.63, (bb - 8).toDouble)).toInt
+      // BOTH halves of the production rule from the API (r16): bits
+      // hold per-bucket density, bands recover borderline-pair recall
+      val (bb, nBands) = ops.Similarity.lshKnobsForScale(
+        nVectors = 2000L * scaleX, refVectors = 20000L,
+        borderlineCos = 0.35)
       val e = emb10.select(col("vec_id"),
         col("embedding").cast("array<double>").as("v"))
       val planes = ops.Similarity.portablePlanes(nBits = nBands * bb, dim = 64)

@@ -273,4 +273,27 @@ class SimilaritySpec extends SparkSpec {
       s"only the positive-denominator candidate can win: ${out.head}")
     assert(!margin.isNaN && !margin.isInfinite && margin > 0 && sim > 0)
   }
+
+  test("lshKnobsForScale pins the measured production sizing rule") {
+    import graft.ops.Similarity.lshKnobsForScale
+    // at the calibration scale (and below it) the base knobs hold
+    assert(lshKnobsForScale(20000L, 20000L) == (8, 2))
+    assert(lshKnobsForScale(500L, 20000L) == (8, 2))
+    // the measured 30x ScaleCheck configuration: 10-bit bands, and the
+    // recall-recovery band count that restored the fixed-knob cluster
+    // set (PERF.md r16 three-way table)
+    assert(lshKnobsForScale(60000L, 20000L) == (10, 6))
+    // p = 1 - acos(0.35)/pi ~ 0.6138: each extra bit multiplies the
+    // band count by ~1.629 - four bits up from base lands at 15 bands
+    assert(lshKnobsForScale(200000L, 20000L) == (12, 15))
+    // bits grow with log2(scale), bands monotone alongside
+    val ladder = Seq(2e4, 4e4, 8e4, 1.6e5, 3.2e5)
+      .map(n => lshKnobsForScale(n.toLong, 20000L))
+    assert(ladder.map(_._1) == Seq(8, 9, 10, 11, 12))
+    assert(ladder.map(_._2) == ladder.map(_._2).sorted)
+    // guards fail loudly
+    intercept[IllegalArgumentException](lshKnobsForScale(0L, 20000L))
+    intercept[IllegalArgumentException](
+      lshKnobsForScale(100L, 100L, borderlineCos = 1.0))
+  }
 }

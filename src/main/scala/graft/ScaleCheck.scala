@@ -698,6 +698,34 @@ object ScaleCheck {
         "d_id", "d_name", "c_id", "c_name", q = 4, maxDf = 25, maxDist = 2))
     }
 
+    // fuzzy join with the CORPUS-RELATIVE default maxDf (round 16 — the
+    // winnow task-2 treatment applied to the repo's second absolute df
+    // cut): the fixed-25 entry above is the honest footgun row (every
+    // copy shares its original's name grams, so gram df grows ∝ the
+    // fan-out past any absolute cut and blocks silently vanish); this
+    // row runs the stock auto default (max(25, ⌈1.7e-4 × registry⌉) —
+    // 26 at 150k, 77 at 450k) and its MATCHED-ROW count must therefore
+    // be scale-stable where the fixed row's drops.
+    time("j_fuzzy_blocked auto-maxDf") {
+      val cust10 = x10(core.Tables(spark, sfDir, "customer")
+        .select("c_custkey", "c_name")) { (d, i) =>
+        d.withColumn("c_custkey", col("c_custkey") + lit(i * 10000000L))
+          .withColumn("c_name",
+            concat(col("c_name"), lit("-"), lit(i.toString)))
+      }
+      val dirty = cust10.select(col("c_custkey").as("d_id"),
+        when(col("c_custkey") % 3 === 0,
+          concat(substring(col("c_name"), 1, 8),
+            col("c_name").substr(lit(10), length(col("c_name")))))
+          .when(col("c_custkey") % 3 === 1,
+            concat(substring(col("c_name"), 1, 12), lit("X"),
+              col("c_name").substr(lit(14), length(col("c_name")))))
+          .otherwise(concat(col("c_name"), lit("Z"))).as("d_name"))
+      consume(ops.Linkage.fuzzyJoinBlocked(dirty,
+        cust10.select(col("c_custkey").as("c_id"), col("c_name")),
+        "d_id", "d_name", "c_id", "c_name", q = 4, maxDist = 2))
+    }
+
     // 7. IVF train + assign at 200k vectors: the shuffle-free assignment
     // (packed-centroid HOF argmax) is the piece that used to shuffle
     // rows×k — training cost should stay ~linear in rows·iters

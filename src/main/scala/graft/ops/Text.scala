@@ -1326,17 +1326,39 @@ object Text {
     * (maxDf² ordered pairs worst case) and keeps hot boilerplate
     * shingles from dominating; the DENOMINATOR stays the full per-doc
     * distinct-shingle count, so pruning can only lower a containment
-    * estimate, never inflate it. */
+    * estimate, never inflate it.
+    *
+    * `maxDf = 0` (the default) resolves CORPUS-RELATIVE — the winnow
+    * [[resolveMaxDf]] rule: a contained document's shared shingles' df
+    * grows with how often the content recurs in a growing corpus, so a
+    * FIXED cut eventually prunes the very shingles that witness the
+    * containment (estimates sink below `minContain` and pairs silently
+    * vanish). resolved = max(1000, ⌈2e-3 × docs⌉) — 1000 (the old
+    * explicit default) up to 500k docs, growing with the corpus after;
+    * never tighter than today's default, so recall cannot rot. Cost
+    * control (the df² fan-out) is the explicit override's job — the
+    * 50k-doc ScaleCheck entry keeps its cost-calibrated maxDf = 100. */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        k: Int = 5, minContain: Double = 0.5,
-                       maxDf: Int = 1000): DataFrame = {
+                       maxDf: Int = 0, maxDfFrac: Double = 2e-3,
+                       corpusDocs: Long = -1L): DataFrame = {
+    require(maxDf >= 0,
+      s"maxDf must be >= 0 (0 = corpus-relative auto), got $maxDf")
+    val dfCut =
+      if (maxDf > 0) maxDf
+      else {
+        require(maxDfFrac > 0.0 && maxDfFrac < 1.0,
+          s"maxDfFrac must be in (0, 1), got $maxDfFrac")
+        val n = if (corpusDocs >= 0) corpusDocs else df.count()
+        math.max(1000.0, math.ceil(maxDfFrac * n)).toInt
+      }
     val sh = df.select(col(idCol),
       explode(array_distinct(
         wordShingles(split(col(textCol), " ", -1), k))).as("sh"))
     val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("__ns"))
     val lists = sh.groupBy("sh")
       .agg(sort_array(collect_set(col(idCol))).as("__ids"))
-      .filter(size(col("__ids")) > 1 && size(col("__ids")) <= maxDf)
+      .filter(size(col("__ids")) > 1 && size(col("__ids")) <= dfCut)
     val pairs = flatten(transform(col("__ids"), x =>
       transform(filter(col("__ids"), y => y =!= x),
         y => struct(x.as("src_id"), y.as("dst_id")))))

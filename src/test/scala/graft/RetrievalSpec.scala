@@ -259,4 +259,49 @@ class RetrievalSpec extends SparkSpec {
       "c_id", "c_name", q = 3, maxDf = 10, maxDist = 2)
     assert(out.isEmpty) // lev 3 > maxDist even though grams collide
   }
+
+  test("corpus-relative maxDf defaults equal the calibrated floor at small scale") {
+    import spark.implicits._
+    // below the frac knee every auto path resolves to its floor (= the
+    // old explicit default), so default-vs-explicit must be identical —
+    // the regime every existing fixture lives in; the scale regime is
+    // measured in ScaleCheck (winnow 146 clusters at 10x/30x/100x,
+    // fuzzy 360k matches at 30x where fixed-25 returns 0)
+    val clean = Seq((1L, "Customer#000000001"), (2L, "Customer#000000002"),
+      (3L, "Supplier#000000009")).toDF("c_id", "c_name")
+    val dirty = Seq((10L, "Customer#00000001"), (11L, "Suplier#000000009"))
+      .toDF("d_id", "d_name")
+    val auto = Linkage.fuzzyJoinBlocked(dirty, clean, "d_id", "d_name",
+      "c_id", "c_name", q = 4, maxDist = 2)
+      .as[(Long, Long, Int, Long)].collect().toSet
+    val explicit = Linkage.fuzzyJoinBlocked(dirty, clean, "d_id", "d_name",
+      "c_id", "c_name", q = 4, maxDf = 25, maxDist = 2)
+      .as[(Long, Long, Int, Long)].collect().toSet
+    assert(auto == explicit && auto.nonEmpty)
+    val docs = Seq((1L, "x x y"), (2L, "x x y"), (3L, "x z"))
+      .toDF("doc_id", "text")
+    val autoCos = Retrieval.sparseCosinePairs(docs, "doc_id", "text",
+      shingleK = 1, minCos = 0.0).as[(Long, Long, Double)].collect().toSet
+    val explCos = Retrieval.sparseCosinePairs(docs, "doc_id", "text",
+      shingleK = 1, maxDf = 25, minCos = 0.0)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(autoCos == explCos && autoCos.nonEmpty)
+    // corpusDocs supplied skips the count() but must resolve identically
+    val supplied = Retrieval.sparseCosinePairs(docs, "doc_id", "text",
+      shingleK = 1, minCos = 0.0, corpusDocs = 3L)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(supplied == autoCos)
+    val contAuto = graft.ops.Text.containmentPairs(docs, "doc_id", "text",
+      k = 1, minContain = 0.4).as[(Long, Long, Long, Double)].collect().toSet
+    val contExpl = graft.ops.Text.containmentPairs(docs, "doc_id", "text",
+      k = 1, minContain = 0.4, maxDf = 1000)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(contAuto == contExpl && contAuto.nonEmpty)
+    val winAuto = graft.ops.Text.winnowPairs(docs, "doc_id", "text",
+      k = 2, w = 2, minShared = 1).as[(Long, Long, Long)].collect().toSet
+    val winExpl = graft.ops.Text.winnowPairs(docs, "doc_id", "text",
+      k = 2, w = 2, maxDf = 20, minShared = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(winAuto == winExpl && winAuto.nonEmpty)
+  }
 }

@@ -455,8 +455,41 @@ object Bench {
     // best window and what demotes under pressure is the mid tail.
     val reserveSec =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_RESERVE", "20").toDouble
+    // ── Floor-age rotation (judge r16 task 3) ──
+    // At r16's 4.375× contention only 10 of 96 core queries were
+    // re-measured, and slowest-floor-first meant the SAME sub-second
+    // floors rode unmeasured round after round on a contended box. A
+    // sibling age file (bench_ledger_age.json: {"run":N,"q":runWhenLast
+    // Measured,...}) tracks staleness in full-registry bench runs;
+    // floor-ed queries now run OLDEST-measured-first (slowest-floor
+    // tie-break), so whatever window the clock grants rotates across
+    // the registry instead of re-measuring the same slow head. The age
+    // map for this run is emitted in the artifact ("floor_age", 0 =
+    // measured this run), and the file is rewritten by every
+    // full-registry run (dev family-filtered runs neither bump the run
+    // counter nor mark queries measured — the counter stays in units of
+    // full bench runs). Queries the file has never seen sort oldest.
+    val agePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_AGE_FILE",
+      ledgerFileUsed.map(f => new java.io.File(new java.io.File(f)
+        .getParentFile, "bench_ledger_age.json").getPath)
+        .getOrElse("bench_ledger_age.json"))
+    val ageRaw: Map[String, Long] = try {
+      val f = new java.io.File(agePath)
+      if (!f.isFile) Map.empty
+      else {
+        val txt = new String(java.nio.file.Files.readAllBytes(f.toPath),
+          java.nio.charset.StandardCharsets.UTF_8)
+        """"([^"]+)"\s*:\s*([0-9]+)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toLong).toMap
+      }
+    } catch { case _: Throwable => Map.empty }
+    val prevRun = ageRaw.getOrElse("run", 0L)
+    val curRun = prevRun + 1
+    // age BEFORE this run: 1 = measured last run; never-seen = 1e6
+    def floorAge(n: String): Long =
+      ageRaw.get(n).map(r => curRun - r).getOrElse(1000000L)
     val pass1Order = names.sortBy { case (n, _) =>
-      (ledger.contains(n), -ledger.getOrElse(n, 0.0)) }
+      (ledger.contains(n), -floorAge(n).toDouble, -ledger.getOrElse(n, 0.0)) }
     var obsNum = 0.0
     var obsDen = 0.0
     // blended contention estimate: headroom is the prior, observed
@@ -468,8 +501,60 @@ object Bench {
     // are local (their budget is advisory, not the driver's box)
     val governorOn =
       !sys.env.get("SPARK_GRAFT_BENCH_WRITE_LEDGER").contains("1")
+    // ── Per-query ratio cap (judge r16 finding 1, governor half) ──
+    // Admission bounds the SUM of predicted spends, but one query whose
+    // plan amplifies contention far beyond the box ratio can still eat
+    // the budget mid-measure (r16: pipe_moore_lewis ran 28.7× its floor
+    // on a 4.375× box — a third of the budget in one query, admitted at
+    // a prediction of 1.3×ratio×floor). Each governed floor-ed query now
+    // runs under a WATCHDOG: a timer cancels its job group once it has
+    // spent capRatio × max(observedRatio, 1) × floor seconds (min 10 s —
+    // timer granularity must not cap honest sub-second floors), and the
+    // query is demoted to its committed quiet floor, named in BOTH
+    // "demoted_queries" and "capped_queries" so a capped artifact is
+    // self-identifying. The wall it burned still feeds the contention
+    // estimate (a lower bound on its true ratio). capRatio default 8:
+    // honest contended measurements land 1.2–3× (r16 timed map), so 8×
+    // only fires on the pathological-amplification class. WRITE_LEDGER
+    // runs bypass the cap with the rest of the governor.
+    val capRatio =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_CAP_RATIO", "8").toDouble
+    // floor of the cap itself (seconds) — timer granularity must never
+    // cap honest sub-second floors; overridable so the trip path is
+    // integration-testable without a 10 s pathological query
+    val capMinSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_CAP_MIN", "10").toDouble
+    val capTimer = new java.util.Timer("bench-pass1-cap", true)
+    def timeOneCapped(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        capSec: Double): (Boolean, Double, Boolean) = {
+      val group = s"bench-cap-$name"
+      spark.sparkContext.setJobGroup(group,
+        f"pass-1 capped at $capSec%.1f s", interruptOnCancel = true)
+      val tripped = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val watchdog = new java.util.TimerTask {
+        def run(): Unit = {
+          tripped.set(true)
+          spark.sparkContext.cancelJobGroup(group)
+        }
+      }
+      capTimer.schedule(watchdog, math.max(1L, (capSec * 1000).toLong))
+      val t0 = System.nanoTime()
+      val ok = try { core.Measure.consume(fn(spark, sfDir)); true } catch {
+        case e: Throwable =>
+          if (!tripped.get)
+            System.err.println(s"BENCH FAILURE $name: ${e.getMessage}")
+          false
+      }
+      watchdog.cancel()
+      val t = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.clearJobGroup()
+      spark.sharedState.cacheManager.clearCache()
+      (ok, t, tripped.get)
+    }
     val demotedBuf =
       scala.collection.mutable.ArrayBuffer.empty[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]
+    val cappedBuf = scala.collection.mutable.ArrayBuffer.empty[String]
     val pass1Buf =
       scala.collection.mutable.ArrayBuffer.empty[(String, (Boolean, Double))]
     pass1Order.foreach { case (name, fn) =>
@@ -480,12 +565,30 @@ object Bench {
         System.err.println(f"pass-1 demoted $name at ${elapsedSec}%.1f s " +
           f"(floor ${floor.get}%.2f s, observed ratio $observedRatio%.2f)")
         demotedBuf += ((name, fn))
+      } else if (governorOn && floor.isDefined) {
+        val fl = floor.get
+        val capSec =
+          math.max(capMinSec, capRatio * math.max(observedRatio, 1.0) * fl)
+        val (ok, t, capped) = timeOneCapped(name, fn, capSec)
+        if (capped) {
+          System.err.println(f"pass-1 CAPPED $name at $t%.1f s " +
+            f"(floor $fl%.2f s, cap $capSec%.1f s) — demoted to floor")
+          cappedBuf += name
+          demotedBuf += ((name, fn))
+          // the burned wall is real contention evidence (a lower bound)
+          obsNum += t; obsDen += fl
+        } else {
+          pass1Buf += (name -> ((ok, t)))
+          // successes only (advisor r16): a FAST FAILURE would deflate
+          // the observed ratio and over-admit later floored queries
+          if (ok) { obsNum += t; obsDen += fl }
+        }
       } else {
         val r = timeOne(name, fn)
         pass1Buf += (name -> r)
-        floor.foreach { fl => obsNum += r._2; obsDen += fl }
       }
     }
+    capTimer.cancel()
     val pass1 = pass1Buf.toSeq
     val demoted = demotedBuf.toSeq
     val pass1Ok = pass1.collect { case (n, (true, _)) => n }.toSet
@@ -653,6 +756,15 @@ object Bench {
     val timedJson = measuredResults.map { case (k, v) =>
       "\"" + k + "\":" + v.map(x => num(x, 4)).getOrElse("null")
     }.mkString("{", ",", "}")
+    val cappedJson = cappedBuf.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // per-query floor age (runs since last pass-1 measurement; 0 =
+    // measured THIS run) for every registered query — the staleness the
+    // rotation order consumes, made visible in the artifact
+    val measuredThisRun = pass1.collect { case (k, (true, _)) => k }.toSet
+    val floorAgeJson = allNames.map { case (n, _) =>
+      val a = if (measuredThisRun(n)) 0L else math.min(floorAge(n), 999999L)
+      "\"" + n + "\":" + a
+    }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errs,""" +
       s""""pass_totals":$passJson,"noise_ratio":$noiseJson,""" +
       s""""noise_basis":"pass1_vs_compile_free",""" +
@@ -681,6 +793,11 @@ object Bench {
       s""""prewarm_dir":${prewarmDir.map("\"" + _ + "\"").getOrElse("null")},""" +
       s""""demoted":${demoted.size},""" +
       s""""demoted_queries":$demotedNamesJson,""" +
+      s""""capped":${cappedBuf.size},""" +
+      s""""capped_queries":$cappedJson,""" +
+      s""""cap_ratio":${num(capRatio, 1)},""" +
+      s""""ledger_age_run":$curRun,""" +
+      s""""floor_age":$floorAgeJson,""" +
       s""""pass1_ratio":${num(observedRatio, 3)},""" +
       s""""reserve_s":${num(reserveSec, 0)},""" +
       s""""budget_s":${num(budgetSec, 0)},"wall_s":${num(elapsedSec, 1)},""" +
@@ -711,6 +828,32 @@ object Bench {
       java.nio.file.Files.write(java.nio.file.Paths.get(ledgerPath),
         json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       System.err.println(s"ledger written: $ledgerPath (${merged.size} entries)")
+    }
+    // Age-file refresh (every FULL-registry run, governed or not): stamp
+    // this run's pass-1 successes at curRun, carry prior stamps for
+    // still-registered queries, drop renamed/removed ones. Family-
+    // filtered dev runs skip the write so the run counter stays in units
+    // of full bench runs (a dozen single-family iterations must not make
+    // the rest of the registry read as ancient).
+    if (famFilter.isEmpty) {
+      try {
+        val stamped = SparkEntry.queries.keySet.toSeq.sorted.flatMap { k =>
+          if (measuredThisRun(k)) Some(k -> curRun)
+          else ageRaw.get(k).map(k -> _)
+        }
+        val ageJson = (Seq("\"run\":" + curRun) ++
+          stamped.map { case (k, v) => "\"" + k + "\":" + v })
+          .mkString("{", ",", "}\n")
+        java.nio.file.Files.write(java.nio.file.Paths.get(
+            if (new java.io.File(agePath).isAbsolute ||
+              new java.io.File(agePath).isFile) agePath
+            else "bench_ledger_age.json"),
+          ageJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        System.err.println(s"age file written (run $curRun, " +
+          s"${stamped.size} stamps)")
+      } catch { case e: Throwable =>
+        System.err.println(s"age file write failed: ${e.getMessage}")
+      }
     }
     spark.stop()
   }

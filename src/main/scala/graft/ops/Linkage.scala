@@ -65,7 +65,11 @@ object Linkage {
         require(maxDfFrac > 0.0 && maxDfFrac < 1.0,
           s"maxDfFrac must be in (0, 1), got $maxDfFrac")
         val n = if (cleanCount >= 0) cleanCount else clean.count()
-        math.max(25.0, math.ceil(maxDfFrac * n)).toInt
+        // clamp before narrowing (advisor r16): past ~1.2e13 records the
+        // raw ceil would overflow Int to a negative cut and silently drop
+        // every gram — saturate at Int.MaxValue (filter becomes a no-op)
+        math.min(Int.MaxValue.toDouble,
+          math.max(25.0, math.ceil(maxDfFrac * n))).toInt
       }
     val cg = clean.select(col(cId), col(cName),
         explode(charGrams(col(cName), q)).as("g"))

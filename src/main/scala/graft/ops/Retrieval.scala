@@ -66,7 +66,9 @@ object Retrieval {
         require(maxDfFrac > 0.0 && maxDfFrac < 1.0,
           s"maxDfFrac must be in (0, 1), got $maxDfFrac")
         val n = if (corpusDocs >= 0) corpusDocs else docs.count()
-        math.max(25.0, math.ceil(maxDfFrac * n)).toInt
+        // Int-saturating clamp — see Text.resolveMaxDf (advisor r16)
+        math.min(Int.MaxValue.toDouble,
+          math.max(25.0, math.ceil(maxDfFrac * n))).toInt
       }
     val tok = docs.select(col(idCol).as("id"),
       explode(graft.functions.GraftExtensions.shingles(

@@ -228,9 +228,16 @@ object Similarity {
         s"bits=$baseBits bands=$baseBands")
     require(borderlineCos > -1.0 && borderlineCos < 1.0,
       s"borderlineCos must be in (-1, 1), got $borderlineCos")
-    val scale = math.max(1.0, nVectors.toDouble / refVectors)
-    val bits = baseBits +
-      math.max(0.0, math.ceil(math.log(scale) / math.log(2))).toInt
+    // exact integer ceil(log2(scale)) (advisor r16): the floating
+    // log-division can land at 3.0000000000000004 at an exact
+    // power-of-two scale and ceil would add a spurious bit (~1.63× the
+    // band count). ceil(log2(x)) = ceil(log2(ceilDiv(n, ref))) because
+    // powers of two are integers, and the integer form has no rounding.
+    val ratio = (nVectors + refVectors - 1) / refVectors // ceilDiv, ≥ 1
+    val extraBits =
+      if (ratio <= 1L) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros(ratio - 1)
+    val bits = baseBits + extraBits
     val p = 1.0 - math.acos(borderlineCos) / math.Pi
     val bands = math.ceil(
       baseBands * math.pow(1.0 / p, (bits - baseBits).toDouble)).toInt

@@ -71,18 +71,50 @@ object ScaleCheck {
     def x10(df: DataFrame)(shift: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until scaleX).map(i => shift(df, i)).reduce(_.unionByName(_))
 
-    val orders10 = x10(core.Tables.fannedOut(spark, sfDir, "orders")) { (d, i) =>
-      d.withColumn("o_orderkey", col("o_orderkey") + lit(i * 100000000L))
+    // Materialized single-table fixture (judge r16 task 2): when
+    // SPARK_GRAFT_SCALE_FIXTURE_DIR holds a [[ScaleFixture]]-written
+    // <table>_x<scaleX>, read THAT instead of building the X-branch
+    // union — at 100× the union re-paid 100 scan setups per action,
+    // confounding every time exponent at the third scale point. The
+    // fixture holds identical rows by construction, so scale-stable
+    // outputs (winnow/ann cluster counts) must reproduce exactly;
+    // which basis each run used is printed so journal rows stay
+    // self-identifying. Entries that synthesize inputs inline keep the
+    // union (it is part of what they measure).
+    val fixtureDir = sys.env.get("SPARK_GRAFT_SCALE_FIXTURE_DIR")
+    def materialized(name: String): Option[DataFrame] =
+      fixtureDir.map(d => new java.io.File(d, s"${name}_x$scaleX"))
+        .filter(_.isDirectory)
+        .map { f =>
+          System.err.println(s"[scale] $name: materialized fixture ${f.getPath}")
+          spark.read.parquet(f.getPath)
+        }
+    def unionBasis(name: String)(build: => DataFrame): DataFrame =
+      materialized(name).getOrElse {
+        System.err.println(s"[scale] $name: $scaleX-branch union basis")
+        build
+      }
+
+    val orders10 = unionBasis("orders") {
+      x10(core.Tables.fannedOut(spark, sfDir, "orders")) { (d, i) =>
+        d.withColumn("o_orderkey", col("o_orderkey") + lit(i * 100000000L))
+      }
     }
-    val lineitem10 = x10(core.Tables.fannedOut(spark, sfDir, "lineitem")) { (d, i) =>
-      d.withColumn("l_orderkey", col("l_orderkey") + lit(i * 100000000L))
+    val lineitem10 = unionBasis("lineitem") {
+      x10(core.Tables.fannedOut(spark, sfDir, "lineitem")) { (d, i) =>
+        d.withColumn("l_orderkey", col("l_orderkey") + lit(i * 100000000L))
+      }
     }
-    val docs10 = x10(core.Tables.fannedOut(spark, sfDir, "documents")) { (d, i) =>
-      d.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
+    val docs10 = unionBasis("documents") {
+      x10(core.Tables.fannedOut(spark, sfDir, "documents")) { (d, i) =>
+        d.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
+      }
     }
-    val emb10 = x10(core.Tables(spark, sfDir, "embeddings")) { (d, i) =>
-      d.withColumn("vec_id", col("vec_id") + lit(i * 1000000L))
-        .withColumn("label", col("label") + lit(i * 1000))
+    val emb10 = unionBasis("embeddings") {
+      x10(core.Tables(spark, sfDir, "embeddings")) { (d, i) =>
+        d.withColumn("vec_id", col("vec_id") + lit(i * 1000000L))
+          .withColumn("label", col("label") + lit(i * 1000))
+      }
     }
 
     // 1. SMS report parse: 10× the synthesized exposure lines
@@ -456,6 +488,23 @@ object ScaleCheck {
     // dup-hash join-back (the worst case for this operator, since the
     // HAVING >= 2 filter drops nothing); volume must stay linear in
     // total span count, never pairwise in duplicates
+    // 8a-ii. prefix-doubling suffix spans under the same all-dup
+    // adversarial density: with every window duplicated the ladder's
+    // geometric candidate shrinkage NEVER fires — every level re-hashes
+    // ~every position (4 bounded corpus-scale verify rounds). Volume
+    // must stay levels-linear in token count; the guard asserts real
+    // maximal spans come out.
+    time("dedup_suffix_spans (50k docs, all-dup)") {
+      val (spans, handles) = ops.Text.suffixDupSpansWithHandle(docs10,
+        "doc_id", "text", baseK = 4, levels = 4, minDocs = 2,
+        persistLevels = true)
+      try {
+        val n = consume(spans)
+        require(n > 0, "all-dup corpus must yield maximal duplicated spans")
+        n
+      } finally handles.foreach { h => h.unpersist(); () }
+    }
+
     time("dedup_span_ngrams (50k docs, all-dup)") {
       consume(ops.Text.duplicatedSpanStats(docs10, "doc_id", "text", k = 5))
     }

@@ -322,6 +322,8 @@ object Excel {
     val text = new StringBuilder
     var maxCol = -1
     try {
+      // jobs-bound: 0 Spark jobs — task-local XML stream parse of one
+      // workbook's bytes (runs inside a single task, no actions)
       while (r.hasNext) {
         r.next() match {
           case XMLStreamConstants.START_ELEMENT =>

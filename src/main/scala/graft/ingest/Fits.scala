@@ -117,6 +117,8 @@ object Fits {
       s"not a BINTABLE HDU: ${h.header.get("XTENSION")}")
     val tfields = h.header("TFIELDS").toInt
     var offset = 0
+    // jobs-bound: 0 Spark jobs — local header-card arithmetic over one
+    // HDU's parsed keywords (no actions)
     (1 to tfields).map { j =>
       val name = h.header.getOrElse(s"TTYPE$j", s"col$j")
       val form = h.header(s"TFORM$j")

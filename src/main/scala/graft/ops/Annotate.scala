@@ -255,6 +255,9 @@ object Annotate {
       .select(col("item"), col("lab").as("cls"),
         (col("v").cast("double") / col("n_i").cast("double")).as("t"))
 
+    // jobs-bound: 2·iters + 1 driver jobs (per EM round: the K-row
+    // class-sum collect + the K²-bounded confusion collect; +1 final
+    // posterior pass) — the scaladoc'd dsPosteriors contract
     for (_ <- 1 to iters) {
       // M-step priors: class mass + smoothing over total mass (= N);
       // K summary rows — collected to literals at the round boundary

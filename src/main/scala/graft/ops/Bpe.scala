@@ -100,6 +100,9 @@ object Bpe {
       var vocab = base
       val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
       var rank = 1
+      // jobs-bound: numMerges rounds x 1 job (the limit(1) pair-count
+      // collect over the cached word vocab; the merge apply is a lazy
+      // fold) + the one base-cache materialize
       while (rank <= numMerges) {
         val best = pairCounts(vocab)
           .orderBy(col("n").desc, col("a"), col("bb"))

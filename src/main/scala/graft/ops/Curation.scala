@@ -564,6 +564,9 @@ object Curation {
         java.math.BigDecimal.valueOf(v)
           .setScale(wRound, java.math.RoundingMode.HALF_UP).doubleValue
       var w: Seq[(Long, Double)] = (0L until buckets.toLong).map((_, 0.0))
+      // jobs-bound: rounds x 1 job (the buckets-bounded gradient
+      // collect over the cached feature table) + the cache materialize
+      // and the one nDocs count
       for (_ <- 1 to rounds) {
         val scored = feats
           .join(broadcast(w.toDF("__b", "__w")), "__b")

@@ -86,6 +86,9 @@ object Graph {
     var converged = isStarForest(e)
     var round = 0
 
+    // jobs-bound: <= maxRounds x 2 jobs (per star-contraction round:
+    // one localCheckpoint materialize of the shrinking frontier + the
+    // isStarForest isEmpty convergence probe)
     while (!converged && round < maxRounds) {
       // Both phases compute "min over a node's neighbors" with a groupBy
       // + join-back rather than a window: the aggregate gets map-side
@@ -207,6 +210,8 @@ object Graph {
     var pr = n1.crossJoin(broadcast(nDf))
       .select(col("id"), (lit(1.0) / col("n")).as("pr"))
       .localCheckpoint(true)
+    // jobs-bound: iters x 1 job (one rank-vector localCheckpoint per
+    // PageRank round; superseded vectors unpersist as they go)
     for (_ <- 1 to iters) {
       val contrib = eod
         .join(pr.withColumnRenamed("id", "src"), "src")

@@ -93,6 +93,8 @@ object Quantization {
     val sub = df.select(col(id),
       posexplode(array((0 until m).map(i => slice(v, i * w + 1, w)): _*))
         .as(Seq("subspace", "sv")))
+    // jobs-bound: iters + 1 driver jobs (one m·ksub-row codebook
+    // localize per round via packed(), + the seed-codebook job)
     (1 to iters).foldLeft(seedCodebooks(df, id, vecCol, m, dim, ksub, seedHash)) {
       (cb, _) =>
         sub.crossJoin(broadcast(packed(cb)))

@@ -355,6 +355,9 @@ object Similarity {
         .withColumn("centroid_id",
           row_number().over(Window.partitionBy(lit(0)).orderBy("__h")) - 1)
         .select(col("centroid_id"), col(vecCol))
+      // jobs-bound: iters + 1 driver jobs (one k-row localize collect
+      // per Lloyd round + the seed localize), each over the cached
+      // projection
       (1 to iters).foldLeft(localize(seeds)) { (cents, _) =>
         localize(ivfAssign(proj, vecCol, cents,
           simRound = simRound)

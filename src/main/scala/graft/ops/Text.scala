@@ -737,6 +737,114 @@ object Text {
     (out, spans)
   }
 
+  /** Variable-length exact-substring dedup by PREFIX DOUBLING — the
+    * Lee et al. 2021 ("Deduplicating Training Data Makes Language
+    * Models Better") completion of the fixed-k span family: where
+    * [[duplicatedSpanStats]] answers "how much of this doc repeats at
+    * exactly k tokens", this finds the MAXIMAL duplicated substrings at
+    * doubling granularity — the thing suffix-array dedup actually ships
+    * for production corpora, re-expressed as the distributed doubling
+    * ladder (the same prefix-doubling idea suffix-array construction
+    * uses, cf. reference cosmo/dedup notes): a 2k-token window can be
+    * corpus-duplicated ONLY if both of its k-halves are, so each level
+    * self-joins the previous level's SURVIVORS on adjacent positions
+    * (candidate volume shrinks geometrically — long exact repeats are
+    * rare) and verifies the full 2k window by its own hash with a
+    * distinct-doc count. Level 0 is the one full-corpus explode; every
+    * later level touches only candidate positions.
+    *
+    * Returns the maximal duplicated spans `(doc_id, pos, len_tokens)`:
+    * a span duplicated at its level and NOT contained in a duplicated
+    * span one level up (top-level survivors are maximal by
+    * definition). Containment unrolls each level-(i+1) span into the
+    * `k_i + 1` level-i start positions it covers — a bounded constant
+    * per span, never event-scale — and anti-joins.
+    *
+    * Hashes are [[portableHash]] (md5-derived) of the window TEXT, so
+    * an independent SQL engine replays the ladder byte-for-byte; only
+    * 8-byte hashes and (id, pos) pairs ever shuffle, never span text.
+    * Docs shorter than baseK yield nothing. At 100 TB the shape is:
+    * one spanHashes-style explode + `levels − 1` candidate-bounded
+    * verify rounds, all lazy in ONE plan (no driver loop — the ladder
+    * is a fixed-depth fold over DataFrames).
+    *
+    * Each level's survivor set has FOUR consumers (both halves of the
+    * next level's candidate self-join, the containment unroll one
+    * level down, and its own maximal output), so without persistence
+    * the plan re-derives level i fan-out^i times — measured: the
+    * 4-level un-persisted physical tree passed 8000 nodes. Pass
+    * `persistLevels = true` beyond toy corpora (the winnow persistFp
+    * contract: the caller unpersists the returned handles after its
+    * action; the convenience variant defaults OFF because it cannot
+    * release caches for you). */
+  def suffixDupSpans(df: DataFrame, idCol: String, textCol: String,
+                     baseK: Int = 8, levels: Int = 4, minDocs: Int = 2)
+      : DataFrame =
+    suffixDupSpansWithHandle(df, idCol, textCol, baseK, levels, minDocs,
+      persistLevels = false)._1
+
+  /** [[suffixDupSpans]] with the per-level persist handles (second
+    * return value — `unpersist()` each after the consuming action). */
+  def suffixDupSpansWithHandle(df: DataFrame, idCol: String,
+                               textCol: String, baseK: Int = 8,
+                               levels: Int = 4, minDocs: Int = 2,
+                               persistLevels: Boolean = false)
+      : (DataFrame, Seq[DataFrame]) = {
+    require(baseK >= 1 && levels >= 1 && minDocs >= 2,
+      s"need baseK >= 1, levels >= 1, minDocs >= 2; " +
+        s"got $baseK/$levels/$minDocs")
+    require(baseK.toLong << (levels - 1) <= Int.MaxValue,
+      "ladder top exceeds Int range")
+    val toks = df.select(col(idCol),
+      split(col(textCol), " ", -1).as("__toks"))
+    def verify(cands: DataFrame, k: Int): DataFrame = {
+      // hash the full k-window at each candidate position, keep the
+      // windows seen in >= minDocs distinct docs, join back
+      val hashed = cands.join(toks, idCol)
+        .select(col(idCol), col("pos"),
+          portableHash(concat_ws(" ",
+            slice(col("__toks"), col("pos"), lit(k)))).as("__h"))
+      val dup = hashed.groupBy("__h")
+        .agg(countDistinct(col(idCol)).as("__nd"))
+        .filter(col("__nd") >= minDocs)
+        .select("__h")
+      hashed.join(dup, "__h").select(col(idCol), col("pos"))
+    }
+    def hold(d: DataFrame): DataFrame =
+      if (persistLevels)
+        d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else d
+    // level 0: every baseK-window position of every long-enough doc
+    val level0 = hold(verify(
+      toks.filter(size(col("__toks")) >= baseK)
+        .select(col(idCol),
+          explode(sequence(lit(1), size(col("__toks")) - (baseK - 1),
+            lit(1))).as("pos")),
+      baseK))
+    // ladder: dups(i) = positions duplicated at width baseK * 2^i
+    val dups = (1 until levels).scanLeft(level0) { (prev, i) =>
+      val half = baseK << (i - 1)
+      val a = prev.select(col(idCol), col("pos"))
+      val b = prev.select(col(idCol), (col("pos") - half).as("pos"))
+      hold(verify(a.join(b, Seq(idCol, "pos")), baseK << i))
+    }
+    // maximality: drop level-i spans contained in a level-(i+1) span —
+    // a 2k-span at q contains exactly the k-spans starting in
+    // [q, q + k]; unroll those (k+1 bounded positions) and anti-join
+    val maximal = dups.zipWithIndex.map { case (d, i) =>
+      val k = baseK << i
+      val kept =
+        if (i == levels - 1) d
+        else {
+          val covered = dups(i + 1).select(col(idCol),
+            explode(sequence(col("pos"), col("pos") + k, lit(1))).as("pos"))
+          d.join(covered, Seq(idCol, "pos"), "left_anti")
+        }
+      kept.select(col(idCol), col("pos"), lit(k).as("len_tokens"))
+    }
+    (maximal.reduce(_.unionByName(_)), if (persistLevels) dups else Nil)
+  }
+
   /** Adjacent-token bigrams as (a, b) structs; n tokens → n−1 bigrams,
     * none for single-token docs (guarded — see [[spanHashes]]). */
   def bigrams(toks: Column): Column =

@@ -74,6 +74,9 @@ object TxLog {
                   maxAttempts: Int = 20): Long = {
     val deduped = Relational.latestByKey(source, keys, Seq(col(versionCol)))
     var attempt = 0
+    // jobs-bound: <= maxAttempts x 1 snapshot-write job (each retry
+    // re-merges against the race winner's snapshot and writes once;
+    // the atomic link claim is filesystem-side, no Spark job)
     while (attempt < maxAttempts) {
       attempt += 1
       val cur = currentVersion(tableDir)
@@ -138,6 +141,9 @@ object TxLog {
                             Option[(DataFrame, (SparkSession, String) => Unit)])
       : Option[Long] = {
     var attempt = 0
+    // jobs-bound: <= maxAttempts x 1 rewrite-write job (compact/Z-order
+    // re-plans against the race winner's snapshot and writes once per
+    // retry; the commit claim is filesystem-side)
     while (attempt < maxAttempts) {
       attempt += 1
       currentVersion(tableDir) match {

@@ -151,6 +151,8 @@ object Unigram {
     try {
       var vocab = seedVocab(words, maxPieceLen, topK)
       var it = 0
+      // jobs-bound: rounds x 1 job (the topK-bounded pieceCosts vocab
+      // collect per EM round, over the cached word table)
       while (it < rounds) {
         vocab = emCounts(words, pieceCosts(vocab), maxPieceLen, topK)
         it += 1

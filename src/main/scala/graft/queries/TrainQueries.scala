@@ -89,6 +89,77 @@ object TrainQueries {
           .orderBy("doc_id")
     },
 
+    // Variable-length exact-substring dedup by PREFIX DOUBLING (the
+    // Lee et al. suffix-array completion of the fixed-k family): the
+    // 4→8→16→32-token ladder, each level's candidates the self-join of
+    // the previous level's survivors on adjacent positions, each full
+    // window verified by its own md5 hash with a distinct-doc count;
+    // emitted rows are the MAXIMAL duplicated spans (not contained in
+    // a duplicated span one level up). The oracle replays the whole
+    // ladder — same window hashes, same candidate joins, same
+    // containment anti-joins — in recursive-free CTEs.
+    Q("dedup_suffix_spans",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s0 AS (SELECT doc_id, i AS pos,
+        |    ('0x' || substr(md5(array_to_string(
+        |      list_slice(toks, i, i + 3), ' ')), 1, 15))::BIGINT AS h
+        |  FROM (SELECT doc_id, toks,
+        |      unnest(generate_series(1, len(toks) - 3)) AS i FROM t)),
+        |d0 AS (SELECT doc_id, pos FROM s0 JOIN (SELECT h FROM s0
+        |    GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2) USING (h)),
+        |c1 AS (SELECT a.doc_id, a.pos FROM d0 a
+        |  JOIN d0 b ON a.doc_id = b.doc_id AND b.pos = a.pos + 4),
+        |s1 AS (SELECT c1.doc_id, c1.pos,
+        |    ('0x' || substr(md5(array_to_string(
+        |      list_slice(t.toks, c1.pos, c1.pos + 7), ' ')), 1, 15))::BIGINT AS h
+        |  FROM c1 JOIN t USING (doc_id)),
+        |d1 AS (SELECT doc_id, pos FROM s1 JOIN (SELECT h FROM s1
+        |    GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2) USING (h)),
+        |c2 AS (SELECT a.doc_id, a.pos FROM d1 a
+        |  JOIN d1 b ON a.doc_id = b.doc_id AND b.pos = a.pos + 8),
+        |s2 AS (SELECT c2.doc_id, c2.pos,
+        |    ('0x' || substr(md5(array_to_string(
+        |      list_slice(t.toks, c2.pos, c2.pos + 15), ' ')), 1, 15))::BIGINT AS h
+        |  FROM c2 JOIN t USING (doc_id)),
+        |d2 AS (SELECT doc_id, pos FROM s2 JOIN (SELECT h FROM s2
+        |    GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2) USING (h)),
+        |c3 AS (SELECT a.doc_id, a.pos FROM d2 a
+        |  JOIN d2 b ON a.doc_id = b.doc_id AND b.pos = a.pos + 16),
+        |s3 AS (SELECT c3.doc_id, c3.pos,
+        |    ('0x' || substr(md5(array_to_string(
+        |      list_slice(t.toks, c3.pos, c3.pos + 31), ' ')), 1, 15))::BIGINT AS h
+        |  FROM c3 JOIN t USING (doc_id)),
+        |d3 AS (SELECT doc_id, pos FROM s3 JOIN (SELECT h FROM s3
+        |    GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2) USING (h)),
+        |cov0 AS (SELECT doc_id, unnest(generate_series(pos, pos + 4)) AS pos FROM d1),
+        |cov1 AS (SELECT doc_id, unnest(generate_series(pos, pos + 8)) AS pos FROM d2),
+        |cov2 AS (SELECT doc_id, unnest(generate_series(pos, pos + 16)) AS pos FROM d3),
+        |m AS (
+        |  SELECT doc_id, pos, 4 AS len_tokens FROM d0
+        |  WHERE NOT EXISTS (SELECT 1 FROM cov0
+        |    WHERE cov0.doc_id = d0.doc_id AND cov0.pos = d0.pos)
+        |  UNION ALL
+        |  SELECT doc_id, pos, 8 FROM d1
+        |  WHERE NOT EXISTS (SELECT 1 FROM cov1
+        |    WHERE cov1.doc_id = d1.doc_id AND cov1.pos = d1.pos)
+        |  UNION ALL
+        |  SELECT doc_id, pos, 16 FROM d2
+        |  WHERE NOT EXISTS (SELECT 1 FROM cov2
+        |    WHERE cov2.doc_id = d2.doc_id AND cov2.pos = d2.pos)
+        |  UNION ALL
+        |  SELECT doc_id, pos, 32 FROM d3)
+        |SELECT doc_id, pos, len_tokens FROM m
+        |ORDER BY doc_id, pos, len_tokens""".stripMargin) { (s, dir) =>
+      // persistLevels: each ladder level has four consumers (next
+      // level's self-join halves, containment, output) — un-persisted
+      // the physical tree measured 8000+ nodes; mains clearCache per
+      // query (the pipe_moore_lewis persist-handle pattern)
+      Text.suffixDupSpansWithHandle(Tables.fannedOut(s, dir, "documents"),
+          "doc_id", "text", baseK = 4, levels = 4, minDocs = 2,
+          persistLevels = true)._1
+        .orderBy("doc_id", "pos", "len_tokens")
+    },
+
     // Duplicated-span SCRUBBING — the removal counterpart of the stats
     // above (Lee et al. exact-substring dedup): every token covered by a
     // 3-token span occurring in ≥2 docs is removed; survivors rejoin in

@@ -11,6 +11,39 @@ import graft.ops.{Bpe, Curation, Sampling, Similarity, Sketches, Text}
 class TrainSpec extends SparkSpec {
   import spark.implicits._
 
+  test("suffixDupSpans: maximal variable-length spans, contained levels dropped") {
+    // docs 1/2 share EXACTLY 16 consecutive tokens (different contexts);
+    // docs 3/4 share exactly 4; every other token is globally unique —
+    // so the ladder must report one len-16 maximal span per sharing doc
+    // (all its len-4/len-8 sub-spans contained → dropped) and one len-4
+    // maximal span per doc of the short pair, nothing else
+    val run16 = (1 to 16).map(i => s"r$i").mkString(" ")
+    val df = Seq(
+      (1L, s"u1 u2 $run16 u3"),
+      (2L, s"v1 $run16 v2 v3 v4"),
+      (3L, "w1 w2 c1 c2 c3 c4 w3"),
+      (4L, "x1 c1 c2 c3 c4 x2 x3")
+    ).toDF("doc_id", "text")
+    val got = Text.suffixDupSpans(df, "doc_id", "text",
+        baseK = 4, levels = 3, minDocs = 2)
+      .orderBy("doc_id", "pos")
+      .as[(Long, Int, Int)].collect().toSeq
+    assert(got == Seq((1L, 3, 16), (2L, 2, 16), (3L, 3, 4), (4L, 2, 4)))
+    // docs shorter than baseK contribute nothing and break nothing
+    val tiny = Seq((9L, "a b"), (10L, "a b")).toDF("doc_id", "text")
+    assert(Text.suffixDupSpans(tiny, "doc_id", "text",
+      baseK = 4, levels = 2).count() == 0L)
+    // an 8-token shared run reports len-8 maximal (not two len-4s):
+    // the level-1 span covers all five of its len-4 sub-spans
+    val run8 = (1 to 8).map(i => s"s$i").mkString(" ")
+    val mid = Seq((5L, s"y1 $run8 y2"), (6L, s"z1 z2 $run8"))
+      .toDF("doc_id", "text")
+    val gotMid = Text.suffixDupSpans(mid, "doc_id", "text",
+        baseK = 4, levels = 3, minDocs = 2)
+      .orderBy("doc_id").as[(Long, Int, Int)].collect().toSeq
+    assert(gotMid == Seq((5L, 2, 8), (6L, 3, 8)))
+  }
+
   test("spanHashes: n-k+1 spans, short docs yield none") {
     val df = Seq("a b c d", "a b", "a b c").toDF("text")
     val n = df.select(size(Text.spanHashes(split(col("text"), " ", -1), 3)).as("n"))

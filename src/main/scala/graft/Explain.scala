@@ -18,6 +18,15 @@ object Explain {
     * and unlisted is flagged by --audit-all. Entries whose plans have
     * since collapsed below the threshold are harmless (never printed). */
   val heavyPlanNotes: Map[String, String] = Map(
+    "dedup_suffix_spans" -> ("the prefix-doubling ladder IS four " +
+      "chained dedup operators: each of the 4 levels runs its own " +
+      "explode → count-distinct-by-hash → join-back verify (~8 " +
+      "exchanges each, level results persisted so every exchange " +
+      "executes ONCE — without the persist handles the tree measured " +
+      "8000+ nodes), plus the containment anti-joins and the final " +
+      "union. Candidate volume shrinks geometrically past level 0, so " +
+      "all but ~8 of these exchanges carry survivor-sized data, not " +
+      "corpus-sized"),
     "pipe_ppl_buckets_thresh" -> ("composes the full bigram-LM chain " +
       "with two consumers of the scored stream; the (lang, nll) stream " +
       "is persisted so neither branch replays the LM derivation — if " +

@@ -480,7 +480,14 @@ object RetrievalQueries {
         |  JOIN cbc USING (b2, c2) JOIN cb USING (b2) JOIN cc USING (c2)
         |GROUP BY dt.doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
       // fannedOut: the trigram explode is CPU-dense and the single-file
-      // test table would otherwise scan as one partition
+      // test table would otherwise scan as one partition. NO persist,
+      // measured (r17): with T derived from the count table the event
+      // stream has two consumers (count aggregate + scoring join), and
+      // materializing the 8-long stream cost MORE than the explode
+      // re-run it saves (2.94 vs 2.06 s min at sf0.1 — cache write+read
+      // beats nothing here; exchange reuse already dedupes the count
+      // subtree). The WithHandle persist form remains for corpora where
+      // two scan passes out-cost one cache round-trip.
       Text.trigramNll(Tables.fannedOut(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")
     },

@@ -281,6 +281,59 @@ object ScaleCheck {
       ops.Graph.representatives(scored3, "node", "cluster", "nrm").count()
     }
 
+    // 2c. the MULTI-PROBE alternative to recall-by-adding-bands: keep
+    // the cheap scaled-bits config (2 bands × scaled bits) and fan each
+    // vector's PROBE side out to its Hamming-1 buckets instead of
+    // hashing 3× more bands on BOTH sides. Per borderline pair
+    // (p = 0.614/bit at cos 0.35) a 10-bit band catches p^10 + 10·p^9
+    // (1−p) ≈ 0.054 with H1 probing vs 0.0074 exact — so 2 probed
+    // bands ≈ 0.105 recall/pair vs 6 exact bands ≈ 0.043. Same exact
+    // cosine verify, CC, and keeper; cluster count BELOW the
+    // scaled+bands row's means strictly more true pairs recovered.
+    time("dedup_ann_e2e scaled+multiprobe") {
+      // EXPLICIT experimental knobs, not lshKnobsForScale: probing has
+      // a MINIMUM bucket resolution — at 10×'s rule-scaled 8 bits the
+      // H1 fan-out of 256-bucket bands blew the candidate guard
+      // (measured; hot buckets' Hamming-1 neighbors are hot too).
+      // 10-bit bands hold probe volume at both 10× and 30×.
+      val bb = 10
+      val nBands = 2 // the r15 fixed band count — probing replaces bands
+      val e = emb10.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val planes = ops.Similarity.portablePlanes(nBits = nBands * bb, dim = 64)
+      val banded = e.select(col("vec_id"),
+          explode(ops.Similarity.lshBands(col("v"), planes, bandBits = bb))
+            .as("bb"))
+        .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"),
+          col("vec_id"))
+      // probe side: own bucket + 4 Hamming-1 neighbors (full-bb H1
+      // probing MEASURED as blowing the candidate budget at 30× — hot
+      // buckets' neighbors are hot too; 4 flips ≈ the 6-band per-pair
+      // recall at 40% of the H1 fan-out)
+      val nProbe = 4
+      val probe = banded.select(col("band"), col("vec_id").as("id_a"),
+          explode(array(col("bucket") +: (0 until nProbe).map(j =>
+            col("bucket").bitwiseXOR(lit(1L << j))): _*)).as("bucket"))
+      val cand = probe
+        .join(banded.select(col("band"), col("bucket"),
+          col("vec_id").as("id_b")), Seq("band", "bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+      val nVec = 2000L * scaleX
+      require(cand.count() < nVec * nVec / 2 / 50,
+        "candidate volume looks all-pairs under multi-probe")
+      val pairs = cand
+        .join(e.select(col("vec_id").as("id_a"), col("v").as("va")), "id_a")
+        .join(e.select(col("vec_id").as("id_b"), col("v").as("vb")), "id_b")
+        .filter(round(ops.Similarity.cosine(col("va"), col("vb")), 3) >= 0.35)
+        .select("id_a", "id_b")
+      val labeled4 = ops.Graph.connectedComponents(pairs, "id_a", "id_b")
+      val scored4 = labeled4.join(e.select(col("vec_id").as("node"),
+        round(sqrt(aggregate(col("v"), lit(0.0d),
+          (acc, x) => acc + x * x)), 6).as("nrm")), "node")
+      ops.Graph.representatives(scored4, "node", "cluster", "nrm").count()
+    }
+
     // 3. full OSM-shift monitor pipeline at 6M lineitem rows
     time("monitor_osm_shift (6M rows)") {
       val lamp = lineitem10.filter(col("l_linenumber") <= 2)
@@ -1130,6 +1183,39 @@ object ScaleCheck {
         s"${spark.read.parquet(s"$dir/data").inputFiles.length} files")
       consume(pruned)
     }
+    // string zone-map pruning at scale (judge r16 task 6's scale row):
+    // a host-clustered table (the LLM-pipeline slice-key shape — each
+    // file covers a narrow host range), native string min/max manifest,
+    // then a host-range pruned scan. The guard asserts BOTH halves of
+    // the contract: a strict file subset read, and exact row equality
+    // vs the full-scan filter.
+    time("host_pruned_scan (1M rows, string keys)") {
+      val dir = java.nio.file.Files.createTempDirectory("hscale").toString
+      val rows = spark.range(100000L * scaleX)
+        .select(col("id"),
+          concat(lit("host-"),
+            format_string("%05d", pmod(col("id") * 7919L, lit(20000L))),
+            lit(".example.com")).as("host"),
+          pmod(col("id") * 40503L + 7L, lit(100000L)).cast("double")
+            .as("score"))
+      rows.repartitionByRange(32, col("host")).sortWithinPartitions("host")
+        .write.parquet(s"$dir/data")
+      ops.Layout.writeFileStats(spark, dir, Seq("host", "score"))
+      val lo = "host-02000.example.com"; val hi = "host-02999.example.com"
+      val pruned = ops.Layout.prunedScanTyped(spark, dir,
+        Seq(("host", lo, hi)))
+      val total = spark.read.parquet(s"$dir/data").inputFiles.length
+      System.err.println(s"[host-prune] reads " +
+        s"${pruned.inputFiles.length} of $total files")
+      require(pruned.inputFiles.length < total,
+        "host-range scan must read a strict file subset")
+      val n = consume(pruned)
+      val expect = rows.filter(col("host").between(lo, hi)).count()
+      require(pruned.count() == expect,
+        s"pruned rows ${pruned.count()} != full-scan filter $expect")
+      n
+    }
+
     time("txlog commitCompact (1M rows, 32 -> few files)") {
       val dir = java.nio.file.Files.createTempDirectory("compactscale")
         .toString + "/t"

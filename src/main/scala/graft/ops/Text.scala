@@ -783,6 +783,18 @@ object Text {
     suffixDupSpansWithHandle(df, idCol, textCol, baseK, levels, minDocs,
       persistLevels = false)._1
 
+  /** (id, pos, __h) rows → the (id, pos) whose __h occurs in ≥ minDocs
+    * distinct docs — the shared verify tail of [[suffixDupSpans]]'s
+    * ladder levels (map-side-combinable count, hash-only shuffle). */
+  private def dupPositions(hashed: DataFrame, idCol: String,
+                           minDocs: Int): DataFrame = {
+    val dup = hashed.groupBy("__h")
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select("__h")
+    hashed.join(dup, "__h").select(col(idCol), col("pos"))
+  }
+
   /** [[suffixDupSpans]] with the per-level persist handles (second
     * return value — `unpersist()` each after the consuming action). */
   def suffixDupSpansWithHandle(df: DataFrame, idCol: String,
@@ -797,24 +809,26 @@ object Text {
       "ladder top exceeds Int range")
     val toks = df.select(col(idCol),
       split(col(textCol), " ", -1).as("__toks"))
-    def verify(cands: DataFrame, k: Int): DataFrame = {
-      // hash the full k-window at each candidate position, keep the
-      // windows seen in >= minDocs distinct docs, join back
-      val hashed = cands.join(toks, idCol)
+    def verify(cands: DataFrame, k: Int): DataFrame =
+      // hash the full k-window at each candidate position (join back to
+      // the token arrays — candidate-sized, never corpus-sized past
+      // level 0), keep windows seen in >= minDocs distinct docs
+      dupPositions(cands.join(toks, idCol)
         .select(col(idCol), col("pos"),
           portableHash(concat_ws(" ",
-            slice(col("__toks"), col("pos"), lit(k)))).as("__h"))
-      val dup = hashed.groupBy("__h")
-        .agg(countDistinct(col(idCol)).as("__nd"))
-        .filter(col("__nd") >= minDocs)
-        .select("__h")
-      hashed.join(dup, "__h").select(col(idCol), col("pos"))
-    }
+            slice(col("__toks"), col("pos"), lit(k)))).as("__h")),
+        idCol, minDocs)
     def hold(d: DataFrame): DataFrame =
       if (persistLevels)
         d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else d
-    // level 0: every baseK-window position of every long-enough doc
+    // level 0: every baseK-window position of every long-enough doc.
+    // Deliberately the explode-ints-then-join-then-hash form, NOT a
+    // spanHashes explode: the (pos, h) struct transform evaluates its
+    // md5 lambda INTERPRETED per element (standing rule 3), while this
+    // shape hashes in whole-stage codegen after the join — measured
+    // (r17): the "saved" join cost ~60% MORE summed task time through
+    // the interpreted hashing.
     val level0 = hold(verify(
       toks.filter(size(col("__toks")) >= baseK)
         .select(col(idCol),

@@ -310,10 +310,9 @@ object ScaleCheck {
       // probing MEASURED as blowing the candidate budget at 30× — hot
       // buckets' neighbors are hot too; 4 flips ≈ the 6-band per-pair
       // recall at 40% of the H1 fan-out)
-      val nProbe = 4
       val probe = banded.select(col("band"), col("vec_id").as("id_a"),
-          explode(array(col("bucket") +: (0 until nProbe).map(j =>
-            col("bucket").bitwiseXOR(lit(1L << j))): _*)).as("bucket"))
+          explode(ops.Similarity.hamming1Probes(col("bucket"), bits = bb,
+            flips = 4)).as("bucket"))
       val cand = probe
         .join(banded.select(col("band"), col("bucket"),
           col("vec_id").as("id_b")), Seq("band", "bucket"))

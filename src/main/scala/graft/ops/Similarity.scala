@@ -244,6 +244,25 @@ object Similarity {
     (bits, bands)
   }
 
+  /** Hamming-1 multi-probe bucket set: a band's own bucket plus its
+    * `flips` single-bit neighbors (bits 0..flips−1) — the measured
+    * mid-scale alternative to recall-by-adding-bands (PERF.md r17: two
+    * PROBED 10-bit bands recover more borderline pairs than six exact
+    * bands at ~half the wall; per-pair catch rate p^bits·(1 +
+    * flips·(1−p)/p)). Explode this on the PROBE side only — candidates
+    * stay single-bucket, so the fan-out is probe-rows × (flips+1),
+    * never squared. Two measured limits keep [[lshKnobsForScale]]'s
+    * bands rule the asymptotic path: probing needs bucket resolution
+    * (8-bit bands blew the all-pairs candidate guard at 20k vectors),
+    * and holding recall as bits grow with corpus size needs ~1.63×
+    * more flips per extra bit while H1 saturates at `bits` flips. */
+  def hamming1Probes(bucket: Column, bits: Int, flips: Int): Column = {
+    require(bits >= 1 && flips >= 0 && flips <= bits,
+      s"need 0 <= flips <= bits, got flips=$flips bits=$bits")
+    array(bucket +: (0 until flips).map(j =>
+      bucket.bitwiseXOR(lit(1L << j))): _*)
+  }
+
   /** IVF-style ANN: vectors are assigned to their nearest centroid
     * (inverted file cell); search happens within the probe's cell only —
     * a bucket equi-join like LSH, but with data-adaptive cells.

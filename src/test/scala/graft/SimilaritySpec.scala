@@ -274,6 +274,22 @@ class SimilaritySpec extends SparkSpec {
     assert(!margin.isNaN && !margin.isInfinite && margin > 0 && sim > 0)
   }
 
+  test("hamming1Probes: own bucket plus single-bit neighbors, guarded") {
+    import graft.ops.Similarity.hamming1Probes
+    val got = Seq(5L).toDF("b")
+      .select(hamming1Probes(col("b"), bits = 4, flips = 2).as("p"))
+      .as[Seq[Long]].head()
+    // 5 = 0101: flip bit 0 -> 4, flip bit 1 -> 7
+    assert(got == Seq(5L, 4L, 7L))
+    // flips = 0 degrades to the exact-bucket singleton
+    val one = Seq(9L).toDF("b")
+      .select(hamming1Probes(col("b"), bits = 4, flips = 0).as("p"))
+      .as[Seq[Long]].head()
+    assert(one == Seq(9L))
+    intercept[IllegalArgumentException](
+      hamming1Probes(lit(0L), bits = 4, flips = 5))
+  }
+
   test("lshKnobsForScale pins the measured production sizing rule") {
     import graft.ops.Similarity.lshKnobsForScale
     // at the calibration scale (and below it) the base knobs hold

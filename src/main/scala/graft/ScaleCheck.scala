@@ -333,6 +333,49 @@ object ScaleCheck {
       ops.Graph.representatives(scored4, "node", "cluster", "nrm").count()
     }
 
+    // 2e. the IVF-CELL candidate generator (round 18, judge r17 top
+    // task): data-adaptive k-means cells instead of hash buckets.
+    // The bands rule (2d) holds recall at a measured wall slope of 1.82
+    // — exactly bands×rows, N^1.8 end to end — because EVERY vector
+    // hashes every added band. IVF pays a different bill: assignment is
+    // N·k native cosines (one fused loop per row via IvfTopCells — the
+    // HOF array_sort comparator would be O(k log k) INTERPRETED evals
+    // per row at k = √N) and candidates are within-cell pairs
+    // (~N²·nProbe²/k). With ivfKnobsForScale's k ∝ √N both sides grow
+    // as N^1.5 arithmetic with tiny constants; the measured slope and
+    // the cluster count vs the 2d row at each scale are the round's
+    // deliverable (PERF.md r18): recall held means cluster count ≤ the
+    // bands row's (more true pairs merged), near-linear means slope
+    // ≤ ~1.2.
+    time("dedup_ann_ivf_e2e scaled-knobs") {
+      val nVec = 2000L * scaleX
+      val (k, nProbe) = ops.Similarity.ivfKnobsForScale(
+        nVectors = nVec, refVectors = 20000L)
+      val e = emb10.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val cents = ops.Similarity.kmeansCentroids(e, "vec_id", "v",
+        k = k, iters = 3, assignNative = true)
+      val assigned = ops.Similarity.ivfAssignNative(e, "v", cents,
+        nProbe = nProbe).select(col("centroid_id"), col("vec_id"))
+      val cand = assigned.select(col("centroid_id"), col("vec_id").as("id_a"))
+        .join(assigned.select(col("centroid_id"), col("vec_id").as("id_b")),
+          Seq("centroid_id"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+      require(cand.count() < nVec * nVec / 2 / 50,
+        "candidate volume looks all-pairs under IVF cells")
+      val pairs = cand
+        .join(e.select(col("vec_id").as("id_a"), col("v").as("va")), "id_a")
+        .join(e.select(col("vec_id").as("id_b"), col("v").as("vb")), "id_b")
+        .filter(round(ops.Similarity.cosine(col("va"), col("vb")), 3) >= 0.35)
+        .select("id_a", "id_b")
+      val labeled5 = ops.Graph.connectedComponents(pairs, "id_a", "id_b")
+      val scored5 = labeled5.join(e.select(col("vec_id").as("node"),
+        round(sqrt(aggregate(col("v"), lit(0.0d),
+          (acc, x) => acc + x * x)), 6).as("nrm")), "node")
+      ops.Graph.representatives(scored5, "node", "cluster", "nrm").count()
+    }
+
     // 3. full OSM-shift monitor pipeline at 6M lineitem rows
     time("monitor_osm_shift (6M rows)") {
       val lamp = lineitem10.filter(col("l_linenumber") <= 2)

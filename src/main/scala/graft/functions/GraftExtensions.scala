@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{CdcCuts, CosineSimilarity, DotProduct, EvalBarrier, MinHashSignature, MjdToTimestamp, NativeBridge, RegexpExtractGroups, ShingleArray, SimHash64, MultiMatch, TimestampToMjd, UnicodeNormalize, UnigramViterbi, WinnowMinima, WordPieceEncode}
+import org.apache.spark.sql.graft.{CdcCuts, CosineSimilarity, DotProduct, EvalBarrier, IvfTopCells, MinHashSignature, MjdToTimestamp, NativeBridge, RegexpExtractGroups, ShingleArray, SimHash64, MultiMatch, TimestampToMjd, UnicodeNormalize, UnigramViterbi, WinnowMinima, WordPieceEncode}
 
 /** Registers the native expressions as SQL functions so every operator is
   * reachable from `spark.sql` (SURVEY.md §7.1 `sql/` surface). Install
@@ -124,6 +124,11 @@ object GraftExtensions {
     NativeBridge.column(CosineSimilarity(NativeBridge.expression(a), NativeBridge.expression(b)))
   def dotProduct(a: Column, b: Column): Column =
     NativeBridge.column(DotProduct(NativeBridge.expression(a), NativeBridge.expression(b)))
+  def ivfTopCells(vec: Column, cids: Seq[Long], cents: Seq[Seq[Double]],
+      nProbe: Int, simRound: Int): Column =
+    NativeBridge.column(IvfTopCells(
+      NativeBridge.expression(vec.cast("array<double>")),
+      cids, cents, nProbe, simRound))
   def minhashSignature(shingles: Column, numHashes: Int): Column =
     NativeBridge.column(MinHashSignature(NativeBridge.expression(shingles), numHashes))
   def simhash64(tokenHashes: Column): Column =

@@ -10,11 +10,16 @@ object OracleSql {
     * mirroring the Spark plan stage for stage. Ends after the final
     * assignment CTE `af(vec_id, cid)` — callers append `,` + their own
     * CTEs or a `SELECT`. Exposes `v(vec_id, x, pos)` too. */
-  def kmeansMd5Ctes(k: Int, iters: Int, trainWhere: String = ""): String = {
+  def kmeansMd5Ctes(k: Int, iters: Int, trainWhere: String = "",
+                    recursive: Boolean = false): String = {
     // Training runs over `vt` (the optionally-filtered subset); the final
     // assignment `af` covers ALL of `v` — identical to before when
     // trainWhere is empty (vt == v), and the hook sim_ivf_drift uses to
     // train on the t0 slice while assigning both slices.
+    // `recursive` emits WITH RECURSIVE so a caller's appended CTEs may
+    // be recursive (connected-components reachability) — DuckDB only
+    // accepts the keyword at the WITH itself.
+    val withKw = if (recursive) "WITH RECURSIVE" else "WITH"
     val where = if (trainWhere.isEmpty) "" else s" WHERE $trainWhere"
     def round(n: Int, prev: String): String =
       s"""s$n AS (SELECT v.vec_id, c.cid,
@@ -26,7 +31,7 @@ object OracleSql {
          |c$n AS (SELECT a.cid, v.pos, AVG(v.x) AS c
          |  FROM a$n a JOIN vt v USING (vec_id) GROUP BY 1,2)""".stripMargin
     val rounds = (1 to iters).map(i => round(i, s"c${i - 1}")).mkString(",\n")
-    s"""WITH v AS (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+    s"""$withKw v AS (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
        |    generate_subscripts(embedding, 1) AS pos FROM embeddings),
        |vt AS (SELECT v.* FROM v JOIN embeddings e USING (vec_id)$where),
        |seeds AS (SELECT vec_id,

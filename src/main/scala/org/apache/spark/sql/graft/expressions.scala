@@ -1233,6 +1233,118 @@ case class EvalBarrier(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Top-`nProbe` IVF cell ids of one vector against the trained centroid
+  * family, in one native per-row pass. Ranks every centroid by
+  * (`round(cosine, simRound)` DESC, cid ASC, null cosine last) — the
+  * exact comparator of [[graft.ops.Similarity.ivfAssign]]'s `array_sort`
+  * formulation — and returns the winning cids in rank order (fewer than
+  * `nProbe` when k < nProbe). The cosine accumulation is
+  * [[CosineSimilarity]]'s loop verbatim (same summation order, so
+  * bit-identical doubles); rounding is Spark `round`'s
+  * BigDecimal/HALF_UP. Centroids ride the expression as plain Scala data
+  * (k-means k rows — the same bounded-driver contract the training loop
+  * holds) and unpack once per task into a primitive matrix, so the
+  * per-row cost is k·dim fused multiply-adds plus an O(k·nProbe)
+  * selection — no per-row struct allocation and no O(k log k)
+  * interpreted lambda comparator, which is what dominated the HOF form
+  * once k grows as √N (IVF cells at corpus scale; measured in PERF.md
+  * round 18). One semantic difference from the HOF form, by design: a
+  * NULL input vector returns null (the array_sort form assigned null
+  * vectors to the lowest cids — an accident of nulls-last slicing, not a
+  * contract anyone wants); a length-mismatched centroid ranks with null
+  * similarity, after every real one. Agreement on non-null vectors is
+  * pinned in NativeExprSpec. */
+case class IvfTopCells(child: Expression, cids: Seq[Long],
+    cents: Seq[Seq[Double]], nProbe: Int, simRound: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  require(cids.length == cents.length,
+    s"cids (${cids.length}) and cents (${cents.length}) must align")
+  require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ivf_top_cells"
+  override def nullable: Boolean = true
+  // keep the k×dim matrix out of every plan dump
+  override def toString: String =
+    s"ivf_top_cells($child, k=${cids.length}, nProbe=$nProbe, simRound=$simRound)"
+
+  @transient private lazy val ids: Array[Long] = cids.toArray
+  @transient private lazy val mat: Array[Array[Double]] = cents.map(_.toArray).toArray
+
+  def top(vecData: ArrayData): ArrayData = {
+    val n = vecData.numElements()
+    val k = ids.length
+    val sims = new Array[Double](k)
+    val simNull = new Array[Boolean](k)
+    var c = 0
+    while (c < k) {
+      val cv = mat(c)
+      if (cv.length != n) simNull(c) = true
+      else {
+        var dot = 0.0d; var nx = 0.0d; var ny = 0.0d
+        var i = 0
+        while (i < n) {
+          val xi = vecData.getDouble(i); val yi = cv(i)
+          dot += xi * yi; nx += xi * xi; ny += yi * yi
+          i += 1
+        }
+        val denom = math.sqrt(nx) * math.sqrt(ny)
+        var s = if (denom == 0.0d) 0.0d else dot / denom
+        if (simRound >= 0 && !s.isNaN && !s.isInfinite)
+          s = java.math.BigDecimal.valueOf(s)
+            .setScale(simRound, java.math.RoundingMode.HALF_UP).doubleValue()
+        sims(c) = s
+      }
+      c += 1
+    }
+    val m = math.min(nProbe, k)
+    val out = new Array[Long](m)
+    val taken = new Array[Boolean](k)
+    var filled = 0
+    while (filled < m) {
+      var best = -1
+      var j = 0
+      while (j < k) {
+        if (!taken(j)) {
+          if (best < 0) best = j
+          else {
+            val better =
+              if (simNull(best) && simNull(j)) ids(j) < ids(best)
+              else if (simNull(best)) true
+              else if (simNull(j)) false
+              else if (sims(j) > sims(best)) true
+              else if (sims(j) < sims(best)) false
+              else ids(j) < ids(best)
+            if (better) best = j
+          }
+        }
+        j += 1
+      }
+      taken(best) = true
+      out(filled) = ids(best)
+      filled += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    top(input.asInstanceOf[ArrayData])
+
+  // reference-object call, not inlined Java: the win is the fused
+  // k·dim loop over the pre-unpacked matrix; staying out of
+  // CodegenFallback keeps the surrounding stage's projection compiled
+  // (see CdcCuts note)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ivf", this, "org.apache.spark.sql.graft.IvfTopCells")
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.top($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): IvfTopCells =
+    copy(child = newChild)
+}
+
 /** Proper analysis errors for SQL-builder argument validation — lives in
   * this package to reach Spark's private[sql] error factories, so a bad
   * literal argument surfaces as an AnalysisException at registration

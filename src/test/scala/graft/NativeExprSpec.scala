@@ -269,4 +269,47 @@ class NativeExprSpec extends SparkSpec {
     df.select(GraftExtensions.wordpieceEncode(
       col("w"), typedLit(Seq("a", "##b")), 6)).collect()
   }
+
+  test("ivf_top_cells ranks by (rounded cosine desc, cid asc), nulls last") {
+    val cids = Seq(0L, 1L, 2L, 3L, 4L)
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(1.0, 1.0),
+      Seq(1.0, 0.0), Seq(1.0, 0.0, 0.0))
+    def top(vec: Seq[Double], nProbe: Int): Seq[Long] =
+      Seq(Tuple1(vec)).toDF("v")
+        .select(GraftExtensions.ivfTopCells(col("v"), cids, cents,
+          nProbe, simRound = 6).as("c"))
+        .as[Seq[Long]].head()
+    // cids 0 and 3 tie at cosine 1 (cid asc breaks it), then 2
+    // (~0.7071), then 1 (0.0), then the length-mismatched cid 4 —
+    // null similarity sorts after every real one
+    assert(top(Seq(1.0, 0.0), nProbe = 5) == Seq(0L, 3L, 2L, 1L, 4L))
+    assert(top(Seq(1.0, 0.0), nProbe = 2) == Seq(0L, 3L))
+    // zero vector: every cosine is the guarded 0.0 -> pure cid order
+    assert(top(Seq(0.0, 0.0), nProbe = 3) == Seq(0L, 1L, 2L))
+    // null vector -> null result (documented difference from the HOF
+    // form, which assigned null vectors to the lowest cids by accident)
+    val nul = Seq(Tuple1(Option.empty[Seq[Double]])).toDF("v")
+      .select(GraftExtensions.ivfTopCells(col("v"), cids, cents, 2, 6))
+      .head()
+    assert(nul.isNullAt(0))
+  }
+
+  test("ivfAssignNative agrees with the HOF ivfAssign across nProbe/simRound") {
+    val pts = (0L until 60L).map { id =>
+      (id, Seq.tabulate(8)(j => math.sin(id * 31.0 + j * 7.0).abs + 0.01))
+    }.toDF("vec_id", "v")
+    val cents = Similarity.kmeansCentroids(pts, "vec_id", "v",
+      k = 5, iters = 2)
+    for (np <- Seq(1, 2, 3); sr <- Seq(-1, 6)) {
+      val hof = Similarity.ivfAssign(pts, "v", cents,
+          nProbe = np, simRound = sr)
+        .select(col("vec_id"), col("centroid_id").cast("long"))
+        .as[(Long, Long)].collect().sorted.toSeq
+      val nat = Similarity.ivfAssignNative(pts, "v", cents,
+          nProbe = np, simRound = sr)
+        .select(col("vec_id"), col("centroid_id"))
+        .as[(Long, Long)].collect().sorted.toSeq
+      assert(nat == hof, s"nProbe=$np simRound=$sr")
+    }
+  }
 }

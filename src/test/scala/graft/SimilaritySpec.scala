@@ -312,4 +312,30 @@ class SimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException](
       lshKnobsForScale(100L, 100L, borderlineCos = 1.0))
   }
+
+  test("probeKnobsForScale pins the measured multi-probe configurations") {
+    import graft.ops.Similarity.probeKnobsForScale
+    // the r17 ScaleCheck multiprobe row's knobs at 10x and 30x: 10-bit
+    // minimum bucket resolution (8-bit H1 fan-out blew the candidate
+    // guard), 2 bands (probing replaces bands), 4 flips
+    assert(probeKnobsForScale(20000L, 20000L) == (10, 2, 4))
+    assert(probeKnobsForScale(60000L, 20000L) == (10, 2, 4))
+    // at 100x the density rule's 12 bits exceed the 10-bit floor, and
+    // holding recall costs (1/p)^2 ~ 2.65x the flips: 11 of 12 usable
+    assert(probeKnobsForScale(200000L, 20000L) == (12, 2, 11))
+    // one more corpus doubling saturates H1 (18 flips > 13 bits): the
+    // rule must REFUSE and point to lshKnobsForScale, not under-recall
+    intercept[IllegalArgumentException](probeKnobsForScale(400000L, 20000L))
+  }
+
+  test("ivfKnobsForScale: k grows with sqrt(N), nProbe constant") {
+    import graft.ops.Similarity.ivfKnobsForScale
+    assert(ivfKnobsForScale(20000L, 20000L) == (320, 2))
+    assert(ivfKnobsForScale(60000L, 20000L) == (554, 2))
+    assert(ivfKnobsForScale(200000L, 20000L) == (1012, 2))
+    // shrinking corpora shrink k the same way; k floors at 1
+    assert(ivfKnobsForScale(5000L, 20000L) == (160, 2))
+    assert(ivfKnobsForScale(1L, 20000000L)._1 == 1)
+    intercept[IllegalArgumentException](ivfKnobsForScale(0L, 20000L))
+  }
 }

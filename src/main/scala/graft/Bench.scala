@@ -449,10 +449,12 @@ object Bench {
     // nothing). Un-floored queries are never demoted — a new query
     // must be measured (the isCore rule) — and run FIRST so the clock
     // cannot strand them behind expensive floors; floor-ed queries
-    // follow SLOWEST-floor-first, matching the pre-warm order: the
-    // expensive queries are the numbers the judge reads closely (and
-    // the >3×-floor outlier logic targets), so they get the clock's
-    // best window and what demotes under pressure is the mid tail.
+    // follow OLDEST-measured-first (slowest-floor tie-break) since the
+    // r17 floor-age rotation below — whatever window the clock grants
+    // rotates across the registry instead of re-measuring the same
+    // slow head every round, and the >3×-floor outlier logic plus the
+    // warm-pair queue still give mis-measured expensive queries a
+    // second sample.
     val reserveSec =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_RESERVE", "20").toDouble
     // ── Floor-age rotation (judge r16 task 3) ──
@@ -557,26 +559,52 @@ object Bench {
     val cappedBuf = scala.collection.mutable.ArrayBuffer.empty[String]
     val pass1Buf =
       scala.collection.mutable.ArrayBuffer.empty[(String, (Boolean, Double))]
+    // ── Budget-fit admission, both lines (judge r17 task 2) ──
+    // BENCH_r17 read 309.7 s against its 300 s box: every admission is
+    // checked against CURRENT elapsed, so past overruns consume
+    // admission room — the only way past the line is the FINAL admitted
+    // query's actual exceeding its 1.3×ratio×floor prediction, which the
+    // watchdog bounds only at capRatio×ratio×floor (6× the prediction).
+    // Admission now requires BOTH lines to fit: the prediction against
+    // budget−reserve (the normal line, unchanged behavior) AND the
+    // query's WATCHDOG CAP against budget−capTail — so even a query the
+    // watchdog has to kill lands inside the budget, at any contention.
+    // The cap line only binds near the end of the clock; what it costs
+    // is demoting the last few mid-tail floors a 6×-lucky run would
+    // have squeezed in. Mandatory spend (pre-warm + un-floored new
+    // queries, which are never demoted) is tracked as mandatory_s in
+    // the artifact: if mandatory work alone exceeds the budget, the
+    // artifact names exactly which spend consumed the excess.
+    val capTailSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_CAP_TAIL", "5").toDouble
+    var mandatoryNewSec = 0.0
+    // burned wall of watchdog-capped queries, reported separately and
+    // EXCLUDED from the contention estimate (advisor r17): a capped
+    // query is the pathological-amplification class the cap exists for
+    // — folding its 8×ratio×floor burn into observedRatio would let one
+    // pathology cascade demotions of honest remaining floors
+    var capBurnedSec = 0.0
     pass1Order.foreach { case (name, fn) =>
       val floor = ledger.get(name)
+      def capSecOf(fl: Double): Double =
+        math.max(capMinSec, capRatio * math.max(observedRatio, 1.0) * fl)
       val fits = floor.forall(fl =>
-        elapsedSec + 1.3 * observedRatio * fl <= budgetSec - reserveSec)
+        elapsedSec + 1.3 * observedRatio * fl <= budgetSec - reserveSec &&
+          elapsedSec + capSecOf(fl) <= budgetSec - capTailSec)
       if (governorOn && floor.isDefined && !fits) {
         System.err.println(f"pass-1 demoted $name at ${elapsedSec}%.1f s " +
           f"(floor ${floor.get}%.2f s, observed ratio $observedRatio%.2f)")
         demotedBuf += ((name, fn))
       } else if (governorOn && floor.isDefined) {
         val fl = floor.get
-        val capSec =
-          math.max(capMinSec, capRatio * math.max(observedRatio, 1.0) * fl)
+        val capSec = capSecOf(fl)
         val (ok, t, capped) = timeOneCapped(name, fn, capSec)
         if (capped) {
           System.err.println(f"pass-1 CAPPED $name at $t%.1f s " +
             f"(floor $fl%.2f s, cap $capSec%.1f s) — demoted to floor")
           cappedBuf += name
           demotedBuf += ((name, fn))
-          // the burned wall is real contention evidence (a lower bound)
-          obsNum += t; obsDen += fl
+          capBurnedSec += t
         } else {
           pass1Buf += (name -> ((ok, t)))
           // successes only (advisor r16): a FAST FAILURE would deflate
@@ -586,6 +614,12 @@ object Bench {
       } else {
         val r = timeOne(name, fn)
         pass1Buf += (name -> r)
+        if (floor.isEmpty) mandatoryNewSec += r._2
+        // ungoverned WRITE_LEDGER runs keep feeding the estimator for
+        // floor-ed successes (advisor r17): diagnostic-only there, but
+        // it keeps pass1_ratio a MEASURED contention index in quiet
+        // ledger-refresh artifacts instead of the blended prior
+        if (r._1) floor.foreach { fl => obsNum += r._2; obsDen += fl }
       }
     }
     capTimer.cancel()
@@ -765,6 +799,26 @@ object Bench {
       val a = if (measuredThisRun(n)) 0L else math.min(floorAge(n), 999999L)
       "\"" + n + "\":" + a
     }.mkString("{", ",", "}")
+    // ── Max-age contract (judge r17 task 5) ──
+    // Rotation alone cannot bound staleness: on a contended box the
+    // clock may grant only a handful of measurements per run, so a
+    // floor can still ride unmeasured for many rounds. Any floor older
+    // than SPARK_GRAFT_BENCH_MAX_AGE full runs (default 4) is counted
+    // in the artifact (stale_floors / stale_floor_names) and named on
+    // stderr — the operational contract is that a nonzero count
+    // triggers a quiet WRITE_LEDGER refresh at round close (which
+    // stamps every measured floor to the current run; min-merge keeps
+    // the quiet truth).
+    val maxAgeRuns =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_AGE", "4").toLong
+    val staleFloors = allNames.collect { case (n, _)
+      if !measuredThisRun(n) && ledger.contains(n) &&
+        floorAge(n) > maxAgeRuns => n }
+    if (staleFloors.nonEmpty)
+      System.err.println(s"stale floors (age > $maxAgeRuns runs): " +
+        s"${staleFloors.size} — refresh with a quiet WRITE_LEDGER pass: " +
+        staleFloors.take(8).mkString(", ") +
+        (if (staleFloors.size > 8) ", …" else ""))
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errs,""" +
       s""""pass_totals":$passJson,"noise_ratio":$noiseJson,""" +
       s""""noise_basis":"pass1_vs_compile_free",""" +
@@ -796,6 +850,13 @@ object Bench {
       s""""capped":${cappedBuf.size},""" +
       s""""capped_queries":$cappedJson,""" +
       s""""cap_ratio":${num(capRatio, 1)},""" +
+      // mandatory spend outside the governor's discretion (pre-warm
+      // actuals + un-floored new queries, which are never demoted): if
+      // wall_s exceeds budget_s, this names what consumed the excess
+      s""""mandatory_s":${num(prewarmSec + mandatoryNewSec, 1)},""" +
+      // burned wall of watchdog-capped queries — excluded from
+      // pass1_ratio (advisor r17), reported here instead
+      s""""cap_burned_s":${num(capBurnedSec, 1)},""" +
       s""""ledger_age_run":$curRun,""" +
       s""""floor_age":$floorAgeJson,""" +
       s""""pass1_ratio":${num(observedRatio, 3)},""" +
@@ -844,10 +905,14 @@ object Bench {
         val ageJson = (Seq("\"run\":" + curRun) ++
           stamped.map { case (k, v) => "\"" + k + "\":" + v })
           .mkString("{", ",", "}\n")
-        java.nio.file.Files.write(java.nio.file.Paths.get(
-            if (new java.io.File(agePath).isAbsolute ||
-              new java.io.File(agePath).isFile) agePath
-            else "bench_ledger_age.json"),
+        // write agePath UNCONDITIONALLY (advisor r17): the old
+        // isAbsolute/isFile conditional redirected a relative
+        // not-yet-existing path to CWD while READS kept targeting
+        // agePath — the configured file was never created and the
+        // rotation silently degenerated to slowest-floor-first
+        val ageFile = new java.io.File(agePath)
+        Option(ageFile.getParentFile).foreach(_.mkdirs())
+        java.nio.file.Files.write(ageFile.toPath,
           ageJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         System.err.println(s"age file written (run $curRun, " +
           s"${stamped.size} stamps)")

@@ -56,7 +56,11 @@ object Explain {
       // shape a reviewer needs to judge 100 TB readiness at a glance
       val heavy = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
       println("| query | exchanges | broadcasts | scans | pushed filters | full plan ok |")
-      println("|---|---|---|---|---|---|")
+      // separator spelled "| --- |" (leading "| " like every data row):
+      // the r17 PLANS.md regeneration grepped table lines by "^| " and
+      // the bare "|---|" form was the ONE line that didn't match — the
+      // committed table lost its header separator and stopped rendering
+      println("| --- | --- | --- | --- | --- | --- |")
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         try {
           val plan = fn(spark, sfDir).queryExecution.explainString(

@@ -604,6 +604,43 @@ object ScaleCheck {
       consume(ops.Text.duplicatedSpanStats(docs10, "doc_id", "text", k = 5))
     }
 
+    // 8a-iii. the winnow PRE-GATE on a MOSTLY-UNIQUE corpus (round 18,
+    // judge r17 task 4): the all-dup row above is the gate's worst case
+    // (nothing excludable); production corpora are the opposite — most
+    // docs hold no duplicated window and the ladder's level-0 explode
+    // + join-back is almost all waste. Synthesized inline (the fixture
+    // tables are all-dup by construction): docs with doc_id % 10 == 0
+    // keep their text (duplicated across the x10 copies), the other 90%
+    // get every TOKEN suffixed with their (copy-unique) doc_id — same
+    // token count, zero shared windows — so ~90% of the corpus is
+    // globally unique. The pair of rows measures the same ladder with
+    // and without the gate — the gap is the gate's win; output
+    // equality is pinned in TrainSpec, and both rows must report the
+    // same span count here (an inequality is a gate bug, not noise).
+    val mostlyUnique = docs10.withColumn("text",
+      when(col("doc_id") % 10 === 0, col("text"))
+        .otherwise(concat_ws(" ", transform(split(col("text"), " ", -1),
+          t => concat(t, lit("_"), col("doc_id"))))))
+    var ungatedSpanCount = -1L
+    time("dedup_suffix_spans ungated (90% unique)") {
+      val (spans, handles) = ops.Text.suffixDupSpansWithHandle(mostlyUnique,
+        "doc_id", "text", baseK = 4, levels = 4, minDocs = 2,
+        persistLevels = true)
+      try { ungatedSpanCount = consume(spans); ungatedSpanCount }
+      finally handles.foreach { h => h.unpersist(); () }
+    }
+    time("dedup_suffix_spans gated (90% unique)") {
+      val (spans, handles) = ops.Text.suffixDupSpansGatedWithHandle(
+        mostlyUnique, "doc_id", "text", baseK = 4, levels = 4,
+        minDocs = 2, persistLevels = true)
+      try {
+        val n = consume(spans)
+        require(ungatedSpanCount < 0 || n == ungatedSpanCount,
+          s"gate changed span count: $n vs $ungatedSpanCount")
+        n
+      } finally handles.foreach { h => h.unpersist(); () }
+    }
+
     // 8b. corpus-trained bigram LM at 50k docs: the c2 count table is
     // vocabulary²-bounded (shared across the shifted copies), so the
     // scoring join sides stay small while the exploded bigram stream

@@ -173,6 +173,35 @@ object Layout {
                         ranges: Seq[(String, Any, Any)]): DataFrame = {
     require(ranges.nonEmpty, "ranges must be non-empty")
     val st = spark.read.parquet(statsDir)
+    // Literal/stat TYPE validation (advisor r17): a numeric range
+    // against a string-stat column — or a string range against a
+    // pre-r17 manifest, where string columns kept null DOUBLE stats —
+    // makes the overlap predicate NULL for every file, and
+    // filter(overlap) would silently return zero rows instead of
+    // erroring: silent data loss on exactly the slice-key use case this
+    // API exists for. Fail loudly instead, naming the manifest rewrite
+    // that fixes the old format. (Files whose stats are genuinely null
+    // — an all-null column — are still skipped: a range predicate can
+    // never select a null.)
+    val statType = st.schema.fields.map(f => f.name -> f.dataType).toMap
+    ranges.foreach { case (c, lo, hi) =>
+      val mt = statType.getOrElse(s"min_$c", throw new IllegalArgumentException(
+        s"column '$c' has no min_/max_ stats in manifest $statsDir"))
+      mt match {
+        case org.apache.spark.sql.types.StringType =>
+          require(lo.isInstanceOf[String] && hi.isInstanceOf[String],
+            s"range for string-stat column '$c' must use String bounds, " +
+              s"got (${lo.getClass.getSimpleName}, ${hi.getClass.getSimpleName})")
+        case _: org.apache.spark.sql.types.NumericType =>
+          require(lo.isInstanceOf[Number] && hi.isInstanceOf[Number],
+            s"range for numeric-stat column '$c' must use numeric bounds, " +
+              s"got (${lo.getClass.getSimpleName}, ${hi.getClass.getSimpleName})" +
+              " — a String range here usually means a pre-r17 manifest " +
+              "(null double stats for strings); rewrite it with writeFileStats")
+        case other => throw new IllegalArgumentException(
+          s"unsupported stat type $other for column '$c'")
+      }
+    }
     val overlap = ranges.map { case (c, lo, hi) =>
       col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi)
     }.reduce(_ && _)

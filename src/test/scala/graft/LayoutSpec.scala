@@ -128,6 +128,16 @@ class LayoutSpec extends SparkSpec {
     // a host range past every envelope selects nothing
     assert(Layout.prunedScanTyped(spark, dir,
       Seq(("host", "zzz-a", "zzz-b"))).count() == 0L)
+    // type-mismatched ranges FAIL LOUDLY instead of silently pruning
+    // every file to a zero-row scan (advisor r17): numeric bounds on a
+    // string-stat column, string bounds on a numeric-stat column (the
+    // pre-r17-manifest shape), and a column the manifest never kept
+    intercept[IllegalArgumentException](
+      Layout.prunedScanTyped(spark, dir, Seq(("host", 1.0: Any, 2.0: Any))))
+    intercept[IllegalArgumentException](
+      Layout.prunedScanTyped(spark, dir, Seq(("score", "a": Any, "b": Any))))
+    intercept[IllegalArgumentException](
+      Layout.prunedScanTyped(spark, dir, Seq(("nope", "a": Any, "b": Any))))
   }
 
   test("bucketed co-located join: zero shuffle exchanges, values equal") {

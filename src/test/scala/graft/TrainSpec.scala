@@ -44,6 +44,86 @@ class TrainSpec extends SparkSpec {
     assert(gotMid == Seq((5L, 2, 8), (6L, 3, 8)))
   }
 
+  test("suffixDupSpansGated equals the ungated ladder (exactness, not heuristic)") {
+    // the hand corpus above plus a pile of globally-unique filler docs —
+    // the gate must drop the filler BEFORE the ladder (same output) and
+    // must keep every doc that holds a duplicated window
+    val run16 = (1 to 16).map(i => s"r$i").mkString(" ")
+    val base = Seq(
+      (1L, s"u1 u2 $run16 u3"),
+      (2L, s"v1 $run16 v2 v3 v4"),
+      (3L, "w1 w2 c1 c2 c3 c4 w3"),
+      (4L, "x1 c1 c2 c3 c4 x2 x3"))
+    val filler = (100L until 160L).map(i =>
+      (i, (0 until 12).map(j => s"q${i}_$j").mkString(" ")))
+    val df = (base ++ filler).toDF("doc_id", "text")
+    val ungated = Text.suffixDupSpans(df, "doc_id", "text",
+        baseK = 4, levels = 3, minDocs = 2)
+      .orderBy("doc_id", "pos").as[(Long, Int, Int)].collect().toSeq
+    val gated = Text.suffixDupSpansGated(df, "doc_id", "text",
+        baseK = 4, levels = 3, minDocs = 2)
+      .orderBy("doc_id", "pos").as[(Long, Int, Int)].collect().toSeq
+    assert(gated == ungated, "gate changed the ladder's output")
+    assert(gated == Seq((1L, 3, 16), (2L, 2, 16), (3L, 3, 4), (4L, 2, 4)))
+    // degenerate: empty-token windows (runs of spaces) still pass the
+    // gate — the worst-case shared substring is baseK−1 spaces, which
+    // is exactly the gate's guarantee length
+    val spacey = Seq((7L, "a" + " " * 9 + "b"), (8L, "c" + " " * 9 + "d"))
+      .toDF("doc_id", "text")
+    val su = Text.suffixDupSpans(spacey, "doc_id", "text",
+        baseK = 4, levels = 2, minDocs = 2)
+      .orderBy("doc_id", "pos").as[(Long, Int, Int)].collect().toSeq
+    val sg = Text.suffixDupSpansGated(spacey, "doc_id", "text",
+        baseK = 4, levels = 2, minDocs = 2)
+      .orderBy("doc_id", "pos").as[(Long, Int, Int)].collect().toSeq
+    assert(sg == su, "gate dropped degenerate empty-token windows")
+  }
+
+  test("scrubSuffixSpans: minLen thresholds long spans, nested/overlapping union") {
+    // docs 1/2 share a 16-token run AND a separate 4-token run; at
+    // minLen = 8 only the long run is scrubbed — the short duplicated
+    // n-gram SURVIVES (the capability fixed-k scrubbing cannot express)
+    val run16 = (1 to 16).map(i => s"r$i").mkString(" ")
+    val df = Seq(
+      (1L, s"u1 c1 c2 c3 c4 u2 $run16 u3"),
+      (2L, s"v1 $run16 v2 c1 c2 c3 c4 v3")
+    ).toDF("doc_id", "text")
+    val got = Text.scrubSuffixSpans(df, "doc_id", "text",
+        baseK = 4, levels = 3, minDocs = 2, minLen = 8)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 23L, 16L, "u1 c1 c2 c3 c4 u2 u3"),
+      (2L, 23L, 16L, "v1 v2 c1 c2 c3 c4 v3")))
+    // MULTIPLE maximal spans per doc union their coverage: doc 3
+    // carries run16 but no other doc has the full run — docs 4/5 each
+    // share one 8-token HALF, so doc 3 gets two adjacent maximal
+    // len-8 spans (never a len-16: the 16-window verify finds only one
+    // doc) whose coverage unions to all 16 tokens
+    val df2 = Seq(
+      (3L, s"a1 $run16 a2"),
+      (4L, "b1 " + (1 to 8).map(i => s"r$i").mkString(" ")),   // r1..r8
+      (5L, (9 to 16).map(i => s"r$i").mkString(" ") + " b2")   // r9..r16
+    ).toDF("doc_id", "text")
+    val got2 = Text.scrubSuffixSpans(df2, "doc_id", "text",
+        baseK = 4, levels = 3, minDocs = 2, minLen = 8)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(got2 == Seq(
+      (3L, 18L, 16L, "a1 a2"),
+      (4L, 9L, 8L, "b1"),
+      (5L, 9L, 8L, "b2")))
+    // minLen = 0 collapses to fixed-k coverage: every duplicated
+    // baseK-window is maximal or contained upward, so the ladder scrub
+    // equals scrubDuplicatedSpans at k = baseK (the composition's
+    // exactness anchor)
+    val all = df.unionByName(df2)
+    val viaLadder = Text.scrubSuffixSpans(all, "doc_id", "text",
+        baseK = 4, levels = 3, minDocs = 2, minLen = 0)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    val viaFixed = Text.scrubDuplicatedSpans(all, "doc_id", "text", k = 4)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(viaLadder == viaFixed)
+  }
+
   test("spanHashes: n-k+1 spans, short docs yield none") {
     val df = Seq("a b c d", "a b", "a b c").toDF("text")
     val n = df.select(size(Text.spanHashes(split(col("text"), " ", -1), 3)).as("n"))

@@ -30,6 +30,15 @@ object RecallProbe {
       "/tmp/scalefix")
     val gens: Seq[String] =
       if (args.nonEmpty) args.toSeq else Seq("bands", "multiprobe", "ivf")
+    // SPARK_GRAFT_RECALL_TAU: the verify gate. 0.35 (default) matches
+    // the registry's historical near-dup gate — but the base corpus has
+    // a measured 0.21% BACKGROUND rate of >= 0.35 pairs among unrelated
+    // vectors, so at that gate true pair volume is TH(N^2 * 0.002) on
+    // any growing corpus and no generator can be near-linear at held
+    // recall. Production embedding dedup gates at ~0.9+ (SemDeDup),
+    // where background is ~zero and truth tracks the planted cluster
+    // structure — the regime the embeddings_d fixture measures.
+    val tau = sys.env.getOrElse("SPARK_GRAFT_RECALL_TAU", "0.35").toDouble
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -53,7 +62,7 @@ object RecallProbe {
     def verified(cand: DataFrame): DataFrame = cand
       .join(e.select(col("vec_id").as("id_a"), col("v").as("va")), "id_a")
       .join(e.select(col("vec_id").as("id_b"), col("v").as("vb")), "id_b")
-      .filter(round(ops.Similarity.cosine(col("va"), col("vb")), 3) >= 0.35)
+      .filter(round(ops.Similarity.cosine(col("va"), col("vb")), 3) >= tau)
       .select("id_a", "id_b")
 
     def report(tag: String, pairs: DataFrame, truthPairs: Long): Unit = {
@@ -67,7 +76,7 @@ object RecallProbe {
       p.unpersist(blocking = false)
       val t = (System.nanoTime() - t0) / 1e9
       val recall = if (truthPairs > 0) nPairs.toDouble / truthPairs else 1.0
-      println(f"[recall${scaleX}x $table] $tag%-12s pairs=$nPairs%10d  " +
+      println(f"[recall${scaleX}x $table tau=$tau%.2f] $tag%-12s pairs=$nPairs%10d  " +
         f"nodes=$nNodes%8d  clusters=$nClusters%6d  " +
         f"pairRecall=$recall%7.4f  ($t%6.1f s)")
     }
@@ -82,7 +91,7 @@ object RecallProbe {
     val truth = e.select(col("vec_id").as("id_a"), col("v").as("va"))
       .crossJoin(broadcast(e.select(col("vec_id").as("id_b"), col("v").as("vb"))))
       .filter(col("id_a") < col("id_b") &&
-        round(ops.Similarity.cosine(col("va"), col("vb")), 3) >= 0.35)
+        round(ops.Similarity.cosine(col("va"), col("vb")), 3) >= tau)
       .select("id_a", "id_b")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val truthPairs = truth.count()
@@ -90,7 +99,7 @@ object RecallProbe {
 
     if (gens.contains("bands")) {
       val (bb, nBands) = ops.Similarity.lshKnobsForScale(nVec, 20000L,
-        borderlineCos = 0.35)
+        borderlineCos = tau)
       val planes = ops.Similarity.portablePlanes(nBits = nBands * bb, dim = 64)
       val banded = e.select(col("vec_id"),
           explode(ops.Similarity.lshBands(col("v"), planes, bandBits = bb))
@@ -106,7 +115,8 @@ object RecallProbe {
     }
 
     if (gens.contains("multiprobe")) {
-      val (bb, nBands, flips) = ops.Similarity.probeKnobsForScale(nVec, 20000L)
+      val (bb, nBands, flips) = ops.Similarity.probeKnobsForScale(nVec, 20000L,
+        borderlineCos = tau)
       val planes = ops.Similarity.portablePlanes(nBits = nBands * bb, dim = 64)
       val banded = e.select(col("vec_id"),
           explode(ops.Similarity.lshBands(col("v"), planes, bandBits = bb))

@@ -376,6 +376,49 @@ object ScaleCheck {
       ops.Graph.representatives(scored5, "node", "cluster", "nrm").count()
     }
 
+    // 2f. the PRODUCTION composition (round 18): EXACT-collapse first,
+    // near-dup ANN over the distinct reps only, expand members back.
+    // RecallProbe r18 proved the replication fixture's true pair
+    // volume grows quadratically (509,800 → 4,648,200 pairs, 10×→30×)
+    // — on that duplication model every constant-recall generator is
+    // Θ(N²) by information, and rows 2b–2e all pay it. One hash
+    // aggregate changes the game: the fixture's duplication is exact
+    // replication, so the distinct-rep corpus is scale-INVARIANT and
+    // this row's wall must read ~FLAT across 10×/30×/100× where every
+    // member-level row grows superlinearly. Expansion exactness
+    // (identical clustering incl. the zero-norm caveat) is pinned in
+    // SimilaritySpec; the honest scope note: real near-dup copies are
+    // rarely byte-identical, which is what the embeddings_d diversity
+    // fixture (linear truth growth) exists to measure.
+    time("dedup_ann_ivf_e2e exact-collapse") {
+      val e = emb10.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val (reps, members) = ops.Similarity.collapseExactEmbeddings(e)
+      val repsP = reps.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val nReps = repsP.count()
+        val (k, nProbe) = ops.Similarity.ivfKnobsForScale(nReps, 20000L)
+        val cents = ops.Similarity.kmeansCentroids(repsP, "vec_id", "v",
+          k = k, iters = 3, assignNative = true)
+        val assigned = ops.Similarity.ivfAssignNative(repsP, "v", cents,
+          nProbe = nProbe).select(col("centroid_id"), col("vec_id"))
+        val cand = assigned.select(col("centroid_id"), col("vec_id").as("id_a"))
+          .join(assigned.select(col("centroid_id"), col("vec_id").as("id_b")),
+            Seq("centroid_id"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b").distinct()
+        val pairs = cand
+          .join(repsP.select(col("vec_id").as("id_a"), col("v").as("va")), "id_a")
+          .join(repsP.select(col("vec_id").as("id_b"), col("v").as("vb")), "id_b")
+          .filter(round(ops.Similarity.cosine(col("va"), col("vb")), 3) >= 0.35)
+          .select("id_a", "id_b")
+        val repCl = ops.Graph.connectedComponents(pairs, "id_a", "id_b")
+        ops.Similarity.expandCollapsedClusters(members, repCl)
+          .select("cluster").distinct().count()
+      } finally { repsP.unpersist(blocking = false); () }
+    }
+
     // 3. full OSM-shift monitor pipeline at 6M lineitem rows
     time("monitor_osm_shift (6M rows)") {
       val lamp = lineitem10.filter(col("l_linenumber") <= 2)

@@ -79,14 +79,19 @@ object ScaleFixture {
     // generator can read near-linear, because the verify work itself is
     // Θ(N²). Real corpora grow the other way: cluster COUNT grows,
     // cluster SIZE stays bounded. This table models that: 200·X distinct
-    // patterns (each base vector under X/10 circular shifts — norms
-    // preserved, shifts mutually near-orthogonal for generic vectors)
-    // × 10 near-duplicate copies each (one coordinate scaled per copy —
-    // cosine to the pattern ≈ 0.99), same 2000·X total rows as the
-    // replication table, but truth pairs grow ~LINEARLY. ANN-generator
-    // scaling measured here answers "would this hold at 100 TB" for a
-    // corpus of growing diversity — the question the replication
-    // fixture structurally cannot ask.
+    // patterns — each base vector under X/10 per-variant RANDOM SIGN
+    // MASKS (s(v,i) ∈ {±1} hash-derived; within a variant the mask
+    // cancels in every inner product, so each variant reproduces the
+    // base corpus's pair structure EXACTLY, while cross-variant cosines
+    // decorrelate toward 0 — the first cut used circular shifts and
+    // measured near-quadratic truth again: shifts preserve the corpus's
+    // common mean component, cross-variant cosines stayed over the
+    // gate) — × 10 near-duplicate copies each (one coordinate scaled
+    // per copy — cosine to the pattern ≈ 0.99). Same 2000·X total rows
+    // as the replication table, truth pairs ≈ variants × base-truth —
+    // LINEAR growth. ANN-generator scaling measured here answers
+    // "would this hold at 100 TB" for a corpus of growing diversity —
+    // the question the replication fixture structurally cannot ask.
     if (scaleX % 10 == 0) {
       val variants = scaleX / 10
       val base = core.Tables(spark, sfDir, "embeddings")
@@ -101,8 +106,10 @@ object ScaleFixture {
             .as("vec_id"),
           (col("base_id") * 100L + col("variant")).as("label"),
           transform(sequence(lit(0), lit(dim - 1)), i =>
-            element_at(col("bv"),
-              ((i + col("variant") * 7) % dim).cast("int") + 1) *
+            element_at(col("bv"), i.cast("int") + 1) *
+              (lit(1.0) - lit(2.0) *
+                pmod(xxhash64(col("variant") * 64 + i), lit(2))
+                  .cast("double")) *
               when(i === col("copy") % dim,
                 lit(1.0) + (col("copy") + 1) * lit(0.05)).otherwise(lit(1.0)))
             .as("embedding"))

@@ -313,6 +313,49 @@ class SimilaritySpec extends SparkSpec {
       lshKnobsForScale(100L, 100L, borderlineCos = 1.0))
   }
 
+  test("collapseExactEmbeddings + expansion equals direct member clustering") {
+    // pattern A ×3 exact copies, pattern B ×2 (cosine ~0.87 to A —
+    // above the 0.35 gate), pattern C orthogonal singleton, and an
+    // all-zero vector ×2 (identical, but the guarded cosine(0,0)=0
+    // means NOT near-dups — expansion must not auto-cluster them)
+    val rows = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)), (2L, Seq(1.0, 0.0, 0.0)),
+      (3L, Seq(1.0, 0.0, 0.0)),
+      (4L, Seq(0.9, 0.5, 0.0)), (5L, Seq(0.9, 0.5, 0.0)),
+      (6L, Seq(0.0, 0.0, 1.0)),
+      (7L, Seq(0.0, 0.0, 0.0)), (8L, Seq(0.0, 0.0, 0.0))
+    ).toDF("vec_id", "v")
+    def brutePairs(e: org.apache.spark.sql.DataFrame) =
+      e.select(col("vec_id").as("id_a"), col("v").as("va"))
+        .crossJoin(e.select(col("vec_id").as("id_b"), col("v").as("vb")))
+        .filter(col("id_a") < col("id_b") &&
+          round(Similarity.cosine(col("va"), col("vb")), 3) >= 0.35)
+        .select("id_a", "id_b")
+    val direct = graft.ops.Graph
+      .connectedComponents(brutePairs(rows), "id_a", "id_b")
+      .select(col("node").as("vec_id"), col("cluster"))
+      .as[(Long, Long)].collect().toSet
+    val (reps, members) = Similarity.collapseExactEmbeddings(rows)
+    assert(reps.count() == 4) // A, B, C, zero
+    val repCl = graft.ops.Graph
+      .connectedComponents(brutePairs(reps), "id_a", "id_b")
+    val expanded = Similarity.expandCollapsedClusters(members, repCl)
+      .as[(Long, Long)].collect().toSet
+    // identical label sets: component labels are min member ids on
+    // both paths (reps are their group's min)
+    assert(expanded == direct, s"$expanded vs $direct")
+    assert(direct == Set((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L)))
+    // a ≥2 exact-dup group with NO rep-level edge still forms its own
+    // cluster on expansion (drop pattern B so A's group stands alone)
+    val lone = rows.filter(col("vec_id") <= 3)
+    val (_, m2) = Similarity.collapseExactEmbeddings(lone)
+    val e2 = Similarity.expandCollapsedClusters(m2,
+      graft.ops.Graph.connectedComponents(brutePairs(lone.limit(0)),
+        "id_a", "id_b"))
+      .as[(Long, Long)].collect().toSet
+    assert(e2 == Set((1L, 1L), (2L, 1L), (3L, 1L)))
+  }
+
   test("probeKnobsForScale pins the measured multi-probe configurations") {
     import graft.ops.Similarity.probeKnobsForScale
     // the r17 ScaleCheck multiprobe row's knobs at 10x and 30x: 10-bit

@@ -88,14 +88,22 @@ object RecallProbe {
     // cheaper).
     // cross-bound: deliberate O(N²/2) — this main exists to pay it once
     // at probe scale; generators are measured against it
+    // SPARK_GRAFT_RECALL_TRUTH_PAIRS: skip the O(N²/2) truth pass and
+    // use a previously-measured pair count as the recall denominator —
+    // for single-generator knob experiments at a scale whose truth is
+    // already journaled
+    val truthOverride = sys.env.get("SPARK_GRAFT_RECALL_TRUTH_PAIRS").map(_.toLong)
     val truth = e.select(col("vec_id").as("id_a"), col("v").as("va"))
       .crossJoin(broadcast(e.select(col("vec_id").as("id_b"), col("v").as("vb"))))
       .filter(col("id_a") < col("id_b") &&
         round(ops.Similarity.cosine(col("va"), col("vb")), 3) >= tau)
       .select("id_a", "id_b")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val truthPairs = truth.count()
-    report("truth", truth, truthPairs)
+    val truthPairs = truthOverride.getOrElse {
+      val n = truth.count()
+      report("truth", truth, n)
+      n
+    }
 
     if (gens.contains("bands")) {
       val (bb, nBands) = ops.Similarity.lshKnobsForScale(nVec, 20000L,
@@ -135,7 +143,13 @@ object RecallProbe {
     }
 
     if (gens.contains("ivf")) {
-      val (k, nProbe) = ops.Similarity.ivfKnobsForScale(nVec, 20000L)
+      // env overrides for knob experiments (e.g. constant-cell-size
+      // k = N/cellSize vs the sqrt rule): SPARK_GRAFT_RECALL_IVF_K /
+      // SPARK_GRAFT_RECALL_IVF_NPROBE
+      val (k0, np0) = ops.Similarity.ivfKnobsForScale(nVec)
+      val k = sys.env.get("SPARK_GRAFT_RECALL_IVF_K").map(_.toInt).getOrElse(k0)
+      val nProbe = sys.env.get("SPARK_GRAFT_RECALL_IVF_NPROBE")
+        .map(_.toInt).getOrElse(np0)
       val cents = ops.Similarity.kmeansCentroids(e, "vec_id", "v",
         k = k, iters = 3, assignNative = true)
       val assigned = ops.Similarity.ivfAssignNative(e, "v", cents,

@@ -291,13 +291,16 @@ object ScaleCheck {
     // cosine verify, CC, and keeper; cluster count BELOW the
     // scaled+bands row's means strictly more true pairs recovered.
     time("dedup_ann_e2e scaled+multiprobe") {
-      // EXPLICIT experimental knobs, not lshKnobsForScale: probing has
-      // a MINIMUM bucket resolution — at 10×'s rule-scaled 8 bits the
-      // H1 fan-out of 256-bucket bands blew the candidate guard
-      // (measured; hot buckets' Hamming-1 neighbors are hot too).
-      // 10-bit bands hold probe volume at both 10× and 30×.
-      val bb = 10
-      val nBands = 2 // the r15 fixed band count — probing replaces bands
+      // knobs from the API since r18 (judge r17 task 6): the measured
+      // limits — 10-bit minimum bucket resolution (8-bit H1 fan-out
+      // blew the candidate guard; hot buckets' Hamming-1 neighbors are
+      // hot too), bands stay at base (probing replaces bands), flips
+      // grow (1/p) per extra bit and the rule REFUSES past H1
+      // saturation — live in probeKnobsForScale, pinned by
+      // SimilaritySpec; this row reads them instead of restating them
+      val (bb, nBands, probeFlips) = ops.Similarity.probeKnobsForScale(
+        nVectors = 2000L * scaleX, refVectors = 20000L,
+        borderlineCos = 0.35)
       val e = emb10.select(col("vec_id"),
         col("embedding").cast("array<double>").as("v"))
       val planes = ops.Similarity.portablePlanes(nBits = nBands * bb, dim = 64)
@@ -306,13 +309,10 @@ object ScaleCheck {
             .as("bb"))
         .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"),
           col("vec_id"))
-      // probe side: own bucket + 4 Hamming-1 neighbors (full-bb H1
-      // probing MEASURED as blowing the candidate budget at 30× — hot
-      // buckets' neighbors are hot too; 4 flips ≈ the 6-band per-pair
-      // recall at 40% of the H1 fan-out)
+      // probe side: own bucket + the rule's Hamming-1 neighbors
       val probe = banded.select(col("band"), col("vec_id").as("id_a"),
           explode(ops.Similarity.hamming1Probes(col("bucket"), bits = bb,
-            flips = 4)).as("bucket"))
+            flips = probeFlips)).as("bucket"))
       val cand = probe
         .join(banded.select(col("band"), col("bucket"),
           col("vec_id").as("id_b")), Seq("band", "bucket"))
@@ -349,8 +349,7 @@ object ScaleCheck {
     // ≤ ~1.2.
     time("dedup_ann_ivf_e2e scaled-knobs") {
       val nVec = 2000L * scaleX
-      val (k, nProbe) = ops.Similarity.ivfKnobsForScale(
-        nVectors = nVec, refVectors = 20000L)
+      val (k, nProbe) = ops.Similarity.ivfKnobsForScale(nVectors = nVec)
       val e = emb10.select(col("vec_id"),
         col("embedding").cast("array<double>").as("v"))
       val cents = ops.Similarity.kmeansCentroids(e, "vec_id", "v",
@@ -362,8 +361,13 @@ object ScaleCheck {
           Seq("centroid_id"))
         .filter(col("id_a") < col("id_b"))
         .select("id_a", "id_b").distinct()
-      require(cand.count() < nVec * nVec / 2 / 50,
-        "candidate volume looks all-pairs under IVF cells")
+      // LINEARITY guard, not the LSH rows' all-pairs guard: constant
+      // cell size means candidates must stay ≤ c·N·cellSize·nProbe² —
+      // an N-proportional bound (the N²/100 form mis-fires exactly at
+      // SMALL N, where linear-in-N candidates are the largest FRACTION
+      // of all-pairs; slack 8 covers skewed cells)
+      require(cand.count() < nVec * 100L * nProbe * nProbe * 8,
+        "candidate volume is superlinear under constant-cell IVF")
       val pairs = cand
         .join(e.select(col("vec_id").as("id_a"), col("v").as("va")), "id_a")
         .join(e.select(col("vec_id").as("id_b"), col("v").as("vb")), "id_b")
@@ -398,7 +402,7 @@ object ScaleCheck {
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val nReps = repsP.count()
-        val (k, nProbe) = ops.Similarity.ivfKnobsForScale(nReps, 20000L)
+        val (k, nProbe) = ops.Similarity.ivfKnobsForScale(nReps)
         val cents = ops.Similarity.kmeansCentroids(repsP, "vec_id", "v",
           k = k, iters = 3, assignNative = true)
         val assigned = ops.Similarity.ivfAssignNative(repsP, "v", cents,
@@ -654,27 +658,36 @@ object ScaleCheck {
     // + join-back is almost all waste. Synthesized inline (the fixture
     // tables are all-dup by construction): docs with doc_id % 10 == 0
     // keep their text (duplicated across the x10 copies), the other 90%
-    // get every TOKEN suffixed with their (copy-unique) doc_id — same
-    // token count, zero shared windows — so ~90% of the corpus is
-    // globally unique. The pair of rows measures the same ladder with
-    // and without the gate — the gap is the gate's win; output
-    // equality is pinned in TrainSpec, and both rows must report the
-    // same span count here (an inequality is a gate bug, not noise).
+    // get every TOKEN suffixed with 6 hex chars of md5(doc_id, pos) —
+    // same token count, zero shared windows, and (unlike a first cut
+    // that suffixed the raw doc_id — whose digit tails coincide across
+    // the ×10 copies, leaving 12-char shared RAW substrings the winnow
+    // tier correctly refused to exclude) no incidental shared
+    // substrings either — so ~90% of the corpus is globally unique at
+    // the gate's own granularity. baseK = 8 / G = 24 is the production
+    // configuration (24-char shared substrings between unrelated docs
+    // are rare — G=12 at baseK=4 measured vacuous on any text). The
+    // pair of rows measures the same ladder with and without the gate
+    // — the gap is the gate's win; output equality is pinned in
+    // TrainSpec, and both rows must report the same span count here
+    // (an inequality is a gate bug, not noise).
     val mostlyUnique = docs10.withColumn("text",
       when(col("doc_id") % 10 === 0, col("text"))
-        .otherwise(concat_ws(" ", transform(split(col("text"), " ", -1),
-          t => concat(t, lit("_"), col("doc_id"))))))
+        .otherwise(concat_ws(" ",
+          transform(split(col("text"), " ", -1), (t, i) =>
+            concat(t, lit("_"),
+              substring(md5(concat(col("doc_id"), lit("_"), i)), 1, 6))))))
     var ungatedSpanCount = -1L
     time("dedup_suffix_spans ungated (90% unique)") {
       val (spans, handles) = ops.Text.suffixDupSpansWithHandle(mostlyUnique,
-        "doc_id", "text", baseK = 4, levels = 4, minDocs = 2,
+        "doc_id", "text", baseK = 8, levels = 3, minDocs = 2,
         persistLevels = true)
       try { ungatedSpanCount = consume(spans); ungatedSpanCount }
       finally handles.foreach { h => h.unpersist(); () }
     }
     time("dedup_suffix_spans gated (90% unique)") {
       val (spans, handles) = ops.Text.suffixDupSpansGatedWithHandle(
-        mostlyUnique, "doc_id", "text", baseK = 4, levels = 4,
+        mostlyUnique, "doc_id", "text", baseK = 8, levels = 3,
         minDocs = 2, persistLevels = true)
       try {
         val n = consume(spans)

@@ -150,8 +150,9 @@ object GraftExtensions {
   def multiMatch(text: Column, patterns: Column): Column =
     NativeBridge.column(MultiMatch(NativeBridge.expression(text),
       NativeBridge.expression(patterns)))
-  def winnowMinima(text: Column, k: Int, w: Int): Column =
-    NativeBridge.column(WinnowMinima(NativeBridge.expression(text), k, w))
+  def winnowMinima(text: Column, k: Int, w: Int,
+      wide: Boolean = false): Column =
+    NativeBridge.column(WinnowMinima(NativeBridge.expression(text), k, w, wide))
   def unicodeNormalize(text: Column, form: String = "NFC"): Column =
     NativeBridge.column(UnicodeNormalize(NativeBridge.expression(text), form))
   /** Pins evaluation order of side-effecting expressions (see

@@ -309,27 +309,38 @@ object Similarity {
   }
 
   /** IVF sizing rule as API (judge r17 top task: the DATA-ADAPTIVE
-    * candidate generator for ANN dedup, whose cost the bands rule pays
-    * as bands×rows ≈ N^1.8 measured). `k = refK·√(n/refN)` cells
-    * balances the two sides of the IVF cost: cell assignment is N·k
-    * native cosines and within-cell verify pairs are ~N²·nProbe²/k, so
-    * √N growth holds BOTH at N^1.5 arithmetic — and the measured wall
-    * (PERF.md r18) stays near-linear across 10×/30×/100× because the
-    * constants are tiny next to the fixed pipeline stages (scan, CC,
-    * keeper). `nProbe` stays constant: probing exists to recover pairs
-    * that straddle a cell frontier (each vector enters its nProbe
-    * nearest cells; a borderline pair meets if ANY cell is shared);
-    * growing it with scale would re-inflate pair volume quadratically.
-    * Returns `(k, nProbe)`; train with [[kmeansCentroids]]
-    * (assignNative = true — the interpreted HOF comparator is O(k log k)
-    * per row and k grows with √N) and assign with [[ivfAssignNative]]. */
-  def ivfKnobsForScale(nVectors: Long, refVectors: Long,
-                       refK: Int = 320, nProbe: Int = 2): (Int, Int) = {
-    require(nVectors > 0 && refVectors > 0 && refK > 0 && nProbe >= 1,
-      s"positive sizes required, got n=$nVectors ref=$refVectors " +
-        s"k=$refK nProbe=$nProbe")
-    val k = math.max(1L, math.round(
-      refK * math.sqrt(nVectors.toDouble / refVectors))).toInt
+    * candidate generator for ANN dedup): `k = ⌈N / cellSize⌉` — CONSTANT
+    * expected cell size, so within-cell candidate pairs stay LINEAR in
+    * N. The classical `k ∝ √N` balance was measured and REJECTED
+    * (PERF.md r18, diversity fixture at the production 0.9 gate):
+    * growing cells make candidate volume ~N²/k = N^1.5 and the wall
+    * read slope 2.37 at 100×, while constant cells read slopes
+    * 1.01/1.06 across 10×/30×/100× at pair-recall 1.0000 against
+    * brute-force truth — near-linear with recall held. What constant
+    * cells spend instead is assignment arithmetic: N·k = N²/cellSize
+    * native cosines ([[ivfAssignNative]]'s fused loop — at 200k
+    * vectors that is 4×10⁸ 64-dim cosines ≈ seconds on 32 cores, not
+    * the bottleneck). That term IS quadratic, so the rule REFUSES past
+    * the measured regime (~2M vectors) and points to
+    * [[lshKnobsForScale]]'s bands rule (measured slope 1.58 at 0.9969
+    * recall — the flat-assignment asymptote) or a hierarchical coarse
+    * quantizer. `nProbe` stays constant: probing exists to recover
+    * pairs straddling a cell frontier; growing it with scale would
+    * re-inflate pair volume. Returns `(k, nProbe)`; train with
+    * [[kmeansCentroids]] (assignNative = true — the interpreted HOF
+    * comparator is O(k log k) per row) and assign with
+    * [[ivfAssignNative]]. */
+  def ivfKnobsForScale(nVectors: Long, cellSize: Int = 100,
+                       nProbe: Int = 2): (Int, Int) = {
+    require(nVectors > 0 && cellSize > 0 && nProbe >= 1,
+      s"positive sizes required, got n=$nVectors cellSize=$cellSize " +
+        s"nProbe=$nProbe")
+    require(nVectors <= 2000000L,
+      s"ivfKnobsForScale's constant-cell rule is certified to ~2M " +
+        s"vectors (assignment is N²/cellSize native cosines — past " +
+        s"this, use lshKnobsForScale's bands rule or a hierarchical " +
+        s"coarse quantizer); got $nVectors")
+    val k = math.max(1L, (nVectors + cellSize - 1) / cellSize).toInt
     (k, nProbe)
   }
 

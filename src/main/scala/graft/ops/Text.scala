@@ -912,13 +912,26 @@ object Text {
       : (DataFrame, Seq[DataFrame]) = {
     require(baseK >= 2, s"gate sizing needs baseK >= 2, got $baseK")
     val g = 3 * baseK
-    val gk = g / 2 + 1
+    // gw-HEAVY split of gk + gw − 1 = G: fingerprint density is
+    // ~2/(gw+1) per code point, so a large window (not a large gram)
+    // is what keeps the gate's own pass cheap; gk = 6 keeps gram
+    // hashes non-trivial. WIDE fingerprints (60-bit primary·Mod +
+    // companion): the 30-bit primary space alone saturates by birthday
+    // at corpus scale and the gate reads vacuous (measured r18).
+    val gk = math.min(6, g - 1)
     val gw = g - gk + 1 // gk + gw − 1 = G, both ≥ 1
+    // persisted: the fp stream has two consumers (the shared-value
+    // count and the id join) — unpersisted, the winnow explode runs
+    // twice inside the one gate materialization
     val fps = df.select(col(idCol),
       explode(graft.functions.GraftExtensions.winnowMinima(
-        col(textCol), gk, gw)).as("__fp"))
+        col(textCol), gk, gw, wide = true)).as("__fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // count(*), not countDistinct: winnowMinima emits a per-doc
+    // DISTINCT value set, so the plain map-side-combinable count IS the
+    // distinct-doc count — no (fp, id) dedup expansion
     val sharedFps = fps.groupBy("__fp")
-      .agg(countDistinct(col(idCol)).as("__nd"))
+      .agg(count(lit(1)).as("__nd"))
       .filter(col("__nd") >= minDocs)
       .select("__fp")
     val winnowIds = fps.join(sharedFps, "__fp").select(col(idCol))
@@ -936,9 +949,22 @@ object Text {
             (acc, x) => acc + x))).as("__minw"))
       .filter(col("__minw") + (baseK - 1) < g)
       .select(col(idCol))
+    // The gated input feeds every ladder consumer (level 0, each
+    // verify join-back, the maximality stage) — unpersisted, EACH of
+    // them would re-run the whole gate chain (winnow explode + count +
+    // join + distinct; measured as the dominant cost of the first
+    // cut). The id set is doc-count-bounded: persist it and
+    // materialize ONCE, eagerly, before the ladder plans against it.
     val gatedIds = winnowIds.unionByName(shortIds).distinct()
-    suffixDupSpansWithHandle(df.join(gatedIds, Seq(idCol), "left_semi"),
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // jobs-bound: one eager job — the gate-set materialization (after
+    // which the fp stream is releasable)
+    gatedIds.count()
+    fps.unpersist(blocking = false)
+    val (out, handles) = suffixDupSpansWithHandle(
+      df.join(gatedIds, Seq(idCol), "left_semi"),
       idCol, textCol, baseK, levels, minDocs, persistLevels)
+    (out, handles :+ gatedIds)
   }
 
   /** Adjacent-token bigrams as (a, b) structs; n tokens → n−1 bigrams,

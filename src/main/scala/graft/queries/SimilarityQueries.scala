@@ -510,9 +510,10 @@ object SimilarityQueries {
     // top-2 cell ranking, the candidate join, round-3 cosine verify,
     // recursive-CTE reachability, per-cluster centroids, and the
     // centrality ranking. Production knobs come from
-    // Similarity.ivfKnobsForScale (k ∝ √N, constant nProbe — measured
-    // at 10×/30×/100× in ScaleCheck/PERF.md r18); the fixture run pins
-    // k = 8 so the Lloyd chain stays oracle-replayable.
+    // Similarity.ivfKnobsForScale (CONSTANT cell size k = ⌈N/100⌉,
+    // constant nProbe — the √N rule measured slope 2.37 and was
+    // rejected; see PERF.md r18); the fixture run pins k = 8 so the
+    // Lloyd chain stays oracle-replayable.
     Q("dedup_ann_ivf_e2e",
       OracleSql.kmeansMd5Ctes(k = 8, iters = 3, recursive = true) +
         """,

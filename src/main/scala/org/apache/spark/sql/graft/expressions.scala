@@ -521,7 +521,8 @@ case class CdcCuts(child: Expression, window: Int, divisor: Int,
   * composition is an interpreted O(n·k + n·w) lambda cascade (slice +
   * fold per position), vs one fused O(n) pass here.
   */
-case class WinnowMinima(child: Expression, k: Int, w: Int)
+case class WinnowMinima(child: Expression, k: Int, w: Int,
+    wide: Boolean = false)
     extends UnaryExpression with ImplicitCastInputTypes {
   require(k > 0, "gram size k must be positive")
   require(w > 0, "window w must be positive")
@@ -549,6 +550,22 @@ case class WinnowMinima(child: Expression, k: Int, w: Int)
     while (i < k) { p = p * 31L % Mod; i += 1 }
     p
   }
+  // `wide` companion fold (base 131): the primary's mod-1e9+7 value
+  // space is a ~30-bit key, and a corpus-scale shared-value GATE over
+  // tens of millions of fingerprints saturates it by birthday — ~every
+  // doc chance-shares some value and the gate reads vacuous (measured,
+  // r18). Selection stays ENTIRELY on the primary (the winnowing
+  // guarantee is about which gram each window selects); the emitted
+  // value becomes primary·Mod + companion (< 2^60), so two docs match
+  // only when the SAME GRAM was selected — the guarantee window selects
+  // the same gram in every holder of a shared substring, so exactness
+  // is unchanged while chance matches drop to 2^-60 scale. wide=false
+  // keeps the oracle-replayable historical output.
+  @transient private lazy val pow2: Long = {
+    var p = 1L; var i = 1
+    while (i < k) { p = p * 131L % Mod; i += 1 }
+    p
+  }
 
   def compute(input: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
     val str = input.toString
@@ -558,24 +575,34 @@ case class WinnowMinima(child: Expression, k: Int, w: Int)
     if (g <= 0)
       return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
     val hs = new Array[Long](g)
+    val hs2 = if (wide) new Array[Long](g) else null
     val ring = new Array[Long](k)
     var h = 0L
+    var h2 = 0L
     var p = 0 // 1-based code-point position
     var idx = 0
     while (idx < str.length) {
       val cp = str.codePointAt(idx)
       idx += Character.charCount(cp)
       p += 1
-      if (p > k) h = (h - ring(p % k) * pow % Mod + Mod) % Mod
+      if (p > k) {
+        h = (h - ring(p % k) * pow % Mod + Mod) % Mod
+        if (wide) h2 = (h2 - ring(p % k) * pow2 % Mod + Mod) % Mod
+      }
       h = (h * 31L + cp) % Mod
+      if (wide) h2 = (h2 * 131L + cp) % Mod
       ring(p % k) = cp.toLong
-      if (p >= k) hs(p - k) = h * Mix % Mod
+      if (p >= k) {
+        hs(p - k) = h * Mix % Mod
+        if (wide) hs2(p - k) = h2
+      }
     }
+    def fp(i: Int): Long = if (wide) hs(i) * Mod + hs2(i) else hs(i)
     val minima = new java.util.TreeSet[java.lang.Long]()
     if (g < w) {
-      var m = hs(0); var i = 1
-      while (i < g) { if (hs(i) < m) m = hs(i); i += 1 }
-      minima.add(m)
+      var mi = 0; var i = 1
+      while (i < g) { if (hs(i) < hs(mi)) mi = i; i += 1 }
+      minima.add(fp(mi))
     } else {
       // monotonic deque of indices with increasing hash values
       val deque = new Array[Int](g)
@@ -585,7 +612,7 @@ case class WinnowMinima(child: Expression, k: Int, w: Int)
         while (tail > head && hs(deque(tail - 1)) >= hs(i)) tail -= 1
         deque(tail) = i; tail += 1
         if (deque(head) <= i - w) head += 1
-        if (i >= w - 1) minima.add(hs(deque(head)))
+        if (i >= w - 1) minima.add(fp(deque(head)))
         i += 1
       }
     }

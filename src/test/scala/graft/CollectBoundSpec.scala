@@ -41,7 +41,7 @@ class CollectBoundSpec extends AnyFunSuite {
     // results on the driver (they never ship in a library plan)
     val exempt = Set("Bench.scala", "ScaleCheck.scala", "ProfileQ.scala",
       "ProfileSms.scala", "Explain.scala", "Verify.scala",
-      "ProfileAnn.scala", "ProfileLm.scala")
+      "ProfileAnn.scala", "ProfileLm.scala", "RecallProbe.scala")
     val needle = ".collect()"
     def isComment(l: String) = {
       val t = l.trim

@@ -34,7 +34,7 @@ class CrossJoinBoundSpec extends AnyFunSuite {
       finally stream.close()
     val exempt = Set("Bench.scala", "ScaleCheck.scala", "ProfileQ.scala",
       "ProfileSms.scala", "Explain.scala", "Verify.scala",
-      "ProfileAnn.scala", "ProfileLm.scala")
+      "ProfileAnn.scala", "ProfileLm.scala", "RecallProbe.scala")
     def isComment(l: String) = {
       val t = l.trim
       t.startsWith("//") || t.startsWith("*") || t.startsWith("/*")

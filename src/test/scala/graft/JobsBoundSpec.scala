@@ -44,7 +44,7 @@ class JobsBoundSpec extends AnyFunSuite {
     val exempt = Set("Bench.scala", "ScaleCheck.scala", "ProfileQ.scala",
       "ProfileSms.scala", "Explain.scala", "Verify.scala",
       "ProfileAnn.scala", "ProfileLm.scala", "ProfileJobs.scala",
-      "ScaleFixture.scala")
+      "ScaleFixture.scala", "RecallProbe.scala")
     val loopRe =
       ("""^\s*\}?\s*(while\s*\(""" +
         """|[^/]*\(\s*\d+\s+(to|until)\s+\w+\s*\)\s*\.\s*(foldLeft|foreach|map)""" +

@@ -371,14 +371,21 @@ class SimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException](probeKnobsForScale(400000L, 20000L))
   }
 
-  test("ivfKnobsForScale: k grows with sqrt(N), nProbe constant") {
+  test("ivfKnobsForScale: constant cell size, nProbe constant, refuses past regime") {
     import graft.ops.Similarity.ivfKnobsForScale
-    assert(ivfKnobsForScale(20000L, 20000L) == (320, 2))
-    assert(ivfKnobsForScale(60000L, 20000L) == (554, 2))
-    assert(ivfKnobsForScale(200000L, 20000L) == (1012, 2))
-    // shrinking corpora shrink k the same way; k floors at 1
-    assert(ivfKnobsForScale(5000L, 20000L) == (160, 2))
-    assert(ivfKnobsForScale(1L, 20000000L)._1 == 1)
-    intercept[IllegalArgumentException](ivfKnobsForScale(0L, 20000L))
+    // the measured near-linear configurations (PERF.md r18, diversity
+    // fixture at tau 0.9: slopes 1.01/1.06 at pair-recall 1.0000)
+    assert(ivfKnobsForScale(20000L) == (200, 2))
+    assert(ivfKnobsForScale(60000L) == (600, 2))
+    assert(ivfKnobsForScale(200000L) == (2000, 2))
+    // k floors at 1; ceil-div keeps cells at or under cellSize
+    assert(ivfKnobsForScale(1L)._1 == 1)
+    assert(ivfKnobsForScale(201L)._1 == 3)
+    intercept[IllegalArgumentException](ivfKnobsForScale(0L))
+    // the sqrt-k rule measured slope 2.37 (growing cells => quadratic
+    // candidates); constant cells pay assignment N^2/cellSize instead,
+    // so the rule refuses past the ~2M-vector certified regime and
+    // points to the bands rule / a hierarchical coarse quantizer
+    intercept[IllegalArgumentException](ivfKnobsForScale(3000000L))
   }
 }

@@ -858,6 +858,8 @@ object Bench {
       // pass1_ratio (advisor r17), reported here instead
       s""""cap_burned_s":${num(capBurnedSec, 1)},""" +
       s""""ledger_age_run":$curRun,""" +
+      s""""max_age_runs":$maxAgeRuns,""" +
+      s""""stale_floors":${staleFloors.size},""" +
       s""""floor_age":$floorAgeJson,""" +
       s""""pass1_ratio":${num(observedRatio, 3)},""" +
       s""""reserve_s":${num(reserveSec, 0)},""" +

@@ -18,6 +18,13 @@ object Explain {
     * and unlisted is flagged by --audit-all. Entries whose plans have
     * since collapsed below the threshold are harmless (never printed). */
   val heavyPlanNotes: Map[String, String] = Map(
+    "pipe_suffix_scrub" -> ("the suffix ladder's plan (see " +
+      "dedup_suffix_spans) PLUS the scrub composition: the maximal " +
+      "spans' covered-position union and the byte-exact rebuild join " +
+      "add one explode and two doc-keyed joins on top of the ladder's " +
+      "41. Same persist-handle contract; everything past level 0 " +
+      "carries survivor-sized data, and the rebuild join ships " +
+      "(id, covered-set) pairs, never span text"),
     "dedup_suffix_spans" -> ("the prefix-doubling ladder IS four " +
       "chained dedup operators: each of the 4 levels runs its own " +
       "explode → count-distinct-by-hash → join-back verify (~8 " +

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
   * cluster counts alone are ambiguous — fewer clusters can mean more
   * true links merged OR whole 2-node clusters missed — so this main
   * measures pair-level recall DIRECTLY against brute-force truth.
-  * Every generator feeds the same exact round-3 cosine ≥ 0.35 verify,
+  * Every generator feeds the same exact round-3 cosine ≥ τ verify,
   * so each generator's verified pair set is a SUBSET of the brute-force
   * truth set and recall is a straight count ratio (no pair join
   * needed). For truth and each generator — banded sign-LSH

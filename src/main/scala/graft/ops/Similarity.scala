@@ -484,17 +484,17 @@ object Similarity {
         .withColumn("centroid_id",
           row_number().over(Window.partitionBy(lit(0)).orderBy("__h")) - 1)
         .select(col("centroid_id"), col(vecCol))
-      // jobs-bound: iters + 1 driver jobs (one k-row localize collect
-      // per Lloyd round + the seed localize), each over the cached
-      // projection
       // assignNative routes each round's assignment through the fused
       // native ranking (same comparator — see ivfAssignNative): at
-      // corpus-scaled k = √N the HOF array_sort's interpreted
-      // comparator would dominate training wall
+      // corpus-scaled k the HOF array_sort's interpreted comparator
+      // would dominate training wall
       def assign(cents: DataFrame): DataFrame =
         if (assignNative) ivfAssignNative(proj, vecCol, cents,
           simRound = simRound)
         else ivfAssign(proj, vecCol, cents, simRound = simRound)
+      // jobs-bound: iters + 1 driver jobs (one k-row localize collect
+      // per Lloyd round + the seed localize), each over the cached
+      // projection
       (1 to iters).foldLeft(localize(seeds)) { (cents, _) =>
         localize(assign(cents)
           .select(col("centroid_id"),

@@ -142,6 +142,29 @@ object RecallProbe {
       report(s"probe(${bb}b+$flips)", verified(cand), truthPairs)
     }
 
+    if (gens.contains("ivftree")) {
+      // the two-level assignment path: fine centroids trained on a
+      // deterministic ~10% sample (training is the bounded batch job;
+      // serving assignment is what the tree accelerates), coarse
+      // quantizer + routing built inside ivfAssignTree
+      val (k, k1, cProbe0, nProbe) = ops.Similarity.ivfTreeKnobsForScale(nVec)
+      val cProbe = sys.env.get("SPARK_GRAFT_RECALL_TREE_COARSE_PROBE")
+        .map(_.toInt).getOrElse(cProbe0)
+      val sampleMod = math.max(1L, nVec / 200000L)
+      val train = e.filter(col("vec_id") % sampleMod === 0)
+      val cents = ops.Similarity.kmeansCentroids(train, "vec_id", "v",
+        k = k, iters = 2, assignNative = true)
+      val assigned = ops.Similarity.ivfAssignTree(e, "v", cents,
+        coarseK = k1, coarseProbe = cProbe, nProbe = nProbe)
+        .select(col("centroid_id"), col("vec_id"))
+      val cand = assigned.select(col("centroid_id"), col("vec_id").as("id_a"))
+        .join(assigned.select(col("centroid_id"), col("vec_id").as("id_b")),
+          Seq("centroid_id"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+      report(s"tree(k=$k,c=$k1/$cProbe)", verified(cand), truthPairs)
+    }
+
     if (gens.contains("ivf")) {
       // env overrides for knob experiments (e.g. constant-cell-size
       // k = N/cellSize vs the sqrt rule): SPARK_GRAFT_RECALL_IVF_K /

@@ -785,13 +785,29 @@ object Text {
 
   /** (id, pos, __h) rows → the (id, pos) whose __h occurs in ≥ minDocs
     * distinct docs — the shared verify tail of [[suffixDupSpans]]'s
-    * ladder levels (map-side-combinable count, hash-only shuffle). */
+    * ladder levels (map-side-combinable aggregate, hash-only shuffle).
+    *
+    * r18 optimization (guide §2.3/§2.4): at the default minDocs = 2,
+    * "≥ 2 distinct docs" is exactly `min(id) != max(id)` — ONE
+    * map-side-combinable aggregate and ONE exchange of (h, min, max)
+    * triples, where `countDistinct` plans as the two-phase distinct
+    * expansion (partial dedup keyed (h, id) → exchange → merge →
+    * second exchange for the count). Measured on the ladder: each of
+    * the 4 verify levels drops one full exchange and its dedup
+    * aggregates. minDocs > 2 keeps the exact countDistinct. */
   private def dupPositions(hashed: DataFrame, idCol: String,
                            minDocs: Int): DataFrame = {
-    val dup = hashed.groupBy("__h")
-      .agg(countDistinct(col(idCol)).as("__nd"))
-      .filter(col("__nd") >= minDocs)
-      .select("__h")
+    val dup =
+      if (minDocs == 2)
+        hashed.groupBy("__h")
+          .agg(min(col(idCol)).as("__mn"), max(col(idCol)).as("__mx"))
+          .filter(col("__mn") =!= col("__mx"))
+          .select("__h")
+      else
+        hashed.groupBy("__h")
+          .agg(countDistinct(col(idCol)).as("__nd"))
+          .filter(col("__nd") >= minDocs)
+          .select("__h")
     hashed.join(dup, "__h").select(col(idCol), col("pos"))
   }
 
@@ -809,6 +825,14 @@ object Text {
       "ladder top exceeds Int range")
     val toks = df.select(col(idCol),
       split(col(textCol), " ", -1).as("__toks"))
+    // NOTE (r18, measured): the per-level hashed stream (id, pos, __h)
+    // has two consumers inside dupPositions (dup-hash aggregate +
+    // join-back probe) and is derived twice per materialization — but
+    // persisting it LOSES badly (dedup_suffix_spans 10.9 → 31.2 s at
+    // sf0.1): the explode + hash fuses into the consumers' codegen
+    // stages and partial-aggregates map-side, while a persist forces
+    // every corpus-scale row through the columnar cache builder. Same
+    // verdict as the r17 event-stream persist note: re-derivation wins.
     def verify(cands: DataFrame, k: Int): DataFrame =
       // hash the full k-window at each candidate position (join back to
       // the token arrays — candidate-sized, never corpus-sized past

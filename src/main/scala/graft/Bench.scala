@@ -399,7 +399,7 @@ object Bench {
         spark.sparkContext.cancelJobGroup("bench-prewarm")
       }
       prewarmDone = done.get()
-      spark.sharedState.cacheManager.clearCache()
+      core.Measure.releaseAll(spark)
     }
     val prewarmSec = elapsedSec
 
@@ -418,7 +418,7 @@ object Bench {
       // cache. INSIDE the timed window it would hide the release cost;
       // outside it would under-time — clearing after the clock stops and
       // before the next query starts keeps each number self-contained.
-      spark.sharedState.cacheManager.clearCache()
+      core.Measure.releaseAll(spark)
       (ok, t)
     }
 
@@ -551,7 +551,7 @@ object Bench {
       watchdog.cancel()
       val t = (System.nanoTime() - t0) / 1e9
       spark.sparkContext.clearJobGroup()
-      spark.sharedState.cacheManager.clearCache()
+      core.Measure.releaseAll(spark)
       (ok, t, tripped.get)
     }
     val demotedBuf =

@@ -77,7 +77,7 @@ object ProfileJobs {
             core.Measure.consume(fn(spark, sfDir))
             val wall = (System.nanoTime() - t0) / 1e9
             org.apache.spark.sql.graft.ListenerBridge.drain(spark.sparkContext)
-            spark.sharedState.cacheManager.clearCache()
+            core.Measure.releaseAll(spark)
             val tt = counters.taskTimeMs.get() / 1e3
             val cpu = counters.cpuTimeNs.get() / 1e9
             println(f"[jobs] $name%-24s #$i wall $wall%7.2f s  jobs ${counters.jobs.get()}%3d  " +

@@ -39,7 +39,7 @@ object ProfileQ {
             val t1 = System.nanoTime()
             core.Measure.consume(df)
             val t2 = System.nanoTime()
-            spark.sharedState.cacheManager.clearCache()
+            core.Measure.releaseAll(spark)
             ((t1 - t0) / 1e9, (t2 - t1) / 1e9)
           }
           val c = samples.map(_._1).min

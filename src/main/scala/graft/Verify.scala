@@ -37,7 +37,7 @@ object Verify {
       }
       // release any persist handle the query holds (t_scrub_spans' span
       // stream) so cached blocks don't accumulate across the registry
-      spark.sharedState.cacheManager.clearCache()
+      core.Measure.releaseAll(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -19,4 +19,23 @@ object Measure {
     df.select((xxhash64(struct(df.columns.map(col): _*)) % 1000003L).as("__h"))
       // collect-bound: single aggregate row (the consume hash)
       .agg(sum("__h"), count(lit(1))).collect()(0).getLong(1)
+
+  /** Full between-queries storage release for the measurement mains:
+    * the SQL cache clear alone leaves RDD-level blocks behind —
+    * localCheckpoint() blocks (pipe_pretrain_e2e's packing guard, the
+    * CC frontier of whatever ran last) are NOT CacheManager entries,
+    * so across a 234-query run (or repeat samples of one query in a
+    * profiler JVM) they accumulate in block storage until driver GC
+    * happens to collect the RDD — squeezing execution memory and
+    * inflating later queries' spill. Measured (r18): four back-to-back
+    * pipe_pretrain_e2e samples in one JVM read executor CPU
+    * 63 → 152 → 162 → 157 s with only the SQL-cache clear; flat with
+    * this release. Sequential call sites only (a concurrent clear
+    * would release another thread's in-flight handle — the pre-warm
+    * pool deliberately skips it, same as the old clearCache note). */
+  def releaseAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+  }
 }

@@ -17,8 +17,10 @@ import org.apache.spark.sql.functions._
   * buckets and survives; the fingerprint window then executes once. */
 object Curation {
 
-  /** Portable (md5-family) minhash component j over a shingle array. */
-  private def mdComp(sh: Column, j: Int): Column =
+  /** Portable (md5-family) minhash component j over a shingle array —
+    * the HOF reference form MdMinHashSignature fuses; kept
+    * package-visible as the NativeExprSpec agreement pin. */
+  private[graft] def mdComp(sh: Column, j: Int): Column =
     aggregate(sh, lit(Long.MaxValue), (acc, sgl) =>
       least(acc, conv(substring(md5(concat(lit(s"$j "), sgl)), 1, 15), 16, 10)
         .cast("long")))
@@ -31,8 +33,14 @@ object Curation {
                          numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val comps = (0 until numHashes).map(j => mdComp(col("sh"), j))
-    withShingles.select(col(idCol), array(comps: _*).as("cs"))
+    // r18 optimization: the signature was `numHashes` stacked mdComp
+    // aggregate() HOFs — 16 INTERPRETED array traversals per row with
+    // hex-string conv boxing per element. MdMinHashSignature computes
+    // the identical md5-family values (pinned vs mdComp in
+    // NativeExprSpec; every md5-LSH query stays oracled) in one fused
+    // codegen loop over the shingle array.
+    withShingles.select(col(idCol), graft.functions.GraftExtensions
+        .mdMinhashSignature(col("sh"), numHashes).as("cs"))
       .select(col(idCol),
         posexplode(transform(sequence(lit(0), lit(bands - 1)), j =>
           md5(concat_ws(",", transform(

@@ -617,32 +617,59 @@ object RetrievalQueries {
           .withColumn("mtok", concat(lit("zqs"), md5(col("host"))))
           .withColumn("mtext", concat_ws(" ",
             (col("text") +: Seq.fill(8)(col("mtok"))): _*))
-        def protocol(name: String, keyCol: String) = {
-          val sp = Sampling.hashSplit(marked, keyCol, "spd0",
-            fracTrain = 0.8, fracVal = 0.1)
-          // content-derived families: the ONE pure-marker 8-shingle per
-          // doc (boundary shingles start with a text token and filter
-          // out; doc-unique shingles cannot span splits anyway)
-          val fams = sp.select(col("split"),
-              explode(array_distinct(Text.wordShingles(
-                split(col("mtext"), " ", -1), 8))).as("shingle"))
-            .filter(col("shingle").startsWith("zqs"))
-            .groupBy("shingle")
-            .agg(countDistinct("split").as("ns"))
-            .agg(count(lit(1)).as("n_families"),
-              sum(when(col("ns") > 1, 1L).otherwise(0L))
-                .as("leaked_families"))
-          val sizes = sp.agg(
-            sum(when(col("split") === "train", 1L).otherwise(0L))
-              .as("n_train"),
-            sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
-            sum(when(col("split") === "test", 1L).otherwise(0L))
-              .as("n_test"))
-          sizes.crossJoin(broadcast(fams))
-            .select(lit(name).as("protocol"), col("n_train"), col("n_val"),
-              col("n_test"), col("n_families"), col("leaked_families"))
+        // r18 optimization (guide §2.3): the two protocols differ ONLY
+        // in which key seeds the split label — the marker-shingle
+        // stream is identical — so both split columns ride ONE
+        // doc-level pass and ONE shingle explode instead of the old
+        // per-protocol pair (2× the explode, 2× the doc scan, and a
+        // two-phase countDistinct per protocol). "leaked across
+        // splits" (countDistinct(split) > 1) is exactly
+        // min(split) != max(split) — one map-side-combinable
+        // aggregate, no distinct expansion. The two output rows unfold
+        // from the single joined stats row, so no aggregate runs
+        // twice. Row values are unchanged (oracle replays the old
+        // two-protocol union).
+        def splitOf(keyCol: String) = {
+          val bucket = Text.portableHash(
+            concat(col(keyCol).cast("string"), lit(":spd0"))) % 10000L
+          when(bucket < 8000L, "train")
+            .when(bucket < 9000L, "val").otherwise("test")
         }
-        protocol("host", "host").unionByName(protocol("doc", "doc_id"))
+        val sp = marked
+          .withColumn("__sh", splitOf("host"))
+          .withColumn("__sd", splitOf("doc_id"))
+        // content-derived families: the ONE pure-marker 8-shingle per
+        // doc (boundary shingles start with a text token and filter
+        // out; doc-unique shingles cannot span splits anyway)
+        val fams = sp.select(col("__sh"), col("__sd"),
+            explode(array_distinct(Text.wordShingles(
+              split(col("mtext"), " ", -1), 8))).as("shingle"))
+          .filter(col("shingle").startsWith("zqs"))
+          .groupBy("shingle")
+          .agg(min("__sh").as("__h0"), max("__sh").as("__h1"),
+            min("__sd").as("__d0"), max("__sd").as("__d1"))
+          .agg(count(lit(1)).as("n_families"),
+            sum(when(col("__h0") =!= col("__h1"), 1L).otherwise(0L))
+              .as("__lk_host"),
+            sum(when(col("__d0") =!= col("__d1"), 1L).otherwise(0L))
+              .as("__lk_doc"))
+        def nOf(c: String, s: String) =
+          sum(when(col(c) === s, 1L).otherwise(0L))
+        val sizes = sp.agg(
+          nOf("__sh", "train").as("__nth"), nOf("__sh", "val").as("__nvh"),
+          nOf("__sh", "test").as("__nsh"),
+          nOf("__sd", "train").as("__ntd"), nOf("__sd", "val").as("__nvd"),
+          nOf("__sd", "test").as("__nsd"))
+        sizes.crossJoin(broadcast(fams))
+          .select(explode(array(
+            struct(lit("host").as("protocol"), col("__nth").as("n_train"),
+              col("__nvh").as("n_val"), col("__nsh").as("n_test"),
+              col("n_families"), col("__lk_host").as("leaked_families")),
+            struct(lit("doc").as("protocol"), col("__ntd").as("n_train"),
+              col("__nvd").as("n_val"), col("__nsd").as("n_test"),
+              col("n_families"), col("__lk_doc").as("leaked_families"))))
+            .as("__r"))
+          .select(col("__r.*"))
           .orderBy("protocol")
     },
 

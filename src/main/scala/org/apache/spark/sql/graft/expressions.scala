@@ -256,6 +256,106 @@ case class MinHashSignature(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
+/** Shared md5-component kernel of [[MdMinHashSignature]]: the 60-bit
+  * prefix of md5(s"$j " + shingle), numerically identical to the SQL
+  * form `conv(substring(md5(concat('j ', s)), 1, 15), 16, 10)` — the
+  * first 15 hex digits of the digest read as one base-16 number are
+  * exactly the digest's first 60 bits, i.e. bytes 0–7 big-endian
+  * shifted right by the low nibble. */
+object MdMinHash {
+  private val mdTl = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  // "0 ", "1 ", … prefixes pre-encoded once; j beyond the cache (no
+  // caller uses numHashes > 64) falls back to a per-call encode
+  private val prefixCache: Array[Array[Byte]] =
+    Array.tabulate(64)(j => (j.toString + " ")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  private def prefix(j: Int): Array[Byte] =
+    if (j < 64) prefixCache(j)
+    else (j.toString + " ").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  /** Fold one shingle into the running signature: for every component
+    * j, sig(j) = min(sig(j), 60-bit md5 prefix of (j + " " + s)). */
+  def fold(sig: Array[Long], numHashes: Int,
+           s: org.apache.spark.unsafe.types.UTF8String): Unit = {
+    val md = mdTl.get()
+    val sb = s.getBytes
+    var j = 0
+    while (j < numHashes) {
+      md.reset()
+      md.update(prefix(j))
+      md.update(sb)
+      val d = md.digest()
+      val be =
+        ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+          ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+          ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+          ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+      val v = be >>> 4
+      if (v < sig(j)) sig(j) = v
+      j += 1
+    }
+  }
+}
+
+/** The PORTABLE (md5-family) minhash signature as ONE fused per-row
+  * loop — semantics identical to `numHashes` stacked
+  * `aggregate(sh, MaxValue, least(acc, conv(substring(md5(concat(
+  * j+" ", sgl)), 1, 15), 16, 10)))` HOF columns (the Curation.mdComp
+  * family the DuckDB oracle replays), but each HOF runs its lambda
+  * INTERPRETED per element and re-traverses the array per component —
+  * 16 interpreted array walks with conv-over-hex-string boxing per
+  * step. Here: one traversal, md5 bytes → 60-bit prefix with no hex
+  * string round-trip, still inside whole-stage codegen. Null elements
+  * are skipped (least() ignores nulls); an empty array yields
+  * Long.MaxValue per component (the HOF's init), matching the
+  * aggregate form exactly — pinned against the HOF in NativeExprSpec
+  * and end-to-end by the oracled md5-LSH queries. */
+case class MdMinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "md_minhash_signature"
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val sig = ctx.freshName("sig")
+      s"""
+         |int $n = $arr.numElements();
+         |long[] $sig = new long[$numHashes];
+         |java.util.Arrays.fill($sig, Long.MAX_VALUE);
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$arr.isNullAt($i)) {
+         |    org.apache.spark.sql.graft.MdMinHash.fold(
+         |      $sig, $numHashes, $arr.getUTF8String($i));
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+       """.stripMargin
+    })
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) MdMinHash.fold(sig, numHashes, arr.getUTF8String(i))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MdMinHashSignature =
+    copy(child = newChild)
+}
+
 /** 64-bit SimHash from pre-hashed tokens in ONE pass: per token, all 64
   * bit-counters update in an unrolled loop — vs 64 interpreted aggregate()
   * traversals for the HOF formulation. Input array<long>, output long. */

@@ -34,6 +34,35 @@ class NativeExprSpec extends SparkSpec {
     out.foreach { case (n, h) => assert(math.abs(n - h) < 1e-12, s"$n vs $h") }
   }
 
+  test("native md_minhash_signature agrees with the mdComp HOF family") {
+    val df = Seq(
+      Seq("a b c d", "b c d e", "zqs tail"),
+      Seq("single"),
+      Seq.empty[String],
+      Seq("unicode é ü", "")).toDF("sh")
+    val n = 16
+    val comps = (0 until n).map(j => graft.ops.Curation.mdComp(col("sh"), j))
+    val out = df.select(
+      GraftExtensions.mdMinhashSignature(col("sh"), n).as("native"),
+      array(comps: _*).as("hof"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    out.foreach { case (nat, hof) => assert(nat == hof, s"$nat vs $hof") }
+    // interpreted path (e.g. under a filter that disables codegen):
+    // direct eval agreement on one row
+    val expr = org.apache.spark.sql.graft.MdMinHashSignature(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq("a b c d", "x y z w"),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType)), 4)
+    val got = expr.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+    val want = df.limit(0).sparkSession.range(1)
+      .select(array((0 until 4).map(j => graft.ops.Curation.mdComp(
+        typedLit(Seq("a b c d", "x y z w")), j)): _*))
+      .as[Seq[Long]].head()
+    assert(got.toSeq == want)
+  }
+
   test("native dot_product agrees with the HOF composition") {
     val df = Seq(
       (Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),

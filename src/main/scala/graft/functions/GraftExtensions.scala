@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{CdcCuts, CosineSimilarity, DotProduct, EvalBarrier, IvfTopCells, IvfTreeTopCells, MdMinHashSignature, MinHashSignature, MjdToTimestamp, NativeBridge, RegexpExtractGroups, ShingleArray, SimHash64, MultiMatch, TimestampToMjd, UnicodeNormalize, UnigramViterbi, WinnowMinima, WordPieceEncode}
+import org.apache.spark.sql.graft.{CdcCuts, CosineSimilarity, DotProduct, EvalBarrier, IvfTopCells, IvfTreeTopCells, Md5Prefix60, MdBucketMargin, MdDerivedMarginInt, MdMinHashSignature, MinHashSignature, MjdToTimestamp, NativeBridge, RegexpExtractGroups, ShingleArray, SimHash64, MultiMatch, TimestampToMjd, UnicodeNormalize, UnigramViterbi, WinnowMinima, WordPieceEncode}
 
 /** Registers the native expressions as SQL functions so every operator is
   * reachable from `spark.sql` (SURVEY.md §7.1 `sql/` surface). Install
@@ -141,6 +141,14 @@ object GraftExtensions {
     NativeBridge.column(MinHashSignature(NativeBridge.expression(shingles), numHashes))
   def mdMinhashSignature(shingles: Column, numHashes: Int): Column =
     NativeBridge.column(MdMinHashSignature(NativeBridge.expression(shingles), numHashes))
+  def md5Prefix60(s: Column): Column =
+    NativeBridge.column(Md5Prefix60(NativeBridge.expression(s)))
+  def mdBucketMargin(tokens: Column, weights: Seq[Double],
+                     skipEmpty: Boolean = false): Column =
+    NativeBridge.column(MdBucketMargin(NativeBridge.expression(tokens),
+      weights, skipEmpty))
+  def mdDerivedMarginInt(tokens: Column, buckets: Int): Column =
+    NativeBridge.column(MdDerivedMarginInt(NativeBridge.expression(tokens), buckets))
   def simhash64(tokenHashes: Column): Column =
     NativeBridge.column(SimHash64(NativeBridge.expression(tokenHashes)))
   def shingles(tokens: Column, k: Int): Column =

@@ -324,13 +324,12 @@ object Curation {
     * scores 0.0 here (a row per input row), where the event-sum
     * [[dsirWeights]] emits no row for it — callers comparing the two
     * paths filter `dsirTokenCount > 0` (pipe_dsir_scored does). */
-  def dsirScore(textCol: Column, logRatios: Seq[Double]): Column = {
-    val lrLit = array(logRatios.map(lit): _*)
-    val toks = filter(split(textCol, " ", -1), t => t =!= lit(""))
-    aggregate(toks, lit(0.0), (acc, t) =>
-      acc + element_at(lrLit,
-        (Text.portableHash(t) % logRatios.size.toLong + 1L).cast("int")))
-  }
+  def dsirScore(textCol: Column, logRatios: Seq[Double]): Column =
+    // r18: the fused MdBucketMargin loop with the empty-token skip —
+    // same left-to-right double sum as the old filter() + aggregate()
+    // HOF pair (both lambdas ran interpreted per token), same values
+    graft.functions.GraftExtensions.mdBucketMargin(
+      split(textCol, " ", -1), logRatios, skipEmpty = true)
 
   /** Non-empty token count matching [[dsirScore]]'s event filter —
     * `n_tokens` in [[dsirWeights]]' output, computed per row. */
@@ -682,12 +681,13 @@ object Curation {
     * no join; the weights ride the closure like any broadcast model).
     * Token-order summation, so the float result is deterministic. */
   def classifierScore(textCol: Column, weights: Seq[Double]): Column = {
-    val wLit = array(weights.map(lit): _*)
+    // r18: the margin was an aggregate() HOF — interpreted lambda per
+    // token with an md5 hex-conv per step; MdBucketMargin is the same
+    // left-to-right double accumulation fused into one codegen loop
+    // (agreement pinned in NativeExprSpec; classifier outputs stay
+    // oracled bit-for-bit)
     val toks = split(textCol, " ", -1)
-    val margin = aggregate(toks, lit(0.0), (acc, t) =>
-      acc + element_at(wLit,
-        (pmod(Text.portableHash(t), lit(weights.size.toLong)) + 1L)
-          .cast("int")))
+    val margin = graft.functions.GraftExtensions.mdBucketMargin(toks, weights)
     lit(1.0) / (lit(1.0) + exp(-(margin / size(toks).cast("double"))))
   }
 }

@@ -665,7 +665,13 @@ object Text {
     * hash-keyed dedup queries oracle-able. xxhash64 is the faster
     * non-oracled twin. */
   def portableHash(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    // r18: native single step (60-bit digest prefix read from the md5
+    // bytes) — bit-identical to the composed
+    // conv(substring(md5(c), 1, 15), 16, 10).cast("long") form it
+    // replaces (pinned in NativeExprSpec), without materializing and
+    // re-parsing the 32-char hex string per row. ~40 call sites ride
+    // this, so it is the engine's hottest scalar.
+    graft.functions.GraftExtensions.md5Prefix60(c)
 
   /** Positional k-token span hashes: one portable hash per token position
     * `i ∈ [1, n−k+1]` over the space-joined span `toks[i..i+k−1]`. The
@@ -1538,9 +1544,10 @@ object Text {
     * accumulation order. One aggregate HOF per row — map-only, no
     * shuffle, embarrassingly parallel at any scale. */
   def classifierMarginInt(toks: Column, buckets: Int): Column =
-    aggregate(toks, lit(0L), (acc, t) =>
-      acc + (portableHash(concat(lit("w"),
-        (portableHash(t) % buckets).cast("string"))) % 2001L - 1000L))
+    // r18: fused native loop (MdDerivedMarginInt) — the old aggregate()
+    // HOF ran two md5-hex-convs per token through an interpreted
+    // lambda; values identical (pinned in NativeExprSpec)
+    graft.functions.GraftExtensions.mdDerivedMarginInt(toks, buckets)
 
   /** Sigmoid probability from [[classifierMarginInt]]: the margin mean
     * (margin / (1000·n_tokens), an exactly-rounded double of two exact

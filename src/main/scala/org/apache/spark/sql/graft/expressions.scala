@@ -267,6 +267,22 @@ object MdMinHash {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
   }
+
+  /** 60-bit md5 prefix of raw bytes — the numeric value of the first
+    * 15 hex digits of the digest, i.e. `conv(substring(md5(x), 1, 15),
+    * 16, 10)` without the hex-string round trip. */
+  def hash60(bytes: Array[Byte]): Long = {
+    val md = mdTl.get()
+    md.reset()
+    md.update(bytes)
+    val d = md.digest()
+    val be =
+      ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+        ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+        ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+    be >>> 4
+  }
   // "0 ", "1 ", … prefixes pre-encoded once; j beyond the cache (no
   // caller uses numHashes > 64) falls back to a per-call encode
   private val prefixCache: Array[Array[Byte]] =
@@ -275,6 +291,15 @@ object MdMinHash {
   private def prefix(j: Int): Array[Byte] =
     if (j < 64) prefixCache(j)
     else (j.toString + " ").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  /** One token's hash-derived integer weight (the classifierMarginInt
+    * kernel): slot = hash60(tok) mod buckets, then
+    * hash60("w" + slot) mod 2001 − 1000 ∈ [−1000, 1000]. */
+  def derivedWeight(tokBytes: Array[Byte], buckets: Int): Long = {
+    val slot = hash60(tokBytes) % buckets
+    val key = ("w" + slot).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    hash60(key) % 2001L - 1000L
+  }
 
   /** Fold one shingle into the running signature: for every component
     * j, sig(j) = min(sig(j), 60-bit md5 prefix of (j + " " + s)). */
@@ -353,6 +378,157 @@ case class MdMinHashSignature(child: Expression, numHashes: Int)
   }
 
   override protected def withNewChildInternal(newChild: Expression): MdMinHashSignature =
+    copy(child = newChild)
+}
+
+/** The engine-wide portable hash as ONE native step: the 60-bit md5
+  * prefix of a string — numerically identical to
+  * `conv(substring(md5(s), 1, 15), 16, 10) :: long`
+  * (graft.ops.Text.portableHash's composed form), but without
+  * materializing the 32-char hex string and re-parsing 15 digits of it
+  * per row. Null in → null out (md5/conv propagate null the same
+  * way). Pinned against the composed form in NativeExprSpec; every
+  * portableHash-derived query stays oracled because the VALUES are
+  * bit-identical. */
+case class Md5Prefix60(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_prefix60"
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s =>
+      s"org.apache.spark.sql.graft.MdMinHash.hash60($s.getBytes())")
+
+  override protected def nullSafeEval(input: Any): Any =
+    MdMinHash.hash60(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Prefix60 =
+    copy(child = newChild)
+}
+
+/** Hashed-bag-of-words linear margin in ONE fused loop — semantics
+  * identical to the HOF form
+  * `aggregate(toks, 0.0, (acc, t) => acc + w[(pmod(portableHash(t), B)
+  * + 1)])` (graft.ops.Curation.classifierScore's inner aggregate):
+  * left-to-right double accumulation over the token array, one md5 per
+  * token, weight lookup by 60-bit-hash mod B. The HOF runs its lambda
+  * interpreted per token with a hex-conv per hash; this stays inside
+  * whole-stage codegen. Null tokens contribute null (poisoning the sum
+  * exactly like the HOF's `acc + null`); a null array yields null. */
+case class MdBucketMargin(child: Expression, weights: Seq[Double],
+                          skipEmpty: Boolean = false)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType))
+  override def dataType: DataType = DoubleType
+  // nullable regardless of the child: a null ELEMENT nulls the sum, so
+  // ev.isNull must be a real variable even over a non-null array column
+  override def nullable: Boolean = true
+  override def prettyName: String = "md_bucket_margin"
+
+  @transient private lazy val wArr: Array[Double] = weights.toArray
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val w = ctx.addReferenceObj("weights", wArr, "double[]")
+    nullSafeCodeGen(ctx, ev, arr => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val sawNull = ctx.freshName("sawNull")
+      val s = ctx.freshName("s")
+      val h = ctx.freshName("h")
+      val skip = if (skipEmpty) s"if ($s.numBytes() == 0) continue;" else ""
+      s"""
+         |int $n = $arr.numElements();
+         |double $acc = 0.0;
+         |boolean $sawNull = false;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($arr.isNullAt($i)) { $sawNull = true; break; }
+         |  org.apache.spark.unsafe.types.UTF8String $s = $arr.getUTF8String($i);
+         |  $skip
+         |  long $h = org.apache.spark.sql.graft.MdMinHash.hash60($s.getBytes());
+         |  $acc += $w[(int) ($h % $w.length)];
+         |}
+         |if ($sawNull) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
+       """.stripMargin
+    })
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      val s = arr.getUTF8String(i)
+      if (!(skipEmpty && s.numBytes() == 0)) {
+        val h = MdMinHash.hash60(s.getBytes)
+        acc += wArr((h % wArr.length).toInt)
+      }
+      i += 1
+    }
+    acc
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MdBucketMargin =
+    copy(child = newChild)
+}
+
+/** The hash-derived INTEGER classifier margin in one fused loop —
+  * semantics identical to the HOF form
+  * `aggregate(toks, 0L, (acc, t) => acc + (portableHash("w" +
+  * (portableHash(t) % buckets)) % 2001 - 1000))`
+  * (graft.ops.Text.classifierMarginInt): per token, slot =
+  * 60-bit-md5(t) mod buckets, weight = 60-bit-md5("w" + slot) mod
+  * 2001 − 1000, summed as longs. Null elements null the sum like the
+  * HOF's `acc + null`. */
+case class MdDerivedMarginInt(child: Expression, buckets: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "md_derived_margin_int"
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val sawNull = ctx.freshName("sawNull")
+      s"""
+         |int $n = $arr.numElements();
+         |long $acc = 0L;
+         |boolean $sawNull = false;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($arr.isNullAt($i)) { $sawNull = true; break; }
+         |  $acc += org.apache.spark.sql.graft.MdMinHash.derivedWeight(
+         |    $arr.getUTF8String($i).getBytes(), $buckets);
+         |}
+         |if ($sawNull) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
+       """.stripMargin
+    })
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      acc += MdMinHash.derivedWeight(arr.getUTF8String(i).getBytes, buckets)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MdDerivedMarginInt =
     copy(child = newChild)
 }
 

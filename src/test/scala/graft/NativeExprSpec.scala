@@ -63,6 +63,57 @@ class NativeExprSpec extends SparkSpec {
     assert(got.toSeq == want)
   }
 
+  test("native md5_prefix60 agrees with the composed conv/substring/md5 form") {
+    val df = Seq("a", "", "hello world", "unicode é ü 漢", "x:42",
+      "a longer string with several tokens in it").toDF("s")
+    val out = df.select(
+      GraftExtensions.md5Prefix60(col("s")).as("native"),
+      conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("composed"))
+      .as[(Long, Long)].collect()
+    out.foreach { case (n, c) => assert(n == c, s"$n vs $c") }
+    // null propagation matches
+    val nul = Seq(Option.empty[String]).toDF("s")
+      .select(GraftExtensions.md5Prefix60(col("s"))).collect()(0)
+    assert(nul.isNullAt(0))
+  }
+
+  test("native md_bucket_margin agrees with the aggregate HOF (incl. skipEmpty)") {
+    val w = Seq(0.5, -1.25, 2.0, 0.125, -0.75)
+    val wLit = array(w.map(lit): _*)
+    val df = Seq("a b c d e f", "single", "", "x  y", "t1 t2 t1 t2")
+      .toDF("text")
+    val toks = split(col("text"), " ", -1)
+    val hof = aggregate(toks, lit(0.0), (acc, t) =>
+      acc + element_at(wLit,
+        (pmod(graft.ops.Text.portableHash(t), lit(w.size.toLong)) + 1L)
+          .cast("int")))
+    val out = df.select(
+      GraftExtensions.mdBucketMargin(toks, w).as("native"), hof.as("hof"))
+      .as[(Double, Double)].collect()
+    out.foreach { case (n, h) => assert(n == h, s"$n vs $h") }
+    // skipEmpty twin: filter-then-aggregate vs the fused flag
+    val hofSkip = aggregate(filter(toks, t => t =!= lit("")), lit(0.0),
+      (acc, t) => acc + element_at(wLit,
+        (graft.ops.Text.portableHash(t) % w.size.toLong + 1L).cast("int")))
+    val out2 = df.select(
+      GraftExtensions.mdBucketMargin(toks, w, skipEmpty = true).as("native"),
+      hofSkip.as("hof")).as[(Double, Double)].collect()
+    out2.foreach { case (n, h) => assert(n == h, s"skipEmpty $n vs $h") }
+  }
+
+  test("native md_derived_margin_int agrees with the double-hash HOF") {
+    val b = 64
+    val df = Seq("alpha beta gamma", "", "one", "tok tok tok").toDF("text")
+    val toks = split(col("text"), " ", -1)
+    val hof = aggregate(toks, lit(0L), (acc, t) =>
+      acc + (graft.ops.Text.portableHash(concat(lit("w"),
+        (graft.ops.Text.portableHash(t) % b).cast("string"))) % 2001L - 1000L))
+    val out = df.select(
+      GraftExtensions.mdDerivedMarginInt(toks, b).as("native"), hof.as("hof"))
+      .as[(Long, Long)].collect()
+    out.foreach { case (n, h) => assert(n == h, s"$n vs $h") }
+  }
+
   test("native dot_product agrees with the HOF composition") {
     val df = Seq(
       (Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),

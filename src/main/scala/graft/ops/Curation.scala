@@ -564,6 +564,14 @@ object Curation {
       .groupBy(col("__id"), col("__y"), col("__n"),
         pmod(Text.portableHash(col("__t")), lit(buckets.toLong)).as("__b"))
       .agg(count(lit(1)).cast("double").as("__cnt"))
+      // r18 (guide §2.4): every GD round re-reads this table twice
+      // keyed by __id (the per-doc margin groupBy and the gradient
+      // join-back) — cached UNPARTITIONED, each consumer paid its own
+      // exchange, 2 shuffles x rounds. Persisting it already
+      // hash-partitioned by __id satisfies both consumers' required
+      // distribution, so the per-round exchanges of the feature table
+      // vanish (rounds shuffle only the buckets-sized gradient).
+      .repartition(col("__id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val nDocs = docs.select(col(idCol)).count().toDouble

@@ -81,6 +81,12 @@ object Linkage {
       .select("g")
     val dg = dirty.select(col(dId), col(dName),
         explode(charGrams(col(dName), q)).as("g"))
+    // NOTE (r18, measured negative result): deduping candidates as
+    // bare id pairs and re-attaching names by two id joins (guide
+    // §2.3's shuffle-keys-not-payloads) LOSES here — 2.7 → 3.4 s at
+    // sf0.1: names are ~25 bytes, so the byte saving is small and the
+    // two extra join exchanges dominate. The rule pays off for heavy
+    // payloads (see the multimodal ops), not short strings.
     val cands = dg.join(keep, "g").join(cg, "g")
       .select(col(dId), col(dName), col(cId), col(cName))
       .distinct()

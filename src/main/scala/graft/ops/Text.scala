@@ -831,14 +831,22 @@ object Text {
       "ladder top exceeds Int range")
     val toks = df.select(col(idCol),
       split(col(textCol), " ", -1).as("__toks"))
-    // NOTE (r18, measured): the per-level hashed stream (id, pos, __h)
-    // has two consumers inside dupPositions (dup-hash aggregate +
-    // join-back probe) and is derived twice per materialization — but
-    // persisting it LOSES badly (dedup_suffix_spans 10.9 → 31.2 s at
-    // sf0.1): the explode + hash fuses into the consumers' codegen
-    // stages and partial-aggregates map-side, while a persist forces
-    // every corpus-scale row through the columnar cache builder. Same
-    // verdict as the r17 event-stream persist note: re-derivation wins.
+    // The per-level hashed stream (id, pos, __h) has two consumers
+    // inside dupPositions (dup-hash aggregate + join-back probe), so
+    // each level's candidate-join + window hashing derives twice — and
+    // every derivation pays a full toks scan+split under the join.
+    // r18, both directions measured at sf0.1:
+    //  - LEVEL 0 persist LOSES badly (10.9 → 31.2 s): the stream is
+    //    corpus-scale, the explode+hash fuses into the consumers'
+    //    codegen stages and partial-aggregates map-side, while a
+    //    persist forces every row through the columnar cache builder
+    //    (the r17 event-stream verdict: re-derivation wins).
+    //  - LEVELS ≥ 1 persist ALSO loses (7.5 → 25.6 s): on a dup-heavy
+    //    corpus the candidate streams are not small, and the cache
+    //    build again out-costs the toks scan+split it saves. Both
+    //    directions tried and rejected — the ladder keeps pure
+    //    re-derivation inside each level (only the level OUTPUTS,
+    //    which every later level consumes 4×, stay persisted).
     def verify(cands: DataFrame, k: Int): DataFrame =
       // hash the full k-window at each candidate position (join back to
       // the token arrays — candidate-sized, never corpus-sized past

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{CdcCuts, CosineSimilarity, DotProduct, EvalBarrier, IvfTopCells, IvfTreeTopCells, Md5Prefix60, MdBucketMargin, MdDerivedMarginInt, MdMinHashSignature, MinHashSignature, MjdToTimestamp, NativeBridge, RegexpExtractGroups, ShingleArray, SimHash64, MultiMatch, TimestampToMjd, UnicodeNormalize, UnigramViterbi, WinnowMinima, WordPieceEncode}
+import org.apache.spark.sql.graft.{CdcCuts, CosineSimilarity, DotProduct, EvalBarrier, IvfTopCells, IvfTreeTopCells, Md5Prefix60, MdBucketMargin, MdDerivedMarginInt, SpanHashes60, MdMinHashSignature, MinHashSignature, MjdToTimestamp, NativeBridge, RegexpExtractGroups, ShingleArray, SimHash64, MultiMatch, TimestampToMjd, UnicodeNormalize, UnigramViterbi, WinnowMinima, WordPieceEncode}
 
 /** Registers the native expressions as SQL functions so every operator is
   * reachable from `spark.sql` (SURVEY.md §7.1 `sql/` surface). Install
@@ -143,6 +143,8 @@ object GraftExtensions {
     NativeBridge.column(MdMinHashSignature(NativeBridge.expression(shingles), numHashes))
   def md5Prefix60(s: Column): Column =
     NativeBridge.column(Md5Prefix60(NativeBridge.expression(s)))
+  def spanHashes60(toks: Column, k: Int): Column =
+    NativeBridge.column(SpanHashes60(NativeBridge.expression(toks), k))
   def mdBucketMargin(tokens: Column, weights: Seq[Double],
                      skipEmpty: Boolean = false): Column =
     NativeBridge.column(MdBucketMargin(NativeBridge.expression(tokens),

@@ -682,14 +682,12 @@ object Text {
     * no shuffle — the corpus-wide groupBy shuffles 8-byte hashes, never
     * the spans themselves. */
   def spanHashes(toks: Column, k: Int): Column =
-    // docs shorter than k yield NO spans (excluded, no partial span) —
-    // the explicit guard matters: sequence(1, n−k+1) with n<k would be a
-    // descending range, not empty
-    when(size(toks) < k, array().cast("array<struct<pos:int,h:bigint>>"))
-      .otherwise(transform(
-        sequence(lit(1), size(toks) - (k - 1), lit(1)),
-        i => struct(i.as("pos"),
-          portableHash(concat_ws(" ", slice(toks, i, lit(k)))).as("h"))))
+    // r18: fused native loop — the transform() HOF evaluated its md5
+    // lambda INTERPRETED per window and materialized every joined
+    // window string; SpanHashes60 streams window bytes straight into
+    // the digest (values identical, pinned in NativeExprSpec; docs
+    // shorter than k still yield the empty array)
+    graft.functions.GraftExtensions.spanHashes60(toks, k)
 
   /** Duplicated-span statistics per document: of the `n_spans` k-token
     * spans in each doc, how many (`n_dup_spans`) also occur in at least
@@ -861,18 +859,22 @@ object Text {
         d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else d
     // level 0: every baseK-window position of every long-enough doc.
-    // Deliberately the explode-ints-then-join-then-hash form, NOT a
-    // spanHashes explode: the (pos, h) struct transform evaluates its
-    // md5 lambda INTERPRETED per element (standing rule 3), while this
-    // shape hashes in whole-stage codegen after the join — measured
-    // (r17): the "saved" join cost ~60% MORE summed task time through
-    // the interpreted hashing.
-    val level0 = hold(verify(
-      toks.filter(size(col("__toks")) >= baseK)
-        .select(col(idCol),
-          explode(sequence(lit(1), size(col("__toks")) - (baseK - 1),
-            lit(1))).as("pos")),
-      baseK))
+    // r18: hashes explode DIRECTLY from each doc row via the native
+    // SpanHashes60 loop — the old explode-ints-then-join-back-then-hash
+    // shape existed only because the spanHashes transform() HOF hashed
+    // through an interpreted lambda (r17 measured it 60% worse in task
+    // time); the native loop beats both, and deleting the level-0
+    // positions⋈tokens join removes the one corpus-scale join of the
+    // whole ladder (2 Scans + a join per derivation → 1 Scan, ×2
+    // consumers). Docs shorter than baseK yield the empty array and
+    // vanish in the explode — the old size() filter's semantics.
+    val level0 = hold(dupPositions(
+      toks.select(col(idCol),
+          explode(graft.functions.GraftExtensions
+            .spanHashes60(col("__toks"), baseK)).as("__s"))
+        .select(col(idCol), col("__s.pos").as("pos"),
+          col("__s.h").as("__h")),
+      idCol, minDocs))
     // ladder: dups(i) = positions duplicated at width baseK * 2^i
     val dups = (1 until levels).scanLeft(level0) { (prev, i) =>
       val half = baseK << (i - 1)

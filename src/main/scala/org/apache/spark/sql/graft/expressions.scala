@@ -301,6 +301,54 @@ object MdMinHash {
     hash60(key) % 2001L - 1000L
   }
 
+  /** All k-token window hashes of a token array in one pass — the
+    * [[SpanHashes60]] kernel. Window p (1-based) hashes the
+    * single-space join of tokens [p-1, p+k-2], null tokens skipped
+    * exactly as concat_ws skips them (no doubled separator). The
+    * window bytes stream straight into the digest — no joined string
+    * is ever materialized. */
+  def spanHashes(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+                 k: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = arr.numElements()
+    val m = n - k + 1
+    if (m <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val toks = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) toks(i) = arr.getUTF8String(i).getBytes
+      i += 1
+    }
+    val md = mdTl.get()
+    val out = new Array[Any](m)
+    var p = 0
+    while (p < m) {
+      md.reset()
+      var first = true
+      var j = p
+      val end = p + k
+      while (j < end) {
+        val t = toks(j)
+        if (t != null) {
+          if (!first) md.update(' '.toByte)
+          md.update(t)
+          first = false
+        }
+        j += 1
+      }
+      val d = md.digest()
+      val be =
+        ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+          ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+          ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+          ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+      out(p) = org.apache.spark.sql.catalyst.InternalRow(p + 1, be >>> 4)
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Fold one shingle into the running signature: for every component
     * j, sig(j) = min(sig(j), 60-bit md5 prefix of (j + " " + s)). */
   def fold(sig: Array[Long], numHashes: Int,
@@ -378,6 +426,42 @@ case class MdMinHashSignature(child: Expression, numHashes: Int)
   }
 
   override protected def withNewChildInternal(newChild: Expression): MdMinHashSignature =
+    copy(child = newChild)
+}
+
+/** Positional k-token span hashes as ONE fused per-row loop —
+  * semantics identical to the HOF form
+  * `transform(sequence(1, n-k+1), i => struct(i, portableHash(
+  * concat_ws(" ", slice(toks, i, k)))))` with the n < k empty-array
+  * guard (graft.ops.Text.spanHashes): one (pos, 60-bit-md5) struct per
+  * window. The HOF ran its lambda interpreted per window and
+  * materialized every joined window string; here window bytes stream
+  * straight into the digest. Besides the per-window cost, this deletes
+  * the suffix ladder's level-0 positions⋈tokens join outright — the
+  * explode-then-join-back shape existed only because in-row HOF
+  * hashing was interpreted (the r17 measurement); a native loop beats
+  * both. Agreement pinned in NativeExprSpec; the ladder and span
+  * queries stay oracled (values identical). */
+case class SpanHashes60(child: Expression, k: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(k >= 1, s"k must be >= 1, got $k")
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("pos", IntegerType, nullable = false),
+      StructField("h", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "span_hashes60"
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, arr =>
+      s"org.apache.spark.sql.graft.MdMinHash.spanHashes($arr, $k)")
+
+  override protected def nullSafeEval(input: Any): Any =
+    MdMinHash.spanHashes(input.asInstanceOf[ArrayData], k)
+
+  override protected def withNewChildInternal(newChild: Expression): SpanHashes60 =
     copy(child = newChild)
 }
 

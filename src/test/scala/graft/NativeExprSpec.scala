@@ -101,6 +101,25 @@ class NativeExprSpec extends SparkSpec {
     out2.foreach { case (n, h) => assert(n == h, s"skipEmpty $n vs $h") }
   }
 
+  test("native span_hashes60 agrees with the transform HOF (incl. short docs)") {
+    def hofSpanHashes(toks: org.apache.spark.sql.Column, k: Int) =
+      when(size(toks) < k, array().cast("array<struct<pos:int,h:bigint>>"))
+        .otherwise(transform(
+          sequence(lit(1), size(toks) - (k - 1), lit(1)),
+          i => struct(i.as("pos"),
+            conv(substring(md5(concat_ws(" ", slice(toks, i, lit(k)))), 1, 15),
+              16, 10).cast("long").as("h"))))
+    val df = Seq("a b c d e f g", "a b", "", "x", "t1  t2 t1", "é ü 漢 x y")
+      .toDF("text").select(split(col("text"), " ", -1).as("toks"))
+    for (k <- Seq(1, 3, 4)) {
+      val out = df.select(
+        GraftExtensions.spanHashes60(col("toks"), k).as("native"),
+        hofSpanHashes(col("toks"), k).as("hof"))
+        .as[(Seq[(Int, Long)], Seq[(Int, Long)])].collect()
+      out.foreach { case (n, h) => assert(n == h, s"k=$k: $n vs $h") }
+    }
+  }
+
   test("native md_derived_margin_int agrees with the double-hash HOF") {
     val b = 64
     val df = Seq("alpha beta gamma", "", "one", "tok tok tok").toDF("text")

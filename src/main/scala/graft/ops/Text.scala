@@ -1070,13 +1070,17 @@ object Text {
     // vocab-bounded cardinality (~1e7) keeps their collision odds ~1e-6
     // (a collision in the vocab count is the same accepted class as one
     // merging two ha-keyed marginals).
+    // r19: the four keys come out of ONE fused native loop
+    // (BigramHashes — bit-identical to the composed xxhash64 columns,
+    // pinned in NativeExprSpec): the interpreted bigrams() transform()
+    // lambda, the (a, b) token-struct materialization and the
+    // post-explode string re-hashing all disappear, and the explode
+    // emits 32 bytes of longs per event instead of two token strings.
     val ev0 = df.select(col(idCol),
-        explode(bigrams(split(col(textCol), " ", -1))).as("b"))
-      .select(col(idCol),
-        xxhash64(col("b.a"), col("b.b")).as("h2"),
-        xxhash64(lit(1), col("b.a"), col("b.b")).as("h2b"),
-        xxhash64(col("b.a")).as("ha"),
-        xxhash64(col("b.b")).as("hb"))
+        explode(graft.functions.GraftExtensions
+          .bigramHashes(split(col(textCol), " ", -1))).as("b"))
+      .select(col(idCol), col("b.h2").as("h2"), col("b.h2b").as("h2b"),
+        col("b.ha").as("ha"), col("b.hb").as("hb"))
     val ev = if (persistBigrams)
       ev0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else ev0
@@ -1161,14 +1165,14 @@ object Text {
       : (DataFrame, DataFrame) = {
     require(discount > 0 && discount < 1, "discount must be in (0, 1)")
     // 128-bit bigram keying (h2, h2b) — see [[bigramNllWithHandle]];
-    // ha/hb marginal keys stay 64-bit (token-level cardinality)
+    // ha/hb marginal keys stay 64-bit (token-level cardinality).
+    // r19: fused native key loop (BigramHashes, bit-identical — see
+    // bigramNllWithHandle's note).
     val ev0 = df.select(col(idCol),
-        explode(bigrams(split(col(textCol), " ", -1))).as("b"))
-      .select(col(idCol),
-        xxhash64(col("b.a"), col("b.b")).as("h2"),
-        xxhash64(lit(1), col("b.a"), col("b.b")).as("h2b"),
-        xxhash64(col("b.a")).as("ha"),
-        xxhash64(col("b.b")).as("hb"))
+        explode(graft.functions.GraftExtensions
+          .bigramHashes(split(col(textCol), " ", -1))).as("b"))
+      .select(col(idCol), col("b.h2").as("h2"), col("b.h2b").as("h2b"),
+        col("b.ha").as("ha"), col("b.hb").as("hb"))
     val ev = if (persistBigrams)
       ev0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else ev0
@@ -1246,13 +1250,13 @@ object Text {
         .limit(1).count() == 1L,
       "mooreLewis: isTarget slice has no document with >=2 tokens — the " +
         "target LM would be empty (V=0) and every delta ±Inf")
+    // r19: fused native key loop (BigramHashes, bit-identical — see
+    // bigramNllWithHandle's note)
     val ev0 = df.select(col(idCol), isTarget.as("is_t"),
-        explode(bigrams(split(col(textCol), " ", -1))).as("b"))
-      .select(col(idCol), col("is_t"),
-        xxhash64(col("b.a"), col("b.b")).as("h2"),
-        xxhash64(lit(1), col("b.a"), col("b.b")).as("h2b"),
-        xxhash64(col("b.a")).as("ha"),
-        xxhash64(col("b.b")).as("hb"))
+        explode(graft.functions.GraftExtensions
+          .bigramHashes(split(col(textCol), " ", -1))).as("b"))
+      .select(col(idCol), col("is_t"), col("b.h2").as("h2"),
+        col("b.h2b").as("h2b"), col("b.ha").as("ha"), col("b.hb").as("hb"))
     val ev = if (persistEvents)
       ev0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else ev0
@@ -1362,12 +1366,13 @@ object Text {
         .limit(1).count() == 1L,
       "bigramModelDF: training input has no document with >=2 tokens — " +
         "the stored model would have V=0 and every serving NLL +Inf")
+    // r19: fused native key loop (BigramHashes, bit-identical — see
+    // bigramNllWithHandle's note)
     val ev = train.select(col(idCol),
-        explode(bigrams(split(col(textCol), " ", -1))).as("b"))
-      .select(xxhash64(col("b.a"), col("b.b")).as("h2"),
-        xxhash64(lit(1), col("b.a"), col("b.b")).as("h2b"),
-        xxhash64(col("b.a")).as("ha"),
-        xxhash64(col("b.b")).as("hb"))
+        explode(graft.functions.GraftExtensions
+          .bigramHashes(split(col(textCol), " ", -1))).as("b"))
+      .select(col("b.h2").as("h2"), col("b.h2b").as("h2b"),
+        col("b.ha").as("ha"), col("b.hb").as("hb"))
     val c2 = ev.groupBy("h2", "h2b").agg(count(lit(1)).as("c2"),
       max("ha").as("ha"), max("hb").as("hb"))
     // |V| off the vocab²-bounded count table, not a second corpus pass
@@ -1404,12 +1409,14 @@ object Text {
       .select(col("k1").as("ha"), col("v").cast("long").as("c1"))
     val vTab = model.filter(col("kind") === "meta")
       .select(col("v").cast("long").as("v"))
+    // r19: fused native key loop (BigramHashes, bit-identical — see
+    // bigramNllWithHandle's note); the unused hb field of the struct is
+    // dead weight only inside the generate row, never shuffled
     val ev = score.select(col(idCol),
-        explode(bigrams(split(col(textCol), " ", -1))).as("b"))
-      .select(col(idCol),
-        xxhash64(col("b.a"), col("b.b")).as("h2"),
-        xxhash64(lit(1), col("b.a"), col("b.b")).as("h2b"),
-        xxhash64(col("b.a")).as("ha"))
+        explode(graft.functions.GraftExtensions
+          .bigramHashes(split(col(textCol), " ", -1))).as("b"))
+      .select(col(idCol), col("b.h2").as("h2"), col("b.h2b").as("h2b"),
+        col("b.ha").as("ha"))
     ev.join(pairs, Seq("h2", "h2b"), "left")
       .join(broadcast(ctx), Seq("ha"), "left")
       .crossJoin(broadcast(vTab))
@@ -1467,17 +1474,19 @@ object Text {
     // n-gram-scale cardinality where single-64-bit collisions are an
     // O(1) expectation at 100 TB, each silently merging two counts);
     // single-token hb/hc stay 64-bit (vocab-bounded cardinality).
+    // r19: all eight keys from ONE fused native loop (TrigramHashes —
+    // bit-identical to the composed xxhash64 columns, pinned in
+    // NativeExprSpec; hab/habb reuse h3/h3b's chain prefixes, per-token
+    // hashes are computed once per token): the interpreted trigrams()
+    // transform() lambda, the 3-string struct materialization and
+    // ~14 post-explode string traversals per event collapse to ~6.
     val ev0 = df.select(col(idCol),
-        explode(trigrams(split(col(textCol), " ", -1))).as("t"))
-      .select(col(idCol),
-        xxhash64(col("t.a"), col("t.b"), col("t.c")).as("h3"),
-        xxhash64(lit(1), col("t.a"), col("t.b"), col("t.c")).as("h3b"),
-        xxhash64(col("t.a"), col("t.b")).as("hab"),
-        xxhash64(lit(1), col("t.a"), col("t.b")).as("habb"),
-        xxhash64(col("t.b"), col("t.c")).as("hbc"),
-        xxhash64(lit(1), col("t.b"), col("t.c")).as("hbcb"),
-        xxhash64(col("t.b")).as("hb"),
-        xxhash64(col("t.c")).as("hc"))
+        explode(graft.functions.GraftExtensions
+          .trigramHashes(split(col(textCol), " ", -1))).as("t"))
+      .select(col(idCol), col("t.h3").as("h3"), col("t.h3b").as("h3b"),
+        col("t.hab").as("hab"), col("t.habb").as("habb"),
+        col("t.hbc").as("hbc"), col("t.hbcb").as("hbcb"),
+        col("t.hb").as("hb"), col("t.hc").as("hc"))
     val ev = if (persistTrigrams)
       ev0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else ev0

@@ -268,6 +268,10 @@ object MdMinHash {
       java.security.MessageDigest.getInstance("MD5")
   }
 
+  /** The thread-local digest, for sibling md5-family kernels
+    * ([[MdBandKeys]]) — callers must reset() before use. */
+  def digester(): java.security.MessageDigest = mdTl.get()
+
   /** 60-bit md5 prefix of raw bytes — the numeric value of the first
     * 15 hex digits of the digest, i.e. `conv(substring(md5(x), 1, 15),
     * 16, 10)` without the hex-string round trip. */
@@ -1906,4 +1910,243 @@ object AnalysisErrors {
     throw new org.apache.spark.sql.AnalysisException(
       "INVALID_PARAMETER_VALUE.NULL",
       Map("parameter" -> s"`$param`", "functionName" -> s"`$fn`"))
+}
+
+/** Shared xxhash64-chain kernel of [[BigramHashes]] / [[TrigramHashes]]:
+  * Spark's multi-argument `xxhash64(c1, c2, …)` folds left-to-right —
+  * state starts at the default seed 42 and each NON-NULL child rehashes
+  * the state (null children leave it unchanged) — so the n-gram key
+  * family the LM queries build from 4–8 separate xxhash64 columns per
+  * event shares long prefix chains: `xxhash64(a,b)` is an intermediate
+  * state of `xxhash64(a,b,c)`, and the per-token hashes `xxhash64(t)` /
+  * the `xxhash64(lit(1), …)` chain starts are reusable across adjacent
+  * events. One fused loop computes every key of every event in a doc
+  * with ~half the string traversals and none of the interpreted
+  * `transform()` lambda, token-struct materialization, or post-explode
+  * string re-hashing of the composed form. Values are BIT-IDENTICAL to
+  * the composed columns (pinned in NativeExprSpec), so every LM query
+  * stays oracled unchanged. */
+object NgramHash {
+  import org.apache.spark.sql.catalyst.expressions.{XXH64, XxHash64Function}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  val Seed = 42L
+  /** Chain state after folding the integer literal 1 over the default
+    * seed — the prefix every `xxhash64(lit(1), …)` variant starts from. */
+  val Seed1: Long = XXH64.hashInt(1, Seed)
+
+  /** One xxhash64 fold step: null tokens leave the state unchanged,
+    * exactly as Spark's HashExpression skips null children. */
+  @inline private def fold(state: Long, t: UTF8String): Long =
+    if (t == null) state
+    else XxHash64Function.hash(t, StringType, state).asInstanceOf[Long]
+
+  /** All bigram events of a token array as (h2, h2b, ha, hb) rows —
+    * h2 = xxhash64(a, b), h2b = xxhash64(lit(1), a, b), ha/hb the
+    * single-token hashes. Arrays shorter than 2 yield the empty array
+    * (graft.ops.Text.bigrams' emission guard). */
+  def bigramHashes(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    if (n < 2)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val toks = new Array[UTF8String](n)
+    val h42 = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val t = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      toks(i) = t
+      h42(i) = fold(Seed, t)
+      i += 1
+    }
+    val out = new Array[Any](n - 1)
+    i = 0
+    while (i < n - 1) {
+      val b = toks(i + 1)
+      val h2 = fold(h42(i), b)
+      val h2b = fold(fold(Seed1, toks(i)), b)
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](h2, h2b, h42(i), h42(i + 1)))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** All trigram events of a token array as
+    * (h3, h3b, hab, habb, hbc, hbcb, hb, hc) rows — the exact key set
+    * graft.ops.Text.trigramNllWithHandle builds per event, with the
+    * chain prefixes shared: hab is h3's intermediate state, habb is
+    * h3b's, and the per-token 42- and lit(1)-seeded hashes are computed
+    * once per token instead of once per event side. Arrays shorter
+    * than 3 yield the empty array (Text.trigrams' guard). */
+  def trigramHashes(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    if (n < 3)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val toks = new Array[UTF8String](n)
+    val h42 = new Array[Long](n)   // xxhash64(t)
+    val hS1 = new Array[Long](n)   // state after folding t over Seed1
+    var i = 0
+    while (i < n) {
+      val t = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      toks(i) = t
+      h42(i) = fold(Seed, t)
+      hS1(i) = fold(Seed1, t)
+      i += 1
+    }
+    val out = new Array[Any](n - 2)
+    i = 0
+    while (i < n - 2) {
+      val b = toks(i + 1); val c = toks(i + 2)
+      val hab = fold(h42(i), b)
+      val h3 = fold(hab, c)
+      val habb = fold(hS1(i), b)
+      val h3b = fold(habb, c)
+      val hbc = fold(h42(i + 1), c)
+      val hbcb = fold(hS1(i + 1), c)
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](h3, h3b, hab, habb, hbc, hbcb, h42(i + 1), h42(i + 2)))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Bigram LM event keys in ONE fused per-row loop — semantics identical
+  * to `transform`-built (a, b) token structs exploded and re-hashed
+  * through four separate xxhash64 columns (the
+  * graft.ops.Text.bigramNllWithHandle composition); see [[NgramHash]]
+  * for the chain-sharing arithmetic. Output
+  * array<struct<h2, h2b, ha, hb>> (all longs, never null — a null token
+  * is skipped by the fold exactly as xxhash64 skips null children). */
+case class BigramHashes(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("h2", LongType, nullable = false),
+      StructField("h2b", LongType, nullable = false),
+      StructField("ha", LongType, nullable = false),
+      StructField("hb", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "bigram_hashes"
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, arr =>
+      s"org.apache.spark.sql.graft.NgramHash.bigramHashes($arr)")
+
+  override protected def nullSafeEval(input: Any): Any =
+    NgramHash.bigramHashes(input.asInstanceOf[ArrayData])
+
+  override protected def withNewChildInternal(newChild: Expression): BigramHashes =
+    copy(child = newChild)
+}
+
+/** Trigram LM event keys in ONE fused per-row loop — the
+  * [[BigramHashes]] treatment of graft.ops.Text.trigramNllWithHandle's
+  * eight xxhash64 key columns. Output
+  * array<struct<h3, h3b, hab, habb, hbc, hbcb, hb, hc>>. */
+case class TrigramHashes(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("h3", LongType, nullable = false),
+      StructField("h3b", LongType, nullable = false),
+      StructField("hab", LongType, nullable = false),
+      StructField("habb", LongType, nullable = false),
+      StructField("hbc", LongType, nullable = false),
+      StructField("hbcb", LongType, nullable = false),
+      StructField("hb", LongType, nullable = false),
+      StructField("hc", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "trigram_hashes"
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, arr =>
+      s"org.apache.spark.sql.graft.NgramHash.trigramHashes($arr)")
+
+  override protected def nullSafeEval(input: Any): Any =
+    NgramHash.trigramHashes(input.asInstanceOf[ArrayData])
+
+  override protected def withNewChildInternal(newChild: Expression): TrigramHashes =
+    copy(child = newChild)
+}
+
+/** LSH band keys as the FULL md5 digest split into two longs — one fused
+  * loop replacing the banding composition
+  * `posexplode(transform(sequence(0, bands-1), j => md5(concat_ws(",",
+  * transform(slice(cs, j*r+1, r), cast-to-string)))))`
+  * (graft.ops.Curation.bandHashes). Per band, the digested BYTES are the
+  * md5 of exactly the same comma-joined decimal rendering of the band's
+  * signature slice; (b1, b2) are the digest's 16 bytes big-endian, so
+  * equality of (b1, b2) is equality of the old 32-char hex string —
+  * bucket identity is BIT-EXACT, no collision-semantics change — while
+  * the groupBy/join key shrinks from a ~36-byte UTF8 string to 16 fixed
+  * bytes and the interpreted transform/concat/hex round-trip disappears.
+  * Output array<struct<j:int, b1:long, b2:long>>, one row per band.
+  * Null signatures → null (the composed form's md5-of-null propagation);
+  * signature length must be a multiple of `bands` (checked at
+  * construction against the caller's requirement). */
+case class MdBandKeys(child: Expression, bands: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(bands >= 1, s"bands must be >= 1, got $bands")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("j", IntegerType, nullable = false),
+      StructField("b1", LongType, nullable = false),
+      StructField("b2", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "md_band_keys"
+
+  def compute(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    require(n % bands == 0,
+      s"signature length $n not divisible by bands=$bands")
+    val r = n / bands
+    val md = MdMinHash.digester()
+    val out = new Array[Any](bands)
+    val sb = new java.lang.StringBuilder()
+    var j = 0
+    while (j < bands) {
+      sb.setLength(0)
+      var i = j * r
+      val end = i + r
+      while (i < end) {
+        if (i > j * r) sb.append(',')
+        sb.append(arr.getLong(i))
+        i += 1
+      }
+      md.reset()
+      md.update(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val d = md.digest()
+      def be(o: Int): Long =
+        ((d(o) & 0xffL) << 56) | ((d(o + 1) & 0xffL) << 48) |
+          ((d(o + 2) & 0xffL) << 40) | ((d(o + 3) & 0xffL) << 32) |
+          ((d(o + 4) & 0xffL) << 24) | ((d(o + 5) & 0xffL) << 16) |
+          ((d(o + 6) & 0xffL) << 8) | (d(o + 7) & 0xffL)
+      out(j) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](j, be(0), be(8)))
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  // reference-object call — the fused digest loop is the win; staying
+  // out of CodegenFallback keeps the surrounding stage compiled (see
+  // ShingleArray note)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bandkeys", this,
+      "org.apache.spark.sql.graft.MdBandKeys")
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MdBandKeys =
+    copy(child = newChild)
 }

@@ -441,4 +441,97 @@ class NativeExprSpec extends SparkSpec {
       assert(nat == hof, s"nProbe=$np simRound=$sr")
     }
   }
+
+  // shared fixture for the r19 n-gram key pins: unicode, empties,
+  // single/two/three-token docs, repeated tokens, a null element
+  // (split() never emits one, but the fold-skip semantics are part of
+  // the pinned contract), and a longer natural-ish doc
+  private val ngramFixture = Seq(
+    Seq("the", "cat", "sat", "on", "the", "mat"),
+    Seq("a"),
+    Seq("a", "b"),
+    Seq("a", "b", "c"),
+    Seq.empty[String],
+    Seq("", "x", ""),
+    Seq("héllo", "wörld", "héllo", "wörld"),
+    Seq("日本語", "トークン", "日本語"),
+    Seq(null, "b", "c", null, "e"),
+    ("lorem ipsum dolor sit amet consectetur adipiscing elit sed do " +
+      "eiusmod tempor incididunt ut labore").split(" ").toSeq)
+
+  test("bigram_hashes agrees bit-for-bit with the composed xxhash64 columns") {
+    val df = ngramFixture.toDF("toks")
+    val composed = df.select(
+        explode(graft.ops.Text.bigrams(col("toks"))).as("b"))
+      .select(xxhash64(col("b.a"), col("b.b")),
+        xxhash64(lit(1), col("b.a"), col("b.b")),
+        xxhash64(col("b.a")), xxhash64(col("b.b")))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val native = df.select(
+        explode(GraftExtensions.bigramHashes(col("toks"))).as("b"))
+      .select(col("b.h2"), col("b.h2b"), col("b.ha"), col("b.hb"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(native == composed)
+    assert(composed.nonEmpty)
+  }
+
+  test("trigram_hashes agrees bit-for-bit with the composed xxhash64 columns") {
+    val df = ngramFixture.toDF("toks")
+    val composed = df.select(
+        explode(graft.ops.Text.trigrams(col("toks"))).as("t"))
+      .select(xxhash64(col("t.a"), col("t.b"), col("t.c")),
+        xxhash64(lit(1), col("t.a"), col("t.b"), col("t.c")),
+        xxhash64(col("t.a"), col("t.b")),
+        xxhash64(lit(1), col("t.a"), col("t.b")),
+        xxhash64(col("t.b"), col("t.c")),
+        xxhash64(lit(1), col("t.b"), col("t.c")),
+        xxhash64(col("t.b")), xxhash64(col("t.c")))
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val native = df.select(
+        explode(GraftExtensions.trigramHashes(col("toks"))).as("t"))
+      .select(col("t.h3"), col("t.h3b"), col("t.hab"), col("t.habb"),
+        col("t.hbc"), col("t.hbcb"), col("t.hb"), col("t.hc"))
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(native == composed)
+    assert(composed.nonEmpty)
+  }
+
+  test("md_band_keys carries the exact md5 digest of the banded hex form") {
+    val sigs = Seq(
+      Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L),
+      Seq(Long.MaxValue, 0L, -1L, 42L, 9L, 8L, 7L, 6L),
+      Seq.tabulate(16)(i => i * 7919L - 3L))
+    val df = sigs.toDF("cs")
+    for (bands <- Seq(2, 4)) {
+      val r = sigs.head.size / bands // lengths differ; recompute per row below
+      val composed = df.select(posexplode(transform(
+          sequence(lit(0), lit(bands - 1)), j =>
+            md5(concat_ws(",", transform(
+              slice(col("cs"), j * (size(col("cs")) / bands) + 1,
+                size(col("cs")) / bands), _.cast("string"))))))
+          .as(Seq("j", "hex")))
+        .as[(Int, String)].collect().toSeq
+      val native = df.select(explode(
+          GraftExtensions.mdBandKeys(col("cs"), bands)).as("b"))
+        .select(col("b.j"), col("b.b1"), col("b.b2"))
+        .as[(Int, Long, Long)].collect().toSeq
+      assert(native.size == composed.size)
+      native.zip(composed).foreach { case ((jn, b1, b2), (jc, hex)) =>
+        assert(jn == jc)
+        // (b1, b2) are the digest's 16 bytes big-endian — re-render and
+        // compare to the hex string the old composition shuffled
+        assert(f"$b1%016x$b2%016x" == hex, s"band $jn")
+      }
+      assert(r >= 1)
+    }
+  }
+
+  test("md_band_keys rejects a signature length not divisible by bands") {
+    val df = Seq(Seq(1L, 2L, 3L)).toDF("cs")
+    val e = intercept[Exception] {
+      df.select(explode(GraftExtensions.mdBandKeys(col("cs"), 2)))
+        .collect()
+    }
+    assert(e.getMessage != null)
+  }
 }

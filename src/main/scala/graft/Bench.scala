@@ -193,12 +193,34 @@ object Bench {
     * it changes exactly when the query's logical shape changes — the
     * signal the ledger REPLACE rule (judge r18 task 8) keys on.
     * Analyzed (not optimized/physical) plan: cheap, deterministic,
-    * and code-change-sensitive without being AQE/stats-sensitive. */
+    * and code-change-sensitive without being AQE/stats-sensitive.
+    *
+    * Two run-environment artifacts must ALSO be normalized or the
+    * REPLACE rule misfires (measured r19: 24 of 100 stamps flipped
+    * between two runs of IDENTICAL code, letting one contended pass
+    * ratchet those floors UP — the exact failure the rule exists to
+    * prevent):
+    *   - typed-op lambda identity: `MapPartitions graft.ingest.
+    *     Excel$$Lambda$3442/0x00007f2a…@5e752a2a` — class-load order
+    *     and object hash differ per JVM;
+    *   - partition counts in Repartition nodes: fanOut derives them
+    *     from the core count by design (scale-adaptive), so an 8-core
+    *     stamp must not read as a plan change under 32 cores. A code
+    *     change to a repartition CONSTANT therefore no longer flips
+    *     the fp — deliberate: partition counts are env-adaptive knobs,
+    *     not logical shape. */
   private[graft] def planFingerprint(df: org.apache.spark.sql.DataFrame,
       normalizePaths: Seq[String]): String = {
     val raw = df.queryExecution.analyzed.canonicalized.toString
-    val s = normalizePaths.filter(_.nonEmpty)
+    val s0 = normalizePaths.filter(_.nonEmpty)
       .foldLeft(raw)((acc, p) => acc.replace(p, "<SF>"))
+    val s = s0
+      .replaceAll("""\$\$Lambda\$\d+/0x[0-9a-fA-F]+@[0-9a-fA-F]+""",
+        "\\$\\$Lambda")
+      .replaceAll("""@[0-9a-f]{6,16}\b""", "@id")
+      .replaceAll("""\bRepartition \d+""", "Repartition <n>")
+      .replaceAll("""(RepartitionByExpression \[[^\]]*\]), \d+""",
+        "$1, <n>")
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .take(8).map(b => f"$b%02x").mkString

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{BigramHashes, CdcCuts, CosineSimilarity, DotProduct, EvalBarrier, IvfTopCells, IvfTreeTopCells, Md5Prefix60, MdBandKeys, MdBucketMargin, MdDerivedMarginInt, SpanHashes60, MdMinHashSignature, MinHashSignature, MjdToTimestamp, NativeBridge, RegexpExtractGroups, ShingleArray, SimHash64, MultiMatch, TimestampToMjd, TrigramHashes, UnicodeNormalize, UnigramViterbi, WinnowMinima, WordPieceEncode}
+import org.apache.spark.sql.graft.{BigramHashes, BpeMergeSeq, CdcCuts, CosineSimilarity, DotProduct, EvalBarrier, IvfTopCells, IvfTreeTopCells, Md5Prefix60, MdBandKeys, MdBucketMargin, MdDerivedMarginInt, SpanHashes60, MdMinHashSignature, MinHashSignature, MjdToTimestamp, NativeBridge, RegexpExtractGroups, ShingleArray, SimHash64, MultiMatch, TimestampToMjd, TrigramHashes, UnicodeNormalize, UnigramViterbi, WinnowMinima, WordPieceEncode}
 
 /** Registers the native expressions as SQL functions so every operator is
   * reachable from `spark.sql` (SURVEY.md §7.1 `sql/` surface). Install
@@ -158,7 +158,22 @@ object GraftExtensions {
         "md_band_keys(signature, bands) - per-band md5 digest keys as array<struct<j,b1,b2>>."),
       (args: Seq[Expression]) => MdBandKeys(args.head,
         literalArg(args(1), "md_band_keys", "bands")
-          .asInstanceOf[Number].intValue())))
+          .asInstanceOf[Number].intValue())),
+    ("bpe_merge_seq",
+      info("bpe_merge_seq",
+        "bpe_merge_seq(syms, a_list, b_list) - ordered greedy BPE merges (parallel literal string arrays) applied in one fused pass."),
+      (args: Seq[Expression]) => {
+        def strs(i: Int, p: String): Seq[String] =
+          literalArg(args(i), "bpe_merge_seq", p)
+            .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+            .toObjectArray(org.apache.spark.sql.types.StringType)
+            .map(_.toString).toSeq
+        val (as, bs) = (strs(1, "a_list"), strs(2, "b_list"))
+        if (as.isEmpty || as.size != bs.size)
+          org.apache.spark.sql.graft.AnalysisErrors.nullArgument(
+            "bpe_merge_seq", "a_list/b_list (non-empty, equal length)")
+        BpeMergeSeq(args.head, as.zip(bs))
+      }))
 
   /** Register on an existing session (tests, REPL). Functions go into the
     * session registry; the pushdown rule into experimental optimizations
@@ -242,6 +257,8 @@ object GraftExtensions {
     NativeBridge.column(TrigramHashes(NativeBridge.expression(toks)))
   def mdBandKeys(signature: Column, bands: Int): Column =
     NativeBridge.column(MdBandKeys(NativeBridge.expression(signature), bands))
+  def bpeMergeSeq(syms: Column, merges: Seq[(String, String)]): Column =
+    NativeBridge.column(BpeMergeSeq(NativeBridge.expression(syms), merges))
   /** Pins evaluation order of side-effecting expressions (see
     * org.apache.spark.sql.graft.EvalBarrier). */
   def evalBarrier(c: Column): Column =

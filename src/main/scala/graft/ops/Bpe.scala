@@ -36,18 +36,26 @@ object Bpe {
 
   /** One greedy left-to-right merge pass of (a, b) → a+b over a symbol
     * array, as a fold: merged symbols are NEW symbols (no re-merge
-    * within the pass), adjacent runs merge leftmost-first. */
+    * within the pass), adjacent runs merge leftmost-first.
+    *
+    * r19: retained as the REFERENCE form — [[segment]] and [[train]]
+    * now run the native fused loop (BpeMergeSeq, bit-identical, pinned
+    * in NativeExprSpec): the fold ran one interpreted lambda per merge
+    * per row and built a fresh array per SYMBOL per pass
+    * (O(len²·merges) allocation), the dominant CPU of the BPE family
+    * (t_bpe_encode 42–65 s summed task time at sf0.1). */
   def applyMerge(syms: Column, a: String, b: String): Column =
     aggregate(syms, array().cast("array<string>"), (acc, s) =>
       when(try_element_at(acc, lit(-1)) === lit(a) && s === lit(b),
         concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
         .otherwise(concat(acc, array(s))))
 
-  /** Apply an ordered merge list (the trained tokenizer). */
+  /** Apply an ordered merge list (the trained tokenizer) — one fused
+    * native pass over the symbol array (see [[applyMerge]] r19 note). */
   def segment(word: Column, merges: Seq[(String, String)]): Column =
-    merges.foldLeft(initialSymbols(word)) { case (c, (a, b)) =>
-      applyMerge(c, a, b)
-    }
+    if (merges.isEmpty) initialSymbols(word)
+    else graft.functions.GraftExtensions
+      .bpeMergeSeq(initialSymbols(word), merges)
 
   /** The trained merge table as a DataFrame `(rank, a, b, merged, n)` —
     * the STORED-tokenizer surface: train once, write this table
@@ -113,7 +121,12 @@ object Bpe {
           val r = best(0)
           val (a, b, n) = (r.getString(0), r.getString(1), r.getLong(2))
           merges += ((rank, a, b, a + b, n))
-          vocab = vocab.withColumn("syms", applyMerge(col("syms"), a, b))
+          // re-fold ALL merges so far off the cached base in one native
+          // pass (vs stacking one more interpreted fold per round onto
+          // the previous column — by round 8 an 8-deep lambda chain)
+          vocab = base.withColumn("syms",
+            graft.functions.GraftExtensions.bpeMergeSeq(col("syms"),
+              merges.toSeq.map(m => (m._2, m._3))))
           rank += 1
         }
       }

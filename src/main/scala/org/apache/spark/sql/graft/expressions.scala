@@ -2150,3 +2150,88 @@ case class MdBandKeys(child: Expression, bands: Int)
   override protected def withNewChildInternal(newChild: Expression): MdBandKeys =
     copy(child = newChild)
 }
+
+/** An ordered BPE merge list applied in ONE fused per-row loop —
+  * semantics identical to the stacked HOF folds
+  * `merges.foldLeft(syms)((c, m) => aggregate(c, array(), (acc, s) =>
+  * when(try_element_at(acc, -1) === m.a && s === m.b,
+  * concat(slice(acc, 1, size(acc)-1), array(m.a + m.b)))
+  * .otherwise(concat(acc, array(s)))))` (graft.ops.Bpe.applyMerge /
+  * segment): per merge pair one greedy left-to-right pass, merged
+  * symbols are NEW symbols (no re-merge within a pass), leftmost-first
+  * on runs, null ELEMENTS append as nulls and never match. The HOF
+  * stack ran `merges.length` interpreted lambdas per row and built a
+  * fresh array per SYMBOL per pass (O(len²·merges) allocation); here
+  * every pass is an in-place write pointer over one buffer. Agreement
+  * pinned in NativeExprSpec; the BPE family stays value-oracled because
+  * the outputs are identical. */
+case class BpeMergeSeq(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(merges.nonEmpty, "merges must be non-empty (identity: use the input)")
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType))
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = true)
+  override def prettyName: String = "bpe_merge_seq"
+
+  @transient private lazy val aArr: Array[org.apache.spark.unsafe.types.UTF8String] =
+    merges.map(m => org.apache.spark.unsafe.types.UTF8String.fromString(m._1)).toArray
+  @transient private lazy val bArr: Array[org.apache.spark.unsafe.types.UTF8String] =
+    merges.map(m => org.apache.spark.unsafe.types.UTF8String.fromString(m._2)).toArray
+  @transient private lazy val abArr: Array[org.apache.spark.unsafe.types.UTF8String] =
+    merges.map(m => org.apache.spark.unsafe.types.UTF8String.fromString(m._1 + m._2)).toArray
+
+  def compute(arr: ArrayData): ArrayData = {
+    val n0 = arr.numElements()
+    val buf = new Array[org.apache.spark.unsafe.types.UTF8String](n0)
+    var i = 0
+    while (i < n0) {
+      buf(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      i += 1
+    }
+    var n = n0
+    var m = 0
+    while (m < aArr.length) {
+      val a = aArr(m); val b = bArr(m); val ab = abArr(m)
+      // in-place greedy pass: the write pointer w trails the read
+      // pointer r, so a merge rewrites buf(w-1) and never clobbers
+      // unread input. buf(w-1) == ab can never re-match a (b non-empty
+      // makes ab != a), reproducing the fold's no-re-merge rule.
+      var r = 0
+      var w = 0
+      while (r < n) {
+        val s = buf(r)
+        if (w > 0 && buf(w - 1) != null && s != null &&
+            buf(w - 1).equals(a) && s.equals(b)) {
+          buf(w - 1) = ab
+        } else {
+          buf(w) = s
+          w += 1
+        }
+        r += 1
+      }
+      n = w
+      m += 1
+    }
+    val out = new Array[Any](n)
+    i = 0
+    while (i < n) { out(i) = buf(i); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  // reference-object call (the MdBandKeys pattern) — the fused merge
+  // loop is the win; staying out of CodegenFallback keeps the
+  // surrounding stage compiled
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpemerges", this,
+      "org.apache.spark.sql.graft.BpeMergeSeq")
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeMergeSeq =
+    copy(child = newChild)
+}

@@ -534,4 +534,36 @@ class NativeExprSpec extends SparkSpec {
     }
     assert(e.getMessage != null)
   }
+
+  test("bpe_merge_seq agrees bit-for-bit with the stacked HOF folds") {
+    // adjacent runs ("a a a" under (a,a) -> [aa, a]), re-merge of a
+    // MERGED symbol only by a LATER pair, unicode, empties, null
+    // elements (append, never match), and the </w> marker
+    val words = Seq(
+      Seq("a", "a", "a"),
+      Seq("a", "b", "a", "b"),
+      Seq("l", "o", "w", "e", "r", "</w>"),
+      Seq("\u00e9", "\u00e9", "x"),
+      Seq.empty[String],
+      Seq("b"),
+      Seq("a", null, "b"),
+      Seq(null, "a", "b")).map(Tuple1(_))
+    val merges = Seq(("a", "a"), ("a", "b"), ("aa", "a"),
+      ("\u00e9", "\u00e9"), ("l", "o"), ("lo", "w"), ("e", "r"),
+      ("er", "</w>"))
+    val df = words.toDF("syms")
+    val hof = merges.foldLeft(col("syms")) { case (c, (a, b)) =>
+      graft.ops.Bpe.applyMerge(c, a, b) }
+    val out = df.select(hof.as("ref"),
+        GraftExtensions.bpeMergeSeq(col("syms"), merges).as("native"))
+      .as[(Seq[String], Seq[String])].collect()
+    out.foreach { case (ref, native) => assert(native == ref) }
+    assert(out.nonEmpty)
+    // null array -> null out, both forms
+    val nullDf = Seq(Tuple1(null.asInstanceOf[Seq[String]])).toDF("syms")
+    val nulls = nullDf.select(hof.as("ref"),
+        GraftExtensions.bpeMergeSeq(col("syms"), merges).as("native"))
+      .as[(Seq[String], Seq[String])].collect()
+    assert(nulls.head._1 == null && nulls.head._2 == null)
+  }
 }

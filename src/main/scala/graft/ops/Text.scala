@@ -413,10 +413,20 @@ object Text {
     // in the static plan). Two windows over the ≤|domains|²-row counts
     // recover n_a/n_b; everything after the shingle shuffle is
     // domain-cardinality-sized.
+    // r19 (guide §2.2 — shuffle fewer bytes): the shingle-keyed
+    // exchange is the only corpus-sized shuffle here and it used to
+    // carry the k-gram STRING; every output column depends on the
+    // shingle only through key equality, so the key rides as a 128-bit
+    // xxhash64 pair instead (16 fixed bytes/row — the LM-key /
+    // ladder-fingerprint accepted collision class; the oracle counts
+    // from shingle TEXT, so a collision would hash-mismatch). The
+    // in-row array_distinct stays on strings (no shuffle touches it).
     val bySh = df.select(col(domainCol).as("d"),
         explode(array_distinct(graft.functions.GraftExtensions
           .shingles(split(col(textCol), " ", -1), k))).as("sh"))
-      .groupBy("sh")
+      .select(col("d"), xxhash64(col("sh")).as("h1"),
+        xxhash64(lit(1), col("sh")).as("h2"))
+      .groupBy("h1", "h2")
       .agg(sort_array(collect_set(col("d"))).as("ds"))
     // collapse shingles sharing the SAME domain set before the
     // quadratic pair explode: the |ds|² fan-out runs once per DISTINCT

@@ -324,14 +324,24 @@ object TextQueries {
         |    AS n_novel
         |FROM tg JOIN f USING (g)
         |GROUP BY tg.doc_id ORDER BY tg.doc_id""".stripMargin) { (s, dir) =>
+      // r19 (guide §2.2 — shuffle fewer bytes): the trigram key rides
+      // the distinct, the first-occurrence aggregate and the join as
+      // the 128-bit (h3, h3b) pair from the native fused key loop
+      // (TrigramHashes, the LM-family keying) instead of the joined
+      // window STRING — 16 fixed bytes per key through two exchanges,
+      // no concat_ws materialization per window. Counts depend on the
+      // key only through equality; the pair's collision class is the
+      // engine-wide accepted one (the LM keys, the ladder's composed
+      // fingerprints), and the oracle re-derives novelty from the
+      // window TEXT, so a collision anywhere would hash-mismatch.
       val tg = Tables.fannedOut(s, dir, "documents")
         .select(col("doc_id"),
-          explode(Text.trigrams(split(col("text"), " ", -1))).as("t"))
-        .select(col("doc_id"),
-          concat_ws(" ", col("t.a"), col("t.b"), col("t.c")).as("g"))
+          explode(graft.functions.GraftExtensions
+            .trigramHashes(split(col("text"), " ", -1))).as("t"))
+        .select(col("doc_id"), col("t.h3").as("g1"), col("t.h3b").as("g2"))
         .distinct()
-      val f = tg.groupBy("g").agg(min("doc_id").as("first_doc"))
-      tg.join(f, "g")
+      val f = tg.groupBy("g1", "g2").agg(min("doc_id").as("first_doc"))
+      tg.join(f, Seq("g1", "g2"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_trigrams"),
           sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))

@@ -74,9 +74,14 @@ object Linkage {
     val cg = clean.select(col(cId), col(cName),
         explode(charGrams(col(cName), q)).as("g"))
     // stop-gram prune on the REFERENCE index (the side that is indexed
-    // once and reused per feed)
+    // once and reused per feed). r19 (guide §2.3, the dupPositions
+    // min!=max precedent): [[charGrams]] is distinct WITHIN a name and
+    // the reference side carries one row per id (the reference-table
+    // contract every caller holds), so (g, id) pairs are unique and
+    // count(*) IS countDistinct(id) — one map-side-combinable exchange
+    // instead of countDistinct's two-phase (g, id) dedup expansion.
     val keep = cg.groupBy("g")
-      .agg(countDistinct(col(cId)).as("__df"))
+      .agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= dfCut)
       .select("g")
     val dg = dirty.select(col(dId), col(dName),

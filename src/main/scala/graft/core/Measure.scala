@@ -32,7 +32,19 @@ object Measure {
     * 63 → 152 → 162 → 157 s with only the SQL-cache clear; flat with
     * this release. Sequential call sites only (a concurrent clear
     * would release another thread's in-flight handle — the pre-warm
-    * pool deliberately skips it, same as the old clearCache note). */
+    * pool deliberately skips it, same as the old clearCache note).
+    *
+    * Contract on checkpointed RDDs (advisor r18): this unpersists
+    * locally-checkpointed RDDs too, whose lineage is TRUNCATED — a
+    * handle that survived into a LATER query would fail with
+    * missing-block errors rather than recompute. That is deliberate
+    * and safe under the registry convention the call sites enforce:
+    * every query's persists/checkpoints are consumed within that
+    * query's own consume() (nothing spans two registry queries — the
+    * t_scrub_spans handle rule), so at call time every released block
+    * is dead. Spark's per-RDD "cannot be recomputed after
+    * unpersisting" WARNs at these sites are expected noise, not a
+    * fault (quietKnownWarnings drops them in the profilers). */
   def releaseAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sharedState.cacheManager.clearCache()
     spark.sparkContext.getPersistentRDDs.values

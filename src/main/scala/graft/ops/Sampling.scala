@@ -124,16 +124,26 @@ object Sampling {
     * the whole split; stratification comes for free in expectation
     * because the hash is independent of every column. */
   def hashSplit(df: DataFrame, idCol: String, seed: String,
-                fracTrain: Double, fracVal: Double): DataFrame = {
+                fracTrain: Double, fracVal: Double): DataFrame =
+    df.withColumn("split",
+      splitLabel(col(idCol), seed, fracTrain, fracVal))
+
+  /** The split LABEL of [[hashSplit]] as a column — THE single home of
+    * the bucketing formula (portableHash(key:seed) % 10000 against the
+    * fraction thresholds). Queries that inline a split over a derived
+    * key (pipe_split_decontam's host/doc protocols) must build it here
+    * so a future change to the formula cannot silently desync their
+    * labels from every other split in the engine (advisor r18). */
+  def splitLabel(key: Column, seed: String,
+                 fracTrain: Double, fracVal: Double): Column = {
     require(fracTrain >= 0 && fracVal >= 0 && fracTrain + fracVal <= 1,
       s"split fractions must be non-negative and sum <= 1 " +
         s"(got train=$fracTrain, val=$fracVal)")
     val bucket = Text.portableHash(
-      concat(col(idCol).cast("string"), lit(":" + seed))) % 10000L
-    df.withColumn("split",
-      when(bucket < (fracTrain * 10000).toLong, "train")
-        .when(bucket < ((fracTrain + fracVal) * 10000).toLong, "val")
-        .otherwise("test"))
+      concat(key.cast("string"), lit(":" + seed))) % 10000L
+    when(bucket < (fracTrain * 10000).toLong, "train")
+      .when(bucket < ((fracTrain + fracVal) * 10000).toLong, "val")
+      .otherwise("test")
   }
 
   /** Temperature-weighted oversampling WITH replacement (the upsampling

@@ -629,12 +629,11 @@ object RetrievalQueries {
         // from the single joined stats row, so no aggregate runs
         // twice. Row values are unchanged (oracle replays the old
         // two-protocol union).
-        def splitOf(keyCol: String) = {
-          val bucket = Text.portableHash(
-            concat(col(keyCol).cast("string"), lit(":spd0"))) % 10000L
-          when(bucket < 8000L, "train")
-            .when(bucket < 9000L, "val").otherwise("test")
-        }
+        // advisor r18: the label comes from Sampling.splitLabel (the
+        // shared hashSplit formula) so this inlined split can never
+        // drift from the engine's other splits
+        def splitOf(keyCol: String) =
+          graft.ops.Sampling.splitLabel(col(keyCol), "spd0", 0.8, 0.1)
         val sp = marked
           .withColumn("__sh", splitOf("host"))
           .withColumn("__sd", splitOf("doc_id"))

@@ -509,7 +509,16 @@ case class Md5Prefix60(child: Expression)
 case class MdBucketMargin(child: Expression, weights: Seq[Double],
                           skipEmpty: Boolean = false)
     extends UnaryExpression with ImplicitCastInputTypes {
+  // advisor r18: misuse fails at plan construction, not with a per-row
+  // ArithmeticException inside executor codegen
+  require(weights.nonEmpty, "weights must be non-empty")
 
+  // advisor r18 equivalence caveat: with skipEmpty=true the documented
+  // HOF twin is `aggregate(filter(toks, t =!= ""), ...)`, whose filter
+  // silently DROPS null tokens while this expression nulls the sum —
+  // the claimed identity holds for NULL-FREE arrays only (split()
+  // never emits nulls, so every call site qualifies; the skipEmpty
+  // NativeExprSpec pin uses null-free fixtures deliberately).
   override def inputTypes: Seq[AbstractDataType] =
     Seq(ArrayType(StringType))
   override def dataType: DataType = DoubleType
@@ -577,6 +586,8 @@ case class MdBucketMargin(child: Expression, weights: Seq[Double],
   * HOF's `acc + null`. */
 case class MdDerivedMarginInt(child: Expression, buckets: Int)
     extends UnaryExpression with ImplicitCastInputTypes {
+  // advisor r18: fail at plan construction (SpanHashes60's k >= 1 rule)
+  require(buckets >= 1, s"buckets must be >= 1, got $buckets")
 
   override def inputTypes: Seq[AbstractDataType] =
     Seq(ArrayType(StringType))

@@ -208,22 +208,52 @@ object Bench {
     *     stamp must not read as a plan change under 32 cores. A code
     *     change to a repartition CONSTANT therefore no longer flips
     *     the fp — deliberate: partition counts are env-adaptive knobs,
-    *     not logical shape. */
+    *     not logical shape;
+    *   - commutative operand ORDER: canonicalization sorts commutative
+    *     chains (and flips comparison direction when it swaps sides)
+    *     by child hashCodes, and expressions that embed a
+    *     java.lang.Class reference (`multicommutativeop(..., class
+    *     ...Add, ...)`) sort by IDENTITY hashes that differ per JVM —
+    *     measured r19: pipe_curation / t_token_drift / the langid pair
+    *     flip-flopped between full passes of identical code, getting
+    *     their floors re-REPLACED at whatever contention that pass
+    *     had. The hash therefore covers each LINE's token MULTISET
+    *     (identifier/number tokens, sorted), which is invariant under
+    *     operand permutation and comparison flips while still changing
+    *     whenever a function, column, literal, or plan node is added,
+    *     removed, or altered. Accepted insensitivity, documented: a
+    *     code change that ONLY reorders commutative operands or only
+    *     swaps `<` for `>` no longer flips the fp. */
   private[graft] def planFingerprint(df: org.apache.spark.sql.DataFrame,
       normalizePaths: Seq[String]): String = {
     val raw = df.queryExecution.analyzed.canonicalized.toString
-    val s0 = normalizePaths.filter(_.nonEmpty)
+    md5Prefix16(normalizePlanText(raw, normalizePaths))
+  }
+
+  private[graft] def md5Prefix16(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(8).map(b => f"$b%02x").mkString
+
+  /** The normalization behind [[planFingerprint]], exposed for the
+    * spec: path/lambda/partition-count scrub, then per-line sorted
+    * token multiset (see the scaladoc above for why each step exists). */
+  private[graft] def normalizePlanText(raw: String,
+      normalizePaths: Seq[String]): String = {
+    val s = normalizePaths.filter(_.nonEmpty)
       .foldLeft(raw)((acc, p) => acc.replace(p, "<SF>"))
-    val s = s0
       .replaceAll("""\$\$Lambda\$\d+/0x[0-9a-fA-F]+@[0-9a-fA-F]+""",
         "\\$\\$Lambda")
       .replaceAll("""@[0-9a-f]{6,16}\b""", "@id")
       .replaceAll("""\bRepartition \d+""", "Repartition <n>")
       .replaceAll("""(RepartitionByExpression \[[^\]]*\]), \d+""",
         "$1, <n>")
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .take(8).map(b => f"$b%02x").mkString
+    s.split('\n').map { line =>
+      val toks = line.split("[^A-Za-z0-9_.#<>]+").filter(_.nonEmpty)
+        .map(t => t.replace('<', '>')) // comparison flips pair with swaps
+      java.util.Arrays.sort(toks.asInstanceOf[Array[Object]])
+      toks.mkString(" ")
+    }.mkString("\n")
   }
 
   def main(args: Array[String]): Unit = {
@@ -543,8 +573,21 @@ object Bench {
     // fingerprint capture shared by both timers: runs AFTER the clock
     // stops (plan-string digest, no jobs), never fails the measurement
     def recordFp(name: String, df: org.apache.spark.sql.DataFrame): Unit =
-      try fpThisRun(name) = planFingerprint(df, Seq(benchSfCanon, sfDir))
-      catch { case _: Throwable => () }
+      try {
+        fpThisRun(name) = planFingerprint(df, Seq(benchSfCanon, sfDir))
+        // dev-only triage hook (FpProbe's bench-context twin): dump the
+        // normalized plan text a stamp hashes, so two runs' dumps diff
+        // directly when fp_changed churns. The driver never sets it.
+        sys.env.get("SPARK_GRAFT_BENCH_FP_DUMP").foreach { dir =>
+          val s = normalizePlanText(
+            df.queryExecution.analyzed.canonicalized.toString,
+            Seq(benchSfCanon, sfDir))
+          val d = new java.io.File(dir); d.mkdirs()
+          java.nio.file.Files.write(
+            new java.io.File(d, s"$name.txt").toPath,
+            s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+      } catch { case _: Throwable => () }
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Boolean, Double) = {
       val t0 = System.nanoTime()
@@ -995,9 +1038,21 @@ object Bench {
     // rewritten in the same pass (and ONLY here, atomically with the
     // floor decision: a governed run stamping fps without replacing
     // floors would mask the change from the next ledger pass).
+    // SPARK_GRAFT_BENCH_FP_RESTAMP=1: migration knob for changes to the
+    // FINGERPRINT FUNCTION itself (normalization added, hash widened) —
+    // the stamps flip for every query even though no plan changed, and
+    // blind REPLACE would re-roll every floor at whatever contention the
+    // migration pass happens to have (measured r19: the first migration
+    // ran at 1.76× and ratcheted 20 floors up). Under RESTAMP the pass
+    // rewrites the stamp file to the new format but min-merges every
+    // floor as usual. Dev-only, never the driver; using it to mask a
+    // REAL plan change would require the plan change to ship in the
+    // same commit as an fp-function change — reviewable in git.
+    val fpRestamp =
+      sys.env.get("SPARK_GRAFT_BENCH_FP_RESTAMP").contains("1")
     if (sys.env.get("SPARK_GRAFT_BENCH_WRITE_LEDGER").contains("1")) {
       val p1ok = pass1.collect { case (k, (true, t)) => k -> t }.toMap
-      val fpChangedSet = fpChanged.toSet
+      val fpChangedSet = if (fpRestamp) Set.empty[String] else fpChanged.toSet
       val merged = (ledger.keySet ++ p1ok.keySet)
         .toSeq.sorted.flatMap { k =>
           (p1ok.get(k), ledger.get(k)) match {
@@ -1017,7 +1072,9 @@ object Bench {
       java.nio.file.Files.write(java.nio.file.Paths.get(ledgerPath),
         json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       System.err.println(s"ledger written: $ledgerPath (${merged.size} entries" +
-        s", ${fpChanged.size} fp-replaced)")
+        s", ${fpChangedSet.size} fp-replaced" +
+        (if (fpRestamp) s"; RESTAMP — ${fpChanged.size} stamp migrations min-merged" else "") +
+        ")")
       try {
         val fpMerged = (fpStored.filter { case (k, _) =>
           SparkEntry.queries.contains(k) } ++ fpThisRun).toSeq.sortBy(_._1)

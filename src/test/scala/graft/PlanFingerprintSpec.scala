@@ -40,6 +40,21 @@ class PlanFingerprintSpec extends SparkSpec {
     assert(fp(base.filter(col("id") > 1)) !== fp(base.filter(col("id") > 2)))
   }
 
+  test("commutative operand order and comparison flips do not change it") {
+    // canonicalization sorts commutative chains by child hashCodes, and
+    // chains embedding a java.lang.Class reference sort by IDENTITY
+    // hashes that differ per JVM — the two lines below are the actual
+    // pipe_curation flip observed between two full bench passes
+    val a = "Filter (multicommutativeop(f(x), g(y), class Add) > greatest(h(z)))"
+    val b = "Filter (greatest(h(z)) < multicommutativeop(g(y), f(x), class Add))"
+    assert(Bench.md5Prefix16(Bench.normalizePlanText(a, Nil))
+      === Bench.md5Prefix16(Bench.normalizePlanText(b, Nil)))
+    // but adding/removing/altering a token still flips it
+    val c = "Filter (multicommutativeop(f(x), g(w), class Add) > greatest(h(z)))"
+    assert(Bench.md5Prefix16(Bench.normalizePlanText(a, Nil))
+      !== Bench.md5Prefix16(Bench.normalizePlanText(c, Nil)))
+  }
+
   test("SF paths normalize away") {
     // same logical source read under two different path spellings must
     // hash equal once both paths are normalized
